@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale document pipelines.
+  *
+  * The reference SDK has no expression language at all — element-level text
+  * logic lives in user Java inside DoFns (e.g. the canonical WordCount's
+  * ExtractWordsFn splits on "[^a-zA-Z']+"; SURVEY.md section 2.6). Here every
+  * function is a pure Column expression built from Spark built-ins, so it
+  * stays inside whole-stage codegen and never forces a deserialization to JVM
+  * objects — the property that matters at 100 TB.
+  */
+object TextFunctions {
+
+  /** Lower-cased word tokens, WordCount-style: split on non-letters,
+    * drop empties. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z']+"), t => length(t) > 0)
+
+  /** Whitespace token count (cheap "how many words" metric). */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish subword count: words are split further on letter/digit
+    * boundaries and long words counted as ceil(len/4) pieces, a standard
+    * cheap proxy for tokenizer cost when the real BPE table is external. */
+  def approxBpeTokenCount(text: Column): Column = {
+    val pieces = split(text, "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])")
+    aggregate(
+      filter(pieces, p => length(p) > 0),
+      lit(0L),
+      (acc, p) => acc + ceil(length(p).cast("double") / 4.0).cast("long"))
+  }
+
+  /** Ratio of punctuation characters to total characters (0 when empty). */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    when(length(text) === 0, 0.0)
+      .otherwise(punct.cast("double") / length(text).cast("double"))
+  }
+
+  /** Fraction of tokens that are members of `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ts = tokens(text)
+    val hits = size(filter(ts, t => t.isin(stopwords.map(lit): _*)))
+    when(size(ts) === 0, 0.0)
+      .otherwise(hits.cast("double") / size(ts).cast("double"))
+  }
+
+  /** English-ish stopwords used by quality scoring / language id. */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+        "that", "for", "on", "with", "as", "at", "by", "from")
+
+  /** Small per-language marker sets for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny: language ID at pipeline scale is a
+    * first-pass filter, not a classifier. */
+  val LanguageMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "y", "es", "que", "por"))
+
+  /** Heuristic language ID: argmax over per-language marker-token hit
+    * counts; "und" (undetermined) when nothing matches. Pure column expr. */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val scored = LanguageMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(
+        size(filter(ts, t => t.isin(ms.map(lit): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Composite quality score in [0,1]: mean-word-length sanity, low
+    * punctuation noise, presence of stopwords. Mirrors the shape of
+    * published pretraining-data quality filters (C4-style heuristics). */
+  def qualityScore(text: Column): Column = {
+    val nTok = size(tokens(text))
+    val meanWordLen = when(nTok === 0, 0.0)
+      .otherwise(length(regexp_replace(lower(text), "[^a-z']", "")).cast("double") / nTok)
+    val lenOk = when(nTok >= 5 && nTok <= 100000, 1.0).otherwise(0.0)
+    val wordLenOk = when(meanWordLen >= 2.0 && meanWordLen <= 12.0, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < lit(0.2), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text, EnglishStopwords) > 0.0, 1.0).otherwise(0.0)
+    (lenOk + wordLenOk + punctOk + stopOk) / 4.0
+  }
+
+  /** 64-bit document fingerprint of the normalized text (case-folded,
+    * whitespace-collapsed) — the exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Rolling-hash shingle fingerprints: hash of every k-token window.
+    * Array column; input to MinHash. */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    when(n < k, array(xxhash64(concat_ws(" ", ts))))
+      .otherwise(
+        transform(
+          sequence(lit(1), n - lit(k - 1)),
+          i => xxhash64(concat_ws(" ", slice(ts, i, lit(k))))))
+  }
+}
