@@ -1,0 +1,138 @@
+package graft.operators
+
+import scala.reflect.ClassTag
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, TypedColumn}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** The Combine family (SURVEY.md §2.3).
+  *
+  * Beam's CombineFn[I,Acc,Out] maps field-for-field onto Spark's
+  * Aggregator[IN,BUF,OUT] (createAccumulator/addInput/mergeAccumulators/
+  * extractOutput ≡ zero/reduce/merge/finish). Combiner lifting — the
+  * partial-then-final split the Dataflow service performs (*FlumeJava* §4)
+  * — is Catalyst's partial/final HashAggregate, automatic for every
+  * aggregate below. Prefer the Column-based built-ins (sum/min/max/avg/
+  * count) over custom CombineFns: they stay in whole-stage codegen.
+  */
+object Combine {
+
+  /** Dataflow-style CombineFn contract ([U] T/Combine.java CombineFn). */
+  trait CombineFn[I, A, O] extends Serializable {
+    def createAccumulator(): A
+    def addInput(acc: A, input: I): A
+    def mergeAccumulators(a: A, b: A): A
+    def extractOutput(acc: A): O
+  }
+
+  /** Bridge: CombineFn → Spark typed Aggregator. Spark runs this with
+    * map-side partial aggregation, i.e. combiner lifting for free. */
+  def toAggregator[I, A, O](fn: CombineFn[I, A, O])(
+      implicit ea: Encoder[A], eo: Encoder[O]): Aggregator[I, A, O] =
+    new Aggregator[I, A, O] {
+      override def zero: A = fn.createAccumulator()
+      override def reduce(acc: A, in: I): A = fn.addInput(acc, in)
+      override def merge(a: A, b: A): A = fn.mergeAccumulators(a, b)
+      override def finish(acc: A): O = fn.extractOutput(acc)
+      override def bufferEncoder: Encoder[A] = ea
+      override def outputEncoder: Encoder[O] = eo
+    }
+
+  /** Combine.globally ([U] T/Combine.java): whole-dataset fold to one value. */
+  def globally[I, A, O](ds: Dataset[I], fn: CombineFn[I, A, O])(
+      implicit ea: Encoder[A], eo: Encoder[O]): O =
+    ds.select(toAggregator(fn).toColumn).head()
+
+  /** Combine.perKey: per-key fold of a KV dataset via the typed path. */
+  def perKey[K, V, A, O](ds: Dataset[(K, V)], fn: CombineFn[V, A, O])(
+      implicit ek: Encoder[K], ea: Encoder[A], eo: Encoder[O],
+      eko: Encoder[(K, O)]): Dataset[(K, O)] = {
+    val agg: TypedColumn[(K, V), O] =
+      toAggregator[(K, V), A, O](new CombineFn[(K, V), A, O] {
+        def createAccumulator(): A = fn.createAccumulator()
+        def addInput(acc: A, in: (K, V)): A = fn.addInput(acc, in._2)
+        def mergeAccumulators(a: A, b: A): A = fn.mergeAccumulators(a, b)
+        def extractOutput(acc: A): O = fn.extractOutput(acc)
+      }).toColumn
+    ds.groupByKey(_._1).agg(agg)
+  }
+
+  /** Count.globally/perKey/perElement ([U] T/Count.java) — Column forms. */
+  def countGlobally(df: DataFrame): DataFrame = df.agg(count(lit(1)).as("n"))
+  def countPerKey(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+  def countPerElement(df: DataFrame): DataFrame =
+    df.groupBy(df.columns.map(col): _*).agg(count(lit(1)).as("n"))
+
+  /** Top.of/largest/perKey ([U] T/Top.java).
+    *
+    * Global top-k: orderBy+limit plans as TakeOrderedAndProject — a
+    * distributed bounded heap, no full sort. Per-key top-k: window
+    * row_number with a rank filter; AQE handles key skew. */
+  def topGlobal(df: DataFrame, k: Int, ordering: Column*): DataFrame =
+    df.orderBy(ordering: _*).limit(k)
+
+  def topPerKey(df: DataFrame, keys: Seq[String], k: Int, ordering: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /** Sample.any(n) ([U] T/Sample.java): any n elements — limit. */
+  def sampleAny[T](ds: Dataset[T], n: Int): Dataset[T] = ds.limit(n)
+
+  /** Sample.fixedSizeGlobally(n): exact-size uniform reservoir, done the
+    * scalable way: assign a seeded per-row random and take the n smallest
+    * (TakeOrderedAndProject — no single-node reservoir bottleneck). */
+  def sampleFixedSize(df: DataFrame, n: Int, seed: Long = 42L): DataFrame =
+    df.withColumn("__r", rand(seed)).orderBy(col("__r")).limit(n).drop("__r")
+
+  /** Sample.fixedSizePerKey(n): same trick per key. */
+  def sampleFixedSizePerKey(df: DataFrame, keys: Seq[String], n: Int,
+                            seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__r"))
+    df.withColumn("__r", rand(seed))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= n)
+      .drop("__r", "__rank")
+  }
+
+  /** ApproximateUnique ([U] T/ApproximateUnique.java) → HLL++. */
+  def approximateUnique(c: Column, rsd: Double = 0.05): Column =
+    approx_count_distinct(c, rsd)
+
+  /** ApproximateQuantiles ([U] T/ApproximateQuantiles.java) → Greenwald-
+    * Khanna QuantileSummaries built-in. */
+  def approximateQuantiles(c: Column, quantiles: Seq[Double],
+                           accuracy: Int = 10000): Column =
+    percentile_approx(c, array(quantiles.map(lit): _*), lit(accuracy))
+
+  /** Combine.perKey(...).withHotKeyFanout ([U] T/Combine.java): two-stage
+    * salted aggregation for skewed keys. Stage 1 aggregates (key, salt)
+    * partials across `fanout` buckets; stage 2 merges per key. Use when one
+    * key dominates and even map-side partials overwhelm a single reducer. */
+  def sumWithHotKeyFanout(df: DataFrame, keys: Seq[String], value: Column,
+                          fanout: Int): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id(), lit(fanout)))
+    salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(value).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as("sum"))
+  }
+
+  /** Top-k CombineFn (bounded min-heap) for the typed path — the direct
+    * analogue of Top.TopCombineFn's bounded heap. */
+  final class TopKFn[T: Ordering: ClassTag](k: Int) extends CombineFn[T, Seq[T], Seq[T]] {
+    private val ord = implicitly[Ordering[T]]
+    def createAccumulator(): Seq[T] = Vector.empty
+    def addInput(acc: Seq[T], in: T): Seq[T] = trim(acc :+ in)
+    def mergeAccumulators(a: Seq[T], b: Seq[T]): Seq[T] = trim(a ++ b)
+    def extractOutput(acc: Seq[T]): Seq[T] = acc.sorted(ord.reverse)
+    private def trim(xs: Seq[T]): Seq[T] = xs.sorted(ord.reverse).take(k)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+
+/** Grouping, cogrouping, joins, distinct (SURVEY.md §2.2).
+  *
+  * GroupByKey is the reference's only shuffle primitive
+  * ([U] T/GroupByKey.java); joins don't exist in its core SDK — the
+  * contrib join-library builds inner/outer joins from CoGroupByKey. Spark
+  * has native joins with planner-chosen strategies (broadcast / sort-merge /
+  * shuffled-hash), so our join surface is thin sugar over `Dataset.join` and
+  * the interesting work is CoGroupByKey ergonomics.
+  */
+object Grouping {
+
+  /** GroupByKey ([U] T/GroupByKey.java): KV → (K, Iterable[V]).
+    *
+    * Note for 100 TB users: materializing the full value iterable per key is
+    * exactly as dangerous as it was in Dataflow (hot keys). Prefer
+    * Combine.perKey (partial aggregation) whenever the downstream is a fold;
+    * this exists for the genuinely iterable-consuming cases.
+    */
+  def groupByKey[K, V](ds: Dataset[(K, V)])(
+      implicit ek: Encoder[K], e: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
+    ds.groupByKey(_._1).mapGroups { (k, it) => (k, it.map(_._2).toSeq) }
+
+  /** CoGroupByKey ([U] T/join/CoGroupByKey.java): two keyed datasets →
+    * per-key (values-from-a, values-from-b). N-way = chain over the tuple. */
+  def coGroupByKey[K, A, B](a: Dataset[(K, A)], b: Dataset[(K, B)])(
+      implicit ek: Encoder[K], e: Encoder[(K, Seq[A], Seq[B])]): Dataset[(K, Seq[A], Seq[B])] =
+    a.groupByKey(_._1).cogroup(b.groupByKey(_._1)) { (k, as, bs) =>
+      Iterator((k, as.map(_._2).toSeq, bs.map(_._2).toSeq))
+    }
+
+  /** contrib join-library equivalents ([U] contrib/join-library/Join.java).
+    * Catalyst picks broadcast vs sort-merge; callers can wrap a side in
+    * org.apache.spark.sql.functions.broadcast to force the small-dim plan. */
+  def innerJoin(l: DataFrame, r: DataFrame, on: Seq[String]): DataFrame =
+    l.join(r, on, "inner")
+  def leftOuterJoin(l: DataFrame, r: DataFrame, on: Seq[String]): DataFrame =
+    l.join(r, on, "left_outer")
+  def rightOuterJoin(l: DataFrame, r: DataFrame, on: Seq[String]): DataFrame =
+    l.join(r, on, "right_outer")
+  def fullOuterJoin(l: DataFrame, r: DataFrame, on: Seq[String]): DataFrame =
+    l.join(r, on, "full_outer")
+  /** Spark superset: EXISTS / NOT EXISTS as joins. */
+  def semiJoin(l: DataFrame, r: DataFrame, on: Seq[String]): DataFrame =
+    l.join(r, on, "left_semi")
+  def antiJoin(l: DataFrame, r: DataFrame, on: Seq[String]): DataFrame =
+    l.join(r, on, "left_anti")
+
+  /** RemoveDuplicates ([U] T/RemoveDuplicates.java) / Beam Distinct. */
+  def distinct[T](ds: Dataset[T]): Dataset[T] = ds.distinct()
+
+  /** RemoveDuplicates.withRepresentativeValueFn: one representative element
+    * per key — implemented as a per-key min/arbitrary pick via reduceGroups
+    * (partial-aggregates map-side, unlike groupBy+first over a shuffle of
+    * whole rows). */
+  def distinctByKey[T, K](ds: Dataset[T])(key: T => K)(pick: (T, T) => T)(
+      implicit ek: Encoder[K]): Dataset[T] =
+    ds.groupByKey(key).reduceGroups(pick).map(_._2)(ds.encoder)
+
+  /** Set-op superset (absent in the reference SDK — SURVEY.md §2.2). */
+  def intersect[T](a: Dataset[T], b: Dataset[T]): Dataset[T] = a.intersect(b)
+  def except[T](a: Dataset[T], b: Dataset[T]): Dataset[T] = a.except(b)
+
+  /** DataFrame-level CoGroupByKey: full-outer join of per-side collected
+    * values on the key columns — the relational rendering of CoGbkResult,
+    * one shuffle per side, arrays sorted for determinism. */
+  def coGroupByKeyDF(a: DataFrame, b: DataFrame, on: Seq[String],
+                     aValue: Column, bValue: Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ag = a.groupBy(on.map(col): _*).agg(sort_array(collect_list(aValue)).as("a_values"))
+    val bg = b.groupBy(on.map(col): _*).agg(sort_array(collect_list(bValue)).as("b_values"))
+    ag.join(bg, on, "full_outer")
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import scala.reflect.ClassTag
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.broadcast
+
+/** Side inputs (SURVEY.md §2.3 View row; [U] sdk/.../transforms/View.java).
+  *
+  * Dataflow materializes a PCollection as a broadcast view
+  * (singleton/iterable/list/map/multimap) readable from inside DoFns. Two
+  * Spark renderings:
+  *
+  *  - the *relational* one — keep it a DataFrame and broadcast-hash-join it
+  *    ([[broadcastJoin]]); preferred, stays distributed and codegen'd;
+  *  - the *closure* one — collect to the driver and `sc.broadcast`, for
+  *    logic that genuinely needs random access inside a lambda. This is a
+  *    driver collect: only for side inputs that are small by construction
+  *    (the same constraint Dataflow's View imposes in practice).
+  */
+object View {
+
+  /** View.asSingleton: exactly-one-element dataset → broadcast value. */
+  def asSingleton[T: ClassTag](ds: Dataset[T]): Broadcast[T] = {
+    val rows = ds.take(2)
+    require(rows.length == 1, s"asSingleton needs exactly 1 element, saw ${rows.length}")
+    ds.sparkSession.sparkContext.broadcast(rows(0))
+  }
+
+  /** View.asList / View.asIterable. */
+  def asList[T: ClassTag](ds: Dataset[T]): Broadcast[Seq[T]] =
+    ds.sparkSession.sparkContext.broadcast(ds.collect().toSeq)
+
+  /** View.asMap: unique-keyed KV → broadcast Map. */
+  def asMap[K, V](ds: Dataset[(K, V)]): Broadcast[Map[K, V]] = {
+    val m = ds.collect().toMap
+    ds.sparkSession.sparkContext.broadcast(m)
+  }
+
+  /** View.asMultimap. */
+  def asMultimap[K, V: ClassTag](ds: Dataset[(K, V)]): Broadcast[Map[K, Seq[V]]] = {
+    val m = ds.collect().groupBy(_._1).map { case (k, kvs) => (k, kvs.map(_._2).toSeq) }
+    ds.sparkSession.sparkContext.broadcast(m)
+  }
+
+  /** The relational side input: force a broadcast-hash join against a small
+    * dim so the big side never shuffles. */
+  def broadcastJoin(big: DataFrame, small: DataFrame, on: Seq[String],
+                    how: String = "inner"): DataFrame =
+    big.join(broadcast(small), on, how)
+}

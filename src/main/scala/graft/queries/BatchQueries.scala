@@ -1,0 +1,405 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Combine, ElementWise, Grouping, View}
+import graft.operators.ElementWise._
+import graft.queries.QueryUtil._
+
+/** Batch operator inventory queries (SURVEY.md §2.1–2.3, 2.7).
+  *
+  * Each entry exercises one operator row from the survey through the graft
+  * library, with a DuckDB oracle in [[oracles]]. Conventions: explicit final
+  * ORDER BY; decimal-routed double aggregates; column names identical to the
+  * oracle's.
+  */
+object BatchQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+
+    // §2.1 MapElements + Filter: projection/predicate stay codegen'd and
+    // push down to the parquet scan.
+    "q_map_filter" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .filter(col("l_quantity") >= 30 && col("l_discount") > 0.02)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          // exact decimal product (prices/discounts have 2 decimal digits);
+          // rounding the double product instead would sit on the .xx5
+          // boundary for most rows and diverge from any other engine
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+            .cast("double").as("net_price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // §2.1 ParDo with bundle hooks: opaque per-element Scala logic (JSON-ish
+    // prop extraction) — the DoFn path, used only where Column exprs can't.
+    "q_pardo_props" -> { (s, dir) =>
+      import s.implicits._
+      val re = """"k": (\d+)""".r
+      val props = Tables(s, dir).events.select(col("props")).as[String]
+      val ks = ElementWise.parDo(props)(new DoFn[String, String] {
+        def processElement(p: String): IterableOnce[String] =
+          re.findFirstMatchIn(p).map(_.group(1))
+      })
+      ks.toDF("k").groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy(col("k"))
+    },
+
+    // §2.1 WithKeys/Keys: typed KV plumbing feeding a per-element count.
+    "q_kv_ops" -> { (s, dir) =>
+      import s.implicits._
+      val typed = Tables(s, dir).events
+        .select(col("event_id"), col("event_type")).as[(Long, String)]
+      val keyed = typed.withKeys(_._2) // (event_type, (id, type))
+      keyed.keys.toDF("event_type")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    // §2.1 Partition: fan out by a partition fn over one cached scan,
+    // then per-branch aggregates unioned back.
+    "q_partition" -> { (s, dir) =>
+      val statusIdx = Map("F" -> 0, "O" -> 1, "P" -> 2)
+      val parts = Tables(s, dir).orders
+        .partitionInto(3)(r => statusIdx(r.getAs[String]("o_orderstatus")))
+      val counted = parts.zipWithIndex.map { case (p, i) =>
+        p.agg(count(lit(1)).as("n")).select(lit(i).as("bucket"), col("n"))
+      }
+      ElementWise.flatten(counted).orderBy(col("bucket"))
+    },
+
+    // §2.1 Flatten.pCollections: union of two tagged subsets.
+    "q_flatten" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+      val high = o.filter(col("o_totalprice") > 400000)
+        .select(lit("high").as("bucket"), col("o_orderkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(lit("urgent").as("bucket"), col("o_orderkey"))
+      ElementWise.flatten(Seq(high, urgent)).orderBy(col("bucket"), col("o_orderkey"))
+    },
+
+    // §2.2 GroupByKey: per-key value iterables (rendered as sorted CSV for
+    // a deterministic hash).
+    "q_groupbykey" -> { (s, dir) =>
+      Tables(s, dir).nation
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("names"))
+        .orderBy(col("n_regionkey"))
+    },
+
+    // §2.2 CoGroupByKey: relational CoGbkResult over customer/supplier
+    // keyed by nation.
+    "q_cogroupbykey" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val c = t.customer.select(col("c_nationkey").as("nationkey"), col("c_name"))
+      val sup = t.supplier.select(col("s_nationkey").as("nationkey"), col("s_name"))
+      Grouping.coGroupByKeyDF(c, sup, Seq("nationkey"), col("c_name"), col("s_name"))
+        .select(
+          col("nationkey"),
+          coalesce(size(col("a_values")), lit(0)).as("n_cust"),
+          coalesce(array_join(col("a_values"), ","), lit("")).as("cust_csv"),
+          coalesce(size(col("b_values")), lit(0)).as("n_supp"),
+          coalesce(array_join(col("b_values"), ","), lit("")).as("supp_csv"))
+        .orderBy(col("nationkey"))
+    },
+
+    // §2.2 join (contrib join-library): TPC-H Q3 shape — broadcast the
+    // filtered customer dim, sort-merge lineitem⋈orders, top-10 revenue.
+    "q_join_q3" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val c = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val oc = t.orders.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      t.lineitem
+        .join(oc, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // §2.2 anti join (Spark superset; Dataflow needed CoGBK + filter):
+    // customers with no orders, per segment.
+    "q_join_anti" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val noOrders = Grouping.antiJoin(
+        t.customer,
+        t.orders.select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"))
+      noOrders.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // §2.2 semi join: orders having any heavy lineitem.
+    "q_join_semi" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val heavy = t.lineitem.filter(col("l_quantity") >= 49)
+        .select(col("l_orderkey").as("o_orderkey"))
+      Grouping.semiJoin(t.orders, heavy, Seq("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // §2.2 multiway join with broadcast dims: revenue per nation
+    // (lineitem ⋈ supplier ⋈ nation, both dims broadcast).
+    "q_join_multiway" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("n_name"))
+    },
+
+    // §2.2 RemoveDuplicates.
+    "q_distinct" -> { (s, dir) =>
+      Grouping.distinct(Tables(s, dir).lineitem.select(col("l_returnflag"), col("l_linestatus")))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // §2.2 set-op superset: intersect/except of customer vs supplier nations.
+    "q_set_ops" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val cn = t.customer.select(col("c_nationkey").as("nationkey")).distinct()
+      val sn = t.supplier.select(col("s_nationkey").as("nationkey")).distinct()
+      val both = Grouping.intersect(cn, sn).select(lit("both").as("op"), col("nationkey"))
+      val custOnly = Grouping.except(cn, sn).select(lit("cust_only").as("op"), col("nationkey"))
+      both.union(custOnly).orderBy(col("op"), col("nationkey"))
+    },
+
+    // §2.3 Combine.globally: one-row global fold (composed CombineFns).
+    "q_combine_global" -> { (s, dir) =>
+      Tables(s, dir).lineitem.agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    },
+
+    // §2.3/§2.7 Top.of: global top-k as TakeOrderedAndProject (bounded
+    // distributed heap, no full sort).
+    "q_top_global" -> { (s, dir) =>
+      Combine.topGlobal(
+        Tables(s, dir).orders.select(col("o_orderkey"), col("o_totalprice")),
+        10, col("o_totalprice").desc, col("o_orderkey"))
+    },
+
+    // §2.3 Top.perKey: window row_number, rank-filtered.
+    "q_top_perkey" -> { (s, dir) =>
+      Combine.topPerKey(
+        Tables(s, dir).orders.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_orderpriority"), 3, col("o_totalprice").desc, col("o_orderkey"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+    },
+
+    // §2.3 Count.perElement over a composite element.
+    "q_count_perelement" -> { (s, dir) =>
+      Combine.countPerElement(
+        Tables(s, dir).lineitem.select(col("l_returnflag"), col("l_linestatus")))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // §2.3 Mean/Min/Max per key (the Combine stats family).
+    "q_mean_stats" -> { (s, dir) =>
+      Tables(s, dir).customer
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          davg(col("c_acctbal")).as("avg_bal"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // §2.3 ApproximateUnique + ApproximateQuantiles: sketch outputs differ
+    // across engines by design — no SQL oracle (driver rows-only check);
+    // accuracy is asserted in CombineSpec instead.
+    "q_approx_sketches" -> { (s, dir) =>
+      Tables(s, dir).lineitem.agg(
+        Combine.approximateUnique(col("l_partkey"), 0.02).as("approx_parts"),
+        Combine.approximateQuantiles(col("l_extendedprice"), Seq(0.5, 0.95)).as("price_q"))
+    },
+
+    // §2.3 Sample.fixedSizePerKey: seeded, size-exact; engine-specific RNG
+    // so rows-only check (size is asserted in CombineSpec).
+    "q_sample_perkey" -> { (s, dir) =>
+      Combine.sampleFixedSizePerKey(
+        Tables(s, dir).events.select(col("event_id"), col("event_type")),
+        Seq("event_type"), 5)
+        .orderBy(col("event_type"), col("event_id"))
+    },
+
+    // §2.3 Combine.perKey.withHotKeyFanout: two-stage salted aggregation.
+    "q_hotkey_sum" -> { (s, dir) =>
+      Combine.sumWithHotKeyFanout(
+        Tables(s, dir).lineitem, Seq("l_returnflag"),
+        col("l_quantity").cast("decimal(18,4)"), fanout = 8)
+        .select(col("l_returnflag"), col("sum").cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // §2.3 superset: rollup with sentinel-coalesced group keys.
+    "q_rollup" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("g1"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("g2"),
+          col("n"))
+        .orderBy(col("g1"), col("g2"))
+    },
+
+    // §2.3 superset: cube.
+    "q_cube" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("g1"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("g2"),
+          col("n"))
+        .orderBy(col("g1"), col("g2"))
+    },
+
+    // §2.7 superset: analytic window functions (row_number/lag).
+    "q_window_functions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events.select(
+        col("user_id"),
+        row_number().over(w).as("rn"),
+        round(col("value") - lag(col("value"), 1, 0.0).over(w), 2).as("delta"))
+        .orderBy(col("user_id"), col("rn"))
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_map_filter" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DOUBLE) AS net_price
+         FROM lineitem WHERE l_quantity >= 30 AND l_discount > 0.02
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_pardo_props" ->
+      """SELECT regexp_extract(props, '"k": (\d+)', 1) AS k, count(*) AS n
+         FROM events GROUP BY k ORDER BY k""",
+    "q_kv_ops" ->
+      """SELECT event_type, count(*) AS n FROM events
+         GROUP BY event_type ORDER BY event_type""",
+    "q_partition" ->
+      """SELECT CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 ELSE 2 END AS bucket,
+           count(*) AS n
+         FROM orders GROUP BY bucket ORDER BY bucket""",
+    "q_flatten" ->
+      """SELECT * FROM (
+           SELECT 'high' AS bucket, o_orderkey FROM orders WHERE o_totalprice > 400000
+           UNION ALL
+           SELECT 'urgent' AS bucket, o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         ORDER BY bucket, o_orderkey""",
+    "q_groupbykey" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q_cogroupbykey" ->
+      """WITH c AS (
+           SELECT c_nationkey AS nationkey, count(*) AS n_cust,
+                  string_agg(c_name, ',' ORDER BY c_name) AS cust_csv
+           FROM customer GROUP BY 1),
+         s AS (
+           SELECT s_nationkey AS nationkey, count(*) AS n_supp,
+                  string_agg(s_name, ',' ORDER BY s_name) AS supp_csv
+           FROM supplier GROUP BY 1)
+         SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+                coalesce(n_cust, 0) AS n_cust, coalesce(cust_csv, '') AS cust_csv,
+                coalesce(n_supp, 0) AS n_supp, coalesce(supp_csv, '') AS supp_csv
+         FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+         ORDER BY nationkey""",
+    "q_join_q3" ->
+      """SELECT o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q_join_anti" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_join_semi" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_join_multiway" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+         FROM lineitem, supplier, nation
+         WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_set_ops" ->
+      """SELECT * FROM (
+           SELECT 'both' AS op, nationkey FROM (
+             SELECT DISTINCT c_nationkey AS nationkey FROM customer
+             INTERSECT
+             SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+           UNION ALL
+           SELECT 'cust_only' AS op, nationkey FROM (
+             SELECT DISTINCT c_nationkey AS nationkey FROM customer
+             EXCEPT
+             SELECT DISTINCT s_nationkey AS nationkey FROM supplier))
+         ORDER BY op, nationkey""",
+    "q_combine_global" ->
+      """SELECT count(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+           count(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem""",
+    "q_top_global" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_top_perkey" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3
+         ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""",
+    "q_count_perelement" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_mean_stats" ->
+      """SELECT c_mktsegment, count(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_bal,
+           min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_hotkey_sum" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS g1, coalesce(l_linestatus, 'ALL') AS g2, n
+         FROM (SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+               GROUP BY ROLLUP(l_returnflag, l_linestatus))
+         ORDER BY g1, g2""",
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS g1, coalesce(l_linestatus, 'ALL') AS g2, n
+         FROM (SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+               GROUP BY CUBE(l_returnflag, l_linestatus))
+         ORDER BY g1, g2""",
+    "q_window_functions" ->
+      """SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           round(value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+         FROM events ORDER BY user_id, rn""",
+  )
+}

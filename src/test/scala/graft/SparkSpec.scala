@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole suite (sessions are expensive;
+  * the reference's TestPipeline is similarly shared per JVM). */
+object SharedSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Base spec: DataflowAssert.containsInAnyOrder ≡ multiset equality
+  * (SURVEY.md §5, [U] sdk/.../testing/DataflowAssert.java). */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SharedSpark.spark
+
+  def assertInAnyOrder[T](actual: Iterable[T], expected: Iterable[T]): Unit = {
+    val a = actual.groupBy(identity).view.mapValues(_.size).toMap
+    val e = expected.groupBy(identity).view.mapValues(_.size).toMap
+    assert(a == e, s"\nactual:   ${actual.toSeq}\nexpected: ${expected.toSeq}")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String)(implicit e: org.apache.spark.sql.Encoder[T]): T =
+    Seq(text).toDF("t").select(c.as[T](e)).head()
+
+  test("tokens lower-cases, splits on non-letters, drops empties") {
+    val out = one[Seq[String]](TextFunctions.tokens(col("t")), "Hello, World! don't stop")
+    assert(out == Seq("hello", "world", "don't", "stop"))
+  }
+
+  test("tokenCount and approxBpeTokenCount") {
+    assert(one[Int](TextFunctions.tokenCount(col("t")), "a  quick   brown fox") == 4)
+    // "hello" -> ceil(5/4)=2, "world2000" -> "world"(2) + "2000"(1)
+    assert(one[Long](TextFunctions.approxBpeTokenCount(col("t")), "hello world2000") == 5L)
+  }
+
+  test("punctRatio / stopwordRatio / qualityScore bounds") {
+    assert(one[Double](TextFunctions.punctRatio(col("t")), "ab,.") == 0.5)
+    assert(one[Double](TextFunctions.stopwordRatio(col("t"), TextFunctions.EnglishStopwords),
+      "the cat and the dog") == 0.6)
+    val q = one[Double](TextFunctions.qualityScore(col("t")),
+      "the quick brown fox jumps over the lazy dog")
+    assert(q == 1.0)
+    assert(one[Double](TextFunctions.qualityScore(col("t")), "!!! ???") < 0.5)
+  }
+
+  test("langId picks the marker-heavy language") {
+    assert(one[String](TextFunctions.langId(col("t")),
+      "the cat is on the mat and that is that") == "en")
+    assert(one[String](TextFunctions.langId(col("t")),
+      "der hund und die katze ist nicht da") == "de")
+    assert(one[String](TextFunctions.langId(col("t")), "zzz qqq") == "und")
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    val f1 = one[Long](TextFunctions.fingerprint(col("t")), "Hello   World")
+    val f2 = one[Long](TextFunctions.fingerprint(col("t")), "hello world")
+    val f3 = one[Long](TextFunctions.fingerprint(col("t")), "hello there")
+    assert(f1 == f2 && f1 != f3)
+  }
+
+  test("shingleHashes emits n-k+1 hashes, stable across calls") {
+    val h = one[Seq[Long]](TextFunctions.shingleHashes(col("t"), 3), "a b c d e")
+    assert(h.length == 3) // abc bcd cde
+    val h2 = one[Seq[Long]](TextFunctions.shingleHashes(col("t"), 3), "a b c d e")
+    assert(h == h2)
+    // short text falls back to a single whole-text hash
+    assert(one[Seq[Long]](TextFunctions.shingleHashes(col("t"), 5), "a b").length == 1)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.Combine._
+
+class CombineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Beam's canonical Mean CombineFn shape: accumulator = (sum, count). */
+  object MeanFn extends CombineFn[Double, (Double, Long), Double] {
+    def createAccumulator(): (Double, Long) = (0.0, 0L)
+    def addInput(acc: (Double, Long), in: Double): (Double, Long) = (acc._1 + in, acc._2 + 1)
+    def mergeAccumulators(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def extractOutput(acc: (Double, Long)): Double =
+      if (acc._2 == 0) 0.0 else acc._1 / acc._2
+  }
+
+  test("Combine.globally folds to one value") {
+    assert(Combine.globally(Seq(1.0, 2.0, 3.0, 4.0).toDS(), MeanFn) == 2.5)
+  }
+
+  test("Combine.perKey folds per key with partial aggregation") {
+    val out = Combine.perKey(Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDS(), MeanFn)
+    assertInAnyOrder(out.collect().toSeq, Seq(("a", 2.0), ("b", 10.0)))
+  }
+
+  test("TopKFn keeps a bounded heap and merges correctly") {
+    val fn = new TopKFn[Int](3)
+    val acc = Seq(5, 1, 9, 3).foldLeft(fn.createAccumulator())(fn.addInput)
+    val acc2 = Seq(7, 2).foldLeft(fn.createAccumulator())(fn.addInput)
+    assert(fn.extractOutput(fn.mergeAccumulators(acc, acc2)) == Seq(9, 7, 5))
+  }
+
+  test("topGlobal / topPerKey") {
+    val df = Seq(("a", 3), ("a", 1), ("a", 7), ("b", 5), ("b", 2)).toDF("k", "v")
+    assertInAnyOrder(
+      Combine.topGlobal(df, 2, org.apache.spark.sql.functions.col("v").desc)
+        .as[(String, Int)].collect().toSeq,
+      Seq(("a", 7), ("b", 5)))
+    assertInAnyOrder(
+      Combine.topPerKey(df, Seq("k"), 2, org.apache.spark.sql.functions.col("v").desc)
+        .as[(String, Int)].collect().toSeq,
+      Seq(("a", 7), ("a", 3), ("b", 5), ("b", 2)))
+  }
+
+  test("counts: globally, perKey, perElement") {
+    val df = Seq("x", "y", "x", "x").toDF("v")
+    assert(Combine.countGlobally(df).as[Long].head() == 4L)
+    assertInAnyOrder(Combine.countPerKey(df, Seq("v")).as[(String, Long)].collect().toSeq,
+      Seq(("x", 3L), ("y", 1L)))
+    assertInAnyOrder(Combine.countPerElement(df).as[(String, Long)].collect().toSeq,
+      Seq(("x", 3L), ("y", 1L)))
+  }
+
+  test("sampleAny / sampleFixedSize / sampleFixedSizePerKey sizes") {
+    val df = spark.range(100).toDF("v")
+    assert(Combine.sampleAny(df, 7).count() == 7)
+    assert(Combine.sampleFixedSize(df, 10).count() == 10)
+    // deterministic under a fixed seed
+    assert(Combine.sampleFixedSize(df, 10, seed = 1).as[Long].collect().toSeq ==
+           Combine.sampleFixedSize(df, 10, seed = 1).as[Long].collect().toSeq)
+    val keyed = spark.range(100).selectExpr("id % 4 as k", "id as v")
+    val per = Combine.sampleFixedSizePerKey(keyed, Seq("k"), 5)
+    assert(per.count() == 20)
+    assert(per.groupBy("k").count().select("count").as[Long].collect().forall(_ == 5L))
+  }
+
+  test("hot-key fanout sum equals plain sum") {
+    val df = spark.range(1000).selectExpr("id % 3 as k", "cast(id as double) as v")
+    val fanned = Combine.sumWithHotKeyFanout(df, Seq("k"), $"v", fanout = 8)
+      .as[(Long, Double)].collect().toMap
+    val plain = df.groupBy("k").sum("v").as[(Long, Double)].collect().toMap
+    assert(fanned == plain)
+  }
+
+  test("approximate aggregates are within tolerance") {
+    val df = spark.range(10000).toDF("v")
+    val approx = df.select(Combine.approximateUnique($"v", 0.02)).as[Long].head()
+    assert(math.abs(approx - 10000) < 600)
+    val qs = df.select(Combine.approximateQuantiles($"v", Seq(0.5)))
+      .as[Seq[Long]].head()
+    assert(math.abs(qs.head - 5000) < 200)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GroupingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupByKey collects values per key") {
+    val out = Grouping.groupByKey(Seq(("a", 1), ("b", 2), ("a", 3)).toDS())
+      .collect().map { case (k, vs) => (k, vs.sorted) }.toSeq
+    assertInAnyOrder(out, Seq(("a", Seq(1, 3)), ("b", Seq(2))))
+  }
+
+  test("coGroupByKey tags values per side, including key-only-on-one-side") {
+    val a = Seq(("k1", 1), ("k1", 2), ("k2", 3)).toDS()
+    val b = Seq(("k1", "x"), ("k3", "y")).toDS()
+    val out = Grouping.coGroupByKey(a, b)
+      .collect().map { case (k, as, bs) => (k, as.sorted, bs.sorted) }.toSeq
+    assertInAnyOrder(out, Seq(
+      ("k1", Seq(1, 2), Seq("x")),
+      ("k2", Seq(3), Seq.empty[String]),
+      ("k3", Seq.empty[Int], Seq("y"))))
+  }
+
+  test("join wrappers: inner/left/semi/anti") {
+    val l = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "lv")
+    val r = Seq((1, "x"), (3, "y"), (4, "z")).toDF("k", "rv")
+    assert(Grouping.innerJoin(l, r, Seq("k")).count() == 2)
+    assert(Grouping.leftOuterJoin(l, r, Seq("k")).count() == 3)
+    assert(Grouping.fullOuterJoin(l, r, Seq("k")).count() == 4)
+    assertInAnyOrder(Grouping.semiJoin(l, r, Seq("k")).select("k").as[Int].collect().toSeq, Seq(1, 3))
+    assertInAnyOrder(Grouping.antiJoin(l, r, Seq("k")).select("k").as[Int].collect().toSeq, Seq(2))
+  }
+
+  test("distinct and distinctByKey (representative values)") {
+    assertInAnyOrder(Grouping.distinct(Seq(1, 1, 2, 3, 3).toDS()).collect().toSeq, Seq(1, 2, 3))
+    // keep the smallest element per parity class
+    val out = Grouping.distinctByKey(Seq(5, 2, 9, 4, 7).toDS())(_ % 2)((a, b) => math.min(a, b))
+    assertInAnyOrder(out.collect().toSeq, Seq(2, 5))
+  }
+
+  test("set-op superset: intersect / except") {
+    val a = Seq(1, 2, 3).toDS(); val b = Seq(2, 3, 4).toDS()
+    assertInAnyOrder(Grouping.intersect(a, b).collect().toSeq, Seq(2, 3))
+    assertInAnyOrder(Grouping.except(a, b).collect().toSeq, Seq(1))
+  }
+
+  test("coGroupByKeyDF renders CoGbkResult relationally") {
+    val a = Seq((1, 10), (1, 11), (2, 20)).toDF("k", "av")
+    val b = Seq((1, "p"), (3, "q")).toDF("k", "bv")
+    val out = Grouping.coGroupByKeyDF(a, b, Seq("k"), $"av", $"bv")
+      .collect().map(r => (r.getInt(0),
+        Option(r.getSeq[Int](1)).getOrElse(Seq()),
+        Option(r.getSeq[String](2)).getOrElse(Seq()))).toSeq
+    assertInAnyOrder(out, Seq(
+      (1, Seq(10, 11), Seq("p")),
+      (2, Seq(20), Seq()),
+      (3, Seq(), Seq("q"))))
+  }
+}
