@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column math over ARRAY<FLOAT>/ARRAY<DOUBLE> embeddings.
+  *
+  * Pure Column expressions (zip_with/aggregate) — no UDFs, so the arithmetic
+  * stays in codegen and the plan stays columnar. Inputs are cast to
+  * array<double> so accumulation happens in double regardless of the stored
+  * element type; the left-fold order of `aggregate` is deterministic, which
+  * keeps scores reproducible run-to-run.
+  */
+object VectorFunctions {
+
+  private def asD(c: Column): Column = c.cast("array<double>")
+
+  /** Σ aᵢ·bᵢ (double accumulation, sequential fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asD(a), asD(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in [-1, 1]. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared euclidean distance. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(asD(a), asD(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Signed-random-projection bit signature (hyperplane LSH): bit p is the
+    * sign of ⟨v, plane_p⟩. Planes are deterministic (seeded) so signatures
+    * are stable across runs and executors. Returns an int bucket id in
+    * [0, 2^planes.length). */
+  def srpBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedlit(p)) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Deterministic unit-ish hyperplanes for [[srpBucket]]. */
+  def makePlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+}

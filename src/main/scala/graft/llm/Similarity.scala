@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Combine
+
+/** Approximate-nearest-neighbor similarity search over an embedding column
+  * (builder mandate; SURVEY.md §7 Phase 4).
+  *
+  * Layers:
+  *  - [[bruteForceTopK]] — exact cosine top-k: the correctness baseline.
+  *    Probes are broadcast; the corpus is scanned once. Cost O(|corpus|·|probes|).
+  *  - [[srpTopK]] — signed-random-projection (hyperplane LSH) bucketing:
+  *    only same-bucket candidates are scored. The 100 TB path: bucket count
+  *    grows 2^planes, each probe touches one bucket's partition.
+  *  - [[ivfTopK]] — inverted-file index: one-pass assignment to sampled
+  *    centroids; probes search the nProbe nearest centroid lists.
+  */
+object Similarity {
+
+  /** Exact cosine top-k per probe. `corpus`/`probes`: (id, embedding). */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val scored = c.join(broadcast(p), col("cand_id") =!= col("probe_id"))
+      .withColumn("score", VectorFunctions.cosine(col("p_emb"), col("c_emb")))
+    Combine.topPerKey(
+      scored.select(col("probe_id"), col("cand_id"), col("score")),
+      Seq("probe_id"), k, col("score").desc, col("cand_id"))
+  }
+
+  /** LSH-bucketed cosine top-k: candidates limited to the probe's SRP
+    * bucket. Misses across bucket boundaries are the ANN trade; raise
+    * recall with fewer planes or multi-probe. */
+  def srpTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = VectorFunctions.makePlanes(nPlanes, dim, seed)
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      VectorFunctions.srpBucket(col("embedding"), planes).as("bucket"))
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+      VectorFunctions.srpBucket(col("embedding"), planes).as("bucket"))
+    val scored = c.join(broadcast(p), Seq("bucket"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .withColumn("score", VectorFunctions.cosine(col("p_emb"), col("c_emb")))
+    Combine.topPerKey(
+      scored.select(col("probe_id"), col("cand_id"), col("score")),
+      Seq("probe_id"), k, col("score").desc, col("cand_id"))
+  }
+
+  /** IVF index build: deterministic centroid sample (first nCentroids by
+    * id — at real scale swap in a k-means pass; assignment plumbing is
+    * identical), then one-pass nearest-centroid assignment. Returns the
+    * corpus with a `centroid_id` column — write it partitioned by
+    * centroid_id to make probe-side reads partition-pruned. */
+  def ivfAssign(corpus: DataFrame, nCentroids: Int): DataFrame = {
+    val cents = corpus.orderBy(col("vec_id")).limit(nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+    val scored = corpus.crossJoin(broadcast(cents))
+      .withColumn("d", VectorFunctions.sqDist(col("embedding"), col("cent_emb")))
+    Combine.topPerKey(
+      scored.select(col("vec_id"), col("embedding"), col("centroid_id"), col("d")),
+      Seq("vec_id"), 1, col("d").asc, col("centroid_id"))
+      .drop("d")
+  }
+
+  /** IVF probe: score each probe against the nProbe nearest centroids'
+    * lists only. */
+  def ivfTopK(assigned: DataFrame, centroids: DataFrame, probes: DataFrame,
+              k: Int, nProbe: Int = 2): DataFrame = {
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val probeCents = Combine.topPerKey(
+      p.crossJoin(broadcast(centroids))
+        .withColumn("d", VectorFunctions.sqDist(col("p_emb"), col("cent_emb")))
+        .select(col("probe_id"), col("p_emb"), col("centroid_id"), col("d")),
+      Seq("probe_id"), nProbe, col("d").asc, col("centroid_id"))
+      .drop("d")
+    val cands = assigned.join(broadcast(probeCents), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("score", VectorFunctions.cosine(col("p_emb"), col("embedding")))
+    Combine.topPerKey(
+      cands.select(col("probe_id"), col("vec_id").as("cand_id"), col("score")),
+      Seq("probe_id"), k, col("score").desc, col("cand_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (threshold variant, exact). */
+  def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("score", VectorFunctions.cosine(col("e_a"), col("e_b")))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+}

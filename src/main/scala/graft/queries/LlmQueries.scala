@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.llm.{Dedup, Multimodal, Similarity}
+
+/** LLM-data-pipeline operator inventory (SURVEY.md §7 Phase 4): dedup,
+  * similarity search, text analysis, multimodal plumbing. Oracles exist
+  * wherever the computation is portable SQL (jaccard over shingle strings,
+  * cosine in double math, token stats); hash-seeded ops (MinHash/SimHash/
+  * SRP) are engine-specific by construction → rows-only checks plus
+  * ScalaTest coverage.
+  */
+object LlmQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+
+    // Exact dedup with a portable key (md5 of normalized text).
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exactByKey(
+        Tables(s, dir).documents, "doc_id",
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")))
+        .orderBy(col("keeper"))
+    },
+
+    // Exact n-gram Jaccard near-dup pairs — the verification baseline the
+    // generator's planted near-dups must show up in.
+    "q_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables(s, dir).documents, "doc_id", "text",
+        shingleK = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // MinHash+LSH near-dup pairs (hash-seeded → rows-only; recall vs the
+    // exact baseline is asserted in DedupSpec).
+    "q_dedup_minhash" -> { (s, dir) =>
+      Dedup.minHashPairs(Tables(s, dir).documents, "doc_id", "text",
+        numHashes = 64, shingleK = 3, bands = 16, threshold = 0.6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash near-dup pairs (rows-only).
+    "q_dedup_simhash" -> { (s, dir) =>
+      Dedup.simHashPairs(Tables(s, dir).documents, "doc_id", "text", maxDist = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // End-to-end near-dedup: pairs → connected components → representatives.
+    "q_dedup_pipeline" -> { (s, dir) =>
+      Dedup.dedupNearDuplicates(Tables(s, dir).documents, "doc_id", "text",
+        threshold = 0.6)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
+    // Brute-force cosine top-k (exact ANN baseline; double math matches the
+    // oracle's bit-for-bit).
+    "q_similarity_topk" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 3)
+        .select(col("probe_id"), col("cand_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("probe_id"), col("score").desc, col("cand_id"))
+    },
+
+    // SRP/LSH-bucketed ANN (the scale path; hash-seeded → rows-only).
+    "q_similarity_srp" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      Similarity.srpTopK(emb, emb.filter(col("vec_id") < 20), k = 3,
+        nPlanes = 4, dim = 64)
+        .select(col("probe_id"), col("cand_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("probe_id"), col("score").desc, col("cand_id"))
+    },
+
+    // IVF ANN: sampled centroids, nProbe=2 (rows-only).
+    "q_similarity_ivf" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val assigned = Similarity.ivfAssign(emb, nCentroids = 8)
+      val cents = emb.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+      Similarity.ivfTopK(assigned, cents, emb.filter(col("vec_id") < 10), k = 3, nProbe = 2)
+        .select(col("probe_id"), col("cand_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("probe_id"), col("score").desc, col("cand_id"))
+    },
+
+    // Embedding-cosine near-dup pairs (exact, oracle-checked).
+    "q_embedding_neardup" -> { (s, dir) =>
+      Similarity.cosinePairs(Tables(s, dir).embeddings, threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Text stats per stored language tag: counts + exact integer-sum
+    // averages of chars and whitespace tokens.
+    "q_text_stats" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          (sum(TextFunctions.tokenCount(col("text")).cast("long")).cast("double") /
+            count(lit(1))).as("avg_tokens"))
+        .orderBy(col("lang"))
+    },
+
+    // Language-ID heuristic distribution (oracle replicates the argmax).
+    "q_lang_id" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(TextFunctions.langId(col("text")).as("detected"))
+        .groupBy(col("detected")).agg(count(lit(1)).as("n"))
+        .orderBy(col("detected"))
+    },
+
+    // Per-document token/shingle accounting.
+    "q_token_counts" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
+        length(col("text")).as("n_chars_actual"),
+        size(TextFunctions.shingleHashes(col("text"), 3)).as("n_shingles"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring + BPE-ish token estimate + fingerprint (hash-seeded
+    // pieces → rows-only; component behavior asserted in TextFunctionsSpec).
+    "q_quality_scores" -> { (s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.approxBpeTokenCount(col("text")).as("bpe_tokens"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Multimodal plumbing: synthetic media structs → partition-parallel
+    // stub decode → feature rows (deterministic; rows-only).
+    "q_multimodal_features" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val media = Multimodal.attachSyntheticMedia(docs, "doc_id", "text")
+        .select(col("doc_id"), col("media.bytes")).as[(Long, Array[Byte])]
+      Multimodal.decodeFeatures(media, dim = 8)
+        .select(col("id").as("doc_id"),
+          round(element_at(col("features"), 1), 4).as("f0"),
+          round(element_at(col("features"), 8), 4).as("f7"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Multimodal frame sampling: one row per sampled frame (rows-only).
+    "q_multimodal_frames" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val media = Multimodal.attachSyntheticMedia(docs, "doc_id", "text")
+        .select(col("doc_id"), col("media.bytes")).as[(Long, Array[Byte])]
+      Multimodal.sampleFrames(media, n = 3)
+        .select(col("id").as("doc_id"), col("frameIdx"), length(col("frame")).as("frame_len"))
+        .orderBy(col("doc_id"), col("frameIdx"))
+    },
+  )
+
+  private val markers = TextFunctions.LanguageMarkers
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper, count(*) AS n_dups FROM documents
+         GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+         ORDER BY keeper""",
+    "q_ngram_jaccard" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), t -> t <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+             END AS s
+           FROM tok),
+         d AS (SELECT doc_id, list_distinct(s) AS s FROM sh)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE /
+                 len(list_distinct(list_concat(a.s, b.s))), 4) AS jac
+         FROM d a, d b
+         WHERE a.doc_id < b.doc_id
+           AND len(list_intersect(a.s, b.s))::DOUBLE /
+               len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+         ORDER BY id_a, id_b""",
+    "q_similarity_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         p AS (SELECT vec_id AS probe_id, emb AS pe FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT probe_id, c.vec_id AS cand_id,
+             list_inner_product(pe, c.emb) /
+               (sqrt(list_inner_product(pe, pe)) * sqrt(list_inner_product(c.emb, c.emb))) AS raw
+           FROM p, e c WHERE c.vec_id <> probe_id),
+         ranked AS (
+           SELECT probe_id, cand_id, raw,
+             row_number() OVER (PARTITION BY probe_id ORDER BY raw DESC, cand_id) AS rn
+           FROM scored)
+         SELECT probe_id, cand_id, round(raw, 4) AS score FROM ranked WHERE rn <= 3
+         ORDER BY probe_id, raw DESC, cand_id""",
+    "q_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM e a, e b
+         WHERE a.vec_id < b.vec_id
+           AND list_inner_product(a.emb, b.emb) /
+               (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))) >= 0.4
+         ORDER BY id_a, id_b""",
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n,
+           SUM(n_chars)::DOUBLE / count(*) AS avg_chars,
+           SUM(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)))::DOUBLE
+             / count(*) AS avg_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q_lang_id" ->
+      s"""WITH tok AS (
+            SELECT list_filter(string_split_regex(lower(text), '[^a-z'']+'), t -> t <> '') AS ts
+            FROM documents),
+          scores AS (
+            SELECT
+              len(list_filter(ts, t -> list_contains(${inList(markers("de"))}, t))) AS de,
+              len(list_filter(ts, t -> list_contains(${inList(markers("en"))}, t))) AS en,
+              len(list_filter(ts, t -> list_contains(${inList(markers("es"))}, t))) AS es,
+              len(list_filter(ts, t -> list_contains(${inList(markers("fr"))}, t))) AS fr
+            FROM tok)
+          SELECT detected, count(*) AS n FROM (
+            SELECT CASE
+              WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+              WHEN fr = greatest(de, en, es, fr) THEN 'fr'
+              WHEN es = greatest(de, en, es, fr) THEN 'es'
+              WHEN en = greatest(de, en, es, fr) THEN 'en'
+              ELSE 'de' END AS detected
+            FROM scores)
+          GROUP BY detected ORDER BY detected""",
+    "q_token_counts" ->
+      """WITH tok AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), t -> t <> '') AS lts
+           FROM documents)
+         SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS n_ws_tokens,
+           length(text) AS n_chars_actual,
+           CASE WHEN len(lts) < 3 THEN 1 ELSE len(lts) - 2 END AS n_shingles
+         FROM tok ORDER BY doc_id""",
+  )
+}

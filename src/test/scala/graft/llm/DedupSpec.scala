@@ -1,0 +1,85 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "completely different text about spark engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (4L, "unrelated short doc")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per normalized text") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) == 2L) // docs 0 and 3 collapse to keeper 0
+    assert(out.keySet == Set(0L, 1L, 2L, 4L))
+  }
+
+  test("minhash signature is stable and position-wise minimal") {
+    val sigs = docs.select(Dedup.minHashSignature(col("text"), 16, 3).as("s"))
+      .as[Seq[Long]].collect()
+    assert(sigs.forall(_.length == 16))
+    val again = docs.select(Dedup.minHashSignature(col("text"), 16, 3).as("s"))
+      .as[Seq[Long]].collect()
+    assert(sigs.toSeq == again.toSeq)
+  }
+
+  test("minHashPairs finds near and exact dups, not unrelated docs") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+      numHashes = 64, shingleK = 3, bands = 32, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: always found
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("estJaccard is 1 for identical signatures, ~0 for disjoint") {
+    val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L), Seq(9L, 8L, 7L, 6L)))
+      .toDF("a", "b", "c")
+    val (same, diff) = df.select(
+      Dedup.estJaccard(col("a"), col("b"), 4),
+      Dedup.estJaccard(col("a"), col("c"), 4)).as[(Double, Double)].head()
+    assert(same == 1.0 && diff == 0.0)
+  }
+
+  test("simHash: identical texts agree; hamming 0; unrelated text differs") {
+    val sh = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(3L))
+    assert(sh(0L) != sh(2L))
+    val d = Seq((sh(0L), sh(1L))).toDF("a", "b")
+      .select(Dedup.hamming(col("a"), col("b"))).as[Long].head()
+    assert(d < 16) // near-dup texts land close in hamming space
+  }
+
+  test("ngramJaccardPairs exact baseline") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("connectedComponents labels all cluster members with the min id") {
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 0L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("dedupNearDuplicates keeps one representative per cluster") {
+    val kept = Dedup.dedupNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(0L) && kept.contains(2L) && kept.contains(4L))
+    assert(!kept.contains(3L)) // exact dup of 0 must go
+    assert(kept.size <= 4)
+  }
+}

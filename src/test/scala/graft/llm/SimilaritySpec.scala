@@ -1,0 +1,64 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-dim toy corpus with an obvious neighborhood structure
+  private def corpus = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),   // closest to 0
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Seq(0.0f, 0.9f, 0.1f, 0.0f)),   // closest to 2
+    (4L, Seq(0.0f, 0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("vector functions: dot/norm/cosine") {
+    val df = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+    val (d, n, c) = df.select(
+      VectorFunctions.dot(col("a"), col("b")),
+      VectorFunctions.norm(col("a")),
+      VectorFunctions.cosine(col("a"), col("a"))).as[(Double, Double, Double)].head()
+    assert(d == 11.0)
+    assert(math.abs(n - math.sqrt(5)) < 1e-12)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns the true nearest neighbors") {
+    val top = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") === 0), 2)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+    assert(top.head == (0L, 1L)) // rank 1 is the near-identical vector
+    assert(top.length == 2)
+  }
+
+  test("srpBucket groups near-identical vectors together") {
+    val planes = VectorFunctions.makePlanes(4, 4)
+    val buckets = corpus
+      .select(col("vec_id"), VectorFunctions.srpBucket(col("embedding"), planes).as("b"))
+      .as[(Long, Int)].collect().toMap
+    assert(buckets(0L) == buckets(1L)) // ~same direction → same bucket
+    assert(buckets(2L) == buckets(3L))
+  }
+
+  test("srpTopK finds the in-bucket nearest neighbor") {
+    val top = Similarity.srpTopK(corpus, corpus.filter(col("vec_id") === 0), 1,
+      nPlanes = 2, dim = 4)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+    assert(top.nonEmpty && top.head._2 == 1L)
+  }
+
+  test("ivfAssign assigns every vector to exactly one centroid") {
+    val assigned = Similarity.ivfAssign(corpus, nCentroids = 2)
+    assert(assigned.count() == 5)
+    assert(assigned.select("centroid_id").distinct().count() <= 2)
+  }
+
+  test("cosinePairs finds only the genuinely close pairs") {
+    val pairs = Similarity.cosinePairs(corpus, 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L)))
+  }
+}
