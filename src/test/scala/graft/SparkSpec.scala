@@ -11,9 +11,12 @@ object SharedSpark {
       .builder()
       .master("local[4]")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // transformWithState requires the RocksDB state store
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.shuffle.partitions", "2")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** MemoryStream-driven streaming tests — the reference's RunnableOnService/
+  * ReduceFnTester pattern (SURVEY.md §5): inject elements, step the
+  * watermark batch by batch, assert emitted results. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  test("streaming fixed-window count with watermark, append mode") {
+    val input = MemoryStream[(Long, Timestamp)](1, spark, None)
+    val agg = input.toDF().toDF("user_id", "ts")
+      .transform(StreamOps.withEventTime(_, "ts", "5 minutes"))
+      .groupBy(Windows.fixed(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("w_start"), col("n"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-fw-").toString
+    val q = agg.writeStream.format("memory").queryName("fw")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      input.addData(Seq((1L, ts(1)), (1L, ts(2)), (2L, ts(3))))
+      q.processAllAvailable()
+      // window [0,10) still open: nothing emitted in append mode
+      assert(spark.table("fw").isEmpty)
+      // advance watermark past 10:00 + 5min lateness
+      input.addData(Seq((1L, ts(16))))
+      q.processAllAvailable()
+      input.addData(Seq((1L, ts(17)))) // extra batch so timers run post-watermark-update
+      q.processAllAvailable()
+      val rows = spark.table("fw").as[(Long, Timestamp, Long)].collect().toSet
+      assert(rows == Set((1L, ts(0), 2L), (2L, ts(0), 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups by record id") {
+    val input = MemoryStream[(Long, Timestamp, String)](2, spark, None)
+    val deduped = StreamOps.dedupWithinWatermark(
+      StreamOps.withEventTime(input.toDF().toDF("event_id", "ts", "payload"), "ts", "10 minutes"),
+      Seq("event_id"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd-").toString
+    val q = deduped.writeStream.format("memory").queryName("dd")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      input.addData(Seq((1L, ts(1), "a"), (2L, ts(2), "b"), (1L, ts(1), "a-dup")))
+      q.processAllAvailable()
+      input.addData(Seq((2L, ts(3), "b-dup"), (3L, ts(4), "c")))
+      q.processAllAvailable()
+      val ids = spark.table("dd").select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("streaming session window merges gap-close events, append mode") {
+    val input = MemoryStream[(Long, Timestamp)](3, spark, None)
+    val agg = StreamOps.withEventTime(input.toDF().toDF("user_id", "ts"), "ts", "5 minutes")
+      .groupBy(Windows.sessions(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sw-").toString
+    val q = agg.writeStream.format("memory").queryName("sw")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      // session A: events at 1 and 5 (merge); session B: lone event at 40
+      input.addData(Seq((1L, ts(1)), (1L, ts(5)), (1L, ts(40))))
+      q.processAllAvailable()
+      // watermark 35 after batch 1 closes session A; push it past B's end
+      input.addData(Seq((1L, ts(60))))
+      q.processAllAvailable()
+      input.addData(Seq((1L, ts(61)))) // extra batch so the closed session flushes
+      q.processAllAvailable()
+      val rows = spark.table("sw").as[(Long, Long)].collect().toSeq
+      assert(rows.contains((1L, 2L)) && rows.contains((1L, 1L)))
+    } finally q.stop()
+  }
+
+  test("stream-static broadcast enrich") {
+    val input = MemoryStream[(Long, Timestamp)](4, spark, None)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val joined = StreamOps.enrichWithStatic(
+      input.toDF().toDF("user_id", "ts"), dim, Seq("user_id"))
+      .select("user_id", "tier")
+    val dir = java.nio.file.Files.createTempDirectory("graft-js-").toString
+    val q = joined.writeStream.format("memory").queryName("js")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      input.addData(Seq((1L, ts(0)), (3L, ts(1))))
+      q.processAllAvailable()
+      val rows = spark.table("js").as[(Long, Option[String])].collect().toSet
+      assert(rows == Set((1L, Some("gold")), (3L, None)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import graft.SparkSpec
+import graft.operators.Combine.CombineFn
+import graft.streaming.TriggerEngine._
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** ReduceFnTester-style tests (SURVEY.md §5 trigger row): inject elements,
+  * advance the watermark by feeding later data, assert the panes each
+  * configuration emits. */
+class TriggerEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  object SumFn extends CombineFn[Double, Double, Double] {
+    def createAccumulator(): Double = 0.0
+    def addInput(acc: Double, in: Double): Double = acc + in
+    def mergeAccumulators(a: Double, b: Double): Double = a + b
+    def extractOutput(acc: Double): Double = acc
+  }
+
+  /** Drive the engine over batches; returns all collected panes. */
+  private def run(name: String,
+                  trigger: TriggerSpec,
+                  mode: AccumulationMode,
+                  lateness: Duration,
+                  batches: Seq[Seq[(String, Timestamp, Double)]]): Seq[Pane[String, Double]] = {
+    val input = MemoryStream[(String, Timestamp, Double)](name.hashCode.abs, spark, None)
+    val panes = TriggerEngine.windowedAggregate(
+      input.toDS(), Duration.ofMinutes(10), lateness, trigger, mode, SumFn)
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-te-$name").toString
+    val q = panes.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).as[Pane[String, Double]].collect().toSeq
+  }
+
+  test("default trigger: single ON_TIME pane when watermark passes window end") {
+    val panes = run("dflt", TriggerSpec.default, Accumulating, Duration.ZERO, Seq(
+      Seq(("a", ts(1), 1.0), ("a", ts(5), 2.0)), // window [0,10)
+      Seq(("a", ts(12), 4.0)),                   // advances watermark to 12 → fires [0,10)
+      Seq(("a", ts(25), 8.0))                    // advances watermark past [10,20)
+    ))
+    val w0 = panes.filter(_.windowStart == ts(0))
+    assert(w0.map(p => (p.value, p.timing, p.paneIndex, p.isFirst, p.isLast)) ==
+      Seq((3.0, "ON_TIME", 0L, true, true)))
+    val w10 = panes.filter(_.windowStart == ts(10))
+    assert(w10.map(p => (p.value, p.timing)) == Seq((4.0, "ON_TIME")))
+  }
+
+  test("early firings AfterCount(2): EARLY panes then ON_TIME, accumulating") {
+    val panes = run("early", TriggerSpec(early = AfterCount(2)), Accumulating,
+      Duration.ZERO, Seq(
+        Seq(("a", ts(1), 1.0), ("a", ts(2), 2.0)), // 2 elements → EARLY (3.0)
+        Seq(("a", ts(3), 4.0)),                    // 1 since pane → no fire
+        Seq(("a", ts(4), 8.0)),                    // 2 since pane → EARLY (15.0 accumulated)
+        Seq(("a", ts(15), 1.0))                    // watermark past end → ON_TIME
+      ))
+    val w0 = panes.filter(_.windowStart == ts(0)).sortBy(_.paneIndex)
+    assert(w0.map(p => (p.value, p.timing, p.paneIndex)) == Seq(
+      (3.0, "EARLY", 0L), (15.0, "EARLY", 1L), (15.0, "ON_TIME", 2L)))
+    assert(w0.head.isFirst && w0.last.isLast)
+  }
+
+  test("discarding mode: panes carry only since-last-pane contents") {
+    val panes = run("disc", TriggerSpec(early = AfterCount(2)), Discarding,
+      Duration.ZERO, Seq(
+        Seq(("a", ts(1), 1.0), ("a", ts(2), 2.0)),
+        Seq(("a", ts(3), 4.0)),
+        Seq(("a", ts(15), 0.0))
+      ))
+    val w0 = panes.filter(_.windowStart == ts(0)).sortBy(_.paneIndex)
+    assert(w0.map(p => (p.value, p.timing)) == Seq(
+      (3.0, "EARLY"), (4.0, "ON_TIME"))) // 4.0 only: discarding
+  }
+
+  test("late data within allowed lateness fires LATE panes; beyond is dropped") {
+    val panes = run("late",
+      TriggerSpec(late = PerBatch), Accumulating, Duration.ofMinutes(10), Seq(
+        Seq(("a", ts(1), 1.0)),
+        Seq(("a", ts(12), 2.0)),  // watermark 12 → ON_TIME for [0,10)
+        Seq(("a", ts(5), 4.0)),   // late, within lateness → LATE pane (5.0)
+        Seq(("a", ts(31), 8.0)),  // watermark 31 → [0,10) GC'd at 20
+        Seq(("a", ts(6), 16.0))   // beyond lateness → dropped
+      ))
+    val w0 = panes.filter(_.windowStart == ts(0)).sortBy(_.paneIndex)
+    assert(w0.map(p => (p.value, p.timing)) == Seq(
+      (1.0, "ON_TIME"), (5.0, "LATE")))
+  }
+
+  test("Never trigger: one FINAL pane at GC only") {
+    val panes = run("never", TriggerSpec.never, Accumulating,
+      Duration.ofMinutes(5), Seq(
+        Seq(("a", ts(1), 1.0), ("a", ts(2), 2.0)),
+        Seq(("a", ts(12), 4.0)),  // watermark 12 < 15 = GC of [0,10)
+        Seq(("a", ts(20), 8.0))   // watermark 20 ≥ 15 → FINAL for [0,10)
+      ))
+    val w0 = panes.filter(_.windowStart == ts(0))
+    assert(w0.map(p => (p.value, p.timing, p.isLast)) == Seq((3.0, "FINAL", true)))
+  }
+
+  test("multiple keys and windows stay independent") {
+    val panes = run("multi", TriggerSpec.default, Accumulating, Duration.ZERO, Seq(
+      Seq(("a", ts(1), 1.0), ("b", ts(1), 2.0), ("a", ts(11), 4.0)),
+      Seq(("a", ts(25), 0.0), ("b", ts(25), 0.0))
+    ))
+    val byKeyWindow = panes.groupBy(p => (p.key, p.windowStart))
+    assert(byKeyWindow(("a", ts(0))).head.value == 1.0)
+    assert(byKeyWindow(("b", ts(0))).head.value == 2.0)
+    assert(byKeyWindow(("a", ts(10))).head.value == 4.0)
+  }
+}
