@@ -95,6 +95,13 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Engine-portable fingerprint: md5 hex of the same normalization.
+    * Slower than [[fingerprint]] but reproducible outside Spark (xxhash64's
+    * seed/variant is engine-specific) — use when downstream systems must
+    * recompute the key. */
+  def fingerprintPortable(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+
   /** Rolling-hash shingle fingerprints: hash of every k-token window.
     * Array column; input to MinHash. */
   def shingleHashes(text: Column, k: Int): Column = {

@@ -29,6 +29,12 @@ object VectorFunctions {
   def sqDist(a: Column, b: Column): Column =
     aggregate(zip_with(asD(a), asD(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
 
+  /** Unit-normalized copy of the vector: cosine(a, b) = dot(â, b̂), so
+    * normalizing each row once turns every pairwise cosine into a single
+    * dot — 3× fewer array folds on the pair-scoring hot path. */
+  def normalized(v: Column): Column =
+    transform(asD(v), x => x / sqrt(dot(v, v)))
+
   /** Signed-random-projection bit signature (hyperplane LSH): bit p is the
     * sign of ⟨v, plane_p⟩. Planes are deterministic (seeded) so signatures
     * are stable across runs and executors. Returns an int bucket id in

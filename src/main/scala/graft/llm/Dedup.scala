@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -45,14 +46,22 @@ object Dedup {
   // -------------------------------------------------------------- MinHash
 
   /** MinHash signature: position j holds min over shingles of a j-salted
-    * 64-bit hash — the standard permutation approximation. Pure Column
-    * expr; one pass over the shingle array per row. */
-  def minHashSignature(text: Column, numHashes: Int, shingleK: Int): Column = {
-    val sh = TextFunctions.shingleHashes(text, shingleK)
-    array((0 until numHashes).map { j =>
-      array_min(transform(sh, h => xxhash64(lit(j), h)))
-    }: _*)
-  }
+    * 64-bit hash — the standard permutation approximation.
+    *
+    * Single left fold over the shingle array, computing all numHashes
+    * salted hashes per shingle in one traversal. (The naive form — one
+    * array_min(transform(shingles, …)) per position — inlines the shingle
+    * subexpression numHashes times, and higher-order functions are
+    * interpreted, not codegen'd, so nothing eliminates the duplication:
+    * measured 30× slower.) */
+  def minHashSignature(text: Column, numHashes: Int, shingleK: Int): Column =
+    aggregate(
+      TextFunctions.shingleHashes(text, shingleK),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), j => xxhash64(j, h)),
+        (x, y) => least(x, y)))
 
   /** LSH banding: split the signature into `bands`, hash each band →
     * array of (band, bucket) structs. Docs sharing any band-bucket are
@@ -79,21 +88,32 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, shingleK: Int = 3, bands: Int = 16,
                    threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    // Persist the signatures: they are read three times (band explode +
+    // both sides of the verify join-back). Recomputing means re-hashing
+    // every shingle numHashes times per read — the dominant cost.
     val sig = df.select(
       col(idCol).as("id"),
       minHashSignature(col(textCol), numHashes, shingleK).as("sig"))
+      .persist()
+    // candidate generation carries only (bucket, id) — the signatures join
+    // back AFTER dedup, so the wide arrays never ride through the shuffle
     val exploded = sig
-      .select(col("id"), col("sig"),
-        explode(lshBandBuckets(col("sig"), numHashes, bands)).as("bk"))
-    // guard: cap bucket size before the self-join
-    val bucketSizes = exploded.groupBy(col("bk")).agg(count(lit(1)).as("bn"))
-    val bounded = exploded.join(
-      bucketSizes.filter(col("bn") <= maxBucket).select(col("bk")), Seq("bk"))
-    val a = bounded.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = bounded.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, a("bk") === b("bk") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id"), explode(lshBandBuckets(col("sig"), numHashes, bands)).as("bk"))
+    // guard: cap bucket size (single pass — window count, no second scan)
+    val bounded = exploded
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .filter(col("bn") <= maxBucket)
+      .drop("bn")
+    // Rename the join key per side: a self-join on two projections of the
+    // same frame resolves `a("bk") === b("bk")` to ONE attribute (trivially
+    // true → cross join). Distinct names keep it a real equi-join.
+    val a = bounded.select(col("bk").as("bk_a"), col("id").as("id_a"))
+    val b = bounded.select(col("bk").as("bk_b"), col("id").as("id_b"))
+    a.join(b, col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
@@ -121,21 +141,31 @@ object Dedup {
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 8-bit chunks (pigeonhole: hamming ≤ 3
-    * ⇒ some chunk of 4 equal; we use 4×8-bit chunks for hamming ≤ maxDist
-    * with chunk-equality candidate generation), verify with bit_count. */
+  /** SimHash near-dup pairs: block on maxDist+1 bit chunks (pigeonhole:
+    * hamming ≤ maxDist ⇒ at least one chunk equal — complete for any
+    * maxDist < 32), verify with bit_count. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
-    val chunks = sh.select(col("id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(3)), c =>
-        struct(c.as("chunk"),
-          pmod(floor(col("sh") / pow(lit(2.0), c * lit(8))).cast("long"), lit(256L)).as("v")))).as("ck"))
-    val a = chunks.select(col("ck"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = chunks.select(col("ck"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, a("ck") === b("ck") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 32)")
+    val numChunks = maxDist + 1
+    // persist: read by the chunk explode and by both verify join-backs
+    val sh = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh")).persist()
+    val chunkStructs = (0 until numChunks).map { c =>
+      val lo = c * 32 / numChunks
+      val hi = (c + 1) * 32 / numChunks
+      struct(lit(c).as("chunk"),
+        pmod(floor(col("sh") / lit(math.pow(2.0, lo))).cast("long"), lit(1L << (hi - lo))).as("v"))
+    }
+    val chunks = sh.select(col("id"), explode(array(chunkStructs: _*)).as("ck"))
+    // per-side key rename: see minHashPairs — a shared attribute would
+    // degenerate the equi-join into a cross join
+    val a = chunks.select(col("ck").as("ck_a"), col("id").as("id_a"))
+    val b = chunks.select(col("ck").as("ck_b"), col("id").as("id_b"))
+    a.join(b, col("ck_a") === col("ck_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("dist", hamming(col("sh_a"), col("sh_b")))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
@@ -148,11 +178,40 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
-  /** Exact-Jaccard near-dup pairs. All-pairs — the verification oracle for
-    * small corpora and for LSH recall measurement; at scale use
-    * [[minHashPairs]] (this is its ground truth, not its replacement). */
+  /** Exact-Jaccard near-dup pairs via prefix filtering (AllPairs/PPJoin
+    * family): shingle sets are sorted by hash; if J(A,B) ≥ t, then the
+    * prefixes of length |X| − ⌈t·|X|⌉ + 1 must share an element (pigeonhole
+    * over the global sort order), so an equi-join on prefix shingles
+    * generates a complete candidate set. Exact verification then makes the
+    * output IDENTICAL to the all-pairs scan — same oracle — while the plan
+    * is a shuffled equi-join instead of a cartesian product. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // persist the shingle sets: read by the prefix explode and by both
+    // sides of the verify join-back; candidates carry only ids so the wide
+    // arrays stay out of the candidate shuffle
+    val sh = df.select(col(idCol).as("id"),
+      array_sort(array_distinct(TextFunctions.shingleHashes(col(textCol), shingleK))).as("sh"))
+      .persist()
+    val prefLen = (size(col("sh")) - ceil(size(col("sh")) * lit(threshold)).cast("int") + 1)
+    val pref = sh.select(col("id"), explode(slice(col("sh"), lit(1), prefLen)).as("p"))
+    val a = pref.select(col("p").as("p_a"), col("id").as("id_a"))
+    val b = pref.select(col("p").as("p_b"), col("id").as("id_b"))
+    a.join(b, col("p_a") === col("p_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** All-pairs exact Jaccard — the brute-force ground truth used by specs
+    * to validate [[ngramJaccardPairs]]'s blocking. O(n²); never register it
+    * on a bench path. */
+  def ngramJaccardPairsAllPairs(df: DataFrame, idCol: String, textCol: String,
+                                shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       array_distinct(TextFunctions.shingleHashes(col(textCol), shingleK)).as("sh"))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
@@ -171,24 +230,37 @@ object Dedup {
     * maxIter bounds the worst case. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 10): DataFrame = {
+    // Persist the symmetrized edges once: they are re-read twice per
+    // iteration, and without this the whole upstream pipeline (e.g. the
+    // MinHash candidate generation feeding the edge list) would re-execute
+    // every iteration.
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-    var labels = nodes.select(col("id"), col("id").as("label"))
+      .persist()
+    // localCheckpoint (eager) both materializes each round's labels in one
+    // action and truncates lineage, so iteration cost stays flat instead of
+    // growing with the plan.
+    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val neighborMin = sym
         .join(labels, sym("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-      val next = labels
-        .join(neighborMin, labels("id") === neighborMin("dst"), "left_outer")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      val prev = labels
+      // carry the change flag inside the same materialized frame: the
+      // convergence check below reads checkpointed blocks, not the plan
+      val next = prev
+        .join(neighborMin, prev("id") === neighborMin("dst"), "left_outer")
+        .select(prev("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
+    sym.unpersist()
     labels
   }
 
@@ -197,9 +269,15 @@ object Dedup {
   def dedupNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                           numHashes: Int = 64, shingleK: Int = 3,
                           bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    // persist: the symmetrizing union inside connectedComponents reads the
+    // edge list twice, which would otherwise run the MinHash pipeline twice
     val pairs = minHashPairs(df, idCol, textCol, numHashes, shingleK, bands, threshold)
+      .select(col("id_a"), col("id_b")).persist()
     val nodes = df.select(col(idCol).as("id"))
+    // labels come back checkpointed, so the returned plan no longer
+    // references the pairs pipeline — safe to unpersist right away
     val labels = connectedComponents(nodes, pairs)
+    pairs.unpersist()
     df.join(labels, df(idCol) === labels("id"))
       .filter(col(idCol) === col("label"))
       .select(df.columns.map(col): _*)

@@ -84,13 +84,49 @@ object Similarity {
       Seq("probe_id"), k, col("score").desc, col("cand_id"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (threshold variant, exact). */
+  /** Embedding-cosine near-duplicate pairs (threshold variant, exact
+    * all-pairs). O(n²) — ground truth for [[cosinePairsBlocked]]'s recall;
+    * never register it on a bench path. */
   def cosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
     val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("score", VectorFunctions.cosine(col("e_a"), col("e_b")))
       .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** SRP-blocked cosine near-dup pairs — the scale path. Multi-table
+    * OR-LSH: nTables independent signatures of nPlanes hyperplanes each;
+    * a pair is a candidate if it collides in ANY table (recall
+    * 1-(1-p^nPlanes)^nTables for p = 1-θ/π), then exact-verified against
+    * the threshold. Embeddings are unit-normalized once so verification is
+    * a single dot per pair. Pairs colliding in no table are missed — the
+    * documented ANN recall trade; the oracle replicates the same blocking
+    * so the correctness check stays exact. */
+  def cosinePairsBlocked(corpus: DataFrame, threshold: Double,
+                         nPlanes: Int = 4, nTables: Int = 4,
+                         dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val planes = VectorFunctions.makePlanes(nPlanes * nTables, dim, seed)
+    // persist: read by the bucket explode and both verify join-backs
+    val base = corpus.select(col("vec_id").as("id"),
+      VectorFunctions.normalized(col("embedding")).as("e")).persist()
+    val tables = (0 until nTables).map { t =>
+      struct(lit(t).as("t"),
+        VectorFunctions.srpBucket(col("e"),
+          planes.slice(t * nPlanes, (t + 1) * nPlanes)).as("b"))
+    }
+    val bucketed = base.select(col("id"), explode(array(tables: _*)).as("tb"))
+    // per-side key rename keeps the self-join a real equi-join (a shared
+    // attribute would make the condition trivially true → cross join)
+    val a = bucketed.select(col("tb").as("tb_a"), col("id").as("id_a"))
+    val b = bucketed.select(col("tb").as("tb_b"), col("id").as("id_b"))
+    a.join(b, col("tb_a") === col("tb_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(base.select(col("id").as("id_a"), col("e").as("e_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("e").as("e_b")), Seq("id_b"))
+      .filter(VectorFunctions.dot(col("e_a"), col("e_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
 }

@@ -101,6 +101,22 @@ object Combine {
       .drop("__r", "__rank")
   }
 
+  /** Deterministic fixed-size per-key "sample": top-n per key ordered by
+    * md5 of the row identity. Unlike rand(seed) — whose stream is engine-
+    * and partitioning-specific — this is reproducible across engines and
+    * stable under repartitioning, which is what an auditable pipeline
+    * sample needs at scale. */
+  def samplePerKeyByHash(df: DataFrame, keys: Seq[String], n: Int,
+                         idCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat_ws("|", idCols.map(c => col(c).cast("string")): _*))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"))
+    df.withColumn("__h", h)
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= n)
+      .drop("__h", "__rank")
+  }
+
   /** ApproximateUnique ([U] T/ApproximateUnique.java) → HLL++. */
   def approximateUnique(c: Column, rsd: Double = 0.05): Column =
     approx_count_distinct(c, rsd)
@@ -111,19 +127,38 @@ object Combine {
                            accuracy: Int = 10000): Column =
     percentile_approx(c, array(quantiles.map(lit): _*), lit(accuracy))
 
+  /** Single-quantile scalar form of [[approximateQuantiles]]. */
+  def approximateQuantile(c: Column, quantile: Double,
+                          accuracy: Int = 10000): Column =
+    percentile_approx(c, lit(quantile), lit(accuracy))
+
   /** Combine.perKey(...).withHotKeyFanout ([U] T/Combine.java): two-stage
     * salted aggregation for skewed keys. Stage 1 aggregates (key, salt)
     * partials across `fanout` buckets; stage 2 merges per key. Use when one
-    * key dominates and even map-side partials overwhelm a single reducer. */
+    * key dominates and even map-side partials overwhelm a single reducer.
+    * The salt must vary PER ROW (a per-partition salt would collapse to
+    * what map-side partial aggregation already gives), so it hashes the
+    * full row — deterministic, no rand(). */
   def sumWithHotKeyFanout(df: DataFrame, keys: Seq[String], value: Column,
                           fanout: Int): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id(), lit(fanout)))
+    val salted = df.withColumn(
+      "__salt", pmod(xxhash64(struct(df.columns.map(col): _*)), lit(fanout)))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(value).as("__partial"))
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__partial")).as("sum"))
   }
+
+  /** CombineWithContext ([U] T/CombineWithContext.java): a CombineFn whose
+    * logic reads a side input. Spark-native rendering: the context value is
+    * broadcast once and the returned CombineFn closes over the broadcast
+    * handle, so every executor reads it locally — no per-row shipping, no
+    * driver round-trips. */
+  def withContext[I, A, O, C](spark: org.apache.spark.sql.SparkSession, context: C)(
+      mk: org.apache.spark.broadcast.Broadcast[C] => CombineFn[I, A, O])(
+      implicit ct: ClassTag[C]): CombineFn[I, A, O] =
+    mk(spark.sparkContext.broadcast(context))
 
   /** Top-k CombineFn (bounded min-heap) for the typed path — the direct
     * analogue of Top.TopCombineFn's bounded heap. */

@@ -222,19 +222,23 @@ object BatchQueries {
 
     // §2.3 ApproximateUnique + ApproximateQuantiles: sketch outputs differ
     // across engines by design — no SQL oracle (driver rows-only check);
-    // accuracy is asserted in CombineSpec instead.
+    // accuracy is asserted in CombineSpec instead. Scalar columns only:
+    // the driver's compare can't sort/hash an array column.
     "q_approx_sketches" -> { (s, dir) =>
       Tables(s, dir).lineitem.agg(
         Combine.approximateUnique(col("l_partkey"), 0.02).as("approx_parts"),
-        Combine.approximateQuantiles(col("l_extendedprice"), Seq(0.5, 0.95)).as("price_q"))
+        Combine.approximateQuantile(col("l_extendedprice"), 0.5).as("price_p50"),
+        Combine.approximateQuantile(col("l_extendedprice"), 0.95).as("price_p95"))
     },
 
-    // §2.3 Sample.fixedSizePerKey: seeded, size-exact; engine-specific RNG
-    // so rows-only check (size is asserted in CombineSpec).
+    // §2.3 Sample.fixedSizePerKey, deterministic variant: top-n per key by
+    // md5 of the row identity — size-exact like the reservoir, but
+    // reproducible across engines so the oracle can replicate it (the
+    // rand(seed) reservoir form is covered in CombineSpec).
     "q_sample_perkey" -> { (s, dir) =>
-      Combine.sampleFixedSizePerKey(
+      Combine.samplePerKeyByHash(
         Tables(s, dir).events.select(col("event_id"), col("event_type")),
-        Seq("event_type"), 5)
+        Seq("event_type"), 5, Seq("event_type", "event_id"))
         .orderBy(col("event_type"), col("event_id"))
     },
 
@@ -382,6 +386,14 @@ object BatchQueries {
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_bal,
            min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_sample_perkey" ->
+      """SELECT event_id, event_type FROM (
+           SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY md5(event_type || '|' || CAST(event_id AS VARCHAR))) AS rn
+           FROM events)
+         WHERE rn <= 5
+         ORDER BY event_type, event_id""",
     "q_hotkey_sum" ->
       """SELECT l_returnflag,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

@@ -1,0 +1,142 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.queries.QueryUtil._
+
+/** IO surface demonstrations (SURVEY.md §2.5).
+  *
+  * The reference's IO framework (TextIO [U] IO/TextIO.java, AvroIO
+  * [U] IO/AvroIO.java, XmlSource [U] IO/XmlSource.java, CountingInput
+  * [U] IO/CountingInput.java, Write 3-phase commit [U] IO/Write.java) maps
+  * to Spark built-in DataSources; these queries PROVE each mapping with a
+  * write→read round-trip whose final aggregate an oracle checks against the
+  * source-of-truth parquet. The round-trip exercises the FileCommitProtocol
+  * (temp dir + rename-into-place + _SUCCESS), i.e. the same 3-phase commit
+  * contract as the reference's Write.to(Sink).
+  */
+object IoQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fresh scratch dir per call: round-trips must not collide across
+    * sf dirs or concurrent queries. */
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val defs: Map[String, Q] = Map(
+
+    // §2.5 TextIO.Read/Write: documents → sharded line files → read back →
+    // wordcount. Newlines inside a document change line boundaries but not
+    // the token multiset, so the aggregate equals wordcount on the source.
+    "q_textio_roundtrip" -> { (s, dir) =>
+      val out = tmp("graft_textio")
+      Tables(s, dir).documents.select(col("text"))
+        .repartition(4) // sharded output, TextIO-style -0000N-of-0000M
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(explode(TextFunctions.tokens(col("value"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("word"))
+    },
+
+    // §2.5 AvroIO: orders subset → avro → read back → per-priority agg.
+    // (The short name "avro" has no DataSourceRegister entry in this
+    // distribution; the FileFormat class itself ships in spark-sql.)
+    "q_avro_roundtrip" -> { (s, dir) =>
+      val out = tmp("graft_avro")
+      val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+      Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .write.mode("overwrite").format(avro).save(out)
+      s.read.format(avro).load(out)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // §2.5 TextIO-with-schema (CSV): numeric columns survive the
+    // text→typed round-trip exactly (Double.toString round-trips).
+    "q_csvio_roundtrip" -> { (s, dir) =>
+      val out = tmp("graft_csv")
+      Tables(s, dir).customer
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE")
+        .csv(out)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    // §2.5 JSON lines round-trip (TableRow-ish semi-structured path).
+    "q_jsonio_roundtrip" -> { (s, dir) =>
+      val out = tmp("graft_json")
+      Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+        .json(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+
+    // §2.5 XmlIO: nation → XML files (rowTag) → read back → verbatim rows.
+    "q_xmlio_roundtrip" -> { (s, dir) =>
+      val out = tmp("graft_xml")
+      Tables(s, dir).nation
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").option("rowTag", "nation").format("xml").save(out)
+      s.read.option("rowTag", "nation")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT")
+        .format("xml").load(out)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // §2.5 CountingInput/CountingSource: dense sequence source → transform
+    // → aggregate. spark.range is a splittable parallel source, the direct
+    // analogue of CountingInput.upTo.
+    "q_counting_input" -> { (s, _) =>
+      s.range(0, 100000).toDF("i")
+        .groupBy(pmod(col("i"), lit(7)).as("m"))
+        .agg(count(lit(1)).as("n"), sum(col("i")).as("s"))
+        .orderBy(col("m"))
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_textio_roundtrip" ->
+      """SELECT word, COUNT(*) AS n FROM (
+           SELECT unnest(string_split_regex(lower(text), '[^a-z'']+')) AS word
+           FROM documents)
+         WHERE word <> ''
+         GROUP BY word ORDER BY word""",
+    "q_avro_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_csvio_roundtrip" ->
+      """SELECT c_nationkey, count(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+         FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q_jsonio_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_xmlio_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "q_counting_input" ->
+      """SELECT CAST(range % 7 AS BIGINT) AS m, count(*) AS n,
+           CAST(SUM(range) AS BIGINT) AS s
+         FROM range(0, 100000) GROUP BY 1 ORDER BY 1""",
+  )
+}

@@ -66,7 +66,9 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("score").desc, col("cand_id"))
     },
 
-    // SRP/LSH-bucketed ANN (the scale path; hash-seeded → rows-only).
+    // SRP/LSH-bucketed ANN (the scale path). The seeded hyperplanes are
+    // deterministic Scala values, so the oracle replicates the exact same
+    // blocking with the plane vectors inlined as SQL literals.
     "q_similarity_srp" -> { (s, dir) =>
       val emb = Tables(s, dir).embeddings
       Similarity.srpTopK(emb, emb.filter(col("vec_id") < 20), k = 3,
@@ -86,9 +88,13 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("score").desc, col("cand_id"))
     },
 
-    // Embedding-cosine near-dup pairs (exact, oracle-checked).
+    // Embedding-cosine near-dup pairs, SRP-blocked (the scale path: equi-
+    // join on (table, bucket), no cartesian). Oracle replicates the
+    // blocking, so the check stays exact; recall vs the all-pairs truth is
+    // SimilaritySpec's concern.
     "q_embedding_neardup" -> { (s, dir) =>
-      Similarity.cosinePairs(Tables(s, dir).embeddings, threshold = 0.4)
+      Similarity.cosinePairsBlocked(Tables(s, dir).embeddings, threshold = 0.4,
+        nPlanes = 4, nTables = 4, dim = 64)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -123,14 +129,14 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Quality scoring + BPE-ish token estimate + fingerprint (hash-seeded
-    // pieces → rows-only; component behavior asserted in TextFunctionsSpec).
+    // Quality scoring + BPE-ish token estimate + portable (md5) fingerprint
+    // — every component replicable in the oracle's SQL.
     "q_quality_scores" -> { (s, dir) =>
       Tables(s, dir).documents.select(
         col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("quality"),
         TextFunctions.approxBpeTokenCount(col("text")).as("bpe_tokens"),
-        TextFunctions.fingerprint(col("text")).as("fp"))
+        TextFunctions.fingerprintPortable(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     },
 
@@ -164,6 +170,29 @@ object LlmQueries {
 
   private val markers = TextFunctions.LanguageMarkers
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB expression computing the same SRP bucket as
+    * [[VectorFunctions.srpBucket]]: the seeded planes are deterministic, so
+    * they inline as double literals (Double.toString round-trips exactly)
+    * and both engines do the identical double arithmetic. */
+  private def srpBucketSqlFrom(embExpr: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lits = p.map(_.toString).mkString("[", ", ", "]")
+      s"CASE WHEN list_inner_product($embExpr, $lits) >= 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private def srpBucketSql(embExpr: String, nPlanes: Int, dim: Int): String =
+    srpBucketSqlFrom(embExpr, VectorFunctions.makePlanes(nPlanes, dim))
+
+  /** UNION ALL of per-table (vec_id, ne, tbl, bucket) selects replicating
+    * [[Similarity.cosinePairsBlocked]]'s multi-table bucketing. */
+  private def srpTablesSql(nPlanes: Int, nTables: Int, dim: Int): String = {
+    val planes = VectorFunctions.makePlanes(nPlanes * nTables, dim)
+    (0 until nTables).map { t =>
+      val bucket = srpBucketSqlFrom("ne", planes.slice(t * nPlanes, (t + 1) * nPlanes))
+      s"SELECT vec_id, ne, $t AS tbl, $bucket AS bucket FROM e"
+    }.mkString(" UNION ALL ")
+  }
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -205,13 +234,38 @@ object LlmQueries {
          SELECT probe_id, cand_id, round(raw, 4) AS score FROM ranked WHERE rn <= 3
          ORDER BY probe_id, raw DESC, cand_id""",
     "q_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-         SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         FROM e a, e b
-         WHERE a.vec_id < b.vec_id
-           AND list_inner_product(a.emb, b.emb) /
-               (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))) >= 0.4
+      s"""WITH e AS (
+           SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[])))) AS ne
+           FROM embeddings),
+         b AS (${srpTablesSql(4, 4, 64)}),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+           FROM b a JOIN b c
+             ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         SELECT id_a, id_b
+         FROM cand
+         JOIN e ea ON ea.vec_id = id_a
+         JOIN e eb ON eb.vec_id = id_b
+         WHERE list_inner_product(ea.ne, eb.ne) >= 0.4
          ORDER BY id_a, id_b""",
+    "q_similarity_srp" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         b AS (SELECT vec_id, emb, ${srpBucketSql("emb", 4, 64)} AS bucket FROM e),
+         p AS (SELECT vec_id AS probe_id, emb AS pe, bucket FROM b WHERE vec_id < 20),
+         scored AS (
+           SELECT probe_id, c.vec_id AS cand_id,
+             list_inner_product(pe, c.emb) /
+               (sqrt(list_inner_product(pe, pe)) * sqrt(list_inner_product(c.emb, c.emb))) AS raw
+           FROM p JOIN b c USING (bucket) WHERE c.vec_id <> probe_id),
+         ranked AS (
+           SELECT probe_id, cand_id, raw,
+             row_number() OVER (PARTITION BY probe_id ORDER BY raw DESC, cand_id) AS rn
+           FROM scored)
+         SELECT probe_id, cand_id, round(raw, 4) AS score FROM ranked WHERE rn <= 3
+         ORDER BY probe_id, raw DESC, cand_id""",
     "q_text_stats" ->
       """SELECT lang, count(*) AS n,
            SUM(n_chars)::DOUBLE / count(*) AS avg_chars,
@@ -238,6 +292,46 @@ object LlmQueries {
               ELSE 'de' END AS detected
             FROM scores)
           GROUP BY detected ORDER BY detected""",
+    // quality/bpe/fp replicated component-by-component. RE2 has no
+    // lookarounds, so the BPE-piece split is emulated by inserting spaces at
+    // the same boundaries and splitting on whitespace (equivalent piece
+    // multiset — verified in TextFunctionsSpec against hand cases).
+    "q_quality_scores" ->
+      s"""WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks,
+             list_filter(
+               string_split_regex(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text, '([a-zA-Z])([0-9])', '\\1 \\2', 'g'),
+                     '([0-9])([a-zA-Z])', '\\1 \\2', 'g'),
+                   '([^a-zA-Z0-9\\s])', ' \\1', 'g'),
+                 '\\s+'),
+               x -> x <> '') AS pieces
+           FROM documents),
+         m AS (
+           SELECT doc_id, text, pieces,
+             len(toks) AS ntok,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE length(regexp_replace(lower(text), '[^a-z'']', '', 'g'))::DOUBLE / len(toks)
+             END AS mwl,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)
+             END AS pr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, x -> list_contains(${inList(TextFunctions.EnglishStopwords)}, x)))::DOUBLE / len(toks)
+             END AS sr
+           FROM t)
+         SELECT doc_id,
+           ((CASE WHEN ntok >= 5 AND ntok <= 100000 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN sr > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality,
+           coalesce(list_sum(list_transform(pieces,
+             p -> CAST(ceil(length(p)::DOUBLE / 4.0) AS BIGINT))), 0) AS bpe_tokens,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         FROM m ORDER BY doc_id""",
     "q_token_counts" ->
       """WITH tok AS (
            SELECT doc_id, text,

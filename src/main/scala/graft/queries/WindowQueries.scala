@@ -64,6 +64,36 @@ object WindowQueries {
         dsum(col("value")).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))
     },
+
+    // OutputTimeFn (END_OF_WINDOW / EARLIEST / LATEST) surfaced as columns
+    // of a fixed-window aggregate.
+    "q_output_time" -> { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(Windows.fixed(col("ts"), "1 hour").as("w"))
+        .agg(
+          Windows.outputTimeEarliest(col("ts")).as("earliest_ts"),
+          Windows.outputTimeLatest(col("ts")).as("latest_ts"),
+          count(lit(1)).as("n"))
+        .select(
+          Windows.outputTimeEndOfWindow(col("w")).as("end_of_window"),
+          col("earliest_ts"), col("latest_ts"), col("n"))
+        .orderBy(col("end_of_window"))
+    },
+
+    // Custom merging WindowFn: per-row intervals [ts, ts + 2·len(type) min]
+    // merged per user into maximal windows — the general mergeWindows
+    // contract of which Sessions is the fixed-gap special case.
+    "q_merge_intervals" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+        .select(col("user_id"), col("ts"),
+          (col("ts") + expr("make_dt_interval(0, 0, length(event_type) * 2, 0)")).as("te"))
+      Windows.mergeIntervals(e, Seq("user_id"), col("ts"), col("te"))
+        .groupBy(col("user_id"), col("window_id"))
+        .agg(min(col("ts")).as("w_start"), max(col("te")).as("w_end"),
+          count(lit(1)).as("n"))
+        .select(col("user_id"), col("w_start"), col("w_end"), col("n"))
+        .orderBy(col("user_id"), col("w_start"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -102,5 +132,27 @@ object WindowQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
            count(DISTINCT user_id) AS n_users
          FROM events""",
+    "q_output_time" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS end_of_window,
+           min(ts) AS earliest_ts, max(ts) AS latest_ts, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q_merge_intervals" ->
+      """WITH iv AS (
+           SELECT user_id, ts, ts + length(event_type) * 2 * INTERVAL '1 minute' AS te
+           FROM events),
+         flagged AS (
+           SELECT user_id, ts, te,
+             CASE WHEN max(te) OVER pw IS NULL OR ts > max(te) OVER pw
+                  THEN 1 ELSE 0 END AS new_w
+           FROM iv
+           WINDOW pw AS (PARTITION BY user_id ORDER BY ts, te
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         wi AS (
+           SELECT user_id, ts, te,
+             sum(new_w) OVER (PARTITION BY user_id ORDER BY ts, te) AS wid
+           FROM flagged)
+         SELECT user_id, min(ts) AS w_start, max(te) AS w_end, count(*) AS n
+         FROM wi GROUP BY user_id, wid
+         ORDER BY user_id, w_start""",
   )
 }

@@ -15,13 +15,15 @@ import graft.operators.Combine.CombineFn
   * Scope implemented (the trigger shapes real pipelines use):
   *  - AfterWatermark.pastEndOfWindow (the default): one ON_TIME pane when
   *    the watermark passes window end.
-  *  - .withEarlyFirings(AfterCount(n) | PerBatch): EARLY panes while the
-  *    window is open. PerBatch is the micro-batch rendering of Beam's
-  *    AfterProcessingTime — the batch cadence is the processing-time clock.
-  *  - .withLateFirings(PerBatch): LATE panes for data arriving after the
-  *    on-time pane, within allowed lateness.
+  *  - .withEarlyFirings(...) / .withLateFirings(...) over the trigger
+  *    algebra: AfterCount(n), PerBatch, AfterProcessingTimeDelay(d)
+  *    (≡ AfterProcessingTime.pastFirstElementInPane.plusDelayOf),
+  *    AfterFirst, AfterAll, Repeatedly, OrFinally — with Beam's finishing
+  *    semantics (see Firing's doc).
   *  - allowed lateness with state GC at window end + lateness; later data
   *    is dropped (same contract as Beam's LateDataDroppingDoFnRunner).
+  *    Post-on-time data with NO late firings configured is dropped too
+  *    (finished-trigger contract), not re-emitted at GC.
   *  - accumulating | discarding fired panes.
   *  - Never: suppress early/on-time firing; single final pane at GC.
   *
@@ -36,14 +38,79 @@ import graft.operators.Combine.CombineFn
   */
 object TriggerEngine {
 
-  /** Early/late firing specs (subset of Beam's trigger algebra). */
+  /** Early/late firing specs — Beam's trigger algebra
+    * ([U] W/Trigger.java + one file per composite: AfterPane, AfterFirst,
+    * AfterAll, Repeatedly, OrFinallyTrigger, AfterProcessingTime).
+    *
+    * Finishing semantics: a bare atomic firing at the top level of a
+    * TriggerSpec is implicitly `Repeatedly` (the form real pipelines use);
+    * inside an explicit composite the Beam algebra applies exactly — an
+    * atomic/AfterFirst/AfterAll finishes once it fires, `Repeatedly` never
+    * finishes, `OrFinally(main, until)` finishes when `until`'s condition
+    * holds at a firing. */
   sealed trait Firing extends Serializable
-  /** Fire after n new elements since the last pane. */
+  /** Fire after n new elements since the last pane (AfterPane
+    * .elementCountAtLeast). */
   final case class AfterCount(n: Int) extends Firing
-  /** Fire once per micro-batch that saw data for the window. */
+  /** Fire once per micro-batch that saw data for the window — the
+    * micro-batch rendering of a zero-delay processing-time trigger. */
   case object PerBatch extends Firing
   /** Never fire (for early: no early panes; for late: drop late panes). */
   case object NoFiring extends Firing
+  /** AfterProcessingTime.pastFirstElementInPane.plusDelayOf(delay): fire
+    * once `delay` wall-clock ms have passed since the pane's first element.
+    * Micro-batch rendering: the condition is checked when a batch touches
+    * the key, so a firing lands on the first batch at-or-after the delay
+    * (Beam's own processing-time triggers are similarly best-effort). */
+  final case class AfterProcessingTimeDelay(delayMs: Long) extends Firing
+  /** Fire when ANY sub-trigger's condition holds; finishes on fire. */
+  final case class AfterFirst(subs: Seq[Firing]) extends Firing
+  /** Fire when ALL sub-trigger conditions hold; finishes on fire. */
+  final case class AfterAll(subs: Seq[Firing]) extends Firing
+  /** Repeat `sub` forever: each firing resets it instead of finishing. */
+  final case class Repeatedly(sub: Firing) extends Firing
+  /** Behave as `main` until `until`'s condition holds; that firing is the
+    * last (Beam Trigger.orFinally). */
+  final case class OrFinally(main: Firing, until: Firing) extends Firing
+
+  /** Condition inputs for firing evaluation: all atomic conditions are
+    * monotone within a pane, so composites need no per-sub state. */
+  private final case class FiringCtx(sinceLastPane: Long, paneFirstWallMs: Long,
+                                     nowMs: Long)
+
+  private def ready(f: Firing, ctx: FiringCtx): Boolean = f match {
+    case NoFiring                    => false
+    case AfterCount(n)               => ctx.sinceLastPane >= n
+    case PerBatch                    => ctx.sinceLastPane > 0
+    case AfterProcessingTimeDelay(d) =>
+      ctx.paneFirstWallMs > 0 && ctx.nowMs >= ctx.paneFirstWallMs + d
+    case AfterFirst(subs)            => subs.exists(ready(_, ctx))
+    case AfterAll(subs)              => subs.nonEmpty && subs.forall(ready(_, ctx))
+    case Repeatedly(sub)             => ready(sub, ctx)
+    case OrFinally(main, until)      => ready(main, ctx) || ready(until, ctx)
+  }
+
+  private def finishesOnFire(f: Firing, ctx: FiringCtx): Boolean = f match {
+    case NoFiring               => false
+    case Repeatedly(_)          => false
+    case OrFinally(_, until)    => ready(until, ctx)
+    case _                      => true // atomics and AfterFirst/AfterAll
+  }
+
+  /** Top-level bare atomics repeat (see trait doc). */
+  private def effective(f: Firing): Firing = f match {
+    case AfterCount(_) | PerBatch | AfterProcessingTimeDelay(_) => Repeatedly(f)
+    case other => other
+  }
+
+  private def usesWallClock(f: Firing): Boolean = f match {
+    case AfterProcessingTimeDelay(_) => true
+    case AfterFirst(s)               => s.exists(usesWallClock)
+    case AfterAll(s)                 => s.exists(usesWallClock)
+    case Repeatedly(s)               => usesWallClock(s)
+    case OrFinally(m, u)             => usesWallClock(m) || usesWallClock(u)
+    case _                           => false
+  }
 
   /** Trigger spec ≈ AfterWatermark.pastEndOfWindow
     * .withEarlyFirings(early).withLateFirings(late); `Never` suppresses
@@ -81,7 +148,10 @@ object TriggerEngine {
       sinceLastPane: Long,      // elements since last pane
       paneIndex: Long,
       firedOnTime: Boolean,
-      timersSet: Boolean)
+      timersSet: Boolean,
+      paneFirstWallMs: Long = 0L,   // wall-clock of pane's first element
+      earlyFinished: Boolean = false, // early trigger finished (algebra)
+      lateFinished: Boolean = false)  // late trigger finished (algebra)
 
   /** The processor. Input rows: (key, eventTime, value).
     *
@@ -117,6 +187,9 @@ object TriggerEngine {
       WindowState(combine.createAccumulator(), combine.createAccumulator(),
         0L, 0L, firedOnTime = false, timersSet = false)
 
+    private def ctxOf(st: WindowState[Acc], nowMs: Long): FiringCtx =
+      FiringCtx(st.sinceLastPane, st.paneFirstWallMs, nowMs)
+
     private def paneValue(st: WindowState[Acc]): Out = mode match {
       case Accumulating => combine.extractOutput(st.acc)
       case Discarding   => combine.extractOutput(st.paneAcc)
@@ -124,7 +197,7 @@ object TriggerEngine {
 
     private def afterPane(st: WindowState[Acc]): WindowState[Acc] =
       st.copy(paneAcc = combine.createAccumulator(), sinceLastPane = 0L,
-        paneIndex = st.paneIndex + 1)
+        paneIndex = st.paneIndex + 1, paneFirstWallMs = 0L)
 
     private def emit(key: K, ws: Long, st: WindowState[Acc], timing: String,
                      isLast: Boolean): Pane[K, Out] =
@@ -138,15 +211,28 @@ object TriggerEngine {
     override def handleInputRows(key: K, rows: Iterator[(K, Timestamp, V)],
                                  timers: TimerValues): Iterator[Pane[K, Out]] = {
       val wm = trueWm(timers.getCurrentWatermarkInMs)
+      val nowMs = System.currentTimeMillis()
+      val earlyFiring = effective(trigger.early)
+      val lateFiring = effective(trigger.late)
       val out = scala.collection.mutable.ArrayBuffer.empty[Pane[K, Out]]
+      val touched = scala.collection.mutable.Set.empty[Long]
       rows.toSeq.groupBy(r => windowStart(r._2.getTime)).foreach { case (ws, vs) =>
         val wEnd = ws + windowSizeMs
-        if (wEnd + allowedLatenessMs > wm) { // else: beyond lateness → drop
-          var st = windows.containsKey(ws) match {
-            case true  => windows.getValue(ws)
-            case false => freshState()
-          }
+        val windowClosed = wEnd <= wm
+        val existing = if (windows.containsKey(ws)) Some(windows.getValue(ws)) else None
+        val postOnTime = existing.exists(_.firedOnTime)
+        if (wEnd + allowedLatenessMs <= wm) {
+          // beyond allowed lateness → drop (LateDataDroppingDoFnRunner)
+        } else if (postOnTime && !trigger.suppressOnTime &&
+                   (trigger.late == NoFiring || existing.exists(_.lateFinished))) {
+          // AfterWatermark without late firings (or a late trigger that has
+          // finished): the trigger is done — post-on-time data is dropped,
+          // not buffered into a surprise FINAL pane (Beam contract)
+        } else {
+          touched += ws
+          var st = existing.getOrElse(freshState())
           vs.foreach { case (_, _, v) =>
+            if (st.sinceLastPane == 0L) st = st.copy(paneFirstWallMs = nowMs)
             st = st.copy(
               acc = combine.addInput(st.acc, v),
               paneAcc = combine.addInput(st.paneAcc, v),
@@ -158,30 +244,41 @@ object TriggerEngine {
             if (allowedLatenessMs > 0) getHandle.registerTimer(wEnd)
             st = st.copy(timersSet = true)
           }
-          val windowClosed = wEnd <= wm
-          if (windowClosed) {
-            // post-watermark arrival: LATE pane if configured
-            trigger.late match {
-              case PerBatch | AfterCount(_) if !trigger.suppressOnTime =>
-                val fire = trigger.late match {
-                  case AfterCount(n) => st.sinceLastPane >= n
-                  case _             => true
-                }
-                if (fire) { out += emit(key, ws, st, "LATE", isLast = false); st = afterPane(st) }
-              case _ => // buffered until GC (Never) or silently held
+          if (windowClosed && postOnTime) {
+            // post-watermark arrival: LATE pane per the late trigger
+            val ctx = ctxOf(st, nowMs)
+            if (!trigger.suppressOnTime && !st.lateFinished &&
+                trigger.late != NoFiring && ready(lateFiring, ctx)) {
+              out += emit(key, ws, st, "LATE", isLast = false)
+              st = afterPane(st)
+                .copy(lateFinished = finishesOnFire(lateFiring, ctx))
             }
-          } else {
-            val fireEarly = trigger.early match {
-              case AfterCount(n) => st.sinceLastPane >= n
-              case PerBatch      => true
-              case NoFiring      => false
-            }
-            if (fireEarly && !trigger.suppressOnTime) {
+          } else if (!windowClosed) {
+            val ctx = ctxOf(st, nowMs)
+            if (!trigger.suppressOnTime && !st.earlyFinished && ready(earlyFiring, ctx)) {
               out += emit(key, ws, st, "EARLY", isLast = false)
               st = afterPane(st)
+                .copy(earlyFinished = finishesOnFire(earlyFiring, ctx))
             }
           }
           windows.updateValue(ws, st)
+        }
+      }
+      // wall-clock sweep: a pending AfterProcessingTime delay may have
+      // elapsed for a window this batch did NOT touch — check the key's
+      // other open windows (timer-less rendering of processing-time timers)
+      if (usesWallClock(trigger.early) && !trigger.suppressOnTime) {
+        windows.iterator().toSeq.foreach { case (ws, st0) =>
+          val wEnd = ws + windowSizeMs
+          if (!touched.contains(ws) && wEnd > wm && !st0.firedOnTime &&
+              !st0.earlyFinished && st0.sinceLastPane > 0) {
+            val ctx = ctxOf(st0, nowMs)
+            if (ready(earlyFiring, ctx)) {
+              out += emit(key, ws, st0, "EARLY", isLast = false)
+              windows.updateValue(ws, afterPane(st0)
+                .copy(earlyFinished = finishesOnFire(earlyFiring, ctx)))
+            }
+          }
         }
       }
       out.iterator
@@ -212,7 +309,7 @@ object TriggerEngine {
           getHandle.registerTimer(sparkWm + 1)
         }
         if (wEnd + allowedLatenessMs <= wm && windows.containsKey(ws)) {
-          if (trigger.suppressOnTime || st.sinceLastPane > 0) {
+          if (trigger.suppressOnTime || (st.sinceLastPane > 0 && !st.lateFinished)) {
             // Never-trigger final pane, or residual late data not yet fired
             out += emit(key, ws, st, "FINAL", isLast = true)
           }

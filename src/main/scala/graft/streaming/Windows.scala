@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time window assignment (SURVEY.md §2.4).
@@ -41,4 +42,37 @@ object Windows {
   /** CalendarWindows.{days,weeks,months,years}: truncate to the calendar
     * unit ("day"/"week"/"month"/"quarter"/"year"). */
   def calendar(ts: Column, unit: String): Column = date_trunc(unit, ts)
+
+  // -------------------------------------------------- OutputTimeFn helpers
+
+  /** OutputTimeFn.outputAtEndOfWindow ([U] W/OutputTimeFn.java): the
+    * window struct's `end`. */
+  def outputTimeEndOfWindow(windowCol: Column): Column = windowCol.getField("end")
+
+  /** OutputTimeFn.outputAtEarliestInputTimestamp: min event ts aggregate. */
+  def outputTimeEarliest(ts: Column): Column = min(ts)
+
+  /** OutputTimeFn.outputAtLatestInputTimestamp: max event ts aggregate. */
+  def outputTimeLatest(ts: Column): Column = max(ts)
+
+  // -------------------------------------------- custom merging WindowFn
+
+  /** General merging WindowFn, batch path ([U] W/WindowFn.java
+    * mergeWindows): each row claims the interval [ts, endTs]; overlapping
+    * or touching intervals per key merge into maximal windows. Sessions is
+    * the special case endTs = ts + gap. Relational implementation — running
+    * max of interval end per key, new-window flag where a gap opens,
+    * running sum as window id — so it shuffles once and stays in codegen;
+    * no iterative merge loop. Adds a `window_id` column (dense per key,
+    * ordered by time); aggregate with min(ts)/max(endTs) for the merged
+    * window bounds. */
+  def mergeIntervals(df: DataFrame, keys: Seq[String], ts: Column,
+                     endTs: Column): DataFrame = {
+    val ord = Window.partitionBy(keys.map(col): _*).orderBy(ts, endTs)
+    val prevMaxEnd = max(endTs).over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("__pme", prevMaxEnd)
+      .withColumn("__nw", when(col("__pme").isNull || ts > col("__pme"), 1).otherwise(0))
+      .withColumn("window_id", sum(col("__nw")).over(ord))
+      .drop("__pme", "__nw")
+  }
 }

@@ -33,4 +33,13 @@ trait SparkSpec extends AnyFunSuite {
     val e = expected.groupBy(identity).view.mapValues(_.size).toMap
     assert(a == e, s"\nactual:   ${actual.toSeq}\nexpected: ${expected.toSeq}")
   }
+
+  /** Scale guard: the physical plan must not contain an all-pairs join.
+    * Catches the degenerate-self-join class of bug (a trivially-true join
+    * condition silently planning as CartesianProduct). */
+  def assertNoCartesian(df: org.apache.spark.sql.DataFrame): Unit = {
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"plan contains an all-pairs join:\n$plan")
+  }
 }

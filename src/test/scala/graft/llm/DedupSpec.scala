@@ -67,6 +67,37 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("prefix-filtered ngramJaccardPairs ≡ all-pairs ground truth") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val blocked = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val truth = Dedup.ngramJaccardPairsAllPairs(docs, "doc_id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(blocked == truth, s"threshold $t: prefix filter lost/added pairs")
+    }
+  }
+
+  test("candidate-generating joins are real equi-joins, not cartesians") {
+    assertNoCartesian(Dedup.minHashPairs(docs, "doc_id", "text", 64, 3, 16, 0.5))
+    assertNoCartesian(Dedup.simHashPairs(docs, "doc_id", "text", 3))
+    assertNoCartesian(Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8))
+  }
+
+  test("simHashPairs is complete for the configured maxDist") {
+    // brute-force hamming pairs vs blocked output, several maxDist values
+    val sh = docs.select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      .as[(Long, Long)].collect()
+    for (maxDist <- Seq(0, 3, 7)) {
+      val truth = (for {
+        (ia, ha) <- sh; (ib, hb) <- sh if ia < ib
+        if java.lang.Long.bitCount(ha ^ hb) <= maxDist
+      } yield (ia, ib)).toSet
+      val got = Dedup.simHashPairs(docs, "doc_id", "text", maxDist)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == truth, s"maxDist $maxDist")
+    }
+  }
+
   test("connectedComponents labels all cluster members with the min id") {
     val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L).toDF("id")
     val edges = Seq((0L, 1L), (1L, 3L), (4L, 5L)).toDF("id_a", "id_b")

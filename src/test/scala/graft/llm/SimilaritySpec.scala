@@ -61,4 +61,25 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L), (2L, 3L)))
   }
+
+  test("cosinePairsBlocked: subset of exact pairs, equi-join plan, finds in-bucket dups") {
+    val blocked = Similarity.cosinePairsBlocked(corpus, 0.9, nPlanes = 2, dim = 4)
+    assertNoCartesian(blocked)
+    val got = blocked.as[(Long, Long)].collect().toSet
+    val truth = Similarity.cosinePairs(corpus, 0.9).as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth)) // blocking may miss cross-bucket pairs, never invents
+    assert(got.nonEmpty)        // near-identical vectors share a bucket
+  }
+
+  test("cosinePairsBlocked recall on the embeddings fixture") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val truth = Similarity.cosinePairs(emb, 0.4).as[(Long, Long)].collect().toSet
+    val got = Similarity.cosinePairsBlocked(emb, 0.4, nPlanes = 4, nTables = 4, dim = 64)
+      .as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth))
+    // θ(0.4) ≈ 66°: expected recall 1-(1-p⁴)⁴ ≈ 0.5 for p = 1-θ/π — assert
+    // the multi-table OR actually buys over a single table's ~0.15
+    assert(got.size >= (truth.size * 0.3).toInt,
+      s"recall ${got.size}/${truth.size} below floor")
+  }
 }

@@ -81,6 +81,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-stream E2E: streaming windowed agg over events ≡ batch result") {
+    // PubsubIO-capability row (SURVEY §2.5): an unbounded file source over
+    // the real events fixture, running the same windowed-agg shape as
+    // q_fixed_window, must converge to the batch answer — the unified-model
+    // claim, end to end.
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = graft.Tables(spark, dir).events
+    // raw on-disk schema (ts = nanos long via legacy conf), NOT the
+    // converted one — the stream applies the same ns→µs conversion itself
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+
+    def windowedCount(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(Windows.fixed(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+    val expected = windowedCount(batchEvents)
+      .as[(Timestamp, String, Long)].collect().toSet
+
+    // the file-stream source monitors a DIRECTORY; expose the fixture file
+    // through a scratch dir via symlink (testdata itself is read-only)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-e2e-src-")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-e2e-").toString
+    // complete mode: emit everything once the (finite) stream drains —
+    // no watermark needed to compare against batch
+    val q = windowedCount(stream)
+      .writeStream.format("memory").queryName("e2e")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("e2e").as[(Timestamp, String, Long)].collect().toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrich") {
     val input = MemoryStream[(Long, Timestamp)](4, spark, None)
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")

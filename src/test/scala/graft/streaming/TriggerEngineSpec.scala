@@ -106,6 +106,101 @@ class TriggerEngineSpec extends SparkSpec {
     assert(w0.map(p => (p.value, p.timing, p.isLast)) == Seq((3.0, "FINAL", true)))
   }
 
+  test("AfterProcessingTimeDelay(0): fires on the batch containing data") {
+    val panes = run("aptzero",
+      TriggerSpec(early = AfterProcessingTimeDelay(0)), Accumulating,
+      Duration.ZERO, Seq(
+        Seq(("a", ts(1), 1.0)),   // delay 0 elapsed → EARLY each batch w/ data
+        Seq(("a", ts(2), 2.0)),
+        Seq(("a", ts(15), 0.0))   // watermark past end → ON_TIME
+      ))
+    val w0 = panes.filter(_.windowStart == ts(0)).sortBy(_.paneIndex)
+    assert(w0.map(p => (p.value, p.timing)) == Seq(
+      (1.0, "EARLY"), (3.0, "EARLY"), (3.0, "ON_TIME")))
+  }
+
+  test("AfterProcessingTimeDelay(huge): no early pane before the watermark") {
+    val panes = run("apthuge",
+      TriggerSpec(early = AfterProcessingTimeDelay(3600000L)), Accumulating,
+      Duration.ZERO, Seq(
+        Seq(("a", ts(1), 1.0), ("a", ts(2), 2.0)),
+        Seq(("a", ts(15), 0.0))
+      ))
+    val w0 = panes.filter(_.windowStart == ts(0))
+    assert(w0.map(p => (p.value, p.timing)) == Seq((3.0, "ON_TIME")))
+  }
+
+  test("AfterFirst finishes after its first firing") {
+    // AfterFirst(count 5, per-batch) fires on the first batch with data,
+    // then is finished: later batches produce no EARLY panes.
+    val panes = run("afirst",
+      TriggerSpec(early = AfterFirst(Seq(AfterCount(5), PerBatch))), Accumulating,
+      Duration.ZERO, Seq(
+        Seq(("a", ts(1), 1.0)),
+        Seq(("a", ts(2), 2.0)),   // would fire PerBatch, but trigger finished
+        Seq(("a", ts(15), 0.0))
+      ))
+    val w0 = panes.filter(_.windowStart == ts(0)).sortBy(_.paneIndex)
+    assert(w0.map(p => (p.value, p.timing)) == Seq(
+      (1.0, "EARLY"), (3.0, "ON_TIME")))
+  }
+
+  test("AfterAll waits for every sub-condition") {
+    // AfterAll(count 2, delay 0): nothing on the 1-element batch, fires
+    // once both hold; finishes after that single firing.
+    val panes = run("aall",
+      TriggerSpec(early = AfterAll(Seq(AfterCount(2), AfterProcessingTimeDelay(0)))),
+      Accumulating, Duration.ZERO, Seq(
+        Seq(("a", ts(1), 1.0)),
+        Seq(("a", ts(2), 2.0)),   // 2 since pane → fire, then finished
+        Seq(("a", ts(3), 4.0)),   // no further EARLY panes
+        Seq(("a", ts(15), 0.0))
+      ))
+    val w0 = panes.filter(_.windowStart == ts(0)).sortBy(_.paneIndex)
+    assert(w0.map(p => (p.value, p.timing)) == Seq(
+      (3.0, "EARLY"), (7.0, "ON_TIME")))
+  }
+
+  test("Repeatedly(AfterCount) keeps firing; OrFinally stops it") {
+    val repeated = run("rept",
+      TriggerSpec(early = Repeatedly(AfterCount(1))), Accumulating,
+      Duration.ZERO, Seq(
+        Seq(("a", ts(1), 1.0)),
+        Seq(("a", ts(2), 2.0)),
+        Seq(("a", ts(3), 4.0)),
+        Seq(("a", ts(15), 0.0))
+      ))
+    val rw0 = repeated.filter(_.windowStart == ts(0)).sortBy(_.paneIndex)
+    assert(rw0.map(_.timing) == Seq("EARLY", "EARLY", "EARLY", "ON_TIME"))
+
+    val stopped = run("orfin",
+      TriggerSpec(early = OrFinally(Repeatedly(PerBatch), AfterCount(3))),
+      Accumulating, Duration.ZERO, Seq(
+        Seq(("a", ts(1), 1.0)),   // per-batch fire, until(count 3) not yet
+        Seq(("a", ts(2), 2.0), ("a", ts(3), 4.0)),
+        // ^ 2 since pane < 3 → per-batch fire; still not finished
+        Seq(("a", ts(4), 8.0), ("a", ts(5), 16.0), ("a", ts(6), 32.0)),
+        // ^ 3 since pane → until-condition holds at this firing → finished
+        Seq(("a", ts(7), 64.0)),  // no more EARLY panes
+        Seq(("a", ts(15), 0.0))
+      ))
+    val sw0 = stopped.filter(_.windowStart == ts(0)).sortBy(_.paneIndex)
+    assert(sw0.map(p => (p.value, p.timing)) == Seq(
+      (1.0, "EARLY"), (7.0, "EARLY"), (63.0, "EARLY"), (127.0, "ON_TIME")))
+  }
+
+  test("late data is DROPPED when no late firing is configured (finished trigger)") {
+    val panes = run("latedrop",
+      TriggerSpec(), Accumulating, Duration.ofMinutes(10), Seq(
+        Seq(("a", ts(1), 1.0)),
+        Seq(("a", ts(12), 2.0)),  // watermark 12 → ON_TIME for [0,10)
+        Seq(("a", ts(5), 4.0)),   // post-on-time, no late firings → dropped
+        Seq(("a", ts(31), 8.0))   // GC [0,10): must NOT re-emit a FINAL pane
+      ))
+    val w0 = panes.filter(_.windowStart == ts(0))
+    assert(w0.map(p => (p.value, p.timing)) == Seq((1.0, "ON_TIME")))
+  }
+
   test("multiple keys and windows stay independent") {
     val panes = run("multi", TriggerSpec.default, Accumulating, Duration.ZERO, Seq(
       Seq(("a", ts(1), 1.0), ("b", ts(1), 2.0), ("a", ts(11), 4.0)),
