@@ -28,6 +28,9 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
+      // rejects; reading it as long is the documented path (Tables.events)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // Streaming state at 100 TB scale wants RocksDB, not the in-memory
       // HDFS-backed store (SURVEY.md section 4, streaming state backend row).

@@ -57,11 +57,19 @@ object ElementWise {
 
     /** Partition ([U] T/Partition.java): fan out into n datasets by a
       * partition fn. The parent is cached once; each output is a filter over
-      * it, so the source is scanned once, not n times. */
-    def partitionInto(n: Int)(f: T => Int): IndexedSeq[Dataset[T]] = {
+      * it, so the source is scanned once, not n times. The cache lives until
+      * the session ends — long-lived pipelines that fan out repeatedly
+      * should use [[partitionIntoManaged]] and release it. */
+    def partitionInto(n: Int)(f: T => Int): IndexedSeq[Dataset[T]] =
+      partitionIntoManaged(n)(f)._1
+
+    /** [[partitionInto]] plus a release handle that unpersists the shared
+      * parent once every branch has been consumed. */
+    def partitionIntoManaged(n: Int)(f: T => Int): (IndexedSeq[Dataset[T]], () => Unit) = {
       require(n > 0, "partitionInto needs n > 0")
       val parent = ds.cache()
-      (0 until n).map(i => parent.filter((t: T) => f(t) == i))
+      ((0 until n).map(i => parent.filter((t: T) => f(t) == i)),
+        () => { parent.unpersist(); () })
     }
 
     /** Reshuffle ([U] UT/Reshuffle.java): redistribute; an Exchange is
@@ -94,12 +102,20 @@ object ElementWise {
 
   /** Multi-output ParDo ([U] T/ParDo.java withOutputTags): route each
     * element to one of n tagged outputs in a single pass over a cached
-    * parent. Returns tag → dataset. */
+    * parent. Returns tag → dataset. See [[multiOutputManaged]] for a
+    * release handle on the shared cache. */
   def multiOutput[I, O: Encoder](ds: Dataset[I], tags: Seq[String])(
-      route: I => (String, O))(implicit e: Encoder[(String, O)]): Map[String, Dataset[O]] = {
+      route: I => (String, O))(implicit e: Encoder[(String, O)]): Map[String, Dataset[O]] =
+    multiOutputManaged(ds, tags)(route)._1
+
+  /** [[multiOutput]] plus a release handle for the cached tagged parent. */
+  def multiOutputManaged[I, O: Encoder](ds: Dataset[I], tags: Seq[String])(
+      route: I => (String, O))(
+      implicit e: Encoder[(String, O)]): (Map[String, Dataset[O]], () => Unit) = {
     val tagged = ds.map(route).cache()
-    tags.map { tag =>
+    (tags.map { tag =>
       tag -> tagged.filter((kv: (String, O)) => kv._1 == tag).map(_._2)
-    }.toMap
+    }.toMap,
+      () => { tagged.unpersist(); () })
   }
 }

@@ -1,0 +1,145 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming._
+
+import graft.operators.Combine.CombineFn
+import graft.streaming.TriggerEngine.{AccumulationMode, Accumulating, Discarding, Pane}
+
+/** Custom MERGING WindowFn on `transformWithState` — sessions with early
+  * firings (SURVEY.md §2.4 row 7 "merging custom", §7 hard part 4; the
+  * reference's merging path is [U] W/Sessions.java + the ActiveWindowSet
+  * merge machinery in [U] UT/ReduceFnRunner.java).
+  *
+  * Spark's `session_window` DSL covers merging sessions ONLY under the
+  * default trigger (one pane per closed session). This engine keeps the
+  * key's open sessions in ListState and merges them on every arrival, which
+  * unlocks what the DSL cannot express: EARLY panes for still-open
+  * sessions, pane metadata, and arbitrary interval extension — a row
+  * bridging two open sessions merges them, combining their accumulators
+  * (the defining behavior of a merging WindowFn).
+  *
+  * Clock translation is the same trick as [[TriggerEngine]]: the stream's
+  * watermark delay is set to `allowedLateness`, so Spark's upstream filter
+  * implements the late-data drop and the true event-time watermark is
+  * sparkWatermark + lateness. A session fires ON_TIME (and is GC'd —
+  * sessions here have no late-firing panes) once the true watermark passes
+  * its end.
+  */
+object SessionEngine {
+
+  /** One open session: [start, end) with end = last event ts + gap. */
+  final case class SessionState[Acc](
+      start: Long, end: Long,
+      acc: Acc, paneAcc: Acc,
+      sinceLastPane: Long, paneIndex: Long)
+
+  final class SessionProcessor[K, V, Acc, Out](
+      gapMs: Long,
+      allowedLatenessMs: Long,
+      earlyPerBatch: Boolean,
+      mode: AccumulationMode,
+      combine: CombineFn[V, Acc, Out])
+      extends StatefulProcessor[K, (K, Timestamp, V), Pane[K, Out]] {
+
+    @transient private var sessions: ListState[SessionState[Acc]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sessions = getHandle.getListState[SessionState[Acc]](
+        "sessions", Encoders.kryo[SessionState[Acc]], TTLConfig.NONE)
+
+    private def paneValue(st: SessionState[Acc]): Out = mode match {
+      case Accumulating => combine.extractOutput(st.acc)
+      case Discarding   => combine.extractOutput(st.paneAcc)
+    }
+
+    private def emit(key: K, st: SessionState[Acc], timing: String,
+                     isLast: Boolean): Pane[K, Out] =
+      Pane(key, new Timestamp(st.start), new Timestamp(st.end),
+        paneValue(st), timing, st.paneIndex, st.paneIndex == 0L, isLast)
+
+    private def trueWm(sparkWm: Long): Long =
+      if (sparkWm <= 0) 0L else sparkWm + allowedLatenessMs
+
+    /** Merge a new event interval [ts, ts+gap) into the open-session set:
+      * all overlapping sessions collapse into one (accumulators merged) —
+      * the mergeWindows contract. */
+    private def absorb(open: List[SessionState[Acc]], ts: Long,
+                       v: V): List[SessionState[Acc]] = {
+      val evStart = ts
+      val evEnd = ts + gapMs
+      val (hit, miss) = open.partition(s => s.start <= evEnd && evStart <= s.end)
+      val merged = hit.foldLeft(
+        SessionState(evStart, evEnd, combine.createAccumulator(),
+          combine.createAccumulator(), 0L, 0L)) { (m, s) =>
+        SessionState(
+          math.min(m.start, s.start), math.max(m.end, s.end),
+          combine.mergeAccumulators(m.acc, s.acc),
+          combine.mergeAccumulators(m.paneAcc, s.paneAcc),
+          m.sinceLastPane + s.sinceLastPane,
+          math.max(m.paneIndex, s.paneIndex))
+      }
+      merged.copy(
+        acc = combine.addInput(merged.acc, v),
+        paneAcc = combine.addInput(merged.paneAcc, v),
+        sinceLastPane = merged.sinceLastPane + 1) :: miss
+    }
+
+    private def registerNextTimer(open: Seq[SessionState[Acc]]): Unit =
+      if (open.nonEmpty) {
+        val next = open.map(_.end).min - allowedLatenessMs
+        getHandle.registerTimer(math.max(next, 1L))
+      }
+
+    override def handleInputRows(key: K, rows: Iterator[(K, Timestamp, V)],
+                                 timers: TimerValues): Iterator[Pane[K, Out]] = {
+      var open = sessions.get().toList
+      rows.foreach { case (_, ts, v) => open = absorb(open, ts.getTime, v) }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Pane[K, Out]]
+      if (earlyPerBatch) {
+        open = open.map { s =>
+          if (s.sinceLastPane > 0 && s.end > trueWm(timers.getCurrentWatermarkInMs)) {
+            out += emit(key, s, "EARLY", isLast = false)
+            s.copy(paneAcc = combine.createAccumulator(), sinceLastPane = 0L,
+              paneIndex = s.paneIndex + 1)
+          } else s
+        }
+      }
+      sessions.clear()
+      if (open.nonEmpty) sessions.put(open.toArray)
+      registerNextTimer(open)
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: K, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[Pane[K, Out]] = {
+      val wm = trueWm(timers.getCurrentWatermarkInMs)
+      val open = sessions.get().toList
+      val (closed, stillOpen) = open.partition(_.end <= wm)
+      val out = closed.sortBy(_.start).map(s => emit(key, s, "ON_TIME", isLast = true))
+      sessions.clear()
+      if (stillOpen.nonEmpty) sessions.put(stillOpen.toArray)
+      registerNextTimer(stillOpen)
+      out.iterator
+    }
+  }
+
+  /** Session aggregation with merging semantics and optional per-batch
+    * early firings over a raw (key, eventTime, value) stream. */
+  def sessionAggregate[K, V, Acc, Out](
+      input: Dataset[(K, Timestamp, V)],
+      gap: java.time.Duration,
+      allowedLateness: java.time.Duration,
+      earlyPerBatch: Boolean,
+      mode: AccumulationMode,
+      combine: CombineFn[V, Acc, Out])(
+      implicit ek: Encoder[K], ep: Encoder[Pane[K, Out]]): Dataset[Pane[K, Out]] = {
+    val proc = new SessionProcessor[K, V, Acc, Out](
+      gap.toMillis, allowedLateness.toMillis, earlyPerBatch, mode, combine)
+    input.withWatermark("_2", s"${allowedLateness.toMillis} milliseconds")
+      .groupByKey(_._1)
+      .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+/** Physical-plan audit (the 100 TB posture, checked mechanically):
+  * pushdown reaches the parquet scan, dimensions broadcast, top-k plans as
+  * a bounded heap, and NO registered query degenerates to an all-pairs
+  * join. These are the properties the bench numbers depend on — asserting
+  * them here means a regression fails loudly instead of showing up as a
+  * silent slowdown at scale. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filters push into the parquet scan and columns are pruned") {
+    val p = plan("q_map_filter")
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(p.contains("l_quantity"), "quantity predicate missing from scan")
+    // projection pruning: untouched wide columns never reach the reader
+    assert(!p.contains("l_comment"), "unused column read from parquet")
+  }
+
+  test("dimension joins broadcast; no shuffle of the big side for dims") {
+    assert(plan("q_join_q3").contains("BroadcastHashJoin"))
+    assert(plan("q_join_multiway").contains("BroadcastHashJoin"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (bounded distributed heap)") {
+    assert(plan("q_top_global").contains("TakeOrderedAndProject"))
+  }
+
+  test("no registered query plans a CartesianProduct") {
+    // BroadcastNestedLoopJoin is legitimate ONLY where the design is an
+    // intentional broadcast of a tiny side against a non-equi condition:
+    // the exact ANN baseline (probes) and IVF centroid assignment.
+    val bnljAllowed = Set("q_similarity_topk", "q_similarity_ivf")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+      if (!bnljAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin")
+    }
+  }
+}

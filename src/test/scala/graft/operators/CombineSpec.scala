@@ -74,6 +74,29 @@ class CombineSpec extends SparkSpec {
     assert(fanned == plain)
   }
 
+  test("CombineWithContext: combine logic reads a broadcast side input") {
+    val scaled = Combine.withContext(spark, 10.0) { bc =>
+      new CombineFn[Double, Double, Double] {
+        def createAccumulator(): Double = 0.0
+        def addInput(acc: Double, in: Double): Double = acc + in
+        def mergeAccumulators(a: Double, b: Double): Double = a + b
+        def extractOutput(acc: Double): Double = acc * bc.value
+      }
+    }
+    assert(Combine.globally(Seq(1.0, 2.0, 3.0).toDS(), scaled) == 60.0)
+    val perKey = Combine.perKey(Seq(("a", 1.0), ("b", 2.0)).toDS(), scaled)
+    assertInAnyOrder(perKey.collect().toSeq, Seq(("a", 10.0), ("b", 20.0)))
+  }
+
+  test("samplePerKeyByHash: size-exact, deterministic, engine-portable order") {
+    val keyed = spark.range(100).selectExpr("id % 4 as k", "id as v")
+    val s1 = Combine.samplePerKeyByHash(keyed, Seq("k"), 5, Seq("k", "v"))
+    assert(s1.count() == 20)
+    val s2 = Combine.samplePerKeyByHash(keyed, Seq("k"), 5, Seq("k", "v"))
+    assert(s1.as[(Long, Long)].collect().sorted.toSeq ==
+           s2.as[(Long, Long)].collect().sorted.toSeq)
+  }
+
   test("approximate aggregates are within tolerance") {
     val df = spark.range(10000).toDF("v")
     val approx = df.select(Combine.approximateUnique($"v", 0.02)).as[Long].head()

@@ -6,6 +6,15 @@ import graft.operators.ElementWise._
 class ElementWiseSpec extends SparkSpec {
   import spark.implicits._
 
+  test("partitionIntoManaged releases the shared cache after use") {
+    val ds = Seq(1, 2, 3, 4, 5, 6).toDS()
+    val (parts, release) = ds.partitionIntoManaged(2)(_ % 2)
+    assertInAnyOrder(parts(0).collect().toSeq, Seq(2, 4, 6))
+    assertInAnyOrder(parts(1).collect().toSeq, Seq(1, 3, 5))
+    release() // must not throw; branches stay usable (recompute, uncached)
+    assertInAnyOrder(parts(0).collect().toSeq, Seq(2, 4, 6))
+  }
+
   test("mapElements / flatMapElements / filterElements") {
     val ds = Seq(1, 2, 3, 4).toDS()
     assertInAnyOrder(ds.mapElements(_ * 2).collect().toSeq, Seq(2, 4, 6, 8))

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.time.Duration
+
+import graft.SparkSpec
+import graft.operators.Combine.CombineFn
+import graft.streaming.TriggerEngine.{Accumulating, AccumulationMode, Discarding, Pane}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Merging-WindowFn engine tests: sessions extend, bridge-merge, fire
+  * early panes, and close on the watermark — behaviors the session_window
+  * DSL (default trigger only) cannot express. */
+class SessionEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  object SumFn extends CombineFn[Double, Double, Double] {
+    def createAccumulator(): Double = 0.0
+    def addInput(acc: Double, in: Double): Double = acc + in
+    def mergeAccumulators(a: Double, b: Double): Double = a + b
+    def extractOutput(acc: Double): Double = acc
+  }
+
+  private def run(name: String,
+                  gapMin: Int,
+                  latenessMin: Int,
+                  earlyPerBatch: Boolean,
+                  mode: AccumulationMode,
+                  batches: Seq[Seq[(String, Timestamp, Double)]]): Seq[Pane[String, Double]] = {
+    val input = MemoryStream[(String, Timestamp, Double)](name.hashCode.abs, spark, None)
+    val panes = SessionEngine.sessionAggregate(
+      input.toDS(), Duration.ofMinutes(gapMin), Duration.ofMinutes(latenessMin),
+      earlyPerBatch, mode, SumFn)
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-se-$name").toString
+    val q = panes.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).as[Pane[String, Double]].collect().toSeq
+  }
+
+  test("sessions close on the watermark with merged bounds") {
+    val panes = run("seclose", gapMin = 10, latenessMin = 0, earlyPerBatch = false,
+      Accumulating, Seq(
+        Seq(("a", ts(1), 1.0), ("a", ts(5), 2.0)),  // one session [1, 15)
+        Seq(("a", ts(40), 4.0)),                    // separate session [40, 50)
+        Seq(("a", ts(60), 0.0)),                    // watermark 60 closes both
+        Seq(("a", ts(61), 0.0))                     // extra batch for timers
+      ))
+    val closed = panes.filter(_.timing == "ON_TIME").sortBy(_.windowStart.getTime)
+    assert(closed.take(2).map(p => (p.windowStart, p.windowEnd, p.value)) == Seq(
+      (ts(1), ts(15), 3.0), (ts(40), ts(50), 4.0)))
+  }
+
+  test("a bridging event MERGES two open sessions, combining accumulators") {
+    val panes = run("semerge", gapMin = 10, latenessMin = 20, earlyPerBatch = false,
+      Accumulating, Seq(
+        Seq(("a", ts(1), 1.0)),   // session A [1, 11)
+        Seq(("a", ts(20), 2.0)),  // session B [20, 30)
+        Seq(("a", ts(10), 4.0)),  // bridges A and B → [1, 30), acc 7.0
+        Seq(("a", ts(60), 0.0)),  // watermark 40 closes the merged session
+        Seq(("a", ts(80), 0.0))
+      ))
+    val closed = panes.filter(p => p.timing == "ON_TIME" && p.windowStart == ts(1))
+    assert(closed.map(p => (p.windowEnd, p.value)) == Seq((ts(30), 7.0)))
+  }
+
+  test("early firings for open sessions — what session_window DSL cannot do") {
+    val panes = run("seearly", gapMin = 10, latenessMin = 0, earlyPerBatch = true,
+      Accumulating, Seq(
+        Seq(("a", ts(1), 1.0)),   // EARLY pane for open session (1.0)
+        Seq(("a", ts(5), 2.0)),   // extends; EARLY again (3.0, accumulating)
+        Seq(("a", ts(40), 4.0)),  // watermark 40 closes [1, 15) → ON_TIME
+        Seq(("a", ts(60), 0.0))
+      ))
+    val s1 = panes.filter(_.windowStart == ts(1)).sortBy(_.paneIndex)
+    assert(s1.map(p => (p.value, p.timing)) == Seq(
+      (1.0, "EARLY"), (3.0, "EARLY"), (3.0, "ON_TIME")))
+    assert(s1.last.windowEnd == ts(15)) // end extended by the second event
+  }
+
+  test("discarding mode emits per-pane increments across merges") {
+    val panes = run("sedisc", gapMin = 10, latenessMin = 0, earlyPerBatch = true,
+      Discarding, Seq(
+        Seq(("a", ts(1), 1.0)),
+        Seq(("a", ts(5), 2.0)),
+        Seq(("a", ts(40), 4.0)),
+        Seq(("a", ts(60), 0.0))
+      ))
+    val s1 = panes.filter(_.windowStart == ts(1)).sortBy(_.paneIndex)
+    assert(s1.map(p => (p.value, p.timing)) == Seq(
+      (1.0, "EARLY"), (2.0, "EARLY"), (0.0, "ON_TIME")))
+  }
+}
