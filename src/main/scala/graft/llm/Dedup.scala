@@ -46,22 +46,12 @@ object Dedup {
   // -------------------------------------------------------------- MinHash
 
   /** MinHash signature: position j holds min over shingles of a j-salted
-    * 64-bit hash — the standard permutation approximation.
-    *
-    * Single left fold over the shingle array, computing all numHashes
-    * salted hashes per shingle in one traversal. (The naive form — one
-    * array_min(transform(shingles, …)) per position — inlines the shingle
-    * subexpression numHashes times, and higher-order functions are
-    * interpreted, not codegen'd, so nothing eliminates the duplication:
-    * measured 30× slower.) */
+    * 64-bit hash — the standard permutation approximation. Runs as a
+    * single-pass native Expression (graft.functions.ShingleExprs.MinHashSig)
+    * — the Column-combinator forms are interpreted HOFs and were measured
+    * 10-30× slower at equal hash values. */
   def minHashSignature(text: Column, numHashes: Int, shingleK: Int): Column =
-    aggregate(
-      TextFunctions.shingleHashes(text, shingleK),
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, h) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), j => xxhash64(j, h)),
-        (x, y) => least(x, y)))
+    graft.functions.ShingleExprs.minHashSignature(text, shingleK, numHashes)
 
   /** LSH banding: split the signature into `bands`, hash each band →
     * array of (band, bucket) structs. Docs sharing any band-bucket are
@@ -121,22 +111,12 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** 32-bit SimHash: per-bit vote over murmur3 token hashes, single pass
-    * via zip_with (bit extraction by exact power-of-two division — hashes
-    * are masked non-negative so the arithmetic matches bit shifts). */
-  def simHash(text: Column): Column = {
-    val hs = transform(TextFunctions.tokens(text),
-      t => hash(t).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
-    val bitsOf = (h: Column) =>
-      transform(sequence(lit(0), lit(31)), i =>
-        when(pmod(floor(h / pow(lit(2.0), i)).cast("long"), lit(2L)) === 1L, 1).otherwise(-1))
-    val votes = aggregate(hs, array_repeat(lit(0), 32),
-      (acc, h) => zip_with(acc, bitsOf(h), (a, v) => a + v))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(31)),
-        (v, i) => when(v > 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-  }
+  /** 32-bit SimHash: per-bit vote over murmur3 token hashes (parity with
+    * functions.hash seed 42), sign of each vote → bit. Native Expression
+    * (graft.functions.ShingleExprs.SimHash32) — the Column form folds a
+    * 32-wide vote array per token through interpreted HOFs. */
+  def simHash(text: Column): Column =
+    graft.functions.ShingleExprs.simHash(text)
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,94 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Parity proof: the native ShingleExprs produce bit-identical hashes to
+  * the Column-combinator reference forms they replace (same XXH64 chain,
+  * seed 42) — so the 10× speedup changes no query output. */
+class ShingleExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val texts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "short",
+    "",
+    "  leading  spaces and   runs\t\tof whitespace ",
+    "punctuation!!! and... d1g1ts 42 mixed-in, apostrophe's kept",
+    "Ünïcode çharacters straße ÉCOLE"
+  ).toDF("text")
+
+  /** The original Column-combinator shingle form (kept here as the
+    * reference model). */
+  private def shinglesReference(text: org.apache.spark.sql.Column, k: Int) = {
+    val ts = filter(split(lower(text), "[^a-z']+"), t => length(t) > 0)
+    val n = size(ts)
+    when(n < k, array(xxhash64(concat_ws(" ", ts))))
+      .otherwise(transform(sequence(lit(1), n - lit(k - 1)),
+        i => xxhash64(concat_ws(" ", slice(ts, i, lit(k))))))
+  }
+
+  /** The original per-position minhash form. */
+  private def minhashReference(text: org.apache.spark.sql.Column, k: Int, nh: Int) =
+    aggregate(
+      shinglesReference(text, k),
+      array_repeat(lit(Long.MaxValue), nh),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(nh - 1)), j => xxhash64(j, h)),
+        (x, y) => least(x, y)))
+
+  test("ShingleHash ≡ Column-combinator shingle hashes") {
+    for (k <- Seq(1, 3, 5)) {
+      val rows = texts.select(
+        ShingleExprs.shingleHashes(col("text"), k).as("fast"),
+        shinglesReference(col("text"), k).as("ref"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      rows.foreach { case (fast, ref) => assert(fast == ref, s"k=$k") }
+    }
+  }
+
+  test("MinHashSig ≡ Column-combinator minhash signature") {
+    val rows = texts.select(
+      ShingleExprs.minHashSignature(col("text"), 3, 16).as("fast"),
+      minhashReference(col("text"), 3, 16).as("ref"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
+  /** The original Column-combinator simhash form. */
+  private def simhashReference(text: org.apache.spark.sql.Column) = {
+    val ts = filter(split(lower(text), "[^a-z']+"), t => length(t) > 0)
+    val hs = transform(ts, t => hash(t).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
+    val bitsOf = (h: org.apache.spark.sql.Column) =>
+      transform(sequence(lit(0), lit(31)), i =>
+        when(pmod(floor(h / pow(lit(2.0), i)).cast("long"), lit(2L)) === 1L, 1).otherwise(-1))
+    val votes = aggregate(hs, array_repeat(lit(0), 32),
+      (acc, h) => zip_with(acc, bitsOf(h), (a, v) => a + v))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(31)),
+        (v, i) => when(v > 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  test("SimHash32 ≡ Column-combinator simhash") {
+    val rows = texts.select(
+      ShingleExprs.simHash(col("text")).as("fast"),
+      simhashReference(col("text")).as("ref"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
+  test("DotProduct ≡ aggregate(zip_with) fold, floats and doubles") {
+    val df = Seq(
+      (Seq(1.5f, -2.25f, 3.0f), Seq(0.5, 4.0, -1.125)),
+      (Seq(0.1f, 0.2f, 0.3f), Seq(0.7, 0.8, 0.9))
+    ).toDF("a", "b")
+    val ad = col("a").cast("array<double>")
+    val bd = col("b").cast("array<double>")
+    val rows = df.select(
+      ShingleExprs.dot(ad, bd).as("fast"),
+      aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v).as("ref"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (fast, ref) => assert(fast == ref) } // bit-exact
+  }
+}
