@@ -13,9 +13,17 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session before timing: JVM/codegen warmup and the first
+    // parquet-footer reads otherwise land entirely on whichever query runs
+    // first (alphabetical), skewing its number by several seconds.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    }
     def esc(s: String): String =
       s.flatMap {
         case '"'  => "\\\""

@@ -74,6 +74,33 @@ object BatchQueries {
       ElementWise.flatten(counted).orderBy(col("bucket"))
     },
 
+    // §2.1 WithTimestamps: reassign event time (shift by a per-row integer
+    // number of minutes), then window on the NEW timestamps — proving the
+    // reassignment feeds event-time operators downstream.
+    "q_with_timestamps" -> { (s, dir) =>
+      Tables(s, dir).events
+        .withColumn("ts2",
+          col("ts") + expr("make_dt_interval(0, 0, event_id % 120, 0)"))
+        .groupBy(window(col("ts2"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("w_start"), col("n"))
+        .orderBy(col("w_start"))
+    },
+
+    // §2.1 Reshuffle: redistribution is semantically invisible — the
+    // aggregate over the reshuffled data must equal the plain one.
+    "q_reshuffle" -> { (s, dir) =>
+      import graft.operators.ElementWise._
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val typed = Tables(s, dir).events
+        .select(col("event_type"), col("value")).as[(String, Double)]
+      typed.reshuffle(16).toDF("event_type", "value")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+
     // §2.1 Flatten.pCollections: union of two tagged subsets.
     "q_flatten" -> { (s, dir) =>
       val o = Tables(s, dir).orders
@@ -302,6 +329,14 @@ object BatchQueries {
       """SELECT CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 ELSE 2 END AS bucket,
            count(*) AS n
          FROM orders GROUP BY bucket ORDER BY bucket""",
+    "q_with_timestamps" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts + (event_id % 120) * INTERVAL '1 minute') AS w_start,
+           count(*) AS n
+         FROM events GROUP BY w_start ORDER BY w_start""",
+    "q_reshuffle" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_flatten" ->
       """SELECT * FROM (
            SELECT 'high' AS bucket, o_orderkey FROM orders WHERE o_totalprice > 400000

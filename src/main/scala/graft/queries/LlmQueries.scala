@@ -77,7 +77,10 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("score").desc, col("cand_id"))
     },
 
-    // IVF ANN: sampled centroids, nProbe=2 (rows-only).
+    // IVF ANN: deterministic centroids (first 8 by id), nProbe=2. The
+    // whole index build + probe is replicated in SQL — assignment argmin,
+    // probe-centroid selection, and in-list cosine scoring all use the
+    // same deterministic double arithmetic.
     "q_similarity_ivf" -> { (s, dir) =>
       val emb = Tables(s, dir).embeddings
       val assigned = Similarity.ivfAssign(emb, nCentroids = 8)
@@ -260,6 +263,42 @@ object LlmQueries {
              list_inner_product(pe, c.emb) /
                (sqrt(list_inner_product(pe, pe)) * sqrt(list_inner_product(c.emb, c.emb))) AS raw
            FROM p JOIN b c USING (bucket) WHERE c.vec_id <> probe_id),
+         ranked AS (
+           SELECT probe_id, cand_id, raw,
+             row_number() OVER (PARTITION BY probe_id ORDER BY raw DESC, cand_id) AS rn
+           FROM scored)
+         SELECT probe_id, cand_id, round(raw, 4) AS score FROM ranked WHERE rn <= 3
+         ORDER BY probe_id, raw DESC, cand_id""",
+    // sqdist replicates Spark's aggregate(zip_with) left fold exactly:
+    // per-index squared diff, sequential list_sum (verified bit-exact).
+    "q_similarity_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cents AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e ORDER BY vec_id LIMIT 8),
+         assigned AS (
+           SELECT vec_id, emb, centroid_id FROM (
+             SELECT v.vec_id, v.emb, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(v.emb) + 1),
+                   i -> (v.emb[i] - c.cemb[i]) * (v.emb[i] - c.cemb[i]))) ASC,
+                 c.centroid_id) AS rn
+             FROM e v, cents c)
+           WHERE rn = 1),
+         p AS (SELECT vec_id AS probe_id, emb AS pe FROM e WHERE vec_id < 10),
+         pc AS (
+           SELECT probe_id, pe, centroid_id FROM (
+             SELECT p.probe_id, p.pe, c.centroid_id,
+               row_number() OVER (PARTITION BY p.probe_id ORDER BY
+                 list_sum(list_transform(range(1, len(p.pe) + 1),
+                   i -> (p.pe[i] - c.cemb[i]) * (p.pe[i] - c.cemb[i]))) ASC,
+                 c.centroid_id) AS rn
+             FROM p, cents c)
+           WHERE rn <= 2),
+         scored AS (
+           SELECT pc.probe_id, a.vec_id AS cand_id,
+             list_inner_product(pc.pe, a.emb) /
+               (sqrt(list_inner_product(pc.pe, pc.pe)) * sqrt(list_inner_product(a.emb, a.emb))) AS raw
+           FROM pc JOIN assigned a USING (centroid_id)
+           WHERE a.vec_id <> pc.probe_id),
          ranked AS (
            SELECT probe_id, cand_id, raw,
              row_number() OVER (PARTITION BY probe_id ORDER BY raw DESC, cand_id) AS rn
