@@ -74,4 +74,19 @@ object Grouping {
     val bg = b.groupBy(on.map(col): _*).agg(sort_array(collect_list(bValue)).as("b_values"))
     ag.join(bg, on, "full_outer")
   }
+
+  /** N-way CoGroupByKey ([U] T/join/KeyedPCollectionTuple + CoGbkResult):
+    * each tagged input is aggregated to (key, sorted values) then chained
+    * through full-outer joins — keys present in ANY input appear once, with
+    * `<tag>_values` arrays (null where absent). One shuffle per input plus
+    * the join exchanges; at scale every stage keeps the same key
+    * partitioning so AQE coalesces the chain. */
+  def coGroupByKeyN(inputs: Seq[(String, DataFrame, Column)],
+                    on: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(inputs.nonEmpty, "coGroupByKeyN needs at least one input")
+    inputs.map { case (tag, df, value) =>
+      df.groupBy(on.map(col): _*).agg(sort_array(collect_list(value)).as(s"${tag}_values"))
+    }.reduce(_.join(_, on, "full_outer"))
+  }
 }

@@ -136,6 +136,22 @@ object BatchQueries {
         .orderBy(col("nationkey"))
     },
 
+    // §2.2 N-way CoGroupByKey (KeyedPCollectionTuple): three tagged inputs
+    // cogrouped on nationkey, keys from ANY input surviving.
+    "q_cogroup_nway" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      Grouping.coGroupByKeyN(Seq(
+        ("cust", t.customer.select(col("c_nationkey").as("nationkey"), col("c_name")), col("c_name")),
+        ("supp", t.supplier.select(col("s_nationkey").as("nationkey"), col("s_name")), col("s_name")),
+        ("nat", t.nation.select(col("n_nationkey").as("nationkey"), col("n_name")), col("n_name"))),
+        Seq("nationkey"))
+        .select(col("nationkey"),
+          coalesce(array_join(col("cust_values"), ","), lit("")).as("cust_csv"),
+          coalesce(array_join(col("supp_values"), ","), lit("")).as("supp_csv"),
+          coalesce(array_join(col("nat_values"), ","), lit("")).as("nat_csv"))
+        .orderBy(col("nationkey"))
+    },
+
     // §2.2 join (contrib join-library): TPC-H Q3 shape — broadcast the
     // filtered customer dim, sort-merge lineitem⋈orders, top-10 revenue.
     "q_join_q3" -> { (s, dir) =>
@@ -359,6 +375,22 @@ object BatchQueries {
                 coalesce(n_cust, 0) AS n_cust, coalesce(cust_csv, '') AS cust_csv,
                 coalesce(n_supp, 0) AS n_supp, coalesce(supp_csv, '') AS supp_csv
          FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+         ORDER BY nationkey""",
+    "q_cogroup_nway" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey,
+                      string_agg(c_name, ',' ORDER BY c_name) AS cust_csv
+                    FROM customer GROUP BY 1),
+         s AS (SELECT s_nationkey AS nationkey,
+                 string_agg(s_name, ',' ORDER BY s_name) AS supp_csv
+               FROM supplier GROUP BY 1),
+         n AS (SELECT n_nationkey AS nationkey,
+                 string_agg(n_name, ',' ORDER BY n_name) AS nat_csv
+               FROM nation GROUP BY 1)
+         SELECT nationkey,
+           coalesce(cust_csv, '') AS cust_csv,
+           coalesce(supp_csv, '') AS supp_csv,
+           coalesce(nat_csv, '') AS nat_csv
+         FROM c FULL JOIN s USING (nationkey) FULL JOIN n USING (nationkey)
          ORDER BY nationkey""",
     "q_join_q3" ->
       """SELECT o_orderkey, o_orderdate,

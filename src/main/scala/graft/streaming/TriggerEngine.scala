@@ -18,8 +18,8 @@ import graft.operators.Combine.CombineFn
   *  - .withEarlyFirings(...) / .withLateFirings(...) over the trigger
   *    algebra: AfterCount(n), PerBatch, AfterProcessingTimeDelay(d)
   *    (≡ AfterProcessingTime.pastFirstElementInPane.plusDelayOf),
-  *    AfterFirst, AfterAll, Repeatedly, OrFinally — with Beam's finishing
-  *    semantics (see Firing's doc).
+  *    AfterFirst, AfterAll, Repeatedly, OrFinally, AfterEach.inOrder —
+  *    with Beam's finishing semantics (see Firing's doc).
   *  - allowed lateness with state GC at window end + lateness; later data
   *    is dropped (same contract as Beam's LateDataDroppingDoFnRunner).
   *    Post-on-time data with NO late firings configured is dropped too
@@ -72,11 +72,16 @@ object TriggerEngine {
   /** Behave as `main` until `until`'s condition holds; that firing is the
     * last (Beam Trigger.orFinally). */
   final case class OrFinally(main: Firing, until: Firing) extends Firing
+  /** Use each (atomic) sub-trigger once, in order: the i-th pane fires per
+    * subs(i); finishes when the last has fired (Beam AfterEach.inOrder —
+    * supported for atomic sub-triggers, the practical shape). */
+  final case class AfterEach(subs: Seq[Firing]) extends Firing
 
   /** Condition inputs for firing evaluation: all atomic conditions are
-    * monotone within a pane, so composites need no per-sub state. */
+    * monotone within a pane, so composites need no per-sub state
+    * (AfterEach indexes by the window's pane count). */
   private final case class FiringCtx(sinceLastPane: Long, paneFirstWallMs: Long,
-                                     nowMs: Long)
+                                     nowMs: Long, paneIndex: Long)
 
   private def ready(f: Firing, ctx: FiringCtx): Boolean = f match {
     case NoFiring                    => false
@@ -88,12 +93,15 @@ object TriggerEngine {
     case AfterAll(subs)              => subs.nonEmpty && subs.forall(ready(_, ctx))
     case Repeatedly(sub)             => ready(sub, ctx)
     case OrFinally(main, until)      => ready(main, ctx) || ready(until, ctx)
+    case AfterEach(subs)             =>
+      ctx.paneIndex < subs.length && ready(subs(ctx.paneIndex.toInt), ctx)
   }
 
   private def finishesOnFire(f: Firing, ctx: FiringCtx): Boolean = f match {
     case NoFiring               => false
     case Repeatedly(_)          => false
     case OrFinally(_, until)    => ready(until, ctx)
+    case AfterEach(subs)        => ctx.paneIndex >= subs.length - 1
     case _                      => true // atomics and AfterFirst/AfterAll
   }
 
@@ -188,7 +196,7 @@ object TriggerEngine {
         0L, 0L, firedOnTime = false, timersSet = false)
 
     private def ctxOf(st: WindowState[Acc], nowMs: Long): FiringCtx =
-      FiringCtx(st.sinceLastPane, st.paneFirstWallMs, nowMs)
+      FiringCtx(st.sinceLastPane, st.paneFirstWallMs, nowMs, st.paneIndex)
 
     private def paneValue(st: WindowState[Acc]): Out = mode match {
       case Accumulating => combine.extractOutput(st.acc)
@@ -318,6 +326,33 @@ object TriggerEngine {
       }
       out.iterator
     }
+  }
+
+  /** Window.into-style fluent builder ([U] W/Window.java): collects the
+    * WindowingStrategy pieces (trigger, lateness, accumulation) and runs
+    * [[windowedAggregate]] / [[SessionEngine.sessionAggregate]]. Thin
+    * config sugar — semantics live in the engines. */
+  final case class WindowInto(
+      windowSize: java.time.Duration,
+      trigger: TriggerSpec = TriggerSpec.default,
+      allowedLateness: java.time.Duration = java.time.Duration.ZERO,
+      mode: AccumulationMode = Discarding) {
+    def triggering(early: Firing = NoFiring, late: Firing = NoFiring): WindowInto =
+      copy(trigger = TriggerSpec(early, late))
+    def triggeringNever: WindowInto = copy(trigger = TriggerSpec.never)
+    def withAllowedLateness(d: java.time.Duration): WindowInto = copy(allowedLateness = d)
+    def accumulatingFiredPanes(): WindowInto = copy(mode = Accumulating)
+    def discardingFiredPanes(): WindowInto = copy(mode = Discarding)
+
+    def aggregate[K, V, Acc, Out](input: Dataset[(K, Timestamp, V)],
+                                  combine: CombineFn[V, Acc, Out])(
+        implicit ek: Encoder[K], ep: Encoder[Pane[K, Out]]): Dataset[Pane[K, Out]] =
+      windowedAggregate(input, windowSize, allowedLateness, trigger, mode, combine)
+  }
+
+  object WindowInto {
+    /** Window.into(FixedWindows.of(size)). */
+    def fixedWindows(size: java.time.Duration): WindowInto = WindowInto(size)
   }
 
   /** Windowed aggregation with Beam trigger semantics over a raw

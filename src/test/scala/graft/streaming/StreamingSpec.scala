@@ -124,6 +124,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming parquet file sink commits atomically (Write 3-phase contract)") {
+    // [U] IO/Write.java's init/write/finalize maps to the streaming file
+    // sink's transaction log: output appears with a _spark_metadata commit,
+    // and re-reading yields exactly the emitted rows.
+    val input = MemoryStream[(Long, Timestamp)](97, spark, None)
+    val agg = StreamOps.withEventTime(input.toDF().toDF("user_id", "ts"), "ts", "5 minutes")
+      .groupBy(Windows.fixed(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("w_start"), col("n"))
+    val out = java.nio.file.Files.createTempDirectory("graft-fsink-out-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fsink-ck-").toString
+    val q = agg.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, ts(1)), (1L, ts(2)), (2L, ts(3))))
+      q.processAllAvailable()
+      input.addData(Seq((1L, ts(16))))
+      q.processAllAvailable()
+      input.addData(Seq((1L, ts(17))))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(new java.io.File(out, "_spark_metadata").exists(), "commit log missing")
+    val rows = spark.read.parquet(out).as[(Long, Timestamp, Long)].collect().toSet
+    assert(rows == Set((1L, ts(0), 2L), (2L, ts(0), 1L)))
+  }
+
   test("stream-static broadcast enrich") {
     val input = MemoryStream[(Long, Timestamp)](4, spark, None)
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")

@@ -189,6 +189,21 @@ class TriggerEngineSpec extends SparkSpec {
       (1.0, "EARLY"), (7.0, "EARLY"), (63.0, "EARLY"), (127.0, "ON_TIME")))
   }
 
+  test("AfterEach.inOrder consumes sub-triggers one pane at a time") {
+    val panes = run("aeach",
+      TriggerSpec(early = AfterEach(Seq(AfterCount(2), PerBatch))), Accumulating,
+      Duration.ZERO, Seq(
+        Seq(("a", ts(1), 1.0)),   // sub0 = count(2): 1 element → no fire
+        Seq(("a", ts(2), 2.0)),   // 2 since pane → fire pane 0, advance
+        Seq(("a", ts(3), 4.0)),   // sub1 = per-batch → fire pane 1, finished
+        Seq(("a", ts(4), 8.0)),   // exhausted → no fire
+        Seq(("a", ts(15), 0.0))
+      ))
+    val w0 = panes.filter(_.windowStart == ts(0)).sortBy(_.paneIndex)
+    assert(w0.map(p => (p.value, p.timing)) == Seq(
+      (3.0, "EARLY"), (7.0, "EARLY"), (15.0, "ON_TIME")))
+  }
+
   test("late data is DROPPED when no late firing is configured (finished trigger)") {
     val panes = run("latedrop",
       TriggerSpec(), Accumulating, Duration.ofMinutes(10), Seq(
@@ -199,6 +214,26 @@ class TriggerEngineSpec extends SparkSpec {
       ))
     val w0 = panes.filter(_.windowStart == ts(0))
     assert(w0.map(p => (p.value, p.timing)) == Seq((1.0, "ON_TIME")))
+  }
+
+  test("WindowInto builder composes the same engine run as explicit config") {
+    val input = MemoryStream[(String, Timestamp, Double)](991, spark, None)
+    val panes = TriggerEngine.WindowInto.fixedWindows(Duration.ofMinutes(10))
+      .triggering(early = AfterCount(2))
+      .accumulatingFiredPanes()
+      .aggregate(input.toDS(), SumFn)
+    val dir = java.nio.file.Files.createTempDirectory("graft-wi-").toString
+    val q = panes.writeStream.format("memory").queryName("wi")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      input.addData(Seq(("a", ts(1), 1.0), ("a", ts(2), 2.0)))
+      q.processAllAvailable()
+      input.addData(Seq(("a", ts(15), 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val w0 = spark.table("wi").as[Pane[String, Double]].collect()
+      .filter(_.windowStart == ts(0)).sortBy(_.paneIndex)
+    assert(w0.map(p => (p.value, p.timing)).toSeq == Seq((3.0, "EARLY"), (3.0, "ON_TIME")))
   }
 
   test("multiple keys and windows stay independent") {
