@@ -63,6 +63,31 @@ object Multimodal {
     }
   }
 
+  /** A resized media item. */
+  final case class ResizedMedia(id: Long, width: Int, height: Int, bytes: Array[Byte])
+
+  /** Resize stub: deterministic stride-resample of the payload to a byte
+    * budget derived from the target geometry (budget = W·H/64 fake
+    * bytes-per-image). A real implementation decodes + rescales here; the
+    * partition-parallel shape, output schema, and determinism contract are
+    * the real thing. Output length = min(budget, input length). */
+  def resizeMedia(media: Dataset[(Long, Array[Byte])], targetW: Int, targetH: Int)(
+      implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    require(targetW > 0 && targetH > 0, "target geometry must be positive")
+    val budget = math.max(targetW * targetH / 64, 1)
+    media.mapPartitions(_.map { case (id, bytes) =>
+      val n = math.min(budget, bytes.length)
+      val out = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        out(i) = bytes((bytes.length.toLong * i / n).toInt)
+        i += 1
+      }
+      ResizedMedia(id, targetW, targetH, out)
+    })
+  }
+
   /** Frame sampling for video-ish payloads: n deterministic byte-slices
     * per media item, exploded to one row per frame. */
   def sampleFrames(media: Dataset[(Long, Array[Byte])], n: Int)(

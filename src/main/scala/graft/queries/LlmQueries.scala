@@ -169,6 +169,39 @@ object LlmQueries {
         .select(col("id").as("doc_id"), col("frameIdx"), length(col("frame")).as("frame_len"))
         .orderBy(col("doc_id"), col("frameIdx"))
     },
+
+    // Multimodal resize: geometry + output size are deterministic functions
+    // of the payload, so this leg of the stub IS oracle-checkable.
+    "q_multimodal_resize" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val media = Multimodal.attachSyntheticMedia(docs, "doc_id", "text")
+        .select(col("doc_id"), col("media.bytes")).as[(Long, Array[Byte])]
+      Multimodal.resizeMedia(media, targetW = 75, targetH = 75)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          length(col("bytes")).as("out_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // End-to-end multimodal pipeline: thumbnail payload (clipped text
+    // bytes) → decoded embedding → SRP-blocked near-dup pairs. The stub
+    // codec only matches identical payloads, so the clip is what lets the
+    // fixture's planted near-dups (shared prefixes) surface as identical
+    // thumbnails → cosine-1 pairs (rows-only; the composition is the point).
+    "q_multimodal_pipeline" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .withColumn("thumb", substring(col("text"), 1, 64))
+      val media = Multimodal.attachSyntheticMedia(docs, "doc_id", "thumb")
+        .select(col("doc_id"), col("media.bytes")).as[(Long, Array[Byte])]
+      val feats = Multimodal.decodeFeatures(media, dim = 64)
+        .select(col("id").as("vec_id"), col("features").as("embedding"))
+      Similarity.cosinePairsBlocked(feats, threshold = 0.999,
+        nPlanes = 8, nTables = 2, dim = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    },
   )
 
   private val markers = TextFunctions.LanguageMarkers
@@ -269,6 +302,12 @@ object LlmQueries {
            FROM scored)
          SELECT probe_id, cand_id, round(raw, 4) AS score FROM ranked WHERE rn <= 3
          ORDER BY probe_id, raw DESC, cand_id""",
+    // resize: out_len = min(budget, payload bytes) with budget = 75·75/64;
+    // payload = utf8 bytes of text (octet_length on the encoded blob).
+    "q_multimodal_resize" ->
+      """SELECT doc_id, 75 AS width, 75 AS height,
+           LEAST(87, octet_length(encode(text))) AS out_len
+         FROM documents ORDER BY doc_id""",
     // sqdist replicates Spark's aggregate(zip_with) left fold exactly:
     // per-index squared diff, sequential list_sum (verified bit-exact).
     "q_similarity_ivf" ->

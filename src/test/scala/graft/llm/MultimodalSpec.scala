@@ -32,6 +32,17 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
   }
 
+  test("resizeMedia caps output at the geometry budget, deterministic") {
+    val media = Multimodal.attachSyntheticMedia(docs, "doc_id", "text")
+      .select(col("doc_id"), col("media.bytes")).as[(Long, Array[Byte])]
+    val small = Multimodal.resizeMedia(media, 8, 8).collect() // budget = 1
+    assert(small.forall(_.bytes.length == 1))
+    val big = Multimodal.resizeMedia(media, 1000, 1000).collect() // budget ≥ payload
+    assert(big.find(_.id == 0L).get.bytes.toSeq ==
+      "an image-bearing document".getBytes("UTF-8").toSeq)
+    assert(big.forall(r => r.width == 1000 && r.height == 1000))
+  }
+
   test("sampleFrames yields n frames per item covering the payload") {
     val media = Multimodal.attachSyntheticMedia(docs, "doc_id", "text")
       .select(col("doc_id"), col("media.bytes")).as[(Long, Array[Byte])]
