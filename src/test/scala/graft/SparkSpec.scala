@@ -17,6 +17,8 @@ object SharedSpark {
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh-").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
