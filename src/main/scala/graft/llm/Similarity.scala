@@ -50,19 +50,58 @@ object Similarity {
   }
 
   /** IVF index build: deterministic centroid sample (first nCentroids by
-    * id — at real scale swap in a k-means pass; assignment plumbing is
-    * identical), then one-pass nearest-centroid assignment. Returns the
-    * corpus with a `centroid_id` column — write it partitioned by
-    * centroid_id to make probe-side reads partition-pruned. */
+    * id — the cheap default; see [[kMeans]] for trained centroids with the
+    * same output shape), then one-pass nearest-centroid assignment.
+    * Returns the corpus with a `centroid_id` column — write it partitioned
+    * by centroid_id to make probe-side reads partition-pruned. */
   def ivfAssign(corpus: DataFrame, nCentroids: Int): DataFrame = {
     val cents = corpus.orderBy(col("vec_id")).limit(nCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
-    val scored = corpus.crossJoin(broadcast(cents))
+    assignToCentroids(corpus, cents)
+  }
+
+  /** Nearest-centroid assignment against an explicit (broadcast) centroid
+    * table: one corpus scan, one bounded comparison fan-out per row. */
+  def assignToCentroids(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
       .withColumn("d", VectorFunctions.sqDist(col("embedding"), col("cent_emb")))
     Combine.topPerKey(
       scored.select(col("vec_id"), col("embedding"), col("centroid_id"), col("d")),
       Seq("vec_id"), 1, col("d").asc, col("centroid_id"))
       .drop("d")
+  }
+
+  /** Lloyd's k-means over the embedding column — the trained-centroid path
+    * for [[ivfAssign]]. Deterministic: init = first k by id; each
+    * iteration is assign (broadcast centroids, one scan) + recompute
+    * (posexplode to (centroid, dim) cells, per-cell mean, rebuild vectors
+    * — two shuffles of k·dim rows, independent of corpus size). Empty
+    * clusters keep their previous centroid. Returns (centroid_id,
+    * cent_emb) ready for [[assignToCentroids]]/[[ivfTopK]]. */
+  def kMeans(corpus: DataFrame, k: Int, iters: Int = 5): DataFrame = {
+    var cents = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").cast("array<double>").as("cent_emb"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val assigned = assignToCentroids(corpus, cents)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("cells"))
+        .select(col("centroid_id"),
+          transform(col("cells"), c => c.getField("m")).as("new_emb"))
+      val next = cents.join(means, Seq("centroid_id"), "left_outer")
+        .select(col("centroid_id"),
+          coalesce(col("new_emb"), col("cent_emb")).as("cent_emb"))
+        .localCheckpoint()
+      cents = next
+      it += 1
+    }
+    cents
   }
 
   /** IVF probe: score each probe against the nProbe nearest centroids'

@@ -91,6 +91,18 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("score").desc, col("cand_id"))
     },
 
+    // IVF with TRAINED centroids (Lloyd's k-means, deterministic init):
+    // same probe path as q_similarity_ivf over better-balanced lists
+    // (rows-only: iterative float training isn't SQL-replicable).
+    "q_similarity_ivf_trained" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val cents = Similarity.kMeans(emb, k = 8, iters = 3)
+      val assigned = Similarity.assignToCentroids(emb, cents)
+      Similarity.ivfTopK(assigned, cents, emb.filter(col("vec_id") < 10), k = 3, nProbe = 2)
+        .select(col("probe_id"), col("cand_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("probe_id"), col("score").desc, col("cand_id"))
+    },
+
     // Embedding-cosine near-dup pairs, SRP-blocked (the scale path: equi-
     // join on (table, bucket), no cartesian). Oracle replicates the
     // blocking, so the check stays exact; recall vs the all-pairs truth is

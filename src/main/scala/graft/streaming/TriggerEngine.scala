@@ -32,9 +32,9 @@ import graft.operators.Combine.CombineFn
   *
   * State layout per key: MapState[windowStart → WindowState(acc, counts,
   * flags)]; event-time timers at window end (on-time) and end + lateness
-  * (GC). Windows here are fixed/tumbling; sliding = run the engine over
-  * exploded window assignments; merging sessions stay on
-  * `session_window` (default trigger) per SURVEY §7 hard-part #4.
+  * (GC). Fixed/tumbling and sliding (multi-window assignment) are both
+  * supported; merging sessions with early firings live in
+  * [[SessionEngine]] (ListState of open windows).
   */
 object TriggerEngine {
 
@@ -179,8 +179,11 @@ object TriggerEngine {
       allowedLatenessMs: Long,
       trigger: TriggerSpec,
       mode: AccumulationMode,
-      combine: CombineFn[V, Acc, Out])
+      combine: CombineFn[V, Acc, Out],
+      slideMs: Long = 0L) // 0 → tumbling; else SlidingWindows(size, slide)
       extends StatefulProcessor[K, (K, Timestamp, V), Pane[K, Out]] {
+
+    private val effectiveSlideMs = if (slideMs <= 0) windowSizeMs else slideMs
 
     @transient private var windows: MapState[Long, WindowState[Acc]] = _
 
@@ -189,7 +192,14 @@ object TriggerEngine {
         "windows", Encoders.scalaLong,
         Encoders.kryo[WindowState[Acc]], TTLConfig.NONE)
 
-    private def windowStart(tsMs: Long): Long = tsMs - Math.floorMod(tsMs, windowSizeMs)
+    /** All window starts containing tsMs: one for tumbling; size/slide
+      * many for sliding (Beam's multi-window assignment). */
+    private def assignWindows(tsMs: Long): Seq[Long] = {
+      val last = tsMs - Math.floorMod(tsMs, effectiveSlideMs)
+      Iterator.iterate(last)(_ - effectiveSlideMs)
+        .takeWhile(ws => ws > tsMs - windowSizeMs && ws >= 0)
+        .toSeq
+    }
 
     private def freshState(): WindowState[Acc] =
       WindowState(combine.createAccumulator(), combine.createAccumulator(),
@@ -224,7 +234,8 @@ object TriggerEngine {
       val lateFiring = effective(trigger.late)
       val out = scala.collection.mutable.ArrayBuffer.empty[Pane[K, Out]]
       val touched = scala.collection.mutable.Set.empty[Long]
-      rows.toSeq.groupBy(r => windowStart(r._2.getTime)).foreach { case (ws, vs) =>
+      val assigned = rows.toSeq.flatMap(r => assignWindows(r._2.getTime).map(_ -> r))
+      assigned.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.foreach { case (ws, vs) =>
         val wEnd = ws + windowSizeMs
         val windowClosed = wEnd <= wm
         val existing = if (windows.containsKey(ws)) Some(windows.getValue(ws)) else None
@@ -370,6 +381,26 @@ object TriggerEngine {
       implicit ek: Encoder[K], ep: Encoder[Pane[K, Out]]): Dataset[Pane[K, Out]] = {
     val proc = new WindowTriggerProcessor[K, V, Acc, Out](
       windowSize.toMillis, allowedLateness.toMillis, trigger, mode, combine)
+    input.withWatermark("_2", s"${allowedLateness.toMillis} milliseconds")
+      .groupByKey(_._1)
+      .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** SlidingWindows with full trigger semantics: each element joins
+    * size/slide windows (Beam multi-window assignment) and every window
+    * runs the same trigger state machine independently. */
+  def slidingWindowedAggregate[K, V, Acc, Out](
+      input: Dataset[(K, Timestamp, V)],
+      windowSize: java.time.Duration,
+      slide: java.time.Duration,
+      allowedLateness: java.time.Duration,
+      trigger: TriggerSpec,
+      mode: AccumulationMode,
+      combine: CombineFn[V, Acc, Out])(
+      implicit ek: Encoder[K], ep: Encoder[Pane[K, Out]]): Dataset[Pane[K, Out]] = {
+    val proc = new WindowTriggerProcessor[K, V, Acc, Out](
+      windowSize.toMillis, allowedLateness.toMillis, trigger, mode, combine,
+      slideMs = slide.toMillis)
     input.withWatermark("_2", s"${allowedLateness.toMillis} milliseconds")
       .groupByKey(_._1)
       .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())

@@ -34,7 +34,8 @@ class PlanSpec extends SparkSpec {
     // BroadcastNestedLoopJoin is legitimate ONLY where the design is an
     // intentional broadcast of a tiny side against a non-equi condition:
     // the exact ANN baseline (probes) and IVF centroid assignment.
-    val bnljAllowed = Set("q_similarity_topk", "q_similarity_ivf")
+    val bnljAllowed = Set("q_similarity_topk", "q_similarity_ivf",
+      "q_similarity_ivf_trained")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -56,6 +56,17 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned.select("centroid_id").distinct().count() <= 2)
   }
 
+  test("kMeans converges to the cluster structure") {
+    // two tight clusters + the distant lone vector; k=2 init lands both
+    // seeds inside cluster 1, so convergence must MOVE a centroid out
+    val km = Similarity.kMeans(corpus, k = 2, iters = 5)
+    val assigned = Similarity.assignToCentroids(corpus, km)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(assigned(0L) == assigned(1L)) // x-direction cluster together
+    assert(assigned(2L) == assigned(3L)) // y-direction cluster together
+    assert(assigned(0L) != assigned(2L)) // and apart from each other
+  }
+
   test("cosinePairs finds only the genuinely close pairs") {
     val pairs = Similarity.cosinePairs(corpus, 0.9)
       .as[(Long, Long)].collect().toSet

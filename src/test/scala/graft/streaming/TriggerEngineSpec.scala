@@ -216,6 +216,34 @@ class TriggerEngineSpec extends SparkSpec {
     assert(w0.map(p => (p.value, p.timing)) == Seq((1.0, "ON_TIME")))
   }
 
+  test("sliding windows: multi-window assignment with independent triggers") {
+    val input = MemoryStream[(String, Timestamp, Double)](992, spark, None)
+    val panes = TriggerEngine.slidingWindowedAggregate(
+      input.toDS(), Duration.ofMinutes(10), Duration.ofMinutes(5),
+      Duration.ZERO, TriggerSpec(early = PerBatch), Accumulating, SumFn)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sl-").toString
+    val q = panes.writeStream.format("memory").queryName("sl")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      input.addData(Seq(("a", ts(7), 1.0))) // windows [0,10) and [5,15)
+      q.processAllAvailable()
+      input.addData(Seq(("a", ts(12), 2.0))) // windows [5,15) and [10,20)
+      q.processAllAvailable()
+      input.addData(Seq(("a", ts(30), 0.0))) // watermark closes all three
+      q.processAllAvailable()
+      input.addData(Seq(("a", ts(31), 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = spark.table("sl").as[Pane[String, Double]].collect()
+    def onTime(startMin: Int) =
+      all.filter(p => p.windowStart == ts(startMin) && p.timing == "ON_TIME").map(_.value).toSeq
+    assert(onTime(0) == Seq(1.0))   // only the first element
+    assert(onTime(5) == Seq(3.0))   // both elements
+    assert(onTime(10) == Seq(2.0))  // only the second
+    // early panes fired per batch for each touched window
+    assert(all.count(p => p.windowStart == ts(5) && p.timing == "EARLY") == 2)
+  }
+
   test("WindowInto builder composes the same engine run as explicit config") {
     val input = MemoryStream[(String, Timestamp, Double)](991, spark, None)
     val panes = TriggerEngine.WindowInto.fixedWindows(Duration.ofMinutes(10))
