@@ -28,6 +28,21 @@ object LlmQueries {
         .orderBy(col("keeper"))
     },
 
+    // Policy dedup: group near-identical docs (shared 64-char prefix) and
+    // keep the HIGHEST-QUALITY representative (ties → min id) — the
+    // "representative value fn" dedup with a real data-curation policy.
+    // quality lands on exact quarters, so the oracle replicates it.
+    "q_dedup_keep_best" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+        .withColumn("grp", md5(substring(col("text"), 1, 64).cast("binary")))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      graft.operators.Combine.topPerKey(
+        docs.select(col("grp"), col("doc_id"), col("quality")),
+        Seq("grp"), 1, col("quality").desc, col("doc_id"))
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    },
+
     // Exact n-gram Jaccard near-dup pairs — the verification baseline the
     // generator's planted near-dups must show up in.
     "q_ngram_jaccard" -> { (s, dir) =>
@@ -382,6 +397,35 @@ object LlmQueries {
               ELSE 'de' END AS detected
             FROM scores)
           GROUP BY detected ORDER BY detected""",
+    "q_dedup_keep_best" ->
+      s"""WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, text, len(toks) AS ntok,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE length(regexp_replace(lower(text), '[^a-z'']', '', 'g'))::DOUBLE / len(toks)
+             END AS mwl,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)
+             END AS pr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, x -> list_contains(${inList(TextFunctions.EnglishStopwords)}, x)))::DOUBLE / len(toks)
+             END AS sr
+           FROM t),
+         q AS (
+           SELECT doc_id, md5(substr(text, 1, 64)) AS grp,
+             ((CASE WHEN ntok >= 5 AND ntok <= 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN sr > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+           FROM m),
+         ranked AS (
+           SELECT doc_id, quality,
+             row_number() OVER (PARTITION BY grp ORDER BY quality DESC, doc_id) AS rn
+           FROM q)
+         SELECT doc_id, quality FROM ranked WHERE rn = 1 ORDER BY doc_id""",
     // quality/bpe/fp replicated component-by-component. RE2 has no
     // lookarounds, so the BPE-piece split is emulated by inserting spaces at
     // the same boundaries and splitting on whitespace (equivalent piece

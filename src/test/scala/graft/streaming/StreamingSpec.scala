@@ -151,6 +151,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, ts(0), 2L), (2L, ts(0), 1L)))
   }
 
+  test("stream-stream interval join (superset: reference had no joins at all)") {
+    val clicks = MemoryStream[(Long, Timestamp)](51, spark, None)
+    val views = MemoryStream[(Long, Timestamp)](52, spark, None)
+    val c = StreamOps.withEventTime(clicks.toDF().toDF("user_id", "c_ts"), "c_ts", "10 minutes")
+    val v = StreamOps.withEventTime(views.toDF().toDF("v_user", "v_ts"), "v_ts", "10 minutes")
+    // click attributed to a view within the preceding 15 minutes
+    val joined = c.join(v,
+      expr("""user_id = v_user AND c_ts >= v_ts AND c_ts <= v_ts + interval 15 minutes"""))
+      .select(col("user_id"), col("c_ts"), col("v_ts"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj-").toString
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      views.addData(Seq((1L, ts(1)), (2L, ts(2))))
+      clicks.addData(Seq((1L, ts(10)), (2L, ts(30)))) // 2's click outside window
+      q.processAllAvailable()
+      views.addData(Seq((1L, ts(60))))   // advance both watermarks
+      clicks.addData(Seq((1L, ts(61))))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").as[(Long, Timestamp, Timestamp)].collect().toSet
+      assert(rows.contains((1L, ts(10), ts(1))))
+      assert(!rows.exists(r => r._1 == 2L && r._2 == ts(30)))
+    } finally q.stop()
+  }
+
   test("stream-static broadcast enrich") {
     val input = MemoryStream[(Long, Timestamp)](4, spark, None)
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
