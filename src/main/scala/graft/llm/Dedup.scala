@@ -37,7 +37,7 @@ object Dedup {
     * (min_by over the full row struct). */
   def exactRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val fp = TextFunctions.fingerprint(col(textCol))
-    val cols = df.columns.map(col)
+    val cols = df.columns.toIndexedSeq.map(col)
     df.groupBy(fp.as("fp"))
       .agg(min_by(struct(cols: _*), col(idCol)).as("row"))
       .select(col("row.*"))
@@ -260,6 +260,6 @@ object Dedup {
     pairs.unpersist()
     df.join(labels, df(idCol) === labels("id"))
       .filter(col(idCol) === col("label"))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 }

@@ -63,7 +63,7 @@ object Combine {
   def countPerKey(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
   def countPerElement(df: DataFrame): DataFrame =
-    df.groupBy(df.columns.map(col): _*).agg(count(lit(1)).as("n"))
+    df.groupBy(df.columns.toIndexedSeq.map(col): _*).agg(count(lit(1)).as("n"))
 
   /** Top.of/largest/perKey ([U] T/Top.java).
     *
@@ -142,7 +142,7 @@ object Combine {
   def sumWithHotKeyFanout(df: DataFrame, keys: Seq[String], value: Column,
                           fanout: Int): DataFrame = {
     val salted = df.withColumn(
-      "__salt", pmod(xxhash64(struct(df.columns.map(col): _*)), lit(fanout)))
+      "__salt", pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(fanout)))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(value).as("__partial"))

@@ -100,7 +100,7 @@ object SessionEngine {
       val out = scala.collection.mutable.ArrayBuffer.empty[Pane[K, Out]]
       if (earlyPerBatch) {
         open = open.map { s =>
-          if (s.sinceLastPane > 0 && s.end > trueWm(timers.getCurrentWatermarkInMs)) {
+          if (s.sinceLastPane > 0 && s.end > trueWm(timers.getCurrentWatermarkInMs())) {
             out += emit(key, s, "EARLY", isLast = false)
             s.copy(paneAcc = combine.createAccumulator(), sinceLastPane = 0L,
               paneIndex = s.paneIndex + 1)
@@ -115,7 +115,7 @@ object SessionEngine {
 
     override def handleExpiredTimer(key: K, timers: TimerValues,
                                     expired: ExpiredTimerInfo): Iterator[Pane[K, Out]] = {
-      val wm = trueWm(timers.getCurrentWatermarkInMs)
+      val wm = trueWm(timers.getCurrentWatermarkInMs())
       val open = sessions.get().toList
       val (closed, stillOpen) = open.partition(_.end <= wm)
       val out = closed.sortBy(_.start).map(s => emit(key, s, "ON_TIME", isLast = true))

@@ -228,7 +228,7 @@ object TriggerEngine {
 
     override def handleInputRows(key: K, rows: Iterator[(K, Timestamp, V)],
                                  timers: TimerValues): Iterator[Pane[K, Out]] = {
-      val wm = trueWm(timers.getCurrentWatermarkInMs)
+      val wm = trueWm(timers.getCurrentWatermarkInMs())
       val nowMs = System.currentTimeMillis()
       val earlyFiring = effective(trigger.early)
       val lateFiring = effective(trigger.late)
