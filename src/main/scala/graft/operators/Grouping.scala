@@ -75,6 +75,34 @@ object Grouping {
     ag.join(bg, on, "full_outer")
   }
 
+  /** As-of (point-in-time) join — a superset of both the reference (which
+    * had no join operators) and Spark's DSL (no native ASOF): for each
+    * left row, the latest right row with rTs ≤ lTs on the same key.
+    * Scalable rendering: union the sides, one shuffle on the key, running
+    * `last(payload, ignoreNulls)` ordered by (ts, side) — right rows sort
+    * before left rows at equal ts, making the match inclusive. No range
+    * explosion, no per-key collect. Right payload columns come back
+    * prefixed `asof_` (null when no prior right row exists). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               lTs: String, rTs: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, last, lit, struct}
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    val r2 = right
+      .select((keys.map(col) :+ col(rTs).as("__ts") :+
+        struct(payload.map(col): _*).as("__p")): _*)
+      .withColumn("__left", lit(0))
+    val l2 = left.withColumn("__ts", col(lTs)).withColumn("__left", lit(1))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__left") === 1)
+      .select(left.columns.toIndexedSeq.map(col) ++
+        payload.map(p => col("__asof").getField(p).as(s"asof_$p")): _*)
+  }
+
   /** N-way CoGroupByKey ([U] T/join/KeyedPCollectionTuple + CoGbkResult):
     * each tagged input is aggregated to (key, sorted values) then chained
     * through full-outer joins — keys present in ANY input appear once, with

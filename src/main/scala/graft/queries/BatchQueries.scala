@@ -202,6 +202,22 @@ object BatchQueries {
         .orderBy(col("n_name"))
     },
 
+    // §2.2 superset: AS-OF join — each purchase attributed to the user's
+    // latest preceding view (DuckDB's native ASOF JOIN is the oracle).
+    "q_asof_join" -> { (s, dir) =>
+      val e = Tables(s, dir).events
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      Grouping.asofJoin(purchases, views, Seq("user_id"), "ts", "ts",
+        Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_event_id").as("view_event_id"),
+          col("asof_value").as("view_value"))
+        .orderBy(col("event_id"))
+    },
+
     // §2.2 RemoveDuplicates.
     "q_distinct" -> { (s, dir) =>
       Grouping.distinct(Tables(s, dir).lineitem.select(col("l_returnflag"), col("l_linestatus")))
@@ -413,6 +429,13 @@ object BatchQueries {
          FROM lineitem, supplier, nation
          WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view')
+         SELECT p.event_id, p.user_id, p.ts,
+           v.event_id AS view_event_id, v.value AS view_value
+         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY p.event_id""",
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
          ORDER BY l_returnflag, l_linestatus""",

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class GroupingSpec extends SparkSpec {
   import spark.implicits._
@@ -43,6 +44,21 @@ class GroupingSpec extends SparkSpec {
     val a = Seq(1, 2, 3).toDS(); val b = Seq(2, 3, 4).toDS()
     assertInAnyOrder(Grouping.intersect(a, b).collect().toSeq, Seq(2, 3))
     assertInAnyOrder(Grouping.except(a, b).collect().toSeq, Seq(1))
+  }
+
+  test("asofJoin picks the latest right row at-or-before each left ts") {
+    val trades = Seq((1, "k", 100L), (2, "k", 205L), (3, "k", 50L), (4, "z", 10L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("k", 90L, 1.0), ("k", 100L, 2.0), ("k", 200L, 3.0))
+      .toDF("sym", "t", "px")
+    val out = Grouping.asofJoin(trades, quotes, Seq("sym"), "t", "t", Seq("px"))
+      .select(col("trade_id"), col("asof_px"))
+      .as[(Int, Option[Double])].collect().toMap
+    assert(out == Map(
+      1 -> Some(2.0), // inclusive: quote AT t=100 wins over t=90
+      2 -> Some(3.0), // latest ≤ 205
+      3 -> None,      // no quote at or before 50
+      4 -> None))     // other key entirely
   }
 
   test("coGroupByKeyDF renders CoGbkResult relationally") {
