@@ -103,6 +103,29 @@ object Grouping {
         payload.map(p => col("__asof").getField(p).as(s"asof_$p")): _*)
   }
 
+  /** Range (interval) join, binned for scale — another join-shape superset.
+    * A raw `pt BETWEEN start AND end` join has no equi-key, so Spark plans
+    * it as a cartesian/BNLJ. Binning makes it an equi-join: each interval
+    * replicates to the bins it covers, each point maps to exactly one bin,
+    * and the residual BETWEEN filter runs after the bin match. A (point,
+    * interval) pair meets only in the point's bin, so the result needs no
+    * dedup and is exactly the inequality join's. Inputs must be numeric
+    * (cast timestamps to epoch days/seconds at a granularity ≥ binSize
+    * resolution). */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
+                      pt: Column, start: Column, end: Column,
+                      binSize: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{explode, floor, sequence}
+    require(binSize > 0, "binSize must be positive")
+    val p2 = points.withColumn("__bin", floor(pt / binSize).cast("long"))
+    val i2 = intervals.withColumn("__bin",
+      explode(sequence(floor(start / binSize).cast("long"),
+        floor(end / binSize).cast("long"))))
+    p2.join(i2, Seq("__bin"))
+      .filter(pt >= start && pt <= end)
+      .drop("__bin")
+  }
+
   /** N-way CoGroupByKey ([U] T/join/KeyedPCollectionTuple + CoGbkResult):
     * each tagged input is aggregated to (key, sorted values) then chained
     * through full-outer joins — keys present in ANY input appear once, with

@@ -218,6 +218,23 @@ object BatchQueries {
         .orderBy(col("event_id"))
     },
 
+    // §2.2 superset: binned RANGE join — lineitem ship days against promo
+    // windows, the non-equi predicate rewritten to an equi-join on bins.
+    "q_range_join" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val epoch = lit("1992-01-01").cast("date")
+      val promos = t.orders.filter(pmod(col("o_orderkey"), lit(1000)) === 0)
+        .select(col("o_orderkey").as("promo_id"),
+          datediff(col("o_orderdate"), epoch).as("p_start"))
+        .withColumn("p_end", col("p_start") + 7)
+      val points = t.lineitem
+        .select(datediff(col("l_shipdate"), epoch).as("ship_day"))
+      Grouping.rangeJoinBinned(points, promos,
+        col("ship_day"), col("p_start"), col("p_end"), binSize = 7)
+        .groupBy(col("promo_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("promo_id"))
+    },
+
     // §2.2 RemoveDuplicates.
     "q_distinct" -> { (s, dir) =>
       Grouping.distinct(Tables(s, dir).lineitem.select(col("l_returnflag"), col("l_linestatus")))
@@ -436,6 +453,18 @@ object BatchQueries {
            v.event_id AS view_event_id, v.value AS view_value
          FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
          ORDER BY p.event_id""",
+    "q_range_join" ->
+      """WITH promos AS (
+           SELECT o_orderkey AS promo_id,
+             datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS ps
+           FROM orders WHERE o_orderkey % 1000 = 0),
+         pts AS (
+           SELECT datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS sd
+           FROM lineitem)
+         SELECT promo_id, count(*) AS n
+         FROM pts, promos
+         WHERE sd >= ps AND sd <= ps + 7
+         GROUP BY promo_id ORDER BY promo_id""",
     "q_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
          ORDER BY l_returnflag, l_linestatus""",

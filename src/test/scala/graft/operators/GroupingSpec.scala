@@ -61,6 +61,22 @@ class GroupingSpec extends SparkSpec {
       4 -> None))     // other key entirely
   }
 
+  test("rangeJoinBinned ≡ inequality join, equi-join plan") {
+    val points = Seq(5L, 10L, 15L, 23L, 42L).toDF("pt")
+    val intervals = Seq((100, 8L, 16L), (200, 20L, 30L), (300, 14L, 15L))
+      .toDF("iid", "s", "e")
+    val out = Grouping.rangeJoinBinned(points, intervals,
+      col("pt"), col("s"), col("e"), binSize = 4)
+    assertNoCartesian(out)
+    val got = out.select("pt", "iid").as[(Long, Int)].collect().toSet
+    val truth = (for {
+      p <- Seq(5L, 10L, 15L, 23L, 42L)
+      (iid, s, e) <- Seq((100, 8L, 16L), (200, 20L, 30L), (300, 14L, 15L))
+      if p >= s && p <= e
+    } yield (p, iid)).toSet
+    assert(got == truth)
+  }
+
   test("coGroupByKeyDF renders CoGbkResult relationally") {
     val a = Seq((1, 10), (1, 11), (2, 20)).toDF("k", "av")
     val b = Seq((1, "p"), (3, "q")).toDF("k", "bv")
