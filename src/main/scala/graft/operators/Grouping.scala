@@ -103,6 +103,25 @@ object Grouping {
         payload.map(p => col("__asof").getField(p).as(s"asof_$p")): _*)
   }
 
+  /** Skew-busting salted equi-join: the skewed side gets a deterministic
+    * per-row salt, the other side replicates once per salt value, and the
+    * join key becomes (key, salt) — one hot key spreads over `salt`
+    * reducers. AQE's runtime skew split is the first answer (on by
+    * default in GraftSession); this is the explicit form for when the
+    * join must keep a particular partitioning or AQE can't see the skew
+    * (e.g. skew materializes after a filter). Replication multiplies the
+    * other side by `salt` — keep it the small side. */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, on: Seq[String],
+                 salt: Int, how: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, lit, pmod, sequence, struct, xxhash64}
+    require(salt > 0, "salt must be positive")
+    val s = skewed.withColumn("__salt",
+      pmod(xxhash64(struct(skewed.columns.toIndexedSeq.map(col): _*)), lit(salt)))
+    val o = other.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt - 1L))))
+    s.join(o, on :+ "__salt", how).drop("__salt")
+  }
+
   /** Range (interval) join, binned for scale — another join-shape superset.
     * A raw `pt BETWEEN start AND end` join has no equi-key, so Spark plans
     * it as a cartesian/BNLJ. Binning makes it an equi-join: each interval

@@ -61,6 +61,18 @@ class GroupingSpec extends SparkSpec {
       4 -> None))     // other key entirely
   }
 
+  test("saltedJoin ≡ plain join on skewed data") {
+    // 90% of rows share one hot key
+    val skewed = spark.range(1000)
+      .selectExpr("CASE WHEN id % 10 = 0 THEN id ELSE 0 END AS k", "id AS v")
+    val dim = Seq((0L, "hot"), (10L, "a"), (20L, "b")).toDF("k", "name")
+    val salted = Grouping.saltedJoin(skewed, dim, Seq("k"), salt = 8)
+      .select("k", "v", "name").as[(Long, Long, String)].collect().toSet
+    val plain = skewed.join(dim, Seq("k"))
+      .select("k", "v", "name").as[(Long, Long, String)].collect().toSet
+    assert(salted == plain && salted.nonEmpty)
+  }
+
   test("rangeJoinBinned ≡ inequality join, equi-join plan") {
     val points = Seq(5L, 10L, 15L, 23L, 42L).toDF("pt")
     val intervals = Seq((100, 8L, 16L), (200, 20L, 30L), (300, 14L, 15L))
