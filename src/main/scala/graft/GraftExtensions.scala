@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.ShingleExprs
+
+/** SparkSessionExtensions injector: mounts graft's native expressions into
+  * the SQL function registry, so the same hot-path operators are reachable
+  * from `spark.sql(...)` as from the Column API (SURVEY.md §2 custom-
+  * operator tier (c): extension-registered functions).
+  *
+  * Use: `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  /** (identifier, info, builder) triples shared by the extension injector
+    * and [[register]]. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("shingle_hash"),
+      new ExpressionInfo(classOf[ShingleExprs.ShingleHash].getName, "shingle_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingle_hash(text, k)")
+        ShingleExprs.ShingleHash(args.head, intArg(args(1), "k"))
+      }),
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[ShingleExprs.MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "minhash_sig(text, k, numHashes)")
+        ShingleExprs.MinHashSig(args.head, intArg(args(1), "k"),
+          intArg(args(2), "numHashes"))
+      }),
+    (new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[ShingleExprs.SimHash32].getName, "simhash32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash32(text)")
+        ShingleExprs.SimHash32(args.head)
+      }),
+    (new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[ShingleExprs.DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product(a, b)")
+        ShingleExprs.DotProduct(args.head, args(1))
+      }))
+
+  /** Register on an already-running session (extensions only bind at
+    * session construction — this is the REPL/test path). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graftglue.GraftSqlBridge.registerFunction(
+        spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], id, info, builder)
+    }
+}

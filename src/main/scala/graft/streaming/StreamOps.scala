@@ -32,6 +32,17 @@ object StreamOps {
                   aggs: Seq[Column]): DataFrame =
     df.groupBy((window +: keys): _*).agg(aggs.head, aggs.tail: _*)
 
+  /** Streaming exact-dedup by content fingerprint: drop documents whose
+    * normalized text already arrived within the watermark horizon — the
+    * streaming leg of the LLM dedup family (state GC'd by the watermark,
+    * so memory is bounded by the horizon, not the stream). */
+  def dedupByFingerprint(df: DataFrame, textCol: String, tsCol: String,
+                         lateness: String): DataFrame =
+    df.withColumn("__fp", graft.functions.TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Stream-static broadcast join (side-input pattern on a stream). */
   def enrichWithStatic(stream: DataFrame, dim: DataFrame,
                        on: Seq[String]): DataFrame =

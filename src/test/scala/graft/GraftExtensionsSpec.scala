@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.functions.ShingleExprs
+
+/** The SQL surface of the native expressions: registered functions must
+  * resolve from spark.sql(...) and agree with the Column API. */
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  test("shingle_hash / minhash_sig / simhash32 resolve in SQL with equal results") {
+    Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+      .createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT shingle_hash(text, 3) AS sh, minhash_sig(text, 3, 8) AS mh,
+               simhash32(text) AS si
+         FROM ext_docs""").as[(Seq[Long], Seq[Long], Long)].head()
+    val viaCol = spark.table("ext_docs").select(
+      ShingleExprs.shingleHashes(col("text"), 3),
+      ShingleExprs.minHashSignature(col("text"), 3, 8),
+      ShingleExprs.simHash(col("text"))).as[(Seq[Long], Seq[Long], Long)].head()
+    assert(viaSql == viaCol)
+  }
+
+  test("dot_product resolves in SQL") {
+    val d = spark.sql(
+      "SELECT dot_product(CAST(array(1.0, 2.0) AS ARRAY<DOUBLE>), CAST(array(3.0, 4.0) AS ARRAY<DOUBLE>))")
+      .as[Double].head()
+    assert(d == 11.0)
+  }
+
+  test("non-literal size argument is rejected clearly") {
+    Seq(("x", 3)).toDF("text", "k").createOrReplaceTempView("ext_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hash(text, k) FROM ext_bad").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+}

@@ -58,6 +58,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fingerprint dedup drops re-arriving near-identical text") {
+    val input = MemoryStream[(Long, Timestamp, String)](98, spark, None)
+    val deduped = StreamOps.dedupByFingerprint(
+      input.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "10 minutes")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpd-").toString
+    val q = deduped.writeStream.format("memory").queryName("fpd")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      input.addData(Seq(
+        (1L, ts(1), "Hello  World"),
+        (2L, ts(2), "hello world"),   // same fingerprint (case/whitespace)
+        (3L, ts(3), "different doc")))
+      q.processAllAvailable()
+      input.addData(Seq((4L, ts(4), "HELLO   world"))) // still a dup
+      q.processAllAvailable()
+      val ids = spark.table("fpd").select("doc_id").as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming session window merges gap-close events, append mode") {
     val input = MemoryStream[(Long, Timestamp)](3, spark, None)
     val agg = StreamOps.withEventTime(input.toDF().toDF("user_id", "ts"), "ts", "5 minutes")
