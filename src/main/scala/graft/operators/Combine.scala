@@ -132,6 +132,20 @@ object Combine {
                           accuracy: Int = 10000): Column =
     percentile_approx(c, lit(quantile), lit(accuracy))
 
+  /** MERGEABLE distinct-count sketch (SURVEY §4 optional row: sketch
+    * columns): build per-group HLL sketches as binary columns, union them
+    * across groups later — the pre-aggregate-once, re-aggregate-anywhere
+    * pattern sketch warehouses rely on at scale. Spark 4 built-ins
+    * (Datasketches-compatible HllSketch under the hood). */
+  def hllSketch(c: Column, lgConfigK: Int = 12): Column =
+    hll_sketch_agg(c, lit(lgConfigK))
+
+  /** Union previously built sketches; estimate with [[hllEstimate]]. */
+  def hllUnion(sketch: Column): Column = hll_union_agg(sketch)
+
+  /** Cardinality estimate of a sketch column. */
+  def hllEstimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
   /** Combine.perKey(...).withHotKeyFanout ([U] T/Combine.java): two-stage
     * salted aggregation for skewed keys. Stage 1 aggregates (key, salt)
     * partials across `fanout` buckets; stage 2 merges per key. Use when one

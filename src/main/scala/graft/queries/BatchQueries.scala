@@ -307,6 +307,20 @@ object BatchQueries {
         Combine.approximateQuantile(col("l_extendedprice"), 0.95).as("price_p95"))
     },
 
+    // §2.3 mergeable sketch columns: per-segment HLL sketches unioned back
+    // to a global estimate — re-aggregation without touching raw data
+    // (rows-only: sketch estimates are engine-specific; the estimate ≈
+    // exact invariant is CombineSpec's).
+    "q_sketch_merge" -> { (s, dir) =>
+      val perSegment = Tables(s, dir).customer
+        .groupBy(col("c_mktsegment"))
+        .agg(Combine.hllSketch(col("c_custkey")).as("sk"),
+          count(lit(1)).as("n"))
+      perSegment.agg(
+        sum(col("n")).as("n_rows"),
+        Combine.hllEstimate(Combine.hllUnion(col("sk"))).as("approx_customers"))
+    },
+
     // §2.3 Sample.fixedSizePerKey, deterministic variant: top-n per key by
     // md5 of the row identity — size-exact like the reservoir, but
     // reproducible across engines so the oracle can replicate it (the

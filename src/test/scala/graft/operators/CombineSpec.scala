@@ -97,6 +97,14 @@ class CombineSpec extends SparkSpec {
            s2.as[(Long, Long)].collect().sorted.toSeq)
   }
 
+  test("mergeable HLL sketches: union of partial sketches ≈ global distinct") {
+    val df = spark.range(20000).selectExpr("id % 7 as seg", "id % 9999 as v")
+    val partial = df.groupBy("seg").agg(Combine.hllSketch($"v").as("sk"))
+    val merged = partial.agg(
+      Combine.hllEstimate(Combine.hllUnion($"sk"))).as[Long].head()
+    assert(math.abs(merged - 9999) < 500, s"estimate $merged too far from 9999")
+  }
+
   test("approximate aggregates are within tolerance") {
     val df = spark.range(10000).toDF("v")
     val approx = df.select(Combine.approximateUnique($"v", 0.02)).as[Long].head()
