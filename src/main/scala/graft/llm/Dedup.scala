@@ -244,6 +244,65 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the scale-correct alternative to [[connectedComponents]]: label
+    * propagation needs O(diameter) rounds (a pathological near-dup chain
+    * makes that unbounded), star contraction converges in O(log n) rounds
+    * regardless of shape. Each round is two grouped aggregations over the
+    * edge list; edges are checkpointed per round so lineage stays flat.
+    * Returns (id, label) with label = component min id. */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+                              maxIter: Int = 20): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.filter(col("v") > col("u"))
+        .join(m, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val fromNeighbors = oriented.join(m, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val fromSelf = m.select(col("u"), col("m").as("v"))
+      fromNeighbors.union(fromSelf)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var e = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var iter = 0
+    var converged = e.isEmpty
+    var prevSig: (Long, Long) = sig(e)
+    while (iter < maxIter && !converged) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val s = sig(e)
+      converged = s == prevSig
+      prevSig = s
+      iter += 1
+    }
+    // converged edge set is a star forest: (child, root). Nodes absent as a
+    // child (roots, isolates) label themselves.
+    nodes.join(e.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
+  /** Cheap set signature for convergence detection: (count, xor of pair
+    * hashes) — order-independent, overflow-free, collision-improbable. */
+  private def sig(e: DataFrame): (Long, Long) = {
+    val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** End-to-end near-dedup: MinHash pairs → components → keep each
     * cluster's min-id row. */
   def dedupNearDuplicates(df: DataFrame, idCol: String, textCol: String,

@@ -106,6 +106,33 @@ class DedupSpec extends SparkSpec {
     assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 0L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("connectedComponentsStar ≡ label propagation on random graphs") {
+    val rng = new scala.util.Random(4242)
+    for (trial <- 0 until 6) {
+      val n = 12 + rng.nextInt(24)
+      val nodes = (0L until n.toLong).toDF("id")
+      val edgePairs = Seq.fill(rng.nextInt(2 * n))(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val edges = if (edgePairs.isEmpty) Seq((0L, 0L)).toDF("id_a", "id_b").limit(0)
+                  else edgePairs.toDF("id_a", "id_b")
+      val star = Dedup.connectedComponentsStar(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      val prop = Dedup.connectedComponents(nodes, edges, maxIter = 50)
+        .as[(Long, Long)].collect().toMap
+      assert(star == prop, s"trial $trial (n=$n, edges=${edgePairs.size})")
+    }
+  }
+
+  test("connectedComponentsStar handles a long chain (propagation's worst case)") {
+    val n = 60
+    val nodes = (0L until n.toLong).toDF("id")
+    val chain = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponentsStar(nodes, chain)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(0L), "chain must collapse to root 0")
+  }
+
   test("dedupNearDuplicates keeps one representative per cluster") {
     val kept = Dedup.dedupNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
