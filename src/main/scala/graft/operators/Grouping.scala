@@ -115,6 +115,10 @@ object Grouping {
                  salt: Int, how: String = "inner"): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode, lit, pmod, sequence, struct, xxhash64}
     require(salt > 0, "salt must be positive")
+    require(how == "inner" || how == "left_outer" || how == "left" ||
+      how == "left_semi" || how == "left_anti",
+      s"saltedJoin supports left-preserving joins only ($how would duplicate " +
+        "unmatched replicated rows)")
     val s = skewed.withColumn("__salt",
       pmod(xxhash64(struct(skewed.columns.toIndexedSeq.map(col): _*)), lit(salt)))
     val o = other.withColumn("__salt",

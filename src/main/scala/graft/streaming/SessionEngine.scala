@@ -95,8 +95,15 @@ object SessionEngine {
 
     override def handleInputRows(key: K, rows: Iterator[(K, Timestamp, V)],
                                  timers: TimerValues): Iterator[Pane[K, Out]] = {
+      val wmNow = trueWm(timers.getCurrentWatermarkInMs())
       var open = sessions.get().toList
-      rows.foreach { case (_, ts, v) => open = absorb(open, ts.getTime, v) }
+      // a row whose own interval already ends at-or-before the watermark
+      // would be born closed: its session fired (and was GC'd) — drop it
+      // rather than resurrect a duplicate (post-close contract; rows
+      // overlapping a still-open session have ts + gap > wm and merge)
+      rows.foreach { case (_, ts, v) =>
+        if (ts.getTime + gapMs > wmNow) open = absorb(open, ts.getTime, v)
+      }
       val out = scala.collection.mutable.ArrayBuffer.empty[Pane[K, Out]]
       if (earlyPerBatch) {
         open = open.map { s =>

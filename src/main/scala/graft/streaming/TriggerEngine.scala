@@ -193,7 +193,9 @@ object TriggerEngine {
         Encoders.kryo[WindowState[Acc]], TTLConfig.NONE)
 
     /** All window starts containing tsMs: one for tumbling; size/slide
-      * many for sliding (Beam's multi-window assignment). */
+      * many for sliding (Beam's multi-window assignment). Windows starting
+      * before the epoch are clipped — they'd collide with the near-epoch
+      * watermark clamp; irrelevant for real event times. */
     private def assignWindows(tsMs: Long): Seq[Long] = {
       val last = tsMs - Math.floorMod(tsMs, effectiveSlideMs)
       Iterator.iterate(last)(_ - effectiveSlideMs)
