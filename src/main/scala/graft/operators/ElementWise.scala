@@ -90,6 +90,13 @@ object ElementWise {
   def create[T: Encoder](spark: SparkSession, data: Seq[T]): Dataset[T] =
     spark.createDataset(data)
 
+  /** Create.timestamped: literal elements with explicit event timestamps —
+    * the shape trigger/window tests feed (value, eventTime) streams with. */
+  def createTimestamped[T](spark: SparkSession,
+                           data: Seq[(T, java.sql.Timestamp)])(
+      implicit e: Encoder[(T, java.sql.Timestamp)]): Dataset[(T, java.sql.Timestamp)] =
+    spark.createDataset(data)
+
   /** Flatten.pCollections ([U] T/Flatten.java): n-way union. */
   def flatten[T](dss: Seq[Dataset[T]]): Dataset[T] = {
     require(dss.nonEmpty, "flatten of zero datasets")

@@ -45,6 +45,19 @@ object IoQueries {
         .orderBy(col("word"))
     },
 
+    // §2.5 TextIO + CompressedSource: same round-trip through gzip — the
+    // codec is transparent to the read path (extension-detected).
+    "q_textio_gzip" -> { (s, dir) =>
+      val out = tmp("graft_textio_gz")
+      Tables(s, dir).documents.select(col("text"))
+        .repartition(2)
+        .write.mode("overwrite").option("compression", "gzip").text(out)
+      s.read.text(out)
+        .select(explode(TextFunctions.tokens(col("value"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("word"))
+    },
+
     // §2.5 AvroIO: orders subset → avro → read back → per-priority agg.
     // (The short name "avro" has no DataSourceRegister entry in this
     // distribution; the FileFormat class itself ships in spark-sql.)
@@ -115,6 +128,12 @@ object IoQueries {
 
   val oracles: Map[String, String] = Map(
     "q_textio_roundtrip" ->
+      """SELECT word, COUNT(*) AS n FROM (
+           SELECT unnest(string_split_regex(lower(text), '[^a-z'']+')) AS word
+           FROM documents)
+         WHERE word <> ''
+         GROUP BY word ORDER BY word""",
+    "q_textio_gzip" ->
       """SELECT word, COUNT(*) AS n FROM (
            SELECT unnest(string_split_regex(lower(text), '[^a-z'']+')) AS word
            FROM documents)
