@@ -304,10 +304,13 @@ object Dedup {
   }
 
   /** End-to-end near-dedup: MinHash pairs → components → keep each
-    * cluster's min-id row. */
+    * cluster's min-id row. `useStarCC` switches the component step to
+    * [[connectedComponentsStar]] for corpora where boilerplate can chain
+    * near-dups into high-diameter components. */
   def dedupNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                           numHashes: Int = 64, shingleK: Int = 3,
-                          bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+                          bands: Int = 16, threshold: Double = 0.7,
+                          useStarCC: Boolean = false): DataFrame = {
     // persist: the symmetrizing union inside connectedComponents reads the
     // edge list twice, which would otherwise run the MinHash pipeline twice
     val pairs = minHashPairs(df, idCol, textCol, numHashes, shingleK, bands, threshold)
@@ -315,7 +318,9 @@ object Dedup {
     val nodes = df.select(col(idCol).as("id"))
     // labels come back checkpointed, so the returned plan no longer
     // references the pairs pipeline — safe to unpersist right away
-    val labels = connectedComponents(nodes, pairs)
+    val labels =
+      if (useStarCC) connectedComponentsStar(nodes, pairs)
+      else connectedComponents(nodes, pairs)
     pairs.unpersist()
     df.join(labels, df(idCol) === labels("id"))
       .filter(col(idCol) === col("label"))

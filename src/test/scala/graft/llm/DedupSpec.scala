@@ -139,5 +139,9 @@ class DedupSpec extends SparkSpec {
     assert(kept.contains(0L) && kept.contains(2L) && kept.contains(4L))
     assert(!kept.contains(3L)) // exact dup of 0 must go
     assert(kept.size <= 4)
+    val keptStar = Dedup.dedupNearDuplicates(docs, "doc_id", "text",
+      threshold = 0.5, useStarCC = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptStar == kept) // CC implementations are interchangeable
   }
 }
