@@ -110,4 +110,20 @@ object TextFunctions {
     * identical. */
   def shingleHashes(text: Column, k: Int): Column =
     ShingleExprs.shingleHashes(text, k)
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS): the min
+    * shingle hash from every window of `w` consecutive shingles,
+    * deduplicated — a compact sketch with the guarantee that any shared
+    * run of w+k-1 tokens between two documents yields at least one shared
+    * fingerprint. The standard copy-detection sketch: ~|shingles|/w values
+    * per doc instead of all of them. */
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
+    require(w > 0, "window size must be positive")
+    val sh = shingleHashes(text, k)
+    val n = size(sh)
+    array_distinct(
+      when(n <= w, array(array_min(sh)))
+        .otherwise(transform(sequence(lit(1), n - lit(w - 1)),
+          i => array_min(slice(sh, i, lit(w))))))
+  }
 }

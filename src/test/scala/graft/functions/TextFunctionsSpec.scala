@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.col
 
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
@@ -52,5 +53,19 @@ class TextFunctionsSpec extends SparkSpec {
     assert(h == h2)
     // short text falls back to a single whole-text hash
     assert(one[Seq[Long]](TextFunctions.shingleHashes(col("t"), 5), "a b").length == 1)
+  }
+
+  test("winnowing: subset of shingles, compact, shared-run guarantee") {
+    val text = "one two three four five six seven eight nine ten"
+    val sh = one[Seq[Long]](TextFunctions.shingleHashes(col("t"), 3), text)
+    val fp = one[Seq[Long]](TextFunctions.winnowingFingerprints(col("t"), 3, 4), text)
+    assert(fp.toSet.subsetOf(sh.toSet))
+    assert(fp.length < sh.length) // compaction
+    // guarantee: docs sharing a run of w+k-1=6 tokens share a fingerprint
+    val a = one[Seq[Long]](TextFunctions.winnowingFingerprints(col("t"), 3, 4),
+      "xxx yyy one two three four five six zzz")
+    val b = one[Seq[Long]](TextFunctions.winnowingFingerprints(col("t"), 3, 4),
+      "aaa one two three four five six bbb ccc")
+    assert(a.toSet.intersect(b.toSet).nonEmpty)
   }
 }

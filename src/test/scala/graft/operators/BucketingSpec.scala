@@ -30,6 +30,19 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("writer partitionBy → reads prune partitions at the source") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part-").toString
+    spark.range(1000)
+      .selectExpr("id", "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS side")
+      .write.mode("overwrite").partitionBy("side").parquet(out)
+    val filtered = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("side") === "even")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("side"),
+      s"partition filter missing from scan:\n$plan")
+    assert(filtered.count() == 500)
+  }
+
   test("aggregation on the bucket key also skips the shuffle") {
     val a = spark.range(1000).selectExpr("id as k", "id * 2 as v")
     Bucketing.writeBucketed(a, "bkt_agg", 4, Seq("k"))
