@@ -19,10 +19,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session before timing: JVM/codegen warmup and the first
     // parquet-footer reads otherwise land entirely on whichever query runs
-    // first (alphabetical), skewing its number by several seconds.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
-      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    // first (alphabetical), skewing its number by several seconds. Best
+    // effort — a missing table must not kill the whole report (per-query
+    // failures are what the errors field is for).
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").count()
+      }
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] warmup skipped: $e")
     }
     def esc(s: String): String =
       s.flatMap {

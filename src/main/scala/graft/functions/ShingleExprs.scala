@@ -3,11 +3,12 @@ package graft.functions
 import java.util.regex.Pattern
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftglue.GraftSqlBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,6 +34,22 @@ object ShingleExprs {
 
   private val NonToken = Pattern.compile("[^a-z']+")
   private val Seed = 42L
+
+  /** Input validation shared by the string-input expressions: without it,
+    * SQL-registered use (GraftExtensions) would pass analysis and fail at
+    * runtime with a cast error. */
+  private def requireType(e: Expression, ok: DataType => Boolean,
+                          expected: String): TypeCheckResult =
+    if (ok(e.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected $expected, got ${e.dataType.catalogString}")
+
+  private def isStringType(dt: DataType): Boolean = dt.isInstanceOf[StringType]
+
+  private def isDoubleArray(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
 
   /** WordCount-style tokens of the lowercased text (parity with
     * TextFunctions.tokens: split on runs of non-[a-z'], drop empties). */
@@ -73,6 +90,8 @@ object ShingleExprs {
   final case class ShingleHash(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
     require(k > 0, "shingle size must be positive")
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, isStringType, "string")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(input: Any): Any =
       new GenericArrayData(shingleHashArray(input.asInstanceOf[UTF8String], k))
@@ -86,6 +105,8 @@ object ShingleExprs {
   final case class MinHashSig(child: Expression, k: Int, numHashes: Int)
       extends UnaryExpression with CodegenFallback {
     require(k > 0 && numHashes > 0, "k and numHashes must be positive")
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, isStringType, "string")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
     // xxhash64(j, h) evaluates as: seed 42 → fold int j → fold long h;
@@ -118,6 +139,8 @@ object ShingleExprs {
     * functions.hash, seed 42), per-bit vote, sign → bit. */
   final case class SimHash32(child: Expression)
       extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, isStringType, "string")
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val toks = tokenize(input.asInstanceOf[UTF8String])
@@ -149,17 +172,27 @@ object ShingleExprs {
 
   /** Σ aᵢ·bᵢ over two double arrays, sequential left-to-right accumulation
     * — bit-parity with aggregate(zip_with(a, b, _*_), 0.0, _+_) and with
-    * DuckDB's list_inner_product, which both oracle paths rely on. */
+    * DuckDB's list_inner_product, which both oracle paths rely on.
+    * Null semantics match the replaced form: mismatched lengths or a null
+    * element yield NULL (zip_with pads/propagates null → null sum), never
+    * a plausible partial sum. */
   final case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(left, isDoubleArray, "array<double>")
+      if (l.isFailure) l else requireType(right, isDoubleArray, "array<double>")
+    }
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = a.numElements()
+      if (n != b.numElements()) return null
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
         acc += a.getDouble(i) * b.getDouble(i)
         i += 1
       }
@@ -169,6 +202,44 @@ object ShingleExprs {
     override protected def withNewChildrenInternal(newLeft: Expression,
                                                    newRight: Expression): DotProduct =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** Unit-normalize a double array in ONE pass (norm computed once, then
+    * one divide per element) — the Column form re-evaluates the full
+    * norm subtree inside the transform lambda per element (O(d²) per
+    * row). IEEE semantics for the zero vector (elements become NaN/Inf —
+    * same as the divide in the Column form); null element → null output
+    * array element positions are not representable, so a null element
+    * yields a NULL result. */
+  final case class L2Normalize(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, isDoubleArray, "array<double>")
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      var sumSq = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val x = a.getDouble(i)
+        sumSq += x * x
+        i += 1
+      }
+      val norm = math.sqrt(sumSq)
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        out(i) = a.getDouble(i) / norm
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override def prettyName: String = "l2_normalize"
+    override protected def withNewChildInternal(newChild: Expression): L2Normalize =
+      copy(child = newChild)
   }
 
   /** Column wrappers. */
@@ -184,4 +255,8 @@ object ShingleExprs {
   /** Callers must pre-cast both sides to array<double>. */
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Caller must pre-cast to array<double>. */
+  def l2Normalize(v: Column): Column =
+    GraftSqlBridge.column(L2Normalize(GraftSqlBridge.expression(v)))
 }

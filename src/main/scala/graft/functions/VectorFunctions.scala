@@ -33,9 +33,10 @@ object VectorFunctions {
 
   /** Unit-normalized copy of the vector: cosine(a, b) = dot(â, b̂), so
     * normalizing each row once turns every pairwise cosine into a single
-    * dot — 3× fewer array folds on the pair-scoring hot path. */
-  def normalized(v: Column): Column =
-    transform(asD(v), x => x / sqrt(dot(v, v)))
+    * dot — 3× fewer array folds on the pair-scoring hot path. Native
+    * single-pass expression (the transform-lambda form re-evaluates the
+    * norm subtree per element). */
+  def normalized(v: Column): Column = ShingleExprs.l2Normalize(asD(v))
 
   /** Signed-random-projection bit signature (hyperplane LSH): bit p is the
     * sign of ⟨v, plane_p⟩. Planes are deterministic (seeded) so signatures

@@ -18,6 +18,24 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  // Internal persisted frames (signature/shingle caches are read 3× per
+  // candidate-generation call). They are registered here so long-lived
+  // sessions can release them: see [[releasePersistedState]].
+  private val persisted =
+    scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  private def track(df: DataFrame): DataFrame = persisted.synchronized {
+    persisted += df
+    df.persist()
+  }
+
+  /** Unpersist every cache this module created (REPL/long-lived-driver
+    * hygiene; lazily-returned frames recompute afterwards). */
+  def releasePersistedState(): Unit = persisted.synchronized {
+    persisted.foreach(_.unpersist())
+    persisted.clear()
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: keep the smallest id per normalized-text group. One
@@ -81,10 +99,9 @@ object Dedup {
     // Persist the signatures: they are read three times (band explode +
     // both sides of the verify join-back). Recomputing means re-hashing
     // every shingle numHashes times per read — the dominant cost.
-    val sig = df.select(
+    val sig = track(df.select(
       col(idCol).as("id"),
-      minHashSignature(col(textCol), numHashes, shingleK).as("sig"))
-      .persist()
+      minHashSignature(col(textCol), numHashes, shingleK).as("sig")))
     // candidate generation carries only (bucket, id) — the signatures join
     // back AFTER dedup, so the wide arrays never ride through the shuffle
     val exploded = sig
@@ -129,7 +146,7 @@ object Dedup {
     require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 32)")
     val numChunks = maxDist + 1
     // persist: read by the chunk explode and by both verify join-backs
-    val sh = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh")).persist()
+    val sh = track(df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh")))
     val chunkStructs = (0 until numChunks).map { c =>
       val lo = c * 32 / numChunks
       val hi = (c + 1) * 32 / numChunks
@@ -170,9 +187,8 @@ object Dedup {
     // persist the shingle sets: read by the prefix explode and by both
     // sides of the verify join-back; candidates carry only ids so the wide
     // arrays stay out of the candidate shuffle
-    val sh = df.select(col(idCol).as("id"),
-      array_sort(array_distinct(TextFunctions.shingleHashes(col(textCol), shingleK))).as("sh"))
-      .persist()
+    val sh = track(df.select(col(idCol).as("id"),
+      array_sort(array_distinct(TextFunctions.shingleHashes(col(textCol), shingleK))).as("sh")))
     val prefLen = (size(col("sh")) - ceil(size(col("sh")) * lit(threshold)).cast("int") + 1)
     val pref = sh.select(col("id"), explode(slice(col("sh"), lit(1), prefLen)).as("p"))
     val a = pref.select(col("p").as("p_a"), col("id").as("id_a"))

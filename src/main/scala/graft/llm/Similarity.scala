@@ -20,6 +20,21 @@ import graft.operators.Combine
   */
 object Similarity {
 
+  // persisted-frame registry (same hygiene contract as Dedup)
+  private val persisted =
+    scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  private def track(df: DataFrame): DataFrame = persisted.synchronized {
+    persisted += df
+    df.persist()
+  }
+
+  /** Unpersist every cache this module created. */
+  def releasePersistedState(): Unit = persisted.synchronized {
+    persisted.foreach(_.unpersist())
+    persisted.clear()
+  }
+
   /** Exact cosine top-k per probe. `corpus`/`probes`: (id, embedding). */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
@@ -148,8 +163,8 @@ object Similarity {
                          dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = VectorFunctions.makePlanes(nPlanes * nTables, dim, seed)
     // persist: read by the bucket explode and both verify join-backs
-    val base = corpus.select(col("vec_id").as("id"),
-      VectorFunctions.normalized(col("embedding")).as("e")).persist()
+    val base = track(corpus.select(col("vec_id").as("id"),
+      VectorFunctions.normalized(col("embedding")).as("e")))
     val tables = (0 until nTables).map { t =>
       struct(lit(t).as("t"),
         VectorFunctions.srpBucket(col("e"),

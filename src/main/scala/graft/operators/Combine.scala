@@ -109,7 +109,11 @@ object Combine {
   def samplePerKeyByHash(df: DataFrame, keys: Seq[String], n: Int,
                          idCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val h = md5(concat_ws("|", idCols.map(c => col(c).cast("string")): _*))
+    // coalesce each part: concat_ws silently DROPS nulls, which would
+    // collide identities like (a,NULL,b)/(a,b) and diverge from engines
+    // where || propagates NULL
+    val h = md5(concat_ws("|",
+      idCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"))
     df.withColumn("__h", h)
       .withColumn("__rank", row_number().over(w))
@@ -150,13 +154,15 @@ object Combine {
     * salted aggregation for skewed keys. Stage 1 aggregates (key, salt)
     * partials across `fanout` buckets; stage 2 merges per key. Use when one
     * key dominates and even map-side partials overwhelm a single reducer.
-    * The salt must vary PER ROW (a per-partition salt would collapse to
-    * what map-side partial aggregation already gives), so it hashes the
-    * full row — deterministic, no rand(). */
+    * The salt must vary PER ROW — a per-partition salt collapses to what
+    * map-side partials already give, and a row-CONTENT hash collapses when
+    * the hot key's rows are identical (the common skew case). A
+    * monotonically increasing row id round-robins every physical row
+    * across the fanout regardless of content. */
   def sumWithHotKeyFanout(df: DataFrame, keys: Seq[String], value: Column,
                           fanout: Int): DataFrame = {
     val salted = df.withColumn(
-      "__salt", pmod(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)), lit(fanout)))
+      "__salt", pmod(monotonically_increasing_id(), lit(fanout)))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(value).as("__partial"))

@@ -103,24 +103,25 @@ object Grouping {
         payload.map(p => col("__asof").getField(p).as(s"asof_$p")): _*)
   }
 
-  /** Skew-busting salted equi-join: the skewed side gets a deterministic
-    * per-row salt, the other side replicates once per salt value, and the
-    * join key becomes (key, salt) — one hot key spreads over `salt`
-    * reducers. AQE's runtime skew split is the first answer (on by
-    * default in GraftSession); this is the explicit form for when the
-    * join must keep a particular partitioning or AQE can't see the skew
-    * (e.g. skew materializes after a filter). Replication multiplies the
-    * other side by `salt` — keep it the small side. */
+  /** Skew-busting salted equi-join: the skewed side gets a per-row salt
+    * (monotonic row id — content hashing would collapse for identical hot
+    * rows, the common skew case), the other side replicates once per salt
+    * value, and the join key becomes (key, salt) — one hot key spreads
+    * over `salt` reducers. AQE's runtime skew split is the first answer
+    * (on by default in GraftSession); this is the explicit form for when
+    * the join must keep a particular partitioning or AQE can't see the
+    * skew (e.g. skew materializes after a filter). Replication multiplies
+    * the other side by `salt` — keep it the small side. */
   def saltedJoin(skewed: DataFrame, other: DataFrame, on: Seq[String],
                  salt: Int, how: String = "inner"): DataFrame = {
-    import org.apache.spark.sql.functions.{col, explode, lit, pmod, sequence, struct, xxhash64}
+    import org.apache.spark.sql.functions.{explode, lit, monotonically_increasing_id, pmod, sequence}
     require(salt > 0, "salt must be positive")
     require(how == "inner" || how == "left_outer" || how == "left" ||
       how == "left_semi" || how == "left_anti",
       s"saltedJoin supports left-preserving joins only ($how would duplicate " +
         "unmatched replicated rows)")
     val s = skewed.withColumn("__salt",
-      pmod(xxhash64(struct(skewed.columns.toIndexedSeq.map(col): _*)), lit(salt)))
+      pmod(monotonically_increasing_id(), lit(salt)))
     val o = other.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt - 1L))))
     s.join(o, on :+ "__salt", how).drop("__salt")

@@ -24,10 +24,22 @@ object IoQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Fresh scratch dir per call: round-trips must not collide across
-    * sf dirs or concurrent queries. */
+  /** Fresh scratch dir per call under one per-JVM base that a shutdown
+    * hook deletes recursively — repeated Bench/Verify runs must not
+    * accumulate table copies in the temp filesystem. */
+  private lazy val scratchBase: java.nio.file.Path = {
+    val base = Files.createTempDirectory("graft_io_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files => F}
+      import scala.jdk.CollectionConverters._
+      try F.walk(base).iterator().asScala.toSeq.reverse.foreach(F.deleteIfExists(_))
+      catch { case _: Throwable => () }
+    }))
+    base
+  }
+
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    Files.createTempDirectory(scratchBase, prefix).toString
 
   val defs: Map[String, Q] = Map(
 

@@ -64,13 +64,15 @@ object SessionEngine {
       if (sparkWm <= 0) 0L else sparkWm + allowedLatenessMs
 
     /** Merge a new event interval [ts, ts+gap) into the open-session set:
-      * all overlapping sessions collapse into one (accumulators merged) —
-      * the mergeWindows contract. */
+      * all STRICTLY overlapping sessions collapse into one (accumulators
+      * merged) — the mergeWindows contract. Half-open intervals that only
+      * touch (next event exactly `gap` after the last) stay separate,
+      * matching Beam Sessions and Spark's session_window. */
     private def absorb(open: List[SessionState[Acc]], ts: Long,
                        v: V): List[SessionState[Acc]] = {
       val evStart = ts
       val evEnd = ts + gapMs
-      val (hit, miss) = open.partition(s => s.start <= evEnd && evStart <= s.end)
+      val (hit, miss) = open.partition(s => s.start < evEnd && evStart < s.end)
       val merged = hit.foldLeft(
         SessionState(evStart, evEnd, combine.createAccumulator(),
           combine.createAccumulator(), 0L, 0L)) { (m, s) =>
@@ -95,15 +97,17 @@ object SessionEngine {
 
     override def handleInputRows(key: K, rows: Iterator[(K, Timestamp, V)],
                                  timers: TimerValues): Iterator[Pane[K, Out]] = {
-      val wmNow = trueWm(timers.getCurrentWatermarkInMs())
       var open = sessions.get().toList
-      // a row whose own interval already ends at-or-before the watermark
-      // would be born closed: its session fired (and was GC'd) — drop it
-      // rather than resurrect a duplicate (post-close contract; rows
-      // overlapping a still-open session have ts + gap > wm and merge)
-      rows.foreach { case (_, ts, v) =>
-        if (ts.getTime + gapMs > wmNow) open = absorb(open, ts.getTime, v)
-      }
+      // Every surviving row is absorbed. Caveat (documented): sessions are
+      // GC'd at their on-time firing, so with allowedLateness > gap a row
+      // can arrive after its session fired and re-open it — it will emit a
+      // second (partial) pane at the next close. Distinguishing that row
+      // from one whose session never fired is impossible post-GC (the
+      // watermark visible here is the current batch's eviction watermark,
+      // which may already cover rows arriving in the same batch as their
+      // on-time firing); dropping on the visible watermark loses those
+      // legitimate same-batch rows, which is worse.
+      rows.foreach { case (_, ts, v) => open = absorb(open, ts.getTime, v) }
       val out = scala.collection.mutable.ArrayBuffer.empty[Pane[K, Out]]
       if (earlyPerBatch) {
         open = open.map { s =>

@@ -320,6 +320,10 @@ object TriggerEngine {
             // on-time marker semantics)
             out += emit(key, ws, st, "ON_TIME", isLast = allowedLatenessMs == 0)
             st = afterPane(st)
+          } else if (allowedLatenessMs == 0) {
+            // Never trigger with zero lateness: on-time IS the GC moment —
+            // the single FINAL pane must fire here, before state removal
+            out += emit(key, ws, st, "FINAL", isLast = true)
           }
           st = st.copy(firedOnTime = true)
           windows.updateValue(ws, st)

@@ -58,14 +58,28 @@ class SessionEngineSpec extends SparkSpec {
   test("a bridging event MERGES two open sessions, combining accumulators") {
     val panes = run("semerge", gapMin = 10, latenessMin = 20, earlyPerBatch = false,
       Accumulating, Seq(
-        Seq(("a", ts(1), 1.0)),   // session A [1, 11)
+        Seq(("a", ts(5), 1.0)),   // session A [5, 15)
         Seq(("a", ts(20), 2.0)),  // session B [20, 30)
-        Seq(("a", ts(10), 4.0)),  // bridges A and B → [1, 30), acc 7.0
+        Seq(("a", ts(13), 4.0)),  // [13, 23) overlaps both → [5, 30), acc 7.0
         Seq(("a", ts(60), 0.0)),  // watermark 40 closes the merged session
         Seq(("a", ts(80), 0.0))
       ))
-    val closed = panes.filter(p => p.timing == "ON_TIME" && p.windowStart == ts(1))
+    val closed = panes.filter(p => p.timing == "ON_TIME" && p.windowStart == ts(5))
     assert(closed.map(p => (p.windowEnd, p.value)) == Seq((ts(30), 7.0)))
+  }
+
+  test("events exactly `gap` apart do NOT merge (half-open boundary)") {
+    // (events start at minute 30: a ts-0 event is eaten by Spark's initial
+    // watermark filter — epoch artifact, unrelated to session semantics)
+    val panes = run("sebound", gapMin = 10, latenessMin = 0, earlyPerBatch = false,
+      Accumulating, Seq(
+        Seq(("a", ts(30), 1.0), ("a", ts(40), 2.0)), // touch at 40 → 2 sessions
+        Seq(("a", ts(90), 0.0)),
+        Seq(("a", ts(91), 0.0))
+      ))
+    val closed = panes.filter(_.timing == "ON_TIME").sortBy(_.windowStart.getTime)
+    assert(closed.take(2).map(p => (p.windowStart, p.windowEnd, p.value)) == Seq(
+      (ts(30), ts(40), 1.0), (ts(40), ts(50), 2.0)))
   }
 
   test("early firings for open sessions — what session_window DSL cannot do") {

@@ -95,6 +95,16 @@ class TriggerEngineSpec extends SparkSpec {
       (1.0, "ON_TIME"), (5.0, "LATE")))
   }
 
+  test("Never trigger with ZERO lateness still emits its single FINAL pane") {
+    val panes = run("never0", TriggerSpec.never, Accumulating,
+      Duration.ZERO, Seq(
+        Seq(("a", ts(1), 1.0), ("a", ts(2), 2.0)),
+        Seq(("a", ts(15), 4.0)) // watermark past end → FINAL (not silence)
+      ))
+    val w0 = panes.filter(_.windowStart == ts(0))
+    assert(w0.map(p => (p.value, p.timing, p.isLast)) == Seq((3.0, "FINAL", true)))
+  }
+
   test("Never trigger: one FINAL pane at GC only") {
     val panes = run("never", TriggerSpec.never, Accumulating,
       Duration.ofMinutes(5), Seq(
