@@ -48,6 +48,10 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $e")
           errors ::= (name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
           None
+      } finally {
+        // keep executor cache flat across the full query sweep
+        graft.llm.Dedup.releasePersistedState()
+        graft.llm.Similarity.releasePersistedState()
       }
     }
     val qs = results.map { case (k, v) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")

@@ -95,11 +95,22 @@ object Dedup {
     */
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, shingleK: Int = 3, bands: Int = 16,
-                   threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+                   threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame =
+    minHashPairsTracked(df, idCol, textCol, numHashes, shingleK, bands,
+      threshold, maxBucket, track)
+
+  /** [[minHashPairs]] with a caller-supplied cache tracker, so pipeline
+    * wrappers (e.g. [[dedupNearDuplicates]]) can release the internal
+    * signature cache as soon as their own downstream is materialized
+    * instead of parking it in the module registry for the JVM lifetime. */
+  private def minHashPairsTracked(df: DataFrame, idCol: String, textCol: String,
+                                  numHashes: Int, shingleK: Int, bands: Int,
+                                  threshold: Double, maxBucket: Int,
+                                  tracker: DataFrame => DataFrame): DataFrame = {
     // Persist the signatures: they are read three times (band explode +
     // both sides of the verify join-back). Recomputing means re-hashing
     // every shingle numHashes times per read — the dominant cost.
-    val sig = track(df.select(
+    val sig = tracker(df.select(
       col(idCol).as("id"),
       minHashSignature(col(textCol), numHashes, shingleK).as("sig")))
     // candidate generation carries only (bucket, id) — the signatures join
@@ -327,9 +338,16 @@ object Dedup {
                           numHashes: Int = 64, shingleK: Int = 3,
                           bands: Int = 16, threshold: Double = 0.7,
                           useStarCC: Boolean = false): DataFrame = {
+    // Track this call's signature cache locally (not in the module
+    // registry): once labels are checkpointed nothing references it, so it
+    // is released before returning — repeated pipeline calls on a
+    // long-lived driver stay memory-flat.
+    val localCaches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val tracker = (d: DataFrame) => { localCaches += d; d.persist() }
     // persist: the symmetrizing union inside connectedComponents reads the
     // edge list twice, which would otherwise run the MinHash pipeline twice
-    val pairs = minHashPairs(df, idCol, textCol, numHashes, shingleK, bands, threshold)
+    val pairs = minHashPairsTracked(df, idCol, textCol, numHashes, shingleK,
+      bands, threshold, 1000, tracker)
       .select(col("id_a"), col("id_b")).persist()
     val nodes = df.select(col(idCol).as("id"))
     // labels come back checkpointed, so the returned plan no longer
@@ -338,6 +356,7 @@ object Dedup {
       if (useStarCC) connectedComponentsStar(nodes, pairs)
       else connectedComponents(nodes, pairs)
     pairs.unpersist()
+    localCaches.foreach(_.unpersist())
     df.join(labels, df(idCol) === labels("id"))
       .filter(col(idCol) === col("label"))
       .select(df.columns.toIndexedSeq.map(col): _*)

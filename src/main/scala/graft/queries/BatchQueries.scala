@@ -523,7 +523,8 @@ object BatchQueries {
       """SELECT event_id, event_type FROM (
            SELECT event_id, event_type,
              row_number() OVER (PARTITION BY event_type
-               ORDER BY md5(event_type || '|' || CAST(event_id AS VARCHAR))) AS rn
+               ORDER BY md5(coalesce(event_type, chr(0)) || '|' ||
+                            coalesce(CAST(event_id AS VARCHAR), chr(0)))) AS rn
            FROM events)
          WHERE rn <= 5
          ORDER BY event_type, event_id""",

@@ -462,8 +462,8 @@ object LlmQueries {
           + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
           + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END)
           + (CASE WHEN sr > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality,
-           coalesce(list_sum(list_transform(pieces,
-             p -> CAST(ceil(length(p)::DOUBLE / 4.0) AS BIGINT))), 0) AS bpe_tokens,
+           CAST(coalesce(list_sum(list_transform(pieces,
+             p -> CAST(ceil(length(p)::DOUBLE / 4.0) AS BIGINT))), 0) AS BIGINT) AS bpe_tokens,
            md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
          FROM m ORDER BY doc_id""",
     "q_token_counts" ->
