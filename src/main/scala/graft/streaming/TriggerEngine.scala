@@ -42,12 +42,19 @@ object TriggerEngine {
     * ([U] W/Trigger.java + one file per composite: AfterPane, AfterFirst,
     * AfterAll, Repeatedly, OrFinallyTrigger, AfterProcessingTime).
     *
-    * Finishing semantics: a bare atomic firing at the top level of a
-    * TriggerSpec is implicitly `Repeatedly` (the form real pipelines use);
-    * inside an explicit composite the Beam algebra applies exactly — an
-    * atomic/AfterFirst/AfterAll finishes once it fires, `Repeatedly` never
-    * finishes, `OrFinally(main, until)` finishes when `until`'s condition
-    * holds at a firing. */
+    * Finishing semantics — INTENTIONAL divergence from Beam's
+    * AfterWatermarkEarlyAndLate: Beam wraps the entire early/late spec in
+    * `Repeatedly.forever`, so a composite like AfterFirst(...) repeats
+    * until the window closes and `OrFinally` can never actually stop an
+    * early firing. Here `TriggerSpec(early = f)` applies the algebra
+    * literally — only a bare atomic at the top level is implicitly
+    * `Repeatedly` (the form real pipelines use); a composite finishes per
+    * its own rule: an atomic/AfterFirst/AfterAll finishes once it fires,
+    * `Repeatedly` never finishes, `OrFinally(main, until)` finishes when
+    * `until`'s condition holds at a firing. This makes fire-once and
+    * fire-until composites expressible as early firings, which Beam's
+    * auto-wrap forecloses. For exact Beam behavior use
+    * [[TriggerSpec.beamStyle]], which applies the `Repeatedly` wrap. */
   sealed trait Firing extends Serializable
   /** Fire after n new elements since the last pane (AfterPane
     * .elementCountAtLeast). */
@@ -60,8 +67,14 @@ object TriggerEngine {
   /** AfterProcessingTime.pastFirstElementInPane.plusDelayOf(delay): fire
     * once `delay` wall-clock ms have passed since the pane's first element.
     * Micro-batch rendering: the condition is checked when a batch touches
-    * the key, so a firing lands on the first batch at-or-after the delay
-    * (Beam's own processing-time triggers are similarly best-effort). */
+    * the KEY (any window of it — see the wall-clock sweep), so a firing
+    * lands on the first such batch at-or-after the delay. A key that goes
+    * completely quiet fires only when the watermark closes the window:
+    * `transformWithState` runs in a single TimeMode, so an event-time
+    * engine cannot also register wall-clock timers — the stronger guarantee
+    * would need a second processing-time-mode operator. Beam's own
+    * processing-time triggers are documented best-effort; this is the
+    * micro-batch analogue of that caveat. */
   final case class AfterProcessingTimeDelay(delayMs: Long) extends Firing
   /** Fire when ANY sub-trigger's condition holds; finishes on fire. */
   final case class AfterFirst(subs: Seq[Firing]) extends Firing
@@ -78,8 +91,11 @@ object TriggerEngine {
   final case class AfterEach(subs: Seq[Firing]) extends Firing
 
   /** Condition inputs for firing evaluation: all atomic conditions are
-    * monotone within a pane, so composites need no per-sub state
-    * (AfterEach indexes by the window's pane count). */
+    * monotone within a pane, so composites need no per-sub state.
+    * `paneIndex` here is the count of panes fired by THE TRIGGER BEING
+    * EVALUATED (early and late each keep their own count) — AfterEach as a
+    * late trigger must start at its first sub, not skip the ones "used up"
+    * by early/on-time panes of the window's global pane numbering. */
   private final case class FiringCtx(sinceLastPane: Long, paneFirstWallMs: Long,
                                      nowMs: Long, paneIndex: Long)
 
@@ -131,6 +147,19 @@ object TriggerEngine {
   object TriggerSpec {
     val default: TriggerSpec = TriggerSpec()
     val never: TriggerSpec = TriggerSpec(suppressOnTime = true)
+
+    /** Beam-exact AfterWatermark.pastEndOfWindow.withEarlyFirings(early)
+      * .withLateFirings(late): both specs wrapped in `Repeatedly.forever`,
+      * as [U] W/AfterWatermark.java does — composites repeat until the
+      * window closes instead of finishing (see the Firing doc for why the
+      * plain constructor diverges). */
+    def beamStyle(early: Firing = NoFiring, late: Firing = NoFiring): TriggerSpec = {
+      def wrap(f: Firing): Firing = f match {
+        case NoFiring | Repeatedly(_) => f
+        case other                    => Repeatedly(other)
+      }
+      TriggerSpec(wrap(early), wrap(late))
+    }
   }
 
   sealed trait AccumulationMode extends Serializable
@@ -159,7 +188,9 @@ object TriggerEngine {
       timersSet: Boolean,
       paneFirstWallMs: Long = 0L,   // wall-clock of pane's first element
       earlyFinished: Boolean = false, // early trigger finished (algebra)
-      lateFinished: Boolean = false)  // late trigger finished (algebra)
+      lateFinished: Boolean = false,  // late trigger finished (algebra)
+      earlyPanes: Long = 0L,          // panes fired by the early trigger
+      latePanes: Long = 0L)           // panes fired by the late trigger
 
   /** The processor. Input rows: (key, eventTime, value).
     *
@@ -207,8 +238,11 @@ object TriggerEngine {
       WindowState(combine.createAccumulator(), combine.createAccumulator(),
         0L, 0L, firedOnTime = false, timersSet = false)
 
-    private def ctxOf(st: WindowState[Acc], nowMs: Long): FiringCtx =
-      FiringCtx(st.sinceLastPane, st.paneFirstWallMs, nowMs, st.paneIndex)
+    /** `triggerPanes`: the evaluated trigger's own fired-pane count (early
+      * vs late are independent streams for AfterEach's position). */
+    private def ctxOf(st: WindowState[Acc], nowMs: Long,
+                      triggerPanes: Long): FiringCtx =
+      FiringCtx(st.sinceLastPane, st.paneFirstWallMs, nowMs, triggerPanes)
 
     private def paneValue(st: WindowState[Acc]): Out = mode match {
       case Accumulating => combine.extractOutput(st.acc)
@@ -267,19 +301,21 @@ object TriggerEngine {
           }
           if (windowClosed && postOnTime) {
             // post-watermark arrival: LATE pane per the late trigger
-            val ctx = ctxOf(st, nowMs)
+            val ctx = ctxOf(st, nowMs, st.latePanes)
             if (!trigger.suppressOnTime && !st.lateFinished &&
                 trigger.late != NoFiring && ready(lateFiring, ctx)) {
               out += emit(key, ws, st, "LATE", isLast = false)
               st = afterPane(st)
-                .copy(lateFinished = finishesOnFire(lateFiring, ctx))
+                .copy(lateFinished = finishesOnFire(lateFiring, ctx),
+                  latePanes = st.latePanes + 1)
             }
           } else if (!windowClosed) {
-            val ctx = ctxOf(st, nowMs)
+            val ctx = ctxOf(st, nowMs, st.earlyPanes)
             if (!trigger.suppressOnTime && !st.earlyFinished && ready(earlyFiring, ctx)) {
               out += emit(key, ws, st, "EARLY", isLast = false)
               st = afterPane(st)
-                .copy(earlyFinished = finishesOnFire(earlyFiring, ctx))
+                .copy(earlyFinished = finishesOnFire(earlyFiring, ctx),
+                  earlyPanes = st.earlyPanes + 1)
             }
           }
           windows.updateValue(ws, st)
@@ -293,11 +329,12 @@ object TriggerEngine {
           val wEnd = ws + windowSizeMs
           if (!touched.contains(ws) && wEnd > wm && !st0.firedOnTime &&
               !st0.earlyFinished && st0.sinceLastPane > 0) {
-            val ctx = ctxOf(st0, nowMs)
+            val ctx = ctxOf(st0, nowMs, st0.earlyPanes)
             if (ready(earlyFiring, ctx)) {
               out += emit(key, ws, st0, "EARLY", isLast = false)
               windows.updateValue(ws, afterPane(st0)
-                .copy(earlyFinished = finishesOnFire(earlyFiring, ctx)))
+                .copy(earlyFinished = finishesOnFire(earlyFiring, ctx),
+                  earlyPanes = st0.earlyPanes + 1))
             }
           }
         }

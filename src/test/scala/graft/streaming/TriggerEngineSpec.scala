@@ -214,6 +214,42 @@ class TriggerEngineSpec extends SparkSpec {
       (3.0, "EARLY"), (7.0, "EARLY"), (15.0, "ON_TIME")))
   }
 
+  test("beamStyle wraps composites in Repeatedly: AfterFirst keeps firing") {
+    // Same composite as the finish-once test above, but through the
+    // Beam-exact constructor: AfterWatermarkEarlyAndLate wraps early
+    // firings in Repeatedly.forever, so the composite repeats every batch.
+    val panes = run("beamstyle",
+      TriggerSpec.beamStyle(early = AfterFirst(Seq(AfterCount(5), PerBatch))),
+      Accumulating, Duration.ZERO, Seq(
+        Seq(("a", ts(1), 1.0)),
+        Seq(("a", ts(2), 2.0)),   // fires again — not finished under Beam wrap
+        Seq(("a", ts(15), 0.0))
+      ))
+    val w0 = panes.filter(_.windowStart == ts(0)).sortBy(_.paneIndex)
+    assert(w0.map(p => (p.value, p.timing)) == Seq(
+      (1.0, "EARLY"), (3.0, "EARLY"), (3.0, "ON_TIME")))
+  }
+
+  test("AfterEach as a LATE trigger starts at its first sub-trigger") {
+    // Early + on-time panes advance the window's global pane index to 2;
+    // the late AfterEach must still begin at sub0 (its own pane count),
+    // not treat its subs as already consumed.
+    val panes = run("aeachlate",
+      TriggerSpec(early = PerBatch, late = AfterEach(Seq(AfterCount(2), PerBatch))),
+      Accumulating, Duration.ofMinutes(10), Seq(
+        Seq(("a", ts(1), 1.0)),    // EARLY pane 0
+        Seq(("a", ts(12), 2.0)),   // true watermark 12 → ON_TIME for [0,10)
+        Seq(("a", ts(5), 4.0)),    // late; sub0=count(2): 1 since pane → no fire
+        Seq(("a", ts(6), 8.0)),    // 2 since pane → LATE (sub0), advance
+        Seq(("a", ts(7), 16.0)),   // sub1=per-batch → LATE, trigger finished
+        Seq(("a", ts(8), 32.0)),   // finished → dropped
+        Seq(("a", ts(31), 0.0))    // GC
+      ))
+    val w0 = panes.filter(_.windowStart == ts(0)).sortBy(_.paneIndex)
+    assert(w0.map(p => (p.value, p.timing)) == Seq(
+      (1.0, "EARLY"), (1.0, "ON_TIME"), (13.0, "LATE"), (29.0, "LATE")))
+  }
+
   test("late data is DROPPED when no late firing is configured (finished trigger)") {
     val panes = run("latedrop",
       TriggerSpec(), Accumulating, Duration.ofMinutes(10), Seq(
