@@ -136,6 +136,20 @@ object IoQueries {
         .agg(count(lit(1)).as("n"), sum(col("i")).as("s"))
         .orderBy(col("m"))
     },
+
+    // §2.5 Source framework (BoundedSource.split + getEstimatedSizeBytes):
+    // the graft.sources DSv2 connector — split-planned parallel read with
+    // scan statistics, per-minute event-time aggregation over the emitted
+    // timestamp column.
+    "q_counting_source" -> { (s, _) =>
+      s.read.format("graft-counting")
+        .option("n", 10000).option("splits", 8)
+        .option("startMs", 0).option("periodMs", 1000)
+        .load()
+        .groupBy(date_trunc("minute", col("ts")).as("minute"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+        .orderBy(col("minute"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -169,5 +183,9 @@ object IoQueries {
       """SELECT CAST(range % 7 AS BIGINT) AS m, count(*) AS n,
            CAST(SUM(range) AS BIGINT) AS s
          FROM range(0, 100000) GROUP BY 1 ORDER BY 1""",
+    "q_counting_source" ->
+      """SELECT CAST(date_trunc('minute', to_timestamp(range)) AS TIMESTAMP) AS minute,
+           count(*) AS n, CAST(SUM(range) AS BIGINT) AS s
+         FROM range(0, 10000) GROUP BY 1 ORDER BY 1""",
   )
 }
