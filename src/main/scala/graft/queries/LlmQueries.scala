@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.llm.{Dedup, Multimodal, Similarity}
+import graft.llm.{Dedup, Multimodal, Similarity, TextRelevance}
 
 /** LLM-data-pipeline operator inventory (SURVEY.md §7 Phase 4): dedup,
   * similarity search, text analysis, multimodal plumbing. Oracles exist
@@ -156,6 +156,28 @@ object LlmQueries {
         TextFunctions.tokenCount(col("text")).as("n_ws_tokens"),
         length(col("text")).as("n_chars_actual"),
         size(TextFunctions.shingleHashes(col("text"), 3)).as("n_shingles"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus-statistics relevance: top-3 TF-IDF terms per document.
+    // Ranking uses the ROUNDED weight (ties broken by term) so the oracle
+    // ranks identically — raw doubles can differ by an ulp across engines.
+    "q_tfidf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = TextRelevance.tfIdf(Tables(s, dir).documents, "doc_id", "text")
+        .withColumn("tfidf", round(col("tfidf"), 4))
+      val rn = row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term")))
+      w.withColumn("rn", rn).filter(col("rn") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("tfidf"))
+        .orderBy(col("doc_id"), col("term"))
+    },
+
+    // BM25 query scoring over the corpus (k1=1.2, b=0.75).
+    "q_bm25" -> { (s, dir) =>
+      TextRelevance.bm25(Tables(s, dir).documents, "doc_id", "text",
+        Seq("query", "stream", "vector"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"), col("n_matched"))
         .orderBy(col("doc_id"))
     },
 
@@ -426,6 +448,48 @@ object LlmQueries {
              row_number() OVER (PARTITION BY grp ORDER BY quality DESC, doc_id) AS rn
            FROM q)
          SELECT doc_id, quality FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+    "q_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '')) AS term
+           FROM documents),
+         tc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         dfq AS (SELECT term AS t2, count(*) AS df FROM tc GROUP BY term),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         w AS (
+           SELECT doc_id, term, tf,
+             round(tf * (ln((n_docs + 1.0) / (df + 1)) + 1.0), 4) AS tfidf
+           FROM tc, dfq, n WHERE tc.term = dfq.t2),
+         ranked AS (
+           SELECT doc_id, term, tf, tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+           FROM w)
+         SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn <= 3
+         ORDER BY doc_id, term""",
+    "q_bm25" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '')) AS term
+           FROM documents),
+         tc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         dfq AS (SELECT term AS t2, count(*) AS df FROM tc GROUP BY term),
+         lens AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '')) AS dl
+           FROM documents),
+         stats AS (
+           SELECT (SELECT count(*) FROM documents) AS n_docs,
+                  (SELECT avg(dl) FROM lens) AS avgdl),
+         scored AS (
+           SELECT tc.doc_id,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+             tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS tf_norm
+           FROM tc, dfq, lens, stats
+           WHERE tc.term = dfq.t2 AND tc.doc_id = lens.doc_id
+             AND tc.term IN ('query', 'stream', 'vector'))
+         SELECT doc_id, round(sum(idf * tf_norm), 4) AS score,
+           count(*) AS n_matched
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
     // quality/bpe/fp replicated component-by-component. RE2 has no
     // lookarounds, so the BPE-piece split is emulated by inserting spaces at
     // the same boundaries and splitting on whitespace (equivalent piece
