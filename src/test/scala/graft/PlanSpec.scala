@@ -33,9 +33,11 @@ class PlanSpec extends SparkSpec {
   test("no registered query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is legitimate ONLY where the design is an
     // intentional broadcast of a tiny side against a non-equi condition:
-    // the exact ANN baseline (probes) and IVF centroid assignment.
+    // the exact ANN baseline (probes), IVF centroid assignment, and the
+    // 1-row corpus-statistics frames (N, avgdl) under TF-IDF/BM25 — the
+    // same plan Catalyst gives a scalar subquery.
     val bnljAllowed = Set("q_similarity_topk", "q_similarity_ivf",
-      "q_similarity_ivf_trained")
+      "q_similarity_ivf_trained", "q_tfidf", "q_bm25")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
