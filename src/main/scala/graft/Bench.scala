@@ -52,6 +52,7 @@ object Bench {
         // keep executor cache flat across the full query sweep
         graft.llm.Dedup.releasePersistedState()
         graft.llm.Similarity.releasePersistedState()
+        graft.llm.TextRelevance.releasePersistedState()
       }
     }
     val qs = results.map { case (k, v) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")

@@ -30,6 +30,7 @@ object Verify {
         // keep executor cache flat across the full query sweep
         graft.llm.Dedup.releasePersistedState()
         graft.llm.Similarity.releasePersistedState()
+        graft.llm.TextRelevance.releasePersistedState()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -24,6 +24,23 @@ import graft.functions.TextFunctions
   */
 object TextRelevance {
 
+  // persisted-frame registry (same hygiene contract as Dedup/Similarity):
+  // tokenizing the corpus is the dominant cost, so frames that are read
+  // more than once are persisted and released via releasePersistedState
+  private val persisted =
+    scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  private def track(df: DataFrame): DataFrame = persisted.synchronized {
+    persisted += df
+    df.persist()
+  }
+
+  /** Unpersist every cache this module created. */
+  def releasePersistedState(): Unit = persisted.synchronized {
+    persisted.foreach(_.unpersist())
+    persisted.clear()
+  }
+
   /** (doc_id, term, tf): term frequencies per document. One shuffle. */
   def termCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc_id"),
@@ -40,7 +57,9 @@ object TextRelevance {
     * unseen terms). N rides a broadcast 1-row aggregate, not a driver
     * collect. */
   def tfIdf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tc = termCounts(df, idCol, textCol)
+    // persisted: read by docFrequencies and by the output join — one
+    // tokenization pass over the corpus instead of two
+    val tc = track(termCounts(df, idCol, textCol))
     val dfreq = docFrequencies(tc)
     val nDocs = df.select(count(lit(1)).as("n_docs"))
     tc.join(dfreq, "term")
@@ -59,10 +78,14 @@ object TextRelevance {
   def bm25(df: DataFrame, idCol: String, textCol: String,
            queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25 needs at least one query term")
-    val tc = termCounts(df, idCol, textCol)
+    // two tokenization passes total: tc (persisted — feeds docFrequencies
+    // and the match join) and lens (persisted — feeds avgdl and the
+    // length join). lens must come from the raw corpus, not from tc: a
+    // zero-token document has no tc rows but still counts toward avgdl.
+    val tc = track(termCounts(df, idCol, textCol))
     val dfreq = docFrequencies(tc)
-    val lens = df.select(col(idCol).as("doc_id"),
-      size(TextFunctions.tokens(col(textCol))).as("dl"))
+    val lens = track(df.select(col(idCol).as("doc_id"),
+      size(TextFunctions.tokens(col(textCol))).as("dl")))
     val stats = df.select(count(lit(1)).as("n_docs"))
       .crossJoin(lens.select(avg(col("dl")).as("avgdl")))
     tc.filter(col("term").isin(queryTerms.map(lit): _*))
