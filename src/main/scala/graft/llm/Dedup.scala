@@ -93,9 +93,14 @@ object Dedup {
     * m²/2 candidates; boilerplate text at corpus scale makes m huge).
     * Dropped buckets are the standard recall/robustness trade.
     */
+  /** Default LSH bucket-size cap — the recall/robustness trade shared by
+    * [[minHashPairs]] and [[dedupNearDuplicates]]. */
+  val DefaultMaxBucket: Int = 1000
+
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, shingleK: Int = 3, bands: Int = 16,
-                   threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame =
+                   threshold: Double = 0.7,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame =
     minHashPairsTracked(df, idCol, textCol, numHashes, shingleK, bands,
       threshold, maxBucket, track)
 
@@ -205,8 +210,11 @@ object Dedup {
     * trade that keeps the candidate join subquadratic on skewed text. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.shingleHashes(col(textCol), shingleK)).as("sh0"))
+    // persist the raw shingle sets: the exploded frame below feeds BOTH
+    // the df-count branch and the reorder join, and without the cache each
+    // branch would re-shingle the whole corpus
+    val sets = track(df.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.shingleHashes(col(textCol), shingleK)).as("sh0")))
     val exploded = sets.select(col("id"), explode(col("sh0")).as("s"))
     val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // persist the df-ordered shingle sets: read by the prefix explode and
@@ -355,7 +363,8 @@ object Dedup {
   def dedupNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                           numHashes: Int = 64, shingleK: Int = 3,
                           bands: Int = 16, threshold: Double = 0.7,
-                          useStarCC: Boolean = false): DataFrame = {
+                          useStarCC: Boolean = false,
+                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // Track this call's signature cache locally (not in the module
     // registry): once labels are checkpointed nothing references it, so it
     // is released before returning — repeated pipeline calls on a
@@ -365,7 +374,7 @@ object Dedup {
     // persist: the symmetrizing union inside connectedComponents reads the
     // edge list twice, which would otherwise run the MinHash pipeline twice
     val pairs = minHashPairsTracked(df, idCol, textCol, numHashes, shingleK,
-      bands, threshold, 1000, tracker)
+      bands, threshold, maxBucket, tracker)
       .select(col("id_a"), col("id_b")).persist()
     val nodes = df.select(col(idCol).as("id"))
     // labels come back checkpointed, so the returned plan no longer

@@ -86,8 +86,9 @@ object TextRelevance {
     val dfreq = docFrequencies(tc)
     val lens = track(df.select(col(idCol).as("doc_id"),
       size(TextFunctions.tokens(col(textCol))).as("dl")))
-    val stats = df.select(count(lit(1)).as("n_docs"))
-      .crossJoin(lens.select(avg(col("dl")).as("avgdl")))
+    // both corpus scalars come from the cached lens frame (one row per
+    // document, zero-token docs included) — no extra scan of the corpus
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     tc.filter(col("term").isin(queryTerms.map(lit): _*))
       .join(dfreq, "term")
       .join(lens, "doc_id")

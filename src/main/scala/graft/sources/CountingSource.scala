@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -140,21 +140,28 @@ final case class CountingOffset(count: Long) extends Offset {
 }
 
 final class CountingMicroBatchStream(config: CountingSource.Config)
-    extends MicroBatchStream {
-  @volatile private var committed: Long = 0L
-  @volatile private var planned: Long = 0L
+    extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = CountingOffset(0L)
-  override def latestOffset(): Offset = {
-    // advance one bounded step per batch, never past maxRows (the
-    // withMaxNumRecords drain contract); monotone across calls
-    planned = math.min(math.max(planned, committed) + config.rowsPerBatch,
-      config.maxRows)
-    CountingOffset(planned)
+
+  /** The recovery-safe stepping contract: Spark hands the source the
+    * checkpointed start offset (SupportsAdmissionControl), so a fresh
+    * instance after restart steps forward from where the log left off —
+    * instance state here would regress the offset log and re-emit rows.
+    * One bounded step per batch, never past maxRows (the
+    * withMaxNumRecords drain). */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CountingOffset].count
+    CountingOffset(math.min(s + config.rowsPerBatch, config.maxRows))
   }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Unused once SupportsAdmissionControl is implemented; Spark calls the
+    * two-argument form. */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the supported form")
   override def deserializeOffset(json: String): Offset =
     CountingOffset(json.trim.toLong)
-  override def commit(end: Offset): Unit =
-    committed = end.asInstanceOf[CountingOffset].count
+  override def commit(end: Offset): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CountingOffset].count
     val e = end.asInstanceOf[CountingOffset].count

@@ -107,6 +107,11 @@ object TriggerEngine {
       ctx.paneFirstWallMs > 0 && ctx.nowMs >= ctx.paneFirstWallMs + d
     case AfterFirst(subs)            => subs.exists(ready(_, ctx))
     case AfterAll(subs)              => subs.nonEmpty && subs.forall(ready(_, ctx))
+    // Repeatedly resets a finished sub-trigger (Beam Repeatedly.forever):
+    // for AfterEach that means cycling back to sub 0 after exhaustion
+    // instead of stalling, so position is paneIndex mod |subs|.
+    case Repeatedly(AfterEach(subs)) =>
+      subs.nonEmpty && ready(subs((ctx.paneIndex % subs.length).toInt), ctx)
     case Repeatedly(sub)             => ready(sub, ctx)
     case OrFinally(main, until)      => ready(main, ctx) || ready(until, ctx)
     case AfterEach(subs)             =>
@@ -178,7 +183,9 @@ object TriggerEngine {
       isLast: Boolean)
 
   /** Per-window engine state. Serialized with kryo — accumulator type is
-    * caller-defined. */
+    * caller-defined. NOTE: kryo field serialization means the state schema
+    * is not evolvable in place — changing this case class requires a fresh
+    * streaming checkpoint (the standard contract for kryo-encoded state). */
   final case class WindowState[Acc](
       acc: Acc,                 // accumulating-mode accumulator
       paneAcc: Acc,             // since-last-pane accumulator (discarding)

@@ -43,6 +43,29 @@ class CountingSourceSpec extends SparkSpec {
     assert(st.sizeInBytes().getAsLong == 500L * 16)
   }
 
+  test("restart resumes from the committed offset without re-emitting") {
+    // file sink (memory sink cannot recover from a checkpoint): after the
+    // second run the output must hold each id exactly once — a fresh
+    // stream instance that re-planned below the committed offset would
+    // append duplicates of [0, 60)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cnt-ck-").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-cnt-out-").toString
+    def runStream(maxRows: Int): Unit = {
+      val q = spark.readStream.format("graft-counting")
+        .option("rowsPerBatch", 30).option("splits", 2).option("maxRows", maxRows)
+        .load()
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runStream(60)
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+      == (0L until 60L))
+    runStream(100)
+    assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+      == (0L until 100L))
+  }
+
   test("unbounded read: rowsPerBatch steps, drains at maxRows") {
     val stream = spark.readStream.format("graft-counting")
       .option("rowsPerBatch", 40).option("splits", 3).option("maxRows", 100)

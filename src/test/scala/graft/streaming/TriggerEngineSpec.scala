@@ -250,6 +250,22 @@ class TriggerEngineSpec extends SparkSpec {
       (1.0, "EARLY"), (1.0, "ON_TIME"), (13.0, "LATE"), (29.0, "LATE")))
   }
 
+  test("Repeatedly(AfterEach) cycles its subs instead of stalling (Beam reset)") {
+    val panes = run("aeachcycle",
+      TriggerSpec(early = Repeatedly(AfterEach(Seq(AfterCount(2), PerBatch)))),
+      Accumulating, Duration.ZERO, Seq(
+        Seq(("a", ts(1), 1.0)),   // sub0 = count(2): 1 element → no fire
+        Seq(("a", ts(2), 2.0)),   // 2 since pane → fire (sub0), advance
+        Seq(("a", ts(3), 4.0)),   // sub1 = per-batch → fire, CYCLE to sub0
+        Seq(("a", ts(4), 8.0)),   // sub0 again: 1 since pane → no fire
+        Seq(("a", ts(5), 16.0)),  // 2 since pane → fire (sub0)
+        Seq(("a", ts(15), 0.0))
+      ))
+    val w0 = panes.filter(_.windowStart == ts(0)).sortBy(_.paneIndex)
+    assert(w0.map(p => (p.value, p.timing)) == Seq(
+      (3.0, "EARLY"), (7.0, "EARLY"), (31.0, "EARLY"), (31.0, "ON_TIME")))
+  }
+
   test("late data is DROPPED when no late firing is configured (finished trigger)") {
     val panes = run("latedrop",
       TriggerSpec(), Accumulating, Duration.ofMinutes(10), Seq(
