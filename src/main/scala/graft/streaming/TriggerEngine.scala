@@ -38,6 +38,11 @@ import graft.operators.Combine.CombineFn
   */
 object TriggerEngine {
 
+  /** GlobalWindow end sentinel (9999-12-31T23:59:59.999Z): the analogue of
+    * Beam's GlobalWindow.MAX_TIMESTAMP, bounded so Spark's millis→micros
+    * timestamp conversion cannot overflow. */
+  val GlobalWindowEndMs: Long = 253402300799999L
+
   /** Early/late firing specs — Beam's trigger algebra
     * ([U] W/Trigger.java + one file per composite: AfterPane, AfterFirst,
     * AfterAll, Repeatedly, OrFinallyTrigger, AfterProcessingTime).
@@ -71,10 +76,11 @@ object TriggerEngine {
     * lands on the first such batch at-or-after the delay. A key that goes
     * completely quiet fires only when the watermark closes the window:
     * `transformWithState` runs in a single TimeMode, so an event-time
-    * engine cannot also register wall-clock timers — the stronger guarantee
-    * would need a second processing-time-mode operator. Beam's own
+    * engine cannot also register wall-clock timers. Beam's own
     * processing-time triggers are documented best-effort; this is the
-    * micro-batch analogue of that caveat. */
+    * micro-batch analogue of that caveat. For the guaranteed-firing form
+    * (quiet keys included) use [[processingTimeAggregate]], which runs the
+    * wall clock as its own TimeMode.ProcessingTime operator. */
   final case class AfterProcessingTimeDelay(delayMs: Long) extends Firing
   /** Fire when ANY sub-trigger's condition holds; finishes on fire. */
   final case class AfterFirst(subs: Seq[Firing]) extends Firing
@@ -387,6 +393,102 @@ object TriggerEngine {
       }
       out.iterator
     }
+  }
+
+  /** Per-key state for the processing-time pane engine. Kryo-encoded —
+    * same fresh-checkpoint caveat as [[WindowState]]. */
+  final case class GlobalPaneState[Acc](
+      acc: Acc,            // accumulating-mode accumulator
+      paneAcc: Acc,        // since-last-pane accumulator (discarding)
+      sinceLastPane: Long,
+      paneIndex: Long,
+      timerPending: Boolean)
+
+  /** GlobalWindows + Repeatedly(AfterProcessingTime.pastFirstElementInPane
+    * .plusDelayOf(delay)) — the wall-clock half of the trigger algebra run
+    * in its OWN TimeMode ([U] W/AfterProcessingTime.java semantics;
+    * "emit a pane every d wall-ms while data is pending"). Unlike
+    * [[AfterProcessingTimeDelay]] inside the event-time engine (best-effort:
+    * checked when a batch touches the key), this engine runs in
+    * TimeMode.ProcessingTime, so the pane's timer fires even for keys that
+    * go completely quiet — Spark's no-data micro-batches run due timers
+    * without new input. The trade is the TimeMode split itself: one
+    * operator cannot run both clocks, so event-time windowing and
+    * wall-clock panes compose as separate stages, not one trigger tree. */
+  final class ProcessingTimePaneProcessor[K, V, Acc, Out](
+      delayMs: Long,
+      mode: AccumulationMode,
+      combine: CombineFn[V, Acc, Out])
+      extends StatefulProcessor[K, (K, V), Pane[K, Out]] {
+
+    @transient private var state: ValueState[GlobalPaneState[Acc]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[GlobalPaneState[Acc]](
+        "global", Encoders.kryo[GlobalPaneState[Acc]], TTLConfig.NONE)
+
+    private def fresh(): GlobalPaneState[Acc] =
+      GlobalPaneState(combine.createAccumulator(), combine.createAccumulator(),
+        0L, 0L, timerPending = false)
+
+    override def handleInputRows(key: K, rows: Iterator[(K, V)],
+                                 timers: TimerValues): Iterator[Pane[K, Out]] = {
+      var st = Option(state.get()).getOrElse(fresh())
+      rows.foreach { case (_, v) =>
+        st = st.copy(
+          acc = combine.addInput(st.acc, v),
+          paneAcc = combine.addInput(st.paneAcc, v),
+          sinceLastPane = st.sinceLastPane + 1)
+      }
+      if (!st.timerPending && st.sinceLastPane > 0) {
+        // pastFirstElementInPane: the clock starts at the pane's first
+        // element, not at every element
+        getHandle.registerTimer(timers.getCurrentProcessingTimeInMs() + delayMs)
+        st = st.copy(timerPending = true)
+      }
+      state.update(st)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: K, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[Pane[K, Out]] = {
+      val st = Option(state.get()).getOrElse(fresh())
+      if (st.sinceLastPane > 0) {
+        val value = mode match {
+          case Accumulating => combine.extractOutput(st.acc)
+          case Discarding   => combine.extractOutput(st.paneAcc)
+        }
+        // GlobalWindow bounds: epoch to a far-future sentinel (9999-12-31;
+        // Long.MaxValue overflows Spark's millis→micros conversion) — the
+        // window never closes, every pane is EARLY, none is last
+        val pane = Pane(key, new Timestamp(0L),
+          new Timestamp(TriggerEngine.GlobalWindowEndMs),
+          value, "EARLY", st.paneIndex, st.paneIndex == 0L, isLast = false)
+        state.update(st.copy(
+          paneAcc = combine.createAccumulator(),
+          sinceLastPane = 0L,
+          paneIndex = st.paneIndex + 1,
+          timerPending = false))
+        Iterator.single(pane)
+      } else {
+        state.update(st.copy(timerPending = false))
+        Iterator.empty
+      }
+    }
+  }
+
+  /** Wall-clock paned aggregation over a keyed unbounded stream: one pane
+    * per key every `delay` of processing time while data is pending. */
+  def processingTimeAggregate[K, V, Acc, Out](
+      input: Dataset[(K, V)],
+      delay: java.time.Duration,
+      mode: AccumulationMode,
+      combine: CombineFn[V, Acc, Out])(
+      implicit ek: Encoder[K], ep: Encoder[Pane[K, Out]]): Dataset[Pane[K, Out]] = {
+    val proc = new ProcessingTimePaneProcessor[K, V, Acc, Out](
+      delay.toMillis, mode, combine)
+    input.groupByKey(_._1)
+      .transformWithState(proc, TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
   /** Window.into-style fluent builder ([U] W/Window.java): collects the

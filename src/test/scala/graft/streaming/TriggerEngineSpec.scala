@@ -326,6 +326,43 @@ class TriggerEngineSpec extends SparkSpec {
     assert(w0.map(p => (p.value, p.timing)).toSeq == Seq((3.0, "EARLY"), (3.0, "ON_TIME")))
   }
 
+  test("processingTimeAggregate emits wall-clock panes, firing without new data") {
+    val input = MemoryStream[(String, Double)](993, spark, None)
+    val panes = TriggerEngine.processingTimeAggregate(
+      input.toDS(), Duration.ofMillis(0), Accumulating, SumFn)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pt-").toString
+    val q = panes.writeStream.format("memory").queryName("pt")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    def panesFor(k: String): Seq[Pane[String, Double]] =
+      spark.table("pt").as[Pane[String, Double]].collect().filter(_.key == k).toSeq
+    // the pane timer fires on a NO-DATA micro-batch after the data batch —
+    // the quiet-key guarantee the event-time engine can't give. POLL, do
+    // not processAllAvailable(): the processing-time engine runs continuous
+    // timer-check batches, so the query never reaches the quiescent point
+    // processAllAvailable waits for.
+    def await(expect: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!expect && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(expect)
+    }
+    try {
+      input.addData(Seq(("a", 1.0), ("a", 2.0)))
+      await(panesFor("a").nonEmpty)
+      assert(panesFor("a").head.value == 3.0)
+      assert(panesFor("a").head.timing == "EARLY")
+      assert(panesFor("a").head.isFirst && !panesFor("a").head.isLast)
+      // second pane accumulates (Accumulating mode) and bumps the index
+      input.addData(Seq(("a", 4.0)))
+      await(panesFor("a").size >= 2)
+      val second = panesFor("a").sortBy(_.paneIndex).apply(1)
+      assert(second.value == 7.0 && second.paneIndex == 1L)
+      // an independent key fires its own pane without further input
+      input.addData(Seq(("b", 8.0)))
+      await(panesFor("b").nonEmpty)
+      assert(panesFor("b").head.value == 8.0)
+    } finally q.stop()
+  }
+
   test("multiple keys and windows stay independent") {
     val panes = run("multi", TriggerSpec.default, Accumulating, Duration.ZERO, Seq(
       Seq(("a", ts(1), 1.0), ("b", ts(1), 2.0), ("a", ts(11), 4.0)),
