@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.llm.{Dedup, Multimodal, Similarity, TextRelevance}
+import graft.llm.{Boilerplate, Dedup, Multimodal, Similarity, TextRelevance}
 
 /** LLM-data-pipeline operator inventory (SURVEY.md §7 Phase 4): dedup,
   * similarity search, text analysis, multimodal plumbing. Oracles exist
@@ -157,6 +157,27 @@ object LlmQueries {
         length(col("text")).as("n_chars_actual"),
         size(TextFunctions.shingleHashes(col("text"), 3)).as("n_shingles"))
         .orderBy(col("doc_id"))
+    },
+
+    // C4-style boilerplate removal over 10-token segments (the fixture has
+    // no natural lines): segments recurring in >= 2 docs — the planted
+    // near-dups' shared prefixes — are dropped, docs reassembled in order.
+    // Output is (len, md5) of the cleaned text so the compare stays compact.
+    "q_boilerplate" -> { (s, dir) =>
+      val chunked = Tables(s, dir).documents
+        .select(col("doc_id"), Boilerplate.chunkTokens(col("text"), 10).as("text"))
+      Boilerplate.removeFrequentSegments(chunked, "doc_id", "text", "\n", 2)
+        .select(col("doc_id"), length(col("text")).as("clean_len"),
+          md5(col("text").cast("binary")).as("clean_md5"))
+        .orderBy(col("doc_id"))
+    },
+
+    // The audit view: which segments got flagged, in how many docs.
+    "q_boilerplate_segments" -> { (s, dir) =>
+      val chunked = Tables(s, dir).documents
+        .select(col("doc_id"), Boilerplate.chunkTokens(col("text"), 10).as("text"))
+      Boilerplate.frequentSegments(chunked, "doc_id", "text", "\n", 2)
+        .orderBy(col("segment"))
     },
 
     // Corpus-statistics relevance: top-3 TF-IDF terms per document.
@@ -448,6 +469,45 @@ object LlmQueries {
              row_number() OVER (PARTITION BY grp ORDER BY quality DESC, doc_id) AS rn
            FROM q)
          SELECT doc_id, quality FROM ranked WHERE rn = 1 ORDER BY doc_id""",
+    "q_boilerplate" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         chunked AS (
+           SELECT doc_id,
+             array_to_string(list_transform(
+               range(0, greatest(len(toks) - 1, 0) + 1, 10),
+               i -> array_to_string(toks[i + 1 : i + 10], ' ')), chr(10)) AS ctext
+           FROM t),
+         ls AS (
+           SELECT doc_id, unnest(segs) AS seg, unnest(range(1, len(segs) + 1)) AS pos
+           FROM (SELECT doc_id, string_split(ctext, chr(10)) AS segs FROM chunked)),
+         freq AS (
+           SELECT seg FROM ls WHERE length(trim(seg)) > 0
+           GROUP BY seg HAVING count(DISTINCT doc_id) >= 2),
+         clean AS (
+           SELECT doc_id, string_agg(seg, chr(10) ORDER BY pos) AS ct
+           FROM ls ANTI JOIN freq USING (seg) GROUP BY doc_id)
+         SELECT d.doc_id,
+           length(coalesce(ct, '')) AS clean_len,
+           md5(coalesce(ct, '')) AS clean_md5
+         FROM documents d LEFT JOIN clean ON d.doc_id = clean.doc_id
+         ORDER BY d.doc_id""",
+    "q_boilerplate_segments" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         chunked AS (
+           SELECT doc_id,
+             array_to_string(list_transform(
+               range(0, greatest(len(toks) - 1, 0) + 1, 10),
+               i -> array_to_string(toks[i + 1 : i + 10], ' ')), chr(10)) AS ctext
+           FROM t),
+         ls AS (
+           SELECT doc_id, unnest(string_split(ctext, chr(10))) AS seg
+           FROM chunked)
+         SELECT seg AS segment, count(DISTINCT doc_id) AS n_docs
+         FROM ls WHERE length(trim(seg)) > 0
+         GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY segment""",
     "q_tfidf" ->
       """WITH tok AS (
            SELECT doc_id,
