@@ -70,6 +70,28 @@ object TextRelevance {
         (col("tf") * col("idf")).as("tfidf"))
   }
 
+  /** Per-document unigram log-perplexity against the corpus's own unigram
+    * model: mean over tokens of −ln p(term), with add-one-smoothed
+    * p(term) = (count(term) + 1)/(total + |vocab|). The standard cheap
+    * "does this read like the corpus" quality signal (LM-perplexity
+    * filtering à la CCNet/Wikipedia-LM, reduced to unigrams so it stays a
+    * two-aggregation Column pipeline). High values flag gibberish and
+    * vocabulary outliers; zero-token documents come back null. */
+  def unigramLogPerplexity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tc = track(termCounts(df, idCol, textCol))
+    val corpus = tc.groupBy(col("term")).agg(sum(col("tf")).as("ctf"))
+    val totals = corpus.agg(sum(col("ctf")).as("total"),
+      count(lit(1)).as("vocab"))
+    val scored = tc.join(corpus, "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("nlp", -col("tf") * log((col("ctf") + 1).cast("double") /
+        (col("total") + col("vocab"))))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg((sum(col("nlp")) / sum(col("tf"))).as("log_ppl"))
+    df.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+  }
+
   /** BM25 score of each document against a bag of query terms
     * (k1/b defaults per Robertson et al.). Documents containing none of
     * the terms are absent from the output. Components:

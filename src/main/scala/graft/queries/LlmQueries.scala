@@ -180,6 +180,14 @@ object LlmQueries {
         .orderBy(col("segment"))
     },
 
+    // Unigram log-perplexity against the corpus's own LM — the CCNet-style
+    // quality signal, rounded so engine sum-order ulps can't drift the hash.
+    "q_perplexity" -> { (s, dir) =>
+      TextRelevance.unigramLogPerplexity(Tables(s, dir).documents, "doc_id", "text")
+        .select(col("doc_id"), round(col("log_ppl"), 4).as("log_ppl"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus-statistics relevance: top-3 TF-IDF terms per document.
     // Ranking uses the ROUNDED weight (ties broken by term) so the oracle
     // ranks identically — raw doubles can differ by an ulp across engines.
@@ -508,6 +516,23 @@ object LlmQueries {
          FROM ls WHERE length(trim(seg)) > 0
          GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
          ORDER BY segment""",
+    "q_perplexity" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '')) AS term
+           FROM documents),
+         tc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         corpus AS (SELECT term AS t2, sum(tf) AS ctf FROM tc GROUP BY term),
+         totals AS (SELECT sum(ctf) AS total, count(*) AS vocab FROM corpus),
+         scored AS (
+           SELECT doc_id, tf,
+             -tf * ln(CAST(ctf + 1 AS DOUBLE) / (total + vocab)) AS nlp
+           FROM tc, corpus, totals WHERE tc.term = corpus.t2),
+         perdoc AS (
+           SELECT doc_id, sum(nlp) / sum(tf) AS log_ppl FROM scored GROUP BY doc_id)
+         SELECT d.doc_id, round(p.log_ppl, 4) AS log_ppl
+         FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         ORDER BY d.doc_id""",
     "q_tfidf" ->
       """WITH tok AS (
            SELECT doc_id,

@@ -37,7 +37,7 @@ class PlanSpec extends SparkSpec {
     // 1-row corpus-statistics frames (N, avgdl) under TF-IDF/BM25 — the
     // same plan Catalyst gives a scalar subquery.
     val bnljAllowed = Set("q_similarity_topk", "q_similarity_ivf",
-      "q_similarity_ivf_trained", "q_tfidf", "q_bm25")
+      "q_similarity_ivf_trained", "q_tfidf", "q_bm25", "q_perplexity")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

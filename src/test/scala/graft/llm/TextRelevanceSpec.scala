@@ -37,6 +37,18 @@ class TextRelevanceSpec extends SparkSpec {
     assert(s(1L)._1 > s(2L)._1)           // tf(data)=3 + spark beats spark alone
   }
 
+  test("unigram log-perplexity: vocabulary outliers score higher") {
+    val corpus = Seq(
+      (1L, "spark data spark data spark data"),
+      (2L, "spark data spark data"),
+      (3L, "zq xv qj wk")  // gibberish: every token is rare
+    ).toDF("doc_id", "text")
+    val s = TextRelevance.unigramLogPerplexity(corpus, "doc_id", "text")
+      .as[(Long, Option[Double])].collect().map(r => r._1 -> r._2.get).toMap
+    assert(s(3L) > s(1L) && s(3L) > s(2L))
+    assert(s.values.forall(_ > 0.0))
+  }
+
   test("bm25 requires query terms") {
     intercept[IllegalArgumentException] {
       TextRelevance.bm25(docs, "doc_id", "text", Seq.empty)
