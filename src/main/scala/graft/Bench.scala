@@ -53,6 +53,7 @@ object Bench {
         graft.llm.Dedup.releasePersistedState()
         graft.llm.Similarity.releasePersistedState()
         graft.llm.TextRelevance.releasePersistedState()
+        graft.llm.Boilerplate.releasePersistedState()
       }
     }
     val qs = results.map { case (k, v) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")

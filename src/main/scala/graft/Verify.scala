@@ -32,6 +32,7 @@ object Verify {
         graft.llm.Dedup.releasePersistedState()
         graft.llm.Similarity.releasePersistedState()
         graft.llm.TextRelevance.releasePersistedState()
+        graft.llm.Boilerplate.releasePersistedState()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -18,10 +18,28 @@ import org.apache.spark.sql.functions._
   */
 object Boilerplate {
 
+  // persisted-frame registry (same hygiene contract as Dedup/Similarity/
+  // TextRelevance): the segment explode feeds both the frequency count and
+  // the anti-join, so it is persisted and released per query
+  private val persisted =
+    scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  private def track(df: DataFrame): DataFrame = persisted.synchronized {
+    persisted += df
+    df.persist()
+  }
+
+  /** Unpersist every cache this module created. */
+  def releasePersistedState(): Unit = persisted.synchronized {
+    persisted.foreach(_.unpersist())
+    persisted.clear()
+  }
+
   /** Documents with segments recurring in at least `minRepeats` distinct
     * documents removed. Returns (idCol, textCol) with segments rejoined by
     * `delimiter` in original order; documents whose every segment was
-    * boilerplate come back with empty text (not dropped). Whitespace-only
+    * boilerplate come back with empty text (not dropped), and NULL text
+    * stays NULL (distinguishable from fully-boilerplate). Whitespace-only
     * segments are never counted as boilerplate (structure is preserved).
     * Segments are matched by md5, so two segments collide only if the
     * 128-bit hash does. */
@@ -29,10 +47,12 @@ object Boilerplate {
                              delimiter: String = "\n",
                              minRepeats: Int = 2): DataFrame = {
     require(minRepeats >= 2, "minRepeats < 2 would remove every segment")
-    val segs = df.select(col(idCol).as("__id"),
+    // persisted: read by the frequency aggregation and by the anti-join —
+    // one split+explode+md5 pass over the corpus, not two
+    val segs = track(df.select(col(idCol).as("__id"),
         posexplode(split(col(textCol),
           java.util.regex.Pattern.quote(delimiter))).as(Seq("__pos", "__seg")))
-      .withColumn("__h", md5(col("__seg").cast("binary")))
+      .withColumn("__h", md5(col("__seg").cast("binary"))))
     val frequent = segs
       .filter(length(trim(col("__seg"))) > 0)
       .groupBy(col("__h"))
@@ -44,8 +64,11 @@ object Boilerplate {
       .agg(concat_ws(delimiter,
         transform(array_sort(collect_list(struct(col("__pos"), col("__seg")))),
           s => s.getField("__seg"))).as("__clean"))
-    df.select(col(idCol)).join(cleaned, df(idCol) === cleaned("__id"), "left_outer")
-      .select(col(idCol), coalesce(col("__clean"), lit("")).as(textCol))
+    df.select(col(idCol), col(textCol).isNull.as("__textnull"))
+      .join(cleaned, df(idCol) === cleaned("__id"), "left_outer")
+      .select(col(idCol),
+        when(col("__textnull"), lit(null).cast("string"))
+          .otherwise(coalesce(col("__clean"), lit(""))).as(textCol))
   }
 
   /** The flagged segments themselves: (segment, n_docs) for segments in at
@@ -65,10 +88,12 @@ object Boilerplate {
   /** Re-segment running text into fixed-size token chunks joined by
     * newline — the preprocessing that turns unstructured text into
     * segment-removal units when the corpus has no natural line structure.
-    * Pure Column expression. */
+    * Tokens split on runs of ANY whitespace (newlines included, so input
+    * line breaks can't masquerade as chunk boundaries downstream) and
+    * empty tokens are dropped. Pure Column expression. */
   def chunkTokens(text: Column, tokensPerChunk: Int): Column = {
     require(tokensPerChunk > 0, "tokensPerChunk must be positive")
-    val toks = split(text, " ")
+    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
     concat_ws("\n",
       transform(sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(tokensPerChunk)),
         i => array_join(slice(toks, i + 1, lit(tokensPerChunk)), " ")))

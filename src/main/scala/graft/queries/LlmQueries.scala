@@ -479,7 +479,7 @@ object LlmQueries {
          SELECT doc_id, quality FROM ranked WHERE rn = 1 ORDER BY doc_id""",
     "q_boilerplate" ->
       """WITH t AS (
-           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
          chunked AS (
            SELECT doc_id,
              array_to_string(list_transform(
@@ -502,7 +502,7 @@ object LlmQueries {
          ORDER BY d.doc_id""",
     "q_boilerplate_segments" ->
       """WITH t AS (
-           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks FROM documents),
          chunked AS (
            SELECT doc_id,
              array_to_string(list_transform(

@@ -436,7 +436,10 @@ object TriggerEngine {
       var st = Option(state.get()).getOrElse(fresh())
       rows.foreach { case (_, v) =>
         st = st.copy(
-          acc = combine.addInput(st.acc, v),
+          // the global window never closes and this state has no GC, so in
+          // Discarding mode the all-time accumulator must stay untouched —
+          // feeding it would grow never-emitted state without bound
+          acc = if (mode == Accumulating) combine.addInput(st.acc, v) else st.acc,
           paneAcc = combine.addInput(st.paneAcc, v),
           sinceLastPane = st.sinceLastPane + 1)
       }

@@ -49,4 +49,20 @@ class BoilerplateSpec extends SparkSpec {
       .as[String].head()
     assert(r == "a b\nc d\ne")
   }
+
+  test("chunkTokens treats newlines and runs of whitespace as one separator") {
+    val r = Seq("a\nb  c\t d").toDF("t")
+      .select(Boilerplate.chunkTokens(col("t"), 2).as("c"))
+      .as[String].head()
+    assert(r == "a b\nc d") // input breaks can't masquerade as chunk bounds
+  }
+
+  test("NULL text stays NULL, distinguishable from all-boilerplate") {
+    val d = Seq((1L, Option("x\ny")), (2L, Option("x\ny")), (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = Boilerplate.removeFrequentSegments(d, "doc_id", "text")
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("") && out(2L).contains(""))
+    assert(out(3L).isEmpty)
+  }
 }

@@ -363,6 +363,31 @@ class TriggerEngineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("processingTimeAggregate in Discarding mode emits per-pane contents only") {
+    val input = MemoryStream[(String, Double)](994, spark, None)
+    val panes = TriggerEngine.processingTimeAggregate(
+      input.toDS(), Duration.ofMillis(0), Discarding, SumFn)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ptd-").toString
+    val q = panes.writeStream.format("memory").queryName("ptd")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    def got: Seq[Pane[String, Double]] =
+      spark.table("ptd").as[Pane[String, Double]].collect().toSeq
+    def await(expect: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!expect && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(expect)
+    }
+    try {
+      input.addData(Seq(("a", 1.0), ("a", 2.0)))
+      await(got.nonEmpty)
+      input.addData(Seq(("a", 4.0)))
+      await(got.size >= 2)
+      val sorted = got.sortBy(_.paneIndex)
+      // discarding: second pane carries only the since-last-pane sum
+      assert(sorted.map(_.value) == Seq(3.0, 4.0))
+    } finally q.stop()
+  }
+
   test("multiple keys and windows stay independent") {
     val panes = run("multi", TriggerSpec.default, Accumulating, Duration.ZERO, Seq(
       Seq(("a", ts(1), 1.0), ("b", ts(1), 2.0), ("a", ts(11), 4.0)),
