@@ -388,6 +388,38 @@ class TriggerEngineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("engine state survives a query restart from the checkpoint") {
+    val input = MemoryStream[(String, Timestamp, Double)](995, spark, None)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rst-").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-rst-out-").toString
+    def start() = {
+      val panes = TriggerEngine.windowedAggregate(
+        input.toDS(), Duration.ofMinutes(10), Duration.ZERO,
+        TriggerSpec(early = AfterCount(2)), Accumulating, SumFn)
+      // file sink: the memory sink cannot recover from a checkpoint
+      panes.writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", dir).start()
+    }
+    val q1 = start()
+    try {
+      input.addData(Seq(("a", ts(1), 1.0), ("a", ts(2), 2.0))) // EARLY 3.0
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart: the window's accumulator and pane index must come back from
+    // the state store, not reset
+    val q2 = start()
+    try {
+      input.addData(Seq(("a", ts(3), 4.0), ("a", ts(4), 8.0))) // EARLY 15.0
+      q2.processAllAvailable()
+      input.addData(Seq(("a", ts(15), 0.0)))                   // ON_TIME 15.0
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val w0 = spark.read.parquet(out).as[Pane[String, Double]].collect()
+      .filter(_.windowStart == ts(0)).sortBy(_.paneIndex).toSeq
+    assert(w0.map(p => (p.value, p.timing, p.paneIndex)) == Seq(
+      (3.0, "EARLY", 0L), (15.0, "EARLY", 1L), (15.0, "ON_TIME", 2L)))
+  }
+
   test("multiple keys and windows stay independent") {
     val panes = run("multi", TriggerSpec.default, Accumulating, Duration.ZERO, Seq(
       Seq(("a", ts(1), 1.0), ("b", ts(1), 2.0), ("a", ts(11), 4.0)),
