@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.llm.{Boilerplate, Dedup, Multimodal, Similarity, TextRelevance}
+import graft.llm.{Boilerplate, Contamination, Dedup, Multimodal, Similarity, TextRelevance}
 
 /** LLM-data-pipeline operator inventory (SURVEY.md §7 Phase 4): dedup,
   * similarity search, text analysis, multimodal plumbing. Oracles exist
@@ -178,6 +178,29 @@ object LlmQueries {
         .select(col("doc_id"), Boilerplate.chunkTokens(col("text"), 10).as("text"))
       Boilerplate.frequentSegments(chunked, "doc_id", "text", "\n", 2)
         .orderBy(col("segment"))
+    },
+
+    // Benchmark-contamination checks: probes are spans of the first three
+    // documents (an eval set stand-in, derived lazily — no collect).
+    // Exact-substring form: verbatim containment.
+    "q_contamination_exact" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val probes = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("probe_id"), substring(col("text"), 1, 40).as("ptext"))
+      Contamination.exactOverlap(docs, "doc_id", "text", probes, "probe_id", "ptext")
+        .orderBy(col("probe_id"), col("doc_id"))
+    },
+
+    // N-gram form (GPT-3 style; n=5 here so the fixture's planted shared
+    // prefixes surface as cross-document hits). Pairs come from a 64-bit
+    // shingle-hash join; the oracle joins the same n-gram STRINGS, so the
+    // check is exact barring a 64-bit collision.
+    "q_contamination_ngram" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val probes = docs.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("probe_id"), substring(col("text"), 1, 120).as("ptext"))
+      Contamination.ngramOverlap(docs, "doc_id", "text", probes, "probe_id", "ptext", n = 5)
+        .orderBy(col("probe_id"), col("doc_id"))
     },
 
     // Unigram log-perplexity against the corpus's own LM — the CCNet-style
@@ -516,6 +539,38 @@ object LlmQueries {
          FROM ls WHERE length(trim(seg)) > 0
          GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
          ORDER BY segment""",
+    "q_contamination_exact" ->
+      """WITH probes AS (
+           SELECT doc_id AS probe_id, substr(text, 1, 40) AS ptext
+           FROM documents WHERE doc_id < 3)
+         SELECT probe_id, d.doc_id
+         FROM documents d, probes p
+         WHERE strpos(d.text, p.ptext) > 0
+         ORDER BY probe_id, d.doc_id""",
+    "q_contamination_ngram" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents),
+         dg AS (
+           SELECT doc_id, unnest(CASE WHEN len(toks) < 5
+             THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i : i + 4], ' ')) END) AS g
+           FROM tk),
+         pt AS (
+           SELECT doc_id AS probe_id,
+             list_filter(string_split_regex(lower(substr(text, 1, 120)), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id < 3),
+         pg AS (
+           SELECT probe_id, unnest(CASE WHEN len(toks) < 5
+             THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i : i + 4], ' ')) END) AS g
+           FROM pt)
+         SELECT DISTINCT probe_id, doc_id
+         FROM dg JOIN pg USING (g)
+         ORDER BY probe_id, doc_id""",
     "q_perplexity" ->
       """WITH tok AS (
            SELECT doc_id,

@@ -36,8 +36,11 @@ class PlanSpec extends SparkSpec {
     // the exact ANN baseline (probes), IVF centroid assignment, and the
     // 1-row corpus-statistics frames (N, avgdl) under TF-IDF/BM25 — the
     // same plan Catalyst gives a scalar subquery.
+    // q_contamination_exact broadcasts the eval-set probes against a
+    // substring predicate — the designed corpus-scan-once plan.
     val bnljAllowed = Set("q_similarity_topk", "q_similarity_ivf",
-      "q_similarity_ivf_trained", "q_tfidf", "q_bm25", "q_perplexity")
+      "q_similarity_ivf_trained", "q_tfidf", "q_bm25", "q_perplexity",
+      "q_contamination_exact")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -1,0 +1,54 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "a totally different document about spark internals"),
+    (3L, "prefix words then the quick brown fox jumps over the lazy dog as well")
+  ).toDF("doc_id", "text")
+
+  private val probes = Seq(
+    (100L, "quick brown fox jumps over the lazy"),
+    (200L, "no such span anywhere")
+  ).toDF("probe_id", "ptext")
+
+  test("exactOverlap finds verbatim containment only") {
+    val hits = Contamination.exactOverlap(docs, "doc_id", "text",
+      probes, "probe_id", "ptext")
+      .as[(Long, Long)].collect().toSet
+    assert(hits == Set((100L, 1L), (100L, 3L)))
+  }
+
+  test("ngramOverlap finds shared n-token spans") {
+    val hits = Contamination.ngramOverlap(docs, "doc_id", "text",
+      probes, "probe_id", "ptext", n = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(hits == Set((100L, 1L), (100L, 3L))) // doc 2 shares no 5-gram
+  }
+
+  test("short probes fall back to a full-run shingle and still match") {
+    val shortProbe = Seq((300L, "spark internals")).toDF("probe_id", "ptext")
+    // probe has 2 tokens < n: it matches only a doc whose own sub-n
+    // full-run shingle equals it — doc 2 has 7 tokens, so windows differ
+    val hits = Contamination.ngramOverlap(docs, "doc_id", "text",
+      shortProbe, "probe_id", "ptext", n = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(hits.isEmpty)
+    // but an exact-substring check still catches it
+    val exact = Contamination.exactOverlap(docs, "doc_id", "text",
+      shortProbe, "probe_id", "ptext")
+      .as[(Long, Long)].collect().toSet
+    assert(exact == Set((300L, 2L)))
+  }
+
+  test("contaminationReport counts hit documents per probe") {
+    val rep = Contamination.contaminationReport(docs, "doc_id", "text",
+      probes, "probe_id", "ptext", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(rep == Map(100L -> 2L))
+  }
+}
