@@ -102,6 +102,21 @@ object TextFunctions {
   def fingerprintPortable(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
 
+  /** Scrub common PII shapes to typed placeholder tokens — emails, IPv4
+    * addresses, phone-like digit runs — the redaction pass a pretraining
+    * pipeline runs before publication. Order matters: emails first (their
+    * local parts contain digits), then IPs (dots protect them from the
+    * phone pattern, whose class has none), then phones. Patterns are
+    * RE2-compatible (no lookaround/backrefs), so external engines can
+    * replicate the transform byte-for-byte. */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?[0-9][0-9()\\-\\s]{6,}[0-9]", "<PHONE>")
+  }
+
   /** Rolling-hash shingle fingerprints: hash of every k-token window.
     * Array column; input to MinHash. Runs as a single-pass native
     * Expression (see [[ShingleExprs]]) — the equivalent Column-combinator

@@ -121,6 +121,33 @@ object Combine {
       .drop("__h", "__rank")
   }
 
+  /** Deterministic, engine-portable bucket in [0, buckets): md5 of the
+    * id's decimal string, first 8 hex digits as an integer, mod buckets.
+    * Stable under repartitioning and across engines — the property a
+    * reproducible train/val/test assignment needs (rand(seed) is neither). */
+  def hashBucket(id: Column, buckets: Int): Column = {
+    require(buckets > 0, "buckets must be positive")
+    pmod(conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long"), lit(buckets.toLong))
+  }
+
+  /** Deterministic dataset split (train/val/test …): weights normalize to
+    * bucket ranges over 10,000 hash buckets; every row lands in exactly
+    * one split, membership is a pure function of the id. Returns one
+    * DataFrame per weight, all filters over the same input (no shuffle —
+    * the split predicate rides into the scan). */
+  def hashSplit(df: DataFrame, idCol: String, weights: Seq[Double]): Seq[DataFrame] = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    val buckets = 10000
+    val total = weights.sum
+    val bounds = weights.scanLeft(0.0)(_ + _)
+      .map(w => math.round(w / total * buckets).toInt)
+    val b = hashBucket(col(idCol), buckets)
+    bounds.sliding(2).toSeq.map { case Seq(lo, hi) =>
+      df.filter(b >= lo && b < hi)
+    }
+  }
+
   /** ApproximateUnique ([U] T/ApproximateUnique.java) → HLL++. */
   def approximateUnique(c: Column, rsd: Double = 0.05): Column =
     approx_count_distinct(c, rsd)

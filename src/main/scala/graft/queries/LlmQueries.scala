@@ -180,6 +180,36 @@ object LlmQueries {
         .orderBy(col("segment"))
     },
 
+    // PII redaction: the fixture has no PII, so each doc gets a synthetic
+    // email/IP/phone suffix built from its id; the scrub must remove
+    // exactly those. Output is md5 + removed-char count per doc.
+    "q_pii_scrub" -> { (s, dir) =>
+      val pii = Tables(s, dir).documents.select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail.example from 10.0."),
+          (col("doc_id") % 256), lit(".7 or call +1 555 01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0")).as("pii_text"))
+      pii.select(col("doc_id"),
+        md5(TextFunctions.scrubPii(col("pii_text")).cast("binary")).as("scrubbed_md5"),
+        (length(col("pii_text")) - length(TextFunctions.scrubPii(col("pii_text"))))
+          .as("removed_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic 80/10/10 train/val/test split: membership is a pure
+    // function of doc_id (portable md5 bucket), replicated by the oracle.
+    "q_hash_split" -> { (s, dir) =>
+      val parts = graft.operators.Combine.hashSplit(
+        Tables(s, dir).documents, "doc_id", Seq(0.8, 0.1, 0.1))
+      parts.zipWithIndex.map { case (p, i) =>
+        p.select(lit(i).as("split"), col("doc_id"))
+      }.reduce(_ union _)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))
+    },
+
     // Benchmark-contamination checks: probes are spans of the first three
     // documents (an eval set stand-in, derived lazily — no collect).
     // Exact-substring form: verbatim containment.
@@ -539,6 +569,34 @@ object LlmQueries {
          FROM ls WHERE length(trim(seg)) > 0
          GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
          ORDER BY segment""",
+    "q_pii_scrub" ->
+      """WITH p AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 or call +1 555 01'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS pii
+           FROM documents),
+         s AS (
+           SELECT doc_id, pii,
+             regexp_replace(regexp_replace(regexp_replace(pii,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+               '\+?[0-9][0-9()\-\s]{6,}[0-9]', '<PHONE>', 'g') AS sc
+           FROM p)
+         SELECT doc_id, md5(sc) AS scrubbed_md5,
+           length(pii) - length(sc) AS removed_chars
+         FROM s ORDER BY doc_id""",
+    "q_hash_split" ->
+      """WITH b AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+               % 10000 AS bucket
+           FROM documents)
+         SELECT CASE WHEN bucket < 8000 THEN 0
+                     WHEN bucket < 9000 THEN 1 ELSE 2 END AS split,
+           count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM b GROUP BY 1 ORDER BY 1""",
     "q_contamination_exact" ->
       """WITH probes AS (
            SELECT doc_id AS probe_id, substr(text, 1, 40) AS ptext

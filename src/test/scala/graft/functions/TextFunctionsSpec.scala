@@ -55,6 +55,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Seq[Long]](TextFunctions.shingleHashes(col("t"), 5), "a b").length == 1)
   }
 
+  test("scrubPii redacts emails, IPs, and phone runs; clean text untouched") {
+    val s = one[String](TextFunctions.scrubPii(col("t")),
+      "mail bob.smith+x@corp.example.com node 192.168.0.17 tel +1 (555) 010-4242 end")
+    assert(s == "mail <EMAIL> node <IP> tel <PHONE> end")
+    val clean = "no personal data in this sentence at all"
+    assert(one[String](TextFunctions.scrubPii(col("t")), clean) == clean)
+    // version-ish dotted numbers match the IPv4 shape only with 4 octets
+    assert(one[String](TextFunctions.scrubPii(col("t")), "v1.2.3 stays") == "v1.2.3 stays")
+  }
+
   test("winnowing: subset of shingles, compact, shared-run guarantee") {
     val text = "one two three four five six seven eight nine ten"
     val sh = one[Seq[Long]](TextFunctions.shingleHashes(col("t"), 3), text)

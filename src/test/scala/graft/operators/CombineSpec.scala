@@ -97,6 +97,20 @@ class CombineSpec extends SparkSpec {
            s2.as[(Long, Long)].collect().sorted.toSeq)
   }
 
+  test("hashSplit: disjoint, covering, deterministic, ~weight-proportional") {
+    val df = spark.range(10000).toDF("id")
+    val parts = Combine.hashSplit(df, "id", Seq(0.8, 0.1, 0.1))
+    val sets = parts.map(_.select("id").as[Long].collect().toSet)
+    assert(sets.map(_.size).sum == 10000)                 // covering
+    assert(sets.combinations(2).forall { case Seq(a, b) => (a & b).isEmpty })
+    assert(math.abs(sets(0).size - 8000) < 300)           // ~80%
+    assert(math.abs(sets(1).size - 1000) < 150)
+    // re-running produces the identical assignment (pure fn of id)
+    val again = Combine.hashSplit(df, "id", Seq(0.8, 0.1, 0.1))
+      .map(_.select("id").as[Long].collect().toSet)
+    assert(again == sets)
+  }
+
   test("mergeable HLL sketches: union of partial sketches ≈ global distinct") {
     val df = spark.range(20000).selectExpr("id % 7 as seg", "id % 9999 as v")
     val partial = df.groupBy("seg").agg(Combine.hllSketch($"v").as("sk"))
