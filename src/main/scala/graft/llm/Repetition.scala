@@ -1,0 +1,148 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-document repetition filters in the style of Gopher's rule set
+  * (Rae et al. 2021, appendix A1.1): documents dominated by a repeated
+  * word n-gram or by duplicated lines are low-quality (templated spam,
+  * keyword stuffing, scraper loops) and get filtered before pretraining.
+  * The reference SDK has no text operators (SURVEY.md §2.6); this extends
+  * the mandated LLM text-cleaning family alongside [[Boilerplate]]
+  * (which removes segments recurring ACROSS documents — these stats are
+  * WITHIN-document).
+  *
+  * Scale posture: one tokenize+explode pass, one (doc, gram) aggregation
+  * with map-side partials, one per-doc re-aggregation, one broadcast-free
+  * left join back to the id spine to restore gram-less docs. Nothing is
+  * O(doc_len²) per document and no driver collect — the shape survives
+  * docs of any length and corpora of any row count.
+  */
+object Repetition {
+
+  /** Word n-gram repetition stats per document:
+    *
+    *  - `top_ngram_frac`: characters covered by the heaviest n-gram
+    *    (occurrences × gram length, spaces included) / document chars.
+    *    Deliberate deviation from Gopher's "most frequent n-gram": we rank
+    *    by total character mass, which is deterministic under count ties
+    *    and is the quantity the filter actually thresholds.
+    *  - `dup_ngram_frac`: characters covered by ALL n-grams occurring more
+    *    than once (every occurrence counted) / document chars.
+    *
+    * Both are 0.0 for docs with fewer than n tokens. Fractions can exceed
+    * 1.0 because overlapping n-gram occurrences each count their full
+    * length (same as Gopher's published definition for n≥2 duplicates).
+    *
+    * Tokens are lower-cased words (TextFunctions.tokens); grams join with
+    * a single space; char base is the raw text length, so the stat is
+    * independent of tokenization whitespace. Integer÷integer double
+    * division keeps the result bit-identical across engines.
+    */
+  def ngramRepetitionStats(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val spine = df.select(col(idCol).as("__id"),
+      length(col(textCol)).as("__chars"))
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val grams = df.select(
+        col(idCol).as("__id"),
+        explode(
+          when(size(toks) >= n,
+            transform(sequence(lit(1), size(toks) - lit(n - 1)),
+              i => array_join(slice(toks, i, lit(n)), " ")))
+            .otherwise(array().cast("array<string>"))).as("__gram"))
+    val perGram = grams
+      .groupBy(col("__id"), col("__gram"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__mass", col("__cnt") * length(col("__gram")))
+    val perDoc = perGram.groupBy(col("__id")).agg(
+      max(col("__mass")).as("__top_mass"),
+      coalesce(sum(when(col("__cnt") > 1, col("__mass"))), lit(0L))
+        .as("__dup_mass"))
+    spine.join(perDoc, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        when(col("__chars") > 0,
+          coalesce(col("__top_mass"), lit(0L)).cast("double") /
+            col("__chars").cast("double")).otherwise(0.0)
+          .as("top_ngram_frac"),
+        when(col("__chars") > 0,
+          coalesce(col("__dup_mass"), lit(0L)).cast("double") /
+            col("__chars").cast("double")).otherwise(0.0)
+          .as("dup_ngram_frac"))
+  }
+
+  /** Duplicate-line stats per document (Gopher's duplicate-line-fraction
+    * family):
+    *
+    *  - `n_lines`: non-empty lines (whitespace-only lines ignored,
+    *    matching [[Boilerplate]]'s segment rules);
+    *  - `dup_line_frac`: fraction of lines that are repeats of an earlier
+    *    identical line (occurrences beyond the first / total lines);
+    *  - `dup_line_char_frac`: same, weighted by line length.
+    *
+    * Lines are exact-match after nothing but the split — callers wanting
+    * normalization pass a pre-normalized column. Corpora without newline
+    * structure first re-segment with [[Boilerplate.chunkTokens]].
+    */
+  def duplicateLineStats(df: DataFrame, idCol: String, textCol: String,
+                         delimiter: String = "\n"): DataFrame = {
+    val spine = df.select(col(idCol).as("__id"))
+    val lines = df.select(
+        col(idCol).as("__id"),
+        explode(split(col(textCol),
+          java.util.regex.Pattern.quote(delimiter))).as("__line"))
+      .filter(length(trim(col("__line"))) > 0)
+    val perLine = lines
+      .groupBy(col("__id"), col("__line"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__len", length(col("__line")))
+    val perDoc = perLine.groupBy(col("__id")).agg(
+      sum(col("__cnt")).as("__n"),
+      sum(col("__cnt") - 1).as("__dups"),
+      sum(col("__cnt") * col("__len")).as("__chars"),
+      sum((col("__cnt") - 1) * col("__len")).as("__dup_chars"))
+    spine.join(perDoc, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_lines"),
+        when(coalesce(col("__n"), lit(0L)) > 0,
+          col("__dups").cast("double") / col("__n").cast("double"))
+          .otherwise(0.0).as("dup_line_frac"),
+        when(coalesce(col("__chars"), lit(0L)) > 0,
+          col("__dup_chars").cast("double") / col("__chars").cast("double"))
+          .otherwise(0.0).as("dup_line_char_frac"))
+  }
+
+  /** Blocked edit-distance near-dup pairs: candidate pairs share a
+    * document-length band (`bandWidth` chars wide) and match when the
+    * Levenshtein distance between their `prefixLen`-char prefixes is at
+    * most `maxDist`. The band join is an equi-join (scale-safe: no cross
+    * product; band population bounds the per-key fan-out), and the
+    * distance only ever sees fixed-length prefixes, so per-pair cost is
+    * O(prefixLen²) regardless of document size — the standard cheap
+    * fuzzy-dedup pass between exact-hash dedup and MinHash. Length
+    * banding is a blocking heuristic: near-dups straddling a band
+    * boundary are missed (callers needing full recall also probe the
+    * adjacent band).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        prefixLen: Int, maxDist: Int,
+                        bandWidth: Int): DataFrame = {
+    require(prefixLen > 0 && maxDist >= 0 && bandWidth > 0)
+    val pre = df.select(
+      col(idCol).as("id"),
+      substring(col(textCol), 1, prefixLen).as("pre"),
+      (length(col(textCol)) / bandWidth).cast("long").as("band"))
+    val l = pre.select(col("id").as("id_a"), col("pre").as("pre_a"),
+      col("band"))
+    val r = pre.select(col("id").as("id_b"), col("pre").as("pre_b"),
+      col("band"))
+    l.join(r, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("pre_a"), col("pre_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+}

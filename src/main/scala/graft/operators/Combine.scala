@@ -148,6 +148,28 @@ object Combine {
     }
   }
 
+  /** Deterministic stratified sample: per-stratum keep fraction,
+    * membership a pure function of the id (the same 10,000-bucket md5
+    * machinery as [[hashSplit]]). Unlike `DataFrame.stat.sampleBy` —
+    * whose Bernoulli draw depends on partitioning and engine RNG — this
+    * is reproducible across engines and stable under repartitioning,
+    * which an auditable curation pipeline needs (e.g. "downsample web
+    * crawl to 30%, keep all books"). Strata absent from `fractions` keep
+    * `defaultFraction`; the filter is a pure predicate, so it rides into
+    * the scan with no shuffle. */
+  def stratifiedSampleByHash(df: DataFrame, strataCol: String, id: Column,
+                             fractions: Map[String, Double],
+                             defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values.toSeq :+ defaultFraction)
+      .forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0,1]")
+    val thr = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit(math.round(defaultFraction * 10000).toInt): Column) {
+        case ((k, f), acc) =>
+          when(col(strataCol) === k, math.round(f * 10000).toInt).otherwise(acc)
+      }
+    df.filter(hashBucket(id, 10000) < thr)
+  }
+
   /** ApproximateUnique ([U] T/ApproximateUnique.java) → HLL++. */
   def approximateUnique(c: Column, rsd: Double = 0.05): Column =
     approx_count_distinct(c, rsd)

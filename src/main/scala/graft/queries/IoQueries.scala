@@ -70,6 +70,20 @@ object IoQueries {
         .orderBy(col("word"))
     },
 
+    // §2.5 columnar-binary round-trip (ORC): Spark's second native
+    // columnar format, same FileFormat write/read path as parquet —
+    // predicate pushdown and column pruning apply on the read side.
+    "q_orcio_roundtrip" -> { (s, dir) =>
+      val out = tmp("graft_orc")
+      Tables(s, dir).part
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), dsum(col("p_retailprice")).as("sum_price"))
+        .orderBy(col("p_brand"))
+    },
+
     // §2.5 AvroIO: orders subset → avro → read back → per-priority agg.
     // (The short name "avro" has no DataSourceRegister entry in this
     // distribution; the FileFormat class itself ships in spark-sql.)
@@ -165,6 +179,10 @@ object IoQueries {
            FROM documents)
          WHERE word <> ''
          GROUP BY word ORDER BY word""",
+    "q_orcio_roundtrip" ->
+      """SELECT p_brand, count(*) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM part GROUP BY p_brand ORDER BY p_brand""",
     "q_avro_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

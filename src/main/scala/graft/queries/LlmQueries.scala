@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.llm.{Boilerplate, Contamination, Dedup, Multimodal, Similarity, TextRelevance}
+import graft.llm.{Boilerplate, Contamination, Dedup, Multimodal, Repetition, Similarity, TextRelevance}
 
 /** LLM-data-pipeline operator inventory (SURVEY.md §7 Phase 4): dedup,
   * similarity search, text analysis, multimodal plumbing. Oracles exist
@@ -331,6 +331,67 @@ object LlmQueries {
         .select(col("id").as("vec_id"), col("features").as("embedding"))
       Similarity.cosinePairsBlocked(feats, threshold = 0.999,
         nPlanes = 8, nTables = 2, dim = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Gopher-style within-document repetition stats (word bigrams):
+    // heaviest-gram and duplicated-gram character fractions.
+    "q_repetition_ngrams" -> { (s, dir) =>
+      Repetition.ngramRepetitionStats(Tables(s, dir).documents,
+        "doc_id", "text", n = 2)
+        .orderBy(col("doc_id"))
+    },
+
+    // Duplicate-line stats over deterministically constructed multi-line
+    // text (the corpus has no newlines): each doc gets its own 50-char
+    // prefix appended twice, so every doc has at least one repeated line
+    // and the oracle replicates the construction exactly.
+    "q_repetition_lines" -> { (s, dir) =>
+      val lined = Tables(s, dir).documents.select(
+        col("doc_id"),
+        concat_ws("\n", col("text"),
+          substring(col("text"), 1, 50),
+          substring(col("text"), 1, 50)).as("text"))
+      Repetition.duplicateLineStats(lined, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // Deterministic stratified downsample: keep 50% of English, 25% of
+    // German/French, all other languages — membership a pure md5 function
+    // of doc_id, replicated by the oracle.
+    "q_stratified_sample" -> { (s, dir) =>
+      graft.operators.Combine.stratifiedSampleByHash(
+        Tables(s, dir).documents, "lang", col("doc_id"),
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25), defaultFraction = 1.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    },
+
+    // Quality-quartile binning per language (curriculum/mix design):
+    // ntile over (quality, doc_id) is fully deterministic and quality
+    // lands on exact quarters, so the oracle reproduces it bit-for-bit.
+    "q_quality_bins" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality"), col("doc_id"))
+      Tables(s, dir).documents
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+        .withColumn("bin", ntile(4).over(w).cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), min(col("quality")).as("min_q"),
+          max(col("quality")).as("max_q"))
+        .orderBy(col("lang"), col("bin"))
+    },
+
+    // Blocked edit-distance near-dup pairs: length-banded equi-join +
+    // Levenshtein over 48-char prefixes (portable: DuckDB's levenshtein
+    // is the same classic edit distance).
+    "q_editdist_neardup" -> { (s, dir) =>
+      Repetition.editDistancePairs(Tables(s, dir).documents,
+        "doc_id", "text", prefixLen = 48, maxDist = 8, bandWidth = 64)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
         .orderBy(col("id_a"), col("id_b"))
     },
   )
@@ -738,5 +799,110 @@ object LlmQueries {
            length(text) AS n_chars_actual,
            CASE WHEN len(lts) < 3 THEN 1 ELSE len(lts) - 2 END AS n_shingles
          FROM tok ORDER BY doc_id""",
+    "q_repetition_ngrams" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 2
+               THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+               ELSE CAST([] AS VARCHAR[]) END) AS gram
+           FROM t),
+         pg AS (
+           SELECT doc_id, gram, count(*) AS cnt,
+             count(*) * length(gram) AS mass
+           FROM g GROUP BY doc_id, gram),
+         pd AS (
+           SELECT doc_id, max(mass) AS top_mass,
+             coalesce(sum(mass) FILTER (WHERE cnt > 1), 0) AS dup_mass
+           FROM pg GROUP BY doc_id)
+         SELECT d.doc_id,
+           CASE WHEN length(d.text) > 0
+                THEN coalesce(pd.top_mass, 0)::DOUBLE / length(d.text)
+                ELSE 0.0 END AS top_ngram_frac,
+           CASE WHEN length(d.text) > 0
+                THEN coalesce(pd.dup_mass, 0)::DOUBLE / length(d.text)
+                ELSE 0.0 END AS dup_ngram_frac
+         FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         ORDER BY d.doc_id""",
+    "q_repetition_lines" ->
+      """WITH l AS (
+           SELECT doc_id,
+             unnest([text, substr(text, 1, 50), substr(text, 1, 50)]) AS line
+           FROM documents),
+         nl AS (SELECT doc_id, line FROM l WHERE length(trim(line)) > 0),
+         pl AS (
+           SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+           FROM nl GROUP BY doc_id, line),
+         pd AS (
+           SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt - 1) AS BIGINT) AS dups,
+             CAST(sum(cnt * len) AS BIGINT) AS chars,
+             CAST(sum((cnt - 1) * len) AS BIGINT) AS dup_chars
+           FROM pl GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(pd.n, 0) AS n_lines,
+           CASE WHEN coalesce(pd.n, 0) > 0
+                THEN pd.dups::DOUBLE / pd.n ELSE 0.0 END AS dup_line_frac,
+           CASE WHEN coalesce(pd.chars, 0) > 0
+                THEN pd.dup_chars::DOUBLE / pd.chars ELSE 0.0 END AS dup_line_char_frac
+         FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         ORDER BY d.doc_id""",
+    "q_stratified_sample" ->
+      """WITH b AS (
+           SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+               % 10000 AS bucket
+           FROM documents)
+         SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+         FROM b
+         WHERE bucket < CASE lang WHEN 'en' THEN 5000
+                                  WHEN 'de' THEN 2500
+                                  WHEN 'fr' THEN 2500 ELSE 10000 END
+         GROUP BY lang ORDER BY lang""",
+    "q_quality_bins" ->
+      s"""WITH t AS (
+           SELECT doc_id, lang, text,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, lang,
+             len(toks) AS ntok,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE length(regexp_replace(lower(text), '[^a-z'']', '', 'g'))::DOUBLE / len(toks)
+             END AS mwl,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)
+             END AS pr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, x -> list_contains(${inList(TextFunctions.EnglishStopwords)}, x)))::DOUBLE / len(toks)
+             END AS sr
+           FROM t),
+         q AS (
+           SELECT doc_id, lang,
+             ((CASE WHEN ntok >= 5 AND ntok <= 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN sr > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+           FROM m),
+         binned AS (
+           SELECT lang, quality,
+             ntile(4) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS bin
+           FROM q)
+         SELECT lang, bin, count(*) AS n_docs, min(quality) AS min_q,
+           max(quality) AS max_q
+         FROM binned GROUP BY lang, bin ORDER BY lang, bin""",
+    "q_editdist_neardup" ->
+      """WITH p AS (
+           SELECT doc_id, substr(text, 1, 48) AS pre,
+             length(text) // 64 AS band
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.pre, b.pre) AS dist
+         FROM p a JOIN p b ON a.band = b.band AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.pre, b.pre) <= 8
+         ORDER BY id_a, id_b""",
   )
 }

@@ -111,6 +111,26 @@ class CombineSpec extends SparkSpec {
     assert(again == sets)
   }
 
+  test("stratifiedSampleByHash: per-stratum rates, deterministic, scan-side filter") {
+    val df = spark.range(12000)
+      .selectExpr("id", "CASE id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS s")
+    val sampled = Combine.stratifiedSampleByHash(df, "s", $"id",
+      Map("a" -> 0.5, "b" -> 0.1), defaultFraction = 1.0)
+    val counts = sampled.groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    assert(math.abs(counts("a") - 2000) < 200)   // 50% of 4000
+    assert(math.abs(counts("b") - 400) < 100)    // 10% of 4000
+    assert(counts("c") == 4000)                  // default keeps all
+    // pure function of id: identical assignment on re-run
+    val again = Combine.stratifiedSampleByHash(df, "s", $"id",
+      Map("a" -> 0.5, "b" -> 0.1), defaultFraction = 1.0)
+    assert(again.select("id").as[Long].collect().sorted.toSeq ==
+           sampled.select("id").as[Long].collect().sorted.toSeq)
+    // a pure predicate: no shuffle (Exchange) in the plan
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sample should not shuffle:\n$plan")
+  }
+
   test("mergeable HLL sketches: union of partial sketches ≈ global distinct") {
     val df = spark.range(20000).selectExpr("id % 7 as seg", "id % 9999 as v")
     val partial = df.groupBy("seg").agg(Combine.hllSketch($"v").as("sk"))
