@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time (or explain) a subset of SparkEntry queries without the
+  * full Bench sweep. Usage:
+  *   runMain graft.QueryTimer <sfDir> <query...> [--explain]
+  */
+object QueryTimer {
+  def main(args: Array[String]): Unit = {
+    val explain = args.contains("--explain")
+    val rest = args.filterNot(_ == "--explain")
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = rest.drop(1).toSeq
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      if (explain) fn(spark, sfDir).explain("formatted")
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"[timer] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      graft.llm.Dedup.releasePersistedState()
+      graft.llm.Similarity.releasePersistedState()
+      graft.llm.TextRelevance.releasePersistedState()
+      graft.llm.Boilerplate.releasePersistedState()
+    }
+    spark.stop()
+  }
+}

@@ -129,20 +129,35 @@ object Repetition {
     */
   def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
                         prefixLen: Int, maxDist: Int,
-                        bandWidth: Int): DataFrame = {
-    require(prefixLen > 0 && maxDist >= 0 && bandWidth > 0)
+                        bandWidth: Int, numSalts: Int = 4): DataFrame = {
+    require(prefixLen > 0 && maxDist >= 0 && bandWidth > 0 && numSalts > 0)
     val pre = df.select(
       col(idCol).as("id"),
       substring(col(textCol), 1, prefixLen).as("pre"),
       (length(col(textCol)) / bandWidth).cast("long").as("band"))
+    // The band key is low-cardinality by construction (≈ max_doc_len /
+    // bandWidth distinct values), so an unsalted equi-join concentrates all
+    // the per-pair Levenshtein work on that many shuffle partitions no
+    // matter how many cores exist. Salt it: the left side takes a
+    // deterministic per-row salt, the right side is replicated to every
+    // salt, and the join key becomes (band, salt) — same output, with the
+    // largest band's pair work split numSalts ways. Replicating (id, prefix)
+    // numSalts× is the documented trade; the wide text column never enters
+    // the join. Measured at sf0.1 (10 bands, 1.5M pairs, local[32]): salt
+    // 1/4 are equal, 32 adds ~30% — the default 4 keeps single-band skew
+    // bounded at scale without paying replication overhead locally.
     val l = pre.select(col("id").as("id_a"), col("pre").as("pre_a"),
-      col("band"))
+      col("band"), pmod(xxhash64(col("id")), lit(numSalts)).cast("int").as("salt"))
     val r = pre.select(col("id").as("id_b"), col("pre").as("pre_b"),
-      col("band"))
-    l.join(r, Seq("band"))
+      col("band"), explode(sequence(lit(0), lit(numSalts - 1))).as("salt"))
+    // Threshold-bounded levenshtein (Spark 3.5+): the DP runs a 2·maxDist+1
+    // band and early-exits, returning -1 past the bound — O(prefixLen·maxDist)
+    // per pair instead of O(prefixLen²), with identical distances for every
+    // pair that survives the filter.
+    l.join(r, Seq("band", "salt"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("pre_a"), col("pre_b")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("pre_a"), col("pre_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 }
