@@ -6,6 +6,14 @@ import org.apache.spark.sql.SparkSession
   * excluded from the total) instead of being swallowed as a fast timing —
   * a regression must look like a failure, not a speedup. */
 object Bench {
+  /** keep executor cache flat across the full query sweep */
+  private def releaseCaches(): Unit = {
+    graft.llm.Dedup.releasePersistedState()
+    graft.llm.Similarity.releasePersistedState()
+    graft.llm.TextRelevance.releasePersistedState()
+    graft.llm.Boilerplate.releasePersistedState()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -19,26 +27,34 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session before timing: JVM/codegen warmup and the first
     // parquet-footer reads otherwise land entirely on whichever query runs
-    // first (alphabetical), skewing its number by several seconds. Best
-    // effort — a missing table must not kill the whole report (per-query
-    // failures are what the errors field is for).
+    // first (alphabetical), skewing its number by several seconds and
+    // making round-over-round totals noisy (the same query swung 2s..25s
+    // between rounds purely on Janino+JIT first-compile order). Run every
+    // query once at the smallest fixture so each plan's codegen shapes are
+    // compiled before any timing starts — standard steady-state bench
+    // hygiene. Best effort — a warmup failure must not kill the report
+    // (per-query failures at the REAL sf are what the errors field is for).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, warmDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name skipped: $e")
+      } finally releaseCaches()
+    }
+    // and touch the real-sf parquet footers so the first timed query
+    // doesn't absorb the file-listing/footer reads either
     try {
-      spark.range(1000).selectExpr("sum(id)").collect()
-      Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { t =>
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { t =>
         spark.read.parquet(s"$sfDir/$t.parquet").count()
       }
-      // token-pipeline warmup: JIT the split/filter/explode/agg codegen
-      // shapes the text queries share, so the alphabetically-first text
-      // query doesn't absorb all of Janino+JIT's first-compile cost
-      locally {
-        import org.apache.spark.sql.functions._
-        spark.read.parquet(s"$sfDir/documents.parquet").limit(64)
-          .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
-          .groupBy(col("t")).count().agg(sum(col("count"))).collect()
-      }
     } catch {
-      case e: Throwable => System.err.println(s"[bench] warmup skipped: $e")
+      case e: Throwable => System.err.println(s"[bench] footer warmup skipped: $e")
     }
+    // drain warmup garbage now so a major collection doesn't land inside
+    // some arbitrary timed query (observed as a 20s+ one-off on an
+    // otherwise sub-2s query)
+    System.gc()
     def esc(s: String): String =
       s.flatMap {
         case '"'  => "\\\""
@@ -57,13 +73,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $e")
           errors ::= (name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
           None
-      } finally {
-        // keep executor cache flat across the full query sweep
-        graft.llm.Dedup.releasePersistedState()
-        graft.llm.Similarity.releasePersistedState()
-        graft.llm.TextRelevance.releasePersistedState()
-        graft.llm.Boilerplate.releasePersistedState()
-      }
+      } finally releaseCaches()
     }
     val qs = results.map { case (k, v) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
     val errJson = errors.reverse.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
