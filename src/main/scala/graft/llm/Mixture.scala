@@ -1,0 +1,73 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic domain-mixture sampling: downsample each domain (source,
+  * language, quality tier …) at its own rate so the output matches a target
+  * mixture — the standard knob for rebalancing web-scale corpora before
+  * pretraining. Part of the mandated LLM-pipeline family (SURVEY.md §2.9);
+  * the reference SDK's nearest primitive is per-key Sample
+  * (SURVEY.md §2.3), which is neither deterministic nor rate-targeted.
+  *
+  * Membership is a pure function of the row id (md5 fraction vs. a
+  * per-domain threshold): reproducible across engines, stable under
+  * repartitioning, and rerunnable — the properties an auditable corpus
+  * needs that `rand(seed)` (engine- and partitioning-specific) lacks.
+  *
+  * Scale posture: the filter is a scan-side predicate (no shuffle, no
+  * join); the rate table is a CASE expression over the domain column
+  * (domain cardinality is small by contract — sources, languages). The
+  * only action is a per-domain count for [[rebalanceRates]], a
+  * k-row aggregate with map-side partials.
+  */
+object Mixture {
+
+  /** Uniform hash fraction in [0, 1): first 8 hex digits of md5 of the
+    * id's decimal string over 2^32. Exactly representable double
+    * arithmetic (32-bit integer / power of two), so the `< rate`
+    * comparison is bit-identical across engines. */
+  def hashFraction(id: Column): Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Keep each row with its domain's rate: `hashFraction(id) < rate`.
+    * Domains absent from `rates` use `defaultRate` (1.0 keeps them all). */
+  def sampleByRates(df: DataFrame, idCol: String, domainCol: String,
+                    rates: Map[String, Double],
+                    defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (domain, r)) =>
+      when(col(domainCol) === lit(domain), lit(r)).otherwise(acc)
+    }
+    df.filter(hashFraction(col(idCol)) < rate)
+  }
+
+  /** Per-domain keep-rates that reshape observed counts toward `targets`
+    * (domain → share of the output) with total output ≈ `outFraction` of
+    * the input. rate_d = min(1, outFraction·N·share_d / n_d) — a domain
+    * too small for its target share is kept whole (capped at 1) rather
+    * than upsampled; deterministic sampling cannot replicate rows.
+    *
+    * Runs one k-row count action (k = domain cardinality, small by
+    * contract). The arithmetic is plain IEEE double in a fixed order so an
+    * external auditor (or SQL oracle) reproduces the exact thresholds.
+    */
+  def rebalanceRates(df: DataFrame, domainCol: String,
+                     targets: Map[String, Double],
+                     outFraction: Double): Map[String, Double] = {
+    require(outFraction > 0 && outFraction <= 1, "outFraction must be in (0, 1]")
+    require(targets.values.forall(_ >= 0), "target shares must be >= 0")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    targets.map { case (domain, share) =>
+      val n = counts.getOrElse(domain, 0L)
+      val rate =
+        if (n == 0L) 0.0
+        else math.min(1.0, outFraction * total * share / n)
+      domain -> rate
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Combine
+
+/** Sequence packing for pretraining: lay documents end-to-end and chunk the
+  * token stream into fixed-length training sequences (the "concat then
+  * chunk" packing GPT-style pipelines use — no padding, documents straddle
+  * sequence boundaries). The reference SDK has no such operator
+  * (SURVEY.md §2.6 covers only scalar functions); this is part of the
+  * mandated LLM-pipeline family (SURVEY.md §2.9).
+  *
+  * Scale posture: packing needs a total order inside each pack unit, which
+  * on a cluster must NOT mean a global sort. Documents are first assigned
+  * to `shards` deterministic hash shards (portable md5 bucket of the id —
+  * reproducible across engines and under repartitioning), and the token
+  * stream is laid out per shard: one shuffle, `shards`-way parallel window,
+  * no global ordering anywhere. At 100 TB, `shards` is sized so one
+  * shard's (id, token_count) pairs fit a task (the window carries two longs
+  * per doc, not the text). Sequence ids are therefore (shard, seq) pairs —
+  * exactly how distributed packing shards a corpus in practice.
+  */
+object Packing {
+
+  /** Per-document placement in the packed token stream of its shard:
+    *
+    *  - `shard`: deterministic hash shard (md5 bucket of `idCol`);
+    *  - `tokens`: whitespace token count ([[TextFunctions.tokenCount]]);
+    *  - `start_seq` / `end_seq`: first / last sequence (length `seqLen`
+    *    tokens, numbered per shard from 0) this document occupies;
+    *  - `seq_offset`: token offset of the document's first token inside
+    *    `start_seq`.
+    *
+    * Docs are laid out in ascending-id order within a shard; zero-token
+    * docs are dropped (they occupy no stream position). All arithmetic is
+    * exact integer math — bit-identical across engines by construction.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int, shards: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(shards > 0, "shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(
+        col(idCol),
+        Combine.hashBucket(col(idCol), shards).as("shard"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("tokens"))
+      .filter(col("tokens") > 0)
+      .withColumn("cum_end", sum(col("tokens")).over(w))
+      .select(
+        col(idCol), col("shard"), col("tokens"),
+        floor((col("cum_end") - col("tokens")) / seqLen).as("start_seq"),
+        floor((col("cum_end") - 1) / seqLen).as("end_seq"),
+        pmod(col("cum_end") - col("tokens"), lit(seqLen.toLong)).as("seq_offset"))
+  }
+
+  /** Shard-level packing summary: sequence count and tail waste — the
+    * fraction of the last (partial) sequence left unfilled, the quantity a
+    * packing strategy is judged on. `n_seqs` counts full-or-partial
+    * sequences (ceil of stream length / seqLen). */
+  def packingStats(packed: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    packed.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"))
+      .withColumn("n_seqs", ceil(col("n_tokens") / lit(seqLen.toDouble)).cast("long"))
+      .withColumn("tail_waste",
+        (col("n_seqs") * seqLen - col("n_tokens")).cast("double") /
+          (col("n_seqs") * seqLen).cast("double"))
+  }
+}

@@ -394,6 +394,54 @@ object LlmQueries {
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
         .orderBy(col("id_a"), col("id_b"))
     },
+
+    // Sequence packing: per-document placement in the shard-local packed
+    // token stream (concat-then-chunk, 1024-token sequences, 8 shards).
+    // Pure integer math over a portable hash shard → full DuckDB oracle.
+    "q_seq_packing" -> { (s, dir) =>
+      graft.llm.Packing.packSequences(Tables(s, dir).documents,
+        "doc_id", "text", seqLen = 1024, shards = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // Domain-mixture sampling: rebalance the lang mix toward uniform
+    // shares at half the corpus size, with deterministic md5-threshold
+    // membership — thresholds are fixed-order IEEE doubles, so the oracle
+    // reproduces them bit-exactly.
+    "q_mixture_sample" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val rates = graft.llm.Mixture.rebalanceRates(
+        docs, "lang", langs.map(_ -> 0.2).toMap, outFraction = 0.5)
+      graft.llm.Mixture.sampleByRates(docs, "doc_id", "lang", rates,
+          defaultRate = 0.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    },
+
+    // Vocabulary coverage: top-100 tokens by frequency with rank and
+    // cumulative share of the token stream (the Zipf head a tokenizer/
+    // stopword audit reads). Window runs over the 100-row top-k, not the
+    // corpus; the total comes from a 1-row broadcast.
+    "q_vocab_coverage" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables(s, dir).documents
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      val ord = Window.orderBy(col("cnt").desc, col("token"))
+      counts.orderBy(col("cnt").desc, col("token")).limit(100)
+        .withColumn("rank", row_number().over(ord))
+        .withColumn("cum", sum(col("cnt")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(total))
+        .select(col("token"), col("cnt"), col("rank"),
+          (col("cum").cast("double") / col("total").cast("double"))
+            .as("coverage"))
+        .orderBy(col("rank"))
+    },
   )
 
   private val markers = TextFunctions.LanguageMarkers
@@ -904,5 +952,56 @@ object LlmQueries {
          FROM p a JOIN p b ON a.band = b.band AND a.doc_id < b.doc_id
          WHERE levenshtein(a.pre, b.pre) <= 8
          ORDER BY id_a, id_b""",
+    "q_seq_packing" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) % 8 AS BIGINT) AS shard,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS BIGINT) AS tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, tokens,
+             CAST(sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+           FROM t WHERE tokens > 0)
+         SELECT doc_id, shard, tokens,
+           (cum_end - tokens) // 1024 AS start_seq,
+           (cum_end - 1) // 1024 AS end_seq,
+           (cum_end - tokens) % 1024 AS seq_offset
+         FROM c ORDER BY doc_id""",
+    "q_mixture_sample" ->
+      """WITH c AS (
+           SELECT lang, count(*) AS n FROM documents
+           WHERE lang IN ('de', 'en', 'es', 'fr', 'zh') GROUP BY lang),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM
+           (SELECT count(*) AS n FROM documents)),
+         r AS (
+           SELECT lang, LEAST(1.0, 0.5 * total * 0.2 / n) AS rate
+           FROM c, tot),
+         kept AS (
+           SELECT d.doc_id, d.lang
+           FROM documents d JOIN r USING (lang)
+           WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) / 4294967296.0 < r.rate)
+         SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+         FROM kept GROUP BY lang ORDER BY lang""",
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT unnest(string_split_regex(lower(text), '[^a-z'']+')) AS token
+           FROM documents),
+         c AS (
+           SELECT token, count(*) AS cnt FROM tok
+           WHERE token <> '' GROUP BY token),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+         top AS (
+           SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rank
+           FROM c ORDER BY cnt DESC, token LIMIT 100)
+         SELECT token, cnt, rank,
+           CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+             AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+         FROM top, tot ORDER BY rank""",
   )
 }

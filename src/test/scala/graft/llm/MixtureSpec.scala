@@ -1,0 +1,59 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    // 800 docs in domain a, 150 in b, 50 in c
+    val rows = (1L to 1000L).map { i =>
+      val d = if (i <= 800) "a" else if (i <= 950) "b" else "c"
+      (i, d)
+    }
+    rows.toDF("doc_id", "domain")
+  }
+
+  test("sampleByRates: deterministic, rate-respecting, subset-stable") {
+    val once = Mixture.sampleByRates(corpus, "doc_id", "domain",
+      Map("a" -> 0.25, "b" -> 1.0), defaultRate = 0.0)
+    val ids = once.select("doc_id").as[Long].collect().toSet
+    val again = Mixture.sampleByRates(corpus, "doc_id", "domain",
+      Map("a" -> 0.25, "b" -> 1.0), defaultRate = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === again, "membership must be a pure function of the id")
+    // full-rate domain kept whole, zero-rate domain dropped
+    assert(ids.count(i => i > 800 && i <= 950) === 150)
+    assert(!ids.exists(_ > 950))
+    // hash sampling at 25%: expect ~200 of 800, generous tolerance
+    val na = ids.count(_ <= 800)
+    assert(na > 120 && na < 280, s"rate 0.25 of 800 kept $na")
+    // a higher rate keeps a superset (threshold sampling is nested)
+    val more = Mixture.sampleByRates(corpus, "doc_id", "domain",
+      Map("a" -> 0.5, "b" -> 1.0), defaultRate = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(more), "raising a rate must only add rows")
+  }
+
+  test("rebalanceRates: targets shares, caps small domains at 1.0") {
+    val rates = Mixture.rebalanceRates(corpus, "domain",
+      Map("a" -> 0.4, "b" -> 0.3, "c" -> 0.3), outFraction = 0.5)
+    // a: 0.5*1000*0.4/800 = 0.25; b: 0.5*1000*0.3/150 = 1.0; c: capped
+    assert(rates("a") === 0.25)
+    assert(rates("b") === 1.0)
+    assert(rates("c") === 1.0, "undersized domain is kept whole, not upsampled")
+    // unknown domain → rate 0
+    val r2 = Mixture.rebalanceRates(corpus, "domain",
+      Map("zz" -> 1.0), outFraction = 0.5)
+    assert(r2("zz") === 0.0)
+  }
+
+  test("sampleByRates plan: scan-side predicate, no shuffle or join") {
+    val sampled = Mixture.sampleByRates(corpus, "doc_id", "domain",
+      Map("a" -> 0.5), defaultRate = 0.1)
+    assertNoCartesian(sampled)
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixture filter must not shuffle:\n$plan")
+  }
+}

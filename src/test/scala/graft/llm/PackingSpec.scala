@@ -1,0 +1,55 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences: contiguous shard-local stream, exact placement math") {
+    // Single shard (shards=1) so the layout is fully determined by id order.
+    val docs = Seq(
+      (1L, "a b c d e"),      // 5 tokens → [0, 5)
+      (2L, "f g h i j k"),    // 6 tokens → [5, 11): straddles the 8-boundary
+      (3L, ""),               // 0 tokens → dropped
+      (4L, "l m")             // 2 tokens → [11, 13)
+    ).toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, "doc_id", "text", seqLen = 8, shards = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // (id, tokens, start_seq, end_seq, seq_offset)
+    assertInAnyOrder(out.toSeq, Seq(
+      (1L, 5L, 0L, 0L, 0L),
+      (2L, 6L, 0L, 1L, 5L),  // starts mid-seq 0, ends in seq 1
+      (4L, 2L, 1L, 1L, 3L)))
+  }
+
+  test("packSequences: stream is gap-free and order-preserving per shard") {
+    val docs = (1L to 200L).map(i => (i, ("w " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
+    val packed = Packing.packSequences(docs, "doc_id", "text", seqLen = 16, shards = 4)
+    assertNoCartesian(packed)
+    val rows = packed.collect().map(r =>
+      (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5)))
+    rows.groupBy(_._1).foreach { case (_, docs0) =>
+      val inOrder = docs0.sortBy(_._2)
+      // successive docs tile the stream: next start == previous end
+      inOrder.foldLeft(0L) { case (pos, (_, _, toks, startSeq, off)) =>
+        assert(startSeq * 16 + off === pos, "gap or overlap in packed stream")
+        pos + toks
+      }
+    }
+    // every doc with tokens appears exactly once across shards
+    assert(rows.length === 200)
+  }
+
+  test("packingStats: seq count and tail waste") {
+    val docs = Seq((1L, "a b c d e"), (2L, "f g h")).toDF("doc_id", "text") // 8 tokens
+    val packed = Packing.packSequences(docs, "doc_id", "text", seqLen = 5, shards = 1)
+    val stats = Packing.packingStats(packed, seqLen = 5).collect()
+    assert(stats.length === 1)
+    val r = stats.head
+    assert(r.getAs[Long]("n_docs") === 2L && r.getAs[Long]("n_tokens") === 8L)
+    assert(r.getAs[Long]("n_seqs") === 2L) // ceil(8/5)
+    assert(r.getAs[Double]("tail_waste") === 2.0 / 10.0)
+  }
+}
