@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Combine
+
+/** Corpus-curation operators: rule-based document filtering and
+  * budget-bounded selection — the final "what actually goes into the
+  * training run" stage of an LLM data pipeline (SURVEY.md §2.9). The
+  * reference SDK has no counterpart; nearest primitives are Filter and
+  * Top (SURVEY.md §2.1/§2.3).
+  *
+  * Scale posture: [[gopherQualityFlags]] is pure Column arithmetic (one
+  * scan, codegen, no shuffle); [[selectByTokenBudget]] rides on
+  * [[Combine.prefixSum]] — a range-partitioned distributed cumulative
+  * sum, never a single-partition window.
+  */
+object Curation {
+
+  /** Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+    * Models", appendix A1.1): per-document boolean flags, one column per
+    * rule, plus `keep` = AND of all. Flags rather than a filter so the
+    * audit view ("why was this doc dropped") is first-class.
+    *
+    *  - `f_words`:     minWords ≤ whitespace word count ≤ maxWords
+    *  - `f_word_len`:  3 ≤ mean word length ≤ 10
+    *  - `f_symbols`:   ('#' + '…') per word ≤ 0.1
+    *  - `f_alpha`:     ≥ 80% of words contain a letter
+    *  - `f_stopwords`: ≥ 2 distinct stopwords from the common-word list
+    *  - `f_bullets`:   < 90% of lines start with a bullet, and < 30% end
+    *                   with an ellipsis
+    *
+    * Every rule is a deterministic Column expression over built-ins —
+    * RE2-portable regexes, no UDF — so an external engine can replay the
+    * exact keep/drop decision. */
+  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val text = col(textCol)
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val nWords = size(words)
+    val meanLen = when(nWords === 0, 0.0)
+      .otherwise(aggregate(words, lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / nWords)
+    val symbols =
+      (length(text) - length(regexp_replace(text, "#", ""))) +
+        (length(text) - length(regexp_replace(text, "…", "")))
+    val alphaFrac = when(nWords === 0, 0.0)
+      .otherwise(size(filter(words, w => w.rlike("[A-Za-z]")))
+        .cast("double") / nWords)
+    val distinctStops = size(array_intersect(
+      array_distinct(TextFunctions.tokens(text)),
+      array(TextFunctions.EnglishStopwords.map(lit): _*)))
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val bulletFrac = when(nLines === 0, 0.0)
+      .otherwise(size(filter(lines, l => trim(l).rlike("^[-*•]")))
+        .cast("double") / nLines)
+    val ellipsisFrac = when(nLines === 0, 0.0)
+      .otherwise(size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+        .cast("double") / nLines)
+    val fWords = nWords >= minWords && nWords <= maxWords
+    val fWordLen = meanLen >= 3.0 && meanLen <= 10.0
+    val fSymbols = when(nWords === 0, false)
+      .otherwise(symbols.cast("double") / nWords <= 0.1)
+    val fAlpha = alphaFrac >= 0.8
+    val fStopwords = distinctStops >= 2
+    val fBullets = bulletFrac < 0.9 && ellipsisFrac < 0.3
+    df.select(
+      col(idCol),
+      nWords.cast("long").as("n_words"),
+      fWords.as("f_words"),
+      fWordLen.as("f_word_len"),
+      fSymbols.as("f_symbols"),
+      fAlpha.as("f_alpha"),
+      fStopwords.as("f_stopwords"),
+      fBullets.as("f_bullets"),
+      (fWords && fWordLen && fSymbols && fAlpha && fStopwords && fBullets)
+        .as("keep"))
+  }
+
+  /** Budget-bounded greedy selection: take documents in descending
+    * `score` order (ties by ascending id) until the token budget is
+    * spent — "best docs first until the run's token budget is full", the
+    * standard curation step between scoring and training. A document is
+    * selected iff the budget is not yet exhausted when its turn comes
+    * (its exclusive prefix sum < budget), so the result overshoots by at
+    * most one document and is a pure function of (score, id, tokens).
+    *
+    * The global order runs through [[Combine.prefixSum]] — a
+    * range-partitioned cumulative sum, NOT an unpartitioned window: at
+    * corpus scale the sort stays distributed and no task sees more than
+    * its range partition. Output: (id, score, tokens, cum_tokens),
+    * cum_tokens inclusive. */
+  def selectByTokenBudget(df: DataFrame, idCol: String, score: Column,
+                          tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val scored = df.select(col(idCol), score.as("score"),
+      tokens.cast("long").as("tokens"))
+    Combine.prefixSum(scored, Seq(col("score").desc, col(idCol).asc),
+        col("tokens"), "cum_tokens")
+      .filter(col("cum_tokens") - col("tokens") < budget)
+  }
+}

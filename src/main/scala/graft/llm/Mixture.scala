@@ -54,6 +54,31 @@ object Mixture {
     * contract). The arithmetic is plain IEEE double in a fixed order so an
     * external auditor (or SQL oracle) reproduces the exact thresholds.
     */
+  /** Temperature-scaled mixture (the multilingual-LM sampling rule:
+    * share_d ∝ n_d^alpha): alpha = 1 keeps natural proportions, alpha = 0
+    * is uniform, alpha in between up-weights small domains without the
+    * hard targets of [[rebalanceRates]]. Returns per-domain keep-rates
+    * realizing those shares at ≈ `outFraction` of the input, small
+    * domains capped at 1 (deterministic sampling cannot upsample).
+    *
+    * One k-row count action; the share arithmetic runs driver-side in a
+    * FIXED (domain-sorted) order so the normalizer sum is reproducible
+    * IEEE arithmetic an external auditor can replay. */
+  def temperatureRates(df: DataFrame, domainCol: String, alpha: Double,
+                       outFraction: Double): Map[String, Double] = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    require(outFraction > 0 && outFraction <= 1, "outFraction must be in (0, 1]")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val doms = counts.keys.toSeq.sorted
+    val pw = doms.map(d => d -> math.pow(counts(d).toDouble, alpha)).toMap
+    val z = doms.map(pw).sum
+    val total = doms.map(counts).sum
+    doms.map { d =>
+      d -> math.min(1.0, outFraction * total * (pw(d) / z) / counts(d))
+    }.toMap
+  }
+
   def rebalanceRates(df: DataFrame, domainCol: String,
                      targets: Map[String, Double],
                      outFraction: Double): Map[String, Double] = {

@@ -138,6 +138,34 @@ object Similarity {
       Seq("probe_id"), k, col("score").desc, col("cand_id"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * embedding similarity WITHIN clusters — cluster the corpus (k-means or
+    * any deterministic centroid table), then inside each cluster drop
+    * every vector that has a smaller-id neighbor at cosine ≥ `threshold`,
+    * keeping the min-id representative of each similar group. Clustering
+    * confines the quadratic comparison to cluster-sized blocks — the
+    * published recipe's answer to all-pairs cosine at corpus scale; with
+    * balanced clusters the work is n²/k per cluster and the join is a
+    * shuffled equi-join on centroid_id, never a cartesian.
+    *
+    * Deterministic: given a deterministic centroid table (first-k by id,
+    * or [[kMeans]] with its fixed init) the kept set is a pure function of
+    * the data — reproducible across engines, auditable in SQL. */
+  def semDedup(corpus: DataFrame, centroids: DataFrame,
+               threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(corpus, centroids)
+    // per-side renames keep the self-join a real equi-join (a shared
+    // attribute would make the condition trivially true → cross join)
+    val a = assigned.select(col("centroid_id").as("cid_a"),
+      col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = assigned.select(col("centroid_id").as("cid_b"),
+      col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val drops = a.join(b, col("cid_a") === col("cid_b") && col("id_a") < col("id_b"))
+      .filter(VectorFunctions.cosine(col("e_a"), col("e_b")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    corpus.join(drops, Seq("vec_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs (threshold variant, exact
     * all-pairs). O(n²) — ground truth for [[cosinePairsBlocked]]'s recall;
     * never register it on a bench path. */

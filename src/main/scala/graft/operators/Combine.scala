@@ -229,6 +229,47 @@ object Combine {
       implicit ct: ClassTag[C]): CombineFn[I, A, O] =
     mk(spark.sparkContext.broadcast(context))
 
+  /** Distributed global prefix sum: appends `cumCol` = inclusive running
+    * total of `value` in `orderCols` order. The naive rendering — a window
+    * over an unpartitioned `Window.orderBy` — moves the ENTIRE dataset to
+    * one task; this is the scale-correct shape instead:
+    *
+    *  1. range-repartition on the order (Spark's distributed-sort
+    *     machinery: sampled boundaries, equal keys co-located);
+    *  2. per-range-partition running sum (window inside each partition —
+    *     no cross-partition data motion);
+    *  3. per-partition totals → exclusive offsets (a window over
+    *     ≤ `spark.sql.shuffle.partitions` rows — trivially small) joined
+    *     back via broadcast.
+    *
+    * The two reads of the ranged frame are identical subtrees of one
+    * query, so Spark's exchange reuse executes the range shuffle once.
+    * Exact for integral values; for floating-point the addition grouping
+    * follows the sampled range boundaries (sum is order-sensitive in the
+    * last ulp). */
+  def prefixSum(df: DataFrame, orderCols: Seq[Column], value: Column,
+                cumCol: String = "cum", numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged0 = df.withColumn("__v", value)
+    // numPartitions = 0: planner default (AQE may coalesce small inputs);
+    // explicit value pins the fan-out (AQE honors user-specified counts)
+    val ranged = (if (numPartitions > 0)
+      ranged0.repartitionByRange(numPartitions, orderCols: _*)
+    else ranged0.repartitionByRange(orderCols: _*))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col("__v")).as("__ps"))
+      .withColumn("__off", coalesce(
+        sum(col("__ps")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .select(col("__pid"), col("__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(cumCol, sum(col("__v")).over(w) + col("__off"))
+      .drop("__pid", "__v", "__off")
+  }
+
   /** Top-k CombineFn (bounded min-heap) for the typed path — the direct
     * analogue of Top.TopCombineFn's bounded heap. */
   final class TopKFn[T: Ordering: ClassTag](k: Int) extends CombineFn[T, Seq[T], Seq[T]] {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.llm.{Boilerplate, Contamination, Dedup, Multimodal, Repetition, Similarity, TextRelevance}
+import graft.llm.{Boilerplate, Contamination, Curation, Dedup, Mixture, Multimodal, Packing, Repetition, Similarity, TextRelevance}
 
 /** LLM-data-pipeline operator inventory (SURVEY.md §7 Phase 4): dedup,
   * similarity search, text analysis, multimodal plumbing. Oracles exist
@@ -26,6 +26,17 @@ object LlmQueries {
         Tables(s, dir).documents, "doc_id",
         md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")))
         .orderBy(col("keeper"))
+    },
+
+    // Dedup audit: cluster-size histogram (how many groups of k exact
+    // copies exist) — the first chart a dedup report shows.
+    "q_dedup_clusters" -> { (s, dir) =>
+      Dedup.exactByKey(
+        Tables(s, dir).documents, "doc_id",
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")))
+        .groupBy(col("n_dups"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("n_dups"))
     },
 
     // Policy dedup: group near-identical docs (shared 64-char prefix) and
@@ -442,6 +453,60 @@ object LlmQueries {
             .as("coverage"))
         .orderBy(col("rank"))
     },
+
+    // Packing shard summary: sequences per shard and tail waste — the
+    // metric a packing strategy is judged on. Same portable arithmetic
+    // as q_seq_packing.
+    "q_packing_stats" -> { (s, dir) =>
+      val packed = Packing.packSequences(Tables(s, dir).documents,
+        "doc_id", "text", seqLen = 1024, shards = 8)
+      Packing.packingStats(packed, seqLen = 1024).orderBy(col("shard"))
+    },
+
+    // Temperature-scaled mixture (share ∝ n^0.5): the multilingual-LM
+    // sampling rule, deterministic md5-threshold membership. Oracle
+    // replays the rate arithmetic in SQL.
+    "q_mixture_temperature" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val rates = Mixture.temperatureRates(docs, "lang", alpha = 0.5,
+        outFraction = 0.5)
+      Mixture.sampleByRates(docs, "doc_id", "lang", rates, defaultRate = 0.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    },
+
+    // Gopher-rule quality flags: one boolean column per rule + keep —
+    // the audit view of rule-based filtering. Pure Column arithmetic,
+    // RE2-portable regexes → full DuckDB oracle.
+    "q_gopher_rules" -> { (s, dir) =>
+      Curation.gopherQualityFlags(Tables(s, dir).documents, "doc_id", "text",
+        minWords = 20)
+        .orderBy(col("doc_id"))
+    },
+
+    // Budget-bounded greedy selection: best-quality docs first until a
+    // 50k-token budget is spent. Runs on the distributed prefix sum
+    // (range-partitioned cumsum — no single-partition window).
+    "q_token_budget" -> { (s, dir) =>
+      Curation.selectByTokenBudget(Tables(s, dir).documents, "doc_id",
+        TextFunctions.qualityScore(col("text")),
+        TextFunctions.tokenCount(col("text")), budget = 20000L)
+        .orderBy(col("doc_id"))
+    },
+
+    // SemDeDup: semantic dedup within embedding clusters (deterministic
+    // first-8 centroids). Cluster assignment + within-cluster cosine
+    // threshold + min-id representative are all SQL-replicable.
+    "q_semdedup" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val cents = emb.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+      Similarity.semDedup(emb, cents, threshold = 0.4)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
   )
 
   private val markers = TextFunctions.LanguageMarkers
@@ -475,6 +540,12 @@ object LlmQueries {
       """SELECT min(doc_id) AS keeper, count(*) AS n_dups FROM documents
          GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
          ORDER BY keeper""",
+    "q_dedup_clusters" ->
+      """WITH g AS (
+           SELECT count(*) AS n_dups FROM documents
+           GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+         SELECT n_dups, count(*) AS n_clusters FROM g
+         GROUP BY n_dups ORDER BY n_dups""",
     "q_ngram_jaccard" ->
       """WITH tok AS (
            SELECT doc_id,
@@ -1003,5 +1074,135 @@ object LlmQueries {
            CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
              AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
          FROM top, tot ORDER BY rank""",
+    "q_packing_stats" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) % 8 AS BIGINT) AS shard,
+             CAST(len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) AS BIGINT) AS tokens
+           FROM documents),
+         g AS (
+           SELECT shard, count(*) AS n_docs,
+             CAST(sum(tokens) AS BIGINT) AS n_tokens
+           FROM t WHERE tokens > 0 GROUP BY shard)
+         SELECT shard, n_docs, n_tokens,
+           CAST(ceil(n_tokens / 1024.0) AS BIGINT) AS n_seqs,
+           CAST(CAST(ceil(n_tokens / 1024.0) AS BIGINT) * 1024 - n_tokens AS DOUBLE)
+             / CAST(CAST(ceil(n_tokens / 1024.0) AS BIGINT) * 1024 AS DOUBLE) AS tail_waste
+         FROM g ORDER BY shard""",
+    "q_mixture_temperature" ->
+      """WITH c AS (
+           SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents
+           GROUP BY lang),
+         z AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS total FROM c),
+         r AS (
+           SELECT lang, LEAST(1.0, 0.5 * total * (pow(n, 0.5) / z) / n) AS rate
+           FROM c, z),
+         kept AS (
+           SELECT d.doc_id, d.lang
+           FROM documents d JOIN r USING (lang)
+           WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) / 4294967296.0 < r.rate)
+         SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id,
+           max(doc_id) AS max_id
+         FROM kept GROUP BY lang ORDER BY lang""",
+    "q_gopher_rules" ->
+      s"""WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             len(ws) AS nw,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
+             END AS mwl,
+             (length(text) - length(replace(text, '#', ''))) +
+               (length(text) - length(replace(text, '…', ''))) AS sym,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(ws)
+             END AS af,
+             len(list_intersect(list_distinct(toks), ${inList(TextFunctions.EnglishStopwords)})) AS ds,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE / len(lines)
+             END AS bf,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))::DOUBLE / len(lines)
+             END AS ef
+           FROM t)
+         SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+           nw >= 20 AND nw <= 100000 AS f_words,
+           mwl >= 3.0 AND mwl <= 10.0 AS f_word_len,
+           CASE WHEN nw = 0 THEN FALSE ELSE sym::DOUBLE / nw <= 0.1 END AS f_symbols,
+           af >= 0.8 AS f_alpha,
+           ds >= 2 AS f_stopwords,
+           bf < 0.9 AND ef < 0.3 AS f_bullets,
+           (nw >= 20 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+             AND (CASE WHEN nw = 0 THEN FALSE ELSE sym::DOUBLE / nw <= 0.1 END)
+             AND af >= 0.8 AND ds >= 2 AND (bf < 0.9 AND ef < 0.3) AS keep
+         FROM m ORDER BY doc_id""",
+    "q_token_budget" ->
+      s"""WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             len(toks) AS ntok,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE length(regexp_replace(lower(text), '[^a-z'']', '', 'g'))::DOUBLE / len(toks)
+             END AS mwl,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)
+             END AS pr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, x -> list_contains(${inList(TextFunctions.EnglishStopwords)}, x)))::DOUBLE / len(toks)
+             END AS sr,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+               x -> len(x) > 0)) AS BIGINT) AS tokens
+           FROM t),
+         s AS (
+           SELECT doc_id, tokens,
+             ((CASE WHEN ntok >= 5 AND ntok <= 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN sr > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS score
+           FROM m),
+         c AS (
+           SELECT doc_id, score, tokens,
+             CAST(sum(tokens) OVER (ORDER BY score DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM s)
+         SELECT doc_id, score, tokens, cum_tokens FROM c
+         WHERE cum_tokens - tokens < 20000 ORDER BY doc_id""",
+    "q_semdedup" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+           FROM embeddings),
+         cents AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
+           ORDER BY vec_id LIMIT 8),
+         assigned AS (
+           SELECT vec_id, emb, centroid_id FROM (
+             SELECT v.vec_id, v.emb, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(v.emb) + 1),
+                   i -> (v.emb[i] - c.cemb[i]) * (v.emb[i] - c.cemb[i]))) ASC,
+                 c.centroid_id) AS rn
+             FROM e v, cents c)
+           WHERE rn = 1),
+         drops AS (
+           SELECT DISTINCT b.vec_id
+           FROM assigned a JOIN assigned b
+             ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+           WHERE list_inner_product(a.emb, b.emb) /
+             (sqrt(list_inner_product(a.emb, a.emb)) *
+              sqrt(list_inner_product(b.emb, b.emb))) >= 0.4)
+         SELECT e.vec_id, e.label FROM e
+         LEFT JOIN drops d ON e.vec_id = d.vec_id
+         WHERE d.vec_id IS NULL
+         ORDER BY e.vec_id""",
   )
 }

@@ -1,0 +1,76 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.Combine
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopherQualityFlags: each rule flags its own failure mode") {
+    val good = ("the quick brown fox and the lazy dog ran to the old mill " +
+      "with a pail of water for the morning chores in town") // 24 words, stopwords, alpha
+    val docs = Seq(
+      (1L, good),
+      (2L, "short text"),                                  // too few words
+      (3L, ("# " * 30).trim),                              // symbol-heavy, no alpha
+      (4L, (1 to 30).map(_.toString).mkString(" ")),       // digits: alpha fails
+      (5L, (("- item\n" * 29) + "the a line of text here") + (" and the of to in is it that for on with" * 2)) // bullet-heavy
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherQualityFlags(docs, "doc_id", "text", minWords = 20)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getBoolean(out(1).fieldIndex("keep")), "clean doc must pass")
+    assert(!out(2).getBoolean(out(2).fieldIndex("f_words")))
+    assert(!out(3).getBoolean(out(3).fieldIndex("f_symbols")))
+    assert(!out(4).getBoolean(out(4).fieldIndex("f_alpha")))
+    assert(!out(5).getBoolean(out(5).fieldIndex("f_bullets")))
+  }
+
+  test("selectByTokenBudget: greedy by score, stops at budget, overshoot ≤ 1 doc") {
+    // scores: doc 1..6 have quality-ordered scores via explicit column
+    val docs = Seq(
+      (1L, 0.9, 40L), (2L, 0.8, 40L), (3L, 0.7, 40L),
+      (4L, 0.6, 40L), (5L, 0.5, 40L), (6L, 0.4, 40L)
+    ).toDF("doc_id", "score0", "tokens0")
+    val out = Curation.selectByTokenBudget(docs, "doc_id",
+      col("score0"), col("tokens0"), budget = 100L)
+      .orderBy(col("doc_id")).collect()
+    // 40+40=80 < 100, third doc starts at 80 < 100 → taken (overshoot to 120)
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(out.last.getAs[Long]("cum_tokens") === 120L)
+  }
+
+  test("prefixSum: matches single-partition cumsum and does not collapse to one task") {
+    val df = (1L to 1000L).map(i => (i, i % 97)).toDF("id", "v")
+    // pin the fan-out: the cumsum must be identical across any partitioning
+    val out = Combine.prefixSum(df, Seq(col("id").asc), col("v"), "cum",
+      numPartitions = 8)
+    assertNoCartesian(out)
+    val rows = out.orderBy("id").collect().map(r => (r.getLong(0), r.getAs[Long]("cum")))
+    var acc = 0L
+    rows.foreach { case (i, cum) =>
+      acc += i % 97
+      assert(cum === acc, s"prefix sum diverged at id $i")
+    }
+    // distributed shape: the data window runs per range partition, so with
+    // a pinned 8-way fan-out the ranged frame must actually have 8 partitions
+    val ranged = df.withColumn("__v", col("v"))
+      .repartitionByRange(8, col("id").asc)
+    assert(ranged.rdd.getNumPartitions === 8,
+      "range repartition must fan out so the windowed sum stays distributed")
+  }
+
+  test("semDedup: drops within-cluster near-identical vectors, keeps min id") {
+    val mk = (base: Double) => Array.tabulate(4)(i => (base + i).toFloat)
+    val corpus = Seq(
+      (1L, mk(1.0), 0), (2L, mk(1.0), 0),   // identical → 2 dropped
+      (3L, Array(5f, -4f, 3f, -2f), 1),     // own direction → kept
+      (4L, mk(1.0).map(x => x * 2f), 0)     // same direction as 1 → dropped
+    ).toDF("vec_id", "embedding", "label")
+    val cents = corpus.orderBy(col("vec_id")).limit(2)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+    val kept = Similarity.semDedup(corpus, cents, threshold = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+  }
+}

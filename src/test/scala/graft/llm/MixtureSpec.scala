@@ -49,6 +49,20 @@ class MixtureSpec extends SparkSpec {
     assert(r2("zz") === 0.0)
   }
 
+  test("temperatureRates: alpha=1 is natural, alpha=0 is uniform, caps at 1") {
+    // alpha=1 → share_d = n_d/N → rate = outFraction everywhere
+    val r1 = Mixture.temperatureRates(corpus, "domain", alpha = 1.0, outFraction = 0.5)
+    assert(r1.values.forall(r => math.abs(r - 0.5) < 1e-12))
+    // alpha=0 → uniform shares → small domains up-weighted, capped at 1
+    val r0 = Mixture.temperatureRates(corpus, "domain", alpha = 0.0, outFraction = 0.5)
+    // share = 1/3 each; a: 0.5*1000/3/800 = 0.2083…; c: 0.5*1000/3/50 > 1 → cap
+    assert(math.abs(r0("a") - 500.0 / 3.0 / 800.0) < 1e-12)
+    assert(r0("c") === 1.0)
+    // monotone: smaller alpha gives small domains a higher rate
+    val rHalf = Mixture.temperatureRates(corpus, "domain", alpha = 0.5, outFraction = 0.5)
+    assert(rHalf("c") >= r1("c") && rHalf("a") <= 1.0)
+  }
+
   test("sampleByRates plan: scan-side predicate, no shuffle or join") {
     val sampled = Mixture.sampleByRates(corpus, "doc_id", "domain",
       Map("a" -> 0.5), defaultRate = 0.1)
