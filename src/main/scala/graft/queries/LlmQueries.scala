@@ -442,7 +442,9 @@ object LlmQueries {
         .select(explode(TextFunctions.tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       val total = counts.agg(sum(col("cnt")).as("total"))
-      val ord = Window.orderBy(col("cnt").desc, col("token"))
+      // constant partition key: the window input is the 100-row top-k,
+      // bounded by construction (see prefixSum for the same idiom)
+      val ord = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("token"))
       counts.orderBy(col("cnt").desc, col("token")).limit(100)
         .withColumn("rank", row_number().over(ord))
         .withColumn("cum", sum(col("cnt")).over(
