@@ -204,6 +204,43 @@ object ShingleExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Σ (aᵢ−bᵢ)² over two double arrays, sequential left-to-right
+    * accumulation — bit-parity with
+    * aggregate(zip_with(a, b, (x,y) => (x−y)*(x−y)), 0.0, _+_), the form
+    * it replaces (same IEEE op order, so centroid assignments are
+    * unchanged). Null semantics match [[DotProduct]]: length mismatch or
+    * null element → NULL. Hot path: nearest-centroid assignment scores
+    * |corpus|·k pairs (IVF, k-means, SemDeDup); the interpreted HOF form
+    * allocates a difference array per pair. */
+  final case class SqDistance(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(left, isDoubleArray, "array<double>")
+      if (l.isFailure) l else requireType(right, isDoubleArray, "array<double>")
+    }
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      if (n != b.numElements()) return null
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val d = a.getDouble(i) - b.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+    override def prettyName: String = "sq_distance"
+    override protected def withNewChildrenInternal(newLeft: Expression,
+                                                   newRight: Expression): SqDistance =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Unit-normalize a double array in ONE pass (norm computed once, then
     * one divide per element) — the Column form re-evaluates the full
     * norm subtree inside the transform lambda per element (O(d²) per
@@ -255,6 +292,10 @@ object ShingleExprs {
   /** Callers must pre-cast both sides to array<double>. */
   def dot(a: Column, b: Column): Column =
     GraftSqlBridge.column(DotProduct(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Callers must pre-cast both sides to array<double>. */
+  def sqDistance(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SqDistance(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   /** Caller must pre-cast to array<double>. */
   def l2Normalize(v: Column): Column =

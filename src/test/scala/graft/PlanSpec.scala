@@ -30,6 +30,25 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_top_global").contains("TakeOrderedAndProject"))
   }
 
+  test("no registered query plans an unpartitioned (single-partition) Window") {
+    // A WindowExec with an empty partition spec moves the ENTIRE input to
+    // one partition — fine only for frames that are bounded-small by
+    // construction, and those carry an explicit constant partition key
+    // (see Combine.prefixSum) precisely so this audit stays clean.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val exec = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      val root = exec match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val bad = root.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(bad.isEmpty,
+        s"$name plans an unpartitioned Window:\n${bad.headOption.getOrElse("")}")
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is legitimate ONLY where the design is an
     // intentional broadcast of a tiny side against a non-equi condition:
@@ -38,9 +57,12 @@ class PlanSpec extends SparkSpec {
     // same plan Catalyst gives a scalar subquery.
     // q_contamination_exact broadcasts the eval-set probes against a
     // substring predicate — the designed corpus-scan-once plan.
+    // q_semdedup assigns to broadcast centroids the same way the IVF
+    // queries do; q_vocab_coverage crossJoins a broadcast 1-row total —
+    // both are the intended bounded fan-out, not a degenerate join.
     val bnljAllowed = Set("q_similarity_topk", "q_similarity_ivf",
       "q_similarity_ivf_trained", "q_tfidf", "q_bm25", "q_perplexity",
-      "q_contamination_exact")
+      "q_contamination_exact", "q_semdedup", "q_vocab_coverage")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

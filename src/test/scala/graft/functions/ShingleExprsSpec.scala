@@ -91,4 +91,23 @@ class ShingleExprsSpec extends SparkSpec {
       .as[(Double, Double)].collect()
     rows.foreach { case (fast, ref) => assert(fast == ref) } // bit-exact
   }
+
+  test("SqDistance ≡ aggregate(zip_with) fold; null on length mismatch") {
+    val df = Seq(
+      (Seq(1.5f, -2.25f, 3.0f), Seq(0.5, 4.0, -1.125)),
+      (Seq(0.1f, 0.2f, 0.3f), Seq(0.7, 0.8, 0.9))
+    ).toDF("a", "b")
+    val ad = col("a").cast("array<double>")
+    val bd = col("b").cast("array<double>")
+    val rows = df.select(
+      ShingleExprs.sqDistance(ad, bd).as("fast"),
+      aggregate(zip_with(ad, bd, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v).as("ref"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (fast, ref) => assert(fast == ref) } // bit-exact
+    val mismatch = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(ShingleExprs.sqDistance(col("a"), col("b")).as("d"))
+      .collect()
+    assert(mismatch.head.isNullAt(0))
+  }
 }

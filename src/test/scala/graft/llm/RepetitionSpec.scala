@@ -54,6 +54,49 @@ class RepetitionSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("editDistancePairs ≡ within-band all-pairs (PassJoin path included)") {
+    // Random corpus spanning both candidate paths: long docs (full
+    // prefixes → PassJoin segment blocking) and short docs (salted band
+    // join), plus planted near-dup pairs in each regime.
+    val rng = new scala.util.Random(7)
+    def randStr(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+    val longBase = (0 until 6).map(_ => randStr(100))
+    val shortBase = (0 until 6).map(_ => randStr(30))
+    def mutate(s: String, k: Int): String =
+      (0 until k).foldLeft(s)((t, _) => {
+        val i = rng.nextInt(t.length)
+        t.substring(0, i) + ('a' + rng.nextInt(4)).toChar + t.substring(i + 1)
+      })
+    val docs = (longBase ++ longBase.map(mutate(_, 2)) ++
+      shortBase ++ shortBase.map(mutate(_, 1)) ++
+      (0 until 20).map(_ => randStr(60 + rng.nextInt(60))))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val prefixLen = 48; val maxDist = 4; val bandWidth = 32
+    val got = Repetition.editDistancePairs(docs, "doc_id", "text",
+      prefixLen, maxDist, bandWidth)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // reference: plain quadratic within-band definition
+    val pre = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("pre"),
+      (length(col("text")) / bandWidth).cast("long").as("band"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, pa, ba) <- pre; (ib, pb, bb) <- pre
+      if ia < ib && ba == bb
+      d = lev(pa, pb) if d <= maxDist
+    } yield (ia, ib, d)).toSet
+    assert(got === want)
+    assert(want.nonEmpty, "fixture must plant at least one near-dup pair")
+  }
+
   test("repetition aggregations plan map-side partials, no cartesian") {
     val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
     val stats = Repetition.ngramRepetitionStats(docs, "doc_id", "text", 2)
