@@ -102,4 +102,30 @@ object Curation {
         col("tokens"), "cum_tokens")
       .filter(col("cum_tokens") - col("tokens") < budget)
   }
+
+  /** Quantile outlier trim: keep rows whose `value` lies within the
+    * corpus's [lo, hi] quantile band — the standard "drop freakishly
+    * short/long documents" curation pass. Bounds are EXACT interpolated
+    * percentiles (`percentile`, the (n−1)·q linear-interpolation
+    * definition both Spark and DuckDB's quantile_cont implement), computed
+    * in one aggregation and attached via a 1-row broadcast, so the filter
+    * itself is a codegen'd scan predicate.
+    *
+    * Scale note: exact percentile buffers per-value counts on the final
+    * aggregator, so it is the right tool when `value` has a bounded
+    * domain (document lengths, token counts). For unbounded/continuous
+    * domains at corpus scale, swap in `percentile_approx` — the plan
+    * shape (1-row broadcast + scan filter) is unchanged; the bound is
+    * then engine-specific and leaves the oracle-checkable set. */
+  def trimByQuantiles(df: DataFrame, idCol: String, value: Column,
+                      lo: Double, hi: Double): DataFrame = {
+    require(0.0 <= lo && lo <= hi && hi <= 1.0, "need 0 <= lo <= hi <= 1")
+    val bounds = df.agg(
+      percentile(value, lit(lo)).as("__lo"),
+      percentile(value, lit(hi)).as("__hi"))
+    df.select(col(idCol), value.as("value"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("value") >= col("__lo") && col("value") <= col("__hi"))
+      .select(col(idCol), col("value"))
+  }
 }

@@ -151,6 +151,47 @@ object IoQueries {
         .orderBy(col("m"))
     },
 
+    // §2.5 partitioned-table layout + dynamic partition pruning: write
+    // events hive-partitioned by event_type (the 100 TB layout: partition
+    // columns become directories, scans prune by directory), then join the
+    // partitioned fact against a filtered aggregate dim on the partition
+    // column. The dim's predicate is NOT statically inferable (it's over
+    // an aggregate), so only DPP can prune — the scan's PartitionFilters
+    // gains a dynamicpruning subquery fed by the broadcast dim
+    // (IoPruningSpec asserts it). Read-back aggregate equals the same
+    // rule replayed on the source of truth.
+    "q_partitioned_prune" -> { (s, dir) =>
+      val out = tmp("graft_partitioned")
+      Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      val fact = s.read.parquet(out)
+      val dim = Tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(davg(col("value")).as("avg_value"))
+        .filter(col("avg_value") > 50.0)
+        .select(col("event_type"))
+      fact.join(broadcast(dim), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+
+    // §1 row 8 semi-structured path (TableRowJsonCoder ≡ JSON columns):
+    // parse the events.props JSON string relationally (from_json — a
+    // codegen'd expression, no UDF) and aggregate by an extracted field.
+    "q_json_props" -> { (s, dir) =>
+      Tables(s, dir).events
+        .select(
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"),
+          col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("k"))
+    },
+
     // §2.5 Source framework (BoundedSource.split + getEstimatedSizeBytes):
     // the graft.sources DSv2 connector — split-planned parallel read with
     // scan statistics, per-minute event-time aggregation over the emitted
@@ -197,6 +238,20 @@ object IoQueries {
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_xmlio_roundtrip" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "q_partitioned_prune" ->
+      """WITH d AS (
+           SELECT event_type FROM events GROUP BY event_type
+           HAVING CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                    / COUNT(*) > 50.0)
+         SELECT e.event_type, count(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events e JOIN d USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""",
+    "q_json_props" ->
+      """SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_counting_input" ->
       """SELECT CAST(range % 7 AS BIGINT) AS m, count(*) AS n,
            CAST(SUM(range) AS BIGINT) AS s

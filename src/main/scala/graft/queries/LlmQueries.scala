@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
-import graft.llm.{Boilerplate, Contamination, Curation, Dedup, Mixture, Multimodal, Packing, Repetition, Similarity, TextRelevance}
+import graft.llm.{Boilerplate, Contamination, Curation, Dedup, HeavyHitters, Mixture, Multimodal, Packing, Repetition, Similarity, TextRelevance}
 
 /** LLM-data-pipeline operator inventory (SURVEY.md §7 Phase 4): dedup,
   * similarity search, text analysis, multimodal plumbing. Oracles exist
@@ -511,6 +511,28 @@ object LlmQueries {
       Similarity.semDedup(emb, cents, threshold = 0.4)
         .select(col("vec_id"), col("label"))
         .orderBy(col("vec_id"))
+    },
+
+    // Heavy hitters: Misra-Gries sketch prunes the token tail without a
+    // shuffle, then an exact recount over candidates only — emitted counts
+    // are exact, so the full (value,count) SQL answer is the oracle. The
+    // ApproximateUnique-family CombineFn bridge (Aggregator via udaf).
+    "q_heavy_hitters" -> { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      HeavyHitters.frequentValues(toks, col("token"), minFrac = 0.01)
+        .withColumnRenamed("value", "token")
+        .orderBy(col("token"))
+    },
+
+    // Quantile outlier trim: drop docs outside the exact [p05, p95]
+    // length band. Exact interpolated percentiles ((n-1)*q definition,
+    // identical in DuckDB's quantile_cont) ride a 1-row broadcast.
+    "q_length_trim" -> { (s, dir) =>
+      Curation.trimByQuantiles(Tables(s, dir).documents, "doc_id",
+          col("n_chars"), lo = 0.05, hi = 0.95)
+        .withColumnRenamed("value", "n_chars")
+        .orderBy(col("doc_id"))
     },
   )
 
@@ -1209,5 +1231,25 @@ object LlmQueries {
          LEFT JOIN drops d ON e.vec_id = d.vec_id
          WHERE d.vec_id IS NULL
          ORDER BY e.vec_id""",
+    // The MG sketch only PRUNES; emitted counts are an exact recount, so
+    // the oracle is the plain frequent-token SQL at the same threshold.
+    "q_heavy_hitters" ->
+      """WITH t AS (
+           SELECT unnest(string_split_regex(lower(text), '[^a-z'']+')) AS token
+           FROM documents),
+         tt AS (SELECT token FROM t WHERE token <> ''),
+         n AS (SELECT count(*) AS total FROM tt)
+         SELECT token, count(*) AS n FROM tt, n
+         GROUP BY token, total
+         HAVING count(*) >= ceil(0.01 * total)
+         ORDER BY token""",
+    "q_length_trim" ->
+      """WITH b AS (
+           SELECT quantile_cont(n_chars, 0.05) AS lo,
+                  quantile_cont(n_chars, 0.95) AS hi
+           FROM documents)
+         SELECT doc_id, n_chars FROM documents, b
+         WHERE n_chars >= lo AND n_chars <= hi
+         ORDER BY doc_id""",
   )
 }

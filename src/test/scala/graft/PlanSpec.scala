@@ -49,6 +49,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("partitioned layout: the fact scan prunes partitions dynamically (DPP)") {
+    // q_partitioned_prune joins a hive-partitioned fact on its partition
+    // column against a dim filtered on an aggregate (not statically
+    // inferable) — only dynamic partition pruning can skip directories.
+    // The scan must carry a dynamicpruning PartitionFilter reusing the
+    // join's broadcast.
+    val p = plan("q_partitioned_prune").toLowerCase
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning in the fact scan:\n$p")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // BroadcastNestedLoopJoin is legitimate ONLY where the design is an
     // intentional broadcast of a tiny side against a non-equi condition:
@@ -60,9 +71,12 @@ class PlanSpec extends SparkSpec {
     // q_semdedup assigns to broadcast centroids the same way the IVF
     // queries do; q_vocab_coverage crossJoins a broadcast 1-row total —
     // both are the intended bounded fan-out, not a degenerate join.
+    // q_heavy_hitters / q_length_trim attach a broadcast 1-row frame
+    // (token total; quantile bounds) — same scalar-subquery-shaped plan.
     val bnljAllowed = Set("q_similarity_topk", "q_similarity_ivf",
       "q_similarity_ivf_trained", "q_tfidf", "q_bm25", "q_perplexity",
-      "q_contamination_exact", "q_semdedup", "q_vocab_coverage")
+      "q_contamination_exact", "q_semdedup", "q_vocab_coverage",
+      "q_heavy_hitters", "q_length_trim")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -73,4 +73,20 @@ class CurationSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(kept === Set(1L, 3L))
   }
+
+  test("trimByQuantiles: exact interpolated (n-1)*q bounds, inclusive band") {
+    // values 1..100: p05 = 1 + 99*0.05 = 5.95, p95 = 1 + 99*0.95 = 95.05
+    // → keep exactly 6..95
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    val kept = Curation.trimByQuantiles(df, "id", col("v"), 0.05, 0.95)
+      .select("id").as[Long].collect().toSet
+    assert(kept === (6L to 95L).toSet)
+  }
+
+  test("trimByQuantiles: lo=0, hi=1 keeps everything") {
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+    val kept = Curation.trimByQuantiles(df, "id", col("v"), 0.0, 1.0)
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L))
+  }
 }

@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Misra-Gries heavy hitters: the sketch's completeness guarantee (any
+  * item with count > N/(k+1) survives), the undercount bound, and the
+  * end-to-end exactness of frequentValues (sketch prunes, recount is
+  * exact — output must EQUAL the plain groupBy answer). */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Adversarial mix: 3 genuinely heavy tokens inside a big distinct tail,
+  // spread over many partitions so partial summaries actually merge.
+  private def skewed = {
+    val heavy = Seq.fill(400)("alpha") ++ Seq.fill(250)("beta") ++ Seq.fill(120)("gamma")
+    val tail = (0 until 1000).map(i => s"tail$i")
+    spark.createDataset(new scala.util.Random(42).shuffle(heavy ++ tail))(
+        org.apache.spark.sql.Encoders.STRING)
+      .repartition(16).toDF("token")
+  }
+
+  test("MG summary is complete for items above N/(k+1) and never overcounts") {
+    val n = skewed.count() // 1770
+    val k = 20
+    val got = HeavyHitters.candidates(skewed, col("token"), k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = skewed.groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // completeness: every token with true count > N/(k+1) is present
+    exact.filter(_._2 > n.toDouble / (k + 1)).keys.foreach { t =>
+      assert(got.contains(t), s"heavy token $t missing from MG summary")
+    }
+    // summary size bound and the lower-bound property
+    assert(got.size <= k)
+    got.foreach { case (t, est) =>
+      assert(est <= exact(t), s"$t overcounted: est=$est exact=${exact(t)}")
+      assert(est >= exact(t) - n / (k + 1) - 1,
+        s"$t undercounted beyond the bound: est=$est exact=${exact(t)}")
+    }
+  }
+
+  test("frequentValues equals the exact groupBy answer (sketch only prunes)") {
+    val got = HeavyHitters.frequentValues(skewed, col("token"), minFrac = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    val n = skewed.count()
+    val thresh = math.ceil(0.05 * n).toLong
+    val expected = skewed.groupBy("token").count()
+      .filter(col("count") >= thresh)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+    assert(got.nonEmpty, "fixture should produce at least one heavy hitter")
+  }
+
+  test("frequentValues with a generous capacity returns every value exactly") {
+    val tiny = Seq("a", "a", "b", "c", "c", "c").toDF("t")
+    val got = HeavyHitters.frequentValues(tiny, col("t"), minFrac = 0.15)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    // ceil(0.15*6)=1: every value qualifies, counts exact
+    assert(got == Set("a" -> 2L, "b" -> 1L, "c" -> 3L))
+  }
+}
