@@ -388,4 +388,99 @@ object Dedup {
       .filter(col(idCol) === col("label"))
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
+
+  // ------------------------------------------------- cross-corpus dedup
+
+  /** Incremental-ingestion dedup: filter NEW documents that duplicate an
+    * already-ingested REFERENCE corpus — the shape every recurring crawl
+    * refresh runs (dedup the delta against the trained-on corpus, never
+    * re-dedup the reference against itself).
+    *
+    * Two legs, both equi-joins:
+    *  1. exact — normalized-md5 anti-join against the reference key set;
+    *  2. near  — n-token shingle containment: a surviving new doc is
+    *     dropped when, for some reference doc, |distinct shingles(new) ∩
+    *     distinct shingles(ref)| ≥ `containment` · |distinct
+    *     shingles(new)|. Shingles travel as 64-bit rolling hashes
+    *     (ShingleExprs — ids+longs shuffle, never text). Reference
+    *     shingles occurring in more than `maxDf` reference documents
+    *     (corpus-wide boilerplate) are excluded from candidate generation
+    *     — the document-frequency cap that keeps the per-hash join
+    *     fan-out bounded at corpus scale; the containment denominator
+    *     stays the full new-doc shingle count, so the cap only lowers
+    *     recall deterministically, never changes a kept doc's score.
+    *
+    * Both legs are engine-replayable (md5 keys; shingle counts match a
+    * string-shingle replay absent 64-bit collisions), so the whole
+    * operator oracle-checks. Returns the surviving new-doc rows. */
+  def dedupAgainstReference(newDocs: DataFrame, refDocs: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 8, containment: Double = 0.5,
+                            maxDf: Long = 1000L): DataFrame = {
+    require(containment > 0.0 && containment <= 1.0)
+    val key = md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+      .cast("binary"))
+    val refKeys = refDocs.select(key.as("__k")).distinct()
+    val exactSurvivors = newDocs.withColumn("__k", key)
+      .join(refKeys, Seq("__k"), "left_anti")
+      .drop("__k")
+
+    val newSh = track(exactSurvivors.select(col(idCol).as("__nid"),
+      explode(array_distinct(TextFunctions.shingleHashes(col(textCol), n)))
+        .as("__h")))
+    val refSh = refDocs.select(col(idCol).as("__rid"),
+      explode(array_distinct(TextFunctions.shingleHashes(col(textCol), n)))
+        .as("__h"))
+    // df cap: drop corpus-wide boilerplate shingles from the ref side
+    val refShCapped = refSh
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    val newSize = newSh.groupBy(col("__nid"))
+      .agg(count(lit(1)).as("__sz"))
+    val drops = newSh.join(refShCapped, Seq("__h"))
+      .groupBy(col("__nid"), col("__rid"))
+      .agg(count(lit(1)).as("__shared"))
+      .join(newSize, Seq("__nid"))
+      .filter(col("__shared") >= lit(containment) * col("__sz"))
+      .select(col("__nid")).distinct()
+    val out = exactSurvivors.join(drops,
+        exactSurvivors(idCol) === drops("__nid"), "left_anti")
+      .select(exactSurvivors.columns.toIndexedSeq.map(col): _*)
+    out
+  }
+
+  /** Cross-document duplication audit (the span-level view behind
+    * suffix-array dedup, Lee et al. 2021 "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499): per document, the
+    * fraction of its distinct n-token shingles that occur in at least one
+    * OTHER document — "how much of this doc exists elsewhere in the
+    * corpus". The quantity span-dedup thresholds on, produced without a
+    * suffix array: one shingle explode, one document-frequency count over
+    * 64-bit shingle hashes (ids+longs shuffle, never text), one per-doc
+    * re-aggregation, and a left join back to the id spine so shingle-less
+    * docs report 0. Output: (id, n_shingles, dup_shingle_frac). */
+  def crossDocDuplicationStats(df: DataFrame, idCol: String, textCol: String,
+                               n: Int): DataFrame = {
+    val spine = df.select(col(idCol).as("__id"))
+    val sh = df.select(col(idCol).as("__id"),
+      explode(array_distinct(TextFunctions.shingleHashes(col(textCol), n)))
+        .as("__h"))
+    // df per shingle via a partitioned window count (one shuffle+sort of
+    // the shingle stream — same idiom as the LSH bucket cap); a shingle is
+    // "shared" when some OTHER doc also has it, i.e. window count ≥ 2
+    // (distinct-per-doc explode makes within-doc repeats count once)
+    val withDf = sh.withColumn("__df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+    val perDoc = withDf.groupBy(col("__id")).agg(
+      count(lit(1)).as("__n"),
+      sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("__shared"))
+    spine.join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_shingles"),
+        when(coalesce(col("__n"), lit(0L)) > 0,
+          col("__shared").cast("double") / col("__n").cast("double"))
+          .otherwise(0.0).as("dup_shingle_frac"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,5 +70,32 @@ object Packing {
       .withColumn("tail_waste",
         (col("n_seqs") * seqLen - col("n_tokens")).cast("double") /
           (col("n_seqs") * seqLen).cast("double"))
+  }
+
+  /** Size-balanced shard assignment: rank documents by descending weight
+    * (ties by ascending id) and deal them serpentine across `shards`
+    * (pass 0 left-to-right, pass 1 right-to-left, …) — the deterministic
+    * longest-processing-time heuristic that keeps per-shard totals within
+    * one max-document of each other, where plain hashing leaves the
+    * heavy-tailed document-length distribution unbalanced.
+    *
+    * The global rank is [[Combine.prefixSum]] of 1s — a range-partitioned
+    * distributed rank, never a single-partition window — and the dealing
+    * arithmetic is exact integer math, so the assignment is a pure
+    * function of (weight, id) and replayable in SQL. Output: (id, weight,
+    * rank, shard). */
+  def assignShardsBySize(df: DataFrame, idCol: String,
+                         weight: Column, shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val ranked = Combine.prefixSum(
+      df.select(col(idCol), weight.cast("long").as("weight")),
+      Seq(col("weight").desc, col(idCol).asc), lit(1L), "rank")
+    val r0 = (col("rank") - 1).cast("long")
+    val pass = floor(r0 / shards).cast("long")
+    val pos = pmod(r0, lit(shards.toLong))
+    val shard = when(pmod(pass, lit(2L)) === 0, pos)
+      .otherwise(lit(shards.toLong - 1) - pos)
+    ranked.select(col(idCol), col("weight"), col("rank").cast("long").as("rank"),
+      shard.cast("int").as("shard"))
   }
 }

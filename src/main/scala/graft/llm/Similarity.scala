@@ -153,15 +153,20 @@ object Similarity {
     * the data — reproducible across engines, auditable in SQL. */
   def semDedup(corpus: DataFrame, centroids: DataFrame,
                threshold: Double): DataFrame = {
+    // assignment runs on the RAW vectors (sq-distance semantics); the
+    // pairwise verify runs on unit-normalized copies so each pair costs
+    // ONE dot instead of dot + two norms — 3× fewer array folds on the
+    // within-cluster quadratic, the operator's hot loop
     val assigned = assignToCentroids(corpus, centroids)
+      .withColumn("__ne", VectorFunctions.normalized(col("embedding")))
     // per-side renames keep the self-join a real equi-join (a shared
     // attribute would make the condition trivially true → cross join)
     val a = assigned.select(col("centroid_id").as("cid_a"),
-      col("vec_id").as("id_a"), col("embedding").as("e_a"))
+      col("vec_id").as("id_a"), col("__ne").as("e_a"))
     val b = assigned.select(col("centroid_id").as("cid_b"),
-      col("vec_id").as("id_b"), col("embedding").as("e_b"))
+      col("vec_id").as("id_b"), col("__ne").as("e_b"))
     val drops = a.join(b, col("cid_a") === col("cid_b") && col("id_a") < col("id_b"))
-      .filter(VectorFunctions.cosine(col("e_a"), col("e_b")) >= threshold)
+      .filter(VectorFunctions.dot(col("e_a"), col("e_b")) >= threshold)
       .select(col("id_b").as("vec_id")).distinct()
     corpus.join(drops, Seq("vec_id"), "left_anti")
   }

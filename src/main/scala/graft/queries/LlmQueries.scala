@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
+import graft.queries.QueryUtil.davg
 import graft.llm.{Boilerplate, Contamination, Curation, Dedup, HeavyHitters, Mixture, Multimodal, Packing, Repetition, Similarity, TextRelevance}
 
 /** LLM-data-pipeline operator inventory (SURVEY.md §7 Phase 4): dedup,
@@ -287,6 +288,29 @@ object LlmQueries {
 
     // Multimodal plumbing: synthetic media structs → partition-parallel
     // stub decode → feature rows (deterministic; rows-only).
+    // REAL image decode end-to-end: synthesize genuine binary PPM (P6)
+    // payloads from a deterministic pixel function, parse them with the
+    // dependency-free PpmCodec, reduce to exact per-channel means. The
+    // oracle replays the pixel arithmetic without touching bytes — the
+    // decode path is the thing under test.
+    "q_multimodal_ppm" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val imgs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, Multimodal.PpmCodec.encode(8, 6, (x, y) => {
+            val p = y * 8 + x
+            (((id * 31 + p * 7) % 256).toInt,
+             ((id * 17 + p * 5) % 256).toInt,
+             ((id * 13 + p * 3) % 256).toInt)
+          }))
+        }
+      Multimodal.decodeImageStats(imgs)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_multimodal_features" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -533,6 +557,58 @@ object LlmQueries {
           col("n_chars"), lo = 0.05, hi = 0.95)
         .withColumnRenamed("value", "n_chars")
         .orderBy(col("doc_id"))
+    },
+
+    // Cross-corpus (incremental-ingestion) dedup: even doc_ids are the
+    // already-ingested reference, odd ids the new delta; new docs that
+    // duplicate the reference exactly (md5) or by 8-gram shingle
+    // containment ≥ 0.5 are dropped. Both legs equi-joins; shingles
+    // travel as 64-bit hashes, replayed as n-gram strings in the oracle.
+    "q_crosscorpus_dedup" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val refd = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val newd = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      Dedup.dedupAgainstReference(newd, refd, "doc_id", "text",
+          n = 8, containment = 0.5)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Size-balanced training shards: serpentine LPT deal over the
+    // distributed rank; per-shard totals are the checkable output.
+    "q_shard_assign" -> { (s, dir) =>
+      Packing.assignShardsBySize(Tables(s, dir).documents, "doc_id",
+          TextFunctions.tokenCount(col("text")), shards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("total_weight"))
+        .orderBy(col("shard"))
+    },
+
+    // Cross-document duplication audit: per doc, the fraction of its
+    // distinct 8-gram shingles occurring in ≥1 other doc — the span-level
+    // stat suffix-array dedup thresholds on, via shingle-hash df counts.
+    "q_crossdoc_dup" -> { (s, dir) =>
+      Dedup.crossDocDuplicationStats(Tables(s, dir).documents,
+          "doc_id", "text", n = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // Corpus report card: the per-source audit summary a curation run
+    // ends with — volume, token mass, mean quality, exact-dup count.
+    // Every component is an already-oracle-proven portable expression.
+    "q_corpus_report" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("source"),
+          TextFunctions.tokenCount(col("text")).as("tok"),
+          TextFunctions.qualityScore(col("text")).as("q"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+            .cast("binary")).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("total_tokens"),
+          davg(col("q")).as("avg_quality"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"))
+        .orderBy(col("source"))
     },
   )
 
@@ -1207,13 +1283,17 @@ object LlmQueries {
          WHERE cum_tokens - tokens < 20000 ORDER BY doc_id""",
     "q_semdedup" ->
       """WITH e AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                CAST(embedding AS DOUBLE[])))) AS ne,
+             label
            FROM embeddings),
          cents AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e
            ORDER BY vec_id LIMIT 8),
          assigned AS (
-           SELECT vec_id, emb, centroid_id FROM (
-             SELECT v.vec_id, v.emb, c.centroid_id,
+           SELECT vec_id, ne, centroid_id FROM (
+             SELECT v.vec_id, v.ne, c.centroid_id,
                row_number() OVER (PARTITION BY v.vec_id ORDER BY
                  list_sum(list_transform(range(1, len(v.emb) + 1),
                    i -> (v.emb[i] - c.cemb[i]) * (v.emb[i] - c.cemb[i]))) ASC,
@@ -1224,9 +1304,7 @@ object LlmQueries {
            SELECT DISTINCT b.vec_id
            FROM assigned a JOIN assigned b
              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-           WHERE list_inner_product(a.emb, b.emb) /
-             (sqrt(list_inner_product(a.emb, a.emb)) *
-              sqrt(list_inner_product(b.emb, b.emb))) >= 0.4)
+           WHERE list_inner_product(a.ne, b.ne) >= 0.4)
          SELECT e.vec_id, e.label FROM e
          LEFT JOIN drops d ON e.vec_id = d.vec_id
          WHERE d.vec_id IS NULL
@@ -1251,5 +1329,123 @@ object LlmQueries {
          SELECT doc_id, n_chars FROM documents, b
          WHERE n_chars >= lo AND n_chars <= hi
          ORDER BY doc_id""",
+    // Replays both legs with n-gram STRINGS where Spark joins 64-bit
+    // shingle hashes — counts agree absent a 64-bit collision (same
+    // contract as q_contamination_ngram).
+    "q_crosscorpus_dedup" ->
+      """WITH refd AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         newd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+         refk AS (SELECT DISTINCT
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS k
+           FROM refd),
+         ex AS (SELECT * FROM newd
+           WHERE md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             NOT IN (SELECT k FROM refk)),
+         ntk AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM ex),
+         nsh AS (SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id, unnest(CASE WHEN len(toks) < 8
+             THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(1, len(toks) - 6),
+                    i -> array_to_string(toks[i : i + 7], ' ')) END) AS g
+           FROM ntk)),
+         rtk AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM refd),
+         rsh0 AS (SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id, unnest(CASE WHEN len(toks) < 8
+             THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(1, len(toks) - 6),
+                    i -> array_to_string(toks[i : i + 7], ' ')) END) AS g
+           FROM rtk)),
+         rdf AS (SELECT g FROM rsh0 GROUP BY g HAVING count(*) <= 1000),
+         rsh AS (SELECT s.doc_id, s.g FROM rsh0 s JOIN rdf USING (g)),
+         nsz AS (SELECT doc_id, count(*) AS sz FROM nsh GROUP BY doc_id),
+         shared AS (SELECT n.doc_id AS nid, r.doc_id AS rid, count(*) AS c
+           FROM nsh n JOIN rsh r USING (g) GROUP BY 1, 2),
+         drops AS (SELECT DISTINCT s.nid FROM shared s
+           JOIN nsz z ON z.doc_id = s.nid
+           WHERE s.c >= 0.5 * z.sz)
+         SELECT doc_id, n_chars FROM ex
+         WHERE doc_id NOT IN (SELECT nid FROM drops)
+         ORDER BY doc_id""",
+    "q_multimodal_ppm" ->
+      """SELECT doc_id, 8 AS width, 6 AS height,
+           CAST(list_sum(list_transform(range(0, 48),
+             p -> (doc_id * 31 + p * 7) % 256)) AS DOUBLE) / 48.0 AS mean_r,
+           CAST(list_sum(list_transform(range(0, 48),
+             p -> (doc_id * 17 + p * 5) % 256)) AS DOUBLE) / 48.0 AS mean_g,
+           CAST(list_sum(list_transform(range(0, 48),
+             p -> (doc_id * 13 + p * 3) % 256)) AS DOUBLE) / 48.0 AS mean_b
+         FROM documents ORDER BY doc_id""",
+    "q_crossdoc_dup" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id, g FROM (
+           SELECT doc_id, unnest(CASE WHEN len(toks) < 8
+             THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(1, len(toks) - 6),
+                    i -> array_to_string(toks[i : i + 7], ' ')) END) AS g
+           FROM tk)),
+         df AS (SELECT g, count(*) AS d FROM sh GROUP BY g),
+         per AS (
+           SELECT s.doc_id, count(*) AS n,
+             SUM(CASE WHEN f.d >= 2 THEN 1 ELSE 0 END) AS shared
+           FROM sh s JOIN df f USING (g) GROUP BY s.doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(p.n, 0) AS BIGINT) AS n_shingles,
+           CASE WHEN coalesce(p.n, 0) > 0
+                THEN p.shared::DOUBLE / p.n::DOUBLE ELSE 0.0 END AS dup_shingle_frac
+         FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+         ORDER BY d.doc_id""",
+    "q_shard_assign" ->
+      """WITH w AS (SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS weight
+         FROM documents),
+         r AS (SELECT doc_id, weight,
+           row_number() OVER (ORDER BY weight DESC, doc_id) AS rank FROM w),
+         s AS (SELECT doc_id, weight,
+           CASE WHEN CAST(floor((rank - 1) / 8.0) AS BIGINT) % 2 = 0
+                THEN (rank - 1) % 8
+                ELSE 7 - ((rank - 1) % 8) END AS shard
+         FROM r)
+         SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_docs,
+           CAST(SUM(weight) AS BIGINT) AS total_weight
+         FROM s GROUP BY 1 ORDER BY 1""",
+    "q_corpus_report" ->
+      s"""WITH t AS (
+           SELECT source, text,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS tok
+           FROM documents),
+         m AS (
+           SELECT source, tok,
+             len(toks) AS ntok,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE length(regexp_replace(lower(text), '[^a-z'']', '', 'g'))::DOUBLE / len(toks)
+             END AS mwl,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE / length(text)
+             END AS pr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE len(list_filter(toks, x -> list_contains(${inList(TextFunctions.EnglishStopwords)}, x)))::DOUBLE / len(toks)
+             END AS sr,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+           FROM t),
+         q AS (
+           SELECT source, tok, fp,
+             ((CASE WHEN ntok >= 5 AND ntok <= 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN pr < 0.2 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN sr > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality
+           FROM m)
+         SELECT source, count(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_quality,
+           count(*) - count(DISTINCT fp) AS n_dup_docs
+         FROM q GROUP BY source ORDER BY source""",
   )
 }

@@ -144,4 +144,56 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(keptStar == kept) // CC implementations are interchangeable
   }
+
+  test("dedupAgainstReference: exact and containment dups drop, fresh docs survive") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val ref = Seq(
+      (0L, base),
+      (2L, "reference corpus filler text entirely unlike anything else here"))
+      .toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, base),                                  // exact dup of ref 0 → drop
+      (3L, base + " extra"),                       // high containment → drop
+      (5L, "completely novel content with no overlap whatsoever to speak of"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstReference(nw, ref, "doc_id", "text",
+        n = 4, containment = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(5L), s"kept=$kept")
+    assertNoCartesian(Dedup.dedupAgainstReference(nw, ref, "doc_id", "text",
+      n = 4, containment = 0.5))
+  }
+
+  test("dedupAgainstReference: maxDf cap only lowers recall, never scores") {
+    // a shingle present in > maxDf ref docs stops generating candidates;
+    // docs whose overlap rode only on that shingle now survive
+    val boiler = "shared boilerplate header row one two three four"
+    val ref = (0L until 4L).map(i => (i * 2, s"$boiler unique$i tail$i words$i"))
+      .toDF("doc_id", "text")
+    val nw = Seq((9L, boiler)).toDF("doc_id", "text")
+    val keptCapped = Dedup.dedupAgainstReference(nw, ref, "doc_id", "text",
+        n = 4, containment = 0.3, maxDf = 2L)
+      .select("doc_id").as[Long].collect().toSet
+    val keptUncapped = Dedup.dedupAgainstReference(nw, ref, "doc_id", "text",
+        n = 4, containment = 0.3, maxDf = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptUncapped.isEmpty, "without the cap the boilerplate doc must drop")
+    assert(keptCapped == Set(9L), "the df cap must suppress the boilerplate match")
+  }
+
+  test("crossDocDuplicationStats: shared spans counted, unique docs at 0") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),  // shares 4-gram prefix w/ 2
+      (2L, "alpha beta gamma delta other words"),
+      (3L, "totally unrelated content nothing shared here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossDocDuplicationStats(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Double]("dup_shingle_frac"))).toMap
+    // 6 tokens, n=4 → 3 shingles each; docs 1/2 share exactly one
+    // ("alpha beta gamma delta")
+    assert(out(1L) === ((3L, 1.0 / 3.0)))
+    assert(out(2L) === ((3L, 1.0 / 3.0)))
+    assert(out(3L) === ((3L, 0.0)))
+  }
 }

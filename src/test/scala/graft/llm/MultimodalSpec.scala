@@ -52,4 +52,39 @@ class MultimodalSpec extends SparkSpec {
     val total = frames.filter(_.id == 0L).map(_.frame.length).sum
     assert(total >= "an image-bearing document".getBytes.length)
   }
+
+  test("PpmCodec: encode→decode round-trips geometry and exact pixels") {
+    val bytes = Multimodal.PpmCodec.encode(3, 2, (x, y) => (x * 10, y * 100, x + y))
+    val (w, h, px) = Multimodal.PpmCodec.decode(bytes)
+    assert(w == 3 && h == 2)
+    assert(px.length == 18)
+    // pixel (2,1): r=20, g=100, b=3 at offset (1*3+2)*3
+    val off = (1 * 3 + 2) * 3
+    assert((px(off) & 0xff, px(off + 1) & 0xff, px(off + 2) & 0xff) == ((20, 100, 3)))
+  }
+
+  test("PpmCodec: header grammar (comments, whitespace) and malformed rejects") {
+    val body = Array.fill(3 * 1 * 1)(7.toByte)
+    val withComment = ("P6\n# a comment line\n 1\t1 \n255\n".getBytes("US-ASCII") ++ body)
+    val (w, h, px) = Multimodal.PpmCodec.decode(withComment)
+    assert(w == 1 && h == 1 && px.toSeq == body.toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.PpmCodec.decode("P5\n1 1\n255\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.PpmCodec.decode("P6\n2 2\n255\n".getBytes("US-ASCII")) // truncated
+    }
+  }
+
+  test("decodeImageStats: real distributed decode, exact channel means") {
+    val imgs = spark.createDataset(Seq(
+      (1L, Multimodal.PpmCodec.encode(2, 2, (x, y) => (255, 0, x + y))),
+      (2L, Multimodal.PpmCodec.encode(4, 1, (x, _) => (x, x, x)))))
+    val out = Multimodal.decodeImageStats(imgs).collect()
+      .map(s => s.id -> s).toMap
+    assert(out(1L).width == 2 && out(1L).height == 2)
+    assert(out(1L).mean_r == 255.0 && out(1L).mean_g == 0.0)
+    assert(out(1L).mean_b == (0 + 1 + 1 + 2) / 4.0)
+    assert(out(2L).mean_r == (0 + 1 + 2 + 3) / 4.0)
+  }
 }

@@ -52,4 +52,24 @@ class PackingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_seqs") === 2L) // ceil(8/5)
     assert(r.getAs[Double]("tail_waste") === 2.0 / 10.0)
   }
+
+  test("assignShardsBySize: serpentine deal, deterministic, balanced") {
+    // weights 16..1 over 4 shards; serpentine passes:
+    //   pass0 → shards 0,1,2,3 get 16,15,14,13
+    //   pass1 ← shards 3,2,1,0 get 12,11,10,9 …
+    val docs = (1L to 16L).map(i => (i, i)).toDF("doc_id", "w")
+    val out = Packing.assignShardsBySize(docs, "doc_id", col("w"), shards = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("weight"),
+        r.getAs[Long]("rank"), r.getAs[Int]("shard")))
+    // rank 1 = heaviest (weight 16, doc 16)
+    assert(out.find(_._3 == 1L).get._2 === 16L)
+    val totals = out.groupBy(_._4).view.mapValues(_.map(_._2).sum).toMap
+    // serpentine over a linear sequence balances exactly: every shard = 34
+    assert(totals === Map(0 -> 34L, 1 -> 34L, 2 -> 34L, 3 -> 34L), s"$totals")
+    // deterministic under repartitioning
+    val again = Packing.assignShardsBySize(docs.repartition(7), "doc_id",
+        col("w"), shards = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"))).toSet
+    assert(again === out.map(t => (t._1, t._4)).toSet)
+  }
 }
