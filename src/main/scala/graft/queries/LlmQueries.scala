@@ -593,6 +593,34 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // End-to-end curation pipeline — the operators composed the way a
+    // real pretraining run chains them: Gopher-rule filter → exact dedup
+    // (min-id representative among survivors) → quantile length trim
+    // (bounds computed POST-dedup; stage order is part of the contract)
+    // → per-source summary. Every stage is individually oracle-proven;
+    // this query proves they compose bit-reproducibly.
+    "q_pipeline_e2e" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val flags = Curation.gopherQualityFlags(docs, "doc_id", "text",
+        minWords = 20)
+      val kept = docs.join(flags.filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"))
+      val keepers = Dedup.exactByKey(kept, "doc_id",
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+            .cast("binary")))
+        .select(col("keeper").as("doc_id"))
+      val deduped = kept.join(keepers, Seq("doc_id"))
+      val trimmed = Curation.trimByQuantiles(deduped, "doc_id",
+        col("n_chars"), lo = 0.05, hi = 0.95)
+      val fin = deduped.join(trimmed.select(col("doc_id")), Seq("doc_id"))
+      fin.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    },
+
     // Corpus report card: the per-source audit summary a curation run
     // ends with — volume, token mass, mean quality, exact-dup count.
     // Every component is an already-oracle-proven portable expression.
@@ -1415,6 +1443,50 @@ object LlmQueries {
          SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_docs,
            CAST(SUM(weight) AS BIGINT) AS total_weight
          FROM s GROUP BY 1 ORDER BY 1""",
+    "q_pipeline_e2e" ->
+      s"""WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             len(ws) AS nw,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
+             END AS mwl,
+             (length(text) - length(replace(text, '#', ''))) +
+               (length(text) - length(replace(text, '…', ''))) AS sym,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(ws)
+             END AS af,
+             len(list_intersect(list_distinct(toks), ${inList(TextFunctions.EnglishStopwords)})) AS ds,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE / len(lines)
+             END AS bf,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))::DOUBLE / len(lines)
+             END AS ef
+           FROM t),
+         g AS (
+           SELECT doc_id FROM m
+           WHERE (nw >= 20 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+             AND (CASE WHEN nw = 0 THEN FALSE ELSE sym::DOUBLE / nw <= 0.1 END)
+             AND af >= 0.8 AND ds >= 2 AND (bf < 0.9 AND ef < 0.3)),
+         kept AS (SELECT d.* FROM documents d JOIN g USING (doc_id)),
+         dd AS (SELECT min(doc_id) AS doc_id FROM kept
+                GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+         dkept AS (SELECT k.* FROM kept k JOIN dd USING (doc_id)),
+         b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                      quantile_cont(n_chars, 0.95) AS hi FROM dkept),
+         fin AS (SELECT dkept.* FROM dkept, b
+                 WHERE n_chars >= lo AND n_chars <= hi)
+         SELECT source, count(*) AS n_docs,
+           CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'),
+             x -> len(x) > 0))) AS BIGINT) AS total_tokens,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM fin GROUP BY source ORDER BY source""",
     "q_corpus_report" ->
       s"""WITH t AS (
            SELECT source, text,

@@ -76,7 +76,7 @@ class PlanSpec extends SparkSpec {
     val bnljAllowed = Set("q_similarity_topk", "q_similarity_ivf",
       "q_similarity_ivf_trained", "q_tfidf", "q_bm25", "q_perplexity",
       "q_contamination_exact", "q_semdedup", "q_vocab_coverage",
-      "q_heavy_hitters", "q_length_trim")
+      "q_heavy_hitters", "q_length_trim", "q_pipeline_e2e")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
