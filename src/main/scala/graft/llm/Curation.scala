@@ -128,4 +128,27 @@ object Curation {
       .filter(col("value") >= col("__lo") && col("value") <= col("__hi"))
       .select(col(idCol), col("value"))
   }
+
+  /** Head+tail token truncation: cap each document at `maxTokens`
+    * whitespace tokens, keeping the first ceil(headFrac·maxTokens) and
+    * the last maxTokens−head tokens — the standard long-document cap
+    * (context windows care about openings and endings; the middle is the
+    * cheapest cut). Documents at or under the cap pass through with the
+    * same single-space rejoin, so output text is whitespace-normalized
+    * either way and the operator is a pure array slice — one scan,
+    * codegen, no shuffle, replayable in SQL. Output: (id, text_trunc,
+    * n_tokens). */
+  def truncateTokens(df: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int, headFrac: Double = 0.75): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(headFrac > 0.0 && headFrac < 1.0, "headFrac must be in (0, 1)")
+    val headN = math.ceil(maxTokens * headFrac).toInt
+    val tailN = maxTokens - headN
+    val ws = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val kept = when(size(ws) <= maxTokens, ws)
+      .otherwise(concat(slice(ws, 1, headN), slice(ws, -tailN, tailN)))
+    df.select(col(idCol),
+      array_join(kept, " ").as("text_trunc"),
+      least(size(ws), lit(maxTokens)).cast("long").as("n_tokens"))
+  }
 }

@@ -192,6 +192,24 @@ object IoQueries {
         .orderBy(col("k"))
     },
 
+    // Training-shard export format: JSONL with a nested metadata struct
+    // ({id, text, meta:{lang, source, n_chars}} — the shape tokenizer
+    // pipelines consume), written and read back with an explicit schema.
+    // Proves the nested-struct JSON round-trip, not just flat columns.
+    "q_export_jsonl" -> { (s, dir) =>
+      val out = tmp("graft_export_jsonl")
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("text"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("doc_id BIGINT, text STRING, meta STRUCT<lang: STRING, source: STRING, n_chars: BIGINT>")
+        .json(out)
+        .groupBy(col("meta.source").as("source"))
+        .agg(count(lit(1)).as("n"), sum(col("meta.n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    },
+
     // §2.5 Source framework (BoundedSource.split + getEstimatedSizeBytes):
     // the graft.sources DSv2 connector — split-planned parallel read with
     // scan statistics, per-minute event-time aggregation over the emitted
@@ -252,6 +270,9 @@ object IoQueries {
            count(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_export_jsonl" ->
+      """SELECT source, count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY source ORDER BY source""",
     "q_counting_input" ->
       """SELECT CAST(range % 7 AS BIGINT) AS m, count(*) AS n,
            CAST(SUM(range) AS BIGINT) AS s

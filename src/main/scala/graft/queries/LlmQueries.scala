@@ -621,6 +621,14 @@ object LlmQueries {
         .orderBy(col("source"))
     },
 
+    // Head+tail token truncation: cap long docs at 64 tokens (48 head +
+    // 16 tail) — pure array slice, replayed exactly in SQL.
+    "q_truncate_tokens" -> { (s, dir) =>
+      Curation.truncateTokens(Tables(s, dir).documents, "doc_id", "text",
+          maxTokens = 64, headFrac = 0.75)
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus report card: the per-source audit summary a curation run
     // ends with — volume, token mass, mean quality, exact-dup count.
     // Every component is an already-oracle-proven portable expression.
@@ -1487,6 +1495,18 @@ object LlmQueries {
              x -> len(x) > 0))) AS BIGINT) AS total_tokens,
            min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM fin GROUP BY source ORDER BY source""",
+    "q_truncate_tokens" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS ws
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN len(ws) <= 64 THEN array_to_string(ws, ' ')
+                ELSE array_to_string(
+                  list_concat(ws[1:48], ws[len(ws)-15:len(ws)]), ' ')
+           END AS text_trunc,
+           CAST(least(len(ws), 64) AS BIGINT) AS n_tokens
+         FROM t ORDER BY doc_id""",
     "q_corpus_report" ->
       s"""WITH t AS (
            SELECT source, text,

@@ -83,6 +83,20 @@ class CurationSpec extends SparkSpec {
     assert(kept === (6L to 95L).toSet)
   }
 
+  test("truncateTokens: head+tail cap, under-cap passthrough normalized") {
+    val doc = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a  b\nc")).toDF("id", "text")
+    val out = Curation.truncateTokens(df, "id", "text",
+        maxTokens = 10, headFrac = 0.75)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // headN = ceil(7.5) = 8, tailN = 2 → first 8 + last 2
+    assert(out(1L)._1 ==
+      ((1 to 8).map(i => s"w$i") ++ Seq("w99", "w100")).mkString(" "))
+    assert(out(1L)._2 == 10L)
+    // under the cap: whitespace-normalized passthrough
+    assert(out(2L) == (("a b c", 3L)))
+  }
+
   test("trimByQuantiles: lo=0, hi=1 keeps everything") {
     val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
     val kept = Curation.trimByQuantiles(df, "id", col("v"), 0.0, 1.0)
