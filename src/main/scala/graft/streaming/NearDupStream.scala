@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+import graft.llm.Dedup
+
+/** Streaming NEAR-duplicate detection — the unbounded leg of the dedup
+  * family (batch leg: [[graft.llm.Dedup.simHashPairs]]; exact streaming
+  * leg: [[StreamOps.dedupByFingerprint]]). The reference has no
+  * counterpart (its streaming dedup is exact-by-id, [U] IO/PubsubIO.java
+  * idLabel); this extends the mandated LLM-pipeline family to streams.
+  *
+  * Mechanism: each document's 32-bit SimHash splits into maxDist+1 bit
+  * chunks. By pigeonhole, any two signatures within hamming ≤ maxDist
+  * agree on at least one chunk, so keying the stream by (chunk index,
+  * chunk value) routes every near-dup pair through ≥1 common key — the
+  * same complete blocking as the batch operator, re-expressed as a
+  * `transformWithState` key space. Per key, ListState holds the
+  * signatures seen within the event-time horizon; each arrival compares
+  * against only its chunk-mates (the 2^(32/k)-fold reduction vs all-pairs
+  * that makes the state bounded and the comparison local).
+  *
+  * Emissions are (id, dup_of, dist) flags for pairs within `maxDist`,
+  * dup_of = an earlier-arrived document — streaming semantics are
+  * first-wins, exactly like dropDuplicatesWithinWatermark. A pair
+  * agreeing on several chunks emits from each; consumers take
+  * `.dropDuplicates("id")` (or treat flags as a set) downstream.
+  *
+  * State hygiene: entries older than the watermark minus the horizon are
+  * pruned on every key access (and the horizon bounds state exactly like
+  * the exact-dedup leg — memory ∝ docs per horizon, not stream length).
+  */
+object NearDupStream {
+
+  /** A flagged near-duplicate arrival. */
+  final case class NearDup(id: Long, dup_of: Long, dist: Int, ts: Timestamp)
+
+  /** A signature retained in chunk-key state. */
+  final case class Seen(id: Long, sh: Long, tsMs: Long)
+
+  final class ChunkProcessor(maxDist: Int, horizonMs: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long, Timestamp), NearDup] {
+
+    @transient private var seen: ListState[Seen] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[Seen]("seen", Encoders.product[Seen],
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, Long, Long, Timestamp)],
+                                 timers: TimerValues): Iterator[NearDup] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val floor = if (wm <= 0) Long.MinValue else wm - horizonMs
+      var live = seen.get().filter(_.tsMs >= floor).toList
+      val out = List.newBuilder[NearDup]
+      // arrival order within the batch is the iterator order — process
+      // sequentially so within-batch pairs flag too (first-wins)
+      rows.foreach { case (id, _, sh, ts) =>
+        val matches = live.filter { s =>
+          s.id != id && java.lang.Long.bitCount(s.sh ^ sh) <= maxDist
+        }
+        if (matches.nonEmpty) {
+          // deterministic representative: the smallest matching earlier id
+          val rep = matches.minBy(_.id)
+          out += NearDup(id, rep.id,
+            java.lang.Long.bitCount(rep.sh ^ sh), ts)
+        }
+        live = Seen(id, sh, ts.getTime) :: live
+      }
+      seen.clear()
+      live.reverse.foreach(seen.appendValue)
+      out.result().iterator
+    }
+  }
+
+  /** Flag near-duplicate arrivals on a streaming DataFrame of
+    * (idCol: long, tsCol: timestamp, textCol: string). `lateness` is the
+    * watermark delay; `horizon` is how long a signature stays eligible as
+    * a dup target (Beam analogue: the GC horizon of the id-dedup state).
+    * Returns the NearDup flag stream (append mode). */
+  def nearDupFlags(docs: DataFrame, idCol: String, tsCol: String,
+                   textCol: String, maxDist: Int = 3,
+                   lateness: String = "10 minutes",
+                   horizon: java.time.Duration =
+                     java.time.Duration.ofMinutes(10)): Dataset[NearDup] = {
+    require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 32)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = maxDist + 1
+    // pack (chunk index, chunk bits) into one long grouping key — same
+    // chunk geometry as the batch operator (Dedup.simHashPairs)
+    val chunkKeys = (0 until k).map { c =>
+      val lo = c * 32 / k
+      val hi = (c + 1) * 32 / k
+      (lit(c.toLong) * lit(1L << 32)) +
+        pmod(floor(col("__sh") / lit(math.pow(2.0, lo))).cast("long"),
+          lit(1L << (hi - lo)))
+    }
+    docs
+      .withColumn("__sh", Dedup.simHash(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .select(col(idCol).cast("long").as("__id"),
+        explode(array(chunkKeys: _*)).as("__key"),
+        col("__sh"), col(tsCol).as("__ts"))
+      .as[(Long, Long, Long, Timestamp)]
+      .groupByKey(_._2)
+      .transformWithState(new ChunkProcessor(maxDist, horizon.toMillis),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}

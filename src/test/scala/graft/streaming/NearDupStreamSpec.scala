@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.llm.Dedup
+
+/** Streaming near-dup: pigeonhole chunk completeness on a stream —
+  * within-batch and cross-batch flags, first-wins semantics, horizon
+  * pruning. */
+class NearDupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while seventeen green bottles stand quietly on the old stone wall"
+  private val nearCopy = base.replace("seventeen", "eighteen")
+  private val unrelated = "completely different subject matter entirely: " +
+    "spectral decomposition of sparse adjacency operators in linear algebra"
+
+  private def hammingOf(a: String, b: String): Int = {
+    val r = Seq((a, b)).toDF("ta", "tb")
+      .select(Dedup.hamming(Dedup.simHash(col("ta")), Dedup.simHash(col("tb")))
+        .cast("int"))
+      .head().getInt(0)
+    r
+  }
+
+  private def run(name: String,
+                  batches: Seq[Seq[(Long, Timestamp, String)]]): Seq[NearDupStream.NearDup] = {
+    val input = MemoryStream[(Long, Timestamp, String)](name.hashCode.abs, spark, None)
+    val flags = NearDupStream.nearDupFlags(
+      input.toDS().toDF("id", "ts", "text"), "id", "ts", "text",
+      maxDist = 3, lateness = "10 minutes")
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-nd-$name").toString
+    val q = flags.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).as[NearDupStream.NearDup].collect().toSeq
+  }
+
+  test("within-batch and cross-batch near-dups flag; unrelated text does not") {
+    // precondition sanity: the fixture pair really is within the radius,
+    // the unrelated text really is not
+    assert(hammingOf(base, nearCopy) <= 3, "fixture near-pair drifted")
+    assert(hammingOf(base, unrelated) > 3, "fixture unrelated pair drifted")
+
+    val flags = run("nd1", Seq(
+      Seq((1L, ts(1), base), (2L, ts(2), nearCopy), (3L, ts(2), unrelated)),
+      Seq((4L, ts(3), base)) // exact text of 1 → hamming 0, cross-batch
+    ))
+    val byId = flags.groupBy(_.id).view.mapValues(_.map(_.dup_of).toSet).toMap
+    assert(byId.contains(2L) && byId(2L).contains(1L),
+      s"within-batch near-dup not flagged: $flags")
+    assert(byId.contains(4L) && (byId(4L) - 3L).nonEmpty,
+      s"cross-batch duplicate not flagged: $flags")
+    assert(!byId.contains(3L), s"unrelated doc falsely flagged: $flags")
+    assert(!byId.contains(1L), "first arrival must never be flagged")
+    // exact re-arrival reports hamming 0 against some earlier member
+    assert(flags.filter(_.id == 4L).exists(_.dist == 0))
+  }
+
+  test("identical ids are not self-flagged on re-arrival") {
+    val flags = run("nd2", Seq(
+      Seq((7L, ts(1), base)),
+      Seq((7L, ts(2), base)) // same record retried — id equality is exempt
+    ))
+    assert(!flags.exists(f => f.id == 7L && f.dup_of == 7L), s"$flags")
+  }
+}
