@@ -145,8 +145,12 @@ object Curation {
     val headN = math.ceil(maxTokens * headFrac).toInt
     val tailN = maxTokens - headN
     val ws = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
-    val kept = when(size(ws) <= maxTokens, ws)
-      .otherwise(concat(slice(ws, 1, headN), slice(ws, -tailN, tailN)))
+    // ceil can round headFrac up to the full cap (e.g. maxTokens=1) —
+    // slice(_, -0, 0) is a runtime error, so the tail leg must vanish
+    val over =
+      if (tailN == 0) slice(ws, 1, headN)
+      else concat(slice(ws, 1, headN), slice(ws, -tailN, tailN))
+    val kept = when(size(ws) <= maxTokens, ws).otherwise(over)
     df.select(col(idCol),
       array_join(kept, " ").as("text_trunc"),
       least(size(ws), lit(maxTokens)).cast("long").as("n_tokens"))

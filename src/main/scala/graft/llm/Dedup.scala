@@ -418,12 +418,13 @@ object Dedup {
                             n: Int = 8, containment: Double = 0.5,
                             maxDf: Long = 1000L): DataFrame = {
     require(containment > 0.0 && containment <= 1.0)
-    val key = md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
-      .cast("binary"))
+    val key = TextFunctions.fingerprintPortable(col(textCol))
     val refKeys = refDocs.select(key.as("__k")).distinct()
-    val exactSurvivors = newDocs.withColumn("__k", key)
+    // read twice (shingle explode + final anti-join) → persist per the
+    // module's tracked-cache convention
+    val exactSurvivors = track(newDocs.withColumn("__k", key)
       .join(refKeys, Seq("__k"), "left_anti")
-      .drop("__k")
+      .drop("__k"))
 
     val newSh = track(exactSurvivors.select(col(idCol).as("__nid"),
       explode(array_distinct(TextFunctions.shingleHashes(col(textCol), n)))

@@ -606,8 +606,7 @@ object LlmQueries {
       val kept = docs.join(flags.filter(col("keep")).select(col("doc_id")),
         Seq("doc_id"))
       val keepers = Dedup.exactByKey(kept, "doc_id",
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
-            .cast("binary")))
+          TextFunctions.fingerprintPortable(col("text")))
         .select(col("keeper").as("doc_id"))
       val deduped = kept.join(keepers, Seq("doc_id"))
       val trimmed = Curation.trimByQuantiles(deduped, "doc_id",
@@ -637,8 +636,7 @@ object LlmQueries {
         .select(col("source"),
           TextFunctions.tokenCount(col("text")).as("tok"),
           TextFunctions.qualityScore(col("text")).as("q"),
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
-            .cast("binary")).as("fp"))
+          TextFunctions.fingerprintPortable(col("text")).as("fp"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("tok")).as("total_tokens"),

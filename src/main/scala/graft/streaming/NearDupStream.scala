@@ -30,9 +30,15 @@ import graft.llm.Dedup
   * agreeing on several chunks emits from each; consumers take
   * `.dropDuplicates("id")` (or treat flags as a set) downstream.
   *
-  * State hygiene: entries older than the watermark minus the horizon are
-  * pruned on every key access (and the horizon bounds state exactly like
-  * the exact-dedup leg — memory ∝ docs per horizon, not stream length).
+  * State hygiene, two layers: entries older than the watermark minus the
+  * horizon are pruned on every key access (the fast path), and every
+  * batch registers an event-time timer at (latest arrival + horizon) as
+  * the cold-key sweep — a chunk key that never receives another row is
+  * never re-accessed, so without the timer its entries would outlive the
+  * horizon (for small maxDist the chunk space is large and most keys go
+  * cold after one row). When the timer fires past the horizon the key's
+  * surviving entries are pruned and an empty key releases its state.
+  * Together: memory ∝ docs per horizon, not stream length.
   */
 object NearDupStream {
 
@@ -74,7 +80,24 @@ object NearDupStream {
       }
       seen.clear()
       live.reverse.foreach(seen.appendValue)
+      // cold-key sweep: when the event clock passes the newest entry's
+      // horizon, fire and prune — releases keys that never see data again
+      if (live.nonEmpty)
+        getHandle.registerTimer(live.map(_.tsMs).max + horizonMs + 1)
       out.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[NearDup] = {
+      val wm = timers.getCurrentWatermarkInMs()
+      val floor = if (wm <= 0) Long.MinValue else wm - horizonMs
+      val live = seen.get().filter(_.tsMs >= floor).toList
+      seen.clear()
+      if (live.nonEmpty) {
+        live.foreach(seen.appendValue)
+        getHandle.registerTimer(live.map(_.tsMs).max + horizonMs + 1)
+      }
+      Iterator.empty
     }
   }
 

@@ -97,6 +97,15 @@ class CurationSpec extends SparkSpec {
     assert(out(2L) == (("a b c", 3L)))
   }
 
+  test("truncateTokens: tailN=0 (ceil rounds head to the full cap) is head-only") {
+    // maxTokens=1 → headN=1, tailN=0: must not build slice(_, -0, 0)
+    val df = Seq((1L, "alpha beta gamma")).toDF("id", "text")
+    val out = Curation.truncateTokens(df, "id", "text",
+        maxTokens = 1, headFrac = 0.5)
+      .collect().head
+    assert(out.getString(1) == "alpha" && out.getLong(2) == 1L)
+  }
+
   test("trimByQuantiles: lo=0, hi=1 keeps everything") {
     val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
     val kept = Curation.trimByQuantiles(df, "id", col("v"), 0.0, 1.0)
