@@ -53,6 +53,30 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should produce at least one heavy hitter")
   }
 
+  test("property: frequentValues ≡ exact answer on random skewed streams") {
+    // the completeness invariant must hold under arbitrary data layout —
+    // random zipf-ish streams, random partitioning, several thresholds
+    val rng = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val n = 300 + rng.nextInt(700)
+      val vals = (0 until n).map { _ =>
+        val r = rng.nextDouble()
+        if (r < 0.3) "hot0"
+        else if (r < 0.45) "hot1"
+        else s"cold${rng.nextInt(200)}"
+      }
+      val df = spark.createDataset(vals)(org.apache.spark.sql.Encoders.STRING)
+        .repartition(1 + rng.nextInt(12)).toDF("v")
+      val frac = Seq(0.02, 0.05, 0.1)(rng.nextInt(3))
+      val got = HeavyHitters.frequentValues(df, col("v"), frac)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+      val thresh = math.ceil(frac * n).toLong
+      val expected = df.groupBy("v").count().filter(col("count") >= thresh)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+      assert(got == expected, s"trial $trial (n=$n, frac=$frac)")
+    }
+  }
+
   test("frequentValues with a generous capacity returns every value exactly") {
     val tiny = Seq("a", "a", "b", "c", "c", "c").toDF("t")
     val got = HeavyHitters.frequentValues(tiny, col("t"), minFrac = 0.15)

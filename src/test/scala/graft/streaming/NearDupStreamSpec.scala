@@ -66,6 +66,35 @@ class NearDupStreamSpec extends SparkSpec {
     assert(flags.filter(_.id == 4L).exists(_.dist == 0))
   }
 
+  test("seen-signature state survives a query restart from the checkpoint") {
+    val input = MemoryStream[(Long, Timestamp, String)](31417, spark, None)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nd-rst-").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-nd-rst-out-").toString
+    def start() = {
+      val flags = NearDupStream.nearDupFlags(
+        input.toDS().toDF("id", "ts", "text"), "id", "ts", "text",
+        maxDist = 3, lateness = "10 minutes")
+      // file sink: the memory sink cannot recover from a checkpoint
+      flags.writeStream.format("parquet").option("path", out)
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+    }
+    val q1 = start()
+    try {
+      input.addData(Seq((1L, ts(1), base)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // the dup target arrived before the restart — its signature must come
+    // back from the state store for the post-restart arrival to flag
+    val q2 = start()
+    try {
+      input.addData(Seq((2L, ts(2), base)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val flags = spark.read.parquet(out).as[NearDupStream.NearDup].collect()
+    assert(flags.exists(f => f.id == 2L && f.dup_of == 1L && f.dist == 0),
+      s"cross-restart duplicate not flagged: ${flags.toSeq}")
+  }
+
   test("identical ids are not self-flagged on re-arrival") {
     val flags = run("nd2", Seq(
       Seq((7L, ts(1), base)),
