@@ -115,4 +115,20 @@ object Metrics {
     sc(spark).register(acc, name)
     new Distribution(name, acc)
   }
+
+  /** Metrics-only output tap (SURVEY §7 hard part 3: a multi-output DoFn
+    * whose extra output is just counters): Spark's `Observation` attaches
+    * named aggregate expressions to a plan WITHOUT a second pass, extra
+    * action, or sink — the relational rendering of a DoFn that passes its
+    * main output through while incrementing metrics. The aggregates are
+    * computed inside the same job that materializes `df`; read them from
+    * the returned Observation after the first action. Unlike
+    * accumulators, observed metrics are exactly-once (they ride the
+    * query's own execution, not task-retry side effects). */
+  def observed(df: org.apache.spark.sql.DataFrame, name: String,
+               aggs: org.apache.spark.sql.Column*): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.Observation) = {
+    require(aggs.nonEmpty, "at least one aggregate expression required")
+    val obs = new org.apache.spark.sql.Observation(name)
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
 }

@@ -47,4 +47,16 @@ class MetricsSpec extends SparkSpec {
     assert(Metrics.minAggregator(spark, "noMin").value.isEmpty)
     assert(Metrics.distribution(spark, "noDist").value.isEmpty)
   }
+
+  test("observed: metrics-only tap rides the main action, no second pass") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 100).toDF("i")
+    val (tapped, obs) = Metrics.observed(df, "tap",
+      count(lit(1)).as("n"), sum(col("i")).as("s"),
+      max(col("i")).as("mx"))
+    // main output unchanged; metrics appear after the action completes
+    assert(tapped.count() == 100L)
+    val m = obs.get
+    assert(m("n") == 100L && m("s") == 4950L && m("mx") == 99L)
+  }
 }
