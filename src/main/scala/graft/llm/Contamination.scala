@@ -32,9 +32,14 @@ object Contamination {
     * probe. Shingles are 64-bit rolling hashes (graft.functions
     * .ShingleExprs — single pass, codegen), so the join carries longs, not
     * n-gram text; a pair is a false positive only on a 64-bit collision.
-    * Documents shorter than n tokens hash their full token run as one
-    * shingle (the [[TextFunctions.shingleHashes]] convention), so short
-    * probes still match their sources. */
+    *
+    * Completeness caveat: a probe SHORTER than n tokens emits only its
+    * full-run hash ([[TextFunctions.shingleHashes]] convention), which can
+    * match a document's hash only when the document is itself shorter than
+    * n with the identical token run — a long document CONTAINING the short
+    * probe verbatim is NOT matched by this leg. Use [[overlapComplete]]
+    * when eval items vary in length; it routes sub-n probes through the
+    * exact-substring scan. */
   def ngramOverlap(docs: DataFrame, idCol: String, textCol: String,
                    probes: DataFrame, probeIdCol: String,
                    probeTextCol: String, n: Int = 13): DataFrame = {
@@ -44,6 +49,24 @@ object Contamination {
       explode(TextFunctions.shingleHashes(col(probeTextCol), n)).as("__h"))
     d.join(broadcast(p), Seq("__h"))
       .select(col("probe_id"), col("doc_id"))
+      .dropDuplicates("probe_id", "doc_id")
+  }
+
+  /** Length-complete contamination check: probes with ≥ n tokens go
+    * through the [[ngramOverlap]] hash join; probes under n tokens (which
+    * that leg cannot match against longer documents — see its caveat) go
+    * through the [[exactOverlap]] broadcast substring scan; zero-token
+    * probes match nothing. Both legs broadcast the (eval-set-sized) probe
+    * side and scan the corpus once each. */
+  def overlapComplete(docs: DataFrame, idCol: String, textCol: String,
+                      probes: DataFrame, probeIdCol: String,
+                      probeTextCol: String, n: Int = 13): DataFrame = {
+    val nTok = size(TextFunctions.tokens(col(probeTextCol)))
+    val longP = probes.filter(nTok >= n)
+    val shortP = probes.filter(nTok < n && nTok > 0)
+    ngramOverlap(docs, idCol, textCol, longP, probeIdCol, probeTextCol, n)
+      .unionByName(
+        exactOverlap(docs, idCol, textCol, shortP, probeIdCol, probeTextCol))
       .dropDuplicates("probe_id", "doc_id")
   }
 

@@ -43,9 +43,13 @@ object Curation {
     val meanLen = when(nWords === 0, 0.0)
       .otherwise(aggregate(words, lit(0L), (acc, w) => acc + length(w))
         .cast("double") / nWords)
+    // both ellipsis spellings count (the line rule below already treats
+    // them as equivalent — ASCII "..." spam must not pass f_symbols)
     val symbols =
       (length(text) - length(regexp_replace(text, "#", ""))) +
-        (length(text) - length(regexp_replace(text, "…", "")))
+        (length(text) - length(regexp_replace(text, "…", ""))) +
+        ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) /
+          lit(3)).cast("int")
     val alphaFrac = when(nWords === 0, 0.0)
       .otherwise(size(filter(words, w => w.rlike("[A-Za-z]")))
         .cast("double") / nWords)

@@ -112,10 +112,16 @@ object Dedup {
                                   numHashes: Int, shingleK: Int, bands: Int,
                                   threshold: Double, maxBucket: Int,
                                   tracker: DataFrame => DataFrame): DataFrame = {
+    // Zero-token docs (digits-only, punctuation, non-Latin scripts the
+    // tokenizer can't see) all hash the empty shingle — token-based
+    // similarity has NO signal on them, and without this filter they all
+    // look mutually identical and collapse to one survivor. Same guard on
+    // every token-shingle pair generator in this module.
+    val tokenized = df.filter(size(TextFunctions.tokens(col(textCol))) > 0)
     // Persist the signatures: they are read three times (band explode +
     // both sides of the verify join-back). Recomputing means re-hashing
     // every shingle numHashes times per read — the dominant cost.
-    val sig = tracker(df.select(
+    val sig = tracker(tokenized.select(
       col(idCol).as("id"),
       minHashSignature(col(textCol), numHashes, shingleK).as("sig")))
     // candidate generation carries only (bucket, id) — the signatures join
@@ -161,8 +167,11 @@ object Dedup {
                    maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 32)")
     val numChunks = maxDist + 1
-    // persist: read by the chunk explode and by both verify join-backs
-    val sh = track(df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh")))
+    // persist: read by the chunk explode and by both verify join-backs.
+    // zero-token docs carry no token signal — see minHashPairs guard
+    val sh = track(df
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("id"), simHash(col(textCol)).as("sh")))
     val chunkStructs = (0 until numChunks).map { c =>
       val lo = c * 32 / numChunks
       val hi = (c + 1) * 32 / numChunks
@@ -213,8 +222,10 @@ object Dedup {
     // persist the raw shingle sets: the exploded frame below feeds BOTH
     // the df-count branch and the reorder join, and without the cache each
     // branch would re-shingle the whole corpus
-    val sets = track(df.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.shingleHashes(col(textCol), shingleK)).as("sh0")))
+    val sets = track(df
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0) // no token signal → no candidacy
+      .select(col(idCol).as("id"),
+        array_distinct(TextFunctions.shingleHashes(col(textCol), shingleK)).as("sh0")))
     val exploded = sets.select(col("id"), explode(col("sh0")).as("s"))
     val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // persist the df-ordered shingle sets: read by the prefix explode and
@@ -245,8 +256,10 @@ object Dedup {
     * on a bench path. */
   def ngramJaccardPairsAllPairs(df: DataFrame, idCol: String, textCol: String,
                                 shingleK: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.shingleHashes(col(textCol), shingleK)).as("sh"))
+    val sh = df
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0) // mirror the blocked path's guard
+      .select(col(idCol).as("id"),
+        array_distinct(TextFunctions.shingleHashes(col(textCol), shingleK)).as("sh"))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -426,18 +439,28 @@ object Dedup {
       .join(refKeys, Seq("__k"), "left_anti")
       .drop("__k"))
 
-    val newSh = track(exactSurvivors.select(col(idCol).as("__nid"),
-      explode(array_distinct(TextFunctions.shingleHashes(col(textCol), n)))
-        .as("__h")))
-    val refSh = refDocs.select(col(idCol).as("__rid"),
-      explode(array_distinct(TextFunctions.shingleHashes(col(textCol), n)))
-        .as("__h"))
-    // df cap: drop corpus-wide boilerplate shingles from the ref side
-    val refShCapped = refSh
-      .withColumn("__df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+    // near leg: zero-token docs have no token signal (see minHashPairs
+    // guard) — they can still be EXACT dups above, but never near-dups
+    val newSh = track(exactSurvivors
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("__nid"),
+        explode(array_distinct(TextFunctions.shingleHashes(col(textCol), n)))
+          .as("__h")))
+    val refSh = refDocs
+      .filter(size(TextFunctions.tokens(col(textCol))) > 0)
+      .select(col(idCol).as("__rid"),
+        explode(array_distinct(TextFunctions.shingleHashes(col(textCol), n)))
+          .as("__h"))
+    // df cap: drop corpus-wide boilerplate shingles from the ref side.
+    // groupBy + join-back rather than a per-__h window count: the grouped
+    // count partial-aggregates map-side and the join can AQE-skew-split,
+    // where a window partition materializes every occurrence of the
+    // hottest shingle in one task — the exact skew maxDf exists to handle.
+    val refDfOk = refSh.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
-      .drop("__df")
+      .select(col("__h"))
+    val refShCapped = refSh.join(refDfOk, Seq("__h"))
     val newSize = newSh.groupBy(col("__nid"))
       .agg(count(lit(1)).as("__sz"))
     val drops = newSh.join(refShCapped, Seq("__h"))
@@ -468,12 +491,14 @@ object Dedup {
     val sh = df.select(col(idCol).as("__id"),
       explode(array_distinct(TextFunctions.shingleHashes(col(textCol), n)))
         .as("__h"))
-    // df per shingle via a partitioned window count (one shuffle+sort of
-    // the shingle stream — same idiom as the LSH bucket cap); a shingle is
-    // "shared" when some OTHER doc also has it, i.e. window count ≥ 2
-    // (distinct-per-doc explode makes within-doc repeats count once)
-    val withDf = sh.withColumn("__df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+    // df per shingle via groupBy + join-back (map-side partial counts,
+    // AQE-skew-splittable join) — NOT a per-__h window, which would
+    // materialize every occurrence of a corpus-wide boilerplate shingle
+    // in one task. A shingle is "shared" when some OTHER doc also has it,
+    // i.e. df ≥ 2 (distinct-per-doc explode makes within-doc repeats
+    // count once).
+    val dfCounts = sh.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    val withDf = sh.join(dfCounts, Seq("__h"))
     val perDoc = withDf.groupBy(col("__id")).agg(
       count(lit(1)).as("__n"),
       sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("__shared"))

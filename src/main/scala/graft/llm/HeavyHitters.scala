@@ -78,7 +78,10 @@ object HeavyHitters {
     * count > N/(capacity+1). */
   def candidates(df: DataFrame, valueCol: Column, capacity: Int): DataFrame = {
     val mg = udaf(MisraGries(capacity), Encoders.STRING)
+    // nulls are not countable items (and a null Map key breaks the
+    // MapType output encoder) — SQL-aggregate convention: ignore them
     df.select(valueCol.cast("string").as("v"))
+      .filter(col("v").isNotNull)
       .agg(mg(col("v")).as("mg"))
       .select(explode(col("mg")).as(Seq("value", "est")))
   }
@@ -96,6 +99,7 @@ object HeavyHitters {
     require(slack >= 1, "slack must be >= 1")
     val capacity = math.ceil(slack / minFrac).toInt
     val vals = df.select(valueCol.cast("string").as("value"))
+      .filter(col("value").isNotNull)
     val cand = candidates(vals, col("value"), capacity).select(col("value"))
     val total = vals.agg(count(lit(1)).as("total"))
     vals.join(broadcast(cand), Seq("value"), "left_semi")

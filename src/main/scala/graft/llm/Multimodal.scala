@@ -98,9 +98,12 @@ object Multimodal {
       val w = readInt(); val h = readInt(); val maxval = readInt()
       require(maxval == 255, s"unsupported maxval $maxval (8-bit only)")
       pos += 1 // the single whitespace byte after maxval
-      val n = w * h * 3
+      // Long math: a crafted "P6\n50000 50000\n255\n" header would wrap
+      // w*h*3 in Int, defeat the truncation check, and crash downstream
+      val n = w.toLong * h * 3L
+      require(n <= Int.MaxValue, s"PPM geometry ${w}x$h too large")
       require(bytes.length - pos >= n, "truncated PPM pixel data")
-      (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + n))
+      (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + n.toInt))
     }
   }
 
@@ -134,7 +137,7 @@ object Multimodal {
     * duration_ms BIGINT} on fixture data. */
   def attachSyntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("media", struct(
-      unbase64(base64(col(textCol).cast("binary"))).as("bytes"),
+      col(textCol).cast("binary").as("bytes"),
       when(col(idCol) % 2 === 0, "image/png").otherwise("audio/wav").as("mime"),
       (pmod(xxhash64(col(textCol)), lit(1024)) + 32).cast("int").as("width"),
       (pmod(xxhash64(col(idCol)), lit(768)) + 32).cast("int").as("height"),

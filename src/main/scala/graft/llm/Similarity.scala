@@ -35,6 +35,19 @@ object Similarity {
     persisted.clear()
   }
 
+  /** Fail fast when the configured plane dimension doesn't match the real
+    * embedding width: DotProduct returns NULL on length mismatch, every
+    * SRP sign test then yields bit 0, and ALL rows silently land in bucket
+    * 0 — the blocked join degenerates to all-pairs with no error. One
+    * take(1) probe is cheap next to the operator it guards. */
+  private def requireDim(df: DataFrame, embCol: String, dim: Int,
+                         who: String): Unit =
+    df.select(size(col(embCol))).take(1).foreach { r =>
+      require(r.getInt(0) == dim,
+        s"$who: nPlanes are $dim-dimensional but '$embCol' vectors have " +
+          s"${r.getInt(0)} elements — pass dim = ${r.getInt(0)}")
+    }
+
   /** Exact cosine top-k per probe. `corpus`/`probes`: (id, embedding). */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
@@ -51,6 +64,7 @@ object Similarity {
     * recall with fewer planes or multi-probe. */
   def srpTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    requireDim(corpus, "embedding", dim, "srpTopK")
     val planes = VectorFunctions.makePlanes(nPlanes, dim, seed)
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
       VectorFunctions.srpBucket(col("embedding"), planes).as("bucket"))
@@ -194,6 +208,7 @@ object Similarity {
   def cosinePairsBlocked(corpus: DataFrame, threshold: Double,
                          nPlanes: Int = 4, nTables: Int = 4,
                          dim: Int = 64, seed: Long = 42L): DataFrame = {
+    requireDim(corpus, "embedding", dim, "cosinePairsBlocked")
     val planes = VectorFunctions.makePlanes(nPlanes * nTables, dim, seed)
     // persist: read by the bucket explode and both verify join-backs
     val base = track(corpus.select(col("vec_id").as("id"),

@@ -280,10 +280,24 @@ object Combine {
     * analogue of Top.TopCombineFn's bounded heap. */
   final class TopKFn[T: Ordering: ClassTag](k: Int) extends CombineFn[T, Seq[T], Seq[T]] {
     private val ord = implicitly[Ordering[T]]
+    // accumulator invariant: sorted ASCENDING, size ≤ k, head = current min
     def createAccumulator(): Seq[T] = Vector.empty
-    def addInput(acc: Seq[T], in: T): Seq[T] = trim(acc :+ in)
-    def mergeAccumulators(a: Seq[T], b: Seq[T]): Seq[T] = trim(a ++ b)
-    def extractOutput(acc: Seq[T]): Seq[T] = acc.sorted(ord.reverse)
-    private def trim(xs: Seq[T]): Seq[T] = xs.sorted(ord.reverse).take(k)
+    def addInput(acc: Seq[T], in: T): Seq[T] =
+      if (acc.length < k) insert(acc, in)
+      else if (ord.lteq(in, acc.head)) acc // below the bar: O(1) reject
+      else insert(acc.tail, in)
+    def mergeAccumulators(a: Seq[T], b: Seq[T]): Seq[T] =
+      (a ++ b).sorted(ord).takeRight(k)
+    def extractOutput(acc: Seq[T]): Seq[T] = acc.reverse
+    private def insert(xs: Seq[T], in: T): Seq[T] = {
+      // binary-search insertion keeps addInput O(log k + k) copy instead
+      // of the former full O(k log k) re-sort per element
+      var lo = 0; var hi = xs.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (ord.lt(xs(mid), in)) lo = mid + 1 else hi = mid
+      }
+      (xs.take(lo) :+ in) ++ xs.drop(lo)
+    }
   }
 }

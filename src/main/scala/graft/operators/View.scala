@@ -34,8 +34,14 @@ object View {
 
   /** View.asMap: unique-keyed KV → broadcast Map. */
   def asMap[K, V](ds: Dataset[(K, V)]): Broadcast[Map[K, V]] = {
-    val m = ds.collect().toMap
-    ds.sparkSession.sparkContext.broadcast(m)
+    val rows = ds.collect()
+    // Beam's View.asMap rejects duplicate keys (use asMultimap for those);
+    // silently keeping the collect-order-last value would be partition-
+    // order nondeterminism smuggled into a broadcast side input
+    val dups = rows.groupBy(_._1).collect { case (k, vs) if vs.length > 1 => k }
+    require(dups.isEmpty,
+      s"View.asMap requires unique keys; duplicates: ${dups.take(5).mkString(", ")}")
+    ds.sparkSession.sparkContext.broadcast(rows.toMap)
   }
 
   /** View.asMultimap. */

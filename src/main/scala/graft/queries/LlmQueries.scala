@@ -620,6 +620,21 @@ object LlmQueries {
         .orderBy(col("source"))
     },
 
+    // Length-complete contamination: short probes (< n tokens) route
+    // through the exact-substring scan, long probes through the n-gram
+    // hash join — closes the short-probe false-negative of the pure
+    // n-gram leg. Oracle replays the routing decision by token count.
+    "q_contamination_full" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val probes = docs.filter(col("doc_id") < 2)
+        .select(col("doc_id").as("pid"), substring(col("text"), 1, 40).as("ptext"))
+        .unionByName(docs.filter(col("doc_id") === 2)
+          .select(col("doc_id").as("pid"), substring(col("text"), 1, 200).as("ptext")))
+      Contamination.overlapComplete(docs, "doc_id", "text",
+          probes, "pid", "ptext", n = 13)
+        .orderBy(col("probe_id"), col("doc_id"))
+    },
+
     // Head+tail token truncation: cap long docs at 64 tokens (48 head +
     // 16 tail) — pure array slice, replayed exactly in SQL.
     "q_truncate_tokens" -> { (s, dir) =>
@@ -693,7 +708,8 @@ object LlmQueries {
              CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
                   ELSE list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
              END AS s
-           FROM tok),
+           FROM tok
+           WHERE len(ts) > 0),
          d AS (SELECT doc_id, list_distinct(s) AS s FROM sh)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(len(list_intersect(a.s, b.s))::DOUBLE /
@@ -1258,7 +1274,8 @@ object LlmQueries {
                   ELSE list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
              END AS mwl,
              (length(text) - length(replace(text, '#', ''))) +
-               (length(text) - length(replace(text, '…', ''))) AS sym,
+               (length(text) - length(replace(text, '…', ''))) +
+               CAST((length(text) - length(replace(text, '...', ''))) / 3 AS INTEGER) AS sym,
              CASE WHEN len(ws) = 0 THEN 0.0
                   ELSE len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(ws)
              END AS af,
@@ -1383,7 +1400,7 @@ object LlmQueries {
              THEN [array_to_string(toks, ' ')]
              ELSE list_transform(range(1, len(toks) - 6),
                     i -> array_to_string(toks[i : i + 7], ' ')) END) AS g
-           FROM ntk)),
+           FROM ntk WHERE len(toks) > 0)),
          rtk AS (SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
            FROM refd),
@@ -1392,7 +1409,7 @@ object LlmQueries {
              THEN [array_to_string(toks, ' ')]
              ELSE list_transform(range(1, len(toks) - 6),
                     i -> array_to_string(toks[i : i + 7], ' ')) END) AS g
-           FROM rtk)),
+           FROM rtk WHERE len(toks) > 0)),
          rdf AS (SELECT g FROM rsh0 GROUP BY g HAVING count(*) <= 1000),
          rsh AS (SELECT s.doc_id, s.g FROM rsh0 s JOIN rdf USING (g)),
          nsz AS (SELECT doc_id, count(*) AS sz FROM nsh GROUP BY doc_id),
@@ -1463,7 +1480,8 @@ object LlmQueries {
                   ELSE list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
              END AS mwl,
              (length(text) - length(replace(text, '#', ''))) +
-               (length(text) - length(replace(text, '…', ''))) AS sym,
+               (length(text) - length(replace(text, '…', ''))) +
+               CAST((length(text) - length(replace(text, '...', ''))) / 3 AS INTEGER) AS sym,
              CASE WHEN len(ws) = 0 THEN 0.0
                   ELSE len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(ws)
              END AS af,
@@ -1493,6 +1511,38 @@ object LlmQueries {
              x -> len(x) > 0))) AS BIGINT) AS total_tokens,
            min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM fin GROUP BY source ORDER BY source""",
+    "q_contamination_full" ->
+      """WITH p AS (
+           SELECT doc_id AS probe_id, substr(text, 1, 40) AS ptext
+           FROM documents WHERE doc_id < 2
+           UNION ALL
+           SELECT doc_id AS probe_id, substr(text, 1, 200) AS ptext
+           FROM documents WHERE doc_id = 2),
+         pt AS (SELECT probe_id, ptext,
+             list_filter(string_split_regex(lower(ptext), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM p),
+         shortp AS (SELECT probe_id, ptext FROM pt
+           WHERE len(toks) < 13 AND len(toks) > 0),
+         longp AS (SELECT probe_id, toks FROM pt WHERE len(toks) >= 13),
+         ex AS (SELECT s.probe_id, d.doc_id
+           FROM documents d, shortp s WHERE instr(d.text, s.ptext) > 0),
+         pg AS (SELECT probe_id, unnest(CASE WHEN len(toks) < 13
+             THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(1, len(toks) - 11),
+                    i -> array_to_string(toks[i : i + 12], ' ')) END) AS g
+           FROM longp),
+         dtok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents),
+         dg AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 13
+             THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(1, len(toks) - 11),
+                    i -> array_to_string(toks[i : i + 12], ' ')) END) AS g
+           FROM dtok),
+         gm AS (SELECT DISTINCT pg.probe_id, dg.doc_id FROM dg JOIN pg USING (g))
+         SELECT DISTINCT probe_id, doc_id
+         FROM (SELECT * FROM ex UNION ALL SELECT * FROM gm)
+         ORDER BY probe_id, doc_id""",
     "q_truncate_tokens" ->
       """WITH t AS (
            SELECT doc_id,

@@ -75,8 +75,9 @@ class PlanSpec extends SparkSpec {
     // (token total; quantile bounds) — same scalar-subquery-shaped plan.
     val bnljAllowed = Set("q_similarity_topk", "q_similarity_ivf",
       "q_similarity_ivf_trained", "q_tfidf", "q_bm25", "q_perplexity",
-      "q_contamination_exact", "q_semdedup", "q_vocab_coverage",
-      "q_heavy_hitters", "q_length_trim", "q_pipeline_e2e")
+      "q_contamination_exact", "q_contamination_full", "q_semdedup",
+      "q_vocab_coverage", "q_heavy_hitters", "q_length_trim",
+      "q_pipeline_e2e")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")

@@ -51,4 +51,18 @@ class ContaminationSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(rep == Map(100L -> 2L))
   }
+
+  test("overlapComplete: short probes route through exact-substring, long through grams") {
+    val mixed = Seq(
+      (100L, "quick brown fox jumps over the lazy"), // 7 tokens ≥ n=5 → gram leg
+      (300L, "spark internals"),                     // 2 tokens < 5 → exact leg
+      (400L, "")                                     // 0 tokens → matches nothing
+    ).toDF("probe_id", "ptext")
+    val hits = Contamination.overlapComplete(docs, "doc_id", "text",
+      mixed, "probe_id", "ptext", n = 5)
+      .as[(Long, Long)].collect().toSet
+    // the short probe now DOES find its containing long document —
+    // the false-negative the pure n-gram leg has by construction
+    assert(hits == Set((100L, 1L), (100L, 3L), (300L, 2L)))
+  }
 }
