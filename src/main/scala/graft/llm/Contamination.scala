@@ -57,7 +57,17 @@ object Contamination {
     * that leg cannot match against longer documents — see its caveat) go
     * through the [[exactOverlap]] broadcast substring scan; zero-token
     * probes match nothing. Both legs broadcast the (eval-set-sized) probe
-    * side and scan the corpus once each. */
+    * side and scan the corpus once each.
+    *
+    * Matching-semantics asymmetry (deliberate, mirrored by the oracle):
+    * the n-gram leg compares LOWERCASED TOKEN runs (case- and
+    * whitespace-insensitive), while the exact leg is a RAW substring
+    * `instr` (case- and whitespace-sensitive) — a sub-n probe differing
+    * from a document only by case is missed where an equivalent ≥ n-token
+    * probe would hit. Raw matching is kept on the exact leg because short
+    * probes (code snippets, IDs, names) are precisely where case carries
+    * signal; normalize probe text upstream for case-insensitive
+    * short-probe matching. */
   def overlapComplete(docs: DataFrame, idCol: String, textCol: String,
                       probes: DataFrame, probeIdCol: String,
                       probeTextCol: String, n: Int = 13): DataFrame = {

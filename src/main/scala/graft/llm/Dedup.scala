@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -128,11 +127,17 @@ object Dedup {
     // back AFTER dedup, so the wide arrays never ride through the shuffle
     val exploded = sig
       .select(col("id"), explode(lshBandBuckets(col("sig"), numHashes, bands)).as("bk"))
-    // guard: cap bucket size (single pass — window count, no second scan)
-    val bounded = exploded
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bk"))))
+    // guard: cap bucket size via groupBy + semi-join-back rather than a
+    // per-bk window count: the grouped count partial-aggregates map-side
+    // and the join can AQE-skew-split, where a window partition would
+    // materialize every row of the hottest bucket in one task — the exact
+    // skew this cap exists to defuse (same shape as the maxDf cap in
+    // [[dedupAgainstReference]]).
+    val okBuckets = exploded.groupBy(col("bk"))
+      .agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket)
-      .drop("bn")
+      .select(col("bk"))
+    val bounded = exploded.join(okBuckets, Seq("bk"), "left_semi")
     // Rename the join key per side: a self-join on two projections of the
     // same frame resolves `a("bk") === b("bk")` to ONE attribute (trivially
     // true → cross join). Distinct names keep it a real equi-join.

@@ -35,18 +35,28 @@ object Similarity {
     persisted.clear()
   }
 
-  /** Fail fast when the configured plane dimension doesn't match the real
-    * embedding width: DotProduct returns NULL on length mismatch, every
-    * SRP sign test then yields bit 0, and ALL rows silently land in bucket
-    * 0 — the blocked join degenerates to all-pairs with no error. One
-    * take(1) probe is cheap next to the operator it guards. */
-  private def requireDim(df: DataFrame, embCol: String, dim: Int,
-                         who: String): Unit =
-    df.select(size(col(embCol))).take(1).foreach { r =>
-      require(r.getInt(0) == dim,
-        s"$who: nPlanes are $dim-dimensional but '$embCol' vectors have " +
-          s"${r.getInt(0)} elements — pass dim = ${r.getInt(0)}")
-    }
+  /** Default [[semDedup]] cluster-size cap — the recall/robustness trade
+    * analogous to [[Dedup.DefaultMaxBucket]]. */
+  val DefaultMaxCluster: Int = 10000
+
+  /** In-plan dimension guard. Without it a dim mismatch fails SILENTLY:
+    * DotProduct returns NULL on length mismatch, every SRP sign test then
+    * yields bit 0, and all rows land in bucket 0 — the blocked join
+    * degenerates to all-pairs with no error. The guard passes the
+    * embedding through unchanged when its width matches (nulls pass too —
+    * they carry no signal and bucket to null) and raises a descriptive
+    * error from inside the first stage that evaluates it. Checking
+    * lazily, in-plan, means constructing an operator runs ZERO Spark jobs
+    * — the former eager take(1) probe executed the whole upstream plan
+    * once per construction, a hidden extra job for expensive upstreams. */
+  private def dimChecked(emb: org.apache.spark.sql.Column, dim: Int,
+                         who: String): org.apache.spark.sql.Column =
+    when(emb.isNull, emb)
+      .when(size(emb) === dim, emb)
+      .otherwise(raise_error(concat(
+        lit(s"$who: planes are $dim-dimensional but embedding vectors have "),
+        size(emb).cast("string"),
+        lit(" elements - pass dim = "), size(emb).cast("string"))))
 
   /** Exact cosine top-k per probe. `corpus`/`probes`: (id, embedding). */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
@@ -64,10 +74,10 @@ object Similarity {
     * recall with fewer planes or multi-probe. */
   def srpTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    requireDim(corpus, "embedding", dim, "srpTopK")
     val planes = VectorFunctions.makePlanes(nPlanes, dim, seed)
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
-      VectorFunctions.srpBucket(col("embedding"), planes).as("bucket"))
+      VectorFunctions.srpBucket(
+        dimChecked(col("embedding"), dim, "srpTopK"), planes).as("bucket"))
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
       VectorFunctions.srpBucket(col("embedding"), planes).as("bucket"))
     val scored = c.join(broadcast(p), Seq("bucket"))
@@ -164,20 +174,40 @@ object Similarity {
     *
     * Deterministic: given a deterministic centroid table (first-k by id,
     * or [[kMeans]] with its fixed init) the kept set is a pure function of
-    * the data — reproducible across engines, auditable in SQL. */
+    * the data — reproducible across engines, auditable in SQL.
+    *
+    * `maxCluster` bounds the quadratic: "n²/k per cluster" holds only with
+    * balanced clusters, and near-dup-heavy corpora — the very thing
+    * SemDeDup targets — produce one dense mega-cluster whose single join
+    * key blows up in one task. Clusters larger than `maxCluster` are
+    * excluded from the pairwise verify, so ALL their members are kept —
+    * a deterministic recall trade (dedup misses, never false drops),
+    * mirroring [[Dedup.DefaultMaxBucket]]. Oversized clusters signal the
+    * centroid table is too coarse: raise k (more centroids) rather than
+    * the cap. */
   def semDedup(corpus: DataFrame, centroids: DataFrame,
-               threshold: Double): DataFrame = {
+               threshold: Double,
+               maxCluster: Int = DefaultMaxCluster): DataFrame = {
     // assignment runs on the RAW vectors (sq-distance semantics); the
     // pairwise verify runs on unit-normalized copies so each pair costs
     // ONE dot instead of dot + two norms — 3× fewer array folds on the
     // within-cluster quadratic, the operator's hot loop
     val assigned = assignToCentroids(corpus, centroids)
       .withColumn("__ne", VectorFunctions.normalized(col("embedding")))
+    // cluster-size cap via groupBy + semi-join-back (map-side partials,
+    // AQE-skew-splittable) — NOT a per-cluster window, which would
+    // materialize the mega-cluster in one task, the exact skew the cap
+    // exists to defuse
+    val okClusters = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("cn"))
+      .filter(col("cn") <= maxCluster)
+      .select(col("centroid_id"))
+    val capped = assigned.join(okClusters, Seq("centroid_id"), "left_semi")
     // per-side renames keep the self-join a real equi-join (a shared
     // attribute would make the condition trivially true → cross join)
-    val a = assigned.select(col("centroid_id").as("cid_a"),
+    val a = capped.select(col("centroid_id").as("cid_a"),
       col("vec_id").as("id_a"), col("__ne").as("e_a"))
-    val b = assigned.select(col("centroid_id").as("cid_b"),
+    val b = capped.select(col("centroid_id").as("cid_b"),
       col("vec_id").as("id_b"), col("__ne").as("e_b"))
     val drops = a.join(b, col("cid_a") === col("cid_b") && col("id_a") < col("id_b"))
       .filter(VectorFunctions.dot(col("e_a"), col("e_b")) >= threshold)
@@ -208,11 +238,11 @@ object Similarity {
   def cosinePairsBlocked(corpus: DataFrame, threshold: Double,
                          nPlanes: Int = 4, nTables: Int = 4,
                          dim: Int = 64, seed: Long = 42L): DataFrame = {
-    requireDim(corpus, "embedding", dim, "cosinePairsBlocked")
     val planes = VectorFunctions.makePlanes(nPlanes * nTables, dim, seed)
     // persist: read by the bucket explode and both verify join-backs
     val base = track(corpus.select(col("vec_id").as("id"),
-      VectorFunctions.normalized(col("embedding")).as("e")))
+      VectorFunctions.normalized(
+        dimChecked(col("embedding"), dim, "cosinePairsBlocked")).as("e")))
     val tables = (0 until nTables).map { t =>
       struct(lit(t).as("t"),
         VectorFunctions.srpBucket(col("e"),

@@ -279,6 +279,9 @@ object Combine {
   /** Top-k CombineFn (bounded min-heap) for the typed path — the direct
     * analogue of Top.TopCombineFn's bounded heap. */
   final class TopKFn[T: Ordering: ClassTag](k: Int) extends CombineFn[T, Seq[T], Seq[T]] {
+    // Beam's Top validates count too; without this, k = 0 would make
+    // addInput call acc.head on an empty accumulator
+    require(k > 0, s"TopKFn: k must be positive (got $k)")
     private val ord = implicitly[Ordering[T]]
     // accumulator invariant: sorted ASCENDING, size ≤ k, head = current min
     def createAccumulator(): Seq[T] = Vector.empty

@@ -1351,10 +1351,13 @@ object LlmQueries {
                  c.centroid_id) AS rn
              FROM e v, cents c)
            WHERE rn = 1),
+         ok AS (SELECT centroid_id FROM assigned
+           GROUP BY centroid_id HAVING count(*) <= 10000),
          drops AS (
            SELECT DISTINCT b.vec_id
            FROM assigned a JOIN assigned b
              ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+           JOIN ok o ON a.centroid_id = o.centroid_id
            WHERE list_inner_product(a.ne, b.ne) >= 0.4)
          SELECT e.vec_id, e.label FROM e
          LEFT JOIN drops d ON e.vec_id = d.vec_id

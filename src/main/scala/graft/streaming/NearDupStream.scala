@@ -76,7 +76,11 @@ object NearDupStream {
           out += NearDup(id, rep.id,
             java.lang.Long.bitCount(rep.sh ^ sh), ts)
         }
-        live = Seen(id, sh, ts.getTime) :: live
+        // a retry (same id AND signature already live) is not a new
+        // observation — appending again would grow per-key state by one
+        // redundant entry per redelivery; the first arrival keeps its ts
+        if (!live.exists(s => s.id == id && s.sh == sh))
+          live = Seen(id, sh, ts.getTime) :: live
       }
       seen.clear()
       live.reverse.foreach(seen.appendValue)

@@ -49,6 +49,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("LSH bucket caps plan as grouped counts, never per-bucket windows") {
+    // The maxBucket / maxDf / maxCluster caps exist to defuse skew; a
+    // Window.partitionBy(bucket) count would itself materialize the hottest
+    // bucket in one task. These plans must carry NO WindowExec at all —
+    // their caps are groupBy + semi-join-back.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    Seq("q_dedup_minhash", "q_dedup_simhash", "q_crosscorpus_dedup",
+        "q_crossdoc_dup", "q_semdedup").foreach { name =>
+      val exec = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      val root = exec match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val wins = root.collect { case w: WindowExec => w }
+      assert(wins.isEmpty,
+        s"$name plans a WindowExec (skew-unsafe bucket cap):\n${wins.headOption.getOrElse("")}")
+    }
+  }
+
   test("partitioned layout: the fact scan prunes partitions dynamically (DPP)") {
     // q_partitioned_prune joins a hive-partitioned fact on its partition
     // column against a dim filtered on an aggregate (not statically

@@ -40,6 +40,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minHashPairs maxBucket drops every pair-bearing bucket at cap 1") {
+    // every candidate pair rides a bucket of ≥ 2 rows, so a cap of 1
+    // deterministically suppresses all candidates — the recall trade the
+    // cap documents (and the same output contract as before the cap moved
+    // from a window count to the skew-safe groupBy + semi-join-back)
+    val none = Dedup.minHashPairs(docs, "doc_id", "text",
+      numHashes = 64, shingleK = 3, bands = 32, threshold = 0.5, maxBucket = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(none.isEmpty)
+  }
+
   test("estJaccard is 1 for identical signatures, ~0 for disjoint") {
     val df = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L), Seq(9L, 8L, 7L, 6L)))
       .toDF("a", "b", "c")

@@ -82,6 +82,73 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty)        // near-identical vectors share a bucket
   }
 
+  test("constructing srpTopK / cosinePairsBlocked runs zero Spark jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // the listener bus is async: wait until the delivered-event count is
+    // stable so stragglers from earlier tests don't pollute the window
+    def drain(): Unit = {
+      var prev = -1
+      val deadline = System.currentTimeMillis() + 10000
+      while (prev != jobs.get() && System.currentTimeMillis() < deadline) {
+        prev = jobs.get(); Thread.sleep(150)
+      }
+    }
+    // sentinel = a raw RDD action: exactly ONE job always (an SQL count
+    // under AQE can run two — shuffle stage + result — and fake a miss)
+    def sentinel(): Unit = { spark.sparkContext.parallelize(Seq(1), 1).count(); () }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      sentinel(); drain(); jobs.set(0)
+      Similarity.srpTopK(corpus, corpus.filter(col("vec_id") === 0), 1,
+        nPlanes = 2, dim = 4)
+      Similarity.cosinePairsBlocked(corpus, 0.9, nPlanes = 2, dim = 4)
+      // sentinel job: events deliver in order, so once the count moves any
+      // earlier construction-time job would already have been counted
+      sentinel(); drain()
+      assert(jobs.get() == 1,
+        s"plan construction ran ${jobs.get() - 1} hidden Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("dim mismatch raises a descriptive error at execution time") {
+    val ex = intercept[Exception] {
+      Similarity.srpTopK(corpus, corpus.filter(col("vec_id") === 0), 1,
+        nPlanes = 2, dim = 8).collect()
+    }
+    val messages = Iterator.iterate[Throwable](ex)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(messages.contains("pass dim = 4"), s"unexpected error: $messages")
+  }
+
+  test("semDedup caps oversized clusters deterministically (members kept)") {
+    // cluster A (centroid 0): 2 near-identical vectors — under any cap;
+    // cluster B (centroid 10): 4 near-identical vectors — oversized at
+    // maxCluster = 3, so the pairwise verify must skip it and keep ALL
+    // members (recall trade, never false drops), while A still dedups.
+    val data = Seq(
+      (0L,  Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L,  Seq(0.99f, 0.01f, 0.0f, 0.0f)),
+      (10L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),
+      (11L, Seq(0.0f, 0.0f, 0.01f, 0.99f)),
+      (12L, Seq(0.0f, 0.0f, 0.02f, 0.98f)),
+      (13L, Seq(0.0f, 0.0f, 0.03f, 0.97f))
+    ).toDF("vec_id", "embedding")
+    val cents = data.filter(col("vec_id").isin(0L, 10L))
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+    val capped = Similarity.semDedup(data, cents, threshold = 0.9, maxCluster = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(capped == Set(0L, 10L, 11L, 12L, 13L))
+    // the default cap is far above this scale — full dedup in both clusters
+    val uncapped = Similarity.semDedup(data, cents, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(uncapped == Set(0L, 10L))
+  }
+
   test("cosinePairsBlocked recall on the embeddings fixture") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val truth = Similarity.cosinePairs(emb, 0.4).as[(Long, Long)].collect().toSet
