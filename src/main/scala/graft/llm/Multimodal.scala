@@ -23,17 +23,41 @@ object Multimodal {
 
   /** STUB codec — deterministic pseudo-features from the bytes. A real
     * implementation calls the image/audio decoder here; everything around
-    * it (distribution, batching, schema) is unchanged. */
+    * it (distribution, batching, schema) is unchanged.
+    *
+    * The arithmetic is deliberately BOUNDED (every intermediate stays far
+    * below 2^63): a position-weighted unsigned-byte sum mod a small prime,
+    * then a MINSTD-style LCG mod the same prime per feature. That makes
+    * the stub exactly replayable in plain SQL — the multimodal queries
+    * oracle-check end-to-end instead of rows-only — where the previous
+    * 64-bit-wraparound hash needed 128-bit emulation to replay. */
   object FakeCodec {
+    /** Small prime modulus: products with [[A]] fit comfortably in i64. */
+    val M = 1000003L
+    /** MINSTD multiplier. */
+    val A = 48271L
+    /** LCG increment. */
+    val C = 11L
+
+    /** Position-weighted unsigned-byte sum mod [[M]] — the payload
+      * fingerprint seeding the per-feature LCG. */
+    def payloadHash(bytes: Array[Byte]): Long = {
+      var s = 0L
+      var i = 0
+      while (i < bytes.length) {
+        s = (s + ((bytes(i) & 0xff).toLong * (i + 1)) % M) % M
+        i += 1
+      }
+      s
+    }
+
     def decode(bytes: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
-      var h = 1125899906842597L // deterministic rolling hash of the payload
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      var h = payloadHash(bytes)
       var d = 0
       while (d < dim) {
-        h = h * 6364136223846793005L + 1442695040888963407L
-        out(d) = ((h >>> 16).toInt % 1000) / 1000.0f
+        h = (h * A + C) % M
+        out(d) = (h % 1000).toFloat / 1000.0f
         d += 1
       }
       out

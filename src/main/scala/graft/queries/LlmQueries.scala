@@ -286,8 +286,6 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
-    // Multimodal plumbing: synthetic media structs → partition-parallel
-    // stub decode → feature rows (deterministic; rows-only).
     // REAL image decode end-to-end: synthesize genuine binary PPM (P6)
     // payloads from a deterministic pixel function, parse them with the
     // dependency-free PpmCodec, reduce to exact per-channel means. The
@@ -311,6 +309,13 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Multimodal plumbing: synthetic media structs → partition-parallel
+    // stub decode → feature rows. FakeCodec's bounded integer arithmetic
+    // (position-weighted byte sum + LCG mod a small prime) replays
+    // exactly in DuckDB over hex(encode(text)) — full oracle.
+    // double cast BEFORE round: the raw feature is a FLOAT, and the
+    // driver's compare stringifies values, so both engines must round the
+    // same double.
     "q_multimodal_features" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -319,12 +324,13 @@ object LlmQueries {
         .select(col("doc_id"), col("media.bytes")).as[(Long, Array[Byte])]
       Multimodal.decodeFeatures(media, dim = 8)
         .select(col("id").as("doc_id"),
-          round(element_at(col("features"), 1), 4).as("f0"),
-          round(element_at(col("features"), 8), 4).as("f7"))
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+          round(element_at(col("features"), 8).cast("double"), 4).as("f7"))
         .orderBy(col("doc_id"))
     },
 
-    // Multimodal frame sampling: one row per sampled frame (rows-only).
+    // Multimodal frame sampling: one row per sampled frame. Frame lengths
+    // are pure integer functions of the payload byte count — full oracle.
     "q_multimodal_frames" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -354,7 +360,8 @@ object LlmQueries {
     // bytes) → decoded embedding → SRP-blocked near-dup pairs. The stub
     // codec only matches identical payloads, so the clip is what lets the
     // fixture's planted near-dups (shared prefixes) surface as identical
-    // thumbnails → cosine-1 pairs (rows-only; the composition is the point).
+    // thumbnails → cosine-1 pairs. Full oracle: the codec arithmetic,
+    // normalization, and seeded SRP blocking all replay in SQL.
     "q_multimodal_pipeline" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -687,6 +694,50 @@ object LlmQueries {
     }.mkString(" UNION ALL ")
   }
 
+  /** DuckDB expression replaying [[Multimodal.FakeCodec.payloadHash]]:
+    * UTF-8 bytes recovered from a hex encoding (`hxCol` must bind
+    * `hex(encode(<text>))`; two hex chars per byte), position-weighted,
+    * summed mod M. Every intermediate is < M·len — i64-safe by the same
+    * bound the Scala loop relies on. */
+  private def fakeCodecH0Sql(hxCol: String): String = {
+    val m = Multimodal.FakeCodec.M
+    s"""CAST(coalesce(list_sum(list_transform(range(0, len($hxCol) // 2),
+         i -> (((strpos('0123456789ABCDEF', substr($hxCol, 2*i+1, 1)) - 1) * 16
+              + (strpos('0123456789ABCDEF', substr($hxCol, 2*i+2, 1)) - 1))
+             * (i+1)) % $m)), 0) % $m AS BIGINT)"""
+  }
+
+  /** LCG jump constants (A^d mod M, C·(A^(d−1)+…+1) mod M) for d = 1…64:
+    * [[Multimodal.FakeCodec]] feature d is ((a_d·h0 + b_d) mod M mod
+    * 1000)/1000 in closed form, so the oracle computes any feature
+    * without iterating the LCG. */
+  private val lcgJump: IndexedSeq[(Long, Long)] = {
+    import Multimodal.FakeCodec.{A, C, M}
+    Iterator.iterate((A % M, C % M)) { case (a, b) =>
+      ((a * A) % M, (b * A + C) % M)
+    }.take(64).toIndexedSeq
+  }
+
+  /** Scalar SQL for stub-codec feature `d` (1-based) as an UNROUNDED
+    * double with exactly three decimal digits. */
+  private def fakeFeatureSql(h0Expr: String, d: Int): String = {
+    val (a, b) = lcgJump(d - 1)
+    s"(((($a * $h0Expr + $b) % ${Multimodal.FakeCodec.M}) % 1000) / 1000.0)"
+  }
+
+  /** SQL for the full `dim`-wide stub-codec feature vector, with each
+    * element routed through FLOAT then DOUBLE — the exact value chain of
+    * the engine (Array[Float] features cast to array<double>), so
+    * normalization and dot products agree bit-for-bit. */
+  private def fakeEmbSql(h0Col: String, dim: Int): String = {
+    val m = Multimodal.FakeCodec.M
+    val as = (1 to dim).map(d => lcgJump(d - 1)._1).mkString("[", ", ", "]")
+    val bs = (1 to dim).map(d => lcgJump(d - 1)._2).mkString("[", ", ", "]")
+    s"""list_transform(range(1, ${dim + 1}), d ->
+         CAST(CAST((((($as)[d] * $h0Col + ($bs)[d]) % $m % 1000) / 1000.0
+           ) AS FLOAT) AS DOUBLE))"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_dups FROM documents
@@ -772,6 +823,52 @@ object LlmQueries {
       """SELECT doc_id, 75 AS width, 75 AS height,
            LEAST(87, octet_length(encode(text))) AS out_len
          FROM documents ORDER BY doc_id""",
+    // stub-codec features replayed in closed form: h0 = position-weighted
+    // byte sum mod M over hex-recovered UTF-8 bytes; feature d =
+    // (A^d·h0 + B_d) mod M mod 1000 / 1000. f0/f7 have exactly three
+    // decimals, so rounding the double agrees with the engine's
+    // round(float→double) chain.
+    "q_multimodal_features" ->
+      s"""WITH hxt AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+         h AS (SELECT doc_id, ${fakeCodecH0Sql("hx")} AS h0 FROM hxt)
+         SELECT doc_id,
+           round(${fakeFeatureSql("h0", 1)}, 4) AS f0,
+           round(${fakeFeatureSql("h0", 8)}, 4) AS f7
+         FROM h ORDER BY doc_id""",
+    // frame lengths are pure integer arithmetic on the payload byte
+    // count: start = ⌊n·i/3⌋, end = ⌊n·(i+1)/3⌋, len = max(end, start+1)
+    // − start; empty payloads emit no frames.
+    "q_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n
+           FROM documents WHERE octet_length(encode(text)) > 0),
+         f AS (SELECT doc_id, unnest(range(0, 3)) AS frameIdx, n FROM m)
+         SELECT doc_id, frameIdx,
+           CAST(GREATEST((n * (frameIdx + 1)) // 3, (n * frameIdx) // 3 + 1)
+                - (n * frameIdx) // 3 AS INT) AS frame_len
+         FROM f ORDER BY doc_id, frameIdx""",
+    // the full pipeline replayed: 64-dim stub features from the 64-char
+    // thumbnail (float→double chain), unit-normalized, multi-table SRP
+    // blocking with the same seeded planes, dot-product verify — the same
+    // blocking-replay contract as q_embedding_neardup.
+    "q_multimodal_pipeline" ->
+      s"""WITH hxt AS (SELECT doc_id,
+             hex(encode(substr(text, 1, 64))) AS hx FROM documents),
+         h AS (SELECT doc_id AS vec_id, ${fakeCodecH0Sql("hx")} AS h0 FROM hxt),
+         emb AS (SELECT vec_id, ${fakeEmbSql("h0", 64)} AS fe FROM h),
+         e AS (SELECT vec_id,
+             list_transform(fe, x -> x / sqrt(list_inner_product(fe, fe))) AS ne
+           FROM emb),
+         b AS (${srpTablesSql(8, 2, 64)}),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+           FROM b a JOIN b c
+             ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         SELECT id_a, id_b
+         FROM cand
+         JOIN e ea ON ea.vec_id = id_a
+         JOIN e eb ON eb.vec_id = id_b
+         WHERE list_inner_product(ea.ne, eb.ne) >= 0.999
+         ORDER BY id_a, id_b""",
     // sqdist replicates Spark's aggregate(zip_with) left fold exactly:
     // per-index squared diff, sequential list_sum (verified bit-exact).
     "q_similarity_ivf" ->
