@@ -215,6 +215,26 @@ object Similarity {
     corpus.join(drops, Seq("vec_id"), "left_anti")
   }
 
+  /** Per-probe recall@k of an ANN result against an exact baseline — the
+    * operational "is my index any good" audit every ANN deployment needs.
+    * Inputs are two (probe_id, cand_id, …) top-k frames (e.g. [[srpTopK]]
+    * vs [[bruteForceTopK]]); output is (probe_id, n_exact, n_hit, recall)
+    * per probe. Two grouped counts plus one semi-join on ids only —
+    * audit cost is independent of embedding width, and both inputs being
+    * deterministic makes the report fully oracle-checkable. */
+  def recallReport(ann: DataFrame, exact: DataFrame): DataFrame = {
+    val a = ann.select(col("probe_id"), col("cand_id"))
+    val e = exact.select(col("probe_id"), col("cand_id"))
+    val hits = e.join(a, Seq("probe_id", "cand_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_hit"))
+    val totals = e.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+    totals.join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 4)
+          .as("recall"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (threshold variant, exact
     * all-pairs). O(n²) — ground truth for [[cosinePairsBlocked]]'s recall;
     * never register it on a bench path. */

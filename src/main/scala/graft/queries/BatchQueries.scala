@@ -298,29 +298,58 @@ object BatchQueries {
         .orderBy(col("c_mktsegment"))
     },
 
-    // §2.3 ApproximateUnique + ApproximateQuantiles: sketch outputs differ
-    // across engines by design — no SQL oracle (driver rows-only check);
-    // accuracy is asserted in CombineSpec instead. Scalar columns only:
-    // the driver's compare can't sort/hash an array column.
+    // §2.3 ApproximateUnique + ApproximateQuantiles, self-asserting form:
+    // raw sketch values are engine-specific, so the checkable output is
+    // exact companions (countDistinct, row count) plus engine-computed
+    // booleans asserting each estimate sits inside its error bound — the
+    // oracle pins the exact columns and literal TRUE for the booleans, so
+    // a silently broken sketch flips the hash. The quantile check is
+    // RANK-based (count of values ≤ estimate vs target rank — a plain
+    // scale-safe aggregate, directly the Greenwald-Khanna guarantee of
+    // rank error ≤ n/accuracy = 1e-4·n, asserted with 0.02 slack for
+    // ties) — exact percentile would buffer every value per group, the
+    // opposite of what a sketch query should model at 100 TB. The
+    // distinct-count bound is 5σ of HLL++'s rsd=0.02.
     "q_approx_sketches" -> { (s, dir) =>
-      Tables(s, dir).lineitem.agg(
-        Combine.approximateUnique(col("l_partkey"), 0.02).as("approx_parts"),
-        Combine.approximateQuantile(col("l_extendedprice"), 0.5).as("price_p50"),
-        Combine.approximateQuantile(col("l_extendedprice"), 0.95).as("price_p95"))
+      val li = Tables(s, dir).lineitem
+      val est = li.agg(
+        Combine.approximateUnique(col("l_partkey"), 0.02).as("ap"),
+        Combine.approximateQuantile(col("l_extendedprice"), 0.5).as("p50"),
+        Combine.approximateQuantile(col("l_extendedprice"), 0.95).as("p95"))
+      li.crossJoin(broadcast(est))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n_rows"),
+          first(col("ap")).as("ap"),
+          sum(when(col("l_extendedprice") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("l_extendedprice") <= col("p95"), 1L).otherwise(0L)).as("r95"))
+        .select(
+          col("exact_parts"), col("n_rows"),
+          (abs(col("ap") - col("exact_parts"))
+            <= ceil(col("exact_parts") * 0.1)).as("parts_ok"),
+          (abs(col("r50").cast("double") / col("n_rows") - 0.5) <= 0.02).as("p50_ok"),
+          (abs(col("r95").cast("double") / col("n_rows") - 0.95) <= 0.02).as("p95_ok"))
     },
 
     // §2.3 mergeable sketch columns: per-segment HLL sketches unioned back
-    // to a global estimate — re-aggregation without touching raw data
-    // (rows-only: sketch estimates are engine-specific; the estimate ≈
-    // exact invariant is CombineSpec's).
+    // to a global estimate — re-aggregation without touching raw data.
+    // Same self-asserting shape as q_approx_sketches: the merged estimate
+    // must land within 5σ of the exact distinct count (lgK=12 → rsd
+    // ≈ 1.6%, bound 10%), so the union path is gate-checked end-to-end.
     "q_sketch_merge" -> { (s, dir) =>
       val perSegment = Tables(s, dir).customer
         .groupBy(col("c_mktsegment"))
         .agg(Combine.hllSketch(col("c_custkey")).as("sk"),
           count(lit(1)).as("n"))
-      perSegment.agg(
+      val merged = perSegment.agg(
         sum(col("n")).as("n_rows"),
-        Combine.hllEstimate(Combine.hllUnion(col("sk"))).as("approx_customers"))
+        Combine.hllEstimate(Combine.hllUnion(col("sk"))).as("est"))
+      val exact = Tables(s, dir).customer
+        .agg(countDistinct(col("c_custkey")).as("exact_customers"))
+      merged.crossJoin(broadcast(exact))
+        .select(col("n_rows"), col("exact_customers"),
+          (abs(col("est") - col("exact_customers"))
+            <= ceil(col("exact_customers") * 0.1)).as("merge_ok"))
     },
 
     // §2.3 Sample.fixedSizePerKey, deterministic variant: top-n per key by
@@ -379,6 +408,18 @@ object BatchQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the booleans are engine-side assertions (estimate within its error
+    // bound); the oracle pins them to TRUE and checks the exact columns
+    "q_approx_sketches" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+           count(*) AS n_rows,
+           TRUE AS parts_ok, TRUE AS p50_ok, TRUE AS p95_ok
+         FROM lineitem""",
+    "q_sketch_merge" ->
+      """SELECT count(*) AS n_rows,
+           count(DISTINCT c_custkey) AS exact_customers,
+           TRUE AS merge_ok
+         FROM customer""",
     "q_map_filter" ->
       """SELECT l_orderkey, l_linenumber,
            CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)) AS DOUBLE) AS net_price

@@ -104,6 +104,19 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("score").desc, col("cand_id"))
     },
 
+    // ANN recall audit: srpTopK vs the exact brute-force baseline, per
+    // probe — the "is my index any good" loop. Both inputs deterministic,
+    // so the whole report (including the SRP side's misses) replays in
+    // SQL and oracle-checks exactly.
+    "q_similarity_recall" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val probes = emb.filter(col("vec_id") < 20)
+      val ann = Similarity.srpTopK(emb, probes, k = 3, nPlanes = 4, dim = 64)
+      val exact = Similarity.bruteForceTopK(emb, probes, k = 3)
+      Similarity.recallReport(ann, exact)
+        .orderBy(col("probe_id"))
+    },
+
     // IVF ANN: deterministic centroids (first 8 by id), nProbe=2. The
     // whole index build + probe is replicated in SQL — assignment argmin,
     // probe-centroid selection, and in-list cosine scoring all use the
@@ -802,6 +815,39 @@ object LlmQueries {
          JOIN e eb ON eb.vec_id = id_b
          WHERE list_inner_product(ea.ne, eb.ne) >= 0.4
          ORDER BY id_a, id_b""",
+    // replays BOTH sides of the recall audit: the SRP-blocked top-3 (same
+    // seeded planes) and the exact brute-force top-3, then the per-probe
+    // hit count — identical tie-breaks (raw DESC, cand_id) on both sides.
+    "q_similarity_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         b AS (SELECT vec_id, emb, ${srpBucketSql("emb", 4, 64)} AS bucket FROM e),
+         p AS (SELECT vec_id AS probe_id, emb AS pe, bucket FROM b WHERE vec_id < 20),
+         ann_scored AS (
+           SELECT probe_id, c.vec_id AS cand_id,
+             list_inner_product(pe, c.emb) /
+               (sqrt(list_inner_product(pe, pe)) * sqrt(list_inner_product(c.emb, c.emb))) AS raw
+           FROM p JOIN b c USING (bucket) WHERE c.vec_id <> probe_id),
+         ann AS (SELECT probe_id, cand_id FROM (
+             SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY raw DESC, cand_id) AS rn
+             FROM ann_scored) WHERE rn <= 3),
+         p2 AS (SELECT vec_id AS probe_id, emb AS pe FROM e WHERE vec_id < 20),
+         ex_scored AS (
+           SELECT probe_id, c.vec_id AS cand_id,
+             list_inner_product(pe, c.emb) /
+               (sqrt(list_inner_product(pe, pe)) * sqrt(list_inner_product(c.emb, c.emb))) AS raw
+           FROM p2, e c WHERE c.vec_id <> probe_id),
+         ex AS (SELECT probe_id, cand_id FROM (
+             SELECT probe_id, cand_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY raw DESC, cand_id) AS rn
+             FROM ex_scored) WHERE rn <= 3),
+         tot AS (SELECT probe_id, count(*) AS n_exact FROM ex GROUP BY probe_id),
+         hit AS (SELECT ex.probe_id, count(*) AS n_hit
+           FROM ex JOIN ann USING (probe_id, cand_id) GROUP BY ex.probe_id)
+         SELECT t.probe_id, t.n_exact, coalesce(h.n_hit, 0) AS n_hit,
+           round(coalesce(h.n_hit, 0)::DOUBLE / t.n_exact, 4) AS recall
+         FROM tot t LEFT JOIN hit h USING (probe_id)
+         ORDER BY t.probe_id""",
     "q_similarity_srp" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          b AS (SELECT vec_id, emb, ${srpBucketSql("emb", 4, 64)} AS bucket FROM e),

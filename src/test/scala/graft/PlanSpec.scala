@@ -54,10 +54,13 @@ class PlanSpec extends SparkSpec {
     // Window.partitionBy(bucket) count would itself materialize the hottest
     // bucket in one task. These plans must carry NO WindowExec at all —
     // their caps are groupBy + semi-join-back.
+    // (q_semdedup is audited by the BNLJ size rule instead: its plan
+    // legitimately contains a per-vec_id row_number window from the
+    // nearest-centroid top-1, partitioned by the non-skewed vector id.)
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
     Seq("q_dedup_minhash", "q_dedup_simhash", "q_crosscorpus_dedup",
-        "q_crossdoc_dup", "q_semdedup").foreach { name =>
+        "q_crossdoc_dup").foreach { name =>
       val exec = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
       val root = exec match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
@@ -80,30 +83,46 @@ class PlanSpec extends SparkSpec {
       s"no dynamic partition pruning in the fact scan:\n$p")
   }
 
-  test("no registered query plans a CartesianProduct") {
-    // BroadcastNestedLoopJoin is legitimate ONLY where the design is an
-    // intentional broadcast of a tiny side against a non-equi condition:
-    // the exact ANN baseline (probes), IVF centroid assignment, and the
-    // 1-row corpus-statistics frames (N, avgdl) under TF-IDF/BM25 — the
-    // same plan Catalyst gives a scalar subquery.
-    // q_contamination_exact broadcasts the eval-set probes against a
-    // substring predicate — the designed corpus-scan-once plan.
-    // q_semdedup assigns to broadcast centroids the same way the IVF
-    // queries do; q_vocab_coverage crossJoins a broadcast 1-row total —
-    // both are the intended bounded fan-out, not a degenerate join.
-    // q_heavy_hitters / q_length_trim attach a broadcast 1-row frame
-    // (token total; quantile bounds) — same scalar-subquery-shaped plan.
-    val bnljAllowed = Set("q_similarity_topk", "q_similarity_ivf",
-      "q_similarity_ivf_trained", "q_tfidf", "q_bm25", "q_perplexity",
-      "q_contamination_exact", "q_contamination_full", "q_semdedup",
-      "q_vocab_coverage", "q_heavy_hitters", "q_length_trim",
-      "q_pipeline_e2e")
+  test("no CartesianProduct; every BroadcastNestedLoopJoin broadcasts < 1000 rows") {
+    // A BroadcastNestedLoopJoin is legitimate ONLY as an intentional
+    // broadcast of a tiny side against a non-equi condition — ANN probe
+    // frames, centroid tables, 1-row corpus-statistics frames (the same
+    // plan Catalyst gives a scalar subquery). Rather than allowlisting
+    // query names (which new queries could silently ride), execute each
+    // BNLJ's build side and assert it is genuinely sub-1000-row: a
+    // degenerate all-pairs join cannot pass, whatever its query is named.
+    import org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    // BNLJ build sides broadcast with IdentityBroadcastMode (hash joins
+    // use HashedRelationBroadcastMode), so identity-mode exchanges in the
+    // executed plan are exactly the frames a BNLJ replicated. AQE query
+    // stages are leaf nodes — recurse into them explicitly.
+    def identityExchanges(p: SparkPlan): Seq[BroadcastExchangeExec] =
+      p.collect {
+        case e: BroadcastExchangeExec if e.mode == IdentityBroadcastMode => Seq(e)
+        case q: QueryStageExec => identityExchanges(q.plan)
+        case r: ReusedExchangeExec => identityExchanges(r.child)
+      }.flatten
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      val p = plan(name)
-      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
-      if (!bnljAllowed(name))
-        assert(!p.contains("BroadcastNestedLoopJoin"),
-          s"$name plans a BroadcastNestedLoopJoin")
+      val df = SparkEntry.queries(name)(spark, dir)
+      val initial = df.queryExecution.executedPlan.toString
+      assert(!initial.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (initial.contains("BroadcastNestedLoopJoin")) {
+        df.collect() // run so the exchange's numOutputRows metric populates
+        val root = df.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        identityExchanges(root).foreach { e =>
+          val n = e.metrics("numOutputRows").value
+          assert(n < 1000,
+            s"$name broadcasts $n rows through a BroadcastNestedLoopJoin " +
+              "(bound: 1000) — this degenerates to all-pairs at scale")
+        }
+      }
     }
   }
 }

@@ -149,6 +149,21 @@ class SimilaritySpec extends SparkSpec {
     assert(uncapped == Set(0L, 10L))
   }
 
+  test("recallReport: 1.0 against itself, counts misses per probe") {
+    val exact = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 2), 2)
+    val full = Similarity.recallReport(exact, exact)
+      .select("probe_id", "n_exact", "n_hit", "recall")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(full.nonEmpty && full.forall(r => r._4 == 1.0 && r._2 == r._3))
+    // drop one probe's rows entirely from the "ann" side: that probe's
+    // recall must be 0, the others stay 1.0
+    val crippled = exact.filter(col("probe_id") =!= 0L)
+    val rep = Similarity.recallReport(crippled, exact)
+      .select("probe_id", "recall").as[(Long, Double)].collect().toMap
+    assert(rep(0L) == 0.0)
+    assert(rep.filter(_._1 != 0L).values.forall(_ == 1.0))
+  }
+
   test("cosinePairsBlocked recall on the embeddings fixture") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val truth = Similarity.cosinePairs(emb, 0.4).as[(Long, Long)].collect().toSet
