@@ -32,20 +32,25 @@ object Multimodal {
     * oracle-check end-to-end instead of rows-only — where the previous
     * 64-bit-wraparound hash needed 128-bit emulation to replay. */
   object FakeCodec {
-    /** Small prime modulus: products with [[A]] fit comfortably in i64. */
-    val M = 1000003L
+    /** Prime modulus just under 10^12: rolling-hash products (M·256) and
+      * LCG products (M·A) both fit comfortably in i64, while the hash
+      * space is large enough that payload collisions are negligible (a
+      * 10^6-sized modulus produced a dozen colliding doc pairs per 500
+      * fixture docs — similar-length text is NOT uniform over small
+      * moduli). */
+    val M = 999999999989L
     /** MINSTD multiplier. */
     val A = 48271L
     /** LCG increment. */
     val C = 11L
 
-    /** Position-weighted unsigned-byte sum mod [[M]] — the payload
-      * fingerprint seeding the per-feature LCG. */
+    /** Polynomial rolling hash of the unsigned bytes mod [[M]] (base
+      * 256) — the payload fingerprint seeding the per-feature LCG. */
     def payloadHash(bytes: Array[Byte]): Long = {
       var s = 0L
       var i = 0
       while (i < bytes.length) {
-        s = (s + ((bytes(i) & 0xff).toLong * (i + 1)) % M) % M
+        s = (s * 256L + (bytes(i) & 0xff)) % M
         i += 1
       }
       s
@@ -57,7 +62,11 @@ object Multimodal {
       var d = 0
       while (d < dim) {
         h = (h * A + C) % M
-        out(d) = (h % 1000).toFloat / 1000.0f
+        // zero-mean in [-1, 1]: all-positive features would pile every
+        // vector into the positive orthant and skew SRP-LSH buckets (one
+        // hyperplane side gets nearly everything) — centered features
+        // keep downstream similarity blocking balanced
+        out(d) = (h % 2001 - 1000).toFloat / 1000.0f
         d += 1
       }
       out

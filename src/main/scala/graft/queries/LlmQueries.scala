@@ -709,15 +709,16 @@ object LlmQueries {
 
   /** DuckDB expression replaying [[Multimodal.FakeCodec.payloadHash]]:
     * UTF-8 bytes recovered from a hex encoding (`hxCol` must bind
-    * `hex(encode(<text>))`; two hex chars per byte), position-weighted,
-    * summed mod M. Every intermediate is < M·len — i64-safe by the same
-    * bound the Scala loop relies on. */
+    * `hex(encode(<text>))`; two hex chars per byte), folded through the
+    * same base-256 rolling hash mod M (list_reduce with a prepended 0
+    * seed — the fold is sequential on both engines). Every intermediate
+    * is < M·256 — i64-safe by the same bound the Scala loop relies on. */
   private def fakeCodecH0Sql(hxCol: String): String = {
     val m = Multimodal.FakeCodec.M
-    s"""CAST(coalesce(list_sum(list_transform(range(0, len($hxCol) // 2),
-         i -> (((strpos('0123456789ABCDEF', substr($hxCol, 2*i+1, 1)) - 1) * 16
-              + (strpos('0123456789ABCDEF', substr($hxCol, 2*i+2, 1)) - 1))
-             * (i+1)) % $m)), 0) % $m AS BIGINT)"""
+    s"""CAST(list_reduce(list_prepend(0, list_transform(range(0, len($hxCol) // 2),
+         i -> (strpos('0123456789ABCDEF', substr($hxCol, 2*i+1, 1)) - 1) * 16
+            + (strpos('0123456789ABCDEF', substr($hxCol, 2*i+2, 1)) - 1))),
+         (acc, b) -> (acc * 256 + b) % $m) AS BIGINT)"""
   }
 
   /** LCG jump constants (A^d mod M, C·(A^(d−1)+…+1) mod M) for d = 1…64:
@@ -732,10 +733,13 @@ object LlmQueries {
   }
 
   /** Scalar SQL for stub-codec feature `d` (1-based) as an UNROUNDED
-    * double with exactly three decimal digits. */
+    * double with exactly three decimal digits in [-1, 1]. a_d·h0 can
+    * reach ~10^24, so the multiply routes through HUGEINT before the
+    * mod brings it back to i64 range. */
   private def fakeFeatureSql(h0Expr: String, d: Int): String = {
     val (a, b) = lcgJump(d - 1)
-    s"(((($a * $h0Expr + $b) % ${Multimodal.FakeCodec.M}) % 1000) / 1000.0)"
+    s"""((CAST((CAST($a AS HUGEINT) * $h0Expr + $b)
+         % ${Multimodal.FakeCodec.M} AS BIGINT) % 2001 - 1000) / 1000.0)"""
   }
 
   /** SQL for the full `dim`-wide stub-codec feature vector, with each
@@ -747,8 +751,9 @@ object LlmQueries {
     val as = (1 to dim).map(d => lcgJump(d - 1)._1).mkString("[", ", ", "]")
     val bs = (1 to dim).map(d => lcgJump(d - 1)._2).mkString("[", ", ", "]")
     s"""list_transform(range(1, ${dim + 1}), d ->
-         CAST(CAST((((($as)[d] * $h0Col + ($bs)[d]) % $m % 1000) / 1000.0
-           ) AS FLOAT) AS DOUBLE))"""
+         CAST(CAST((CAST((CAST(($as)[d] AS HUGEINT) * $h0Col + ($bs)[d]) % $m
+              AS BIGINT) % 2001 - 1000) / 1000.0
+            AS FLOAT) AS DOUBLE))"""
   }
 
   val oracles: Map[String, String] = Map(

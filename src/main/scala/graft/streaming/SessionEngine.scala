@@ -30,6 +30,24 @@ import graft.streaming.TriggerEngine.{AccumulationMode, Accumulating, Discarding
   */
 object SessionEngine {
 
+  /** The ASSIGN half of a custom merging WindowFn: map each arriving
+    * element to its initial interval [startMs, endMs). The engine supplies
+    * the MERGE half — strictly overlapping intervals collapse and their
+    * accumulators combine — so implementing this one method yields a full
+    * user-defined merging window (Beam's WindowFn.assignWindows +
+    * mergeWindows split; [U] W/WindowFn.java): per-key dynamic session
+    * gaps, value-weighted gaps, bounded sessions, etc. */
+  trait MergingWindowAssigner[K, V] extends Serializable {
+    def assign(key: K, tsMs: Long, value: V): (Long, Long)
+  }
+
+  /** Standard sessions: [ts, ts + gap) — the fixed-gap assigner behind
+    * [[sessionAggregate]]. */
+  final case class FixedGapSessions[K, V](gapMs: Long)
+      extends MergingWindowAssigner[K, V] {
+    def assign(key: K, tsMs: Long, value: V): (Long, Long) = (tsMs, tsMs + gapMs)
+  }
+
   /** One open session: [start, end) with end = last event ts + gap. */
   final case class SessionState[Acc](
       start: Long, end: Long,
@@ -37,7 +55,7 @@ object SessionEngine {
       sinceLastPane: Long, paneIndex: Long)
 
   final class SessionProcessor[K, V, Acc, Out](
-      gapMs: Long,
+      assigner: MergingWindowAssigner[K, V],
       allowedLatenessMs: Long,
       earlyPerBatch: Boolean,
       mode: AccumulationMode,
@@ -63,15 +81,17 @@ object SessionEngine {
     private def trueWm(sparkWm: Long): Long =
       if (sparkWm <= 0) 0L else sparkWm + allowedLatenessMs
 
-    /** Merge a new event interval [ts, ts+gap) into the open-session set:
-      * all STRICTLY overlapping sessions collapse into one (accumulators
-      * merged) — the mergeWindows contract. Half-open intervals that only
-      * touch (next event exactly `gap` after the last) stay separate,
-      * matching Beam Sessions and Spark's session_window. */
-    private def absorb(open: List[SessionState[Acc]], ts: Long,
+    /** Merge the assigner's interval for a new event into the
+      * open-session set: all STRICTLY overlapping sessions collapse into
+      * one (accumulators merged) — the mergeWindows contract. Half-open
+      * intervals that only touch (next event exactly `gap` after the
+      * last) stay separate, matching Beam Sessions and Spark's
+      * session_window. */
+    private def absorb(key: K, open: List[SessionState[Acc]], ts: Long,
                        v: V): List[SessionState[Acc]] = {
-      val evStart = ts
-      val evEnd = ts + gapMs
+      val (evStart, evEnd) = assigner.assign(key, ts, v)
+      require(evStart < evEnd,
+        s"MergingWindowAssigner produced an empty interval [$evStart, $evEnd)")
       val (hit, miss) = open.partition(s => s.start < evEnd && evStart < s.end)
       val merged = hit.foldLeft(
         SessionState(evStart, evEnd, combine.createAccumulator(),
@@ -107,7 +127,7 @@ object SessionEngine {
       // which may already cover rows arriving in the same batch as their
       // on-time firing); dropping on the visible watermark loses those
       // legitimate same-batch rows, which is worse.
-      rows.foreach { case (_, ts, v) => open = absorb(open, ts.getTime, v) }
+      rows.foreach { case (_, ts, v) => open = absorb(key, open, ts.getTime, v) }
       val out = scala.collection.mutable.ArrayBuffer.empty[Pane[K, Out]]
       if (earlyPerBatch) {
         open = open.map { s =>
@@ -146,9 +166,25 @@ object SessionEngine {
       earlyPerBatch: Boolean,
       mode: AccumulationMode,
       combine: CombineFn[V, Acc, Out])(
+      implicit ek: Encoder[K], ep: Encoder[Pane[K, Out]]): Dataset[Pane[K, Out]] =
+    sessionAggregateWith(input, FixedGapSessions[K, V](gap.toMillis),
+      allowedLateness, earlyPerBatch, mode, combine)
+
+  /** [[sessionAggregate]] with a USER-DEFINED merging window: the
+    * assigner maps each element to its initial interval (per-key dynamic
+    * gaps, value-dependent windows, …), the engine merges overlaps —
+    * the custom-merging-WindowFn extension point without forking the
+    * processor. */
+  def sessionAggregateWith[K, V, Acc, Out](
+      input: Dataset[(K, Timestamp, V)],
+      assigner: MergingWindowAssigner[K, V],
+      allowedLateness: java.time.Duration,
+      earlyPerBatch: Boolean,
+      mode: AccumulationMode,
+      combine: CombineFn[V, Acc, Out])(
       implicit ek: Encoder[K], ep: Encoder[Pane[K, Out]]): Dataset[Pane[K, Out]] = {
     val proc = new SessionProcessor[K, V, Acc, Out](
-      gap.toMillis, allowedLateness.toMillis, earlyPerBatch, mode, combine)
+      assigner, allowedLateness.toMillis, earlyPerBatch, mode, combine)
     input.withWatermark("_2", s"${allowedLateness.toMillis} milliseconds")
       .groupByKey(_._1)
       .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())

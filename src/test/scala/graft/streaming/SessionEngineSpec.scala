@@ -96,6 +96,44 @@ class SessionEngineSpec extends SparkSpec {
     assert(s1.last.windowEnd == ts(15)) // end extended by the second event
   }
 
+  test("custom merging WindowFn: per-key data-driven session gaps") {
+    // key "short" sessions gap 5 min, key "long" gap 30 min — the same
+    // event spacing (20 min) splits one key's sessions and merges the
+    // other's. This is the user-defined merging-window extension point:
+    // only assign() is custom, the merge machinery is the engine's.
+    val assigner = new SessionEngine.MergingWindowAssigner[String, Double] {
+      def assign(key: String, tsMs: Long, value: Double): (Long, Long) =
+        (tsMs, tsMs + (if (key == "long") 30 else 5) * 60000L)
+    }
+    val input = MemoryStream[(String, Timestamp, Double)](
+      "sedyn".hashCode.abs, spark, None)
+    val panes = SessionEngine.sessionAggregateWith(
+      input.toDS(), assigner, Duration.ofMinutes(0),
+      earlyPerBatch = false, Accumulating, SumFn)
+    val dir = java.nio.file.Files.createTempDirectory("graft-se-dyn").toString
+    val q = panes.writeStream.format("memory").queryName("sedyn")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      Seq(
+        Seq(("short", ts(30), 1.0), ("long", ts(30), 10.0)),
+        Seq(("short", ts(50), 2.0), ("long", ts(50), 20.0)),
+        Seq(("short", ts(200), 0.0), ("long", ts(200), 0.0)),
+        Seq(("short", ts(300), 0.0), ("long", ts(300), 0.0))
+      ).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val out = spark.table("sedyn").as[Pane[String, Double]].collect().toSeq
+      .filter(_.timing == "ON_TIME")
+    val short = out.filter(p => p.key == "short" && p.windowStart.getTime < ts(200).getTime)
+      .sortBy(_.windowStart.getTime)
+    val long = out.filter(p => p.key == "long" && p.windowStart.getTime < ts(200).getTime)
+    // 5-min gap: events at 30 and 50 are separate sessions
+    assert(short.map(p => (p.windowStart, p.windowEnd, p.value)) == Seq(
+      (ts(30), ts(35), 1.0), (ts(50), ts(55), 2.0)))
+    // 30-min gap: the same spacing merges into one [30, 80) session
+    assert(long.map(p => (p.windowStart, p.windowEnd, p.value)) == Seq(
+      (ts(30), ts(80), 30.0)))
+  }
+
   test("discarding mode emits per-pane increments across merges") {
     val panes = run("sedisc", gapMin = 10, latenessMin = 0, earlyPerBatch = true,
       Discarding, Seq(
