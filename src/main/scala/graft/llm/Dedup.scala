@@ -167,35 +167,38 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on maxDist+1 bit chunks (pigeonhole:
     * hamming ≤ maxDist ⇒ at least one chunk equal — complete for any
-    * maxDist < 32), verify with bit_count. */
+    * maxDist < 32), verify with bit_count.
+    *
+    * Unlike [[minHashPairs]] (wide signature arrays that must join back
+    * AFTER candidate dedup), a simhash is ONE long — cheaper to carry
+    * through the chunk explode and candidate join than to re-join twice:
+    * verify inline, THEN dedup the (already-filtered) survivors. No
+    * signature cache needed — the frame is read once. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 32)")
     val numChunks = maxDist + 1
-    // persist: read by the chunk explode and by both verify join-backs.
     // zero-token docs carry no token signal — see minHashPairs guard
-    val sh = track(df
+    val sh = df
       .filter(size(TextFunctions.tokens(col(textCol))) > 0)
-      .select(col(idCol).as("id"), simHash(col(textCol)).as("sh")))
+      .select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
     val chunkStructs = (0 until numChunks).map { c =>
       val lo = c * 32 / numChunks
       val hi = (c + 1) * 32 / numChunks
       struct(lit(c).as("chunk"),
         pmod(floor(col("sh") / lit(math.pow(2.0, lo))).cast("long"), lit(1L << (hi - lo))).as("v"))
     }
-    val chunks = sh.select(col("id"), explode(array(chunkStructs: _*)).as("ck"))
+    val chunks = sh.select(col("id"), col("sh"),
+      explode(array(chunkStructs: _*)).as("ck"))
     // per-side key rename: see minHashPairs — a shared attribute would
     // degenerate the equi-join into a cross join
-    val a = chunks.select(col("ck").as("ck_a"), col("id").as("id_a"))
-    val b = chunks.select(col("ck").as("ck_b"), col("id").as("id_b"))
+    val a = chunks.select(col("ck").as("ck_a"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunks.select(col("ck").as("ck_b"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, col("ck_a") === col("ck_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("dist", hamming(col("sh_a"), col("sh_b")))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ------------------------------------------------------ n-gram Jaccard

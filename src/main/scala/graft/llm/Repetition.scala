@@ -176,9 +176,14 @@ object Repetition {
     val segCols = segs.zipWithIndex.map { case ((s, l), i) =>
       struct(lit(i).as("i"), substring(col("pre"), s, l).as("v"))
     }
+    // segment VALUES join as xxhash64 longs, not strings: the candidate
+    // shuffle carries 8 bytes instead of a segment substring per row, and
+    // a hash collision can only ADD a candidate, which the levenshtein
+    // verify below rejects — output identical, shuffle narrower.
     val idxSide = full.select(col("id").as("id_a"), col("band"),
       explode(array(segCols: _*)).as("sg"))
-      .select(col("id_a"), col("band"), col("sg.i").as("i"), col("sg.v").as("v"))
+      .select(col("id_a"), col("band"), col("sg.i").as("i"),
+        xxhash64(col("sg.v")).as("v"))
     val probeCols = segs.zipWithIndex.map { case ((s, l), i) =>
       val lo = math.max(1, s - maxDist)
       val hi = math.min(prefixLen - l + 1, s + maxDist)
@@ -187,7 +192,8 @@ object Repetition {
     }
     val probeSide = full.select(col("id").as("id_b"), col("band"),
       explode(flatten(array(probeCols: _*))).as("sg"))
-      .select(col("id_b"), col("band"), col("sg.i").as("i"), col("sg.v").as("v"))
+      .select(col("id_b"), col("band"), col("sg.i").as("i"),
+        xxhash64(col("sg.v")).as("v"))
     // each unordered pair is probed from both directions; normalize + distinct
     val passCands = idxSide.join(probeSide, Seq("band", "i", "v"))
       .filter(col("id_a") =!= col("id_b"))
