@@ -44,6 +44,37 @@ object Mixture {
     df.filter(hashFraction(col(idCol)) < rate)
   }
 
+  /** [[sampleByRates]] generalized to rates ABOVE 1 — deterministic
+    * UPsampling, the other half of temperature mixing (rare domains must
+    * repeat to reach their target share; DoReMi/multilingual-LM recipes
+    * routinely run epochs > 1 on small sources). Each row emits
+    * ⌊rate⌋ guaranteed copies plus one extra when its md5 fraction falls
+    * under frac(rate), tagged with an `epoch` column (0-based copy index)
+    * so downstream ids stay unique — expected copies = rate exactly, and
+    * membership of every copy is a pure function of (id, rate):
+    * reproducible across engines, stable under repartitioning.
+    *
+    * Scale posture: a scan-side explode of sequence(0, n−1) — no
+    * shuffle, no join; the blow-up is exactly the requested oversampling
+    * factor. Rates in [0, 1] degrade to [[sampleByRates]] plus a zero
+    * `epoch` column. */
+  def sampleByRatesWithRepeats(df: DataFrame, idCol: String,
+                               domainCol: String,
+                               rates: Map[String, Double],
+                               defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(_ >= 0),
+      "rates must be >= 0")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (domain, r)) =>
+      when(col(domainCol) === lit(domain), lit(r)).otherwise(acc)
+    }
+    val copies = (floor(rate).cast("long") +
+      when(hashFraction(col(idCol)) < rate - floor(rate), 1L).otherwise(0L))
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Per-domain keep-rates that reshape observed counts toward `targets`
     * (domain → share of the output) with total output ≈ `outFraction` of
     * the input. rate_d = min(1, outFraction·N·share_d / n_d) — a domain

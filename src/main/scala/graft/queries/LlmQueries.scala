@@ -476,6 +476,18 @@ object LlmQueries {
         .orderBy(col("lang"))
     },
 
+    // Deterministic UPsampling — the other half of temperature mixing:
+    // rare domains repeat (rate > 1: floor guaranteed copies + one md5-
+    // fraction extra), tagged with an epoch index. Fixed literal rates so
+    // the oracle replays the exact thresholds.
+    "q_mixture_epochs" -> { (s, dir) =>
+      graft.llm.Mixture.sampleByRatesWithRepeats(
+        Tables(s, dir).documents, "doc_id", "lang",
+        Map("de" -> 2.5, "fr" -> 1.25, "en" -> 0.4), defaultRate = 1.0)
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+
     // Vocabulary coverage: top-100 tokens by frequency with rank and
     // cumulative share of the token stream (the Zipf head a tokenizer/
     // stopword audit reads). Window runs over the 100-row top-k, not the
@@ -1359,6 +1371,22 @@ object LlmQueries {
          SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id,
            max(doc_id) AS max_id
          FROM kept GROUP BY lang ORDER BY lang""",
+    "q_mixture_epochs" ->
+      """WITH r AS (
+           SELECT doc_id, lang,
+             CASE lang WHEN 'de' THEN 2.5 WHEN 'fr' THEN 1.25
+                       WHEN 'en' THEN 0.4 ELSE 1.0 END AS rate,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS UBIGINT) / 4294967296.0 AS hf
+           FROM documents),
+         n AS (
+           SELECT doc_id, lang,
+             CAST(floor(rate) AS BIGINT)
+               + CASE WHEN hf < rate - floor(rate) THEN 1 ELSE 0 END AS n
+           FROM r)
+         SELECT doc_id, lang, unnest(range(0, n)) AS epoch
+         FROM n WHERE n > 0
+         ORDER BY doc_id, epoch""",
     "q_vocab_coverage" ->
       """WITH tok AS (
            SELECT unnest(string_split_regex(lower(text), '[^a-z'']+')) AS token

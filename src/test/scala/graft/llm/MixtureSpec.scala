@@ -63,6 +63,33 @@ class MixtureSpec extends SparkSpec {
     assert(rHalf("c") >= r1("c") && rHalf("a") <= 1.0)
   }
 
+  test("sampleByRatesWithRepeats: integer rates repeat exactly, fractions are deterministic") {
+    // rate 3.0: every domain-b row appears exactly 3 times, epochs 0,1,2
+    val out = Mixture.sampleByRatesWithRepeats(corpus, "doc_id", "domain",
+      Map("a" -> 0.25, "b" -> 3.0), defaultRate = 0.0)
+    val rows = out.select("doc_id", "epoch").as[(Long, Long)].collect()
+    val byId = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val bIds = byId.keySet.filter(i => i > 800 && i <= 950)
+    assert(bIds.size === 150)
+    assert(bIds.forall(i => byId(i) == Seq(0L, 1L, 2L)))
+    assert(!byId.keySet.exists(_ > 950)) // defaultRate 0 drops domain c
+    // fractional part ≤ 1 degrades to sampleByRates membership + epoch 0
+    val plain = Mixture.sampleByRates(corpus, "doc_id", "domain",
+      Map("a" -> 0.25), defaultRate = 0.0)
+      .select("doc_id").as[Long].collect().toSet
+    val aIds = byId.keySet.filter(_ <= 800)
+    assert(aIds === plain)
+    assert(aIds.forall(i => byId(i) == Seq(0L)))
+    // expected-copies arithmetic: rate 2.5 of domain b gives every row 2
+    // copies plus a deterministic ~half an extra one
+    val up = Mixture.sampleByRatesWithRepeats(corpus, "doc_id", "domain",
+      Map("b" -> 2.5), defaultRate = 0.0)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(up.values.forall(n => n == 2L || n == 3L))
+    val extras = up.values.count(_ == 3L)
+    assert(extras > 40 && extras < 110, s"~75 of 150 expected an extra copy, got $extras")
+  }
+
   test("sampleByRates plan: scan-side predicate, no shuffle or join") {
     val sampled = Mixture.sampleByRates(corpus, "doc_id", "domain",
       Map("a" -> 0.5), defaultRate = 0.1)
