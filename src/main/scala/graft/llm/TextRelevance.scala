@@ -92,6 +92,63 @@ object TextRelevance {
       .join(perDoc, Seq("doc_id"), "left_outer")
   }
 
+  /** (doc_id, v, w): consecutive token pairs per document — the bigram
+    * stream both [[bigramLogPerplexity]] sides consume. Docs under two
+    * tokens emit nothing. */
+  def bigramPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"), toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("__t")) - 1), i =>
+          struct(element_at(col("__t"), i).as("v"),
+            element_at(col("__t"), i + 1).as("w")))).as("bg"))
+      .select(col("doc_id"), col("bg.v").as("v"), col("bg.w").as("w"))
+  }
+
+  /** Cross-corpus bigram LM scoring — the CCNet quality-filter recipe
+    * (Wenzek et al. 2020: score a crawl with an LM trained on a clean
+    * reference) reduced to an interpolated bigram model so it stays a
+    * relational Column pipeline: train counts on `refDf`, score each
+    * `scoreDf` document by mean over its bigrams of −ln p(w|v), where
+    * p(w|v) = λ·c(v,w)/c(v·) + (1−λ)·(c(w)+1)/(T+V) (ML bigram term
+    * interpolated with an add-one unigram floor, so unseen words score
+    * finite). Low = reads like the reference; high = gibberish or
+    * off-domain. Docs under two tokens return null.
+    *
+    * Scale posture: three grouped counts over the reference (bigram,
+    * context, unigram — map-side partials), three equi-joins on token
+    * keys for scoring, corpus scalars on a broadcast 1-row frame. Pick λ
+    * with an exactly-representable 1−λ (0.75, 0.5) so an external
+    * replayer uses the identical interpolation weights. */
+  def bigramLogPerplexity(refDf: DataFrame, scoreDf: DataFrame,
+                          idCol: String, textCol: String,
+                          lambda: Double = 0.75): DataFrame = {
+    require(lambda >= 0 && lambda < 1, "lambda must be in [0, 1)")
+    val big = bigramPairs(refDf, idCol, textCol)
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
+    val ctx = big.groupBy(col("v")).agg(sum(col("cvw")).as("cv"))
+    val uni = refDf
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val totals = uni.agg(sum(col("cw")).as("total"), count(lit(1)).as("vocab"))
+    val scored = bigramPairs(scoreDf, idCol, textCol)
+      .join(big, Seq("v", "w"), "left")
+      .join(ctx, Seq("v"), "left")
+      .join(uni, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("p",
+        lit(lambda) * when(col("cv").isNotNull && col("cvw").isNotNull,
+            col("cvw").cast("double") / col("cv")).otherwise(0.0) +
+        lit(1.0 - lambda) * (coalesce(col("cw"), lit(0L)) + 1).cast("double") /
+          (col("total") + col("vocab")))
+      .withColumn("nlp", -log(col("p")))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg((sum(col("nlp")) / count(lit(1))).as("log_ppl"))
+    scoreDf.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left_outer")
+  }
+
   /** BM25 score of each document against a bag of query terms
     * (k1/b defaults per Robertson et al.). Documents containing none of
     * the terms are absent from the output. Components:

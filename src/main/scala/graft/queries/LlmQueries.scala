@@ -266,6 +266,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Cross-corpus LM quality scoring (CCNet shape): bigram model trained
+    // on even doc_ids scores the odd ones. λ=0.75 so 1−λ is exactly
+    // representable and the oracle interpolates with identical weights.
+    "q_bigram_ppl" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val ref = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val tgt = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      TextRelevance.bigramLogPerplexity(ref, tgt, "doc_id", "text", lambda = 0.75)
+        .select(col("doc_id"), round(col("log_ppl"), 4).as("log_ppl"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus-statistics relevance: top-3 TF-IDF terms per document.
     // Ranking uses the ROUNDED weight (ties broken by term) so the oracle
     // ranks identically — raw doubles can differ by an ulp across engines.
@@ -1122,6 +1134,39 @@ object LlmQueries {
          SELECT DISTINCT probe_id, doc_id
          FROM dg JOIN pg USING (g)
          ORDER BY probe_id, doc_id""",
+    "q_bigram_ppl" ->
+      """WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         tgt AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+         rtok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS ts
+           FROM ref),
+         rbg AS (SELECT ts[i] AS v, ts[i+1] AS w
+           FROM rtok, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2),
+         big AS (SELECT v, w, count(*) AS cvw FROM rbg GROUP BY v, w),
+         ctx AS (SELECT v, sum(cvw) AS cv FROM big GROUP BY v),
+         runi AS (SELECT t AS w, count(*) AS cw FROM (
+           SELECT unnest(ts) AS t FROM rtok) GROUP BY t),
+         totals AS (SELECT CAST(sum(cw) AS BIGINT) AS total,
+           count(*) AS vocab FROM runi),
+         ttok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS ts
+           FROM tgt),
+         tbg AS (SELECT doc_id, ts[i] AS v, ts[i+1] AS w
+           FROM ttok, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2),
+         scored AS (
+           SELECT doc_id,
+             -ln(0.75 * (CASE WHEN big.cvw IS NOT NULL AND ctx.cv IS NOT NULL
+                   THEN big.cvw::DOUBLE / ctx.cv ELSE 0.0 END)
+               + 0.25 * (coalesce(runi.cw, 0) + 1)::DOUBLE / (total + vocab)) AS nlp
+           FROM tbg
+           LEFT JOIN big USING (v, w)
+           LEFT JOIN ctx USING (v)
+           LEFT JOIN runi USING (w), totals),
+         perdoc AS (SELECT doc_id, sum(nlp) / count(*) AS log_ppl
+           FROM scored GROUP BY doc_id)
+         SELECT t.doc_id, round(p.log_ppl, 4) AS log_ppl
+         FROM tgt t LEFT JOIN perdoc p ON t.doc_id = p.doc_id
+         ORDER BY t.doc_id""",
     "q_perplexity" ->
       """WITH tok AS (
            SELECT doc_id,

@@ -54,4 +54,33 @@ class TextRelevanceSpec extends SparkSpec {
       TextRelevance.bm25(docs, "doc_id", "text", Seq.empty)
     }
   }
+
+  test("bigramPairs: consecutive pairs, short docs emit nothing") {
+    val d = Seq((1L, "a b c b c"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val bg = TextRelevance.bigramPairs(d, "doc_id", "text")
+      .as[(Long, String, String)].collect().toSeq
+    assert(bg.filter(_._1 == 1L).map(p => (p._2, p._3)) ==
+      Seq(("a", "b"), ("b", "c"), ("c", "b"), ("b", "c")))
+    assert(!bg.exists(_._1 != 1L))
+  }
+
+  test("bigram LM cross-scoring: reference-like text beats shuffled and gibberish") {
+    val ref = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox runs over the lazy cat"),
+      (4L, "the lazy dog sleeps while the quick fox jumps"))
+      .toDF("doc_id", "text")
+    val tgt = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // in-domain
+      (3L, "dog lazy the over jumps fox brown quick the"), // same words, broken order
+      (5L, "zq xv qj wk mn bp"),                           // gibberish
+      (7L, "x"))                                           // < 2 tokens → null
+      .toDF("doc_id", "text")
+    val s = TextRelevance.bigramLogPerplexity(ref, tgt, "doc_id", "text")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(s(1L).get < s(3L).get, "bigram order must matter")
+    assert(s(3L).get < s(5L).get, "known words must beat unknown words")
+    assert(s(7L).isEmpty, "sub-bigram docs score null")
+    assert(s(1L).get > 0.0)
+  }
 }
