@@ -92,19 +92,20 @@ object TextRelevance {
       .join(perDoc, Seq("doc_id"), "left_outer")
   }
 
-  /** (doc_id, v, w): consecutive token pairs per document — the bigram
-    * stream both [[bigramLogPerplexity]] sides consume. Docs under two
-    * tokens emit nothing. */
-  def bigramPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    df.select(col(idCol).as("doc_id"), toks.as("__t"))
-      .filter(size(col("__t")) >= 2)
+  private def bigramsFromTokens(t: DataFrame): DataFrame =
+    t.filter(size(col("__t")) >= 2)
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), size(col("__t")) - 1), i =>
           struct(element_at(col("__t"), i).as("v"),
             element_at(col("__t"), i + 1).as("w")))).as("bg"))
       .select(col("doc_id"), col("bg.v").as("v"), col("bg.w").as("w"))
-  }
+
+  /** (doc_id, v, w): consecutive token pairs per document — the bigram
+    * stream both [[bigramLogPerplexity]] sides consume. Docs under two
+    * tokens emit nothing. */
+  def bigramPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramsFromTokens(df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__t")))
 
   /** Cross-corpus bigram LM scoring — the CCNet quality-filter recipe
     * (Wenzek et al. 2020: score a crawl with an LM trained on a clean
@@ -125,11 +126,15 @@ object TextRelevance {
                           idCol: String, textCol: String,
                           lambda: Double = 0.75): DataFrame = {
     require(lambda >= 0 && lambda < 1, "lambda must be in [0, 1)")
-    val big = bigramPairs(refDf, idCol, textCol)
+    // tokenize the reference ONCE (module convention): the token frame
+    // feeds both the bigram counts and the unigram floor
+    val refToks = track(refDf.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__t")))
+    val big = bigramsFromTokens(refToks)
       .groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
     val ctx = big.groupBy(col("v")).agg(sum(col("cvw")).as("cv"))
-    val uni = refDf
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val uni = refToks
+      .select(explode(col("__t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cw"))
     val totals = uni.agg(sum(col("cw")).as("total"), count(lit(1)).as("vocab"))
     val scored = bigramPairs(scoreDf, idCol, textCol)
