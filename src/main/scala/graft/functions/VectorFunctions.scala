@@ -44,11 +44,17 @@ object VectorFunctions {
   /** Signed-random-projection bit signature (hyperplane LSH): bit p is the
     * sign of ⟨v, plane_p⟩. Planes are deterministic (seeded) so signatures
     * are stable across runs and executors. Returns an int bucket id in
-    * [0, 2^planes.length). */
-  def srpBucket(v: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
+    * [0, 2^planes.length); a NULL vector returns a NULL bucket — each
+    * sign test would otherwise default to bit 0, silently piling every
+    * null row (failed decodes, absent embeddings) into one degenerate
+    * bucket-0 whose self-join is quadratic. A null bucket drops out of
+    * every equi-join instead. */
+  def srpBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
       when(dot(v, typedlit(p)) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+    when(v.isNull, lit(null)).otherwise(bits)
+  }
 
   /** Deterministic unit-ish hyperplanes for [[srpBucket]]. */
   def makePlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {

@@ -172,16 +172,18 @@ object Dedup {
     * Unlike [[minHashPairs]] (wide signature arrays that must join back
     * AFTER candidate dedup), a simhash is ONE long — cheaper to carry
     * through the chunk explode and candidate join than to re-join twice:
-    * verify inline, THEN dedup the (already-filtered) survivors. No
-    * signature cache needed — the frame is read once. */
+    * verify inline, THEN dedup the (already-filtered) survivors. The
+    * signature frame is still persisted: the self-join scans it from
+    * both sides, and without the cache the upstream plan and the per-doc
+    * simHash would compute twice. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 32)")
     val numChunks = maxDist + 1
     // zero-token docs carry no token signal — see minHashPairs guard
-    val sh = df
+    val sh = track(df
       .filter(size(TextFunctions.tokens(col(textCol))) > 0)
-      .select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+      .select(col(idCol).as("id"), simHash(col(textCol)).as("sh")))
     val chunkStructs = (0 until numChunks).map { c =>
       val lo = c * 32 / numChunks
       val hi = (c + 1) * 32 / numChunks

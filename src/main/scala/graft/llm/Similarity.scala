@@ -75,11 +75,14 @@ object Similarity {
   def srpTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = VectorFunctions.makePlanes(nPlanes, dim, seed)
+    // BOTH sides are guarded: probes from a different embedder than the
+    // corpus (the realistic mismatch) must fail loudly too
     val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
       VectorFunctions.srpBucket(
         dimChecked(col("embedding"), dim, "srpTopK"), planes).as("bucket"))
     val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-      VectorFunctions.srpBucket(col("embedding"), planes).as("bucket"))
+      VectorFunctions.srpBucket(
+        dimChecked(col("embedding"), dim, "srpTopK probes"), planes).as("bucket"))
     val scored = c.join(broadcast(p), Seq("bucket"))
       .filter(col("cand_id") =!= col("probe_id"))
       .withColumn("score", VectorFunctions.cosine(col("p_emb"), col("c_emb")))
@@ -191,9 +194,12 @@ object Similarity {
     // assignment runs on the RAW vectors (sq-distance semantics); the
     // pairwise verify runs on unit-normalized copies so each pair costs
     // ONE dot instead of dot + two norms — 3× fewer array folds on the
-    // within-cluster quadratic, the operator's hot loop
-    val assigned = assignToCentroids(corpus, centroids)
-      .withColumn("__ne", VectorFunctions.normalized(col("embedding")))
+    // within-cluster quadratic, the operator's hot loop.
+    // persisted: read by the cluster-size count and BOTH sides of the
+    // self-join — without the cache the centroid assignment (cross join +
+    // per-vector top-1) would run three times
+    val assigned = track(assignToCentroids(corpus, centroids)
+      .withColumn("__ne", VectorFunctions.normalized(col("embedding"))))
     // cluster-size cap via groupBy + semi-join-back (map-side partials,
     // AQE-skew-splittable) — NOT a per-cluster window, which would
     // materialize the mega-cluster in one task, the exact skew the cap

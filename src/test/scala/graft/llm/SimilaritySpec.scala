@@ -149,6 +149,23 @@ class SimilaritySpec extends SparkSpec {
     assert(uncapped == Set(0L, 10L))
   }
 
+  test("null embeddings get a null bucket and drop out of SRP blocking") {
+    // a failed decode / absent embedding must not pile into bucket 0
+    // (whose self-join would be quadratic) — it drops out of the equi-join
+    val withNull = corpus.unionByName(
+      Seq((99L, null: Seq[Float])).toDF("vec_id", "embedding"))
+    val planes = VectorFunctions.makePlanes(2, 4)
+    val buckets = withNull.select(col("vec_id"),
+        VectorFunctions.srpBucket(col("embedding"), planes).as("b"))
+      .as[(Long, Option[Int])].collect().toMap
+    assert(buckets(99L).isEmpty, "null vector must bucket to null")
+    assert(buckets.filter(_._1 != 99L).values.forall(_.nonEmpty))
+    val pairs = Similarity.cosinePairsBlocked(withNull, 0.9, nPlanes = 2, dim = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
+    assert(pairs.nonEmpty)
+  }
+
   test("recallReport: 1.0 against itself, counts misses per probe") {
     val exact = Similarity.bruteForceTopK(corpus, corpus.filter(col("vec_id") < 2), 2)
     val full = Similarity.recallReport(exact, exact)
