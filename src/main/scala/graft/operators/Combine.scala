@@ -276,6 +276,39 @@ object Combine {
       .drop("__pid", "__v", "__off")
   }
 
+  /** Scale-safe per-key ntile: equal-count bins per key WITHOUT a per-key
+    * window sort. `Window.partitionBy(key)` ntile moves each key's entire
+    * population into one task — for low-cardinality keys (languages,
+    * sources, tiers: the curriculum-binning case) that is one task per
+    * 1/k-th of the corpus. This instead rides the range-partitioned
+    * [[prefixSum]] (a key spans many range partitions), derives the
+    * per-key rank from the global rank minus the key's start, and applies
+    * ntile's bin arithmetic (first n mod k bins one larger) — identical
+    * output to the window form, asserted in CombineSpec.
+    *
+    * The per-key (count, start) frame broadcasts — sized by key
+    * cardinality, small by the same contract as [[Mixture]]'s domains.
+    * High-cardinality keys don't need this: their per-key windows are
+    * small, use ntile directly. */
+  def ntilePerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                  k: Int, binCol: String = "bin"): DataFrame = {
+    require(k > 0, "ntile bucket count must be positive")
+    val ranked = prefixSum(df, keys.map(col) ++ order, lit(1L), "__grank")
+    val stats = ranked.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"), min(col("__grank")).as("__min"))
+    val r = col("__grank") - col("__min") + 1
+    val q = floor(col("__n") / k).cast("long")
+    val rem = col("__n") % k
+    // lazy branches: when n < k, q = 0 and every row satisfies the first
+    // branch (r ≤ rem), so the q-division in the otherwise never runs
+    val bin = when(r <= rem * (q + 1),
+        floor((r - 1) / (q + 1)).cast("long") + 1)
+      .otherwise(rem + floor((r - 1 - rem * (q + 1)) / q).cast("long") + 1)
+    ranked.join(broadcast(stats), keys)
+      .withColumn(binCol, bin)
+      .drop("__grank", "__n", "__min")
+  }
+
   /** Top-k CombineFn (bounded min-heap) for the typed path — the direct
     * analogue of Top.TopCombineFn's bounded heap. */
   final class TopKFn[T: Ordering: ClassTag](k: Int) extends CombineFn[T, Seq[T], Seq[T]] {

@@ -437,15 +437,16 @@ object LlmQueries {
     },
 
     // Quality-quartile binning per language (curriculum/mix design):
-    // ntile over (quality, doc_id) is fully deterministic and quality
-    // lands on exact quarters, so the oracle reproduces it bit-for-bit.
+    // equal-count quartiles over (quality, doc_id) — fully deterministic,
+    // and quality lands on exact quarters, so the oracle reproduces it
+    // bit-for-bit with a plain ntile window (single-node DuckDB). The
+    // engine side uses the scale-safe prefix-sum ntile: a per-lang window
+    // would sort each language's ENTIRE corpus in one task at 100 TB.
     "q_quality_bins" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("quality"), col("doc_id"))
-      Tables(s, dir).documents
+      val scored = Tables(s, dir).documents
         .withColumn("quality", TextFunctions.qualityScore(col("text")))
-        .withColumn("bin", ntile(4).over(w).cast("long"))
+      graft.operators.Combine.ntilePerKey(scored, Seq("lang"),
+          Seq(col("quality"), col("doc_id")), 4)
         .groupBy(col("lang"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), min(col("quality")).as("min_q"),
           max(col("quality")).as("max_q"))

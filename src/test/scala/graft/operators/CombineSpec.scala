@@ -147,4 +147,24 @@ class CombineSpec extends SparkSpec {
       .as[Seq[Long]].head()
     assert(math.abs(qs.head - 5000) < 200)
   }
+
+  test("ntilePerKey ≡ window ntile, including n < k and uneven keys") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(7)
+    // uneven key sizes incl. one key smaller than k
+    val rows = (Seq.fill(103)("a") ++ Seq.fill(41)("b") ++ Seq.fill(2)("c"))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong, rng.nextInt(10)) }
+    val df = rows.toDF("key", "id", "v")
+    for (k <- Seq(1, 3, 4, 7)) {
+      val got = Combine.ntilePerKey(df, Seq("key"), Seq($"v", $"id"), k)
+        .select($"key", $"id", $"bin").as[(String, Long, Long)]
+        .collect().toSet
+      val w = Window.partitionBy($"key").orderBy($"v", $"id")
+      val want = df.withColumn("bin",
+        org.apache.spark.sql.functions.ntile(k).over(w).cast("long"))
+        .select($"key", $"id", $"bin").as[(String, Long, Long)]
+        .collect().toSet
+      assert(got == want, s"k=$k")
+    }
+  }
 }
