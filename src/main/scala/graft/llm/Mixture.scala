@@ -77,9 +77,11 @@ object Mixture {
 
   /** Per-domain keep-rates that reshape observed counts toward `targets`
     * (domain → share of the output) with total output ≈ `outFraction` of
-    * the input. rate_d = min(1, outFraction·N·share_d / n_d) — a domain
-    * too small for its target share is kept whole (capped at 1) rather
-    * than upsampled; deterministic sampling cannot replicate rows.
+    * the input. rate_d = outFraction·N·share_d / n_d, clamped to 1 under
+    * the default `capAtOne` (for [[sampleByRates]], which cannot
+    * replicate rows — undersized domains are kept whole); pass
+    * `capAtOne = false` and feed [[sampleByRatesWithRepeats]] to realize
+    * rates above 1 as deterministic epoch repeats.
     *
     * Runs one k-row count action (k = domain cardinality, small by
     * contract). The arithmetic is plain IEEE double in a fixed order so an
@@ -89,14 +91,22 @@ object Mixture {
     * share_d ∝ n_d^alpha): alpha = 1 keeps natural proportions, alpha = 0
     * is uniform, alpha in between up-weights small domains without the
     * hard targets of [[rebalanceRates]]. Returns per-domain keep-rates
-    * realizing those shares at ≈ `outFraction` of the input, small
-    * domains capped at 1 (deterministic sampling cannot upsample).
+    * realizing those shares at ≈ `outFraction` of the input.
+    *
+    * `capAtOne` (default) clamps every rate to 1 for [[sampleByRates]],
+    * which cannot replicate rows — small domains are kept whole and the
+    * realized mixture undershoots their target share. Pass
+    * `capAtOne = false` to get the TRUE temperature rates (> 1 for
+    * domains below their share) and feed them to
+    * [[sampleByRatesWithRepeats]], which realizes rates above 1 as
+    * deterministic epoch repeats.
     *
     * One k-row count action; the share arithmetic runs driver-side in a
     * FIXED (domain-sorted) order so the normalizer sum is reproducible
     * IEEE arithmetic an external auditor can replay. */
   def temperatureRates(df: DataFrame, domainCol: String, alpha: Double,
-                       outFraction: Double): Map[String, Double] = {
+                       outFraction: Double,
+                       capAtOne: Boolean = true): Map[String, Double] = {
     require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
     require(outFraction > 0 && outFraction <= 1, "outFraction must be in (0, 1]")
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
@@ -106,13 +116,15 @@ object Mixture {
     val z = doms.map(pw).sum
     val total = doms.map(counts).sum
     doms.map { d =>
-      d -> math.min(1.0, outFraction * total * (pw(d) / z) / counts(d))
+      val raw = outFraction * total * (pw(d) / z) / counts(d)
+      d -> (if (capAtOne) math.min(1.0, raw) else raw)
     }.toMap
   }
 
   def rebalanceRates(df: DataFrame, domainCol: String,
                      targets: Map[String, Double],
-                     outFraction: Double): Map[String, Double] = {
+                     outFraction: Double,
+                     capAtOne: Boolean = true): Map[String, Double] = {
     require(outFraction > 0 && outFraction <= 1, "outFraction must be in (0, 1]")
     require(targets.values.forall(_ >= 0), "target shares must be >= 0")
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
@@ -120,10 +132,8 @@ object Mixture {
     val total = counts.values.sum
     targets.map { case (domain, share) =>
       val n = counts.getOrElse(domain, 0L)
-      val rate =
-        if (n == 0L) 0.0
-        else math.min(1.0, outFraction * total * share / n)
-      domain -> rate
+      val raw = if (n == 0L) 0.0 else outFraction * total * share / n
+      domain -> (if (capAtOne) math.min(1.0, raw) else raw)
     }
   }
 }

@@ -274,7 +274,12 @@ object Similarity {
         VectorFunctions.srpBucket(col("e"),
           planes.slice(t * nPlanes, (t + 1) * nPlanes)).as("b"))
     }
-    val bucketed = base.select(col("id"), explode(array(tables: _*)).as("tb"))
+    // drop null embeddings BEFORE bucketing: the bucket rides inside a
+    // struct join key, and Spark's struct equality treats null FIELDS as
+    // equal — null-embedding rows would all collide pairwise (the
+    // quadratic null bucket), only to be rejected by the null-dot verify
+    val bucketed = base.filter(col("e").isNotNull)
+      .select(col("id"), explode(array(tables: _*)).as("tb"))
     // per-side key rename keeps the self-join a real equi-join (a shared
     // attribute would make the condition trivially true → cross join)
     val a = bucketed.select(col("tb").as("tb_a"), col("id").as("id_a"))

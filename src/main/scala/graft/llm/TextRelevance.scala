@@ -130,12 +130,15 @@ object TextRelevance {
     // feeds both the bigram counts and the unigram floor
     val refToks = track(refDf.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("__t")))
-    val big = bigramsFromTokens(refToks)
-      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw"))
+    // big feeds ctx AND the scoring join; uni feeds totals AND the
+    // scoring join — both double-read, so both are tracked (module
+    // convention)
+    val big = track(bigramsFromTokens(refToks)
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("cvw")))
     val ctx = big.groupBy(col("v")).agg(sum(col("cvw")).as("cv"))
-    val uni = refToks
+    val uni = track(refToks
       .select(explode(col("__t")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw")))
     val totals = uni.agg(sum(col("cw")).as("total"), count(lit(1)).as("vocab"))
     val scored = bigramPairs(scoreDf, idCol, textCol)
       .join(big, Seq("v", "w"), "left")

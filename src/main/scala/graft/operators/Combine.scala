@@ -304,8 +304,15 @@ object Combine {
     val bin = when(r <= rem * (q + 1),
         floor((r - 1) / (q + 1)).cast("long") + 1)
       .otherwise(rem + floor((r - 1 - rem * (q + 1)) / q).cast("long") + 1)
-    ranked.join(broadcast(stats), keys)
+    // null-safe join: a plain equi-join would DROP null-key rows, where
+    // the window form bins the null key as its own partition
+    val renamedStats = keys.foldLeft(stats) { (d, k) =>
+      d.withColumnRenamed(k, s"__k_$k")
+    }
+    val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    ranked.join(broadcast(renamedStats), cond)
       .withColumn(binCol, bin)
+      .drop(keys.map(k => s"__k_$k"): _*)
       .drop("__grank", "__n", "__min")
   }
 

@@ -63,6 +63,22 @@ class MixtureSpec extends SparkSpec {
     assert(rHalf("c") >= r1("c") && rHalf("a") <= 1.0)
   }
 
+  test("uncapped temperature rates compose with the epoch upsampler") {
+    // alpha=0, uniform shares: domain c (50 of 1000 rows) gets rate
+    // 0.5·1000/3/50 = 10/3 > 1 — reachable only with capAtOne = false
+    val rates = Mixture.temperatureRates(corpus, "domain", alpha = 0.0,
+      outFraction = 0.5, capAtOne = false)
+    assert(math.abs(rates("c") - 10.0 / 3.0) < 1e-12)
+    val out = Mixture.sampleByRatesWithRepeats(corpus, "doc_id", "domain",
+        rates, defaultRate = 0.0)
+      .filter($"domain" === "c")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    // every c row repeats 3 or 4 times (⌊10/3⌋ = 3 + fractional extra)
+    assert(out.size === 50)
+    assert(out.values.forall(n => n == 3L || n == 4L))
+    assert(out.values.exists(_ == 4L), "fractional epochs must fire for some rows")
+  }
+
   test("sampleByRatesWithRepeats: integer rates repeat exactly, fractions are deterministic") {
     // rate 3.0: every domain-b row appears exactly 3 times, epochs 0,1,2
     val out = Mixture.sampleByRatesWithRepeats(corpus, "doc_id", "domain",

@@ -150,19 +150,23 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("null embeddings get a null bucket and drop out of SRP blocking") {
-    // a failed decode / absent embedding must not pile into bucket 0
-    // (whose self-join would be quadratic) — it drops out of the equi-join
+    // failed decodes / absent embeddings must not pile into one bucket
+    // (whose self-join would be quadratic): MULTIPLE null rows must not
+    // even pair with each other — struct join keys treat null fields as
+    // equal, so nulls are filtered before bucketing
     val withNull = corpus.unionByName(
-      Seq((99L, null: Seq[Float])).toDF("vec_id", "embedding"))
+      Seq((98L, null: Seq[Float]), (99L, null: Seq[Float]))
+        .toDF("vec_id", "embedding"))
     val planes = VectorFunctions.makePlanes(2, 4)
     val buckets = withNull.select(col("vec_id"),
         VectorFunctions.srpBucket(col("embedding"), planes).as("b"))
       .as[(Long, Option[Int])].collect().toMap
     assert(buckets(99L).isEmpty, "null vector must bucket to null")
-    assert(buckets.filter(_._1 != 99L).values.forall(_.nonEmpty))
+    assert(buckets.filter(_._1 < 98L).values.forall(_.nonEmpty))
     val pairs = Similarity.cosinePairsBlocked(withNull, 0.9, nPlanes = 2, dim = 4)
       .as[(Long, Long)].collect().toSet
-    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L))
+    assert(!pairs.exists(p => p._1 >= 98L || p._2 >= 98L),
+      "null rows must not pair — not even with each other")
     assert(pairs.nonEmpty)
   }
 

@@ -148,11 +148,14 @@ class CombineSpec extends SparkSpec {
     assert(math.abs(qs.head - 5000) < 200)
   }
 
-  test("ntilePerKey ≡ window ntile, including n < k and uneven keys") {
+  test("ntilePerKey ≡ window ntile, including n < k, uneven and NULL keys") {
     import org.apache.spark.sql.expressions.Window
     val rng = new scala.util.Random(7)
-    // uneven key sizes incl. one key smaller than k
-    val rows = (Seq.fill(103)("a") ++ Seq.fill(41)("b") ++ Seq.fill(2)("c"))
+    // uneven key sizes incl. one key smaller than k and a NULL key group
+    // (window ntile bins the null partition like any other — the
+    // null-safe join must not drop it)
+    val rows = (Seq.fill(103)("a") ++ Seq.fill(41)("b") ++ Seq.fill(2)("c") ++
+        Seq.fill(9)(null: String))
       .zipWithIndex.map { case (k, i) => (k, i.toLong, rng.nextInt(10)) }
     val df = rows.toDF("key", "id", "v")
     for (k <- Seq(1, 3, 4, 7)) {
