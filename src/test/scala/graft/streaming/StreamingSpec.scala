@@ -144,6 +144,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation ≡ batch: deterministic sampling + quality filter are stream-safe") {
+    // The LLM-curation scan-side operators (md5-threshold mixture
+    // sampling, quality scoring) are pure row predicates, so the SAME
+    // code curates an unbounded stream in append mode with no state and
+    // no watermark — and must produce exactly the batch answer. This is
+    // the unified-model claim for the curation family.
+    val dir = "/root/testdata/sf0.001"
+    def curate(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.llm.Mixture.sampleByRates(df, "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25), defaultRate = 1.0)
+        .withColumn("quality", graft.functions.TextFunctions.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+        .select(col("doc_id"), col("lang"), col("quality"))
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val expected = curate(batchDocs).as[(Long, String, Double)].collect().toSet
+    assert(expected.nonEmpty)
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cur-src-")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cur-").toString
+    val q = curate(stream).writeStream.format("memory").queryName("cur")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cur").as[(Long, String, Double)].collect().toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming parquet file sink commits atomically (Write 3-phase contract)") {
     // [U] IO/Write.java's init/write/finalize maps to the streaming file
     // sink's transaction log: output appears with a _spark_metadata commit,
