@@ -40,6 +40,17 @@ object LlmQueries {
         .orderBy(col("n_dups"))
     },
 
+    // Whole-ROW exact dedup: keep the min-id row of each normalized-text
+    // group with every column intact (Dedup.exactRows — one min_by
+    // hash-aggregate, no window sort). The engine groups on xxhash64 of
+    // the normalization; the oracle groups on md5 of the SAME
+    // normalization — identical partitions absent a 64-bit collision.
+    "q_dedup_exact_rows" -> { (s, dir) =>
+      Dedup.exactRows(Tables(s, dir).documents, "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // Policy dedup: group near-identical docs (shared 64-char prefix) and
     // keep the HIGHEST-QUALITY representative (ties → min id) — the
     // "representative value fn" dedup with a real data-curation policy.
@@ -782,6 +793,15 @@ object LlmQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_exact_rows" ->
+      """WITH k AS (
+           SELECT doc_id, lang, source, n_chars,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         m AS (SELECT fp, min(doc_id) AS keep FROM k GROUP BY fp)
+         SELECT k.doc_id, k.lang, k.source, k.n_chars
+         FROM k JOIN m ON k.fp = m.fp AND k.doc_id = m.keep
+         ORDER BY k.doc_id""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_dups FROM documents
          GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
