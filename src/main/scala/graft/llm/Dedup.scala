@@ -175,22 +175,37 @@ object Dedup {
     * verify inline, THEN dedup the (already-filtered) survivors. The
     * signature frame is still persisted: the self-join scans it from
     * both sides, and without the cache the upstream plan and the per-doc
-    * simHash would compute twice. */
+    * simHash would compute twice.
+    *
+    * `rotation` rotates the 32-bit signature before chunking (and only
+    * for chunking — emitted distances are always of the un-rotated
+    * signatures). Rotation preserves Hamming distance, so ANY rotation
+    * yields a complete blocking and the emitted pair set must be
+    * IDENTICAL across rotations — two runs with different rotations are
+    * an end-to-end execution cross-check with zero shared bucket keys
+    * (the self-asserting form q_dedup_simhash pins). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, rotation: Int = 0): DataFrame = {
     require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 32)")
+    require(rotation >= 0 && rotation < 32, "rotation must be in [0, 32)")
     val numChunks = maxDist + 1
     // zero-token docs carry no token signal — see minHashPairs guard
     val sh = track(df
       .filter(size(TextFunctions.tokens(col(textCol))) > 0)
       .select(col(idCol).as("id"), simHash(col(textCol)).as("sh")))
+    // 32-bit rotate-left in long arithmetic: low half shifted up stays
+    // below 2^32, high half shifted down joins it — no 64-bit overflow
+    val rot =
+      if (rotation == 0) col("sh")
+      else pmod(col("sh"), lit(1L << (32 - rotation))) * lit(1L << rotation) +
+        floor(col("sh") / lit(math.pow(2.0, 32 - rotation))).cast("long")
     val chunkStructs = (0 until numChunks).map { c =>
       val lo = c * 32 / numChunks
       val hi = (c + 1) * 32 / numChunks
       struct(lit(c).as("chunk"),
-        pmod(floor(col("sh") / lit(math.pow(2.0, lo))).cast("long"), lit(1L << (hi - lo))).as("v"))
+        pmod(floor(col("r") / lit(math.pow(2.0, lo))).cast("long"), lit(1L << (hi - lo))).as("v"))
     }
-    val chunks = sh.select(col("id"), col("sh"),
+    val chunks = sh.select(col("id"), col("sh"), rot.as("r")).select(col("id"), col("sh"),
       explode(array(chunkStructs: _*)).as("ck"))
     // per-side key rename: see minHashPairs — a shared attribute would
     // degenerate the equi-join into a cross join
@@ -387,7 +402,24 @@ object Dedup {
                           numHashes: Int = 64, shingleK: Int = 3,
                           bands: Int = 16, threshold: Double = 0.7,
                           useStarCC: Boolean = false,
-                          maxBucket: Int = DefaultMaxBucket): DataFrame = {
+                          maxBucket: Int = DefaultMaxBucket): DataFrame =
+    nearDupComponents(df, idCol, textCol, numHashes, shingleK, bands,
+      threshold, useStarCC, maxBucket)
+      .filter(col(idCol) === col("label"))
+      .select(df.columns.toIndexedSeq.map(col): _*)
+
+  /** [[dedupNearDuplicates]] with the component structure exposed: every
+    * input row plus its near-dup component `label` (the component's min
+    * id — rows with `label == id` are the kept representatives). This is
+    * the auditable form: q_dedup_pipeline's self-asserting oracle checks
+    * label canonicality, min-id keeper policy, and exact/high-Jaccard
+    * groups collapsing, all of which need the labels, not just the
+    * survivors. */
+  def nearDupComponents(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, shingleK: Int = 3,
+                        bands: Int = 16, threshold: Double = 0.7,
+                        useStarCC: Boolean = false,
+                        maxBucket: Int = DefaultMaxBucket): DataFrame = {
     // Track this call's signature cache locally (not in the module
     // registry): once labels are checkpointed nothing references it, so it
     // is released before returning — repeated pipeline calls on a
@@ -408,8 +440,7 @@ object Dedup {
     pairs.unpersist()
     localCaches.foreach(_.unpersist())
     df.join(labels, df(idCol) === labels("id"))
-      .filter(col(idCol) === col("label"))
-      .select(df.columns.toIndexedSeq.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col) :+ col("label"): _*)
   }
 
   // ------------------------------------------------- cross-corpus dedup

@@ -12,7 +12,9 @@ import graft.llm.{Boilerplate, Contamination, Curation, Dedup, HeavyHitters, Mix
   * similarity search, text analysis, multimodal plumbing. Oracles exist
   * wherever the computation is portable SQL (jaccard over shingle strings,
   * cosine in double math, token stats); hash-seeded ops (MinHash/SimHash/
-  * SRP) are engine-specific by construction → rows-only checks plus
+  * SRP/k-means) are engine-specific by construction → their gate entries
+  * use the self-asserting form (exact oracle companions + engine-computed
+  * invariant booleans pinned TRUE, the q_approx_sketches pattern) plus
   * ScalaTest coverage.
   */
 object LlmQueries {
@@ -74,25 +76,140 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // MinHash+LSH near-dup pairs (hash-seeded → rows-only; recall vs the
-    // exact baseline is asserted in DedupSpec).
+    // MinHash+LSH near-dup pairs, self-asserting form (the engine-seeded
+    // hashes themselves can't be oracle-replayed; what CAN be is the
+    // statistical contract they must satisfy). Output rows are the
+    // DETERMINISTIC exact-Jaccard pairs at >= 0.9 (oracle replays them
+    // via shingle strings, same as q_ngram_jaccard), each pinned with
+    // lsh_found = TRUE: at j >= 0.9 with 16 bands of 4 the per-pair LSH
+    // miss probability is (1 - 0.9^4)^16 ~ 4e-8, so "the blocked plan
+    // found every strong pair" is a safe deterministic assertion. est_ok
+    // is the per-emitted-pair estimator bound — |est - exact| <= 5
+    // binomial sigmas + 1/64 discretization — aggregated over ALL pairs
+    // the LSH emitted (not just the strong ones) and pinned TRUE. A
+    // broken signature, banding, or verify filter flips one of the
+    // booleans; a broken candidate join drops a row.
     "q_dedup_minhash" -> { (s, dir) =>
-      Dedup.minHashPairs(Tables(s, dir).documents, "doc_id", "text",
+      val docs = Tables(s, dir).documents
+      val emitted = Dedup.minHashPairs(docs, "doc_id", "text",
         numHashes = 64, shingleK = 3, bands = 16, threshold = 0.6)
+      val sh = docs
+        .select(col("doc_id"), TextFunctions.shingleHashes(col("text"), 3).as("s"))
+        .filter(size(col("s")) > 0)
+      val exact = emitted
+        .join(sh.select(col("doc_id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+        .withColumn("exact_j", Dedup.jaccard(col("s_a"), col("s_b")))
+      val estOk = exact.agg(
+        coalesce(bool_and(
+          abs(col("est_jaccard") - col("exact_j")) <=
+            sqrt(col("exact_j") * (lit(1.0) - col("exact_j")) / 64.0) * 5.0
+              + lit(1.0 / 64)), lit(true)).as("est_ok"))
+      val hi = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleK = 3, threshold = 0.9)
+      hi.join(emitted.select(col("id_a"), col("id_b"), lit(true).as("found")),
+          Seq("id_a", "id_b"), "left_outer")
+        .crossJoin(broadcast(estOk))
+        .select(col("id_a"), col("id_b"), col("jac"),
+          coalesce(col("found"), lit(false)).as("lsh_found"), col("est_ok"))
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // SimHash near-dup pairs (rows-only).
+    // SimHash near-dup pairs, self-asserting form. Two independent
+    // engine-side checks, both pinned TRUE by the oracle: (1) dist_ok —
+    // every emitted pair's distance equals the Hamming distance of
+    // signatures RE-DERIVED fresh from the raw text (exercises the
+    // expression + join-back end to end) and respects maxDist; (2)
+    // rotation_agree_ok — the pigeonhole blocking is complete for ANY
+    // 32-bit rotation of the signatures, so a second run blocked on
+    // rotated chunks (zero shared bucket keys with the first) must emit
+    // the IDENTICAL pair set. n_docs is the exact oracle companion
+    // (documents with at least one token).
     "q_dedup_simhash" -> { (s, dir) =>
-      Dedup.simHashPairs(Tables(s, dir).documents, "doc_id", "text", maxDist = 3)
-        .orderBy(col("id_a"), col("id_b"))
+      val docs = Tables(s, dir).documents
+      val emitted = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
+      val rotated = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3,
+        rotation = 13)
+      val sig = docs
+        .filter(size(TextFunctions.tokens(col("text"))) > 0)
+        .select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
+      val joined = emitted
+        .join(sig.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sig.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      val consist = joined.agg(
+        coalesce(bool_and(
+          Dedup.hamming(col("sh_a"), col("sh_b")) === col("dist") &&
+            col("dist") <= 3), lit(true)).as("pairs_ok"),
+        count(lit(1)).as("n_joined"))
+      val nEmitted = emitted.agg(count(lit(1)).as("n_emitted"))
+      val agree = emitted.select(col("id_a"), col("id_b"), col("dist").as("d1"))
+        .join(rotated.select(col("id_a"), col("id_b"), col("dist").as("d2")),
+          Seq("id_a", "id_b"), "full_outer")
+        .agg(coalesce(bool_and(
+          col("d1").isNotNull && col("d2").isNotNull && col("d1") === col("d2")),
+          lit(true)).as("rotation_agree_ok"))
+      sig.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(consist))
+        .crossJoin(broadcast(nEmitted))
+        .crossJoin(broadcast(agree))
+        .select(col("n_docs"),
+          (col("pairs_ok") && col("n_joined") === col("n_emitted")).as("dist_ok"),
+          col("rotation_agree_ok"))
     },
 
-    // End-to-end near-dedup: pairs → connected components → representatives.
+    // End-to-end near-dedup, self-asserting form over the exposed
+    // component labels ([[Dedup.nearDupComponents]]). Exact oracle
+    // companions: n_docs and n_exact_groups (normalized-text groups of
+    // >= 2 tokenized docs). Engine-computed booleans pinned TRUE:
+    // keeper_min_ok (every label <= its doc id), canonical_ok (labels
+    // are fixed points: label's own label == label, and every label is a
+    // real doc id), exact_dedup_ok (each exact-duplicate group collapses
+    // to ONE representative — identical normalized text forces identical
+    // signatures, an est=1 pair, one component), hi_merge_ok (every
+    // exact-Jaccard >= 0.9 pair lands in one component; LSH miss odds
+    // ~4e-8 per pair, see q_dedup_minhash). NOTE deliberately absent:
+    // "dropped doc has est >= theta to its keeper" — components merge
+    // via PATHS, so a dropped doc is only transitively similar to its
+    // representative; asserting direct similarity would be wrong.
     "q_dedup_pipeline" -> { (s, dir) =>
-      Dedup.dedupNearDuplicates(Tables(s, dir).documents, "doc_id", "text",
-        threshold = 0.6)
-        .select(col("doc_id")).orderBy(col("doc_id"))
+      val docs = Tables(s, dir).documents
+      // no persist: the expensive part (minhash pairs -> CC labels) is
+      // localCheckpointed inside nearDupComponents, so each re-read below
+      // only replays the cheap docs-to-labels join
+      val lab = Dedup.nearDupComponents(docs, "doc_id", "text", threshold = 0.6)
+        .select(col("doc_id"), col("label"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val canon = lab
+        .join(lab.select(col("doc_id").as("label"), col("label").as("label2")),
+          Seq("label"))
+        .agg(
+          coalesce(bool_and(col("label2") === col("label")), lit(true)).as("fixed_point_ok"),
+          coalesce(bool_and(col("label") <= col("doc_id")), lit(true)).as("keeper_min_ok"),
+          count(lit(1)).as("n_labeled"))
+      val grp = docs
+        .filter(size(TextFunctions.tokens(col("text"))) > 0)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("fp"))
+        .join(lab, Seq("doc_id"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("label")).as("nl"))
+        .filter(col("n") >= 2)
+        .agg(count(lit(1)).as("n_exact_groups"),
+          coalesce(bool_and(col("nl") === 1), lit(true)).as("exact_dedup_ok"))
+      val hiOk = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleK = 3, threshold = 0.9)
+        .join(lab.select(col("doc_id").as("id_a"), col("label").as("l_a")), Seq("id_a"))
+        .join(lab.select(col("doc_id").as("id_b"), col("label").as("l_b")), Seq("id_b"))
+        .agg(coalesce(bool_and(col("l_a") === col("l_b")), lit(true)).as("hi_merge_ok"))
+      nDocs
+        .crossJoin(broadcast(canon))
+        .crossJoin(broadcast(grp))
+        .crossJoin(broadcast(hiOk))
+        .select(col("n_docs"), col("n_exact_groups"),
+          col("keeper_min_ok"),
+          // every doc got a label AND every label is itself labeled
+          (col("fixed_point_ok") && col("n_labeled") === col("n_docs")).as("canonical_ok"),
+          col("exact_dedup_ok"), col("hi_merge_ok"))
     },
 
     // Brute-force cosine top-k (exact ANN baseline; double math matches the
@@ -142,16 +259,50 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("score").desc, col("cand_id"))
     },
 
-    // IVF with TRAINED centroids (Lloyd's k-means, deterministic init):
-    // same probe path as q_similarity_ivf over better-balanced lists
-    // (rows-only: iterative float training isn't SQL-replicable).
+    // IVF with TRAINED centroids (Lloyd's k-means, deterministic init),
+    // self-asserting form: iterative float training isn't SQL-replicable,
+    // but its invariants are. Output = one row per trained centroid
+    // (centroid ids are the k smallest vec_ids — kMeans preserves them —
+    // so the ROW SET is exact-oracle). Booleans pinned TRUE: assign_ok
+    // (every member of the centroid's list is at its argmin-distance
+    // centroid — recomputed against the full centroid table), and
+    // cost_ok (Lloyd's is monotone: the trained clustering's total
+    // squared distance <= the deterministic-init clustering's, the
+    // property that distinguishes "trained" from "shuffled"). NOTE: we
+    // deliberately do NOT assert "centroid == mean of its final cluster"
+    // — Lloyd's only guarantees that against the PENULTIMATE assignment;
+    // at finite iters the final reassignment may differ.
     "q_similarity_ivf_trained" -> { (s, dir) =>
       val emb = Tables(s, dir).embeddings
       val cents = Similarity.kMeans(emb, k = 8, iters = 3)
       val assigned = Similarity.assignToCentroids(emb, cents)
-      Similarity.ivfTopK(assigned, cents, emb.filter(col("vec_id") < 10), k = 3, nProbe = 2)
-        .select(col("probe_id"), col("cand_id"), round(col("score"), 4).as("score"))
-        .orderBy(col("probe_id"), col("score").desc, col("cand_id"))
+      val scored = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"),
+          VectorFunctions.sqDist(col("embedding"), col("cent_emb")).as("d"))
+      val minD = scored.groupBy(col("vec_id")).agg(min(col("d")).as("d_min"))
+      val dAssigned = assigned.join(broadcast(cents), Seq("centroid_id"))
+        .select(col("vec_id"), col("centroid_id"),
+          VectorFunctions.sqDist(col("embedding"), col("cent_emb")).as("d_a"))
+      val perCent = dAssigned.join(minD, Seq("vec_id"))
+        .groupBy(col("centroid_id"))
+        .agg(bool_and(col("d_a") <= col("d_min") + 1e-9).as("assign_ok_raw"))
+      val costT = minD.agg(sum(col("d_min")).as("cost_trained"))
+      val init = emb.orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cent_emb"))
+      val costI = emb.crossJoin(broadcast(init))
+        .select(col("vec_id"),
+          VectorFunctions.sqDist(col("embedding"), col("cent_emb")).as("d"))
+        .groupBy(col("vec_id")).agg(min(col("d")).as("d0"))
+        .agg(sum(col("d0")).as("cost_init"))
+      val costOk = costT.crossJoin(broadcast(costI))
+        .select((col("cost_trained") <= col("cost_init") * 1.000001 + 1e-6)
+          .as("cost_ok"))
+      cents.select(col("centroid_id"))
+        .join(perCent, Seq("centroid_id"), "left_outer")
+        .crossJoin(broadcast(costOk))
+        .select(col("centroid_id"),
+          coalesce(col("assign_ok_raw"), lit(true)).as("assign_ok"), col("cost_ok"))
+        .orderBy(col("centroid_id"))
     },
 
     // Embedding-cosine near-dup pairs, SRP-blocked (the scale path: equi-
@@ -812,6 +963,58 @@ object LlmQueries {
            GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
          SELECT n_dups, count(*) AS n_clusters FROM g
          GROUP BY n_dups ORDER BY n_dups""",
+    // Self-asserting minhash gate: the deterministic row set is the exact
+    // shingle-Jaccard pairs at >= 0.9 (same replay as q_ngram_jaccard);
+    // the engine-computed LSH-recall and estimator-bound booleans are
+    // pinned TRUE.
+    "q_dedup_minhash" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), t -> t <> '') AS ts
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+             END AS s
+           FROM tok
+           WHERE len(ts) > 0),
+         d AS (SELECT doc_id, list_distinct(s) AS s FROM sh)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s))::DOUBLE /
+                 len(list_distinct(list_concat(a.s, b.s))), 4) AS jac,
+           TRUE AS lsh_found, TRUE AS est_ok
+         FROM d a, d b
+         WHERE a.doc_id < b.doc_id
+           AND len(list_intersect(a.s, b.s))::DOUBLE /
+               len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+         ORDER BY id_a, id_b""",
+    // Self-asserting simhash gate: exact tokenized-doc count companion;
+    // signature-consistency and rotation-blocking-agreement booleans
+    // pinned TRUE.
+    "q_dedup_simhash" ->
+      """SELECT count(*) AS n_docs, TRUE AS dist_ok, TRUE AS rotation_agree_ok
+         FROM documents
+         WHERE len(list_filter(string_split_regex(lower(text), '[^a-z'']+'), t -> t <> '')) > 0""",
+    // Self-asserting near-dedup pipeline gate: exact doc / exact-dup-group
+    // companions; component-invariant booleans pinned TRUE.
+    "q_dedup_pipeline" ->
+      """WITH g AS (
+           SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents
+           WHERE len(list_filter(string_split_regex(lower(text), '[^a-z'']+'), t -> t <> '')) > 0
+           GROUP BY 1 HAVING count(*) >= 2)
+         SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT count(*) FROM g) AS n_exact_groups,
+           TRUE AS keeper_min_ok, TRUE AS canonical_ok,
+           TRUE AS exact_dedup_ok, TRUE AS hi_merge_ok""",
+    // Self-asserting trained-IVF gate: the centroid id set is exact (kMeans
+    // preserves the deterministic first-k-by-id init ids); argmin-assignment
+    // and Lloyd's-monotonicity booleans pinned TRUE.
+    "q_similarity_ivf_trained" ->
+      """SELECT vec_id AS centroid_id, TRUE AS assign_ok, TRUE AS cost_ok
+         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+         ORDER BY centroid_id""",
     "q_ngram_jaccard" ->
       """WITH tok AS (
            SELECT doc_id,
