@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata (builder mandate; SURVEY.md §7 Phase 4).
   *
   * The Spark-side plumbing — schema, batch shape, partition-parallel
-  * decode, frame explosion — is real and tested. The codec step itself is a
-  * STUB (deterministic fake features derived from the bytes): this
-  * container has no image/audio libraries, and the builder prompt says to
-  * stub decode while keeping the distributed plumbing honest. Swapping in a
-  * real decoder changes only the body of [[FakeCodec.decode]].
+  * decode, frame explosion — is real and tested. The IMAGE codec path is
+  * real too: [[PpmCodec]] (dependency-free P6) and [[ImageIoCodec]]
+  * (PNG/JPEG/BMP/GIF via the in-JDK `javax.imageio`, headless). Only
+  * audio/video decode remains a STUB ([[FakeCodec]], deterministic fake
+  * features derived from the bytes) — the JDK ships no codec for those;
+  * swapping in a real decoder changes only the body of
+  * [[FakeCodec.decode]].
   */
 object Multimodal {
 
@@ -77,8 +79,9 @@ object Multimodal {
     * format is plain bytes (`P6\n<w> <h>\n<maxval>\n` + RGB triplets), so
     * encode/decode need no native library — which makes the multimodal
     * path genuinely end-to-end for images in this container: real binary
-    * column in, real parse + pixel math out. Heavier codecs (JPEG, WAV,
-    * H.264) remain behind [[FakeCodec]] with the same plumbing. */
+    * column in, real parse + pixel math out. Compressed images (PNG/JPEG)
+    * go through [[ImageIoCodec]]; only audio/video (WAV, H.264) remain
+    * behind [[FakeCodec]] with the same plumbing. */
   object PpmCodec {
     /** Synthesize a P6 image from a pixel function (fixture builder). */
     def encode(width: Int, height: Int,
@@ -138,6 +141,96 @@ object Multimodal {
       require(bytes.length - pos >= n, "truncated PPM pixel data")
       (w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + n.toInt))
     }
+  }
+
+  /** REAL compressed-image codec via the in-JDK `javax.imageio` (the
+    * `java.desktop` module ships with JDK 17 and runs headless — no
+    * native library needed). PNG is lossless: decoded pixels equal the
+    * encoded pixel function bit-for-bit, so channel means replay exactly
+    * in SQL (q_multimodal_png is a FULL oracle through a real compressed
+    * codec). JPEG is lossy but mean-preserving (DCT DC coefficients carry
+    * block averages), so its gate is the self-asserting form: exact
+    * geometry plus decoded-mean-within-tolerance booleans against
+    * encode-time ground truth. Audio/video remain behind [[FakeCodec]] —
+    * the JDK genuinely has no codec for those. */
+  object ImageIoCodec {
+    // Must win the race with AWT class initialization: ImageIO pulls in
+    // java.awt classes that consult this property once, executors included.
+    System.setProperty("java.awt.headless", "true")
+
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+    private def render(width: Int, height: Int,
+                       pixel: (Int, Int) => (Int, Int, Int)): BufferedImage = {
+      require(width > 0 && height > 0)
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = pixel(x, y)
+          img.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** Synthesize a PNG payload from a pixel function (fixture builder). */
+    def encodePng(width: Int, height: Int,
+                  pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(render(width, height, pixel), "png", out)
+      out.toByteArray
+    }
+
+    /** Synthesize a JPEG payload at an explicit quality (deterministic:
+      * the JDK encoder is a pure function of pixels + quality). */
+    def encodeJpeg(width: Int, height: Int, quality: Float,
+                   pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      require(quality > 0f && quality <= 1f, "quality must be in (0, 1]")
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(quality)
+      val out = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new IIOImage(render(width, height, pixel), null, null), param)
+      } finally { ios.close(); writer.dispose() }
+      out.toByteArray
+    }
+
+    /** Decode ANY ImageIO-supported payload (PNG/JPEG/BMP/GIF…) → exact
+      * integer channel sums divided once, same stats contract as
+      * [[decodeImageStats]]. */
+    def decodeStats(id: Long, bytes: Array[Byte]): ImageStats = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, s"payload for id=$id is not a decodable image")
+      val w = img.getWidth; val h = img.getHeight
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var r = 0L; var g = 0L; var b = 0L
+      var i = 0
+      while (i < px.length) {
+        r += (px(i) >> 16) & 0xff; g += (px(i) >> 8) & 0xff; b += px(i) & 0xff
+        i += 1
+      }
+      val n = (w.toLong * h).toDouble
+      ImageStats(id, w, h, r / n, g / n, b / n)
+    }
+  }
+
+  /** Partition-parallel decode of real compressed images (PNG/JPEG/…)
+    * through [[ImageIoCodec]] — identical bundle shape to
+    * [[decodeImageStats]], genuinely compressed payloads. */
+  def decodeImageStatsIo(media: Dataset[(Long, Array[Byte])])(
+      implicit spark: SparkSession): Dataset[ImageStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { case (id, bytes) => ImageIoCodec.decodeStats(id, bytes) })
   }
 
   /** Decoded image channel statistics: exact integer channel sums divided

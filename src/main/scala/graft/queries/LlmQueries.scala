@@ -496,6 +496,61 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL compressed-codec decode, lossless leg: synthesize genuine PNG
+    // payloads from a deterministic pixel function via the in-JDK
+    // javax.imageio, decode them back partition-parallel, reduce to exact
+    // per-channel means. PNG round-trips pixels bit-for-bit, so the
+    // oracle replays the pixel arithmetic without touching bytes — a FULL
+    // oracle through a real compressed image format (the q_multimodal_ppm
+    // shape, but the payload is a real zlib-compressed PNG, not raw P6).
+    "q_multimodal_png" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val imgs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, Multimodal.ImageIoCodec.encodePng(16, 8, (x, y) => {
+            val p = y * 16 + x
+            (((id * 31 + p * 7) % 256).toInt,
+             ((id * 17 + p * 5) % 256).toInt,
+             ((id * 13 + p * 3) % 256).toInt)
+          }))
+        }
+      Multimodal.decodeImageStatsIo(imgs)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("doc_id"))
+    },
+
+    // REAL compressed-codec decode, lossy leg: deterministic JPEGs
+    // (quality 0.9, smooth gradient + per-doc constant blue — JPEG's DCT
+    // DC coefficients preserve block means, so channel means survive
+    // compression to well under 1/255 on smooth content). Geometry is
+    // exact; the decoded means self-assert against encode-time ground
+    // truth computed from the same pixel function, tolerance 3/255,
+    // booleans pinned TRUE by the oracle. A decoder that silently
+    // mis-parses geometry, channel order, or pixel values flips a column.
+    "q_multimodal_jpeg" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val w = 16; val h = 12
+      val imgs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, Multimodal.ImageIoCodec.encodeJpeg(w, h, 0.9f, (x, y) =>
+            (32 + x * 192 / (w - 1), 32 + y * 192 / (h - 1),
+             (32 + (id * 7) % 192).toInt)))
+        }
+      // encode-time ground-truth means from the same integer arithmetic
+      val trueR = (0 until w).map(x => 32 + x * 192 / (w - 1)).sum / w.toDouble
+      val trueG = (0 until h).map(y => 32 + y * 192 / (h - 1)).sum / h.toDouble
+      Multimodal.decodeImageStatsIo(imgs)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          (abs(col("mean_r") - lit(trueR)) <= 3.0).as("r_ok"),
+          (abs(col("mean_g") - lit(trueG)) <= 3.0).as("g_ok"),
+          (abs(col("mean_b") - (pmod(col("id") * 7, lit(192)) + 32L).cast("double"))
+            <= 3.0).as("b_ok"))
+        .orderBy(col("doc_id"))
+    },
+
     // Multimodal plumbing: synthetic media structs → partition-parallel
     // stub decode → feature rows. FakeCodec's bounded integer arithmetic
     // (position-weighted byte sum + LCG mod a small prime) replays
@@ -1869,6 +1924,23 @@ object LlmQueries {
          SELECT doc_id, n_chars FROM ex
          WHERE doc_id NOT IN (SELECT nid FROM drops)
          ORDER BY doc_id""",
+    // FULL oracle through a real compressed codec: PNG is lossless, so
+    // the decoded channel means are the pixel function's exact means.
+    "q_multimodal_png" ->
+      """SELECT doc_id, 16 AS width, 8 AS height,
+           CAST(list_sum(list_transform(range(0, 128),
+             p -> (doc_id * 31 + p * 7) % 256)) AS DOUBLE) / 128.0 AS mean_r,
+           CAST(list_sum(list_transform(range(0, 128),
+             p -> (doc_id * 17 + p * 5) % 256)) AS DOUBLE) / 128.0 AS mean_g,
+           CAST(list_sum(list_transform(range(0, 128),
+             p -> (doc_id * 13 + p * 3) % 256)) AS DOUBLE) / 128.0 AS mean_b
+         FROM documents ORDER BY doc_id""",
+    // Self-asserting JPEG gate: exact geometry, decoded-mean-within-
+    // tolerance booleans pinned TRUE.
+    "q_multimodal_jpeg" ->
+      """SELECT doc_id, 16 AS width, 12 AS height,
+           TRUE AS r_ok, TRUE AS g_ok, TRUE AS b_ok
+         FROM documents ORDER BY doc_id""",
     "q_multimodal_ppm" ->
       """SELECT doc_id, 8 AS width, 6 AS height,
            CAST(list_sum(list_transform(range(0, 48),

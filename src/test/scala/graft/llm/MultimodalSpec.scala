@@ -87,4 +87,50 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).mean_b == (0 + 1 + 1 + 2) / 4.0)
     assert(out(2L).mean_r == (0 + 1 + 2 + 3) / 4.0)
   }
+
+  test("ImageIoCodec: PNG round-trips pixels losslessly and deterministically") {
+    val pixel = (x: Int, y: Int) => ((x * 37 + y * 11) % 256, (x * 5) % 256, (y * 3) % 256)
+    val png = Multimodal.ImageIoCodec.encodePng(9, 7, pixel)
+    // PNG magic, then a real decode back to the exact pixel function
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    assert(Multimodal.ImageIoCodec.encodePng(9, 7, pixel).toSeq == png.toSeq)
+    val st = Multimodal.ImageIoCodec.decodeStats(5L, png)
+    assert(st.width == 9 && st.height == 7)
+    val n = 63.0
+    val exp = (for (y <- 0 until 7; x <- 0 until 9) yield pixel(x, y))
+    assert(st.mean_r == exp.map(_._1).sum / n)
+    assert(st.mean_g == exp.map(_._2).sum / n)
+    assert(st.mean_b == exp.map(_._3).sum / n)
+  }
+
+  test("ImageIoCodec: JPEG decode preserves geometry and channel means within tolerance") {
+    val w = 16; val h = 12
+    val pixel = (x: Int, y: Int) => (32 + x * 192 / (w - 1), 32 + y * 192 / (h - 1), 100)
+    val jpg = Multimodal.ImageIoCodec.encodeJpeg(w, h, 0.9f, pixel)
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8) // JPEG SOI
+    val st = Multimodal.ImageIoCodec.decodeStats(7L, jpg)
+    assert(st.width == w && st.height == h)
+    val exp = (for (y <- 0 until h; x <- 0 until w) yield pixel(x, y))
+    val n = (w * h).toDouble
+    assert(math.abs(st.mean_r - exp.map(_._1).sum / n) <= 3.0)
+    assert(math.abs(st.mean_g - exp.map(_._2).sum / n) <= 3.0)
+    assert(math.abs(st.mean_b - exp.map(_._3).sum / n) <= 3.0)
+  }
+
+  test("ImageIoCodec: non-image payload fails fast with the id in the error") {
+    val e = intercept[Exception] {
+      Multimodal.ImageIoCodec.decodeStats(42L, "not an image at all".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("42"))
+  }
+
+  test("decodeImageStatsIo: distributed decode of mixed PNG and JPEG payloads") {
+    val imgs = spark.createDataset(Seq(
+      (1L, Multimodal.ImageIoCodec.encodePng(4, 4, (_, _) => (200, 100, 50))),
+      (2L, Multimodal.ImageIoCodec.encodeJpeg(8, 8, 0.9f, (_, _) => (60, 120, 180)))))
+    val out = Multimodal.decodeImageStatsIo(imgs).collect().map(s => s.id -> s).toMap
+    assert(out(1L).width == 4 && out(1L).mean_r == 200.0 &&
+      out(1L).mean_g == 100.0 && out(1L).mean_b == 50.0)
+    assert(out(2L).width == 8 && math.abs(out(2L).mean_g - 120.0) <= 3.0)
+  }
 }
