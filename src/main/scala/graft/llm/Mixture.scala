@@ -64,6 +64,12 @@ object Mixture {
                                defaultRate: Double = 1.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(_ >= 0),
       "rates must be >= 0")
+    // this transform APPENDS columns; silently overwriting a same-named
+    // input column would corrupt caller data
+    Seq("epoch", "__n").foreach { c =>
+      require(!df.columns.contains(c),
+        s"sampleByRatesWithRepeats writes a '$c' column; input already has one - rename it first")
+    }
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (domain, r)) =>
       when(col(domainCol) === lit(domain), lit(r)).otherwise(acc)
     }

@@ -86,8 +86,13 @@ object TextRelevance {
       .crossJoin(broadcast(totals))
       .withColumn("nlp", -col("tf") * log((col("ctf") + 1).cast("double") /
         (col("total") + col("vocab"))))
+    // deterministic reduction: per-term nlp doubles are identical across
+    // engines, but a double SUM depends on partial-aggregation order —
+    // round each term's nlp once, sum exactly as DECIMAL (order-free),
+    // divide once. Same convention as QueryUtil.dsum.
     val perDoc = scored.groupBy(col("doc_id"))
-      .agg((sum(col("nlp")) / sum(col("tf"))).as("log_ppl"))
+      .agg((sum(round(col("nlp"), 9).cast("decimal(28,12)")).cast("double") /
+        sum(col("tf"))).as("log_ppl"))
     df.select(col(idCol).as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left_outer")
   }
@@ -151,8 +156,13 @@ object TextRelevance {
         lit(1.0 - lambda) * (coalesce(col("cw"), lit(0L)) + 1).cast("double") /
           (col("total") + col("vocab")))
       .withColumn("nlp", -log(col("p")))
+    // deterministic reduction: see unigramLogPerplexity — rounded-then-
+    // DECIMAL summation makes the per-doc score independent of Spark's
+    // partial-aggregation order, so the oracle can't drift in the last
+    // ulp and flip a round(.,4) boundary
     val perDoc = scored.groupBy(col("doc_id"))
-      .agg((sum(col("nlp")) / count(lit(1))).as("log_ppl"))
+      .agg((sum(round(col("nlp"), 9).cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("log_ppl"))
     scoreDf.select(col(idCol).as("doc_id"))
       .join(perDoc, Seq("doc_id"), "left_outer")
   }

@@ -296,24 +296,28 @@ object Combine {
     val ranked = prefixSum(df, keys.map(col) ++ order, lit(1L), "__grank")
     val stats = ranked.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"), min(col("__grank")).as("__min"))
-    val r = col("__grank") - col("__min") + 1
-    val q = floor(col("__n") / k).cast("long")
-    val rem = col("__n") % k
-    // lazy branches: when n < k, q = 0 and every row satisfies the first
-    // branch (r ≤ rem), so the q-division in the otherwise never runs
-    val bin = when(r <= rem * (q + 1),
-        floor((r - 1) / (q + 1)).cast("long") + 1)
-      .otherwise(rem + floor((r - 1 - rem * (q + 1)) / q).cast("long") + 1)
     // null-safe join: a plain equi-join would DROP null-key rows, where
     // the window form bins the null key as its own partition
     val renamedStats = keys.foldLeft(stats) { (d, k) =>
       d.withColumnRenamed(k, s"__k_$k")
     }
     val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+    // integer division throughout (SQL `div`, not `/`): Spark's `/` on
+    // longs routes through doubles, exact only below 2^53 — fine in
+    // practice but wrong in principle for a function advertised as
+    // scale-safe. `div` is exact over the full long range; it is only
+    // reachable via expr(), hence the named temp columns.
+    // lazy branches: when n < k, q = 0 and every row satisfies the first
+    // branch (r ≤ rem), so the q-division in the otherwise never runs
     ranked.join(broadcast(renamedStats), cond)
-      .withColumn(binCol, bin)
+      .withColumn("__r", col("__grank") - col("__min") + 1)
+      .withColumn("__q", expr(s"__n div ${k}L"))
+      .withColumn("__rem", col("__n") % k)
+      .withColumn(binCol, when(col("__r") <= col("__rem") * (col("__q") + 1),
+          expr("(__r - 1) div (__q + 1)") + 1)
+        .otherwise(col("__rem") + expr("(__r - 1 - __rem * (__q + 1)) div __q") + 1))
       .drop(keys.map(k => s"__k_$k"): _*)
-      .drop("__grank", "__n", "__min")
+      .drop("__grank", "__n", "__min", "__r", "__q", "__rem")
   }
 
   /** Top-k CombineFn (bounded min-heap) for the typed path — the direct

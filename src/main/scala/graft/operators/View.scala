@@ -28,13 +28,33 @@ object View {
     ds.sparkSession.sparkContext.broadcast(rows(0))
   }
 
+  /** Default row bound for the closure views below. Side inputs are for
+    * small-by-construction data; a view over a corpus-sized dataset is
+    * the classic misuse that OOMs the driver at scale, so every
+    * collecting view fails fast past this bound instead (override
+    * per-call when a larger broadcast is a deliberate choice). */
+  val DefaultMaxRows: Int = 1000000
+
+  /** `take(max+1)` bounded collect: never pulls more than one row past
+    * the bound onto the driver, so the failure mode is an error message,
+    * not an OOM. */
+  private def boundedCollect[T](ds: Dataset[T], maxRows: Int, what: String): Array[T] = {
+    require(maxRows > 0, s"$what maxRows must be positive")
+    val rows = ds.take(maxRows + 1)
+    require(rows.length <= maxRows,
+      s"$what side input exceeds $maxRows rows - closure views collect to the " +
+        "driver and are for small-by-construction data; use broadcastJoin " +
+        "(relational, stays distributed) or raise maxRows deliberately")
+    rows
+  }
+
   /** View.asList / View.asIterable. */
-  def asList[T: ClassTag](ds: Dataset[T]): Broadcast[Seq[T]] =
-    ds.sparkSession.sparkContext.broadcast(ds.collect().toSeq)
+  def asList[T: ClassTag](ds: Dataset[T], maxRows: Int = DefaultMaxRows): Broadcast[Seq[T]] =
+    ds.sparkSession.sparkContext.broadcast(boundedCollect(ds, maxRows, "asList").toSeq)
 
   /** View.asMap: unique-keyed KV → broadcast Map. */
-  def asMap[K, V](ds: Dataset[(K, V)]): Broadcast[Map[K, V]] = {
-    val rows = ds.collect()
+  def asMap[K, V](ds: Dataset[(K, V)], maxRows: Int = DefaultMaxRows): Broadcast[Map[K, V]] = {
+    val rows = boundedCollect(ds, maxRows, "asMap")
     // Beam's View.asMap rejects duplicate keys (use asMultimap for those);
     // silently keeping the collect-order-last value would be partition-
     // order nondeterminism smuggled into a broadcast side input
@@ -45,8 +65,10 @@ object View {
   }
 
   /** View.asMultimap. */
-  def asMultimap[K, V: ClassTag](ds: Dataset[(K, V)]): Broadcast[Map[K, Seq[V]]] = {
-    val m = ds.collect().groupBy(_._1).map { case (k, kvs) => (k, kvs.map(_._2).toSeq) }
+  def asMultimap[K, V: ClassTag](ds: Dataset[(K, V)],
+                                 maxRows: Int = DefaultMaxRows): Broadcast[Map[K, Seq[V]]] = {
+    val m = boundedCollect(ds, maxRows, "asMultimap")
+      .groupBy(_._1).map { case (k, kvs) => (k, kvs.map(_._2).toSeq) }
     ds.sparkSession.sparkContext.broadcast(m)
   }
 

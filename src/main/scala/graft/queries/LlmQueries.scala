@@ -1441,7 +1441,9 @@ object LlmQueries {
            LEFT JOIN big USING (v, w)
            LEFT JOIN ctx USING (v)
            LEFT JOIN runi USING (w), totals),
-         perdoc AS (SELECT doc_id, sum(nlp) / count(*) AS log_ppl
+         perdoc AS (SELECT doc_id,
+             CAST(sum(CAST(round(nlp, 9) AS DECIMAL(28,12))) AS DOUBLE)
+               / count(*) AS log_ppl
            FROM scored GROUP BY doc_id)
          SELECT t.doc_id, round(p.log_ppl, 4) AS log_ppl
          FROM tgt t LEFT JOIN perdoc p ON t.doc_id = p.doc_id
@@ -1459,7 +1461,10 @@ object LlmQueries {
              -tf * ln(CAST(ctf + 1 AS DOUBLE) / (total + vocab)) AS nlp
            FROM tc, corpus, totals WHERE tc.term = corpus.t2),
          perdoc AS (
-           SELECT doc_id, sum(nlp) / sum(tf) AS log_ppl FROM scored GROUP BY doc_id)
+           SELECT doc_id,
+             CAST(sum(CAST(round(nlp, 9) AS DECIMAL(28,12))) AS DOUBLE)
+               / sum(tf) AS log_ppl
+           FROM scored GROUP BY doc_id)
          SELECT d.doc_id, round(p.log_ppl, 4) AS log_ppl
          FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
          ORDER BY d.doc_id""",

@@ -78,9 +78,18 @@ object NearDupStream {
         }
         // a retry (same id AND signature already live) is not a new
         // observation — appending again would grow per-key state by one
-        // redundant entry per redelivery; the first arrival keeps its ts
-        if (!live.exists(s => s.id == id && s.sh == sh))
-          live = Seen(id, sh, ts.getTime) :: live
+        // redundant entry per redelivery. It DOES refresh retention: a
+        // genuine later re-observation extends the entry's horizon to
+        // last-seen + horizon (max guards against late/out-of-order
+        // duplicates shrinking it), so a periodically re-crawled doc
+        // keeps flagging its near-dups instead of silently expiring
+        live.find(s => s.id == id && s.sh == sh) match {
+          case Some(s0) =>
+            if (ts.getTime > s0.tsMs)
+              live = live.map(s =>
+                if (s.id == id && s.sh == sh) s.copy(tsMs = ts.getTime) else s)
+          case None => live = Seen(id, sh, ts.getTime) :: live
+        }
       }
       seen.clear()
       live.reverse.foreach(seen.appendValue)

@@ -106,6 +106,16 @@ class MixtureSpec extends SparkSpec {
     assert(extras > 40 && extras < 110, s"~75 of 150 expected an extra copy, got $extras")
   }
 
+  test("sampleByRatesWithRepeats rejects inputs that already carry its output columns") {
+    Seq("epoch", "__n").foreach { c =>
+      val clash = corpus.withColumn(c, lit(99L))
+      val e = intercept[IllegalArgumentException] {
+        Mixture.sampleByRatesWithRepeats(clash, "doc_id", "domain", Map("a" -> 2.0))
+      }
+      assert(e.getMessage.contains(c), s"guard for $c")
+    }
+  }
+
   test("sampleByRates plan: scan-side predicate, no shuffle or join") {
     val sampled = Mixture.sampleByRates(corpus, "doc_id", "domain",
       Map("a" -> 0.5), defaultRate = 0.1)

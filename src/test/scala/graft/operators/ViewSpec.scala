@@ -23,6 +23,21 @@ class ViewSpec extends SparkSpec {
     assert(View.asMultimap(xs.toDS()).value == Map("a" -> Seq(1, 3), "b" -> Seq(2)))
   }
 
+  test("closure views fail fast past maxRows instead of OOMing the driver") {
+    val big = spark.range(100).map(i => (i, i * 2))
+    Seq(
+      (() => View.asList(big, maxRows = 10), "asList"),
+      (() => View.asMap(big, maxRows = 10), "asMap"),
+      (() => View.asMultimap(big, maxRows = 10), "asMultimap")
+    ).foreach { case (mk, name) =>
+      val e = intercept[IllegalArgumentException](mk())
+      assert(e.getMessage.contains("side input exceeds 10 rows"), s"$name guard")
+      assert(e.getMessage.contains("broadcastJoin"), s"$name points at the fix")
+    }
+    // at exactly the bound the views still materialize
+    assert(View.asList(big, maxRows = 100).value.length == 100)
+  }
+
   test("a view drives per-element logic inside a map closure") {
     val rates = View.asMap(Seq(("EUR", 1.1), ("GBP", 1.3)).toDS())
     val out = Seq(("EUR", 100.0), ("GBP", 200.0), ("USD", 50.0)).toDS()

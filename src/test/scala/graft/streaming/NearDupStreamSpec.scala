@@ -102,4 +102,21 @@ class NearDupStreamSpec extends SparkSpec {
     ))
     assert(!flags.exists(f => f.id == 7L && f.dup_of == 7L), s"$flags")
   }
+
+  test("a re-observation refreshes retention past the original horizon") {
+    // horizon = 10 min. Doc 1 arrives at t=1, is re-observed at t=15
+    // (same id + signature — a genuine later sighting, not a within-batch
+    // retry). The unrelated doc at t=30 advances the watermark to 20, so
+    // the prune floor is 10: the ORIGINAL t=1 entry would be dropped, but
+    // the refreshed t=15 entry survives — the near-copy at t=21 must
+    // still flag against doc 1.
+    val flags = run("nd3", Seq(
+      Seq((1L, ts(1), base)),
+      Seq((1L, ts(15), base)),
+      Seq((9L, ts(30), unrelated)),
+      Seq((2L, ts(21), nearCopy))
+    ))
+    assert(flags.exists(f => f.id == 2L && f.dup_of == 1L),
+      s"refreshed entry expired early: $flags")
+  }
 }
