@@ -34,8 +34,16 @@ object Bench {
     // compiled before any timing starts — standard steady-state bench
     // hygiene. Best effort — a warmup failure must not kill the report
     // (per-query failures at the REAL sf are what the errors field is for).
+    // optional comma-separated subset for local iteration (the driver
+    // never sets this — full sweep remains the default)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, warmDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name skipped: $e")
@@ -70,7 +78,7 @@ object Bench {
     // best-of-N is standard bench practice; N=2 keeps wall time bounded
     // (the whole sweep is ~1 min at sf0.1).
     def sweep(skip: Set[String]): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      selected.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         if (skip(name)) None
         else {
           val t0 = System.nanoTime()

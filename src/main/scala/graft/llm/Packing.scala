@@ -87,11 +87,12 @@ object Packing {
   def assignShardsBySize(df: DataFrame, idCol: String,
                          weight: Column, shards: Int): DataFrame = {
     require(shards > 0, "shards must be positive")
-    val ranked = Combine.prefixSum(
+    val ranked = Combine.prefixRank(
       df.select(col(idCol), weight.cast("long").as("weight")),
-      Seq(col("weight").desc, col(idCol).asc), lit(1L), "rank")
+      Seq(col("weight").desc, col(idCol).asc), "rank")
     val r0 = (col("rank") - 1).cast("long")
-    val pass = floor(r0 / shards).cast("long")
+    // integer div (exact over the full long range) — see ntilePerKey
+    val pass = expr(s"(rank - 1) div ${shards}L")
     val pos = pmod(r0, lit(shards.toLong))
     val shard = when(pmod(pass, lit(2L)) === 0, pos)
       .otherwise(lit(shards.toLong - 1) - pos)

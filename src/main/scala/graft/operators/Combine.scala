@@ -250,15 +250,36 @@ object Combine {
   def prefixSum(df: DataFrame, orderCols: Seq[Column], value: Column,
                 cumCol: String = "cum", numPartitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranged0 = df.withColumn("__v", value)
+    // When `value` is already a bare column of df, do NOT alias a second
+    // copy: `Project[..., tokens, tokens AS __v]` blocks CollapseProject
+    // (inlining would duplicate the expensive upstream expression), the
+    // two exchange branches then collapse DIFFERENTLY, stop canonicalizing
+    // equal, and exchange reuse fails — re-executing the whole scan +
+    // scoring + range-sampling pipeline for the offsets read. Reusing the
+    // existing attribute keeps both branches byte-identical below the
+    // exchange.
+    // (a bare column's toString IS its name; Spark 4's Column no longer
+    // exposes .expr, and a composite expression's toString can't collide
+    // with a real column name short of pathological naming)
+    val (ranged0, vcol, vName) =
+      if (df.columns.contains(value.toString)) (df, value, value.toString)
+      else (df.withColumn("__v", value), col("__v"), "__v")
     // numPartitions = 0: planner default (AQE may coalesce small inputs);
     // explicit value pins the fan-out (AQE honors user-specified counts)
     val ranged = (if (numPartitions > 0)
       ranged0.repartitionByRange(numPartitions, orderCols: _*)
     else ranged0.repartitionByRange(orderCols: _*))
       .withColumn("__pid", spark_partition_id())
+    // the first(...) aggregates exist ONLY to reference every remaining
+    // column: without them the optimizer prunes this branch's columns
+    // below the range exchange, the two exchange subplans stop
+    // canonicalizing equal, reuse fails, and the WHOLE upstream pipeline
+    // executes twice — the exact 2x corpus scan PlanSpec's reuse rule now
+    // forbids. Cost: k discarded values per partition.
+    val keepAll = ranged.columns.filterNot(c => c == "__pid" || c == vName)
+      .map(c => first(col(c)).as(s"__keep_$c"))
     val offsets = ranged.groupBy(col("__pid"))
-      .agg(sum(col("__v")).as("__ps"))
+      .agg(sum(vcol).as("__ps"), keepAll.toIndexedSeq: _*)
       .withColumn("__off", coalesce(
         // constant partition key: this frame is one row PER PARTITION
         // (≤ shuffle-partition count), so the single-partition window is
@@ -271,9 +292,44 @@ object Combine {
       .select(col("__pid"), col("__off"))
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = ranged.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(cumCol, sum(vcol).over(w) + col("__off"))
+      .drop("__pid", "__off")
+    if (vName == "__v") joined.drop("__v") else joined
+  }
+
+  /** Global 1-based rank in `orderCols` order — the value-agnostic fast
+    * path of [[prefixSum]] (cum of 1 per row). Where prefixSum must run a
+    * per-partition running-sum WINDOW (which forces a second full-data
+    * exchange to hash-distribute on the partition id), a pure rank falls
+    * out of physical row position: range-partition, sort WITHIN
+    * partitions (no shuffle), and read the local row number off
+    * `monotonically_increasing_id` (its scaladoc guarantees consecutive
+    * ids within a partition). Global rank = broadcast per-partition
+    * offsets + local index. ONE exchange of the data total, no wide
+    * window, no per-partition sort beyond what the rank semantics demand.
+    */
+  def prefixRank(df: DataFrame, orderCols: Seq[Column],
+                 rankCol: String = "rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", spark_partition_id())
+    // per-partition (count, first-id): ≤ shuffle-partition-count rows.
+    // min(__mid) anchors the local index without assuming mid's bit
+    // layout; the exclusive running count is the same bounded
+    // constant-partition-key window device as prefixSum's offsets.
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__pn"), min(col("__mid")).as("__mmin"))
+      .withColumn("__off", coalesce(
+        sum(col("__pn")).over(
+          Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__mmin"), col("__off"))
     ranged.join(broadcast(offsets), Seq("__pid"))
-      .withColumn(cumCol, sum(col("__v")).over(w) + col("__off"))
-      .drop("__pid", "__v", "__off")
+      .withColumn(rankCol, col("__off") + (col("__mid") - col("__mmin")) + 1)
+      .drop("__mid", "__pid", "__pn", "__mmin", "__off")
   }
 
   /** Scale-safe per-key ntile: equal-count bins per key WITHOUT a per-key
@@ -293,9 +349,22 @@ object Combine {
   def ntilePerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
                   k: Int, binCol: String = "bin"): DataFrame = {
     require(k > 0, "ntile bucket count must be positive")
-    val ranked = prefixSum(df, keys.map(col) ++ order, lit(1L), "__grank")
-    val stats = ranked.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n"), min(col("__grank")).as("__min"))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = prefixRank(df, keys.map(col) ++ order, "__grank")
+    // per-key (count, first-rank) WITHOUT re-evaluating the ranked frame:
+    // the global order sorts by keys first, so each key's block is
+    // contiguous and its first rank is 1 + the exclusive running count of
+    // keys sorting before it. One groupBy on the RAW input + a window
+    // over the key-cardinality-sized counts frame (constant column-
+    // derived partition key — same bounded-window device as prefixSum's
+    // offsets) replaces a second pass through the shuffle + sort + window.
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__min", coalesce(
+        sum(col("__n")).over(
+          Window.partitionBy(pmod(hash(keys.map(col): _*), lit(1)))
+            .orderBy(keys.map(col): _*)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1)
     // null-safe join: a plain equi-join would DROP null-key rows, where
     // the window form bins the null key as its own partition
     val renamedStats = keys.foldLeft(stats) { (d, k) =>

@@ -72,6 +72,50 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("prefix-rank/sum queries shuffle the data ONCE; offsets reuse that exchange") {
+    // prefixRank/prefixSum range-partition the data, then read the same
+    // frame again for the per-partition offsets. The second read MUST
+    // come back as a ReusedExchange of the first range shuffle — a plan
+    // that re-executes the range exchange (sampling pass included) doubles
+    // the dominant scan at 100 TB. Allowed range exchanges: the prefix
+    // shuffle itself plus the final presentation ORDER BY (which sorts the
+    // few aggregated output rows, not the corpus).
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    def collectDeep[A](p: SparkPlan)(f: PartialFunction[SparkPlan, A]): Seq[A] =
+      p.collect {
+        case q: QueryStageExec => collectDeep(q.plan)(f)
+        case r: ReusedExchangeExec => collectDeep(r.child)(f)
+        case n if f.isDefinedAt(n) => Seq(f(n))
+      }.flatten
+    Seq("q_quality_bins", "q_token_budget").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val root = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // distinct-by-identity range exchanges actually planned
+      val ranges = new java.util.IdentityHashMap[ShuffleExchangeExec, Unit]
+      collectDeep(root) {
+        case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+      }.foreach(e => ranges.put(e, ()))
+      assert(ranges.size <= 2,
+        s"$name plans ${ranges.size} distinct range exchanges (expected: data + output sort)")
+      // and at least one reuse of a range exchange must be present
+      def reusedRanges(p: SparkPlan): Int =
+        p.collect {
+          case q: QueryStageExec => reusedRanges(q.plan)
+          case r: ReusedExchangeExec
+            if r.child.outputPartitioning.isInstanceOf[RangePartitioning] => 1
+        }.sum
+      assert(reusedRanges(root) >= 1,
+        s"$name: offsets read does not reuse the data range exchange")
+    }
+  }
+
   test("partitioned layout: the fact scan prunes partitions dynamically (DPP)") {
     // q_partitioned_prune joins a hive-partitioned fact on its partition
     // column against a dim filtered on an aggregate (not statically
