@@ -102,10 +102,10 @@ object TriggerEngine {
     * EVALUATED (early and late each keep their own count) — AfterEach as a
     * late trigger must start at its first sub, not skip the ones "used up"
     * by early/on-time panes of the window's global pane numbering. */
-  private final case class FiringCtx(sinceLastPane: Long, paneFirstWallMs: Long,
+  private[streaming] final case class FiringCtx(sinceLastPane: Long, paneFirstWallMs: Long,
                                      nowMs: Long, paneIndex: Long)
 
-  private def ready(f: Firing, ctx: FiringCtx): Boolean = f match {
+  private[streaming] def ready(f: Firing, ctx: FiringCtx): Boolean = f match {
     case NoFiring                    => false
     case AfterCount(n)               => ctx.sinceLastPane >= n
     case PerBatch                    => ctx.sinceLastPane > 0
@@ -124,7 +124,7 @@ object TriggerEngine {
       ctx.paneIndex < subs.length && ready(subs(ctx.paneIndex.toInt), ctx)
   }
 
-  private def finishesOnFire(f: Firing, ctx: FiringCtx): Boolean = f match {
+  private[streaming] def finishesOnFire(f: Firing, ctx: FiringCtx): Boolean = f match {
     case NoFiring               => false
     case Repeatedly(_)          => false
     case OrFinally(_, until)    => ready(until, ctx)
@@ -133,7 +133,7 @@ object TriggerEngine {
   }
 
   /** Top-level bare atomics repeat (see trait doc). */
-  private def effective(f: Firing): Firing = f match {
+  private[streaming] def effective(f: Firing): Firing = f match {
     case AfterCount(_) | PerBatch | AfterProcessingTimeDelay(_) => Repeatedly(f)
     case other => other
   }
@@ -145,6 +145,33 @@ object TriggerEngine {
     case Repeatedly(s)               => usesWallClock(s)
     case OrFinally(m, u)             => usesWallClock(m) || usesWallClock(u)
     case _                           => false
+  }
+
+  /** Shape validation, applied at every engine entry point. The monotone-
+    * context evaluation keeps pane-position state (paneIndex) only for the
+    * TOP-LEVEL firing, so AfterEach — the one position-dependent
+    * construct — is supported exactly as documented: at top level
+    * (optionally under Repeatedly for the cycling form) with ATOMIC
+    * sub-triggers. Anything else would not error at runtime; it would
+    * silently stall once the global pane index passed the sub count (the
+    * TriggerFuzzSpec counterexample), which is strictly worse than
+    * failing fast here. */
+  private[streaming] def validateFiring(f: Firing, top: Boolean = true): Unit = f match {
+    case AfterEach(subs) =>
+      require(top,
+        "AfterEach is supported only as the top-level firing (optionally wrapped in " +
+          "Repeatedly): nested under other composites its pane position would read the " +
+          "global pane index and stall silently")
+      subs.foreach {
+        case AfterCount(_) | PerBatch | NoFiring | AfterProcessingTimeDelay(_) => ()
+        case bad => throw new IllegalArgumentException(
+          s"AfterEach supports atomic sub-triggers only (got $bad)")
+      }
+    case Repeatedly(sub)    => validateFiring(sub, top)
+    case AfterFirst(subs)   => subs.foreach(validateFiring(_, top = false))
+    case AfterAll(subs)     => subs.foreach(validateFiring(_, top = false))
+    case OrFinally(m, u)    => validateFiring(m, top = false); validateFiring(u, top = false)
+    case _                  => ()
   }
 
   /** Trigger spec ≈ AfterWatermark.pastEndOfWindow
@@ -525,7 +552,16 @@ object TriggerEngine {
     * (key, eventTime, value) stream. The watermark delay is set to
     * `allowedLateness` here — that pairing is what makes Spark's upstream
     * late-row filter implement Beam's allowed-lateness drop (see the
-    * processor's clock-translation note). Panes stream out in append mode. */
+    * processor's clock-translation note).
+    *
+    * Documented model divergence (surfaced by TriggerFuzzSpec): Beam
+    * accepts a late row as long as its WINDOW has not expired (rowTs may
+    * be arbitrarily old while trueWm < windowEnd + allowedLateness);
+    * Spark's operator-level filter drops by ROW AGE — a row is accepted
+    * iff rowTs ≥ trueWm − allowedLateness. A very old row into a
+    * still-live window is dropped here where Beam would buffer it. The
+    * two coincide for rows no older than the window end, which covers
+    * the common straggler case. Panes stream out in append mode. */
   def windowedAggregate[K, V, Acc, Out](
       input: Dataset[(K, Timestamp, V)],
       windowSize: java.time.Duration,
@@ -534,6 +570,8 @@ object TriggerEngine {
       mode: AccumulationMode,
       combine: CombineFn[V, Acc, Out])(
       implicit ek: Encoder[K], ep: Encoder[Pane[K, Out]]): Dataset[Pane[K, Out]] = {
+    validateFiring(trigger.early)
+    validateFiring(trigger.late)
     val proc = new WindowTriggerProcessor[K, V, Acc, Out](
       windowSize.toMillis, allowedLateness.toMillis, trigger, mode, combine)
     input.withWatermark("_2", s"${allowedLateness.toMillis} milliseconds")
@@ -553,6 +591,8 @@ object TriggerEngine {
       mode: AccumulationMode,
       combine: CombineFn[V, Acc, Out])(
       implicit ek: Encoder[K], ep: Encoder[Pane[K, Out]]): Dataset[Pane[K, Out]] = {
+    validateFiring(trigger.early)
+    validateFiring(trigger.late)
     val proc = new WindowTriggerProcessor[K, V, Acc, Out](
       windowSize.toMillis, allowedLateness.toMillis, trigger, mode, combine,
       slideMs = slide.toMillis)
