@@ -79,8 +79,10 @@ object TriggerEngine {
     * engine cannot also register wall-clock timers. Beam's own
     * processing-time triggers are documented best-effort; this is the
     * micro-batch analogue of that caveat. For the guaranteed-firing form
-    * (quiet keys included) use [[processingTimeAggregate]], which runs the
-    * wall clock as its own TimeMode.ProcessingTime operator. */
+    * (quiet keys included) use [[processingTimeAggregate]] (wall clock as
+    * its own TimeMode.ProcessingTime operator) or, for event-time windows
+    * PLUS the wall-clock guarantee, the composed
+    * [[windowedAggregateWithWallClockNudge]]. */
   final case class AfterProcessingTimeDelay(delayMs: Long) extends Firing
   /** Fire when ANY sub-trigger's condition holds; finishes on fire. */
   final case class AfterFirst(subs: Seq[Firing]) extends Firing
@@ -577,6 +579,55 @@ object TriggerEngine {
     input.withWatermark("_2", s"${allowedLateness.toMillis} milliseconds")
       .groupByKey(_._1)
       .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Event-time windows with a wall-clock nudge for quiet keys — the
+    * guaranteed-firing AfterProcessingTime form the single-TimeMode
+    * event-time engine cannot provide on its own (see
+    * [[AfterProcessingTimeDelay]]'s caveat): `transformWithState` runs
+    * ONE TimeMode, so an event-time processor cannot register wall-clock
+    * timers, and a key that goes completely silent fires only at
+    * watermark close.
+    *
+    * Composition, not a new engine: the authoritative leg is
+    * [[windowedAggregate]] (EARLY/ON_TIME/LATE/FINAL panes, exactly as
+    * configured); the nudge leg re-keys the same input by
+    * (key, fixed-window start) and runs [[processingTimeAggregate]] in
+    * its own TimeMode.ProcessingTime operator, so every (key, window)
+    * with pending data keeps emitting interim panes on the wall-clock
+    * cadence even with NO further input. Nudge panes are tagged
+    * timing = "EARLY_WALL" and carry their own pane numbering; they are
+    * refreshable previews (Beam documents processing-time triggers as
+    * best-effort), and the event-time leg remains the source of truth
+    * for on-time/late/final semantics. Consumers that want at most one
+    * live value per (key, window) de-duplicate on (key, windowStart,
+    * timing == "EARLY_WALL") downstream. */
+  def windowedAggregateWithWallClockNudge[K, V, Acc, Out](
+      input: Dataset[(K, Timestamp, V)],
+      windowSize: java.time.Duration,
+      allowedLateness: java.time.Duration,
+      trigger: TriggerSpec,
+      mode: AccumulationMode,
+      combine: CombineFn[V, Acc, Out],
+      nudgeDelay: java.time.Duration)(
+      implicit ek: Encoder[K], ep: Encoder[Pane[K, Out]],
+      ekw: Encoder[((K, Long), V)], epw: Encoder[Pane[(K, Long), Out]])
+      : Dataset[Pane[K, Out]] = {
+    val eventPanes = windowedAggregate(
+      input, windowSize, allowedLateness, trigger, mode, combine)
+    val wMs = windowSize.toMillis
+    val keyed = input.map { case (k, t, v) =>
+      ((k, t.getTime - Math.floorMod(t.getTime, wMs)), v)
+    }
+    val wallPanes = processingTimeAggregate(keyed, nudgeDelay, mode, combine)(
+        org.apache.spark.sql.Encoders.tuple(ek, org.apache.spark.sql.Encoders.scalaLong),
+        epw)
+      .map { p =>
+        Pane[K, Out](p.key._1, new Timestamp(p.key._2),
+          new Timestamp(p.key._2 + wMs), p.value, "EARLY_WALL",
+          p.paneIndex, p.isFirst, isLast = false)
+      }
+    eventPanes.union(wallPanes)
   }
 
   /** SlidingWindows with full trigger semantics: each element joins

@@ -363,6 +363,41 @@ class TriggerEngineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("wall-clock nudge: a QUIET key's window pane fires without any watermark advance") {
+    val input = MemoryStream[(String, Timestamp, Double)](996, spark, None)
+    val panes = TriggerEngine.windowedAggregateWithWallClockNudge(
+      input.toDS(), Duration.ofMinutes(10), Duration.ofMinutes(0),
+      TriggerSpec.default, Accumulating, SumFn, Duration.ofMillis(0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-nudge-").toString
+    val q = panes.writeStream.format("memory").queryName("nudge")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    def panesFor(k: String): Seq[Pane[String, Double]] =
+      spark.table("nudge").as[Pane[String, Double]].collect().filter(_.key == k).toSeq
+    def await(expect: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 30000
+      while (!expect && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(expect)
+    }
+    try {
+      // data for k, then SILENCE: no watermark advance, no further input.
+      // The event-time engine alone would emit nothing here (default
+      // trigger, window still open) — the nudge leg must fire anyway.
+      input.addData(Seq(("k", ts(1), 1.0), ("k", ts(2), 2.0)))
+      await(panesFor("k").exists(_.timing == "EARLY_WALL"))
+      val wall = panesFor("k").filter(_.timing == "EARLY_WALL").head
+      assert(wall.value == 3.0)
+      assert(wall.windowStart.getTime == 0L &&
+        wall.windowEnd.getTime == 10 * 60000L)
+      assert(panesFor("k").forall(_.timing == "EARLY_WALL"),
+        "no event-time pane may exist before the watermark moves")
+      // the event-time leg stays authoritative: advancing the watermark
+      // past the window end still yields the ON_TIME pane
+      input.addData(Seq(("adv", ts(30), 9.0)))
+      await(panesFor("k").exists(_.timing == "ON_TIME"))
+      assert(panesFor("k").find(_.timing == "ON_TIME").get.value == 3.0)
+    } finally q.stop()
+  }
+
   test("processingTimeAggregate in Discarding mode emits per-pane contents only") {
     val input = MemoryStream[(String, Double)](994, spark, None)
     val panes = TriggerEngine.processingTimeAggregate(
