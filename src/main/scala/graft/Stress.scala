@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness for the dedup family (dev tool, not a driver gate).
+  *
+  * The per-round bench runs every query at ONE scale (sf0.1), which can
+  * hide a super-linear constant in the candidate-pair joins: LSH-bucket
+  * and blocking-group sizes grow with duplicate density, and the verify
+  * step inside each bucket is quadratic in group size. This main measures
+  * that directly: it blows the sf0.1 documents table up `factor`× by
+  * duplicate+perturb (copy 0 is the original; copy c>0 mutates ~1/37 of
+  * tokens, a distinct subset per copy, so the copies of a document are
+  * mutual near-dups at shingle-Jaccard ~0.85 — deliberately the WORST
+  * case for candidate growth: every LSH bucket and every edit-distance
+  * block gains ~factor members, so candidate pairs grow ~factor² per
+  * group while corpus size grows only factor×), then times each dedup
+  * query at 1× and factor× and prints per-query observed exponents
+  * e = log(t_fx / t_1x) / log(factor). Usage:
+  *
+  *   runMain graft.Stress [baseDir] [workDir] [factor]
+  *
+  * Results are recorded in SCALING.md §"Measured".
+  */
+object Stress {
+  private val DedupQueries = Seq(
+    "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
+    "q_editdist_neardup")
+
+  private def releaseCaches(): Unit = {
+    graft.llm.Dedup.releasePersistedState()
+    graft.llm.Similarity.releasePersistedState()
+    graft.llm.TextRelevance.releasePersistedState()
+    graft.llm.Boilerplate.releasePersistedState()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_stress")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // duplicate + perturb: token positions (i + 7c) % 37 == 0 get a
+    // copy-specific suffix, so each copy differs from the original (and
+    // from every other copy) in a distinct ~2.7% token slice.
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val blown = docs
+      .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("text", when(col("copy") === 0, col("text")).otherwise(
+        concat_ws(" ", transform(split(col("text"), "\\s+"), (t, i) =>
+          when(pmod(i + col("copy") * 7, lit(37)) === 0,
+            concat(t, lit("q"), col("copy"))).otherwise(t)))))
+      .withColumn("doc_id", col("doc_id") * factor + col("copy"))
+      .withColumn("n_chars", length(col("text")))
+      .drop("copy")
+    blown.repartition(32).write.mode("overwrite")
+      .parquet(s"$workDir/documents.parquet")
+
+    // same discipline as Bench: warm codegen at the smallest fixture,
+    // then best-of-2 timed runs per (query, scale).
+    DedupQueries.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      finally releaseCaches()
+    }
+    System.gc()
+    def time(name: String, dir: String): Double = {
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        releaseCaches()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.min
+    }
+    val rows = DedupQueries.map { name =>
+      val t1 = time(name, baseDir)
+      val tf = time(name, workDir)
+      val e = math.log(tf / t1) / math.log(factor.toDouble)
+      System.err.println(f"[stress] $name%-20s 1x=$t1%7.2fs ${factor}x=$tf%7.2fs exponent=$e%.2f")
+      (name, t1, tf, e)
+    }
+    val qs = rows.map { case (n, t1, tf, e) =>
+      f""""$n":{"t_1x":$t1,"t_${factor}x":$tf,"exponent":$e%.3f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stress","factor":$factor,"base":"$baseDir","queries":$qs}""")
+    spark.stop()
+  }
+}
