@@ -336,57 +336,71 @@ object Combine {
     * window sort. `Window.partitionBy(key)` ntile moves each key's entire
     * population into one task — for low-cardinality keys (languages,
     * sources, tiers: the curriculum-binning case) that is one task per
-    * 1/k-th of the corpus. This instead rides the range-partitioned
-    * [[prefixSum]] (a key spans many range partitions), derives the
-    * per-key rank from the global rank minus the key's start, and applies
-    * ntile's bin arithmetic (first n mod k bins one larger) — identical
-    * output to the window form, asserted in CombineSpec.
+    * 1/k-th of the corpus. This rides [[prefixRank]]'s physical device —
+    * ONE range exchange of the data, local sorts, local row position off
+    * `monotonically_increasing_id` — and applies ntile's bin arithmetic
+    * (first n mod k bins one larger) — identical output to the window
+    * form, asserted in CombineSpec.
     *
-    * The per-key (count, start) frame broadcasts — sized by key
-    * cardinality, small by the same contract as [[Mixture]]'s domains.
-    * High-cardinality keys don't need this: their per-key windows are
-    * small, use ntile directly. */
+    * Everything else derives from ONE aggregation over the (reused)
+    * exchange output: a per-(partition, key) "slice" row carrying its
+    * count and first local id. Global row order equals (__pid, keys…)
+    * slice order, so the exclusive running count over slices is each
+    * slice's global start, its per-key minimum is the key's start, and
+    * the per-key sum is the key's population — per-partition offsets AND
+    * per-key stats from the same pass, where separate branches would
+    * each rescan the corpus. The slices frame is ≤ partitions ×
+    * keys-per-partition rows — broadcast sized, small by the same
+    * contract as [[Mixture]]'s domains. High-cardinality keys don't need
+    * this: their per-key windows are small, use ntile directly. */
   def ntilePerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
                   k: Int, binCol: String = "bin"): DataFrame = {
     require(k > 0, "ntile bucket count must be positive")
     import org.apache.spark.sql.expressions.Window
-    val ranked = prefixRank(df, keys.map(col) ++ order, "__grank")
-    // per-key (count, first-rank) WITHOUT re-evaluating the ranked frame:
-    // the global order sorts by keys first, so each key's block is
-    // contiguous and its first rank is 1 + the exclusive running count of
-    // keys sorting before it. One groupBy on the RAW input + a window
-    // over the key-cardinality-sized counts frame (constant column-
-    // derived partition key — same bounded-window device as prefixSum's
-    // offsets) replaces a second pass through the shuffle + sort + window.
-    val stats = df.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__min", coalesce(
-        sum(col("__n")).over(
-          Window.partitionBy(pmod(hash(keys.map(col): _*), lit(1)))
-            .orderBy(keys.map(col): _*)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1)
-    // null-safe join: a plain equi-join would DROP null-key rows, where
-    // the window form bins the null key as its own partition
-    val renamedStats = keys.foldLeft(stats) { (d, k) =>
-      d.withColumnRenamed(k, s"__k_$k")
-    }
-    val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-    // integer division throughout (SQL `div`, not `/`): Spark's `/` on
-    // longs routes through doubles, exact only below 2^53 — fine in
-    // practice but wrong in principle for a function advertised as
-    // scale-safe. `div` is exact over the full long range; it is only
+    val kc = keys.map(col)
+    val ranged = df.repartitionByRange(kc ++ order: _*)
+      .sortWithinPartitions(kc ++ order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", spark_partition_id())
+    // windows on the tiny slices frame only: the running sum rides the
+    // constant-partition-key device (same as prefixSum's offsets), the
+    // per-key aggregates partition by the keys
+    val slices = ranged.groupBy((col("__pid") +: kc): _*)
+      .agg(count(lit(1)).as("__sn"), min(col("__mid")).as("__smin"))
+      .withColumn("__soff", coalesce(
+        sum(col("__sn")).over(
+          Window.partitionBy(pmod(col("__pid"), lit(1)))
+            .orderBy(col("__pid") +: kc: _*)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__kn", sum(col("__sn")).over(Window.partitionBy(kc: _*)))
+      .withColumn("__koff",
+        min(col("__soff")).over(Window.partitionBy(kc: _*)))
+    // null-safe key join back: a plain equi-join would DROP null-key
+    // rows, where the window form bins the null key as its own partition
+    val renamed = keys.foldLeft(slices) { (d, kname) =>
+      d.withColumnRenamed(kname, s"__k_$kname")
+    }.withColumnRenamed("__pid", "__spid")
+    val cond = (col("__pid") === col("__spid")) &&
+      keys.map(kname => col(kname) <=> col(s"__k_$kname")).reduce(_ && _)
+    // per-key 1-based rank = slice's global start − key's start + local
+    // row index. Integer division throughout (SQL `div`, not `/`):
+    // Spark's `/` on longs routes through doubles, exact only below 2^53
+    // — fine in practice but wrong in principle for a function advertised
+    // as scale-safe. `div` is exact over the full long range; it is only
     // reachable via expr(), hence the named temp columns.
     // lazy branches: when n < k, q = 0 and every row satisfies the first
     // branch (r ≤ rem), so the q-division in the otherwise never runs
-    ranked.join(broadcast(renamedStats), cond)
-      .withColumn("__r", col("__grank") - col("__min") + 1)
-      .withColumn("__q", expr(s"__n div ${k}L"))
-      .withColumn("__rem", col("__n") % k)
+    ranged.join(broadcast(renamed), cond)
+      .withColumn("__r",
+        col("__soff") - col("__koff") + (col("__mid") - col("__smin")) + 1)
+      .withColumn("__q", expr(s"__kn div ${k}L"))
+      .withColumn("__rem", col("__kn") % k)
       .withColumn(binCol, when(col("__r") <= col("__rem") * (col("__q") + 1),
           expr("(__r - 1) div (__q + 1)") + 1)
         .otherwise(col("__rem") + expr("(__r - 1 - __rem * (__q + 1)) div __q") + 1))
-      .drop(keys.map(k => s"__k_$k"): _*)
-      .drop("__grank", "__n", "__min", "__r", "__q", "__rem")
+      .drop(keys.map(kname => s"__k_$kname"): _*)
+      .drop("__mid", "__pid", "__spid", "__sn", "__smin", "__soff",
+        "__kn", "__koff", "__r", "__q", "__rem")
   }
 
   /** Top-k CombineFn (bounded min-heap) for the typed path — the direct
