@@ -42,9 +42,17 @@ object Bench {
       case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
       case None => SparkEntry.queries
     }
+    // forcing: write to the noop sink — executes the FULL plan. count()
+    // let Catalyst prune per-row projections (a select-only query timed
+    // as a bare row count of the scan) and drop final sorts; the noop
+    // sink keeps every projection, sort, and expression while discarding
+    // rows at the sink. (Methodology fix in round 7 — totals before/after
+    // are not comparable for projection-only queries.)
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, warmDir).count()
+      try force(fn(spark, warmDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name skipped: $e")
       } finally releaseCaches()
@@ -83,7 +91,7 @@ object Bench {
         else {
           val t0 = System.nanoTime()
           try {
-            fn(spark, sfDir).count()
+            force(fn(spark, sfDir))
             Some(name -> (System.nanoTime() - t0) / 1e9)
           } catch {
             case e: Throwable =>

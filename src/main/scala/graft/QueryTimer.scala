@@ -24,8 +24,11 @@ object QueryTimer {
       val fn = SparkEntry.queries(name)
       if (explain) fn(spark, sfDir).explain("formatted")
       val t0 = System.nanoTime()
+      // noop sink: full-plan execution (count() would prune projections)
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
       val n = fn(spark, sfDir).count()
-      println(f"[timer] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[timer] $name rows=$n time=$secs%.2f s")
       graft.llm.Dedup.releasePersistedState()
       graft.llm.Similarity.releasePersistedState()
       graft.llm.TextRelevance.releasePersistedState()

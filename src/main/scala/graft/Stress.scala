@@ -65,15 +65,17 @@ object Stress {
 
     // same discipline as Bench: warm codegen at the smallest fixture,
     // then best-of-2 timed runs per (query, scale).
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     DedupQueries.foreach { name =>
-      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      try force(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
       finally releaseCaches()
     }
     System.gc()
     def time(name: String, dir: String): Double = {
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).count()
+        force(SparkEntry.queries(name)(spark, dir))
         releaseCaches()
         (System.nanoTime() - t0) / 1e9
       }
