@@ -170,6 +170,122 @@ object ShingleExprs {
       copy(child = newChild)
   }
 
+  /** Rolling n-token gram STRINGS — the string-valued sibling of
+    * [[ShingleHash]] for stats that need the gram text itself (length,
+    * oracle-replayable identity). Value parity with the Column form
+    * `transform(sequence(1, size(toks)-n+1), i => array_join(slice(toks,
+    * i, n), " "))` guarded by `size(toks) >= n` (EMPTY array below n —
+    * unlike shingleHashArray's whole-text fallback), asserted in
+    * ShingleExprsSpec. One tokenize + tight loop instead of interpreted
+    * higher-order functions (sequence/transform/slice/array_join run as
+    * per-element closures, never codegen). */
+  final case class NgramStrings(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n > 0, "n-gram size must be positive")
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, isStringType, "string")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      if (toks.length < n) new GenericArrayData(Array.empty[Any])
+      else {
+        val out = new Array[Any](toks.length - n + 1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < out.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+    override def prettyName: String = "ngram_strings"
+    override protected def withNewChildInternal(newChild: Expression): NgramStrings =
+      copy(child = newChild)
+  }
+
+  /** C4-style composite quality score in ONE byte scan — the native form
+    * of TextFunctions.qualityScore's documented semantics. Parity
+    * contract (asserted against the Column reference form in
+    * TextFunctionsSpec):
+    *   - tokens/letters count maximal `[a-z']` runs of `lower(text)` —
+    *     lowercasing uses the same UTF8String.toLowerCase as Spark's
+    *     `lower`, and `[a-z']` chars are single UTF-8 bytes, so the byte
+    *     scan counts exactly what the regex forms count;
+    *   - punctuation is Java regex `\p{Punct}` = the 32 ASCII POSIX
+    *     punctuation chars, counted over the RAW text's bytes (non-ASCII
+    *     never matches, and ASCII bytes in UTF-8 are unambiguous);
+    *   - stopword hit = some maximal run is a member of
+    *     TextFunctions.EnglishStopwords (all ≤ 4 chars — longer runs
+    *     skip the lookup);
+    *   - score arithmetic replays the Column form's IEEE ops: each
+    *     sub-check contributes 1.0/0.0, mean word length and punct ratio
+    *     are int-cast-double divisions. */
+  final case class QualityScoreExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, isStringType, "string")
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String]
+      val lb = raw.toLowerCase.getBytes
+      var nTok = 0; var letters = 0; var stopHit = false
+      var runStart = -1
+      var i = 0
+      while (i <= lb.length) {
+        val isTok = i < lb.length && {
+          val b = lb(i)
+          (b >= 'a' && b <= 'z') || b == '\''
+        }
+        if (isTok) {
+          if (runStart < 0) runStart = i
+          letters += 1
+        } else if (runStart >= 0) {
+          nTok += 1
+          val len = i - runStart
+          if (!stopHit && len <= 4)
+            stopHit = Stopwords.contains(
+              new String(lb, runStart, len, java.nio.charset.StandardCharsets.US_ASCII))
+          runStart = -1
+        }
+        i += 1
+      }
+      val rb = raw.getBytes
+      var punct = 0
+      i = 0
+      while (i < rb.length) {
+        val b = rb(i)
+        if ((b >= 0x21 && b <= 0x2f) || (b >= 0x3a && b <= 0x40) ||
+            (b >= 0x5b && b <= 0x60) || (b >= 0x7b && b <= 0x7e)) punct += 1
+        i += 1
+      }
+      val chars = raw.numChars()
+      val meanWordLen = if (nTok == 0) 0.0 else letters.toDouble / nTok
+      val lenOk = if (nTok >= 5 && nTok <= 100000) 1.0 else 0.0
+      val wordLenOk = if (meanWordLen >= 2.0 && meanWordLen <= 12.0) 1.0 else 0.0
+      val punctOk =
+        if (chars == 0 || punct.toDouble / chars.toDouble < 0.2) 1.0 else 0.0
+      val stopOk = if (stopHit) 1.0 else 0.0
+      (lenOk + wordLenOk + punctOk + stopOk) / 4.0
+    }
+    override def prettyName: String = "quality_score"
+    override protected def withNewChildInternal(newChild: Expression): QualityScoreExpr =
+      copy(child = newChild)
+  }
+
+  private val Stopwords: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    TextFunctions.EnglishStopwords.foreach(s.add)
+    s
+  }
+
   /** Σ aᵢ·bᵢ over two double arrays, sequential left-to-right accumulation
     * — bit-parity with aggregate(zip_with(a, b, _*_), 0.0, _+_) and with
     * DuckDB's list_inner_product, which both oracle paths rely on.
@@ -282,6 +398,12 @@ object ShingleExprs {
   /** Column wrappers. */
   def shingleHashes(text: Column, k: Int): Column =
     GraftSqlBridge.column(ShingleHash(GraftSqlBridge.expression(text), k))
+
+  def ngramStrings(text: Column, n: Int): Column =
+    GraftSqlBridge.column(NgramStrings(GraftSqlBridge.expression(text), n))
+
+  def qualityScore(text: Column): Column =
+    GraftSqlBridge.column(QualityScoreExpr(GraftSqlBridge.expression(text)))
 
   def minHashSignature(text: Column, k: Int, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(text), k, numHashes))

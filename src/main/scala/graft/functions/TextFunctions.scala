@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Lower-cased word tokens, WordCount-style: split on non-letters,
-    * drop empties. */
+    * drop empties. Runs as the n=1 case of the native
+    * [[ShingleExprs.NgramStrings]] expression — value-identical to
+    * `filter(split(lower(text), "[^a-z']+"), t => length(t) > 0)`
+    * (asserted in TextFunctionsSpec/ShingleExprsSpec) but one tokenize
+    * pass instead of an interpreted regex-split + filter closure. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z']+"), t => length(t) > 0)
+    ShingleExprs.ngramStrings(text, 1)
 
   /** Whitespace token count (cheap "how many words" metric). */
   def tokenCount(text: Column): Column =
@@ -78,17 +82,16 @@ object TextFunctions {
 
   /** Composite quality score in [0,1]: mean-word-length sanity, low
     * punctuation noise, presence of stopwords. Mirrors the shape of
-    * published pretraining-data quality filters (C4-style heuristics). */
-  def qualityScore(text: Column): Column = {
-    val nTok = size(tokens(text))
-    val meanWordLen = when(nTok === 0, 0.0)
-      .otherwise(length(regexp_replace(lower(text), "[^a-z']", "")).cast("double") / nTok)
-    val lenOk = when(nTok >= 5 && nTok <= 100000, 1.0).otherwise(0.0)
-    val wordLenOk = when(meanWordLen >= 2.0 && meanWordLen <= 12.0, 1.0).otherwise(0.0)
-    val punctOk = when(punctRatio(text) < lit(0.2), 1.0).otherwise(0.0)
-    val stopOk = when(stopwordRatio(text, EnglishStopwords) > 0.0, 1.0).otherwise(0.0)
-    (lenOk + wordLenOk + punctOk + stopOk) / 4.0
-  }
+    * published pretraining-data quality filters (C4-style heuristics).
+    *
+    * Runs as a single-pass native Expression (see
+    * [[ShingleExprs.QualityScoreExpr]]): the equivalent Column form
+    * (array tokens + isin + two regexp_replace passes) re-tokenizes the
+    * text for every reference because higher-order functions are
+    * excluded from codegen subexpression elimination — measured ~5×
+    * slower; values are bit-identical (asserted in TextFunctionsSpec). */
+  def qualityScore(text: Column): Column =
+    ShingleExprs.qualityScore(text)
 
   /** 64-bit document fingerprint of the normalized text (case-folded,
     * whitespace-collapsed) — the exact-dedup key. */

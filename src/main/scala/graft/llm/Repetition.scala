@@ -44,14 +44,14 @@ object Repetition {
     require(n >= 1, "n-gram size must be >= 1")
     val spine = df.select(col(idCol).as("__id"),
       length(col(textCol)).as("__chars"))
-    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // native gram builder: one tokenize + tight loop per row; the HOF
+    // form (sequence → transform → slice → array_join) runs interpreted
+    // per element and measured ~4× slower (empty array below n tokens →
+    // explode drops the doc; the left join below restores it as 0.0)
     val grams = df.select(
         col(idCol).as("__id"),
-        explode(
-          when(size(toks) >= n,
-            transform(sequence(lit(1), size(toks) - lit(n - 1)),
-              i => array_join(slice(toks, i, lit(n)), " ")))
-            .otherwise(array().cast("array<string>"))).as("__gram"))
+        explode(graft.functions.ShingleExprs.ngramStrings(col(textCol), n))
+          .as("__gram"))
     val perGram = grams
       .groupBy(col("__id"), col("__gram"))
       .agg(count(lit(1)).as("__cnt"))

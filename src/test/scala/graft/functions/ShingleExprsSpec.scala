@@ -78,6 +78,24 @@ class ShingleExprsSpec extends SparkSpec {
     rows.foreach { case (fast, ref) => assert(fast == ref) }
   }
 
+  test("NgramStrings ≡ HOF transform/slice/array_join form") {
+    Seq(1, 2, 3, 5).foreach { n =>
+      // HOF reference inlined (TextFunctions.tokens is itself native now)
+      val ts = filter(split(lower(col("text")), "[^a-z']+"), t => length(t) > 0)
+      val ref = when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - lit(n - 1)),
+          i => array_join(slice(ts, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val rows = texts
+        .select(ShingleExprs.ngramStrings(col("text"), n).as("fast"), ref.as("slow"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n diverges: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("DotProduct ≡ aggregate(zip_with) fold, floats and doubles") {
     val df = Seq(
       (Seq(1.5f, -2.25f, 3.0f), Seq(0.5, 4.0, -1.125)),

@@ -31,6 +31,46 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Double](TextFunctions.qualityScore(col("t")), "!!! ???") < 0.5)
   }
 
+  test("qualityScore's single-pass form is value-identical to the array form") {
+    import org.apache.spark.sql.functions._
+    // the legacy formulation qualityScore replaced (array tokens + isin),
+    // kept here FULLY inlined in Column-combinator form so the reference
+    // shares no code with the native expression under test
+    def legacy(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val ts = filter(split(lower(text), "[^a-z']+"), t => length(t) > 0)
+      val nTok = size(ts)
+      val meanWordLen = when(nTok === 0, 0.0)
+        .otherwise(length(regexp_replace(lower(text), "[^a-z']", "")).cast("double") / nTok)
+      val lenOk = when(nTok >= 5 && nTok <= 100000, 1.0).otherwise(0.0)
+      val wordLenOk = when(meanWordLen >= 2.0 && meanWordLen <= 12.0, 1.0).otherwise(0.0)
+      val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+      val punctRatio = when(length(text) === 0, 0.0)
+        .otherwise(punct.cast("double") / length(text).cast("double"))
+      val punctOk = when(punctRatio < lit(0.2), 1.0).otherwise(0.0)
+      val hits = size(filter(ts,
+        t => t.isin(TextFunctions.EnglishStopwords.map(lit): _*)))
+      val stopRatio = when(size(ts) === 0, 0.0)
+        .otherwise(hits.cast("double") / size(ts).cast("double"))
+      val stopOk = when(stopRatio > 0.0, 1.0).otherwise(0.0)
+      (lenOk + wordLenOk + punctOk + stopOk) / 4.0
+    }
+    val edges = Seq(
+      "", " ", "!!! ???", "the", "athe thea", "a", "an and'the", "don't",
+      "'the'", "the'cat", "x the y", "THE CAT", "ünïcöde tëxt the",
+      "tab\tthe\nnewline", "1234 5678", "a,b.c;d", "o'neill o'the'hill",
+      "andandand", "'''", "is-it for,on with. at")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).as[String].collect().toSeq
+    val df = (edges ++ docs).toDF("t")
+    val mismatches = df
+      .select(TextFunctions.qualityScore(col("t")).as("fast"),
+        legacy(col("t")).as("ref"), col("t"))
+      .filter(col("fast") =!= col("ref"))
+      .collect()
+    assert(mismatches.isEmpty,
+      s"single-pass qualityScore diverges on: ${mismatches.take(5).mkString("; ")}")
+  }
+
   test("langId picks the marker-heavy language") {
     assert(one[String](TextFunctions.langId(col("t")),
       "the cat is on the mat and that is that") == "en")
