@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftglue.GraftSqlBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
@@ -211,6 +211,43 @@ object ShingleExprs {
       copy(child = newChild)
   }
 
+  /** Consecutive (v, w) pairs of a string array — the native form of
+    * `transform(sequence(1, size(t)-1), i => struct(element_at(t, i),
+    * element_at(t, i+1)))` (interpreted per element), for bigram streams
+    * built from an ALREADY-tokenized column (the tokenize-once persist
+    * contract in TextRelevance). Empty below 2 elements. */
+  final case class ConsecutivePairs(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, {
+        case ArrayType(_: StringType, _) => true
+        case _ => false
+      }, "array<string>")
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("v", StringType, nullable = false),
+        StructField("w", StringType, nullable = false))),
+      containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      if (n < 2) new GenericArrayData(Array.empty[Any])
+      else {
+        val out = new Array[Any](n - 1)
+        var i = 0
+        while (i < n - 1) {
+          out(i) = org.apache.spark.sql.catalyst.InternalRow(
+            arr.getUTF8String(i), arr.getUTF8String(i + 1))
+          i += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+    override def prettyName: String = "consecutive_pairs"
+    override protected def withNewChildInternal(newChild: Expression): ConsecutivePairs =
+      copy(child = newChild)
+  }
+
   /** C4-style composite quality score in ONE byte scan — the native form
     * of TextFunctions.qualityScore's documented semantics. Parity
     * contract (asserted against the Column reference form in
@@ -404,6 +441,9 @@ object ShingleExprs {
 
   def qualityScore(text: Column): Column =
     GraftSqlBridge.column(QualityScoreExpr(GraftSqlBridge.expression(text)))
+
+  def consecutivePairs(tokens: Column): Column =
+    GraftSqlBridge.column(ConsecutivePairs(GraftSqlBridge.expression(tokens)))
 
   def minHashSignature(text: Column, k: Int, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(text), k, numHashes))

@@ -100,9 +100,7 @@ object TextRelevance {
   private def bigramsFromTokens(t: DataFrame): DataFrame =
     t.filter(size(col("__t")) >= 2)
       .select(col("doc_id"), explode(
-        transform(sequence(lit(1), size(col("__t")) - 1), i =>
-          struct(element_at(col("__t"), i).as("v"),
-            element_at(col("__t"), i + 1).as("w")))).as("bg"))
+        graft.functions.ShingleExprs.consecutivePairs(col("__t"))).as("bg"))
       .select(col("doc_id"), col("bg.v").as("v"), col("bg.w").as("w"))
 
   /** (doc_id, v, w): consecutive token pairs per document — the bigram

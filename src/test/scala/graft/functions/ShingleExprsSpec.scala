@@ -96,6 +96,21 @@ class ShingleExprsSpec extends SparkSpec {
     }
   }
 
+  test("ConsecutivePairs ≡ HOF transform/element_at struct form") {
+    val ts = filter(split(lower(col("text")), "[^a-z']+"), t => length(t) > 0)
+    val ref = when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1), i =>
+        struct(element_at(ts, i).as("v"), element_at(ts, i + 1).as("w"))))
+      .otherwise(array().cast("array<struct<v:string,w:string>>"))
+    val rows = texts
+      .select(ShingleExprs.consecutivePairs(ts).as("fast"), ref.as("slow"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) == r.getSeq[org.apache.spark.sql.Row](1),
+        s"diverges: ${r.getSeq[Any](0)} vs ${r.getSeq[Any](1)}")
+    }
+  }
+
   test("DotProduct ≡ aggregate(zip_with) fold, floats and doubles") {
     val df = Seq(
       (Seq(1.5f, -2.25f, 3.0f), Seq(0.5, 4.0, -1.125)),
