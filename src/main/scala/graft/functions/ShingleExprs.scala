@@ -323,6 +323,151 @@ object ShingleExprs {
     s
   }
 
+  private val StopIndex: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]()
+    TextFunctions.EnglishStopwords.zipWithIndex.foreach { case (w, i) =>
+      m.put(w, i)
+    }
+    m
+  }
+
+  /** All six Gopher quality rules + word count in THREE byte scans (raw
+    * words/symbols/lines, lowered stopword runs) — the native form of
+    * Curation.gopherQualityFlags' Column rules, which evaluate the
+    * whitespace-words array ~4× and each flag twice (own column + keep).
+    * Byte-level parity contract with the replaced combinators (asserted
+    * against the fully-inlined Column reference in CurationSpec):
+    *   - words: maximal runs of non-`\s` (Java regex `\s` = the six
+    *     ASCII whitespace chars); word length in CHARS (count non-
+    *     continuation bytes); alpha hit = any ASCII letter byte;
+    *   - symbols: '#' chars + '…' (U+2026) chars + NON-OVERLAPPING
+    *     left-to-right "..." triples (regexp_replace semantics);
+    *   - lines: split on '\n'; blank = only 0x20 spaces (Spark `trim`
+    *     trims exactly the space char); bullet = first post-trim char ∈
+    *     {-, *, •}; ellipsis = trimmed line ends with "..." or "…";
+    *   - stopword distinctness via an 18-bit membership mask over the
+    *     lowered `[a-z']` runs (array_intersect ∘ array_distinct ≡
+    *     distinct-member count);
+    *   - flag arithmetic replays the Column form's IEEE double
+    *     divisions and comparisons. */
+  final case class GopherFlags(child: Expression, minWords: Int, maxWords: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, isStringType, "string")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_words", LongType, nullable = false),
+      StructField("f_words", org.apache.spark.sql.types.BooleanType, nullable = false),
+      StructField("f_word_len", org.apache.spark.sql.types.BooleanType, nullable = false),
+      StructField("f_symbols", org.apache.spark.sql.types.BooleanType, nullable = false),
+      StructField("f_alpha", org.apache.spark.sql.types.BooleanType, nullable = false),
+      StructField("f_stopwords", org.apache.spark.sql.types.BooleanType, nullable = false),
+      StructField("f_bullets", org.apache.spark.sql.types.BooleanType, nullable = false),
+      StructField("keep", org.apache.spark.sql.types.BooleanType, nullable = false)))
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String]
+      val rb = raw.getBytes
+      // words: runs of non-\s bytes; char lengths; per-word alpha hit
+      var nWords = 0L; var sumLen = 0L; var alphaWords = 0L
+      var inWord = false; var wordHasAlpha = false; var wordChars = 0
+      def isWs(b: Byte): Boolean =
+        b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+      var i = 0
+      while (i <= rb.length) {
+        val ws = i == rb.length || isWs(rb(i))
+        if (!ws) {
+          val b = rb(i)
+          if (!inWord) { inWord = true; wordHasAlpha = false; wordChars = 0 }
+          if ((b & 0xc0) != 0x80) wordChars += 1
+          if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) wordHasAlpha = true
+        } else if (inWord) {
+          nWords += 1; sumLen += wordChars
+          if (wordHasAlpha) alphaWords += 1
+          inWord = false
+        }
+        i += 1
+      }
+      // symbols: '#', '…' (E2 80 A6), non-overlapping "..."
+      var symbols = 0L
+      i = 0
+      while (i < rb.length) {
+        if (rb(i) == '#') symbols += 1
+        else if (rb(i) == 0xe2.toByte && i + 2 < rb.length &&
+          rb(i + 1) == 0x80.toByte && rb(i + 2) == 0xa6.toByte) symbols += 1
+        i += 1
+      }
+      i = 0
+      while (i + 2 < rb.length) {
+        if (rb(i) == '.' && rb(i + 1) == '.' && rb(i + 2) == '.') {
+          symbols += 1; i += 3
+        } else i += 1
+      }
+      // lines: '\n'-split, space-trim, bullet prefix / ellipsis suffix
+      var nLines = 0L; var bullets = 0L; var ellipsisEnd = 0L
+      var lineStart = 0
+      i = 0
+      while (i <= rb.length) {
+        if (i == rb.length || rb(i) == '\n') {
+          var s = lineStart; var e = i - 1
+          while (s <= e && rb(s) == ' ') s += 1
+          while (e >= s && rb(e) == ' ') e -= 1
+          if (s <= e) {
+            nLines += 1
+            val b0 = rb(s)
+            if (b0 == '-' || b0 == '*' ||
+              (b0 == 0xe2.toByte && s + 2 <= e &&
+                rb(s + 1) == 0x80.toByte && rb(s + 2) == 0xa2.toByte)) bullets += 1
+            if (e - s + 1 >= 3 &&
+              ((rb(e) == '.' && rb(e - 1) == '.' && rb(e - 2) == '.') ||
+                (rb(e) == 0xa6.toByte && rb(e - 1) == 0x80.toByte &&
+                  rb(e - 2) == 0xe2.toByte))) ellipsisEnd += 1
+          }
+          lineStart = i + 1
+        }
+        i += 1
+      }
+      // distinct stopwords among lowered [a-z'] runs (18-bit mask)
+      val lb = raw.toLowerCase.getBytes
+      var mask = 0
+      var runStart = -1
+      i = 0
+      while (i <= lb.length) {
+        val isTok = i < lb.length && {
+          val b = lb(i)
+          (b >= 'a' && b <= 'z') || b == '\''
+        }
+        if (isTok) { if (runStart < 0) runStart = i }
+        else if (runStart >= 0) {
+          val len = i - runStart
+          if (len <= 4) {
+            val idx = StopIndex.get(
+              new String(lb, runStart, len, java.nio.charset.StandardCharsets.US_ASCII))
+            if (idx != null) mask |= 1 << idx.intValue()
+          }
+          runStart = -1
+        }
+        i += 1
+      }
+      val distinctStops = Integer.bitCount(mask)
+      // flags (same IEEE ops as the Column form)
+      val meanLen = if (nWords == 0L) 0.0 else sumLen.toDouble / nWords
+      val fWords = nWords >= minWords && nWords <= maxWords
+      val fWordLen = meanLen >= 3.0 && meanLen <= 10.0
+      val fSymbols = nWords != 0L && symbols.toDouble / nWords <= 0.1
+      val alphaFrac = if (nWords == 0L) 0.0 else alphaWords.toDouble / nWords
+      val fAlpha = alphaFrac >= 0.8
+      val fStop = distinctStops >= 2
+      val bulletFrac = if (nLines == 0L) 0.0 else bullets.toDouble / nLines
+      val ellFrac = if (nLines == 0L) 0.0 else ellipsisEnd.toDouble / nLines
+      val fBullets = bulletFrac < 0.9 && ellFrac < 0.3
+      val keep = fWords && fWordLen && fSymbols && fAlpha && fStop && fBullets
+      org.apache.spark.sql.catalyst.InternalRow(
+        nWords, fWords, fWordLen, fSymbols, fAlpha, fStop, fBullets, keep)
+    }
+    override def prettyName: String = "gopher_flags"
+    override protected def withNewChildInternal(newChild: Expression): GopherFlags =
+      copy(child = newChild)
+  }
+
   /** Σ aᵢ·bᵢ over two double arrays, sequential left-to-right accumulation
     * — bit-parity with aggregate(zip_with(a, b, _*_), 0.0, _+_) and with
     * DuckDB's list_inner_product, which both oracle paths rely on.
@@ -444,6 +589,9 @@ object ShingleExprs {
 
   def consecutivePairs(tokens: Column): Column =
     GraftSqlBridge.column(ConsecutivePairs(GraftSqlBridge.expression(tokens)))
+
+  def gopherFlags(text: Column, minWords: Int, maxWords: Int): Column =
+    GraftSqlBridge.column(GopherFlags(GraftSqlBridge.expression(text), minWords, maxWords))
 
   def minHashSignature(text: Column, k: Int, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(text), k, numHashes))

@@ -32,57 +32,30 @@ object Curation {
     *  - `f_bullets`:   < 90% of lines start with a bullet, and < 30% end
     *                   with an ellipsis
     *
-    * Every rule is a deterministic Column expression over built-ins —
-    * RE2-portable regexes, no UDF — so an external engine can replay the
-    * exact keep/drop decision. */
+    * The decision logic is deterministic and engine-replayable (the
+    * oracle replays every rule in SQL); the hot path runs as ONE native
+    * Expression ([[graft.functions.ShingleExprs.GopherFlags]], three
+    * byte scans) because the Column-combinator form evaluated the
+    * whitespace-words array ~4x and each flag twice — byte-for-byte
+    * parity with the inlined Column reference is asserted in
+    * CurationSpec. The struct is materialized in its own projection so
+    * the expression runs once per row (CollapseProject keeps non-cheap
+    * multi-referenced aliases un-inlined). */
   def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
-                         minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    val text = col(textCol)
-    val words = filter(split(text, "\\s+"), w => length(w) > 0)
-    val nWords = size(words)
-    val meanLen = when(nWords === 0, 0.0)
-      .otherwise(aggregate(words, lit(0L), (acc, w) => acc + length(w))
-        .cast("double") / nWords)
-    // both ellipsis spellings count (the line rule below already treats
-    // them as equivalent — ASCII "..." spam must not pass f_symbols)
-    val symbols =
-      (length(text) - length(regexp_replace(text, "#", ""))) +
-        (length(text) - length(regexp_replace(text, "…", ""))) +
-        ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) /
-          lit(3)).cast("int")
-    val alphaFrac = when(nWords === 0, 0.0)
-      .otherwise(size(filter(words, w => w.rlike("[A-Za-z]")))
-        .cast("double") / nWords)
-    val distinctStops = size(array_intersect(
-      array_distinct(TextFunctions.tokens(text)),
-      array(TextFunctions.EnglishStopwords.map(lit): _*)))
-    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
-    val nLines = size(lines)
-    val bulletFrac = when(nLines === 0, 0.0)
-      .otherwise(size(filter(lines, l => trim(l).rlike("^[-*•]")))
-        .cast("double") / nLines)
-    val ellipsisFrac = when(nLines === 0, 0.0)
-      .otherwise(size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
-        .cast("double") / nLines)
-    val fWords = nWords >= minWords && nWords <= maxWords
-    val fWordLen = meanLen >= 3.0 && meanLen <= 10.0
-    val fSymbols = when(nWords === 0, false)
-      .otherwise(symbols.cast("double") / nWords <= 0.1)
-    val fAlpha = alphaFrac >= 0.8
-    val fStopwords = distinctStops >= 2
-    val fBullets = bulletFrac < 0.9 && ellipsisFrac < 0.3
-    df.select(
-      col(idCol),
-      nWords.cast("long").as("n_words"),
-      fWords.as("f_words"),
-      fWordLen.as("f_word_len"),
-      fSymbols.as("f_symbols"),
-      fAlpha.as("f_alpha"),
-      fStopwords.as("f_stopwords"),
-      fBullets.as("f_bullets"),
-      (fWords && fWordLen && fSymbols && fAlpha && fStopwords && fBullets)
-        .as("keep"))
-  }
+                         minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    df.select(col(idCol),
+        graft.functions.ShingleExprs.gopherFlags(col(textCol), minWords, maxWords)
+          .as("__g"))
+      .select(
+        col(idCol),
+        col("__g.n_words").as("n_words"),
+        col("__g.f_words").as("f_words"),
+        col("__g.f_word_len").as("f_word_len"),
+        col("__g.f_symbols").as("f_symbols"),
+        col("__g.f_alpha").as("f_alpha"),
+        col("__g.f_stopwords").as("f_stopwords"),
+        col("__g.f_bullets").as("f_bullets"),
+        col("__g.keep").as("keep"))
 
   /** Budget-bounded greedy selection: take documents in descending
     * `score` order (ties by ascending id) until the token budget is

@@ -26,6 +26,76 @@ class CurationSpec extends SparkSpec {
     assert(!out(5).getBoolean(out(5).fieldIndex("f_bullets")))
   }
 
+  test("gopherQualityFlags native form ≡ inlined Column-combinator reference") {
+    // the Column formulation GopherFlags replaced, fully inlined
+    def legacy(df: org.apache.spark.sql.DataFrame, minWords: Int, maxWords: Int) = {
+      val text = col("text")
+      val words = filter(split(text, "\\s+"), w => length(w) > 0)
+      val nWords = size(words)
+      val meanLen = when(nWords === 0, 0.0)
+        .otherwise(aggregate(words, lit(0L), (acc, w) => acc + length(w))
+          .cast("double") / nWords)
+      val symbols =
+        (length(text) - length(regexp_replace(text, "#", ""))) +
+          (length(text) - length(regexp_replace(text, "…", ""))) +
+          ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) /
+            lit(3)).cast("int")
+      val alphaFrac = when(nWords === 0, 0.0)
+        .otherwise(size(filter(words, w => w.rlike("[A-Za-z]")))
+          .cast("double") / nWords)
+      val distinctStops = size(array_intersect(
+        array_distinct(filter(split(lower(text), "[^a-z']+"), t => length(t) > 0)),
+        array(graft.functions.TextFunctions.EnglishStopwords.map(lit): _*)))
+      val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+      val nLines = size(lines)
+      val bulletFrac = when(nLines === 0, 0.0)
+        .otherwise(size(filter(lines, l => trim(l).rlike("^[-*•]")))
+          .cast("double") / nLines)
+      val ellipsisFrac = when(nLines === 0, 0.0)
+        .otherwise(size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$")))
+          .cast("double") / nLines)
+      val fWords = nWords >= minWords && nWords <= maxWords
+      val fWordLen = meanLen >= 3.0 && meanLen <= 10.0
+      val fSymbols = when(nWords === 0, false)
+        .otherwise(symbols.cast("double") / nWords <= 0.1)
+      val fAlpha = alphaFrac >= 0.8
+      val fStopwords = distinctStops >= 2
+      val fBullets = bulletFrac < 0.9 && ellipsisFrac < 0.3
+      df.select(col("doc_id"), nWords.cast("long").as("n_words"),
+        fWords.as("f_words"), fWordLen.as("f_word_len"),
+        fSymbols.as("f_symbols"), fAlpha.as("f_alpha"),
+        fStopwords.as("f_stopwords"), fBullets.as("f_bullets"),
+        (fWords && fWordLen && fSymbols && fAlpha && fStopwords && fBullets)
+          .as("keep"))
+    }
+    val edges = Seq(
+      "", " ", "\t", "word", "the quick…brown fox#tag and.....",
+      "- bullet one\n- bullet two\n* third\n• fourth\nthe plain line",
+      "line one...\nline two…\nline three\n   \nthe end",
+      "  \t mixed \t tabs\nthe line\twith\ttabs for it",
+      "…", "...", ".....", "......", "# # # #",
+      "ünïcode wörds the straße of tökens is here for you",
+      "ends with spaces...   \n   - starts with spaces",
+      (1 to 60).map(_ => "the").mkString(" "),
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val lined = fixture.select(col("doc_id"),
+      concat_ws("\n", col("text"), substring(col("text"), 1, 40),
+        lit("- a bullet..."), col("text")).as("text"))
+    val edgeDf = edges.zipWithIndex
+      .map { case (t, i) => (10000L + i, t) }.toDF("doc_id", "text")
+    Seq(fixture, lined, edgeDf).foreach { df =>
+      Seq((50, 100000), (20, 30), (0, 5)).foreach { case (mn, mx) =>
+        val fast = Curation.gopherQualityFlags(df, "doc_id", "text", mn, mx)
+        val slow = legacy(df, mn, mx)
+        assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+          s"gopher flags diverge at minWords=$mn maxWords=$mx: " +
+            fast.exceptAll(slow).take(3).mkString("; "))
+      }
+    }
+  }
+
   test("selectByTokenBudget: greedy by score, stops at budget, overshoot ≤ 1 doc") {
     // scores: doc 1..6 have quality-ordered scores via explicit column
     val docs = Seq(
