@@ -416,10 +416,22 @@ object ShingleExprs {
             if (b0 == '-' || b0 == '*' ||
               (b0 == 0xe2.toByte && s + 2 <= e &&
                 rb(s + 1) == 0x80.toByte && rb(s + 2) == 0xa2.toByte)) bullets += 1
-            if (e - s + 1 >= 3 &&
-              ((rb(e) == '.' && rb(e - 1) == '.' && rb(e - 2) == '.') ||
-                (rb(e) == 0xa6.toByte && rb(e - 1) == 0x80.toByte &&
-                  rb(e - 2) == 0xe2.toByte))) ellipsisEnd += 1
+            // Java regex `$` (non-MULTILINE) also matches BEFORE one
+            // final line terminator — here \r, NEL (C2 85) or LS/PS
+            // (E2 80 A8/A9); \n cannot survive the split — so the
+            // reference rlike counts a line ending "…\r". Strip at most
+            // one such terminator before the suffix test.
+            var e2 = e
+            if (rb(e2) == '\r') e2 -= 1
+            else if (e2 - s >= 1 && rb(e2 - 1) == 0xc2.toByte &&
+              rb(e2) == 0x85.toByte) e2 -= 2
+            else if (e2 - s >= 2 && rb(e2 - 2) == 0xe2.toByte &&
+              rb(e2 - 1) == 0x80.toByte &&
+              (rb(e2) == 0xa8.toByte || rb(e2) == 0xa9.toByte)) e2 -= 3
+            if (e2 - s + 1 >= 3 &&
+              ((rb(e2) == '.' && rb(e2 - 1) == '.' && rb(e2 - 2) == '.') ||
+                (rb(e2) == 0xa6.toByte && rb(e2 - 1) == 0x80.toByte &&
+                  rb(e2 - 2) == 0xe2.toByte))) ellipsisEnd += 1
           }
           lineStart = i + 1
         }

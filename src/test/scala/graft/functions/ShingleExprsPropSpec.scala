@@ -70,4 +70,110 @@ class ShingleExprsPropSpec extends SparkSpec {
       assert(r.getSeq[Long](3) == expected, s"minhash diverged on: ${t.take(60)}")
     }
   }
+
+  test("native ngrams/pairs/quality/gopher ≡ reference forms on random text") {
+    // richer alphabet: stopwords, bullets, ellipses (both spellings),
+    // '#', İ (whose lowercase EXPANDS to i + combining dot), newlines —
+    // the shapes the byte-scan expressions must not mis-handle
+    val richChar = Gen.frequency(
+      (6, Gen.alphaLowerChar), (2, Gen.alphaUpperChar), (1, Gen.numChar),
+      (2, Gen.oneOf('\'', '!', '.', ',', '-', '*', '#', '…', '•')),
+      (1, Gen.oneOf('ü', 'ß', 'é', '漢', 'א', 'İ')),
+      (3, Gen.oneOf(' ', '\t', '\n', '\r')))
+    val word = Gen.frequency(
+      (3, Gen.oneOf(TextFunctions.EnglishStopwords)),
+      (1, Gen.oneOf("...", "…", "- x", "• y", "#tag")),
+      (5, Gen.chooseNum(1, 9).flatMap(n => Gen.stringOfN(n, richChar))))
+    val gen: Gen[String] = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val texts = (0 until 300).flatMap { i =>
+      gen.apply(Gen.Parameters.default, Seed(1000L + i))
+    }
+    assert(texts.length >= 250, "generator drought")
+    val df = texts.toDF("text")
+    val text = col("text")
+    val ts = filter(split(lower(text), "[^a-z']+"), t => length(t) > 0)
+
+    // ngram strings + consecutive pairs references (HOF forms)
+    val ngramRef = when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1), i =>
+        array_join(slice(ts, i, lit(2)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val pairsRef = when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1), i =>
+        struct(element_at(ts, i).as("v"), element_at(ts, i + 1).as("w"))))
+      .otherwise(array().cast("array<struct<v:string,w:string>>"))
+
+    // quality reference (inlined Column form)
+    val nTok = size(ts)
+    val meanWordLen = when(nTok === 0, 0.0)
+      .otherwise(length(regexp_replace(lower(text), "[^a-z']", "")).cast("double") / nTok)
+    val qLenOk = when(nTok >= 5 && nTok <= 100000, 1.0).otherwise(0.0)
+    val qWordLenOk = when(meanWordLen >= 2.0 && meanWordLen <= 12.0, 1.0).otherwise(0.0)
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    val punctRatio = when(length(text) === 0, 0.0)
+      .otherwise(punct.cast("double") / length(text).cast("double"))
+    val qPunctOk = when(punctRatio < lit(0.2), 1.0).otherwise(0.0)
+    val hits = size(filter(ts, t => t.isin(TextFunctions.EnglishStopwords.map(lit): _*)))
+    val stopRatio = when(size(ts) === 0, 0.0)
+      .otherwise(hits.cast("double") / size(ts).cast("double"))
+    val qStopOk = when(stopRatio > 0.0, 1.0).otherwise(0.0)
+    val qualityRef = (qLenOk + qWordLenOk + qPunctOk + qStopOk) / 4.0
+
+    // gopher reference (inlined Column form, minWords=3 so random texts
+    // exercise both sides of every threshold)
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val nWords = size(words)
+    val meanLen = when(nWords === 0, 0.0)
+      .otherwise(aggregate(words, lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / nWords)
+    val symbols =
+      (length(text) - length(regexp_replace(text, "#", ""))) +
+        (length(text) - length(regexp_replace(text, "…", ""))) +
+        ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) /
+          lit(3)).cast("int")
+    val alphaFrac = when(nWords === 0, 0.0)
+      .otherwise(size(filter(words, w => w.rlike("[A-Za-z]"))).cast("double") / nWords)
+    val distinctStops = size(array_intersect(array_distinct(ts),
+      array(TextFunctions.EnglishStopwords.map(lit): _*)))
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val bulletFrac = when(nLines === 0, 0.0)
+      .otherwise(size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast("double") / nLines)
+    val ellipsisFrac = when(nLines === 0, 0.0)
+      .otherwise(size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double") / nLines)
+    val gfWords = nWords >= 3 && nWords <= 20
+    val gfWordLen = meanLen >= 3.0 && meanLen <= 10.0
+    val gfSymbols = when(nWords === 0, false)
+      .otherwise(symbols.cast("double") / nWords <= 0.1)
+    val gfAlpha = alphaFrac >= 0.8
+    val gfStopwords = distinctStops >= 2
+    val gfBullets = bulletFrac < 0.9 && ellipsisFrac < 0.3
+    val gopherRef = struct(
+      nWords.cast("long").as("n_words"), gfWords.as("f_words"),
+      gfWordLen.as("f_word_len"), gfSymbols.as("f_symbols"),
+      gfAlpha.as("f_alpha"), gfStopwords.as("f_stopwords"),
+      gfBullets.as("f_bullets"),
+      (gfWords && gfWordLen && gfSymbols && gfAlpha && gfStopwords && gfBullets)
+        .as("keep"))
+
+    val rows = df.select(
+      text,
+      ShingleExprs.ngramStrings(text, 2).as("f_ng"), ngramRef.as("r_ng"),
+      ShingleExprs.consecutivePairs(ts).as("f_cp"), pairsRef.as("r_cp"),
+      ShingleExprs.qualityScore(text).as("f_q"), qualityRef.as("r_q"),
+      ShingleExprs.gopherFlags(text, 3, 20).as("f_g"), gopherRef.as("r_g"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"ngrams diverged on: ${t.take(80)}")
+      assert(r.getSeq[org.apache.spark.sql.Row](3) == r.getSeq[org.apache.spark.sql.Row](4),
+        s"pairs diverged on: ${t.take(80)}")
+      assert(r.getDouble(5) == r.getDouble(6),
+        s"quality diverged on: ${t.take(80)}")
+      assert(r.getStruct(7) == r.getStruct(8),
+        s"gopher diverged on: ${t.take(80)} -> ${r.getStruct(7)} vs ${r.getStruct(8)}")
+    }
+  }
 }
