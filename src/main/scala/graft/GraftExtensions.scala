@@ -54,6 +54,31 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_product(a, b)")
         ShingleExprs.DotProduct(args.head, args(1))
+      }),
+    (new FunctionIdentifier("ngram_strings"),
+      new ExpressionInfo(classOf[ShingleExprs.NgramStrings].getName, "ngram_strings"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "ngram_strings(text, n)")
+        ShingleExprs.NgramStrings(args.head, intArg(args(1), "n"))
+      }),
+    (new FunctionIdentifier("consecutive_pairs"),
+      new ExpressionInfo(classOf[ShingleExprs.ConsecutivePairs].getName, "consecutive_pairs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "consecutive_pairs(tokens)")
+        ShingleExprs.ConsecutivePairs(args.head)
+      }),
+    (new FunctionIdentifier("quality_score"),
+      new ExpressionInfo(classOf[ShingleExprs.QualityScoreExpr].getName, "quality_score"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "quality_score(text)")
+        ShingleExprs.QualityScoreExpr(args.head)
+      }),
+    (new FunctionIdentifier("gopher_flags"),
+      new ExpressionInfo(classOf[ShingleExprs.GopherFlags].getName, "gopher_flags"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "gopher_flags(text, minWords, maxWords)")
+        ShingleExprs.GopherFlags(args.head, intArg(args(1), "minWords"),
+          intArg(args(2), "maxWords"))
       }))
 
   /** Register on an already-running session (extensions only bind at

@@ -32,6 +32,27 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(d == 11.0)
   }
 
+  test("ngram_strings / consecutive_pairs / quality_score / gopher_flags resolve in SQL") {
+    // "the" and "of": two distinct stopwords, so gopher keep holds
+    Seq("the quick brown fox jumps over the back of the lazy dog").toDF("text")
+      .createOrReplaceTempView("ext_docs2")
+    val viaSql = spark.sql(
+      """SELECT ngram_strings(text, 2) AS ng,
+               consecutive_pairs(ngram_strings(text, 1)) AS cp,
+               quality_score(text) AS q,
+               gopher_flags(text, 5, 100).keep AS keep
+         FROM ext_docs2""")
+      .as[(Seq[String], Seq[(String, String)], Double, Boolean)].head()
+    val viaCol = spark.table("ext_docs2").select(
+      ShingleExprs.ngramStrings(col("text"), 2),
+      ShingleExprs.consecutivePairs(ShingleExprs.ngramStrings(col("text"), 1)),
+      ShingleExprs.qualityScore(col("text")),
+      ShingleExprs.gopherFlags(col("text"), 5, 100).getField("keep"))
+      .as[(Seq[String], Seq[(String, String)], Double, Boolean)].head()
+    assert(viaSql == viaCol)
+    assert(viaSql._1.head == "the quick" && viaSql._3 == 1.0 && viaSql._4)
+  }
+
   test("non-literal size argument is rejected clearly") {
     Seq(("x", 3)).toDF("text", "k").createOrReplaceTempView("ext_bad")
     val e = intercept[Exception] {
