@@ -79,6 +79,12 @@ object GraftExtensions {
         require(args.length == 3, "gopher_flags(text, minWords, maxWords)")
         ShingleExprs.GopherFlags(args.head, intArg(args(1), "minWords"),
           intArg(args(2), "maxWords"))
+      }),
+    (new FunctionIdentifier("lang_id"),
+      new ExpressionInfo(classOf[ShingleExprs.LangIdExpr].getName, "lang_id"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "lang_id(text)")
+        ShingleExprs.LangIdExpr(args.head)
       }))
 
   /** Register on an already-running session (extensions only bind at

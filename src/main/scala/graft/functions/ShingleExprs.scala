@@ -223,10 +223,13 @@ object ShingleExprs {
         case ArrayType(_: StringType, _) => true
         case _ => false
       }, "array<string>")
+    // v/w nullable: the registered SQL form accepts any array<string>,
+    // including one with null elements (token arrays never carry them,
+    // but the schema must not promise what the input can break)
     override def dataType: DataType = ArrayType(
       StructType(Seq(
-        StructField("v", StringType, nullable = false),
-        StructField("w", StringType, nullable = false))),
+        StructField("v", StringType, nullable = true),
+        StructField("w", StringType, nullable = true))),
       containsNull = false)
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -247,6 +250,75 @@ object ShingleExprs {
     override protected def withNewChildInternal(newChild: Expression): ConsecutivePairs =
       copy(child = newChild)
   }
+
+  /** Heuristic language ID in one byte scan — the native form of
+    * TextFunctions.langId's Column rules (per-language marker-token hit
+    * counts, argmax, "und" when nothing matches). Tie-break parity with
+    * `array_max(array(struct(hits, lang)...))`: struct ordering compares
+    * hits first, then the lang string — so equal hit counts resolve to
+    * the LEXICOGRAPHICALLY LARGEST language code. Asserted against the
+    * Column reference in the property fuzz. */
+  final case class LangIdExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, isStringType, "string")
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any = {
+      val lb = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+      val counts = new Array[Int](LangCodes.length)
+      var runStart = -1
+      var i = 0
+      while (i <= lb.length) {
+        val isTok = i < lb.length && {
+          val b = lb(i)
+          (b >= 'a' && b <= 'z') || b == '\''
+        }
+        if (isTok) { if (runStart < 0) runStart = i }
+        else if (runStart >= 0) {
+          val len = i - runStart
+          if (len <= MaxMarkerLen) {
+            val langs = MarkerLangs.get(
+              new String(lb, runStart, len, java.nio.charset.StandardCharsets.US_ASCII))
+            if (langs != null) {
+              var j = 0
+              while (j < langs.length) { counts(langs(j)) += 1; j += 1 }
+            }
+          }
+          runStart = -1
+        }
+        i += 1
+      }
+      // argmax, ties to the LAST (lexicographically largest) code
+      var best = 0
+      var j = 1
+      while (j < counts.length) {
+        if (counts(j) >= counts(best)) best = j
+        j += 1
+      }
+      if (counts(best) > 0) UTF8String.fromString(LangCodes(best))
+      else UTF8String.fromString("und")
+    }
+    override def prettyName: String = "lang_id"
+    override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+      copy(child = newChild)
+  }
+
+  /** language codes in ascending order — ties resolve to the larger code,
+    * matching array_max's struct comparison in the Column form */
+  private val LangCodes: Array[String] =
+    TextFunctions.LanguageMarkers.keys.toArray.sorted
+  private val MarkerLangs: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    LangCodes.zipWithIndex.foreach { case (lang, idx) =>
+      TextFunctions.LanguageMarkers(lang).foreach { w =>
+        val prev = m.get(w)
+        m.put(w, if (prev == null) Array(idx) else prev :+ idx)
+      }
+    }
+    m
+  }
+  private val MaxMarkerLen: Int =
+    TextFunctions.LanguageMarkers.values.flatten.map(_.length).max
 
   /** C4-style composite quality score in ONE byte scan — the native form
     * of TextFunctions.qualityScore's documented semantics. Parity
@@ -604,6 +676,9 @@ object ShingleExprs {
 
   def gopherFlags(text: Column, minWords: Int, maxWords: Int): Column =
     GraftSqlBridge.column(GopherFlags(GraftSqlBridge.expression(text), minWords, maxWords))
+
+  def langId(text: Column): Column =
+    GraftSqlBridge.column(LangIdExpr(GraftSqlBridge.expression(text)))
 
   def minHashSignature(text: Column, k: Int, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(text), k, numHashes))

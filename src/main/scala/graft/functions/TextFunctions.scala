@@ -68,17 +68,13 @@ object TextFunctions {
     "es" -> Seq("el", "la", "los", "y", "es", "que", "por"))
 
   /** Heuristic language ID: argmax over per-language marker-token hit
-    * counts; "und" (undetermined) when nothing matches. Pure column expr. */
-  def langId(text: Column): Column = {
-    val ts = tokens(text)
-    val scored = LanguageMarkers.toSeq.sortBy(_._1).map { case (lang, ms) =>
-      struct(
-        size(filter(ts, t => t.isin(ms.map(lit): _*))).as("hits"),
-        lit(lang).as("lang"))
-    }
-    val best = array_max(array(scored: _*))
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
-  }
+    * counts; "und" (undetermined) when nothing matches. Runs as a
+    * single-pass native Expression (see [[ShingleExprs.LangIdExpr]]) —
+    * the Column form re-tokenized the text once per language for the
+    * per-marker isin scans; values identical incl. the
+    * largest-code-wins tie-break (asserted in the property fuzz). */
+  def langId(text: Column): Column =
+    ShingleExprs.langId(text)
 
   /** Composite quality score in [0,1]: mean-word-length sanity, low
     * punctuation noise, presence of stopwords. Mirrors the shape of

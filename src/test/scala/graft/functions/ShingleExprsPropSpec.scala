@@ -82,6 +82,7 @@ class ShingleExprsPropSpec extends SparkSpec {
       (3, Gen.oneOf(' ', '\t', '\n', '\r')))
     val word = Gen.frequency(
       (3, Gen.oneOf(TextFunctions.EnglishStopwords)),
+      (2, Gen.oneOf(TextFunctions.LanguageMarkers.values.flatten.toSeq)),
       (1, Gen.oneOf("...", "…", "- x", "• y", "#tag")),
       (5, Gen.chooseNum(1, 9).flatMap(n => Gen.stringOfN(n, richChar))))
     val gen: Gen[String] = Gen.chooseNum(0, 30).flatMap(n =>
@@ -157,12 +158,23 @@ class ShingleExprsPropSpec extends SparkSpec {
       (gfWords && gfWordLen && gfSymbols && gfAlpha && gfStopwords && gfBullets)
         .as("keep"))
 
+    // langId reference (inlined Column form incl. array_max tie-break)
+    val langScored = TextFunctions.LanguageMarkers.toSeq.sortBy(_._1).map {
+      case (lang, ms) =>
+        struct(size(filter(ts, t => t.isin(ms.map(lit): _*))).as("hits"),
+          lit(lang).as("lang"))
+    }
+    val langBest = array_max(array(langScored: _*))
+    val langRef = when(langBest.getField("hits") > 0,
+      langBest.getField("lang")).otherwise("und")
+
     val rows = df.select(
       text,
       ShingleExprs.ngramStrings(text, 2).as("f_ng"), ngramRef.as("r_ng"),
       ShingleExprs.consecutivePairs(ts).as("f_cp"), pairsRef.as("r_cp"),
       ShingleExprs.qualityScore(text).as("f_q"), qualityRef.as("r_q"),
-      ShingleExprs.gopherFlags(text, 3, 20).as("f_g"), gopherRef.as("r_g"))
+      ShingleExprs.gopherFlags(text, 3, 20).as("f_g"), gopherRef.as("r_g"),
+      ShingleExprs.langId(text).as("f_l"), langRef.as("r_l"))
       .collect()
     rows.foreach { r =>
       val t = r.getString(0)
@@ -174,6 +186,8 @@ class ShingleExprsPropSpec extends SparkSpec {
         s"quality diverged on: ${t.take(80)}")
       assert(r.getStruct(7) == r.getStruct(8),
         s"gopher diverged on: ${t.take(80)} -> ${r.getStruct(7)} vs ${r.getStruct(8)}")
+      assert(r.getString(9) == r.getString(10),
+        s"langId diverged on: ${t.take(80)} -> ${r.getString(9)} vs ${r.getString(10)}")
     }
   }
 }
