@@ -251,6 +251,86 @@ object ShingleExprs {
       copy(child = newChild)
   }
 
+  /** Whitespace token count in one byte scan — ≡ `size(filter(split(
+    * text, "\\s+"), len > 0))` (maximal runs of non-`\s` bytes; Java
+    * regex `\s` = the six ASCII whitespace chars). */
+  final case class WsTokenCount(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, isStringType, "string")
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def nullSafeEval(input: Any): Any = {
+      val rb = input.asInstanceOf[UTF8String].getBytes
+      var n = 0
+      var inWord = false
+      var i = 0
+      while (i < rb.length) {
+        val b = rb(i)
+        val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0b ||
+          b == '\f' || b == '\r'
+        if (!ws && !inWord) { n += 1; inWord = true }
+        else if (ws) inWord = false
+        i += 1
+      }
+      n
+    }
+    override def prettyName: String = "ws_token_count"
+    override protected def withNewChildInternal(newChild: Expression): WsTokenCount =
+      copy(child = newChild)
+  }
+
+  /** BPE-proxy subword count in one char scan — the native form of the
+    * split-on-boundaries + ceil(len/4) fold. Piece boundaries replicate
+    * the regex `(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\s+|
+    * (?=[^a-zA-Z0-9\s])` exactly: ASCII letter↔digit transitions and
+    * every non-alphanumeric non-whitespace char (unicode included — the
+    * char classes are ASCII-only, so `ü` is a boundary-BEFORE char that
+    * then glues to the following run, e.g. "don't" → "don","'t" and
+    * "a!?b" → "a","!","?b"). Piece length counts CHARS (non-continuation
+    * bytes); scanning is per UTF-8 char start. */
+  final case class BpeProxyCount(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, isStringType, "string")
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val rb = input.asInstanceOf[UTF8String].getBytes
+      var total = 0L
+      var pieceLen = 0
+      var prevClass = 0 // 0 none, 1 letter, 2 digit, 3 other
+      def endPiece(): Unit = {
+        if (pieceLen > 0) total += (pieceLen + 3) / 4
+        pieceLen = 0; prevClass = 0
+      }
+      var i = 0
+      while (i < rb.length) {
+        val b = rb(i)
+        if ((b & 0xc0) != 0x80) { // char start
+          val ws = b == ' ' || b == '\t' || b == '\n' || b == 0x0b ||
+            b == '\f' || b == '\r'
+          if (ws) endPiece()
+          else {
+            val cls =
+              if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) 1
+              else if (b >= '0' && b <= '9') 2
+              else 3
+            val boundary = pieceLen > 0 && (cls == 3 ||
+              (prevClass == 1 && cls == 2) || (prevClass == 2 && cls == 1))
+            if (boundary) endPiece()
+            pieceLen += 1
+            prevClass = cls
+          }
+        }
+        i += 1
+      }
+      endPiece()
+      total
+    }
+    override def prettyName: String = "bpe_proxy_count"
+    override protected def withNewChildInternal(newChild: Expression): BpeProxyCount =
+      copy(child = newChild)
+  }
+
   /** Heuristic language ID in one byte scan — the native form of
     * TextFunctions.langId's Column rules (per-language marker-token hit
     * counts, argmax, "und" when nothing matches). Tie-break parity with
@@ -679,6 +759,12 @@ object ShingleExprs {
 
   def langId(text: Column): Column =
     GraftSqlBridge.column(LangIdExpr(GraftSqlBridge.expression(text)))
+
+  def wsTokenCount(text: Column): Column =
+    GraftSqlBridge.column(WsTokenCount(GraftSqlBridge.expression(text)))
+
+  def bpeProxyCount(text: Column): Column =
+    GraftSqlBridge.column(BpeProxyCount(GraftSqlBridge.expression(text)))
 
   def minHashSignature(text: Column, k: Int, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(text), k, numHashes))

@@ -23,20 +23,20 @@ object TextFunctions {
   def tokens(text: Column): Column =
     ShingleExprs.ngramStrings(text, 1)
 
-  /** Whitespace token count (cheap "how many words" metric). */
+  /** Whitespace token count (cheap "how many words" metric). Native
+    * one-scan form of `size(filter(split(text, "\\s+"), len > 0))` —
+    * parity asserted in the property fuzz. */
   def tokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => length(t) > 0))
+    ShingleExprs.wsTokenCount(text)
 
   /** BPE-ish subword count: words are split further on letter/digit
     * boundaries and long words counted as ceil(len/4) pieces, a standard
-    * cheap proxy for tokenizer cost when the real BPE table is external. */
-  def approxBpeTokenCount(text: Column): Column = {
-    val pieces = split(text, "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])")
-    aggregate(
-      filter(pieces, p => length(p) > 0),
-      lit(0L),
-      (acc, p) => acc + ceil(length(p).cast("double") / 4.0).cast("long"))
-  }
+    * cheap proxy for tokenizer cost when the real BPE table is external.
+    * Native one-scan form (see [[ShingleExprs.BpeProxyCount]]) of the
+    * split-regex + aggregate fold — parity asserted in the property
+    * fuzz. */
+  def approxBpeTokenCount(text: Column): Column =
+    ShingleExprs.bpeProxyCount(text)
 
   /** Ratio of punctuation characters to total characters (0 when empty). */
   def punctRatio(text: Column): Column = {

@@ -168,13 +168,23 @@ class ShingleExprsPropSpec extends SparkSpec {
     val langRef = when(langBest.getField("hits") > 0,
       langBest.getField("lang")).otherwise("und")
 
+    // whitespace-count + BPE-proxy references (HOF forms)
+    val wsRef = size(filter(split(text, "\\s+"), t => length(t) > 0))
+    val bpePieces = split(text,
+      "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])")
+    val bpeRef = aggregate(
+      filter(bpePieces, p => length(p) > 0), lit(0L),
+      (acc, p) => acc + ceil(length(p).cast("double") / 4.0).cast("long"))
+
     val rows = df.select(
       text,
       ShingleExprs.ngramStrings(text, 2).as("f_ng"), ngramRef.as("r_ng"),
       ShingleExprs.consecutivePairs(ts).as("f_cp"), pairsRef.as("r_cp"),
       ShingleExprs.qualityScore(text).as("f_q"), qualityRef.as("r_q"),
       ShingleExprs.gopherFlags(text, 3, 20).as("f_g"), gopherRef.as("r_g"),
-      ShingleExprs.langId(text).as("f_l"), langRef.as("r_l"))
+      ShingleExprs.langId(text).as("f_l"), langRef.as("r_l"),
+      ShingleExprs.wsTokenCount(text).as("f_w"), wsRef.as("r_w"),
+      ShingleExprs.bpeProxyCount(text).as("f_b"), bpeRef.as("r_b"))
       .collect()
     rows.foreach { r =>
       val t = r.getString(0)
@@ -188,6 +198,10 @@ class ShingleExprsPropSpec extends SparkSpec {
         s"gopher diverged on: ${t.take(80)} -> ${r.getStruct(7)} vs ${r.getStruct(8)}")
       assert(r.getString(9) == r.getString(10),
         s"langId diverged on: ${t.take(80)} -> ${r.getString(9)} vs ${r.getString(10)}")
+      assert(r.getInt(11) == r.getInt(12),
+        s"wsTokenCount diverged on: ${t.take(80)}")
+      assert(r.getLong(13) == r.getLong(14),
+        s"bpeProxyCount diverged on: ${t.take(80)} -> ${r.getLong(13)} vs ${r.getLong(14)}")
     }
   }
 }
