@@ -44,10 +44,13 @@ object Bench {
     }
     // forcing: write to the noop sink — executes the FULL plan. count()
     // let Catalyst prune per-row projections (a select-only query timed
-    // as a bare row count of the scan) and drop final sorts; the noop
-    // sink keeps every projection, sort, and expression while discarding
-    // rows at the sink. (Methodology fix in round 7 — totals before/after
-    // are not comparable for projection-only queries.)
+    // as a bare row count of the scan), drop final sorts, AND prune
+    // aggregate expressions (a row count only needs the group keys, so
+    // even q1_agg's sums were never computed); the noop sink keeps every
+    // projection, sort, and expression while discarding rows at the
+    // sink, and measured overhead of the sink itself is ~zero (a 1-row
+    // noop write is FASTER than its count()). (Methodology fix in round
+    // 7 — totals before/after are not comparable.)
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
