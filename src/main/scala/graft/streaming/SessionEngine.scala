@@ -92,21 +92,7 @@ object SessionEngine {
       val (evStart, evEnd) = assigner.assign(key, ts, v)
       require(evStart < evEnd,
         s"MergingWindowAssigner produced an empty interval [$evStart, $evEnd)")
-      val (hit, miss) = open.partition(s => s.start < evEnd && evStart < s.end)
-      val merged = hit.foldLeft(
-        SessionState(evStart, evEnd, combine.createAccumulator(),
-          combine.createAccumulator(), 0L, 0L)) { (m, s) =>
-        SessionState(
-          math.min(m.start, s.start), math.max(m.end, s.end),
-          combine.mergeAccumulators(m.acc, s.acc),
-          combine.mergeAccumulators(m.paneAcc, s.paneAcc),
-          m.sinceLastPane + s.sinceLastPane,
-          math.max(m.paneIndex, s.paneIndex))
-      }
-      merged.copy(
-        acc = combine.addInput(merged.acc, v),
-        paneAcc = combine.addInput(merged.paneAcc, v),
-        sinceLastPane = merged.sinceLastPane + 1) :: miss
+      SessionEngine.absorbInterval(open, evStart, evEnd, v, combine)
     }
 
     private def registerNextTimer(open: Seq[SessionState[Acc]]): Unit =
@@ -159,6 +145,32 @@ object SessionEngine {
 
   /** Session aggregation with merging semantics and optional per-batch
     * early firings over a raw (key, eventTime, value) stream. */
+  /** Merge one event interval into the open-session set: all STRICTLY
+    * overlapping sessions collapse into one (accumulators merged) — the
+    * mergeWindows contract. Half-open intervals that only touch stay
+    * separate, matching Beam Sessions and Spark's session_window. Pure
+    * function of (open set, interval, value) — the merge algebra the
+    * session fuzz drives against a scalar interval model. */
+  private[streaming] def absorbInterval[V, Acc](
+      open: List[SessionState[Acc]], evStart: Long, evEnd: Long, v: V,
+      combine: CombineFn[V, Acc, _]): List[SessionState[Acc]] = {
+    val (hit, miss) = open.partition(s => s.start < evEnd && evStart < s.end)
+    val merged = hit.foldLeft(
+      SessionState(evStart, evEnd, combine.createAccumulator(),
+        combine.createAccumulator(), 0L, 0L)) { (m, s) =>
+      SessionState(
+        math.min(m.start, s.start), math.max(m.end, s.end),
+        combine.mergeAccumulators(m.acc, s.acc),
+        combine.mergeAccumulators(m.paneAcc, s.paneAcc),
+        m.sinceLastPane + s.sinceLastPane,
+        math.max(m.paneIndex, s.paneIndex))
+    }
+    merged.copy(
+      acc = combine.addInput(merged.acc, v),
+      paneAcc = combine.addInput(merged.paneAcc, v),
+      sinceLastPane = merged.sinceLastPane + 1) :: miss
+  }
+
   def sessionAggregate[K, V, Acc, Out](
       input: Dataset[(K, Timestamp, V)],
       gap: java.time.Duration,
