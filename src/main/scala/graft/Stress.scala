@@ -27,6 +27,13 @@ object Stress {
   private val DedupQueries = Seq(
     "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
     "q_editdist_neardup")
+  /** same worst-case construction for the embedding family: every
+    * vector's copies are mutual near-dups at cosine ~0.9999, so SemDeDup
+    * clusters, SRP buckets, and neardup candidate groups all gain
+    * ~factor members */
+  private val EmbQueries = Seq(
+    "q_semdedup", "q_embedding_neardup", "q_similarity_srp",
+    "q_similarity_ivf")
 
   private def releaseCaches(): Unit = {
     graft.llm.Dedup.releasePersistedState()
@@ -63,11 +70,27 @@ object Stress {
     blown.repartition(32).write.mode("overwrite")
       .parquet(s"$workDir/documents.parquet")
 
+    // embeddings: copy c scales every 13th coordinate (offset by c) by
+    // (1 + c/1000) — distinct coordinate slices per copy, cosine to the
+    // original ~0.9999, well above every near-dup threshold in use
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val blownEmb = emb
+      .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("embedding", when(col("copy") === 0, col("embedding"))
+        .otherwise(transform(col("embedding"), (x, i) =>
+          when(pmod(i + col("copy"), lit(13)) === 0,
+            x * (lit(1.0f) + col("copy").cast("float") / 1000.0f))
+            .otherwise(x))))
+      .withColumn("vec_id", col("vec_id") * factor + col("copy"))
+      .drop("copy")
+    blownEmb.repartition(32).write.mode("overwrite")
+      .parquet(s"$workDir/embeddings.parquet")
+
     // same discipline as Bench: warm codegen at the smallest fixture,
     // then best-of-2 timed runs per (query, scale).
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    DedupQueries.foreach { name =>
+    (DedupQueries ++ EmbQueries).foreach { name =>
       try force(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
       finally releaseCaches()
     }
@@ -81,7 +104,7 @@ object Stress {
       }
       runs.min
     }
-    val rows = DedupQueries.map { name =>
+    val rows = (DedupQueries ++ EmbQueries).map { name =>
       val t1 = time(name, baseDir)
       val tf = time(name, workDir)
       val e = math.log(tf / t1) / math.log(factor.toDouble)
