@@ -632,6 +632,44 @@ object ShingleExprs {
       copy(child = newChild)
   }
 
+  /** Count of positions where two long arrays hold EQUAL values — the
+    * MinHash signature-agreement kernel, run once per LSH candidate pair
+    * (corpus-proportional at scale). Value parity with the HOF form
+    * `size(array_compact(zip_with(a, b, (x, y) => when(x === y, 1))))`:
+    * zip_with pads the shorter array with null, null-safe equality then
+    * yields null (dropped by array_compact), so positions beyond the
+    * shorter length and null elements count 0 — replicated here by
+    * iterating to min(len) and skipping nulls. */
+  final case class SigAgreement(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    private def isLongArray(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = requireType(left, isLongArray, "array<bigint>")
+      if (l.isFailure) l else requireType(right, isLongArray, "array<bigint>")
+    }
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var agree = 0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+          agree += 1
+        i += 1
+      }
+      agree
+    }
+    override def prettyName: String = "sig_agreement"
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SigAgreement =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Σ aᵢ·bᵢ over two double arrays, sequential left-to-right accumulation
     * — bit-parity with aggregate(zip_with(a, b, _*_), 0.0, _+_) and with
     * DuckDB's list_inner_product, which both oracle paths rely on.
@@ -765,6 +803,10 @@ object ShingleExprs {
 
   def bpeProxyCount(text: Column): Column =
     GraftSqlBridge.column(BpeProxyCount(GraftSqlBridge.expression(text)))
+
+  def sigAgreement(a: Column, b: Column): Column =
+    GraftSqlBridge.column(SigAgreement(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
   def minHashSignature(text: Column, k: Int, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(text), k, numHashes))

@@ -81,9 +81,12 @@ object Dedup {
   }
 
   /** Estimated Jaccard from two signatures: fraction of agreeing
-    * positions. */
+    * positions. Runs once per LSH candidate pair, so the agreement count
+    * is a native expression (the zip_with HOF form it replaces runs an
+    * interpreted closure per position per pair — parity asserted in
+    * ShingleExprsSpec). */
   def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
-    size(array_compact(zip_with(sigA, sigB, (x, y) => when(x === y, 1)))).cast("double") / numHashes
+    graft.functions.ShingleExprs.sigAgreement(sigA, sigB).cast("double") / numHashes
 
   /** MinHash+LSH near-duplicate pairs: shingle → minhash → band →
     * bucket-join → verify estimated Jaccard ≥ threshold.

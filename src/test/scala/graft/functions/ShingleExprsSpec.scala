@@ -111,6 +111,34 @@ class ShingleExprsSpec extends SparkSpec {
     }
   }
 
+  test("SigAgreement ≡ zip_with/array_compact form, incl. length mismatch and nulls") {
+    val cases = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 9L, 3L)),
+      (Seq(1L, 2L), Seq(1L, 2L, 3L)),          // shorter left: padded nulls count 0
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 2L)),      // shorter right
+      (Seq.empty[Long], Seq(1L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(7L, 7L, 7L), Seq(7L, 7L, 7L)))
+    cases.foreach { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val ref = size(array_compact(zip_with(col("a"), col("b"),
+        (x, y) => when(x === y, 1))))
+      val row = df.select(
+        ShingleExprs.sigAgreement(col("a"), col("b")).as("fast"), ref.as("slow"))
+        .head()
+      assert(row.getInt(0) == row.getInt(1), s"diverged on a=$a b=$b")
+    }
+    // null elements inside the arrays count 0 on either side
+    val withNulls = spark.sql(
+      """SELECT CAST(array(1, NULL, 3) AS ARRAY<BIGINT>) AS a,
+               CAST(array(1, NULL, 4) AS ARRAY<BIGINT>) AS b""")
+    val row = withNulls.select(
+      ShingleExprs.sigAgreement(col("a"), col("b")).as("fast"),
+      size(array_compact(zip_with(col("a"), col("b"),
+        (x, y) => when(x === y, 1)))).as("slow")).head()
+    assert(row.getInt(0) == row.getInt(1) && row.getInt(0) == 1)
+  }
+
   test("DotProduct ≡ aggregate(zip_with) fold, floats and doubles") {
     val df = Seq(
       (Seq(1.5f, -2.25f, 3.0f), Seq(0.5, 4.0, -1.125)),
