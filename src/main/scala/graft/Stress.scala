@@ -15,9 +15,15 @@ import org.apache.spark.sql.functions._
   * mutual near-dups at shingle-Jaccard ~0.85 — deliberately the WORST
   * case for candidate growth: every LSH bucket and every edit-distance
   * block gains ~factor members, so candidate pairs grow ~factor² per
-  * group while corpus size grows only factor×), then times each dedup
-  * query at 1× and factor× and prints per-query observed exponents
-  * e = log(t_fx / t_1x) / log(factor). Usage:
+  * group while corpus size grows only factor×). The embeddings table
+  * gets the same treatment (per-copy coordinate-slice perturbation,
+  * cosine ~0.9999). Then each dedup + similarity query is timed at 1×
+  * and factor× (observed exponent e = log(t_fx / t_1x) / log(factor)),
+  * and every boolean output column of the self-asserting queries is
+  * re-checked all-TRUE at the stressed scale — the error-bound
+  * guarantees must survive factor²-denser candidate structures, not
+  * just the oracle fixture. Exit code 1 if any bound is violated.
+  * Usage:
   *
   *   runMain graft.Stress [baseDir] [workDir] [factor]
   *
@@ -111,10 +117,34 @@ object Stress {
       System.err.println(f"[stress] $name%-20s 1x=$t1%7.2fs ${factor}x=$tf%7.2fs exponent=$e%.2f")
       (name, t1, tf, e)
     }
+    // validate, not just time: the self-asserting queries pin
+    // engine-computed bound booleans TRUE at oracle scale — they must
+    // ALSO hold at the stressed scale, where the candidate structures
+    // are ~factor² denser. Generic: every boolean output column of a
+    // stressed query must be all-TRUE at factor×.
+    var checksFailed = 0
+    (DedupQueries ++ EmbQueries).foreach { name =>
+      val out = SparkEntry.queries(name)(spark, workDir)
+      val boolCols = out.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.BooleanType).map(_.name)
+      if (boolCols.nonEmpty) {
+        val aggs = boolCols.map(c => coalesce(bool_and(col(c)), lit(true)).as(c))
+        val row = out.agg(aggs.head, aggs.drop(1).toIndexedSeq: _*).head()
+        val bad = boolCols.zipWithIndex.collect {
+          case (c, i) if !row.getBoolean(i) => c
+        }
+        if (bad.nonEmpty) checksFailed += bad.length
+        System.err.println(s"[stress-check] $name at ${factor}x: " +
+          (if (bad.isEmpty) s"all ${boolCols.length} bound booleans hold"
+           else s"VIOLATED: ${bad.mkString(", ")}"))
+      }
+      releaseCaches()
+    }
     val qs = rows.map { case (n, t1, tf, e) =>
       f""""$n":{"t_1x":$t1,"t_${factor}x":$tf,"exponent":$e%.3f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"stress","factor":$factor,"base":"$baseDir","queries":$qs}""")
+    println(s"""{"metric":"stress","factor":$factor,"base":"$baseDir","queries":$qs,"bound_checks_failed":$checksFailed}""")
     spark.stop()
+    if (checksFailed > 0) sys.exit(1)
   }
 }
