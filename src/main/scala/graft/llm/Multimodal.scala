@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, batch shape, partition-parallel
   * decode, frame explosion — is real and tested. The IMAGE codec path is
-  * real too: [[PpmCodec]] (dependency-free P6) and [[ImageIoCodec]]
-  * (PNG/JPEG/BMP/GIF via the in-JDK `javax.imageio`, headless). Only
-  * audio/video decode remains a STUB ([[FakeCodec]], deterministic fake
-  * features derived from the bytes) — the JDK ships no codec for those;
-  * swapping in a real decoder changes only the body of
-  * [[FakeCodec.decode]].
+  * real: [[PpmCodec]] (dependency-free P6) and [[ImageIoCodec]]
+  * (PNG/JPEG/BMP/GIF via the in-JDK `javax.imageio`, headless). The
+  * AUDIO codec path is real too: [[WavCodec]] (WAV/PCM 16-bit via the
+  * in-JDK `javax.sound.sampled`, headless). Only VIDEO decode remains a
+  * STUB ([[FakeCodec]], deterministic fake features derived from the
+  * bytes) — the JDK genuinely ships no video codec (no H.264/VP9/AV1
+  * anywhere in java.desktop); swapping in a real decoder changes only
+  * the body of [[FakeCodec.decode]].
   */
 object Multimodal {
 
@@ -23,9 +25,12 @@ object Multimodal {
   /** A sampled frame: (id, frameIdx, frameBytes). */
   final case class Frame(id: Long, frameIdx: Int, frame: Array[Byte])
 
-  /** STUB codec — deterministic pseudo-features from the bytes. A real
-    * implementation calls the image/audio decoder here; everything around
-    * it (distribution, batching, schema) is unchanged.
+  /** STUB codec — deterministic pseudo-features from the bytes. Images
+    * decode for real via [[PpmCodec]]/[[ImageIoCodec]] and audio via
+    * [[WavCodec]]; this stub stands in only for VIDEO (no codec exists
+    * in the JDK) and for generic opaque-payload feature extraction. A
+    * real implementation calls the decoder here; everything around it
+    * (distribution, batching, schema) is unchanged.
     *
     * The arithmetic is deliberately BOUNDED (every intermediate stays far
     * below 2^63): a position-weighted unsigned-byte sum mod a small prime,
@@ -80,8 +85,9 @@ object Multimodal {
     * encode/decode need no native library — which makes the multimodal
     * path genuinely end-to-end for images in this container: real binary
     * column in, real parse + pixel math out. Compressed images (PNG/JPEG)
-    * go through [[ImageIoCodec]]; only audio/video (WAV, H.264) remain
-    * behind [[FakeCodec]] with the same plumbing. */
+    * go through [[ImageIoCodec]], audio (WAV/PCM) through [[WavCodec]];
+    * only video (H.264) remains behind [[FakeCodec]] with the same
+    * plumbing. */
   object PpmCodec {
     /** Synthesize a P6 image from a pixel function (fixture builder). */
     def encode(width: Int, height: Int,
@@ -151,8 +157,9 @@ object Multimodal {
     * codec). JPEG is lossy but mean-preserving (DCT DC coefficients carry
     * block averages), so its gate is the self-asserting form: exact
     * geometry plus decoded-mean-within-tolerance booleans against
-    * encode-time ground truth. Audio/video remain behind [[FakeCodec]] —
-    * the JDK genuinely has no codec for those. */
+    * encode-time ground truth. Audio goes through [[WavCodec]]; only
+    * video remains behind [[FakeCodec]] — the JDK genuinely has no
+    * codec for that. */
   object ImageIoCodec {
     // Must win the race with AWT class initialization: ImageIO pulls in
     // java.awt classes that consult this property once, executors included.
@@ -222,6 +229,107 @@ object Multimodal {
       val n = (w.toLong * h).toDouble
       ImageStats(id, w, h, r / n, g / n, b / n)
     }
+  }
+
+  /** REAL audio codec via the in-JDK `javax.sound.sampled` (ships in
+    * the `java.desktop` module of JDK 17 and runs fully headless — no
+    * AWT, no native library). WAV container + PCM_SIGNED 16-bit
+    * little-endian samples are LOSSLESS: decoded samples equal the
+    * synthesized waveform bit-for-bit, so exact per-channel integer
+    * sums replay in plain SQL — a FULL oracle through a real audio
+    * format, the same strength as the PNG leg (and strictly stronger
+    * than a tolerance self-assert). A decoder that mis-parses the
+    * header (sample rate, channel count, frame count), byte order, or
+    * channel interleaving flips an exact integer column. */
+  object WavCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Synthesize a PCM_SIGNED 16-bit little-endian stereo-capable WAV
+      * from a sample function (fixture builder): sample(channel, frame)
+      * → signed 16-bit amplitude. */
+    def encode(sampleRate: Int, channels: Int, nFrames: Int,
+               sample: (Int, Int) => Short): Array[Byte] = {
+      require(sampleRate > 0 && channels > 0 && nFrames > 0)
+      val data = new Array[Byte](nFrames * channels * 2)
+      var i = 0
+      var idx = 0
+      while (i < nFrames) {
+        var ch = 0
+        while (ch < channels) {
+          val s = sample(ch, i)
+          data(idx) = (s & 0xff).toByte // little-endian sample bytes
+          data(idx + 1) = ((s >> 8) & 0xff).toByte
+          idx += 2; ch += 1
+        }
+        i += 1
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, channels, channels * 2, sampleRate.toFloat,
+        /* bigEndian = */ false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val out = new ByteArrayOutputStream()
+      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out) finally ais.close()
+      out.toByteArray
+    }
+
+    /** Decode a WAV payload → format metadata plus exact per-channel
+      * integer sample sums (first two channels) and RMS amplitudes.
+      * Integer sums are the oracle surface; RMS is
+      * sqrt(exact-integer-sum-of-squares / frames), one division + one
+      * correctly-rounded sqrt, so it is bit-reproducible across engines. */
+    def decodeStats(id: Long, bytes: Array[Byte]): AudioStats = {
+      val ais =
+        try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"payload for id=$id is not a decodable audio stream", e)
+        }
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"payload for id=$id is not 16-bit signed little-endian PCM ($fmt)")
+        val channels = fmt.getChannels
+        val data = ais.readAllBytes()
+        val frameBytes = channels * 2
+        require(frameBytes > 0 && data.length % frameBytes == 0,
+          s"truncated PCM frame data for id=$id")
+        val nFrames = data.length / frameBytes
+        val sums = new Array[Long](channels)
+        val sq = new Array[Long](channels)
+        var idx = 0
+        while (idx < data.length) {
+          val ch = (idx / 2) % channels
+          // low byte unsigned OR high byte signed = the 16-bit amplitude
+          val s = ((data(idx) & 0xff) | (data(idx + 1).toInt << 8)).toLong
+          sums(ch) += s
+          sq(ch) += s * s
+          idx += 2
+        }
+        def rms(ch: Int): Double =
+          if (ch < channels && nFrames > 0) math.sqrt(sq(ch).toDouble / nFrames)
+          else 0.0
+        AudioStats(id, math.round(fmt.getSampleRate), channels, nFrames.toLong,
+          if (channels > 0) sums(0) else 0L, if (channels > 1) sums(1) else 0L,
+          rms(0), rms(1))
+      } finally ais.close()
+    }
+  }
+
+  /** Decoded audio statistics: exact integer per-channel sample sums
+    * (bit-reproducible across engines) plus derived RMS amplitudes. */
+  final case class AudioStats(id: Long, sample_rate: Int, channels: Int,
+                              n_frames: Long, sum_l: Long, sum_r: Long,
+                              rms_l: Double, rms_r: Double)
+
+  /** Partition-parallel decode of real WAV/PCM payloads through
+    * [[WavCodec]] — identical bundle shape to [[decodeImageStatsIo]],
+    * genuinely containerized audio payloads. */
+  def decodeAudioStats(media: Dataset[(Long, Array[Byte])])(
+      implicit spark: SparkSession): Dataset[AudioStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { case (id, bytes) => WavCodec.decodeStats(id, bytes) })
   }
 
   /** Partition-parallel decode of real compressed images (PNG/JPEG/…)

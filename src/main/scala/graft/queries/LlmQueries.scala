@@ -551,6 +551,32 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL audio decode end-to-end: synthesize genuine WAV containers
+    // (PCM_SIGNED 16-bit little-endian stereo, per-doc sample rate and
+    // frame count, deterministic integer waveform) via the in-JDK
+    // javax.sound.sampled, decode them back partition-parallel, reduce
+    // to exact per-channel integer sums. PCM is lossless, so the oracle
+    // replays the waveform arithmetic without touching bytes — a FULL
+    // oracle through a real audio format (the q_multimodal_png shape
+    // for sound). Varying sample rate AND frame count per doc proves
+    // the header parse; stereo proves channel interleaving; the exact
+    // sums prove byte order and sign handling.
+    "q_multimodal_wav" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val wavs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+        .map { id =>
+          val sr = (8000 + id % 3 * 4000).toInt
+          val nf = (600 + id % 5 * 37).toInt
+          (id, Multimodal.WavCodec.encode(sr, 2, nf,
+            (ch, i) => ((id * 31 + ch * 17 + i * 7) % 65536 - 32768).toShort))
+        }
+      Multimodal.decodeAudioStats(wavs)
+        .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), col("sum_l"), col("sum_r"), col("rms_l"), col("rms_r"))
+        .orderBy(col("doc_id"))
+    },
+
     // Multimodal plumbing: synthetic media structs → partition-parallel
     // stub decode → feature rows. FakeCodec's bounded integer arithmetic
     // (position-weighted byte sum + LCG mod a small prime) replays
@@ -1940,6 +1966,27 @@ object LlmQueries {
            CAST(list_sum(list_transform(range(0, 128),
              p -> (doc_id * 13 + p * 3) % 256)) AS DOUBLE) / 128.0 AS mean_b
          FROM documents ORDER BY doc_id""",
+    // FULL oracle through a real audio codec: PCM 16-bit is lossless,
+    // so the decoded per-channel sums are the waveform function's exact
+    // integer sums, and RMS is one exact-integer division + sqrt.
+    "q_multimodal_wav" ->
+      """WITH p AS (SELECT doc_id,
+           CAST(600 + doc_id % 5 * 37 AS BIGINT) AS nf FROM documents)
+         SELECT doc_id,
+           CAST(8000 + doc_id % 3 * 4000 AS INTEGER) AS sample_rate,
+           2 AS channels,
+           nf AS n_frames,
+           CAST(list_sum(list_transform(range(0, nf),
+             i -> (doc_id * 31 + i * 7) % 65536 - 32768)) AS BIGINT) AS sum_l,
+           CAST(list_sum(list_transform(range(0, nf),
+             i -> (doc_id * 31 + 17 + i * 7) % 65536 - 32768)) AS BIGINT) AS sum_r,
+           sqrt(CAST(list_sum(list_transform(range(0, nf),
+             i -> ((doc_id * 31 + i * 7) % 65536 - 32768)
+                * ((doc_id * 31 + i * 7) % 65536 - 32768))) AS DOUBLE) / nf) AS rms_l,
+           sqrt(CAST(list_sum(list_transform(range(0, nf),
+             i -> ((doc_id * 31 + 17 + i * 7) % 65536 - 32768)
+                * ((doc_id * 31 + 17 + i * 7) % 65536 - 32768))) AS DOUBLE) / nf) AS rms_r
+         FROM p ORDER BY doc_id""",
     // Self-asserting JPEG gate: exact geometry, decoded-mean-within-
     // tolerance booleans pinned TRUE.
     "q_multimodal_jpeg" ->

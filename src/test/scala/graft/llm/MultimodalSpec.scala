@@ -117,6 +117,51 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(st.mean_b - exp.map(_._3).sum / n) <= 3.0)
   }
 
+  test("WavCodec: encode→decode round-trips format, frames, and exact samples") {
+    // stereo, distinct per-channel waveforms — proves interleaving order
+    val wav = Multimodal.WavCodec.encode(12000, 2, 100,
+      (ch, i) => (if (ch == 0) i * 3 - 50 else -i * 2 + 7).toShort)
+    // RIFF....WAVE container magic
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val st = Multimodal.WavCodec.decodeStats(9L, wav)
+    assert(st.sample_rate == 12000 && st.channels == 2 && st.n_frames == 100L)
+    assert(st.sum_l == (0 until 100).map(i => i * 3 - 50).sum.toLong)
+    assert(st.sum_r == (0 until 100).map(i => -i * 2 + 7).sum.toLong)
+    val sqL = (0 until 100).map(i => (i * 3 - 50).toLong * (i * 3 - 50)).sum
+    assert(st.rms_l == math.sqrt(sqL.toDouble / 100))
+    // deterministic encoder
+    assert(Multimodal.WavCodec.encode(12000, 2, 100,
+      (ch, i) => (if (ch == 0) i * 3 - 50 else -i * 2 + 7).toShort).toSeq == wav.toSeq)
+  }
+
+  test("WavCodec: full-scale negative amplitudes survive byte-order round-trip") {
+    val extremes = Array[Short](Short.MinValue, -1, 1, Short.MaxValue)
+    val wav = Multimodal.WavCodec.encode(8000, 1, 4, (_, i) => extremes(i))
+    val st = Multimodal.WavCodec.decodeStats(1L, wav)
+    assert(st.channels == 1 && st.n_frames == 4L)
+    assert(st.sum_l == (-32768L - 1L + 1L + 32767L) && st.sum_r == 0L)
+  }
+
+  test("WavCodec: non-audio payload fails fast with the id in the error") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.WavCodec.decodeStats(77L, "definitely not a wav".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("77"))
+  }
+
+  test("decodeAudioStats: real distributed decode of WAV payloads") {
+    val wavs = spark.createDataset(Seq(
+      (1L, Multimodal.WavCodec.encode(8000, 2, 10, (ch, i) => (ch * 100 + i).toShort)),
+      (2L, Multimodal.WavCodec.encode(16000, 2, 20, (_, _) => 5.toShort))))
+    val out = Multimodal.decodeAudioStats(wavs).collect().map(s => s.id -> s).toMap
+    assert(out(1L).sample_rate == 8000 && out(1L).n_frames == 10L)
+    assert(out(1L).sum_l == (0 until 10).sum.toLong)
+    assert(out(1L).sum_r == (0 until 10).map(_ + 100).sum.toLong)
+    assert(out(2L).sample_rate == 16000 && out(2L).sum_l == 100L && out(2L).sum_r == 100L)
+    assert(out(2L).rms_l == 5.0)
+  }
+
   test("ImageIoCodec: non-image payload fails fast with the id in the error") {
     val e = intercept[Exception] {
       Multimodal.ImageIoCodec.decodeStats(42L, "not an image at all".getBytes("UTF-8"))
