@@ -1,9 +1,10 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-stress harness for the dedup family (dev tool, not a driver gate).
+/** Scale-stress harness for the dedup + similarity + contamination
+  * families (dev tool, not a driver gate).
   *
   * The per-round bench runs every query at ONE scale (sf0.1), which can
   * hide a super-linear constant in the candidate-pair joins: LSH-bucket
@@ -17,7 +18,11 @@ import org.apache.spark.sql.functions._
   * block gains ~factor members, so candidate pairs grow ~factor² per
   * group while corpus size grows only factor×). The embeddings table
   * gets the same treatment (per-copy coordinate-slice perturbation,
-  * cosine ~0.9999). Then each dedup + similarity query is timed at 1×
+  * cosine ~0.9999). The contamination + cross-corpus queries ride the
+  * same construction from the other side: their probes / reference
+  * split derive from the same documents table, so each probe n-gram and
+  * each reference shingle becomes a hot key with ~factor× the matching
+  * corpus rows — the viral-probe case. Then each query is timed at 1×
   * and factor× (observed exponent e = log(t_fx / t_1x) / log(factor)),
   * and every boolean output column of the self-asserting queries is
   * re-checked all-TRUE at the stressed scale — the error-bound
@@ -25,21 +30,34 @@ import org.apache.spark.sql.functions._
   * just the oracle fixture. Exit code 1 if any bound is violated.
   * Usage:
   *
-  *   runMain graft.Stress [baseDir] [workDir] [factor]
+  *   runMain graft.Stress [baseDir] [workDir] [factor] [q1,q2,…]
   *
-  * Results are recorded in SCALING.md §"Measured".
+  * (4th arg restricts the sweep to a query subset — for re-measuring one
+  * family without paying for the rest.) Results are recorded in
+  * SCALING.md §"Measured". The factor-2 sf0.001 pocket version of the
+  * bound-check half runs inside `sbt test` (StressSpec) so the
+  * self-assert bounds can't rot unobserved between manual runs.
   */
 object Stress {
-  private val DedupQueries = Seq(
+  val DedupQueries = Seq(
     "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
     "q_editdist_neardup")
   /** same worst-case construction for the embedding family: every
     * vector's copies are mutual near-dups at cosine ~0.9999, so SemDeDup
     * clusters, SRP buckets, and neardup candidate groups all gain
     * ~factor members */
-  private val EmbQueries = Seq(
+  val EmbQueries = Seq(
     "q_semdedup", "q_embedding_neardup", "q_similarity_srp",
     "q_similarity_ivf")
+  /** probe-hit / containment joins with the hot-key risk profile: a
+    * probe n-gram (or reference shingle) shared by many corpus near-dups
+    * is one join key with ~factor× matches — quadratic only if the plan
+    * degrades to a per-group product instead of staying an equi-join */
+  val ContamQueries = Seq(
+    "q_contamination_exact", "q_contamination_ngram",
+    "q_contamination_full", "q_crosscorpus_dedup")
+
+  def allQueries: Seq[String] = DedupQueries ++ EmbQueries ++ ContamQueries
 
   private def releaseCaches(): Unit = {
     graft.llm.Dedup.releasePersistedState()
@@ -48,18 +66,9 @@ object Stress {
     graft.llm.Boilerplate.releasePersistedState()
   }
 
-  def main(args: Array[String]): Unit = {
-    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
-    val workDir = args.lift(1).getOrElse("/tmp/graft_stress")
-    val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
+  /** Duplicate+perturb `baseDir`'s documents + embeddings `factor`× into
+    * `workDir` — the worst-case near-dup-dense corpus described above. */
+  def blowUp(spark: SparkSession, baseDir: String, workDir: String, factor: Int): Unit = {
     // duplicate + perturb: token positions (i + 7c) % 37 == 0 get a
     // copy-specific suffix, so each copy differs from the original (and
     // from every other copy) in a distinct ~2.7% token slice.
@@ -91,12 +100,57 @@ object Stress {
       .drop("copy")
     blownEmb.repartition(32).write.mode("overwrite")
       .parquet(s"$workDir/embeddings.parquet")
+  }
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Validate, not just time: the self-asserting queries pin
+    * engine-computed bound booleans TRUE at oracle scale — they must
+    * ALSO hold at the stressed scale, where the candidate structures are
+    * ~factor² denser. Generic: every boolean output column of a stressed
+    * query must be all-TRUE. Returns the violated columns per query
+    * (empty map = all bounds hold). */
+  def boundViolations(spark: SparkSession, dir: String,
+                      queries: Seq[String]): Map[String, Seq[String]] =
+    queries.flatMap { name =>
+      val out = SparkEntry.queries(name)(spark, dir)
+      val boolCols = out.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.BooleanType).map(_.name)
+      val bad =
+        if (boolCols.isEmpty) Nil
+        else
+          try {
+            val aggs = boolCols.map(c => coalesce(bool_and(col(c)), lit(true)).as(c))
+            val row = out.agg(aggs.head, aggs.drop(1).toIndexedSeq: _*).head()
+            boolCols.zipWithIndex.collect {
+              case (c, i) if !row.getBoolean(i) => c
+            }.toSeq
+          } finally releaseCaches()
+      if (boolCols.isEmpty) None else Some(name -> bad)
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("/tmp/graft_stress")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val only = args.lift(3).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val queries = only.getOrElse(allQueries)
+    val unknown = queries.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown stress queries: ${unknown.mkString(", ")}")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    blowUp(spark, baseDir, workDir, factor)
 
     // same discipline as Bench: warm codegen at the smallest fixture,
     // then best-of-2 timed runs per (query, scale).
-    def force(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    (DedupQueries ++ EmbQueries).foreach { name =>
+    queries.foreach { name =>
       try force(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
       finally releaseCaches()
     }
@@ -110,36 +164,20 @@ object Stress {
       }
       runs.min
     }
-    val rows = (DedupQueries ++ EmbQueries).map { name =>
+    val rows = queries.map { name =>
       val t1 = time(name, baseDir)
       val tf = time(name, workDir)
       val e = math.log(tf / t1) / math.log(factor.toDouble)
       System.err.println(f"[stress] $name%-20s 1x=$t1%7.2fs ${factor}x=$tf%7.2fs exponent=$e%.2f")
       (name, t1, tf, e)
     }
-    // validate, not just time: the self-asserting queries pin
-    // engine-computed bound booleans TRUE at oracle scale — they must
-    // ALSO hold at the stressed scale, where the candidate structures
-    // are ~factor² denser. Generic: every boolean output column of a
-    // stressed query must be all-TRUE at factor×.
-    var checksFailed = 0
-    (DedupQueries ++ EmbQueries).foreach { name =>
-      val out = SparkEntry.queries(name)(spark, workDir)
-      val boolCols = out.schema.fields
-        .filter(_.dataType == org.apache.spark.sql.types.BooleanType).map(_.name)
-      if (boolCols.nonEmpty) {
-        val aggs = boolCols.map(c => coalesce(bool_and(col(c)), lit(true)).as(c))
-        val row = out.agg(aggs.head, aggs.drop(1).toIndexedSeq: _*).head()
-        val bad = boolCols.zipWithIndex.collect {
-          case (c, i) if !row.getBoolean(i) => c
-        }
-        if (bad.nonEmpty) checksFailed += bad.length
-        System.err.println(s"[stress-check] $name at ${factor}x: " +
-          (if (bad.isEmpty) s"all ${boolCols.length} bound booleans hold"
-           else s"VIOLATED: ${bad.mkString(", ")}"))
-      }
-      releaseCaches()
+    val violations = boundViolations(spark, workDir, queries)
+    violations.foreach { case (name, bad) =>
+      System.err.println(s"[stress-check] $name at ${factor}x: " +
+        (if (bad.isEmpty) "all bound booleans hold"
+         else s"VIOLATED: ${bad.mkString(", ")}"))
     }
+    val checksFailed = violations.valuesIterator.map(_.length).sum
     val qs = rows.map { case (n, t1, tf, e) =>
       f""""$n":{"t_1x":$t1,"t_${factor}x":$tf,"exponent":$e%.3f}"""
     }.mkString("{", ",", "}")

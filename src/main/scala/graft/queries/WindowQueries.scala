@@ -49,6 +49,27 @@ object WindowQueries {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // Sessions with a PER-ROW dynamic gap (the sessionsDynamic superset):
+    // each event extends its session by length(event_type)*3 minutes, so
+    // different event types keep sessions alive for different spans.
+    // Merge rule: sorted by ts, a row starts a new session iff its ts is
+    // >= the running max of previous (ts + gap) — end-exclusive, matching
+    // session_window — which the oracle replays as a window-function
+    // island computation.
+    "q_session_dynamic" -> { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(col("user_id"),
+          Windows.sessionsDynamic(col("ts"),
+            // session_window demands CalendarIntervalType for dynamic gaps
+            expr("make_interval(0, 0, 0, 0, 0, length(event_type) * 3, 0)")).as("w"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(
+          col("user_id"),
+          date_trunc("second", col("w.start")).as("session_start"),
+          col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     // CalendarWindows.months over orders.
     "q_calendar_window" -> { (s, dir) =>
       Tables(s, dir).orders
@@ -117,6 +138,27 @@ object WindowQueries {
          sess AS (
            SELECT user_id, ts, value,
              sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+           FROM flagged)
+         SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+    "q_session_dynamic" ->
+      """WITH iv AS (
+           SELECT user_id, ts, value,
+             ts + length(event_type) * 3 * INTERVAL '1 minute' AS te
+           FROM events),
+         flagged AS (
+           SELECT user_id, ts, value, te,
+             CASE WHEN max(te) OVER pw IS NULL OR ts >= max(te) OVER pw
+                  THEN 1 ELSE 0 END AS new_s
+           FROM iv
+           WINDOW pw AS (PARTITION BY user_id ORDER BY ts, te
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         sess AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, te) AS sid
            FROM flagged)
          SELECT user_id, date_trunc('second', min(ts)) AS session_start,
            count(*) AS n,
