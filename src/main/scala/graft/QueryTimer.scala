@@ -23,11 +23,18 @@ object QueryTimer {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       if (explain) fn(spark, sfDir).explain("formatted")
+      // row count observed ON the timed execution (an extra count() run
+      // would double tool runtime AND report rows from a different
+      // execution than the timed one — visible for hash-seeded queries)
+      val obs = org.apache.spark.sql.Observation()
       val t0 = System.nanoTime()
       // noop sink: full-plan execution (count() would prune projections)
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      fn(spark, sfDir)
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+        .write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
-      val n = fn(spark, sfDir).count()
+      val n = obs.get("rows")
       println(f"[timer] $name rows=$n time=$secs%.2f s")
       graft.llm.Dedup.releasePersistedState()
       graft.llm.Similarity.releasePersistedState()
@@ -37,3 +44,4 @@ object QueryTimer {
     spark.stop()
   }
 }
+

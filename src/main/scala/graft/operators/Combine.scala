@@ -257,13 +257,20 @@ object Combine {
     // equal, and exchange reuse fails — re-executing the whole scan +
     // scoring + range-sampling pipeline for the offsets read. Reusing the
     // existing attribute keeps both branches byte-identical below the
-    // exchange.
-    // (a bare column's toString IS its name; Spark 4's Column no longer
-    // exposes .expr, and a composite expression's toString can't collide
-    // with a real column name short of pathological naming)
-    val (ranged0, vcol, vName) =
-      if (df.columns.contains(value.toString)) (df, value, value.toString)
-      else (df.withColumn("__v", value), col("__v"), "__v")
+    // exchange. The fast path requires the expression to RESOLVE to a
+    // bare attribute (not merely have a toString matching a column name:
+    // lit(1) next to a column named "1" must not silently substitute the
+    // column), and the temp-column path picks a name that cannot clobber
+    // an input column literally named "__v".
+    val bareName =
+      org.apache.spark.sql.graftglue.GraftSqlBridge.bareAttributeName(value)
+    val (ranged0, vcol, vName, tempCol) = bareName.filter(df.columns.contains) match {
+      case Some(n) => (df, col(n), n, false)
+      case None =>
+        val fresh = Iterator.from(0).map(i => if (i == 0) "__v" else s"__v$i")
+          .find(n => !df.columns.contains(n)).get
+        (df.withColumn(fresh, value), col(fresh), fresh, true)
+    }
     // numPartitions = 0: planner default (AQE may coalesce small inputs);
     // explicit value pins the fan-out (AQE honors user-specified counts)
     val ranged = (if (numPartitions > 0)
@@ -295,7 +302,7 @@ object Combine {
     val joined = ranged.join(broadcast(offsets), Seq("__pid"))
       .withColumn(cumCol, sum(vcol).over(w) + col("__off"))
       .drop("__pid", "__off")
-    if (vName == "__v") joined.drop("__v") else joined
+    if (tempCol) joined.drop(vName) else joined
   }
 
   /** Global 1-based rank in `orderCols` order — the value-agnostic fast
@@ -431,3 +438,4 @@ object Combine {
     }
   }
 }
+

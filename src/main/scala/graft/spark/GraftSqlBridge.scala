@@ -17,6 +17,19 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The name of a bare single-part attribute column (what `col("name")`
+    * builds), else None. Inspects the Column's NODE — the converted
+    * expression is a lazy ColumnNodeExpression wrapper that never
+    * pattern-matches as an Attribute, and the node types are private[sql],
+    * hence this shim. Used to decide when an expression can reuse an
+    * existing attribute instead of being aliased to a temp column. */
+  def bareAttributeName(c: Column): Option[String] = c.node match {
+    case a: org.apache.spark.sql.internal.UnresolvedAttribute
+        if a.nameParts.length == 1 && !a.isMetadataColumn =>
+      Some(a.nameParts.head)
+    case _ => None
+  }
+
   /** Register a function on an ALREADY-RUNNING session (extensions only
     * apply at session construction; the registry lives behind
     * private[sql] sessionState). */

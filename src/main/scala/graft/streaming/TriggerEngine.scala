@@ -447,14 +447,15 @@ object TriggerEngine {
   final class ProcessingTimePaneProcessor[K, V, Acc, Out](
       delayMs: Long,
       mode: AccumulationMode,
-      combine: CombineFn[V, Acc, Out])
+      combine: CombineFn[V, Acc, Out],
+      stateTtl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[K, (K, V), Pane[K, Out]] {
 
     @transient private var state: ValueState[GlobalPaneState[Acc]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[GlobalPaneState[Acc]](
-        "global", Encoders.kryo[GlobalPaneState[Acc]], TTLConfig.NONE)
+        "global", Encoders.kryo[GlobalPaneState[Acc]], stateTtl)
 
     private def fresh(): GlobalPaneState[Acc] =
       GlobalPaneState(combine.createAccumulator(), combine.createAccumulator(),
@@ -510,15 +511,26 @@ object TriggerEngine {
   }
 
   /** Wall-clock paned aggregation over a keyed unbounded stream: one pane
-    * per key every `delay` of processing time while data is pending. */
+    * per key every `delay` of processing time while data is pending.
+    *
+    * `stateTtl` bounds per-key state retention: with the default
+    * TTLConfig.NONE a key's state (including the Accumulating-mode
+    * all-time accumulator) lives forever — correct for a genuine
+    * GlobalWindows aggregation over a bounded key domain, UNBOUNDED if
+    * the key domain itself grows (e.g. synthetic (key, window) keys; see
+    * [[windowedAggregateWithWallClockNudge]], which passes a
+    * window-derived TTL). With a TTL, state not updated within the
+    * duration is evicted — a key quiet longer than the TTL restarts its
+    * accumulator and pane numbering from scratch on the next arrival. */
   def processingTimeAggregate[K, V, Acc, Out](
       input: Dataset[(K, V)],
       delay: java.time.Duration,
       mode: AccumulationMode,
-      combine: CombineFn[V, Acc, Out])(
+      combine: CombineFn[V, Acc, Out],
+      stateTtl: TTLConfig = TTLConfig.NONE)(
       implicit ek: Encoder[K], ep: Encoder[Pane[K, Out]]): Dataset[Pane[K, Out]] = {
     val proc = new ProcessingTimePaneProcessor[K, V, Acc, Out](
-      delay.toMillis, mode, combine)
+      delay.toMillis, mode, combine, stateTtl)
     input.groupByKey(_._1)
       .transformWithState(proc, TimeMode.ProcessingTime(), OutputMode.Append())
   }
@@ -601,7 +613,21 @@ object TriggerEngine {
     * best-effort), and the event-time leg remains the source of truth
     * for on-time/late/final semantics. Consumers that want at most one
     * live value per (key, window) de-duplicate on (key, windowStart,
-    * timing == "EARLY_WALL") downstream. */
+    * timing == "EARLY_WALL") downstream.
+    *
+    * State retention: the nudge leg's key domain is (key, windowStart) —
+    * one NEW key per elapsed window per user key, so on an unbounded
+    * stream it grows forever if never GC'd. The leg therefore runs with
+    * a state TTL of windowSize + allowedLateness + 2·nudgeDelay: once a
+    * window can no longer receive data (and its last nudge pane has had
+    * time to fire), its state is evicted and the store stays bounded by
+    * the keys active inside one retention span. The TTL clock is
+    * PROCESSING time since last update, so the one edge it shaves is a
+    * stream that stalls longer than the retention span mid-window and
+    * then delivers more rows for it — those restart the nudge
+    * accumulator from empty, under-reporting that window's remaining
+    * EARLY_WALL previews (acceptable for a best-effort preview leg; the
+    * event-time leg's panes are unaffected). */
   def windowedAggregateWithWallClockNudge[K, V, Acc, Out](
       input: Dataset[(K, Timestamp, V)],
       windowSize: java.time.Duration,
@@ -619,7 +645,9 @@ object TriggerEngine {
     val keyed = input.map { case (k, t, v) =>
       ((k, t.getTime - Math.floorMod(t.getTime, wMs)), v)
     }
-    val wallPanes = processingTimeAggregate(keyed, nudgeDelay, mode, combine)(
+    val nudgeTtl = TTLConfig(java.time.Duration.ofMillis(
+      windowSize.toMillis + allowedLateness.toMillis + 2L * nudgeDelay.toMillis))
+    val wallPanes = processingTimeAggregate(keyed, nudgeDelay, mode, combine, nudgeTtl)(
         org.apache.spark.sql.Encoders.tuple(ek, org.apache.spark.sql.Encoders.scalaLong),
         epw)
       .map { p =>
@@ -652,3 +680,4 @@ object TriggerEngine {
       .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
   }
 }
+

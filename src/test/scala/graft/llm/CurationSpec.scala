@@ -130,6 +130,24 @@ class CurationSpec extends SparkSpec {
       "range repartition must fan out so the windowed sum stays distributed")
   }
 
+  test("prefixSum: a literal colliding with a column named '1' is not substituted") {
+    // the fast path must require a BARE attribute: lit(1).toString == "1",
+    // and a column literally named "1" must not be silently summed instead
+    val df = (1L to 10L).map(i => (i, 100L)).toDF("id", "1")
+    val out = Combine.prefixSum(df, Seq(col("id").asc), lit(1L), "cum")
+      .orderBy("id").collect().map(_.getAs[Long]("cum"))
+    assert(out.toSeq === (1L to 10L).toSeq, "lit(1) must sum as 1 per row, not column '1'")
+  }
+
+  test("prefixSum: an input column literally named __v survives the temp path") {
+    val df = (1L to 5L).map(i => (i, i * 10L)).toDF("id", "__v")
+    val out = Combine.prefixSum(df, Seq(col("id").asc), col("id") * 2, "cum")
+    assert(out.columns.contains("__v"), "input column __v must not be dropped")
+    val rows = out.orderBy("id").collect()
+    assert(rows.map(_.getAs[Long]("__v")).toSeq === Seq(10L, 20L, 30L, 40L, 50L))
+    assert(rows.map(_.getAs[Long]("cum")).toSeq === Seq(2L, 6L, 12L, 20L, 30L))
+  }
+
   test("semDedup: drops within-cluster near-identical vectors, keeps min id") {
     val mk = (base: Double) => Array.tabulate(4)(i => (base + i).toFloat)
     val corpus = Seq(
