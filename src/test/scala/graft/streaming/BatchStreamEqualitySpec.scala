@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   * exact decimal addition → one final doubleValue), so sums compare
   * bit-for-bit even though arrival order differs from scan order.
   */
+/** Per-row dynamic gap carried in the value: assign [ts, ts + gapMs).
+  * Top-level so the serialized processor does not drag the suite along. */
+final case class GapFromValue() extends SessionEngine.MergingWindowAssigner[Long, (Double, Long)] {
+  def assign(key: Long, tsMs: Long, v: (Double, Long)): (Long, Long) = (tsMs, tsMs + v._2)
+}
+
 class BatchStreamEqualitySpec extends SparkSpec {
   import spark.implicits._
 
@@ -121,6 +127,82 @@ class BatchStreamEqualitySpec extends SparkSpec {
       ds => TriggerEngine.slidingWindowedAggregate(ds, Duration.ofHours(1),
         Duration.ofMinutes(30), Duration.ZERO, TriggerSpec.default, Accumulating, CountFn))
     val got = panes.map(p => (p.windowStart, p.value)).toSet
+    assert(got == batch)
+  }
+
+  test("batch ≡ stream: DYNAMIC-gap sessions — custom merging assigner matches session_window") {
+    // The strongest cross-check of the custom merging WindowFn engine:
+    // sessionAggregateWith with a per-row gap assigner must reproduce
+    // Spark's own dynamic session_window (the q_session_dynamic batch
+    // query) row-for-row on the real fixture.
+    object CountDsum2Fn
+        extends CombineFn[(Double, Long), (Long, java.math.BigDecimal), (Long, Double)] {
+      private def dec(v: Double): java.math.BigDecimal =
+        java.math.BigDecimal.valueOf(v).setScale(4, java.math.RoundingMode.HALF_UP)
+      def createAccumulator(): (Long, java.math.BigDecimal) =
+        (0L, java.math.BigDecimal.ZERO)
+      def addInput(acc: (Long, java.math.BigDecimal), in: (Double, Long)): (Long, java.math.BigDecimal) =
+        (acc._1 + 1L, acc._2.add(dec(in._1)))
+      def mergeAccumulators(a: (Long, java.math.BigDecimal),
+                            b: (Long, java.math.BigDecimal)): (Long, java.math.BigDecimal) =
+        (a._1 + b._1, a._2.add(b._2))
+      def extractOutput(acc: (Long, java.math.BigDecimal)): (Long, Double) =
+        (acc._1, acc._2.doubleValue)
+    }
+
+    val evs = events.select(col("user_id"), col("ts"), col("value"),
+        (length(col("event_type")).cast("long") * 3L * 60000L).as("gap_ms"))
+      .as[(Long, Timestamp, Double, Long)].collect().toSeq
+
+    // ms- vs µs-precision boundary guard, dynamic-gap version: sweep each
+    // user's rows in µs and require every merge decision to be ≥ 2 ms
+    // away from the running-max session end (see the fixed-gap test).
+    def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    evs.groupBy(_._1).values.foreach { rows =>
+      var maxEnd = Long.MinValue
+      rows.sortBy(r => micros(r._2)).foreach { r =>
+        val t = micros(r._2)
+        if (maxEnd != Long.MinValue)
+          assert(math.abs(t - maxEnd) >= 2000L,
+            "fixture has a dynamic-gap merge decision at the ms/µs boundary")
+        maxEnd = math.max(maxEnd, t + r._4 * 1000L)
+      }
+    }
+
+    val batch = events
+      .groupBy(col("user_id"),
+        Windows.sessionsDynamic(col("ts"),
+          expr("make_interval(0, 0, 0, 0, 0, length(event_type) * 3, 0)")).as("w"))
+      .agg(count(lit(1)).as("n"), graft.queries.QueryUtil.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        date_trunc("second", col("w.start")).as("session_start"),
+        col("n"), col("sum_value"))
+      .as[(Long, Timestamp, Long, Double)].collect().toSet
+    assert(batch.nonEmpty)
+
+    val rows = evs.map { case (u, t, v, g) => (u, t, (v, g)) }
+    val maxTsMs = rows.map(_._2.getTime).max
+
+    val input = MemoryStream[(Long, Timestamp, (Double, Long))](912, spark, None)
+    val panes = SessionEngine.sessionAggregateWith(input.toDS(), GapFromValue(),
+      Duration.ZERO, earlyPerBatch = false, Accumulating, CountDsum2Fn)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bse-dyn").toString
+    val q = panes.writeStream.format("memory").queryName("bse_dynamic")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      input.addData(Seq((-1L, new Timestamp(maxTsMs + 6 * 3600 * 1000L), (0.0, 60000L))))
+      q.processAllAvailable()
+      input.addData(Seq((-1L, new Timestamp(maxTsMs + 7 * 3600 * 1000L), (0.0, 60000L))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bse_dynamic").as[Pane[Long, (Long, Double)]].collect().toSeq
+      .filter(_.key != -1L)
+      .map { p =>
+        (p.key, new Timestamp(p.windowStart.getTime / 1000L * 1000L),
+          p.value._1, p.value._2)
+      }.toSet
     assert(got == batch)
   }
 
