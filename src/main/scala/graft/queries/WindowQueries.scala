@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -115,6 +115,46 @@ object WindowQueries {
         .select(col("user_id"), col("w_start"), col("w_end"), col("n"))
         .orderBy(col("user_id"), col("w_start"))
     },
+
+    // Stream-stream windowed CoGroupByKey, batch-executed: the IDENTICAL
+    // code path runs on two unbounded streams (StreamJoinSpec proves
+    // batch ≡ stream); this query puts the batch leg under the DuckDB
+    // oracle. Sides split portably by event-type length parity. Per-side
+    // array sums accumulate in DECIMAL so they are order-independent.
+    "q_stream_cogbk" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val a = ev.filter(length(col("event_type")) % 2 === 0)
+      val b = ev.filter(length(col("event_type")) % 2 === 1)
+      def dsumArr(c: Column): Column =
+        aggregate(c, lit(0).cast("decimal(38,4)"),
+          (acc, x) => acc + x.cast("decimal(18,4)")).cast("double")
+      graft.streaming.StreamOps.streamCoGroupByKey(
+          a, b, Seq("user_id"), "ts", "1 hour", "10 minutes",
+          col("value"), col("value"))
+        .select(col("window.start").as("w_start"), col("user_id"),
+          size(col("a_values")).as("n_a"), dsumArr(col("a_values")).as("sum_a"),
+          size(col("b_values")).as("n_b"), dsumArr(col("b_values")).as("sum_b"))
+        .orderBy(col("w_start"), col("user_id"))
+    },
+
+    // Stream-stream interval join, batch-executed (same dual-mode code
+    // path; StreamJoinSpec proves the streaming leg). Event times emitted
+    // as epoch micros — both engines floor ns → µs identically.
+    "q_stream_interval_join" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val a = ev.filter(length(col("event_type")) % 2 === 0)
+        .select(col("user_id"), col("ts"), col("value"))
+      val b = ev.filter(length(col("event_type")) % 2 === 1)
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.streaming.StreamOps.streamIntervalJoin(
+          a, b, Seq("user_id"), "ts", "ts",
+          "10 minutes", "30 minutes", "30 minutes")
+        .select(col("user_id"),
+          unix_micros(col("ts")).as("l_us"), col("value").as("l_value"),
+          unix_micros(col("r_ts")).as("r_us"), col("r_value"))
+        .orderBy(col("user_id"), col("l_us"), col("l_value"),
+          col("r_us"), col("r_value"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -196,5 +236,35 @@ object WindowQueries {
          SELECT user_id, min(ts) AS w_start, max(te) AS w_end, count(*) AS n
          FROM wi GROUP BY user_id, wid
          ORDER BY user_id, w_start""",
+    "q_stream_cogbk" ->
+      """WITH a AS (
+           SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS w_start,
+                  count(*) AS n_a, SUM(CAST(value AS DECIMAL(18,4))) AS s_a
+           FROM events WHERE length(event_type) % 2 = 0 GROUP BY 1, 2),
+         b AS (
+           SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS w_start,
+                  count(*) AS n_b, SUM(CAST(value AS DECIMAL(18,4))) AS s_b
+           FROM events WHERE length(event_type) % 2 = 1 GROUP BY 1, 2)
+         SELECT coalesce(a.w_start, b.w_start) AS w_start,
+                coalesce(a.user_id, b.user_id) AS user_id,
+                coalesce(n_a, 0) AS n_a, CAST(coalesce(s_a, 0) AS DOUBLE) AS sum_a,
+                coalesce(n_b, 0) AS n_b, CAST(coalesce(s_b, 0) AS DOUBLE) AS sum_b
+         FROM a FULL OUTER JOIN b
+           ON a.user_id = b.user_id AND a.w_start = b.w_start
+         ORDER BY w_start, user_id""",
+    "q_stream_interval_join" ->
+      """WITH a AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE length(event_type) % 2 = 0),
+         b AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE length(event_type) % 2 = 1)
+         SELECT a.user_id AS user_id,
+                epoch_us(a.ts) AS l_us, a.value AS l_value,
+                epoch_us(b.ts) AS r_us, b.value AS r_value
+         FROM a JOIN b ON a.user_id = b.user_id
+           AND b.ts >= a.ts - INTERVAL '30 minutes'
+           AND b.ts <= a.ts + INTERVAL '30 minutes'
+         ORDER BY user_id, l_us, l_value, r_us, r_value""",
   )
 }

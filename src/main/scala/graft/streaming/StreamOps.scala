@@ -48,6 +48,66 @@ object StreamOps {
                        on: Seq[String]): DataFrame =
     stream.join(broadcast(dim), on, "left_outer")
 
+  /** Windowed CoGroupByKey over TWO unbounded streams — the reference's
+    * canonical stream-stream join substrate ([U] T/join/CoGroupByKey.java
+    * applied to unbounded PCollections inside a Window). Spark-first
+    * rendering: tag each input, UNION them, and run ONE windowed stateful
+    * aggregation collecting the per-tag value lists — one shuffle, one
+    * state store keyed by (key, window), GC'd when the watermark passes
+    * the window end. (A native stream-stream join would buffer BOTH sides
+    * in separate state stores and pair rows; for per-window iterable
+    * semantics the single union-side store is strictly cheaper.) Missing
+    * tags come back as EMPTY arrays — exactly CoGbkResult's empty
+    * iterables, not SQL nulls. Output: `window` struct + key cols +
+    * `a_values` + `b_values`, each sort_array'd so the result is
+    * arrival-order-independent. Append mode emits one final pane per
+    * window at watermark passage (Beam default trigger). The identical
+    * code runs on batch frames (withWatermark is a batch no-op) — the
+    * batch ≡ stream spec leans on that. */
+  def streamCoGroupByKey(a: DataFrame, b: DataFrame, on: Seq[String],
+                         tsCol: String, size: String, lateness: String,
+                         aValue: Column, bValue: Column,
+                         slide: Option[String] = None): DataFrame = {
+    val aType = a.select(aValue).schema.head.dataType
+    val bType = b.select(bValue).schema.head.dataType
+    def tagged(df: DataFrame, av: Column, bv: Column) =
+      df.select((on.map(col) :+ col(tsCol).as("__ts") :+
+        av.as("__a") :+ bv.as("__b")): _*)
+    val u = tagged(a, aValue, lit(null).cast(bType))
+      .unionByName(tagged(b, lit(null).cast(aType), bValue))
+      .withWatermark("__ts", lateness)
+    val win = slide match {
+      case Some(period) => window(col("__ts"), size, period)
+      case None         => window(col("__ts"), size)
+    }
+    u.groupBy((win.as("window") +: on.map(col)): _*)
+      .agg(sort_array(collect_list(col("__a"))).as("a_values"),
+        sort_array(collect_list(col("__b"))).as("b_values"))
+  }
+
+  /** Watermarked stream-stream INTERVAL join: row pairs on equal keys
+    * with the right row's event time inside [left − before, left + after].
+    * The row-level complement of [[streamCoGroupByKey]] — Spark's native
+    * stream-stream join, where the watermark PLUS the explicit time-range
+    * condition is what lets both sides' buffered state be evicted (an
+    * unconstrained stream-stream join would retain state forever). Right
+    * columns come back prefixed `r_`; inner rows emit as matches arrive.
+    * Identical code runs on batch frames for the equality spec. */
+  def streamIntervalJoin(l: DataFrame, r: DataFrame, on: Seq[String],
+                         lTs: String, rTs: String, lateness: String,
+                         before: String, after: String): DataFrame = {
+    require(on.nonEmpty, "streamIntervalJoin needs at least one key column")
+    require(!l.columns.exists(_.startsWith("r_")),
+      "left side may not have r_-prefixed columns (the right side is renamed to r_*)")
+    val rp = r.columns.foldLeft(r)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$rTs", lateness)
+    val lw = l.withWatermark(lTs, lateness)
+    val cond = on.map(k => col(k) === col(s"r_$k")).reduce(_ && _) &&
+      col(s"r_$rTs") >= col(lTs) - expr(s"INTERVAL $before") &&
+      col(s"r_$rTs") <= col(lTs) + expr(s"INTERVAL $after")
+    lw.join(rp, cond, "inner")
+  }
+
   /** Global (GlobalWindows) running aggregate — requires update/complete
     * output mode downstream. */
   def globalAgg(df: DataFrame, keys: Seq[Column], aggs: Seq[Column]): DataFrame =

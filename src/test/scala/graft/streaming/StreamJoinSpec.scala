@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Stream-stream joins: batch ≡ stream equality over the REAL events
+  * fixture. Both operators run the IDENTICAL code path on batch frames
+  * (withWatermark is a batch no-op), so the batch execution of the same
+  * call is the strongest available oracle — any divergence is a
+  * state/watermark bug, not a query-shape difference.
+  */
+class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val events =
+    graft.Tables(spark, dir).events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value").cast("double").as("value"))
+
+  /** Split the fixture into two disjoint "streams" by event_type hash so
+    * both sides are non-trivial and some (user, window) cells miss a side. */
+  private lazy val (sideA, sideB) = {
+    val tagged = events.withColumn("__side", abs(xxhash64(col("event_type"))) % 2)
+    (tagged.filter(col("__side") === 0).drop("__side"),
+      tagged.filter(col("__side") === 1).drop("__side"))
+  }
+
+  private def collected(rows: DataFrame): Set[(Long, Timestamp, Seq[Double], Seq[Double])] =
+    rows.select(col("window.start").as("ws"), col("user_id"),
+        col("a_values"), col("b_values"))
+      .as[(Timestamp, Long, Seq[Double], Seq[Double])]
+      .collect().map { case (ws, u, as_, bs) => (u, ws, as_, bs) }.toSet
+
+  test("batch ≡ stream: windowed CoGroupByKey over two streams (1h fixed windows)") {
+    val batch = collected(StreamOps.streamCoGroupByKey(
+      sideA, sideB, Seq("user_id"), "ts", "1 hour", "10 minutes",
+      col("value"), col("value")))
+    assert(batch.nonEmpty)
+    // both-empty cells are impossible (a row created the cell); one-empty
+    // cells must exist or the split was degenerate
+    assert(batch.exists(r => r._3.isEmpty || r._4.isEmpty))
+    assert(batch.forall(r => r._3.nonEmpty || r._4.nonEmpty))
+
+    val aRows = sideA.select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, Timestamp, Double)].collect().toSeq
+    val bRows = sideB.select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, Timestamp, Double)].collect().toSeq
+    val maxTsMs = (aRows ++ bRows).map(_._2.getTime).max
+
+    val inA = MemoryStream[(Long, Timestamp, Double)](921, spark, None)
+    val inB = MemoryStream[(Long, Timestamp, Double)](922, spark, None)
+    def named(ms: MemoryStream[(Long, Timestamp, Double)]): DataFrame =
+      ms.toDS().toDF("user_id", "ts", "value")
+    val out = StreamOps.streamCoGroupByKey(
+      named(inA), named(inB), Seq("user_id"), "ts", "1 hour", "10 minutes",
+      col("value"), col("value"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sjs-cogbk").toString
+    val q = out.writeStream.format("memory").queryName("sjs_cogbk")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // one micro-batch per side with arrival order REVERSED vs event time
+      // (a second batch would advance the watermark and drop the older
+      // half as late — batch mode drops nothing, breaking equality)
+      inA.addData(aRows.reverse); inB.addData(bRows.reverse)
+      q.processAllAvailable()
+      // sentinel far past every window to advance the watermark and flush
+      // final panes (two batches: watermark updates at batch END)
+      val flush = Seq((-1L, new Timestamp(maxTsMs + 6L * 3600 * 1000), 0.0))
+      inA.addData(flush); q.processAllAvailable()
+      inA.addData(Seq((-1L, new Timestamp(maxTsMs + 7L * 3600 * 1000), 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = collected(spark.table("sjs_cogbk")).filter(_._1 != -1L)
+    assert(got == batch)
+  }
+
+  test("batch ≡ stream: watermarked interval join (right within [-30m, +30m] of left)") {
+    def run(l: DataFrame, r: DataFrame): DataFrame =
+      StreamOps.streamIntervalJoin(l, r, Seq("user_id"), "ts", "ts",
+        "10 minutes", "30 minutes", "30 minutes")
+        .select(col("user_id"), col("ts"), col("value"),
+          col("r_ts"), col("r_value"))
+
+    val batch = run(
+      sideA.select(col("user_id"), col("ts"), col("value")),
+      sideB.select(col("user_id"), col("ts"), col("value")))
+      .as[(Long, Timestamp, Double, Timestamp, Double)].collect().toSeq
+    assert(batch.nonEmpty)
+    // every emitted pair respects the band — the condition actually binds
+    assert(batch.forall { case (_, lts, _, rts, _) =>
+      math.abs(lts.getTime - rts.getTime) <= 30L * 60 * 1000 })
+
+    val aRows = sideA.select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, Timestamp, Double)].collect().toSeq
+    val bRows = sideB.select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, Timestamp, Double)].collect().toSeq
+
+    val inA = MemoryStream[(Long, Timestamp, Double)](923, spark, None)
+    val inB = MemoryStream[(Long, Timestamp, Double)](924, spark, None)
+    def named(ms: MemoryStream[(Long, Timestamp, Double)]): DataFrame =
+      ms.toDS().toDF("user_id", "ts", "value")
+    val out = run(named(inA), named(inB))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sjs-ivj").toString
+    val q = out.writeStream.format("memory").queryName("sjs_ivj")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      // single micro-batch per side, reversed arrival (see cogbk test)
+      inA.addData(aRows.reverse); inB.addData(bRows.reverse)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sjs_ivj")
+      .as[(Long, Timestamp, Double, Timestamp, Double)].collect().toSeq
+    assertInAnyOrder(got, batch)
+  }
+}
