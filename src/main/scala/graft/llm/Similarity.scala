@@ -165,6 +165,127 @@ object Similarity {
       Seq("probe_id"), k, col("score").desc, col("cand_id"))
   }
 
+  // -------------------------------------------------- product quantization
+
+  /** Sub-vector explosion shared by the PQ train/encode/probe paths: each
+    * d-dim embedding becomes m rows (id, sub_id, sub_emb[d/m]) of
+    * contiguous slices. */
+  private def subVectors(df: DataFrame, idCol: String, m: Int,
+                         dim: Int): DataFrame = {
+    val len = dim / m
+    require(m * len == dim, s"dim $dim not divisible into $m subspaces")
+    df.select(col(idCol),
+        posexplode(array((0 until m).map(i =>
+          slice(col("embedding").cast("array<double>"), i * len + 1, len)): _*)))
+      .select(col(idCol), col("pos").as("sub_id"), col("col").as("sub_emb"))
+  }
+
+  /** Product-quantization codebook training (Jégou, Douze, Schmid: "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+    * d-dim embedding into m contiguous sub-vectors of d/m and run Lloyd's
+    * k-means independently per subspace. Relational rendering mirrors
+    * [[kMeans]] but keys every step by (sub_id, code_id), so ALL m
+    * subspaces train in the same two shuffles per iteration (the recompute
+    * shuffles m·ksub·(d/m) = ksub·d cells — independent of corpus size).
+    * Deterministic init: the first ksub vectors by id donate their
+    * sub-vectors; code ids are their 0-based rank. Empty codewords keep
+    * their previous value. Returns (sub_id, code_id, code_emb[d/m]). */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int, dim: Int,
+              iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val subs = track(subVectors(corpus, "vec_id", m, dim))
+    // constant partition key: the frame is ksub rows by construction, and
+    // the literal keeps the single-partition Window audit-visible as
+    // intentional (same pattern as Combine.prefixSum)
+    val initIds = corpus.orderBy(col("vec_id")).limit(ksub)
+      .select(col("vec_id"),
+        (row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("vec_id"))) - 1).as("code_id"))
+    var codebook = subs.join(broadcast(initIds), Seq("vec_id"))
+      .select(col("sub_id"), col("code_id"), col("sub_emb").as("code_emb"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      val assigned = pqAssign(subs, codebook)
+      val means = assigned
+        .join(broadcast(codebook.select(col("sub_id"), col("code_id")).distinct()),
+          Seq("sub_id", "code_id"))
+        .select(col("sub_id"), col("code_id"), posexplode(col("sub_emb")))
+        .groupBy(col("sub_id"), col("code_id"), col("pos"))
+        .agg(avg(col("col")).as("mn"))
+        .groupBy(col("sub_id"), col("code_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("cells"))
+        .select(col("sub_id"), col("code_id"),
+          transform(col("cells"), c => c.getField("mn")).as("new_emb"))
+      codebook = codebook.join(means, Seq("sub_id", "code_id"), "left_outer")
+        .select(col("sub_id"), col("code_id"),
+          coalesce(col("new_emb"), col("code_emb")).as("code_emb"))
+        .localCheckpoint()
+      it += 1
+    }
+    codebook
+  }
+
+  /** Nearest-codeword assignment per (id, sub_id) against a broadcast
+    * codebook: one pass over the exploded sub-vectors, fan-out bounded by
+    * ksub. Input frame needs (idCol, sub_id, sub_emb). */
+  private def pqAssign(subs: DataFrame, codebook: DataFrame,
+                       idCol: String = "vec_id"): DataFrame =
+    Combine.topPerKey(
+      subs.join(broadcast(codebook), Seq("sub_id"))
+        .withColumn("d", VectorFunctions.sqDist(col("sub_emb"), col("code_emb")))
+        .select(col(idCol), col("sub_id"), col("sub_emb"), col("code_id"), col("d")),
+      Seq(idCol, "sub_id"), 1, col("d").asc, col("code_id"))
+      .drop("d")
+
+  /** PQ encode: each vector becomes an m-byte-ish code array — codes(i) is
+    * the nearest codeword of subspace i. THE compact representation for
+    * 100 TB embedding stores: m ints per vector instead of d floats (64-d
+    * float → 4-int codes is 64× smaller), scanned without touching raw
+    * vectors. Returns (vec_id, codes[m]). */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, m: Int,
+               dim: Int): DataFrame =
+    pqAssign(subVectors(corpus, "vec_id", m, dim), codebook)
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub_id"), col("code_id")))),
+        c => c.getField("code_id")).as("codes"))
+
+  /** PQ probe via asymmetric distance computation (ADC): per probe,
+    * precompute the (m × ksub) table of squared distances from the probe's
+    * sub-vectors to every codeword — a TINY frame (probes × m × ksub),
+    * broadcast — then score each encoded vector with m array lookups
+    * (zip_with + aggregate, all codegen'd HOFs): approx_dist(v) =
+    * Σᵢ table[i][codes(v)(i)]. One scan of the CODES (not the raw
+    * vectors), no shuffle of the corpus. Returns per-probe k nearest
+    * (probe_id, cand_id, adc_dist). */
+  def pqTopK(encoded: DataFrame, codebook: DataFrame, probes: DataFrame,
+             k: Int, m: Int, dim: Int): DataFrame = {
+    val pSubs = subVectors(
+      probes.select(col("vec_id").as("probe_id"), col("embedding")),
+      "probe_id", m, dim)
+    val dt = pSubs.join(broadcast(codebook), Seq("sub_id"))
+      .withColumn("d", VectorFunctions.sqDist(col("sub_emb"), col("code_emb")))
+      .groupBy(col("probe_id"), col("sub_id"))
+      .agg(array_sort(collect_list(struct(col("code_id"), col("d")))).as("r0"))
+      .select(col("probe_id"), col("sub_id"),
+        transform(col("r0"), c => c.getField("d")).as("row"))
+      .groupBy(col("probe_id"))
+      .agg(array_sort(collect_list(struct(col("sub_id"), col("row")))).as("t0"))
+      .select(col("probe_id"),
+        transform(col("t0"), c => c.getField("row")).as("dt"))
+    val scored = encoded.crossJoin(broadcast(dt))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adc_dist",
+        aggregate(
+          zip_with(col("codes"), col("dt"),
+            (c, row) => element_at(row, c.cast("int") + 1)),
+          lit(0.0), (acc, x) => acc + x))
+    Combine.topPerKey(
+      scored.select(col("probe_id"), col("vec_id").as("cand_id"), col("adc_dist")),
+      Seq("probe_id"), k, col("adc_dist").asc, col("cand_id"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     * embedding similarity WITHIN clusters — cluster the corpus (k-means or
     * any deterministic centroid table), then inside each cluster drop

@@ -305,6 +305,78 @@ object LlmQueries {
         .orderBy(col("centroid_id"))
     },
 
+    // Product quantization (train → encode → ADC top-k), self-asserting
+    // form. Iterative per-subspace k-means isn't SQL-replicable; its
+    // invariants are. Output = one row per probe (probe ids exact-oracle)
+    // with n_vecs the exact corpus-count companion. Booleans pinned TRUE:
+    // encode_ok (every code in every encoded vector is at argmin distance
+    // to its sub-vector — re-derived by exploding raw embeddings against
+    // the full codebook, independent of the encode path), adc_ok (each
+    // emitted pair's zip_with/aggregate table-lookup distance equals the
+    // sum of per-subspace distances recomputed through explode-joins —
+    // proves the lookup indexing end to end), cost_ok (per-subspace Lloyd
+    // monotonicity: trained quantization cost <= deterministic-init cost
+    // in EVERY subspace).
+    "q_similarity_pq" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = 4; val ksub = 16; val dim = 64; val len = dim / m
+      val emb = Tables(s, dir).embeddings
+      val cb = Similarity.pqTrain(emb, m, ksub, dim, iters = 2)
+      val enc = Similarity.pqEncode(emb, cb, m, dim)
+      val probes = emb.filter(col("vec_id") < 5)
+      val top = Similarity.pqTopK(enc, cb, probes, k = 3, m = m, dim = dim)
+      // independent sub-vector re-derivation (slice, not the library path)
+      def subs(df: DataFrame, id: String): DataFrame = df.select(col(id),
+          posexplode(array((0 until m).map(i =>
+            slice(col("embedding").cast("array<double>"), i * len + 1, len)): _*)))
+        .select(col(id), col("pos").as("sub_id"), col("col").as("sub_emb"))
+      val vSubs = subs(emb, "vec_id")
+      val dMin = vSubs.join(broadcast(cb), Seq("sub_id"))
+        .withColumn("d", VectorFunctions.sqDist(col("sub_emb"), col("code_emb")))
+        .groupBy(col("vec_id"), col("sub_id")).agg(min(col("d")).as("d_min"))
+      val encExp = enc.select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").as("sub_id"), col("col").as("code_id"))
+      val encodeOk = encExp.join(vSubs, Seq("vec_id", "sub_id"))
+        .join(broadcast(cb), Seq("sub_id", "code_id"))
+        .withColumn("d_a", VectorFunctions.sqDist(col("sub_emb"), col("code_emb")))
+        .join(dMin, Seq("vec_id", "sub_id"))
+        .agg(coalesce(bool_and(col("d_a") <= col("d_min") + 1e-9), lit(true))
+          .as("encode_ok"))
+      val pSubs = subs(
+        probes.select(col("vec_id").as("probe_id"), col("embedding")), "probe_id")
+      val adcOk = top
+        .join(encExp.select(col("vec_id").as("cand_id"), col("sub_id"),
+          col("code_id")), Seq("cand_id"))
+        .join(pSubs, Seq("probe_id", "sub_id"))
+        .join(broadcast(cb), Seq("sub_id", "code_id"))
+        .withColumn("dd", VectorFunctions.sqDist(col("sub_emb"), col("code_emb")))
+        .groupBy(col("probe_id"), col("cand_id"), col("adc_dist"))
+        .agg(sum(col("dd")).as("direct_dist"))
+        .agg(coalesce(bool_and(
+          abs(col("adc_dist") - col("direct_dist")) <= lit(1e-9)), lit(true))
+          .as("adc_ok"))
+      // per-subspace Lloyd monotonicity vs the deterministic init codebook
+      val initIds = emb.orderBy(col("vec_id")).limit(ksub)
+        .select(col("vec_id"), (row_number().over(
+          Window.partitionBy(lit(0)).orderBy(col("vec_id"))) - 1).as("code_id"))
+      val cb0 = vSubs.join(broadcast(initIds), Seq("vec_id"))
+        .select(col("sub_id"), col("code_id"), col("sub_emb").as("code_emb"))
+      val cost0 = vSubs.join(broadcast(cb0), Seq("sub_id"))
+        .withColumn("d", VectorFunctions.sqDist(col("sub_emb"), col("code_emb")))
+        .groupBy(col("vec_id"), col("sub_id")).agg(min(col("d")).as("d0"))
+        .groupBy(col("sub_id")).agg(sum(col("d0")).as("c0"))
+      val costOk = dMin.groupBy(col("sub_id")).agg(sum(col("d_min")).as("ct"))
+        .join(cost0, Seq("sub_id"))
+        .agg(coalesce(bool_and(col("ct") <= col("c0") * 1.000001 + 1e-6),
+          lit(true)).as("cost_ok"))
+      probes.select(col("vec_id").as("probe_id"))
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_vecs"))))
+        .crossJoin(broadcast(encodeOk))
+        .crossJoin(broadcast(adcOk))
+        .crossJoin(broadcast(costOk))
+        .orderBy(col("probe_id"))
+    },
+
     // Embedding-cosine near-dup pairs, SRP-blocked (the scale path: equi-
     // join on (table, bucket), no cartesian). Oracle replicates the
     // blocking, so the check stays exact; recall vs the all-pairs truth is
@@ -1096,6 +1168,11 @@ object LlmQueries {
       """SELECT vec_id AS centroid_id, TRUE AS assign_ok, TRUE AS cost_ok
          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
          ORDER BY centroid_id""",
+    "q_similarity_pq" ->
+      """SELECT vec_id AS probe_id,
+           (SELECT count(*) FROM embeddings) AS n_vecs,
+           TRUE AS encode_ok, TRUE AS adc_ok, TRUE AS cost_ok
+         FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""",
     "q_ngram_jaccard" ->
       """WITH tok AS (
            SELECT doc_id,

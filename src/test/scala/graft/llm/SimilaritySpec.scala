@@ -115,6 +115,56 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("PQ: codebook shape, code range, and exact reconstruction of codebook vectors") {
+    // 4-dim corpus, m=2 subspaces of 2 dims, ksub=2 codewords each
+    val cb = Similarity.pqTrain(corpus, m = 2, ksub = 2, dim = 4, iters = 3)
+      .collect()
+    assert(cb.length == 4) // m × ksub rows
+    val enc = Similarity.pqEncode(corpus, cb2(), m = 2, dim = 4)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(enc.size == 5)
+    assert(enc.values.forall(c => c.length == 2 && c.forall(i => i >= 0 && i < 2)))
+  }
+
+  /** Hand-built codebook: subspace 0 separates x-heavy from y-heavy halves;
+    * subspace 1 separates zero tail from z/w tail. */
+  private def cb2() = Seq(
+    (0, 0, Seq(0.95, 0.05)), (0, 1, Seq(0.0, 0.0)),
+    (1, 0, Seq(0.0, 0.0)), (1, 1, Seq(0.05, 0.95))
+  ).toDF("sub_id", "code_id", "code_emb")
+
+  test("PQ: encode picks the argmin codeword and ADC ranks the true neighbor first") {
+    val enc = Similarity.pqEncode(corpus, cb2(), m = 2, dim = 4)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    // vec 0 = (1,0,0,0): sub0 → codeword 0 (x-heavy), sub1 → codeword 0 (zero)
+    assert(enc(0L) == Seq(0, 0))
+    // vec 4 = (0,0,0,1): sub0 → codeword 1 (zero), sub1 → codeword 1 (w-heavy)
+    assert(enc(4L) == Seq(1, 1))
+    val top = Similarity.pqTopK(
+      Similarity.pqEncode(corpus, cb2(), m = 2, dim = 4), cb2(),
+      corpus.filter(col("vec_id") === 0), k = 2, m = 2, dim = 4)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+    // vec 1 shares vec 0's codes, so ADC must rank it at distance-min
+    assert(top.head == (0L, 1L))
+  }
+
+  test("PQ: trained quantization cost is monotone vs init in every subspace") {
+    val m = 2; val dim = 4
+    def cost(cb: org.apache.spark.sql.DataFrame): Double = {
+      val subs = corpus.select(col("vec_id"),
+          posexplode(array((0 until m).map(i =>
+            slice(col("embedding").cast("array<double>"), i * 2 + 1, 2)): _*)))
+        .select(col("vec_id"), col("pos").as("sub_id"), col("col").as("sub_emb"))
+      subs.join(broadcast(cb), Seq("sub_id"))
+        .withColumn("d", VectorFunctions.sqDist(col("sub_emb"), col("code_emb")))
+        .groupBy(col("vec_id"), col("sub_id")).agg(min(col("d")).as("dm"))
+        .agg(sum(col("dm"))).as[Double].head()
+    }
+    val init = Similarity.pqTrain(corpus, m, ksub = 2, dim = dim, iters = 0)
+    val trained = Similarity.pqTrain(corpus, m, ksub = 2, dim = dim, iters = 3)
+    assert(cost(trained) <= cost(init) + 1e-9)
+  }
+
   test("dim mismatch raises a descriptive error at execution time") {
     val ex = intercept[Exception] {
       Similarity.srpTopK(corpus, corpus.filter(col("vec_id") === 0), 1,
