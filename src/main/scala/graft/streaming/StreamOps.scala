@@ -67,15 +67,25 @@ object StreamOps {
   def streamCoGroupByKey(a: DataFrame, b: DataFrame, on: Seq[String],
                          tsCol: String, size: String, lateness: String,
                          aValue: Column, bValue: Column,
-                         slide: Option[String] = None): DataFrame = {
+                         slide: Option[String] = None,
+                         latenessB: Option[String] = None): DataFrame = {
     val aType = a.select(aValue).schema.head.dataType
     val bType = b.select(bValue).schema.head.dataType
     def tagged(df: DataFrame, av: Column, bv: Column) =
       df.select((on.map(col) :+ col(tsCol).as("__ts") :+
         av.as("__a") :+ bv.as("__b")): _*)
+    // PER-SOURCE watermarks (Beam: each UnboundedSource reports its own;
+    // downstream watermark = min over inputs). Spark tracks one watermark
+    // per withWatermark node and combines them under
+    // spark.sql.streaming.multipleWatermarkPolicy (default "min" — the
+    // Beam propagation rule), so stamping each side BEFORE the union
+    // makes the slowest source hold back window finalization exactly as
+    // the reference's runner does. PerSourceWatermarkSpec proves the
+    // hold. latenessB defaults to the a-side's lateness.
     val u = tagged(a, aValue, lit(null).cast(bType))
-      .unionByName(tagged(b, lit(null).cast(aType), bValue))
       .withWatermark("__ts", lateness)
+      .unionByName(tagged(b, lit(null).cast(aType), bValue)
+        .withWatermark("__ts", latenessB.getOrElse(lateness)))
     val win = slide match {
       case Some(period) => window(col("__ts"), size, period)
       case None         => window(col("__ts"), size)

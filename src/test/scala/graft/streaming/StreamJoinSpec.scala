@@ -70,11 +70,16 @@ class StreamJoinSpec extends SparkSpec {
       // half as late — batch mode drops nothing, breaking equality)
       inA.addData(aRows.reverse); inB.addData(bRows.reverse)
       q.processAllAvailable()
-      // sentinel far past every window to advance the watermark and flush
-      // final panes (two batches: watermark updates at batch END)
+      // sentinels far past every window to advance the watermark and
+      // flush final panes (two batches: watermark updates at batch END).
+      // BOTH sources need one — per-source watermarks combine as MIN, so
+      // a sentinel on one side alone holds everything back (that hold is
+      // itself proven in PerSourceWatermarkSpec).
       val flush = Seq((-1L, new Timestamp(maxTsMs + 6L * 3600 * 1000), 0.0))
-      inA.addData(flush); q.processAllAvailable()
-      inA.addData(Seq((-1L, new Timestamp(maxTsMs + 7L * 3600 * 1000), 0.0)))
+      inA.addData(flush); inB.addData(flush)
+      q.processAllAvailable()
+      val flush2 = Seq((-1L, new Timestamp(maxTsMs + 7L * 3600 * 1000), 0.0))
+      inA.addData(flush2); inB.addData(flush2)
       q.processAllAvailable()
     } finally q.stop()
 
