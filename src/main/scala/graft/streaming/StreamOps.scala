@@ -69,6 +69,10 @@ object StreamOps {
                          aValue: Column, bValue: Column,
                          slide: Option[String] = None,
                          latenessB: Option[String] = None): DataFrame = {
+    require(on.nonEmpty, "streamCoGroupByKey needs at least one key column")
+    val reserved = Seq("__ts", "__a", "__b", "window", "a_values", "b_values")
+    require(!on.exists(reserved.contains),
+      s"key columns may not use the reserved names ${reserved.mkString(", ")}")
     val aType = a.select(aValue).schema.head.dataType
     val bType = b.select(bValue).schema.head.dataType
     def tagged(df: DataFrame, av: Column, bv: Column) =

@@ -13,6 +13,25 @@ import org.apache.spark.sql.functions._
   * call is the strongest available oracle — any divergence is a
   * state/watermark bug, not a query-shape difference.
   */
+/** Tagged-union CoGroupByKey as a CombineFn — the bridge that gives CoGBK
+  * the FULL trigger algebra (early/late firings, accumulation modes,
+  * PaneInfo) through TriggerEngine.windowedAggregate. Top-level so the
+  * serialized processor does not drag the suite along. */
+object CoGbkFn extends graft.operators.Combine.CombineFn[
+    (Option[Double], Option[Double]),
+    (List[Double], List[Double]),
+    (Seq[Double], Seq[Double])] {
+  def createAccumulator(): (List[Double], List[Double]) = (Nil, Nil)
+  def addInput(acc: (List[Double], List[Double]),
+               in: (Option[Double], Option[Double])): (List[Double], List[Double]) =
+    (in._1.toList ::: acc._1, in._2.toList ::: acc._2)
+  def mergeAccumulators(a: (List[Double], List[Double]),
+                        b: (List[Double], List[Double])): (List[Double], List[Double]) =
+    (a._1 ::: b._1, a._2 ::: b._2)
+  def extractOutput(acc: (List[Double], List[Double])): (Seq[Double], Seq[Double]) =
+    (acc._1.sorted, acc._2.sorted)
+}
+
 class StreamJoinSpec extends SparkSpec {
   import spark.implicits._
 
@@ -125,5 +144,46 @@ class StreamJoinSpec extends SparkSpec {
     val got = spark.table("sjs_ivj")
       .as[(Long, Timestamp, Double, Timestamp, Double)].collect().toSeq
     assertInAnyOrder(got, batch)
+  }
+
+  test("CoGroupByKey composes with the trigger algebra: EARLY pane then accumulated ON_TIME") {
+    // Beam's CoGBK is windowed GBK of a tagged union — which means the
+    // whole trigger algebra applies to it for free through the engine:
+    // the tagged-union CombineFn above IS CoGroupByKey, and early
+    // firings/accumulation/PaneInfo come from windowedAggregate.
+    import java.time.Duration
+    import graft.streaming.TriggerEngine._
+    val input = MemoryStream[(String, Timestamp, (Option[Double], Option[Double]))](
+      941, spark, None)
+    val panes = TriggerEngine.windowedAggregate(
+      input.toDS(), Duration.ofMinutes(10), Duration.ZERO,
+      TriggerSpec(early = AfterCount(2)), Accumulating, CoGbkFn)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sjs-tcgbk").toString
+    val q = panes.writeStream.format("memory").queryName("sjs_tcgbk")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+    try {
+      // two tagged rows (one per side) → AfterCount(2) EARLY pane
+      input.addData(Seq(
+        ("u", ts(1), (Some(1.0), Option.empty[Double])),
+        ("u", ts(2), (Option.empty[Double], Some(10.0)))))
+      q.processAllAvailable()
+      // one more left row: no new pane (count 1 < 2)
+      input.addData(Seq(("u", ts(3), (Some(2.0), Option.empty[Double]))))
+      q.processAllAvailable()
+      // watermark passes the window → accumulated ON_TIME final pane
+      input.addData(Seq(("z", ts(12), (Some(0.0), Option.empty[Double]))))
+      q.processAllAvailable()
+      input.addData(Seq(("z", ts(13), (Some(0.0), Option.empty[Double]))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sjs_tcgbk")
+      .as[Pane[String, (Seq[Double], Seq[Double])]].collect().toSeq
+      .filter(p => p.key == "u")
+      .sortBy(_.paneIndex)
+      .map(p => (p.timing, p.value))
+    assert(got == Seq(
+      ("EARLY", (Seq(1.0), Seq(10.0))),
+      ("ON_TIME", (Seq(1.0, 2.0), Seq(10.0)))))
   }
 }
