@@ -99,6 +99,41 @@ object StreamOps {
         sort_array(collect_list(col("__b"))).as("b_values"))
   }
 
+  /** N-way windowed CoGroupByKey over unbounded streams (the reference's
+    * KeyedPCollectionTuple with N tags). Same union-side single-
+    * aggregation design as [[streamCoGroupByKey]] — every input carries
+    * its own per-source watermark (min-combined), one state store, one
+    * shuffle — generalized to one `<tag>_values` list column per input.
+    * Input tuples: (tag, frame, valueColumn, lateness). */
+  def streamCoGroupByKeyN(inputs: Seq[(String, DataFrame, Column, String)],
+                          on: Seq[String], tsCol: String, size: String,
+                          slide: Option[String] = None): DataFrame = {
+    require(inputs.nonEmpty, "streamCoGroupByKeyN needs at least one input")
+    val tags = inputs.map(_._1)
+    require(tags.distinct.size == tags.size, s"duplicate tags: $tags")
+    val reserved = Seq("__ts", "window") ++ tags.map(t => s"__$t")
+    require(!on.exists(reserved.contains),
+      s"key columns may not use the reserved names ${reserved.mkString(", ")}")
+    val types = inputs.map { case (_, df, v, _) => df.select(v).schema.head.dataType }
+    val sides = inputs.zipWithIndex.map { case ((_, df, v, lateness), i) =>
+      df.select((on.map(col) :+ col(tsCol).as("__ts")) ++
+          tags.indices.map { j =>
+            (if (j == i) v else lit(null).cast(types(j))).as(s"__${tags(j)}")
+          }: _*)
+        .withWatermark("__ts", lateness)
+    }
+    val u = sides.reduce(_.unionByName(_))
+    val win = slide match {
+      case Some(period) => window(col("__ts"), size, period)
+      case None         => window(col("__ts"), size)
+    }
+    u.groupBy((win.as("window") +: on.map(col)): _*)
+      .agg(
+        sort_array(collect_list(col(s"__${tags.head}"))).as(s"${tags.head}_values"),
+        tags.tail.map(t =>
+          sort_array(collect_list(col(s"__$t"))).as(s"${t}_values")): _*)
+  }
+
   /** Watermarked stream-stream INTERVAL join: row pairs on equal keys
     * with the right row's event time inside [left − before, left + after].
     * The row-level complement of [[streamCoGroupByKey]] — Spark's native

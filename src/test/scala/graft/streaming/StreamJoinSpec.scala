@@ -146,6 +146,51 @@ class StreamJoinSpec extends SparkSpec {
     assertInAnyOrder(got, batch)
   }
 
+  test("batch ≡ stream: N-way (3) windowed CoGroupByKey with per-source watermarks") {
+    // three disjoint sides by event_type hash mod 3; same dual-mode
+    // equality contract as the 2-way test
+    val tagged3 = events.withColumn("__side", abs(xxhash64(col("event_type"))) % 3)
+    val sides = (0 to 2).map(i => tagged3.filter(col("__side") === i).drop("__side"))
+    def run3(frames: Seq[DataFrame]): DataFrame =
+      StreamOps.streamCoGroupByKeyN(
+        Seq(("x", frames(0), col("value"), "10 minutes"),
+          ("y", frames(1), col("value"), "5 minutes"),
+          ("z", frames(2), col("value"), "20 minutes")),
+        Seq("user_id"), "ts", "1 hour")
+    def shape(df: DataFrame): Set[(Long, Timestamp, Seq[Double], Seq[Double], Seq[Double])] =
+      df.select(col("user_id"), col("window.start").as("ws"),
+          col("x_values"), col("y_values"), col("z_values"))
+        .as[(Long, Timestamp, Seq[Double], Seq[Double], Seq[Double])]
+        .collect().toSet
+
+    val batch = shape(run3(sides))
+    assert(batch.nonEmpty)
+    assert(batch.forall(r => r._3.nonEmpty || r._4.nonEmpty || r._5.nonEmpty))
+
+    val rowsBySide = sides.map(
+      _.select(col("user_id"), col("ts"), col("value"))
+        .as[(Long, Timestamp, Double)].collect().toSeq)
+    val maxTsMs = rowsBySide.flatten.map(_._2.getTime).max
+    val ins = Seq(951, 952, 953).map(id =>
+      MemoryStream[(Long, Timestamp, Double)](id, spark, None))
+    val out = run3(ins.map(_.toDS().toDF("user_id", "ts", "value")))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sjs-cogbk3").toString
+    val q = out.writeStream.format("memory").queryName("sjs_cogbk3")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      ins.zip(rowsBySide).foreach { case (in, rows) => in.addData(rows.reverse) }
+      q.processAllAvailable()
+      // ALL sources need flushing sentinels (min-combined watermarks)
+      Seq(6L, 7L).foreach { h =>
+        val flush = Seq((-1L, new Timestamp(maxTsMs + h * 3600 * 1000), 0.0))
+        ins.foreach(_.addData(flush))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = shape(spark.table("sjs_cogbk3")).filter(_._1 != -1L)
+    assert(got == batch)
+  }
+
   test("CoGroupByKey composes with the trigger algebra: EARLY pane then accumulated ON_TIME") {
     // Beam's CoGBK is windowed GBK of a tagged union — which means the
     // whole trigger algebra applies to it for free through the engine:
