@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -261,10 +261,22 @@ object Similarity {
     * (probe_id, cand_id, adc_dist). */
   def pqTopK(encoded: DataFrame, codebook: DataFrame, probes: DataFrame,
              k: Int, m: Int, dim: Int): DataFrame = {
-    val pSubs = subVectors(
-      probes.select(col("vec_id").as("probe_id"), col("embedding")),
-      "probe_id", m, dim)
-    val dt = pSubs.join(broadcast(codebook), Seq("sub_id"))
+    val scored = encoded.crossJoin(broadcast(adcTable(probes, codebook, m, dim)))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adc_dist", adcLookup(col("codes"), col("dt")))
+    Combine.topPerKey(
+      scored.select(col("probe_id"), col("vec_id").as("cand_id"), col("adc_dist")),
+      Seq("probe_id"), k, col("adc_dist").asc, col("cand_id"))
+  }
+
+  /** Per-probe ADC distance table: (probe_id, dt) where dt(sub)(code) is
+    * the squared distance from the probe's sub-vector to that codeword —
+    * probes × m × ksub doubles, broadcast-sized by construction. */
+  private def adcTable(probes: DataFrame, codebook: DataFrame, m: Int,
+                       dim: Int): DataFrame =
+    subVectors(probes.select(col("vec_id").as("probe_id"), col("embedding")),
+        "probe_id", m, dim)
+      .join(broadcast(codebook), Seq("sub_id"))
       .withColumn("d", VectorFunctions.sqDist(col("sub_emb"), col("code_emb")))
       .groupBy(col("probe_id"), col("sub_id"))
       .agg(array_sort(collect_list(struct(col("code_id"), col("d")))).as("r0"))
@@ -274,15 +286,39 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("sub_id"), col("row")))).as("t0"))
       .select(col("probe_id"),
         transform(col("t0"), c => c.getField("row")).as("dt"))
-    val scored = encoded.crossJoin(broadcast(dt))
+
+  /** Σᵢ dt(i)(codes(i)) — m array lookups, codegen'd HOFs. */
+  private def adcLookup(codes: Column, dt: Column): Column =
+    aggregate(
+      zip_with(codes, dt, (c, row) => element_at(row, c.cast("int") + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** IVF + PQ composed (the FAISS-style IVFPQ shape): candidates come
+    * from the nProbe nearest centroids' inverted lists (corpus never
+    * scanned whole — write `encoded ⋈ assigned` partitioned by
+    * centroid_id and the probe read is partition-pruned), and scoring is
+    * ADC over the codes (no raw vectors touched). `assigned` is
+    * [[assignToCentroids]]/[[ivfAssign]] output (vec_id, centroid_id),
+    * `encoded` is [[pqEncode]] output (vec_id, codes). Returns per-probe
+    * k nearest (probe_id, cand_id, adc_dist). */
+  def ivfPqTopK(assigned: DataFrame, encoded: DataFrame, centroids: DataFrame,
+                codebook: DataFrame, probes: DataFrame, k: Int, m: Int,
+                dim: Int, nProbe: Int = 2): DataFrame = {
+    val p = probes.select(col("vec_id").as("probe_id"), col("embedding"))
+    val probeCents = Combine.topPerKey(
+      p.crossJoin(broadcast(centroids))
+        .withColumn("d", VectorFunctions.sqDist(col("embedding"), col("cent_emb")))
+        .select(col("probe_id"), col("centroid_id"), col("d")),
+      Seq("probe_id"), nProbe, col("d").asc, col("centroid_id"))
+      .drop("d")
+    val cands = encoded
+      .join(assigned.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .join(broadcast(probeCents), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("adc_dist",
-        aggregate(
-          zip_with(col("codes"), col("dt"),
-            (c, row) => element_at(row, c.cast("int") + 1)),
-          lit(0.0), (acc, x) => acc + x))
+      .join(broadcast(adcTable(probes, codebook, m, dim)), Seq("probe_id"))
+      .withColumn("adc_dist", adcLookup(col("codes"), col("dt")))
     Combine.topPerKey(
-      scored.select(col("probe_id"), col("vec_id").as("cand_id"), col("adc_dist")),
+      cands.select(col("probe_id"), col("vec_id").as("cand_id"), col("adc_dist")),
       Seq("probe_id"), k, col("adc_dist").asc, col("cand_id"))
   }
 

@@ -148,6 +148,59 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head == (0L, 1L))
   }
 
+  test("IVFPQ: full-probe equals plain PQ; pruned probe is a subset with identical ADC distances") {
+    val cb = cb2()
+    val enc = Similarity.pqEncode(corpus, cb, m = 2, dim = 4)
+    val cents = Similarity.kMeans(corpus, k = 2, iters = 3)
+    val assigned = Similarity.assignToCentroids(corpus, cents)
+      .select("vec_id", "centroid_id")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "cand_id", "adc_dist")
+        .as[(Long, Long, Double)].collect().toSet
+    val full = shape(Similarity.pqTopK(enc, cb, corpus, k = 5, m = 2, dim = 4))
+    // nProbe = all centroids → no pruning → identical to plain PQ
+    val ivfFull = shape(Similarity.ivfPqTopK(assigned, enc, cents, cb,
+      corpus, k = 5, m = 2, dim = 4, nProbe = 2))
+    assert(ivfFull == full)
+    // nProbe = 1 → candidates only from the probe's own list, distances
+    // unchanged where pairs survive
+    val pruned = shape(Similarity.ivfPqTopK(assigned, enc, cents, cb,
+      corpus, k = 5, m = 2, dim = 4, nProbe = 1))
+    assert(pruned.subsetOf(full))
+    assert(pruned.nonEmpty && pruned.size < full.size)
+  }
+
+  test("PQ finds planted near-duplicates on the real embeddings fixture") {
+    // The sf fixture's vectors are near-structureless (best cosine ~0.33,
+    // neighbor gaps ~0.05 in sqdist), which NO m=4/ksub=16 quantizer can
+    // rank — so, as with the dedup fixtures, plant the structure: each
+    // probe gets a near-twin (every 5th coordinate nudged 1%). The twin
+    // quantizes to the probe's own codes, making its ADC distance the
+    // MINIMUM achievable for that probe — it must appear in the top-k.
+    // L2-normalize first: on the unit sphere ||a−b||² = 2 − 2·cos, the
+    // standard way to serve cosine ANN from an L2 index.
+    val dir = "/root/testdata/sf0.001"
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val twins = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i % 5 === 0, x * 1.01f).otherwise(x)).as("embedding"))
+    val emb = base.unionByName(twins)
+      .withColumn("embedding",
+        graft.functions.VectorFunctions.normalized(col("embedding")))
+    val probes = emb.filter(col("vec_id") < 5)
+    val cb = Similarity.pqTrain(emb, m = 4, ksub = 16, dim = 64, iters = 2)
+    val enc = Similarity.pqEncode(emb, cb, m = 4, dim = 64)
+    val ann = Similarity.pqTopK(enc, cb, probes, k = 3, m = 4, dim = 64)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (0L until 5L).foreach { p =>
+      assert(ann(p).contains(p + 10000L),
+        s"planted twin of probe $p missing from PQ top-3: ${ann(p)}")
+    }
+  }
+
   test("PQ: trained quantization cost is monotone vs init in every subspace") {
     val m = 2; val dim = 4
     def cost(cb: org.apache.spark.sql.DataFrame): Double = {
