@@ -223,6 +223,26 @@ object IoQueries {
         .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
         .orderBy(col("minute"))
     },
+
+    // §2.5 Sink framework (Write.to(Sink) 3-phase commit) + TFRecord
+    // training shards: every document rides a CRC32C-framed TFRecord
+    // through the graft-tfrecord DSv2 connector (write → 4 shard files →
+    // streamed read), and the per-doc md5 proves each payload came back
+    // byte-exact — corruption anywhere in the framing would either flip
+    // the hash or raise a CRC error.
+    "q_tfrecordio_roundtrip" -> { (s, dir) =>
+      val out = tmp("graft_tfrecord")
+      graft.sources.TfRecordIO.write(
+        Tables(s, dir).documents,
+        to_json(struct(col("doc_id"), col("text"))),
+        out, shards = 4)
+      graft.sources.TfRecordIO.read(s, out)
+        .select(from_json(decode(col("record"), "UTF-8"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, text STRING")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), md5(col("r.text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -281,5 +301,8 @@ object IoQueries {
       """SELECT CAST(date_trunc('minute', to_timestamp(range)) AS TIMESTAMP) AS minute,
            count(*) AS n, CAST(SUM(range) AS BIGINT) AS s
          FROM range(0, 10000) GROUP BY 1 ORDER BY 1""",
+    // Byte-exact per-document round-trip through the TFRecord framing.
+    "q_tfrecordio_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id""",
   )
 }
