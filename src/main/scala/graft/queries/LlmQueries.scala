@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.queries.QueryUtil.davg
-import graft.llm.{Boilerplate, Contamination, Curation, Dedup, HeavyHitters, Mixture, Multimodal, Packing, Repetition, Similarity, TextRelevance}
+import graft.llm.{Boilerplate, Bpe, Contamination, CountMin, Curation, Dedup, HeavyHitters, Mixture, Multimodal, Packing, Repetition, Similarity, TextClassifier, TextRelevance}
 
 /** LLM-data-pipeline operator inventory (SURVEY.md §7 Phase 4): dedup,
   * similarity search, text analysis, multimodal plumbing. Oracles exist
@@ -374,6 +374,80 @@ object LlmQueries {
         .crossJoin(broadcast(encodeOk))
         .crossJoin(broadcast(adcOk))
         .crossJoin(broadcast(costOk))
+        .orderBy(col("probe_id"))
+    },
+
+    // IVF+PQ composition (the FAISS IVFPQ shape), self-asserting form.
+    // Output = one row per probe (ids exact-oracle) with the exact corpus
+    // count companion. Booleans pinned TRUE:
+    //   full_eq_ok    — ivfPqTopK probing ALL centroids equals plain pqTopK
+    //                   pair-for-pair with identical ADC distances (the
+    //                   composition adds pruning, never changes arithmetic);
+    //   pruned_dist_ok — every pruned-probe pair's adc_dist equals the
+    //                   per-subspace distance sum recomputed through
+    //                   independent explode-joins (no zip_with lookup);
+    //   pruned_block_ok — every pruned-probe candidate's centroid is one of
+    //                   the probe's nProbe nearest centroids, re-ranked
+    //                   independently (proves the inverted-list pruning
+    //                   selects exactly the promised lists).
+    "q_similarity_ivfpq" -> { (s, dir) =>
+      val m = 4; val ksub = 16; val dim = 64; val len = dim / m
+      val kc = 8; val nProbe = 2
+      val emb = Tables(s, dir).embeddings
+      val cb = Similarity.pqTrain(emb, m, ksub, dim, iters = 2)
+      val enc = Similarity.pqEncode(emb, cb, m, dim)
+      val cents = Similarity.kMeans(emb, k = kc, iters = 2)
+      val assigned = Similarity.assignToCentroids(emb, cents)
+        .select(col("vec_id"), col("centroid_id"))
+      val probes = emb.filter(col("vec_id") < 5)
+      val plain = Similarity.pqTopK(enc, cb, probes, k = 3, m = m, dim = dim)
+      val full = Similarity.ivfPqTopK(assigned, enc, cents, cb, probes,
+        k = 3, m = m, dim = dim, nProbe = kc)
+      val pruned = Similarity.ivfPqTopK(assigned, enc, cents, cb, probes,
+        k = 3, m = m, dim = dim, nProbe = nProbe)
+      val fullEqOk = plain.select(col("probe_id"), col("cand_id"),
+          col("adc_dist").as("d_plain"))
+        .join(full.select(col("probe_id"), col("cand_id"),
+          col("adc_dist").as("d_full")), Seq("probe_id", "cand_id"), "full_outer")
+        .agg(coalesce(bool_and(col("d_plain").isNotNull &&
+          col("d_full").isNotNull &&
+          abs(col("d_plain") - col("d_full")) <= lit(1e-9)), lit(true))
+          .as("full_eq_ok"))
+      // independent per-subspace re-derivation of the pruned distances
+      val pSubs = probes
+        .select(col("vec_id").as("probe_id"), posexplode(array((0 until m).map(i =>
+          slice(col("embedding").cast("array<double>"), i * len + 1, len)): _*)))
+        .select(col("probe_id"), col("pos").as("sub_id"), col("col").as("sub_emb"))
+      val encExp = enc.select(col("vec_id").as("cand_id"), posexplode(col("codes")))
+        .select(col("cand_id"), col("pos").as("sub_id"), col("col").as("code_id"))
+      val prunedDistOk = pruned
+        .join(encExp, Seq("cand_id"))
+        .join(pSubs, Seq("probe_id", "sub_id"))
+        .join(broadcast(cb), Seq("sub_id", "code_id"))
+        .withColumn("dd", VectorFunctions.sqDist(col("sub_emb"), col("code_emb")))
+        .groupBy(col("probe_id"), col("cand_id"), col("adc_dist"))
+        .agg(sum(col("dd")).as("direct_dist"))
+        .agg(coalesce(bool_and(
+          abs(col("adc_dist") - col("direct_dist")) <= lit(1e-9)), lit(true))
+          .as("pruned_dist_ok"))
+      // independent re-rank of each probe's nProbe nearest centroids
+      val probeCents = graft.operators.Combine.topPerKey(
+        probes.select(col("vec_id").as("probe_id"), col("embedding"))
+          .crossJoin(broadcast(cents))
+          .withColumn("d", VectorFunctions.sqDist(col("embedding"), col("cent_emb")))
+          .select(col("probe_id"), col("centroid_id"), col("d")),
+        Seq("probe_id"), nProbe, col("d").asc, col("centroid_id"))
+        .select(col("probe_id"), col("centroid_id"), lit(true).as("in_block"))
+      val prunedBlockOk = pruned
+        .join(assigned.select(col("vec_id").as("cand_id"), col("centroid_id")),
+          Seq("cand_id"))
+        .join(probeCents, Seq("probe_id", "centroid_id"), "left_outer")
+        .agg(coalesce(bool_and(col("in_block")), lit(true)).as("pruned_block_ok"))
+      probes.select(col("vec_id").as("probe_id"))
+        .crossJoin(broadcast(emb.agg(count(lit(1)).as("n_vecs"))))
+        .crossJoin(broadcast(fullEqOk))
+        .crossJoin(broadcast(prunedDistOk))
+        .crossJoin(broadcast(prunedBlockOk))
         .orderBy(col("probe_id"))
     },
 
@@ -843,6 +917,99 @@ object LlmQueries {
         .orderBy(col("rank"))
     },
 
+    // Trained text classifier (the fastText recipe: hashed bag-of-token
+    // features → ml.classification logistic regression, distributed
+    // L-BFGS, deterministic 80/20 hash split), self-asserting form. The
+    // fixture's lang tag is label NOISE by construction (identical word
+    // soup in every language — a classifier tops out at AUC ≈ 0.59 ≈
+    // chance, measured), so per the repo's planted-structure pattern
+    // (see the PQ planted-twin spec) the gate target is a real
+    // content-derived label: does the doc use the join/merge/hash/group
+    // token family more than scan/filter/sort/order. That target is
+    // linearly recoverable from unigram features, so the metric floors
+    // are stable invariants of working machinery: held-out accuracy ≥
+    // 0.9, held-out AUROC ≥ 0.95 — a broken feature hash, a diverged
+    // optimizer, or a leaky split smashes them. Exact oracle
+    // companions: per-label document counts (SQL-replicated label).
+    "q_quality_classifier" -> { (s, dir) =>
+      val famA = Seq("join", "merge", "hash", "group")
+      val famB = Seq("scan", "filter", "sort", "order")
+      def famCount(fam: Seq[String]) = size(filter(
+        TextFunctions.tokens(col("text")), t => t.isInCollection(fam)))
+      val labelled = Tables(s, dir).documents
+        .withColumn("label_b", famCount(famA) > famCount(famB))
+      val res = TextClassifier.trainEvaluate(labelled, "doc_id",
+        TextFunctions.tokens(col("text")), col("label_b").cast("double"))
+      labelled
+        .select(when(col("label_b"), "join_heavy").otherwise("scan_heavy")
+          .as("label"))
+        .groupBy(col("label")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("acc_ok", lit(res.testAccuracy >= 0.9))
+        .withColumn("auc_ok", lit(res.testAuc >= 0.95))
+        .orderBy(col("label"))
+    },
+
+    // Count-Min sketch point-frequency estimates, self-asserting form.
+    // The top-50 tokens and their EXACT counts are the oracle-checked
+    // companions (the sketch only rides alongside); booleans pinned TRUE:
+    // lower_ok — the CMS estimate never undercounts (counters only ever
+    // add); bound_ok — est ≤ exact + ⌈e·N/width⌉, the published ε-N
+    // guarantee evaluated on this dataset + fixed hashes. The sketch is
+    // probed RELATIONALLY (xxhash64 columns replicate the aggregator's
+    // bucket function), so the whole check is one broadcast of a 1-row
+    // 16 KB summary against the exact counts.
+    "q_cms_counts" -> { (s, dir) =>
+      val depth = 4; val width = 4096
+      val toks = Tables(s, dir).documents
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      val sk = CountMin.sketch(toks, col("token"), depth, width)
+      toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(50)
+        .crossJoin(broadcast(sk))
+        .withColumn("est", CountMin.estimate(col("sketch"), col("token"), depth, width))
+        .select(col("token"), col("cnt"),
+          (col("est") >= col("cnt")).as("lower_ok"),
+          (col("est") <= col("cnt") +
+            ceil(lit(math.E) * col("n") / lit(width)).cast("long")).as("bound_ok"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+
+    // Distributed BPE tokenizer training (Sennrich et al. 2016), self-
+    // asserting form. The 20-merge trajectory is engine-derived (argmax
+    // over pair counts isn't SQL-replicable), so the gate rides the
+    // established pattern: exact companions (merge ranks 0..19, distinct
+    // word count, freq-weighted initial symbol count) plus booleans pinned
+    // TRUE by an INDEPENDENT scalar replay (plain Scala loops, no shared
+    // code with the relational trainer): count_ok — each rank's winning
+    // positional pair count re-derived by replaying the merge sequence
+    // word-by-word equals the trainer's recorded count; applied_ok — same
+    // for the non-overlapping applied-merge counts. Together they pin the
+    // full training trajectory given the merge sequence; argmax selection
+    // itself is pinned against the scalar reference trainer in BpeSpec.
+    "q_bpe_train" -> { (s, dir) =>
+      val words = Bpe.wordFreqs(Tables(s, dir).documents, col("text"))
+      val merges = Bpe.train(words, numMerges = 20)
+      val pairs = merges.map(m => (m.left, m.right))
+      val replayUdf = udf((w: String) => Bpe.replay(w, pairs))
+      val rep = words
+        .select(col("freq"), explode(replayUdf(col("word"))).as("r"))
+        .groupBy(col("r._1").as("rep_rank"))
+        .agg(sum(col("r._2") * col("freq")).as("pos_cnt"),
+          sum(col("r._3") * col("freq")).as("applied_rep"))
+      val companions = Tables(s, dir).documents
+        .select(explode(TextFunctions.tokens(col("text"))).as("word"))
+        .agg(countDistinct(col("word")).as("n_distinct_words"),
+          sum(length(col("word")).cast("long")).as("n_init_symbols"))
+      s.createDataFrame(merges)
+        .join(rep, col("rank") === col("rep_rank"))
+        .crossJoin(broadcast(companions))
+        .select(col("rank").cast("long").as("rank"),
+          col("n_distinct_words"), col("n_init_symbols"),
+          (col("pos_cnt") === col("pairCount")).as("count_ok"),
+          (col("applied_rep") === col("applied")).as("applied_ok"))
+        .orderBy(col("rank"))
+    },
+
     // Packing shard summary: sequences per shard and tail waste — the
     // metric a packing strategy is judged on. Same portable arithmetic
     // as q_seq_packing.
@@ -1172,6 +1339,14 @@ object LlmQueries {
       """SELECT vec_id AS probe_id,
            (SELECT count(*) FROM embeddings) AS n_vecs,
            TRUE AS encode_ok, TRUE AS adc_ok, TRUE AS cost_ok
+         FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""",
+    // Self-asserting IVF+PQ gate: probe ids + corpus count exact; the
+    // composition invariants (full-probe ≡ plain PQ, independent distance
+    // re-derivation, inverted-list membership) ride as booleans pinned TRUE.
+    "q_similarity_ivfpq" ->
+      """SELECT vec_id AS probe_id,
+           (SELECT count(*) FROM embeddings) AS n_vecs,
+           TRUE AS full_eq_ok, TRUE AS pruned_dist_ok, TRUE AS pruned_block_ok
          FROM embeddings WHERE vec_id < 5 ORDER BY probe_id""",
     "q_ngram_jaccard" ->
       """WITH tok AS (
@@ -1835,6 +2010,42 @@ object LlmQueries {
            CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
              AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
          FROM top, tot ORDER BY rank""",
+    // Self-asserting classifier gate: per-label doc counts exact (label
+    // SQL-replicated); the held-out metric floors ride pinned TRUE.
+    "q_quality_classifier" ->
+      """WITH t AS (
+           SELECT list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+             x -> x <> '') AS ts
+           FROM documents)
+         SELECT CASE WHEN
+             len(list_filter(ts, x -> x IN ('join', 'merge', 'hash', 'group'))) >
+             len(list_filter(ts, x -> x IN ('scan', 'filter', 'sort', 'order')))
+           THEN 'join_heavy' ELSE 'scan_heavy' END AS label,
+           count(*) AS n_docs, TRUE AS acc_ok, TRUE AS auc_ok
+         FROM t GROUP BY 1 ORDER BY label""",
+    // Self-asserting CMS gate: top-50 token counts exact; the sketch
+    // inequality booleans ride pinned TRUE.
+    "q_cms_counts" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+             t -> t <> '')) AS token
+           FROM documents)
+         SELECT token, count(*) AS cnt, TRUE AS lower_ok, TRUE AS bound_ok
+         FROM tok GROUP BY token
+         ORDER BY cnt DESC, token LIMIT 50""",
+    // Self-asserting BPE-training gate: merge ranks + corpus companions
+    // exact; the trajectory booleans (scalar-replay pair counts and
+    // applied counts) ride pinned TRUE.
+    "q_bpe_train" ->
+      """WITH w AS (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+             t -> t <> '')) AS word
+           FROM documents)
+         SELECT CAST(range AS BIGINT) AS rank,
+           (SELECT count(DISTINCT word) FROM w) AS n_distinct_words,
+           (SELECT CAST(sum(len(word)) AS BIGINT) FROM w) AS n_init_symbols,
+           TRUE AS count_ok, TRUE AS applied_ok
+         FROM range(0, 20) ORDER BY rank""",
     "q_packing_stats" ->
       """WITH t AS (
            SELECT doc_id,
