@@ -150,11 +150,15 @@ object TfRecord {
 /** User-facing helpers mirroring the other IO surfaces. */
 object TfRecordIO {
   /** `record` is cast to binary; `shards` controls file count (the read
-    * parallelism unit — see the format scaladoc). */
-  def write(df: DataFrame, record: Column, path: String, shards: Int): Unit =
+    * parallelism unit — see the format scaladoc). `compression` is
+    * none|gzip (whole-file gzip, TF's own compressed-TFRecord layout;
+    * extension-detected on read). */
+  def write(df: DataFrame, record: Column, path: String, shards: Int,
+            compression: String = "none"): Unit =
     df.select(record.cast("binary").as("record"))
       .repartition(shards)
-      .write.format("graft-tfrecord").mode("overwrite").save(path)
+      .write.format("graft-tfrecord").mode("overwrite")
+      .option("compression", compression).save(path)
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graft-tfrecord").load(path)
@@ -192,7 +196,11 @@ final class TfRecordTable(path: String, userSchema: StructType)
     require(s.fields.length == 1 && s.fields(0).dataType == BinaryType,
       s"graft-tfrecord writes exactly one binary column, got ${s.simpleString}" +
         " — wrap with TfRecordIO.write or select a single binary column")
-    new TfRecordWriteBuilder(path, info.queryId(), truncate = false)
+    val compression = Option(info.options().get("compression")).getOrElse("none")
+    require(Seq("none", "gzip").contains(compression),
+      s"graft-tfrecord compression must be none|gzip, got $compression")
+    new TfRecordWriteBuilder(path, info.queryId(), truncate = false,
+      gzip = compression == "gzip")
   }
 }
 
@@ -238,8 +246,11 @@ final class TfRecordReaderFactory(conf: SerializableConfiguration)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TfRecordInputPartition]
     val hPath = new Path(p.file)
-    val in = new DataInputStream(new java.io.BufferedInputStream(
-      hPath.getFileSystem(conf.value).open(hPath), 1 << 16))
+    val raw: java.io.InputStream = hPath.getFileSystem(conf.value).open(hPath)
+    // codec is extension-detected, like Spark's own CompressedSource reads
+    val in = new DataInputStream(
+      if (p.file.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw, 1 << 16)
+      else new java.io.BufferedInputStream(raw, 1 << 16))
     val it = TfRecord.records(in, p.file)
     new PartitionReader[InternalRow] {
       private var cur: Array[Byte] = _
@@ -258,12 +269,14 @@ final class TfRecordReaderFactory(conf: SerializableConfiguration)
 final case class TfRecordCommit(tempFile: String, finalName: String)
     extends WriterCommitMessage
 
-final class TfRecordWriteBuilder(path: String, queryId: String, truncate: Boolean)
+final class TfRecordWriteBuilder(path: String, queryId: String,
+                                 truncate: Boolean, gzip: Boolean)
     extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new TfRecordWriteBuilder(path, queryId, truncate = true)
+    new TfRecordWriteBuilder(path, queryId, truncate = true, gzip)
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new TfRecordBatchWrite(path, queryId, truncate)
+    override def toBatch: BatchWrite =
+      new TfRecordBatchWrite(path, queryId, truncate, gzip)
   }
 }
 
@@ -273,7 +286,8 @@ final class TfRecordWriteBuilder(path: String, queryId: String, truncate: Boolea
   * admits exactly one attempt per partition), finalize ≡ job-level
   * rename-into-place + temp-dir cleanup + `_SUCCESS` marker. Abort
   * removes the temp dir and leaves any prior data untouched. */
-final class TfRecordBatchWrite(path: String, queryId: String, truncate: Boolean)
+final class TfRecordBatchWrite(path: String, queryId: String, truncate: Boolean,
+                               gzip: Boolean)
     extends BatchWrite {
   private val tempDir = s"$path/_temporary-$queryId"
 
@@ -283,7 +297,7 @@ final class TfRecordBatchWrite(path: String, queryId: String, truncate: Boolean)
     val fs = new Path(path).getFileSystem(conf.value)
     fs.mkdirs(new Path(tempDir))
     val digits = math.max(5, info.numPartitions().toString.length)
-    TfRecordWriterFactory(tempDir, digits, conf)
+    TfRecordWriterFactory(tempDir, digits, gzip, conf)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -311,23 +325,26 @@ final class TfRecordBatchWrite(path: String, queryId: String, truncate: Boolean)
   }
 }
 
-final case class TfRecordWriterFactory(tempDir: String, digits: Int,
+final case class TfRecordWriterFactory(tempDir: String, digits: Int, gzip: Boolean,
                                        conf: SerializableConfiguration)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new TfRecordDataWriter(tempDir, partitionId, taskId, digits, conf)
+    new TfRecordDataWriter(tempDir, partitionId, taskId, digits, gzip, conf)
 }
 
 final class TfRecordDataWriter(tempDir: String, partitionId: Int, taskId: Long,
-                               digits: Int, conf: SerializableConfiguration)
+                               digits: Int, gzip: Boolean,
+                               conf: SerializableConfiguration)
     extends DataWriter[InternalRow] {
   private val part = ("%0" + digits + "d").format(partitionId)
-  private val finalName = s"part-$part.tfrecord"
+  private val finalName = s"part-$part.tfrecord" + (if (gzip) ".gz" else "")
   private val tempFile = s"$tempDir/attempt-$taskId-$finalName"
   private val out = {
     val p = new Path(tempFile)
-    new DataOutputStream(new java.io.BufferedOutputStream(
-      p.getFileSystem(conf.value).create(p, true), 1 << 16))
+    val raw: java.io.OutputStream = p.getFileSystem(conf.value).create(p, true)
+    val wrapped = if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+      else new java.io.BufferedOutputStream(raw, 1 << 16)
+    new DataOutputStream(wrapped)
   }
 
   override def write(row: InternalRow): Unit =

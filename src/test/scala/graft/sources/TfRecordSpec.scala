@@ -89,6 +89,24 @@ class TfRecordSpec extends SparkSpec {
     assert(parts.size == 1)
   }
 
+  test("gzip compression round-trips, extension-detected on read") {
+    val dir = scratch().resolve("gz").toString
+    val texts = Seq("alpha", "beta", "z" * 10000)
+    TfRecordIO.write(texts.toDF("t"), encode(col("t"), "UTF-8"), dir,
+      shards = 2, compression = "gzip")
+    val files = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    assert(files.count(_.matches("part-\\d{5}\\.tfrecord\\.gz")) == 2)
+    val back = TfRecordIO.read(spark, dir)
+      .select(decode(col("record"), "UTF-8")).as[String].collect()
+    assertInAnyOrder(back.toSeq, texts)
+    // the compressible payload actually compressed
+    val onDisk = Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".gz"))
+      .map(Files.size(_)).sum
+    assert(onDisk < 10000, s"gzip shards unexpectedly large: $onDisk")
+  }
+
   test("a corrupted shard raises on read instead of yielding torn bytes") {
     val dir = scratch().resolve("corrupt").toString
     TfRecordIO.write(Seq("payload-one", "payload-two").toDF("t"),
