@@ -73,6 +73,19 @@ object CountMin {
     def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 
+  /** The sketch as a reference-shaped CombineFn — pluggable into the
+    * streaming TriggerEngine, so windowed per-key CMS panes get the full
+    * trigger algebra (early/late firings, accumulation modes) for free. */
+  def combineFn(depth: Int, width: Int)
+      : graft.operators.Combine.CombineFn[String, Array[Long], Seq[Long]] =
+    new graft.operators.Combine.CombineFn[String, Array[Long], Seq[Long]] {
+      private val agg = CmsAggregator(depth, width)
+      def createAccumulator(): Array[Long] = agg.zero
+      def addInput(acc: Array[Long], in: String): Array[Long] = agg.reduce(acc, in)
+      def mergeAccumulators(a: Array[Long], b: Array[Long]): Array[Long] = agg.merge(a, b)
+      def extractOutput(acc: Array[Long]): Seq[Long] = agg.finish(acc)
+    }
+
   /** One-pass sketch of `value`: a 1-row frame (sketch: array<bigint>,
     * n: total items) — broadcast it and probe with [[estimate]]. */
   def sketch(df: DataFrame, value: Column, depth: Int, width: Int): DataFrame = {

@@ -54,6 +54,44 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("the sketch rides the streaming trigger engine: windowed panes equal batch sketches") {
+    import java.sql.Timestamp
+    import java.time.Duration
+    import graft.streaming.TriggerEngine
+    import graft.streaming.TriggerEngine._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def ts(minute: Int) = new Timestamp(minute * 60000L)
+    // minutes 1..5: ts(0) would sit exactly on the epoch, the engine's
+    // documented near-epoch watermark-clamp edge (see TriggerEngine
+    // scaladoc; every trigger spec starts at minute 1 for the same reason)
+    val w0Tokens = Seq("x", "x", "y", "x", "z")
+    val input = MemoryStream[(String, Timestamp, String)](4242, spark, None)
+    val panes = TriggerEngine.windowedAggregate(
+      input.toDS(), Duration.ofMinutes(10), Duration.ZERO,
+      TriggerSpec.default, Accumulating, CountMin.combineFn(depth, width))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-stream").toString
+    val q = panes.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      input.addData(w0Tokens.zipWithIndex.map { case (t, i) => ("k", ts(i + 1), t) })
+      q.processAllAvailable()
+      input.addData(Seq(("k", ts(12), "late"))) // advance watermark, close [0,10)
+      q.processAllAvailable()
+    } finally q.stop()
+    val pane = spark.table("cms_stream").as[Pane[String, Seq[Long]]].collect()
+      .filter(p => p.windowStart == ts(0) && p.timing == "ON_TIME")
+    assert(pane.length == 1)
+    val batchSketch = CountMin.sketch(w0Tokens.toDF("v"), col("v"), depth, width)
+      .select("sketch").as[Seq[Long]].collect().head
+    assert(pane.head.value == batchSketch,
+      "streamed window sketch differs from the batch sketch of the same slice")
+    // and the pane's sketch answers point queries with the CMS guarantee
+    val est = (0 until depth).map(i =>
+      pane.head.value(i * width + CountMin.bucket("x", i, width))).min
+    assert(est >= 3L)
+  }
+
   test("unqueried values estimate at most the collision mass, never negative") {
     val df = (1 to 300).map(i => s"v$i").toDF("v")
     val sk = CountMin.sketch(df, col("v"), depth, width)
