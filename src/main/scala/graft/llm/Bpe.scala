@@ -69,8 +69,20 @@ object Bpe {
 
   /** Greedy left-to-right non-overlapping single-merge rewrite as a fold:
     * the accumulator carries (rewritten-prefix, previous-position-consumed)
-    * so "aaa" under (a,a) becomes ["aa","a"], never ["aa","aa"]. */
-  def mergeOnce(syms: Column, l: String, r: String): Column = {
+    * so "aaa" under (a,a) becomes ["aa","a"], never ["aa","aa"].
+    *
+    * The input is LET-BOUND through a single-element `aggregate` whose
+    * zero is `syms`: the rewrite body references the bound lambda
+    * variable (a leaf) instead of duplicating the input expression ~8×
+    * per level, which is what keeps [[applyMerges]]' chained tree LINEAR
+    * in the merge count. Without the binding, 20 chained rewrites build
+    * an ~8^20-node Catalyst tree — observed as a 156 MiB task binary and
+    * a 12-minute sf0.01 query before this fix (projection barriers don't
+    * help: CollapseProject folds them straight back). */
+  def mergeOnce(syms: Column, l: String, r: String): Column =
+    aggregate(array(lit(0)), syms, (bound, _) => mergeOnceBound(bound, l, r))
+
+  private def mergeOnceBound(syms: Column, l: String, r: String): Column = {
     val n = size(syms)
     val zero = struct(array().cast("array<string>").as("o"), lit(false).as("k"))
     aggregate(
@@ -91,9 +103,20 @@ object Bpe {
   }
 
   /** Apply an already-learned merge list in rank order (the BPE encode
-    * path for new text, and the trainer's own state transition). */
+    * path for new text, and the trainer's own state transition). Tree
+    * size is linear in the merge count thanks to [[mergeOnce]]'s
+    * let-binding, so a full vocab's merge list chains safely inline. */
   def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(syms) { case (s, (l, r)) => mergeOnce(s, l, r) }
+
+  /** Encode the distinct-word table with a learned merge list — THE
+    * corpus-scale encode shape: the chained merge rewrites run once per
+    * DISTINCT word (vocabulary-sized work), and the corpus gets its BPE
+    * tokens by joining exploded tokens back to this table (one shuffle,
+    * or a broadcast when the vocab fits). Returns (word, freq, syms). */
+  def encodeWords(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    words.select(col("word"), col("freq").cast("long").as("freq"),
+      applyMerges(charSyms(col("word")), merges).as("syms"))
 
   /** Learn `numMerges` merges from a `(word, freq)` table. Deterministic:
     * ties break on (left, right) lexicographic. Stops early if no pair

@@ -1010,6 +1010,52 @@ object LlmQueries {
         .orderBy(col("rank"))
     },
 
+    // Corpus-scale BPE ENCODE with a trained vocab (the production
+    // tokenize step), self-asserting form. The scale shape is the point:
+    // the 20 chained merge rewrites run once per DISTINCT word, and the
+    // corpus gets its tokens by joining exploded tokens back to that
+    // vocabulary table. Exact companions: per-source doc counts.
+    // Booleans pinned TRUE: encode_ok — the relational HOF encode of
+    // every distinct word equals the independent scalar encoder;
+    // conservation_ok — per-source BPE token totals computed through the
+    // doc-level join-back equal the freq-weighted totals computed on the
+    // word table alone (the join dropped or duplicated nothing).
+    "q_bpe_encode" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val words = Bpe.wordFreqs(docs, col("text"))
+      val merges = Bpe.train(words, numMerges = 20)
+      val pairs = merges.map(m => (m.left, m.right))
+      val enc = Bpe.encodeWords(words, pairs)
+        .withColumn("n_syms", size(col("syms")))
+      val scalarUdf = udf((w: String) => {
+        var syms = w.map(_.toString).toList
+        pairs.foreach { case (l, r) => syms = Bpe.scalarMergeOnce(syms, l, r)._1 }
+        syms
+      })
+      val encodeOk = enc
+        .agg(coalesce(bool_and(col("syms") === scalarUdf(col("word"))), lit(true))
+          .as("encode_ok"))
+      val perSourceDocs = docs
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("word"))
+        .join(enc.select(col("word"), col("n_syms")), Seq("word"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_syms").cast("long")).as("bpe_tokens_docs"))
+      val perSourceWords = docs
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("f"))
+        .join(enc.select(col("word"), col("n_syms")), Seq("word"))
+        .groupBy(col("source"))
+        .agg(sum(col("f") * col("n_syms")).as("bpe_tokens_words"))
+      val conservation = perSourceDocs
+        .join(perSourceWords, Seq("source"), "full_outer")
+        .agg(coalesce(bool_and(col("bpe_tokens_docs") === col("bpe_tokens_words")),
+          lit(true)).as("conservation_ok"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(encodeOk))
+        .crossJoin(broadcast(conservation))
+        .orderBy(col("source"))
+    },
+
     // Packing shard summary: sequences per shard and tail waste — the
     // metric a packing strategy is judged on. Same portable arithmetic
     // as q_seq_packing.
@@ -2033,6 +2079,12 @@ object LlmQueries {
          SELECT token, count(*) AS cnt, TRUE AS lower_ok, TRUE AS bound_ok
          FROM tok GROUP BY token
          ORDER BY cnt DESC, token LIMIT 50""",
+    // Self-asserting BPE-encode gate: per-source doc counts exact; the
+    // scalar-equality and token-conservation booleans ride pinned TRUE.
+    "q_bpe_encode" ->
+      """SELECT source, count(*) AS n_docs,
+           TRUE AS encode_ok, TRUE AS conservation_ok
+         FROM documents GROUP BY source ORDER BY source""",
     // Self-asserting BPE-training gate: merge ranks + corpus companions
     // exact; the trajectory booleans (scalar-replay pair counts and
     // applied counts) ride pinned TRUE.

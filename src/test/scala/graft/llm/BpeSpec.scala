@@ -62,6 +62,19 @@ class BpeSpec extends SparkSpec {
     assert(enc == syms)
   }
 
+  test("encodeWords survives long merge lists (let-bound linear trees) and matches scalar") {
+    val words = Seq(("banana", 3L), ("bandana", 2L), ("ananas", 4L), ("cabana", 1L))
+    val merges = Bpe.scalarTrain(words, numMerges = 12).map(m => (m.left, m.right))
+    assert(merges.length > 5, "fixture too small to exercise deep chaining")
+    val got = Bpe.encodeWords(words.toDF("word", "freq"), merges)
+      .select("word", "syms").as[(String, Seq[String])].collect().toMap
+    words.foreach { case (w, _) =>
+      var syms = w.map(_.toString).toList
+      merges.foreach { case (l, r) => syms = Bpe.scalarMergeOnce(syms, l, r)._1 }
+      assert(got(w) == syms, s"word $w: ${got(w)} vs $syms")
+    }
+  }
+
   test("replay re-derives the trainer's per-rank trajectory (the gate's independent leg)") {
     val words = Seq(("banana", 3L), ("bandana", 2L), ("ananas", 4L))
     val merges = Bpe.train(words.toDF("word", "freq"), numMerges = 5)
