@@ -48,7 +48,7 @@ object Stress {
     * ~factor members */
   val EmbQueries = Seq(
     "q_semdedup", "q_embedding_neardup", "q_similarity_srp",
-    "q_similarity_ivf", "q_similarity_pq")
+    "q_similarity_ivf", "q_similarity_pq", "q_similarity_ivfpq")
   /** probe-hit / containment joins with the hot-key risk profile: a
     * probe n-gram (or reference shingle) shared by many corpus near-dups
     * is one join key with ~factor× matches — quadratic only if the plan
@@ -56,8 +56,16 @@ object Stress {
   val ContamQueries = Seq(
     "q_contamination_exact", "q_contamination_ngram",
     "q_contamination_full", "q_crosscorpus_dedup")
+  /** token-stream aggregations with self-assert booleans worth re-proving
+    * at duplicate-dense scale: BPE training (pair counts grow with the
+    * duplicated stream; the scalar-replay booleans must keep holding),
+    * the CMS guarantee (ε·N slack grows with N but so does collision
+    * mass), and the classifier's held-out floors on a perturbed corpus */
+  val TextQueries = Seq(
+    "q_bpe_train", "q_cms_counts", "q_quality_classifier")
 
-  def allQueries: Seq[String] = DedupQueries ++ EmbQueries ++ ContamQueries
+  def allQueries: Seq[String] =
+    DedupQueries ++ EmbQueries ++ ContamQueries ++ TextQueries
 
   private def releaseCaches(): Unit = {
     graft.llm.Dedup.releasePersistedState()
