@@ -243,6 +243,34 @@ object IoQueries {
         .select(col("r.doc_id").as("doc_id"), md5(col("r.text")).as("text_md5"))
         .orderBy(col("doc_id"))
     },
+
+    // §2.5 the full training-shard pipeline as TF tooling writes it:
+    // every document serialized as a tf.train.Example (hand-rolled
+    // protobuf wire format, golden-vector-pinned in TfExampleSpec)
+    // inside gzip-compressed TFRecord shards, read back, parsed, and
+    // proven field-exact against the source of truth.
+    "q_tfexample_roundtrip" -> { (s, dir) =>
+      import graft.sources.{TfExample, TfRecordIO}
+      val out = tmp("graft_tfexample")
+      val enc = udf((id: Long, text: String, lang: String) =>
+        TfExample.encode(Map(
+          "doc_id" -> TfExample.Feature.of(id),
+          "text" -> TfExample.Feature.of(text),
+          "lang" -> TfExample.Feature.of(lang))))
+      TfRecordIO.write(Tables(s, dir).documents,
+        enc(col("doc_id"), col("text"), col("lang")), out, shards = 4,
+        compression = "gzip")
+      val dec = udf((b: Array[Byte]) => {
+        val m = TfExample.decode(b)
+        (TfExample.long(m, "doc_id").get, TfExample.string(m, "text").get,
+          TfExample.string(m, "lang").get)
+      })
+      TfRecordIO.read(s, out)
+        .select(dec(col("record")).as("r"))
+        .select(col("r._1").as("doc_id"), md5(col("r._2")).as("text_md5"),
+          col("r._3").as("lang"))
+        .orderBy(col("doc_id"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -304,5 +332,9 @@ object IoQueries {
     // Byte-exact per-document round-trip through the TFRecord framing.
     "q_tfrecordio_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5 FROM documents ORDER BY doc_id""",
+    // Field-exact round-trip through tf.Example-in-gzip-TFRecord shards.
+    "q_tfexample_roundtrip" ->
+      """SELECT doc_id, md5(text) AS text_md5, lang
+         FROM documents ORDER BY doc_id""",
   )
 }
