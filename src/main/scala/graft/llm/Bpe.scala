@@ -120,38 +120,69 @@ object Bpe {
 
   /** Learn `numMerges` merges from a `(word, freq)` table. Deterministic:
     * ties break on (left, right) lexicographic. Stops early if no pair
-    * remains. */
+    * remains.
+    *
+    * One aggregation job + one vocabulary-sized checkpoint per iteration:
+    * a single `min_by`/`sum` pass returns both the winning pair (min of
+    * (-cnt, l, r) ≡ count-desc-then-lex) and the total pair mass Σcnt.
+    * Since Σcnt(t) = Σ freq·(len−1) = S(t) − F (S = freq-weighted symbol
+    * mass, F = Σ freq, constant), each merge's applied count falls out of
+    * successive totals — applied(t) = S(t) − S(t+1), every application
+    * replacing exactly two symbols with one — with no separate counting
+    * job. The scalar replay in q_bpe_train re-derives every applied count
+    * independently, so the identity is oracle-checked, not assumed. */
   def train(words: DataFrame, numMerges: Int): Seq[BpeMerge] = {
     val merges = ArrayBuffer.empty[BpeMerge]
     var state = words
       .select(col("word"), col("freq").cast("long").as("freq"),
         charSyms(col("word")).as("syms"))
       .localCheckpoint(true)
+
+    /** (best pair with its count, S(t)): one job. */
+    def bestAndMass(): (Option[(String, String, Long)], Long) = {
+      val row = pairCounts(state).agg(
+        min_by(struct(col("cnt"), col("l"), col("r")),
+          struct((col("cnt") * -1).as("nc"), col("l"), col("r"))).as("best"),
+        sum(col("cnt")).as("sumcnt"))
+        .collect()(0)
+      val f = fTotal
+      if (row.isNullAt(0)) (None, f)
+      else {
+        val b = row.getStruct(0)
+        (Some((b.getString(1), b.getString(2), b.getLong(0))),
+          row.getLong(1) + f)
+      }
+    }
+    lazy val fTotal: Long =
+      state.agg(sum(col("freq"))).collect()(0).getLong(0)
+
     var t = 0
     var exhausted = false
+    var pending: Option[(Int, String, String, Long, Long)] = None // + S(t)
     while (t < numMerges && !exhausted) {
-      val top = pairCounts(state)
-        .orderBy(col("cnt").desc, col("l"), col("r"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (l, r, cnt) =
-          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        val next = state
-          .withColumn("syms2", mergeOnce(col("syms"), l, r))
-          .select(col("word"), col("freq"),
-            col("syms").as("prev_syms"), col("syms2").as("syms"))
-          .localCheckpoint(true)
-        val applied = next
-          .agg(sum((size(col("prev_syms")) - size(col("syms"))).cast("long") *
-            col("freq")))
-          .collect()(0).getLong(0)
-        val old = state
-        state = next.select(col("word"), col("freq"), col("syms"))
-        old.unpersist()
-        merges += BpeMerge(t, l, r, cnt, applied)
-        t += 1
+      val (best, massNow) = bestAndMass()
+      pending.foreach { case (pt, pl, pr, pcnt, massBefore) =>
+        merges += BpeMerge(pt, pl, pr, pcnt, massBefore - massNow)
       }
+      pending = None
+      best match {
+        case None => exhausted = true
+        case Some((l, r, cnt)) =>
+          val old = state
+          state = old
+            .select(col("word"), col("freq"),
+              mergeOnce(col("syms"), l, r).as("syms"))
+            .localCheckpoint(true)
+          old.unpersist()
+          pending = Some((t, l, r, cnt, massNow))
+          t += 1
+      }
+    }
+    pending.foreach { case (pt, pl, pr, pcnt, massBefore) =>
+      val sFinal = state
+        .agg(sum(col("freq") * size(col("syms")).cast("long")))
+        .collect()(0).getLong(0)
+      merges += BpeMerge(pt, pl, pr, pcnt, massBefore - sFinal)
     }
     state.unpersist()
     merges.toSeq

@@ -1025,8 +1025,11 @@ object LlmQueries {
       val words = Bpe.wordFreqs(docs, col("text"))
       val merges = Bpe.train(words, numMerges = 20)
       val pairs = merges.map(m => (m.left, m.right))
+      // vocabulary-sized: materialize once, three legs read plain rows
+      // (unmaterialized, the interpreted rewrite chain re-evaluates per leg)
       val enc = Bpe.encodeWords(words, pairs)
         .withColumn("n_syms", size(col("syms")))
+        .localCheckpoint(true)
       val scalarUdf = udf((w: String) => {
         var syms = w.map(_.toString).toList
         pairs.foreach { case (l, r) => syms = Bpe.scalarMergeOnce(syms, l, r)._1 }
