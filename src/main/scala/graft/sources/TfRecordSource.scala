@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{streaming => swrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
@@ -131,19 +132,24 @@ object TfRecord {
       }
     }
 
-  /** Data files under `path` (a dir or a single file), hidden files
-    * skipped, name-sorted for deterministic partition order. */
-  def listDataFiles(fs: FileSystem, path: Path): Seq[(String, Long)] = {
+  final case class FileInfo(path: String, bytes: Long, mtimeMs: Long)
+
+  /** Data files under `path` (a dir or a single file; a missing path is
+    * an empty listing — the streaming source may start before the first
+    * shard lands), hidden files skipped, name-sorted for deterministic
+    * partition order. */
+  def listDataFiles(fs: FileSystem, path: Path): Seq[FileInfo] = {
+    if (!fs.exists(path)) return Seq.empty
     val st = fs.getFileStatus(path)
     val files =
       if (st.isFile) Seq(st)
       else fs.listStatus(path).toSeq.filter(_.isFile)
-    files.map(s => (s.getPath.toString, s.getLen))
-      .filterNot { case (p, _) =>
-        val n = new Path(p).getName
+    files.map(s => FileInfo(s.getPath.toString, s.getLen, s.getModificationTime))
+      .filterNot { f =>
+        val n = new Path(f.path).getName
         n.startsWith("_") || n.startsWith(".")
       }
-      .sortBy(_._1)
+      .sortBy(_.path)
   }
 }
 
@@ -184,7 +190,8 @@ final class TfRecordTable(path: String, userSchema: StructType)
   override def schema(): StructType = TfRecord.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -211,7 +218,7 @@ final case class TfRecordInputPartition(file: String, bytes: Long)
 
 final class TfRecordScan(path: String) extends Scan with SupportsReportStatistics {
   // Resolved on the driver at planning time, like any file-source listing.
-  private lazy val files: Seq[(String, Long)] = {
+  private lazy val files: Seq[TfRecord.FileInfo] = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
@@ -225,13 +232,13 @@ final class TfRecordScan(path: String) extends Scan with SupportsReportStatistic
     * the format) — Catalyst still gets honest byte statistics. */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): util.OptionalLong =
-      util.OptionalLong.of(files.map(_._2).sum)
+      util.OptionalLong.of(files.map(_.bytes).sum)
     override def numRows(): util.OptionalLong = util.OptionalLong.empty()
   }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      files.map { case (f, n) => TfRecordInputPartition(f, n): InputPartition }
+      files.map(f => TfRecordInputPartition(f.path, f.bytes): InputPartition)
         .toArray
     override def createReaderFactory(): PartitionReaderFactory = {
       val conf = new SerializableConfiguration(
@@ -239,6 +246,80 @@ final class TfRecordScan(path: String) extends Scan with SupportsReportStatistic
       new TfRecordReaderFactory(conf)
     }
   }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TfRecordMicroBatchStream(path,
+      new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+}
+
+/** High-watermark offset over the landing directory: the max
+  * (modification time, name) pair of any consumed file. Files must land
+  * immutably (write-then-rename, which the 3-phase sink does) — the
+  * FileStreamSource contract. */
+final case class TfFileOffset(mtimeMs: Long, name: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"$mtimeMs\n$name"
+}
+
+object TfFileOffset {
+  val Zero: TfFileOffset = TfFileOffset(Long.MinValue, "")
+  def parse(json: String): TfFileOffset = {
+    val i = json.indexOf('\n')
+    TfFileOffset(json.substring(0, i).toLong, json.substring(i + 1))
+  }
+  implicit val ord: Ordering[TfFileOffset] =
+    Ordering.by(o => (o.mtimeMs, o.name))
+}
+
+/** Micro-batch tail of a shard landing directory — the unbounded-read
+  * half of the connector (CheckpointMark ≡ the high-watermark offset;
+  * recovery replans from the committed offset exactly like the
+  * CountingSource demonstration). Each batch reads the files that
+  * arrived since the last offset, one partition per file. */
+final class TfRecordMicroBatchStream(path: String, conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import TfFileOffset.ord
+
+  private def listing(): Seq[TfRecord.FileInfo] = {
+    val p = new Path(path)
+    TfRecord.listDataFiles(p.getFileSystem(conf.value), p)
+  }
+
+  override def initialOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset = TfFileOffset.Zero
+
+  override def latestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val fs = listing()
+    if (fs.isEmpty) TfFileOffset.Zero
+    else fs.map(f => TfFileOffset(f.mtimeMs, new Path(f.path).getName)).max
+  }
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[TfFileOffset]
+    val e = end.asInstanceOf[TfFileOffset]
+    listing()
+      .filter { f =>
+        val o = TfFileOffset(f.mtimeMs, new Path(f.path).getName)
+        ord.gt(o, s) && ord.lteq(o, e)
+      }
+      .map(f => TfRecordInputPartition(f.path, f.bytes): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TfRecordReaderFactory(conf)
+  override def deserializeOffset(json: String)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    TfFileOffset.parse(json)
+  override def commit(
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final class TfRecordReaderFactory(conf: SerializableConfiguration)
@@ -277,6 +358,68 @@ final class TfRecordWriteBuilder(path: String, queryId: String,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new TfRecordBatchWrite(path, queryId, truncate, gzip)
+    override def toStreaming: swrite.StreamingWrite =
+      new TfRecordStreamingWrite(path, queryId, gzip)
+  }
+}
+
+/** Continuous shard production (writeStream → training shards): the same
+  * temp-file + rename 3-phase contract as the batch sink, committed once
+  * per epoch. Shard names carry the epoch (part-<epoch>-<partition>), so
+  * every committed micro-batch is a durable, immutable set of files the
+  * streaming READ side (or any TFRecord consumer) can tail. Epoch-retry
+  * safe: a commit that finds its destination already present discards
+  * the duplicate attempt's temp file instead of failing. */
+final class TfRecordStreamingWrite(path: String, queryId: String, gzip: Boolean)
+    extends swrite.StreamingWrite {
+  private val tempDir = s"$path/_temporary-$queryId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): swrite.StreamingDataWriterFactory = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    val fs = new Path(path).getFileSystem(conf.value)
+    fs.mkdirs(new Path(tempDir))
+    val digits = math.max(5, info.numPartitions().toString.length)
+    TfRecordStreamingWriterFactory(tempDir, digits, gzip, conf)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf)
+    messages.foreach { m =>
+      val c = m.asInstanceOf[TfRecordCommit]
+      val dest = new Path(target, c.finalName)
+      if (fs.exists(dest)) fs.delete(new Path(c.tempFile), false)
+      else if (!fs.rename(new Path(c.tempFile), dest))
+        throw new IOException(s"epoch $epochId commit rename failed: " +
+          s"${c.tempFile} -> $dest")
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val fs = new Path(tempDir).getFileSystem(conf)
+    messages.foreach { m =>
+      val c = m.asInstanceOf[TfRecordCommit]
+      fs.delete(new Path(c.tempFile), false)
+    }
+  }
+}
+
+final case class TfRecordStreamingWriterFactory(tempDir: String, digits: Int,
+                                                gzip: Boolean,
+                                                conf: SerializableConfiguration)
+    extends swrite.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val part = ("%0" + digits + "d").format(partitionId)
+    new TfRecordDataWriter(tempDir,
+      s"part-$epochId-$part.tfrecord" + (if (gzip) ".gz" else ""),
+      taskId, gzip, conf)
   }
 }
 
@@ -305,8 +448,8 @@ final class TfRecordBatchWrite(path: String, queryId: String, truncate: Boolean,
     val target = new Path(path)
     val fs = target.getFileSystem(conf)
     if (truncate)
-      TfRecord.listDataFiles(fs, target).foreach { case (f, _) =>
-        fs.delete(new Path(f), false)
+      TfRecord.listDataFiles(fs, target).foreach { f =>
+        fs.delete(new Path(f.path), false)
       }
     messages.foreach { m =>
       val c = m.asInstanceOf[TfRecordCommit]
@@ -328,16 +471,17 @@ final class TfRecordBatchWrite(path: String, queryId: String, truncate: Boolean,
 final case class TfRecordWriterFactory(tempDir: String, digits: Int, gzip: Boolean,
                                        conf: SerializableConfiguration)
     extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new TfRecordDataWriter(tempDir, partitionId, taskId, digits, gzip, conf)
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val part = ("%0" + digits + "d").format(partitionId)
+    new TfRecordDataWriter(tempDir,
+      s"part-$part.tfrecord" + (if (gzip) ".gz" else ""), taskId, gzip, conf)
+  }
 }
 
-final class TfRecordDataWriter(tempDir: String, partitionId: Int, taskId: Long,
-                               digits: Int, gzip: Boolean,
+final class TfRecordDataWriter(tempDir: String, val finalName: String,
+                               taskId: Long, gzip: Boolean,
                                conf: SerializableConfiguration)
     extends DataWriter[InternalRow] {
-  private val part = ("%0" + digits + "d").format(partitionId)
-  private val finalName = s"part-$part.tfrecord" + (if (gzip) ".gz" else "")
   private val tempFile = s"$tempDir/attempt-$taskId-$finalName"
   private val out = {
     val p = new Path(tempFile)

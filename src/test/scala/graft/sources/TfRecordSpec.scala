@@ -128,6 +128,56 @@ class TfRecordSpec extends SparkSpec {
       messages.contains("implausible"), messages)
   }
 
+  test("streaming read tails the landing directory: new shards arrive as new batches") {
+    val dir = scratch().resolve("tail").toString
+    java.nio.file.Files.createDirectories(Paths.get(dir))
+    def land(name: String, recs: Seq[String]): Unit = {
+      val f = Paths.get(dir, name)
+      Files.write(f, recs.toArray.flatMap(r => TfRecord.frame(r.getBytes(UTF_8))))
+      // distinct mtimes so the high-watermark offset separates arrivals
+      Files.setLastModifiedTime(f,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    }
+    land("shard-a.tfrecord", Seq("a1", "a2"))
+    val ckpt = scratch().resolve("ckpt").toString
+    val q = spark.readStream.format("graft-tfrecord").load(dir)
+      .select(decode(col("record"), "UTF-8").as("v"))
+      .writeStream.format("memory").queryName("tfrec_tail")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assertInAnyOrder(
+        spark.table("tfrec_tail").as[String].collect().toSeq, Seq("a1", "a2"))
+      Thread.sleep(5) // strictly later mtime than shard-a
+      land("shard-b.tfrecord", Seq("b1"))
+      q.processAllAvailable()
+      assertInAnyOrder(spark.table("tfrec_tail").as[String].collect().toSeq,
+        Seq("a1", "a2", "b1"))
+    } finally q.stop()
+  }
+
+  test("streaming write commits one immutable shard set per epoch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = scratch().resolve("stream-out").toString
+    val input = MemoryStream[String](9001, spark, None)
+    val q = input.toDS().select(encode(col("value"), "UTF-8").as("record"))
+      .writeStream.format("graft-tfrecord")
+      .option("checkpointLocation", scratch().resolve("wckpt").toString)
+      .option("path", dir).outputMode("append").start()
+    try {
+      input.addData("e0-r1", "e0-r2"); q.processAllAvailable()
+      input.addData("e1-r1"); q.processAllAvailable()
+    } finally q.stop()
+    val parts = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".tfrecord")).toSeq
+    // shard names carry the epoch
+    assert(parts.forall(_.matches("part-\\d+-\\d{5}\\.tfrecord")), parts.toString)
+    assert(parts.map(_.split("-")(1)).distinct.size >= 2, s"epochs: $parts")
+    val back = TfRecordIO.read(spark, dir)
+      .select(decode(col("record"), "UTF-8")).as[String].collect()
+    assertInAnyOrder(back.toSeq, Seq("e0-r1", "e0-r2", "e1-r1"))
+  }
+
   test("read plans one partition per shard file (the format's split contract)") {
     val dir = scratch().resolve("parts").toString
     TfRecordIO.write((1 to 100).map(_.toString).toDF("t"),
