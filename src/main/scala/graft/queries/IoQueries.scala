@@ -271,6 +271,53 @@ object IoQueries {
           col("r._3").as("lang"))
         .orderBy(col("doc_id"))
     },
+
+    // Capstone export: the q_pipeline_e2e curation chain (Gopher filter →
+    // exact dedup → quantile trim) feeding REAL training shards —
+    // tf.Example payloads in gzip TFRecords — then the per-source report
+    // recomputed from the DECODED shard content. The oracle is literally
+    // q_pipeline_e2e's: if the Example codec, the CRC framing, the gzip
+    // codec, or the 3-phase commit dropped/duplicated/corrupted anything,
+    // the aggregates would not survive the round-trip.
+    "q_shard_export" -> { (s, dir) =>
+      import graft.llm.{Curation, Dedup}
+      import graft.sources.{TfExample, TfRecordIO}
+      val docs = Tables(s, dir).documents
+      val flags = Curation.gopherQualityFlags(docs, "doc_id", "text",
+        minWords = 20)
+      val kept = docs.join(flags.filter(col("keep")).select(col("doc_id")),
+        Seq("doc_id"))
+      val keepers = Dedup.exactByKey(kept, "doc_id",
+          TextFunctions.fingerprintPortable(col("text")))
+        .select(col("keeper").as("doc_id"))
+      val deduped = kept.join(keepers, Seq("doc_id"))
+      val trimmed = Curation.trimByQuantiles(deduped, "doc_id",
+        col("n_chars"), lo = 0.05, hi = 0.95)
+      val fin = deduped.join(trimmed.select(col("doc_id")), Seq("doc_id"))
+      val out = tmp("graft_shard_export")
+      val enc = udf((id: Long, src: String, text: String) =>
+        TfExample.encode(Map(
+          "doc_id" -> TfExample.Feature.of(id),
+          "source" -> TfExample.Feature.of(src),
+          "text" -> TfExample.Feature.of(text))))
+      TfRecordIO.write(fin, enc(col("doc_id"), col("source"), col("text")),
+        out, shards = 4, compression = "gzip")
+      val dec = udf((b: Array[Byte]) => {
+        val m = TfExample.decode(b)
+        (TfExample.long(m, "doc_id").get, TfExample.string(m, "source").get,
+          TfExample.string(m, "text").get)
+      })
+      TfRecordIO.read(s, out)
+        .select(dec(col("record")).as("r"))
+        .select(col("r._1").as("doc_id"), col("r._2").as("source"),
+          col("r._3").as("text"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -336,5 +383,8 @@ object IoQueries {
     "q_tfexample_roundtrip" ->
       """SELECT doc_id, md5(text) AS text_md5, lang
          FROM documents ORDER BY doc_id""",
+    // The export IS q_pipeline_e2e plus transparent IO legs, so the
+    // oracle is the same SQL by construction.
+    "q_shard_export" -> LlmQueries.oracles("q_pipeline_e2e"),
   )
 }
