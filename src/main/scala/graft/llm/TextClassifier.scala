@@ -48,7 +48,7 @@ object TextClassifier {
     * the held-out 20%. `grams` is the feature token array (word tokens,
     * [[charNGrams]], or their concat — fastText uses both); `label` must
     * be 0.0/1.0. Returns held-out accuracy + AUROC and the scored test
-    * frame (id, label, prediction, probability). */
+    * frame (id, label, prediction, rawPrediction margin). */
   def trainEvaluate(df: DataFrame, idCol: String, grams: Column, label: Column,
                     dim: Int = 4096, maxIter: Int = 30)
       : EvalResult = {
@@ -60,13 +60,27 @@ object TextClassifier {
     val train = featurize.transform(prepped.filter(col("bucket") < 4)).cache()
     val test = featurize.transform(prepped.filter(col("bucket") === 4)).cache()
     try {
-      val model = new LogisticRegression()
+      val fitted = new LogisticRegression()
         .setMaxIter(maxIter).setRegParam(1e-4)
         .setFeaturesCol("features").setLabelCol("label")
         .fit(train)
-      val scored = model.transform(test)
-        .select(col("id"), col("label"), col("prediction"),
-          col("probability"), col("rawPrediction"))
+      // Score with the raw coefficients, not model.transform: the fitted
+      // model carries its training summary, the summary pins the
+      // SparkSession (whose ObservationManager is not serializable), and
+      // model.copy() re-attaches the summary — so the model must never
+      // ride a task closure. The linear margin w·x + b IS the model's
+      // rawPrediction; margin > 0 ≡ probability > 0.5.
+      val coefs = fitted.coefficients.toArray
+      val intercept = fitted.intercept
+      val marginUdf = udf((v: org.apache.spark.ml.linalg.Vector) => {
+        var s = intercept
+        v.foreachActive((i, x) => s += coefs(i) * x)
+        s
+      })
+      val scored = test.withColumn("rawPrediction", marginUdf(col("features")))
+        .select(col("id"), col("label"),
+          when(col("rawPrediction") > 0d, 1.0).otherwise(0.0).as("prediction"),
+          col("rawPrediction"))
       val auc = new BinaryClassificationEvaluator()
         .setLabelCol("label").setRawPredictionCol("rawPrediction")
         .setMetricName("areaUnderROC")
