@@ -93,6 +93,22 @@ object HeavyHitters {
     * N/(capacity+1). The exact recount touches only candidate rows via a
     * broadcast semi-join, so the full (value, count) aggregation over the
     * long tail — the expensive part at corpus scale — never runs. */
+  /** The sketch as a reference-shaped CombineFn — pluggable into the
+    * streaming TriggerEngine for windowed per-key heavy hitters with the
+    * full trigger algebra (the streaming sibling of [[frequentValues]]'s
+    * batch sketch-prune pass; the N/(k+1) guarantee holds per pane). */
+  def combineFn(capacity: Int)
+      : graft.operators.Combine.CombineFn[String, Map[String, Long], Map[String, Long]] =
+    new graft.operators.Combine.CombineFn[String, Map[String, Long], Map[String, Long]] {
+      private val mg = MisraGries(capacity)
+      def createAccumulator(): Map[String, Long] = mg.zero
+      def addInput(acc: Map[String, Long], in: String): Map[String, Long] =
+        mg.reduce(acc, in)
+      def mergeAccumulators(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+        mg.merge(a, b)
+      def extractOutput(acc: Map[String, Long]): Map[String, Long] = acc
+    }
+
   def frequentValues(df: DataFrame, valueCol: Column, minFrac: Double,
                      slack: Int = 2): DataFrame = {
     require(minFrac > 0.0 && minFrac <= 1.0, "minFrac must be in (0, 1]")

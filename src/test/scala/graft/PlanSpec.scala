@@ -26,6 +26,14 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_join_multiway").contains("BroadcastHashJoin"))
   }
 
+  test("sketch probes and vocab join-backs broadcast their small sides") {
+    // q_bpe_encode: corpus tokens join the vocabulary-sized encode table —
+    // the vocab side must broadcast (the corpus side never shuffles for it)
+    assert(plan("q_bpe_encode").contains("BroadcastHashJoin"))
+    // q_cms_counts: the 1-row sketch summary rides a broadcast
+    assert(plan("q_cms_counts").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("global top-k plans as TakeOrderedAndProject (bounded distributed heap)") {
     assert(plan("q_top_global").contains("TakeOrderedAndProject"))
   }

@@ -84,4 +84,39 @@ class HeavyHittersSpec extends SparkSpec {
     // ceil(0.15*6)=1: every value qualifies, counts exact
     assert(got == Set("a" -> 2L, "b" -> 1L, "c" -> 3L))
   }
+
+  test("the MG sketch rides the streaming trigger engine with its guarantee per pane") {
+    import java.sql.Timestamp
+    import java.time.Duration
+    import graft.streaming.TriggerEngine
+    import graft.streaming.TriggerEngine._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def ts(minute: Int) = new Timestamp(minute * 60000L)
+    // minutes 1..8 in window [0,10): "hot" x5 among 3 distinct others
+    val toks = Seq("hot", "t1", "hot", "t2", "hot", "hot", "t3", "hot")
+    val input = MemoryStream[(String, Timestamp, String)](5151, spark, None)
+    val panes = TriggerEngine.windowedAggregate(
+      input.toDS(), Duration.ofMinutes(10), Duration.ZERO,
+      TriggerSpec.default, Accumulating, HeavyHitters.combineFn(capacity = 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mg-stream").toString
+    val q = panes.writeStream.format("memory").queryName("mg_stream")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      input.addData(toks.zipWithIndex.map { case (t, i) => ("k", ts(i + 1), t) })
+      q.processAllAvailable()
+      input.addData(Seq(("k", ts(12), "late")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pane = spark.table("mg_stream")
+      .as[Pane[String, Map[String, Long]]].collect()
+      .filter(p => p.windowStart == ts(0) && p.timing == "ON_TIME")
+    assert(pane.length == 1)
+    val summary = pane.head.value
+    // MG guarantee on the pane: N=8, k=2 → any value with count > 8/3 is
+    // present, and its kept count undercounts by at most ⌊8/3⌋
+    assert(summary.contains("hot"), summary.toString)
+    assert(summary("hot") >= 5L - 8L / 3L && summary("hot") <= 5L, summary.toString)
+    assert(summary.size <= 2)
+  }
 }
