@@ -42,7 +42,26 @@ object TextClassifier {
 
   final case class EvalResult(trainN: Long, testN: Long,
                               testAccuracy: Double, testAuc: Double,
-                              scoredTest: DataFrame)
+                              scoredTest: DataFrame,
+                              coefficients: Array[Double], intercept: Double)
+
+  /** The production apply step: score EVERY row of `df` with a trained
+    * model's raw parameters — one narrow map-side pass (featurize +
+    * margin), zero shuffles, no model object in any closure. Returns
+    * `df` plus a `score` column (the sigmoid probability of label 1). */
+  def score(df: DataFrame, grams: Column, coefficients: Array[Double],
+            intercept: Double, dim: Int = 4096): DataFrame = {
+    val featurize = new HashingTF()
+      .setInputCol("__grams").setOutputCol("__features").setNumFeatures(dim)
+    val marginUdf = udf((v: org.apache.spark.ml.linalg.Vector) => {
+      var s = intercept
+      v.foreachActive((i, x) => s += coefficients(i) * x)
+      1.0 / (1.0 + math.exp(-s))
+    })
+    featurize.transform(df.withColumn("__grams", grams))
+      .withColumn("score", marginUdf(col("__features")))
+      .drop("__grams", "__features")
+  }
 
   /** Train on a deterministic 80/20 hash split of `df` and evaluate on
     * the held-out 20%. `grams` is the feature token array (word tokens,
@@ -91,7 +110,8 @@ object TextClassifier {
         .collect()(0)
       val (testN, hits) = (Row2.getLong(0), Row2.getLong(1))
       EvalResult(train.count(), testN,
-        if (testN == 0) 0.0 else hits.toDouble / testN, auc, scored)
+        if (testN == 0) 0.0 else hits.toDouble / testN, auc, scored,
+        coefs, intercept)
     } finally {
       train.unpersist(); test.unpersist()
     }

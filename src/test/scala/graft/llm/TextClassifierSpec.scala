@@ -47,6 +47,26 @@ class TextClassifierSpec extends SparkSpec {
     assert(res.testAuc >= 0.95, f"held-out AUC ${res.testAuc}%.3f below floor")
   }
 
+  test("corpus scoring agrees with held-out predictions and separates the classes") {
+    val docs = labelled
+    val res = TextClassifier.trainEvaluate(docs, "doc_id",
+      tokens(col("text")), col("label_b"))
+    val scored = TextClassifier.score(docs, tokens(col("text")),
+      res.coefficients, res.intercept)
+    assert(scored.count() == docs.count())
+    // score > 0.5 must reproduce the held-out predictions exactly (same
+    // margin arithmetic, sigmoid is monotone)
+    val joined = scored.select(col("doc_id").as("id"),
+        (col("score") > 0.5).cast("double").as("p2"))
+      .join(res.scoredTest.select(col("id"), col("prediction")), Seq("id"))
+    assert(joined.filter(col("p2") =!= col("prediction")).count() == 0)
+    // and the learned scores separate the planted classes on the corpus
+    val gap = scored.groupBy(col("label_b"))
+      .agg(avg(col("score")).as("m")).orderBy(col("label_b"))
+      .select("m").as[Double].collect()
+    assert(gap(1) - gap(0) > 0.5, s"mean-score gap too small: ${gap.toSeq}")
+  }
+
   test("training is deterministic: two runs give identical metrics and predictions") {
     def run() = TextClassifier.trainEvaluate(labelled, "doc_id",
       tokens(col("text")), col("label_b"), maxIter = 10)
