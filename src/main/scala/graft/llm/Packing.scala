@@ -99,4 +99,30 @@ object Packing {
     ranked.select(col(idCol), col("weight"), col("rank").cast("long").as("rank"),
       shard.cast("int").as("shard"))
   }
+
+  /** Deterministic per-epoch shuffle WITHOUT a global sort — the step
+    * that feeds a trainer decorrelated epochs over an immutable corpus.
+    * Each epoch `seed` re-deals every row to a shard (md5 hash bucket of
+    * "seed|id" — [[Combine.hashBucket]]'s portable arithmetic) and orders
+    * rows within the shard by the same salted hash: one hash-partitioned
+    * shuffle + shard-local sorts, never a corpus-wide range exchange.
+    * Different seeds give independent hashes, so consecutive epochs
+    * decorrelate (PackingSpec measures the rank correlation ≈ 0). The
+    * assignment is a pure function of (seed, id): reproducible on any
+    * engine, resumable mid-epoch, and SQL-replayable for the oracle.
+    * Output: (id, shard, pos) — pos is the 1-based read order inside the
+    * shard. */
+  def epochShuffleAssign(df: DataFrame, idCol: String, seed: Long,
+                         shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val salted = md5(concat(lit(s"$seed|"), col(idCol).cast("string"))
+      .cast("binary"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol),
+        Combine.hashBucket(concat(lit(s"$seed|"), col(idCol).cast("string")),
+          shards).cast("int").as("shard"),
+        salted.as("__h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

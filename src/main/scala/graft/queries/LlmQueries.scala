@@ -1059,6 +1059,21 @@ object LlmQueries {
         .orderBy(col("source"))
     },
 
+    // Deterministic per-epoch shuffle: every doc re-dealt to a shard and
+    // an in-shard position by the salted md5 hash of "seed|doc_id" — one
+    // hash shuffle + shard-local sorts, no corpus-wide range exchange.
+    // Pure function of (seed, id), so the full assignment of TWO epochs
+    // is replayed exactly in SQL; PackingSpec measures the epoch-to-epoch
+    // rank decorrelation.
+    "q_epoch_shuffle" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val e0 = Packing.epochShuffleAssign(docs, "doc_id", seed = 0, shards = 8)
+        .select(col("doc_id"), col("shard").as("shard_e0"), col("pos").as("pos_e0"))
+      val e1 = Packing.epochShuffleAssign(docs, "doc_id", seed = 1, shards = 8)
+        .select(col("doc_id"), col("shard").as("shard_e1"), col("pos").as("pos_e1"))
+      e0.join(e1, Seq("doc_id")).orderBy(col("doc_id"))
+    },
+
     // Packing shard summary: sequences per shard and tail waste — the
     // metric a packing strategy is judged on. Same portable arithmetic
     // as q_seq_packing.
@@ -2367,6 +2382,26 @@ object LlmQueries {
                 THEN p.shared::DOUBLE / p.n::DOUBLE ELSE 0.0 END AS dup_shingle_frac
          FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
          ORDER BY d.doc_id""",
+    // Exact replay of both epochs' salted-hash deal + in-shard order.
+    "q_epoch_shuffle" ->
+      """WITH e0 AS (SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) % 8 AS INTEGER) AS shard_e0,
+           md5('0|' || CAST(doc_id AS VARCHAR)) AS h0
+         FROM documents),
+         r0 AS (SELECT doc_id, shard_e0,
+           row_number() OVER (PARTITION BY shard_e0 ORDER BY h0, doc_id) AS pos_e0
+         FROM e0),
+         e1 AS (SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5('1|' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) % 8 AS INTEGER) AS shard_e1,
+           md5('1|' || CAST(doc_id AS VARCHAR)) AS h1
+         FROM documents),
+         r1 AS (SELECT doc_id, shard_e1,
+           row_number() OVER (PARTITION BY shard_e1 ORDER BY h1, doc_id) AS pos_e1
+         FROM e1)
+         SELECT doc_id, shard_e0, pos_e0, shard_e1, pos_e1
+         FROM r0 JOIN r1 USING (doc_id) ORDER BY doc_id""",
     "q_shard_assign" ->
       """WITH w AS (SELECT doc_id,
            len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS weight

@@ -72,4 +72,42 @@ class PackingSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"))).toSet
     assert(again === out.map(t => (t._1, t._4)).toSet)
   }
+
+  test("epoch shuffle: valid permutation per shard, deterministic, epochs decorrelate") {
+    val docs = spark.range(0, 500).toDF("doc_id")
+    def epoch(seed: Long) =
+      Packing.epochShuffleAssign(docs, "doc_id", seed, shards = 8)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Int]("shard"), r.getAs[Long]("pos")))
+    val e0 = epoch(0)
+    // positions are a contiguous 1..n permutation inside every shard
+    e0.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // every shard populated, roughly balanced (binomial around 62.5)
+    val sizes = e0.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (0 until 8).toSet && sizes.values.forall(n => n > 20 && n < 120),
+      sizes.toString)
+    // deterministic under repartitioning
+    val again = Packing.epochShuffleAssign(docs.repartition(7), "doc_id", 0, 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("shard"), r.getAs[Long]("pos"))).toSet
+    assert(again == e0.toSet)
+    // epochs decorrelate: global read order (shard-major) rank correlation ~ 0
+    val e1 = epoch(1)
+    def globalRank(rows: Array[(Long, Int, Long)]): Map[Long, Double] = {
+      val sorted = rows.sortBy(t => (t._2, t._3)).map(_._1)
+      sorted.zipWithIndex.map { case (id, i) => id -> i.toDouble }.toMap
+    }
+    val (g0, g1) = (globalRank(e0), globalRank(e1))
+    val pairs = g0.keys.toSeq.map(id => (g0(id), g1(id)))
+    val n = pairs.length
+    val (mx, my) = (pairs.map(_._1).sum / n, pairs.map(_._2).sum / n)
+    val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sx = math.sqrt(pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum)
+    val sy = math.sqrt(pairs.map(p => (p._2 - my) * (p._2 - my)).sum)
+    val corr = cov / (sx * sy)
+    assert(math.abs(corr) < 0.15, f"epoch order correlation $corr%.3f too high")
+  }
 }
