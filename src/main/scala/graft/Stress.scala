@@ -62,7 +62,8 @@ object Stress {
     * the CMS guarantee (ε·N slack grows with N but so does collision
     * mass), and the classifier's held-out floors on a perturbed corpus */
   val TextQueries = Seq(
-    "q_bpe_train", "q_cms_counts", "q_quality_classifier")
+    "q_bpe_train", "q_cms_counts", "q_quality_classifier",
+    "q_epoch_shuffle")
 
   def allQueries: Seq[String] =
     DedupQueries ++ EmbQueries ++ ContamQueries ++ TextQueries
