@@ -41,7 +41,7 @@ import org.apache.spark.sql.functions._
 object Stress {
   val DedupQueries = Seq(
     "q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
-    "q_editdist_neardup")
+    "q_editdist_neardup", "q_span_dedup")
   /** same worst-case construction for the embedding family: every
     * vector's copies are mutual near-dups at cosine ~0.9999, so SemDeDup
     * clusters, SRP buckets, and neardup candidate groups all gain

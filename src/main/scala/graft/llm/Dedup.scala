@@ -553,4 +553,74 @@ object Dedup {
           col("__shared").cast("double") / col("__n").cast("double"))
           .otherwise(0.0).as("dup_shingle_frac"))
   }
+
+  /** Exact substring-span deduplication — the APPLY step behind
+    * [[crossDocDuplicationStats]]'s audit (Lee et al. 2021, arXiv:2107.06499
+    * "ExactSubstr": remove every duplicated span from the corpus, keeping
+    * one occurrence). A span is an `n`-token gram; an occurrence is
+    * duplicated when the same gram appears anywhere else in the corpus
+    * (another document OR another position of the same document). The
+    * globally-first occurrence — minimum (id, position) — is canonical and
+    * kept; every other occurrence has its `n` token positions removed from
+    * its document. Overlapping duplicate spans union their removed ranges,
+    * so maximal duplicated runs collapse without an interval-merge pass; a
+    * canonical occurrence can still be partially eroded by a DIFFERENT
+    * overlapping duplicated gram (positional removal — the same property
+    * as the paper's byte-range cuts). Real pipelines run n≈50; tests use
+    * small n so the fixture has duplicates.
+    *
+    * Output: (id, n_tokens BIGINT, n_removed BIGINT, dedup_text) — text
+    * rebuilt from the kept tokens, whitespace/case-normalized by the
+    * tokenizer (the paper's pass also edits the raw training text). NULL
+    * text stays NULL with zero counts. Gram identity is md5 of the gram
+    * string, so two grams collide only if the 128-bit hash does.
+    *
+    * Scale: one gram explode feeding a (hash → count, first-occurrence)
+    * aggregation with map-side partials, one join-back on the md5 key —
+    * gram TEXT never rides a shuffle, only (id, pos, 16-byte hash) — one
+    * per-doc collect of duplicate start positions (ids + ints), one join
+    * to the documents by id. The per-row rebuild is O(tokens × duplicate
+    * starts) inside a single projection; duplicate-start counts are
+    * bounded by the document's own gram count, and documents are
+    * length-capped upstream in any real curation chain. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    require(n >= 2, s"span gram size must be >= 2, got $n")
+    // read twice (occurrence explode + final rebuild): persist per the
+    // module cache contract
+    val toks = track(df.select(col(idCol).as("__id"),
+      col(textCol).isNull.as("__textnull"),
+      coalesce(TextFunctions.tokens(col(textCol)),
+        array().cast("array<string>")).as("__toks"),
+      graft.functions.ShingleExprs.ngramStrings(coalesce(col(textCol), lit("")), n)
+        .as("__grams")))
+    val occ = toks
+      .select(col("__id"), posexplode(col("__grams")).as(Seq("__pos", "__g")))
+      .select(col("__id"), col("__pos"),
+        md5(col("__g").cast("binary")).as("__h"))
+    val stats = occ.groupBy(col("__h")).agg(
+      count(lit(1)).as("__cnt"),
+      min(struct(col("__id").as("i"), col("__pos").as("p"))).as("__first"))
+    val dupStarts = occ.join(stats, Seq("__h"))
+      .filter(col("__cnt") >= 2 &&
+        !(col("__id") === col("__first.i") && col("__pos") === col("__first.p")))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+    toks.join(dupStarts, Seq("__id"), "left")
+      .withColumn("__starts", coalesce(col("__starts"),
+        array().cast("array<int>")))
+      .withColumn("__kept", filter(
+        transform(col("__toks"), (t, i) => struct(t.as("t"), i.as("i"))),
+        s => !exists(col("__starts"),
+          p => s.getField("i") >= p && s.getField("i") < p + lit(n))))
+      .select(col("__id").as(idCol),
+        when(col("__textnull"), lit(null).cast("long"))
+          .otherwise(size(col("__toks")).cast("long")).as("n_tokens"),
+        when(col("__textnull"), lit(null).cast("long"))
+          .otherwise((size(col("__toks")) - size(col("__kept"))).cast("long"))
+          .as("n_removed"),
+        when(col("__textnull"), lit(null).cast("string"))
+          .otherwise(concat_ws(" ",
+            transform(col("__kept"), s => s.getField("t")))).as("dedup_text"))
+  }
 }

@@ -1184,6 +1184,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Exact substring-span dedup (ExactSubstr APPLY step): every 5-gram
+    // occurrence duplicated anywhere in the corpus loses its 5 token
+    // positions except the globally-first occurrence; text rebuilt from
+    // the kept tokens. Real pipelines run n≈50; n=5 gives the fixture a
+    // ~5% duplicate-occurrence rate at both verify and bench scale.
+    "q_span_dedup" -> { (s, dir) =>
+      Dedup.removeDuplicateSpans(Tables(s, dir).documents,
+          "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    },
+
     // End-to-end curation pipeline — the operators composed the way a
     // real pretraining run chains them: Gopher-rule filter → exact dedup
     // (min-id representative among survivors) → quantile length trim
@@ -2382,6 +2393,48 @@ object LlmQueries {
                 THEN p.shared::DOUBLE / p.n::DOUBLE ELSE 0.0 END AS dup_shingle_frac
          FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
          ORDER BY d.doc_id""",
+    // Full replay of the ExactSubstr apply step: 5-gram occurrences,
+    // duplicate = same gram text elsewhere in the corpus, canonical =
+    // first (doc_id, pos), removal by covered token positions, text
+    // rebuilt from kept tokens. Gram identity is the STRING here vs md5
+    // in Spark — identical unless the 128-bit hash collides.
+    "q_span_dedup" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents),
+         occ AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + 4], ' ') AS g
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+                 FROM tk WHERE len(toks) >= 5)),
+         marked AS (
+           SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY g) AS cnt,
+             row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+           FROM occ),
+         dup AS (SELECT doc_id, pos FROM marked WHERE cnt >= 2 AND rn > 1),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS t, unnest(range(0, len(toks))) AS i
+           FROM tk),
+         removedpos AS (
+           SELECT DISTINCT t.doc_id, t.i
+           FROM tok t JOIN dup d
+             ON t.doc_id = d.doc_id AND t.i >= d.pos AND t.i < d.pos + 5),
+         kept AS (
+           SELECT t.doc_id, t.i, t.t
+           FROM tok t LEFT JOIN removedpos r
+             ON t.doc_id = r.doc_id AND t.i = r.i
+           WHERE r.i IS NULL),
+         agg AS (
+           SELECT doc_id, count(*) AS n_kept,
+             string_agg(t, ' ' ORDER BY i) AS dedup_text
+           FROM kept GROUP BY doc_id)
+         SELECT k.doc_id,
+           CAST(len(k.toks) AS BIGINT) AS n_tokens,
+           CAST(len(k.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(a.dedup_text, '') AS dedup_text
+         FROM tk k LEFT JOIN agg a USING (doc_id)
+         ORDER BY k.doc_id""",
     // Exact replay of both epochs' salted-hash deal + in-shard order.
     "q_epoch_shuffle" ->
       """WITH e0 AS (SELECT doc_id,

@@ -207,4 +207,58 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) === ((3L, 1.0 / 3.0)))
     assert(out(3L) === ((3L, 0.0)))
   }
+
+  test("removeDuplicateSpans keeps the globally-first span occurrence only") {
+    val d = Seq(
+      (0L, "alpha beta gamma delta tail zero"),  // canonical (min doc, pos)
+      (1L, "head one alpha beta gamma delta tail two"), // dup span at pos 2
+      (2L, "totally different words here entirely")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 0 keeps everything: it holds the first occurrence
+    assert(out(0L) === ((6L, 0L, "alpha beta gamma delta tail zero")))
+    // doc 1 loses the 4 tokens of "alpha beta gamma delta"; note
+    // "beta gamma delta tail" also duplicates (cnt 2) and its doc-1
+    // occurrence is non-canonical, extending removal through "tail"
+    assert(out(1L)._2 === 5L)
+    assert(out(1L)._3 === "head one two")
+    assert(out(2L) === ((5L, 0L, "totally different words here entirely")))
+  }
+
+  test("removeDuplicateSpans dedups within a single document too") {
+    val d = Seq((7L, "x y z w q x y z w r")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long, String)].collect().head
+    // second "x y z w" (pos 5) is non-canonical: tokens 5-8 removed
+    assert(out === ((7L, 10L, 4L, "x y z w q r")))
+  }
+
+  test("removeDuplicateSpans merges overlapping duplicate runs positionally") {
+    // "a a a a a" with n=3: grams at pos 0,1,2 identical; pos 1,2 are
+    // non-canonical, covering tokens 1-4 — only token 0 survives
+    val d = Seq((1L, "a a a a a"), (2L, "b c d")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((5L, 4L, "a")))
+    assert(out(2L) === ((3L, 0L, "b c d")))
+  }
+
+  test("removeDuplicateSpans: short, empty, and null docs pass through") {
+    val d = Seq(
+      (1L, "one two three"),             // fewer than n tokens: no grams
+      (2L, "one two three"),             // exact dup but below gram size
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(d, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(1L) === ((Some(3L), Some(0L), Some("one two three"))))
+    assert(out(2L) === ((Some(3L), Some(0L), Some("one two three"))))
+    assert(out(3L) === ((Some(0L), Some(0L), Some(""))))
+    assert(out(4L) === ((None, None, None)))
+  }
 }

@@ -108,10 +108,20 @@ class StreamingSpec extends SparkSpec {
     // claim, end to end.
     val dir = "/root/testdata/sf0.001"
     val batchEvents = graft.Tables(spark, dir).events
-    // raw on-disk schema (ts = nanos long via legacy conf), NOT the
-    // converted one — the stream applies the same ns→µs conversion itself
+    // raw on-disk schema, NOT the converted one — the stream applies the
+    // same physical-encoding normalization Tables.events does (ts has
+    // shipped as both nanos-long and TIMESTAMP_NTZ micros across fixture
+    // generations)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val normalizeTs: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampType => df
+        case _ => df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
 
     def windowedCount(df: org.apache.spark.sql.DataFrame) =
       df.groupBy(Windows.fixed(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -127,10 +137,9 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = spark.readStream.schema(schema)
+    val stream = normalizeTs(spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(srcDir.toString))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-e2e-").toString
     // complete mode: emit everything once the (finite) stream drains —
     // no watermark needed to compare against batch
