@@ -12,6 +12,7 @@ object Bench {
     graft.llm.Similarity.releasePersistedState()
     graft.llm.TextRelevance.releasePersistedState()
     graft.llm.Boilerplate.releasePersistedState()
+    graft.llm.Contamination.releasePersistedState()
   }
 
   def main(args: Array[String]): Unit = {

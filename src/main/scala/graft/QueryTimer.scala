@@ -40,6 +40,7 @@ object QueryTimer {
       graft.llm.Similarity.releasePersistedState()
       graft.llm.TextRelevance.releasePersistedState()
       graft.llm.Boilerplate.releasePersistedState()
+      graft.llm.Contamination.releasePersistedState()
     }
     spark.stop()
   }

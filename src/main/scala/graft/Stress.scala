@@ -55,7 +55,7 @@ object Stress {
     * degrades to a per-group product instead of staying an equi-join */
   val ContamQueries = Seq(
     "q_contamination_exact", "q_contamination_ngram",
-    "q_contamination_full", "q_crosscorpus_dedup")
+    "q_contamination_full", "q_crosscorpus_dedup", "q_decontam_scrub")
   /** token-stream aggregations with self-assert booleans worth re-proving
     * at duplicate-dense scale: BPE training (pair counts grow with the
     * duplicated stream; the scalar-replay booleans must keep holding),
@@ -73,6 +73,7 @@ object Stress {
     graft.llm.Similarity.releasePersistedState()
     graft.llm.TextRelevance.releasePersistedState()
     graft.llm.Boilerplate.releasePersistedState()
+    graft.llm.Contamination.releasePersistedState()
   }
 
   /** Duplicate+perturb `baseDir`'s documents + embeddings `factor`× into

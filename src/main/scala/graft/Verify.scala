@@ -33,6 +33,7 @@ object Verify {
         graft.llm.Similarity.releasePersistedState()
         graft.llm.TextRelevance.releasePersistedState()
         graft.llm.Boilerplate.releasePersistedState()
+        graft.llm.Contamination.releasePersistedState()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -14,6 +14,22 @@ import graft.functions.TextFunctions
   */
 object Contamination {
 
+  // persisted-frame registry (same hygiene contract as Dedup/Similarity):
+  // scrubOverlaps reads its tokenized-docs frame twice
+  private val persisted =
+    scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+  private def track(df: DataFrame): DataFrame = persisted.synchronized {
+    persisted += df
+    df.persist()
+  }
+
+  /** Unpersist every cache this module created. */
+  def releasePersistedState(): Unit = persisted.synchronized {
+    persisted.foreach(_.unpersist())
+    persisted.clear()
+  }
+
   /** Exact-substring overlap: (probe_id, doc_id) for every document whose
     * text contains the probe verbatim. Broadcast nested-loop by design —
     * |probes| is eval-set-sized; the corpus is scanned once and `instr`
@@ -88,4 +104,65 @@ object Contamination {
     ngramOverlap(docs, idCol, textCol, probes, probeIdCol, probeTextCol, n)
       .groupBy(col("probe_id"))
       .agg(count(lit(1)).as("n_contaminated_docs"))
+
+  /** Decontamination APPLY step: scrub every n-token span of a document
+    * that matches any probe n-gram — the span-surgical alternative to
+    * dropping whole contaminated documents (the GPT-3 appendix-C family
+    * removes contaminated WINDOWS, preserving the rest of the document;
+    * whole-doc dropping over-deletes at corpus scale). Every matching
+    * occurrence is removed — there is no canonical keeper here, unlike
+    * [[graft.llm.Dedup.removeDuplicateSpans]]: eval text must not survive
+    * anywhere in the training corpus. Overlapping matched spans union
+    * their removed token ranges. Same caveat as [[ngramOverlap]]: probes
+    * shorter than n tokens contribute no grams and scrub nothing — route
+    * them through [[exactOverlap]] + a whole-doc policy upstream.
+    *
+    * Output: (id, n_tokens BIGINT, n_removed BIGINT, scrubbed_text) —
+    * text rebuilt from kept tokens, tokenizer-normalized. NULL text stays
+    * NULL. Matching is by lowercased-token n-gram, md5 identity.
+    *
+    * Scale: probe grams are eval-set-sized → deduplicated and BROADCAST;
+    * the corpus grams stream through one hash semi-join (no corpus
+    * shuffle), then duplicate starts aggregate per doc (ids + ints) and
+    * join back to the documents by id. Corpus text rides only the final
+    * id-equi-join; per-row rebuild is O(tokens × matched starts). */
+  def scrubOverlaps(docs: DataFrame, idCol: String, textCol: String,
+                    probes: DataFrame, probeIdCol: String,
+                    probeTextCol: String, n: Int = 13): DataFrame = {
+    require(n >= 2, s"scrub gram size must be >= 2, got $n")
+    import graft.functions.ShingleExprs
+    val probeGrams = probes.select(
+        explode(ShingleExprs.ngramStrings(col(probeTextCol), n)).as("__g"))
+      .select(md5(col("__g").cast("binary")).as("__h"))
+      .distinct()
+    val toks = track(docs.select(col(idCol).as("__id"),
+      col(textCol).isNull.as("__textnull"),
+      coalesce(TextFunctions.tokens(col(textCol)),
+        array().cast("array<string>")).as("__toks"),
+      ShingleExprs.ngramStrings(coalesce(col(textCol), lit("")), n)
+        .as("__grams")))
+    val hitStarts = toks
+      .select(col("__id"), posexplode(col("__grams")).as(Seq("__pos", "__g")))
+      .select(col("__id"), col("__pos"),
+        md5(col("__g").cast("binary")).as("__h"))
+      .join(broadcast(probeGrams), Seq("__h"), "left_semi")
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+    toks.join(hitStarts, Seq("__id"), "left")
+      .withColumn("__starts", coalesce(col("__starts"),
+        array().cast("array<int>")))
+      .withColumn("__kept", filter(
+        transform(col("__toks"), (t, i) => struct(t.as("t"), i.as("i"))),
+        s => !exists(col("__starts"),
+          p => s.getField("i") >= p && s.getField("i") < p + lit(n))))
+      .select(col("__id").as(idCol),
+        when(col("__textnull"), lit(null).cast("long"))
+          .otherwise(size(col("__toks")).cast("long")).as("n_tokens"),
+        when(col("__textnull"), lit(null).cast("long"))
+          .otherwise((size(col("__toks")) - size(col("__kept"))).cast("long"))
+          .as("n_removed"),
+        when(col("__textnull"), lit(null).cast("string"))
+          .otherwise(concat_ws(" ",
+            transform(col("__kept"), s => s.getField("t")))).as("scrubbed_text"))
+  }
 }

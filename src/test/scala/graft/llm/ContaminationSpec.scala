@@ -65,4 +65,25 @@ class ContaminationSpec extends SparkSpec {
     // the false-negative the pure n-gram leg has by construction
     assert(hits == Set((100L, 1L), (100L, 3L), (300L, 2L)))
   }
+
+  test("scrubOverlaps removes EVERY matching span occurrence (no keeper)") {
+    val out = Contamination.scrubOverlaps(docs, "doc_id", "text",
+      probes, "probe_id", "ptext", n = 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // probe 100 = "quick brown fox jumps over the lazy" (7 tokens → 3
+    // 5-grams). Doc 1 tokens 1..7 carry them (positions 1,2,3 → tokens
+    // 1-7 covered); doc 3 the same run shifted by 3 (tokens 4-10).
+    assert(out(1L) === ((10L, 7L, "the dog tonight")))
+    assert(out(2L) === ((7L, 0L, "a totally different document about spark internals")))
+    assert(out(3L) === ((14L, 7L, "prefix words then the dog as well")))
+  }
+
+  test("scrubOverlaps: probes shorter than n scrub nothing (documented gap)") {
+    val shortP = Seq((300L, "spark internals")).toDF("probe_id", "ptext")
+    val out = Contamination.scrubOverlaps(docs, "doc_id", "text",
+      shortP, "probe_id", "ptext", n = 5)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.forall(_._3 == 0L))
+  }
 }
