@@ -80,6 +80,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("span-surgery queries never shuffle gram text; probe sets broadcast") {
+    // removeDuplicateSpans / scrubOverlaps promise gram TEXT stays out of
+    // every exchange (identity rides as md5 + int positions). At 100 TB
+    // the n-gram explosion is ~n× the corpus text; shuffling it would
+    // dwarf the query. Mechanically: no ShuffleExchange output may carry
+    // the gram column (__g) or a token-array column (__toks/__grams) —
+    // only ids, positions, hashes, and the final per-doc rebuild columns.
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+      p.collect {
+        case q: QueryStageExec => shuffles(q.plan)
+        case r: ReusedExchangeExec => shuffles(r.child)
+        case e: ShuffleExchangeExec => Seq(e) ++ shuffles(e.child)
+      }.flatten
+    Seq("q_span_dedup", "q_decontam_scrub").foreach { name =>
+      val exec = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      val root = exec match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val offending = shuffles(root).filter(_.output.exists(a =>
+        a.name == "__g" || a.name == "__toks" || a.name == "__grams"))
+      assert(offending.isEmpty,
+        s"$name shuffles gram/token text:\n${offending.headOption.getOrElse("")}")
+    }
+    // and the decontamination probe filter must be a broadcast semi-join —
+    // the corpus side reaches the probe check without any exchange
+    assert(plan("q_decontam_scrub").contains("BroadcastHashJoin"),
+      "probe-gram semi-join does not broadcast")
+  }
+
   test("prefix-rank/sum queries shuffle the data ONCE; offsets reuse that exchange") {
     // prefixRank/prefixSum range-partition the data, then read the same
     // frame again for the per-partition offsets. The second read MUST
