@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftglue.GraftSqlBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
@@ -208,6 +208,76 @@ object ShingleExprs {
     }
     override def prettyName: String = "ngram_strings"
     override protected def withNewChildInternal(newChild: Expression): NgramStrings =
+      copy(child = newChild)
+  }
+
+  /** Span scrub in one pass — the projection form of decontamination
+    * (graft.llm.Contamination.scrubOverlaps): tokenize, hash each n-gram
+    * (same xxhash64-of-gram-string convention as [[ShingleHash]], but with
+    * [[NgramStrings]]' EMPTY-below-n convention — no whole-text fallback),
+    * mark positions [i, i+n) for every gram whose hash is in the probe
+    * set, rebuild the kept tokens. Because the probe set rides the
+    * serialized expression (eval-set-sized by the caller's contract),
+    * the whole scrub is a stateless per-row map: stream-safe in append
+    * mode, no shuffle, no state store.
+    *
+    * Returns struct(n_tokens INT, n_removed INT, scrubbed_text STRING);
+    * null text propagates to a null struct (UnaryExpression contract). */
+  final case class ScrubSpansExpr(child: Expression, n: Int,
+                                  probeHashes: Array[Long])
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 2, "scrub gram size must be >= 2")
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(child, isStringType, "string")
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("n_removed", IntegerType, nullable = false),
+      StructField("scrubbed_text", StringType, nullable = false)))
+    // sorted copy for binary-search membership; built once per task
+    @transient private lazy val sorted: Array[Long] = {
+      val a = probeHashes.clone(); java.util.Arrays.sort(a); a
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val toks = tokenize(input.asInstanceOf[UTF8String])
+      val L = toks.length
+      val removed = new Array[Boolean](L)
+      if (L >= n && sorted.length > 0) {
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= L - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          val b = UTF8String.fromString(sb.toString).getBytes
+          val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET,
+            b.length, Seed)
+          if (java.util.Arrays.binarySearch(sorted, h) >= 0) {
+            var k = i
+            while (k < i + n) { removed(k) = true; k += 1 }
+          }
+          i += 1
+        }
+      }
+      var nRemoved = 0
+      val out = new java.lang.StringBuilder
+      var i = 0
+      while (i < L) {
+        if (removed(i)) nRemoved += 1
+        else {
+          if (out.length > 0) out.append(' ')
+          out.append(toks(i))
+        }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(
+        L, nRemoved, UTF8String.fromString(out.toString))
+    }
+    override def prettyName: String = "scrub_spans"
+    override protected def withNewChildInternal(newChild: Expression): ScrubSpansExpr =
       copy(child = newChild)
   }
 
@@ -788,6 +858,9 @@ object ShingleExprs {
 
   def qualityScore(text: Column): Column =
     GraftSqlBridge.column(QualityScoreExpr(GraftSqlBridge.expression(text)))
+
+  def scrubSpans(text: Column, n: Int, probeHashes: Array[Long]): Column =
+    GraftSqlBridge.column(ScrubSpansExpr(GraftSqlBridge.expression(text), n, probeHashes))
 
   def consecutivePairs(tokens: Column): Column =
     GraftSqlBridge.column(ConsecutivePairs(GraftSqlBridge.expression(tokens)))

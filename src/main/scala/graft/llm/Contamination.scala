@@ -165,4 +165,41 @@ object Contamination {
           .otherwise(concat_ws(" ",
             transform(col("__kept"), s => s.getField("t")))).as("scrubbed_text"))
   }
+
+  /** Stream-safe form of [[scrubOverlaps]]: the probe-gram hash set is
+    * COLLECTED to the driver (bounded — View-side-input contract, eval
+    * sets are small by construction) and the scrub evaluates as ONE
+    * native projection (graft.functions.ShingleExprs.ScrubSpansExpr) —
+    * no shuffle, no state store, so the identical call curates an
+    * unbounded stream in append mode (batch ≡ relational-form ≡ stream
+    * proven in ContaminationSpec/StreamingSpec; the batch leg is
+    * oracle-checked as q_decontam_stream against the SAME SQL as
+    * q_decontam_scrub). Gram membership is xxhash64 here vs md5 in the
+    * relational form — results diverge only on a 64-bit collision.
+    * Same sub-n-probe caveat as [[ngramOverlap]]. */
+  def scrubOverlapsStreaming(docs: DataFrame, idCol: String, textCol: String,
+                             probes: DataFrame, probeTextCol: String,
+                             n: Int = 13,
+                             maxProbeGrams: Int = 1000000): DataFrame = {
+    require(n >= 2, s"scrub gram size must be >= 2, got $n")
+    import graft.functions.ShingleExprs
+    // xxhash64(gram string) — the documented parity contract of
+    // ShingleHash/ScrubSpansExpr's internal hash
+    val hashes = probes
+      .select(explode(ShingleExprs.ngramStrings(col(probeTextCol), n)).as("__g"))
+      .select(xxhash64(col("__g")).as("__h")).distinct()
+      .take(maxProbeGrams + 1).map(_.getLong(0))
+    require(hashes.length <= maxProbeGrams,
+      s"probe gram set exceeds maxProbeGrams=$maxProbeGrams — this scrub " +
+        "ships the set with the plan; use the relational scrubOverlaps " +
+        "for reference-corpus-sized probe sides")
+    // struct lands in its own projection, fields extracted one level up
+    // (the GopherFlags pattern): one native eval per row, not one per field
+    docs.select(col(idCol),
+        ShingleExprs.scrubSpans(col(textCol), n, hashes).as("__s"))
+      .select(col(idCol),
+        col("__s.n_tokens").cast("long").as("n_tokens"),
+        col("__s.n_removed").cast("long").as("n_removed"),
+        col("__s.scrubbed_text").as("scrubbed_text"))
+  }
 }

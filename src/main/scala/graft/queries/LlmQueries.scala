@@ -580,6 +580,19 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The STREAM-SAFE scrub (collected probe set + one native projection,
+    // no shuffle/state) run on the batch frame — must hash-match the same
+    // oracle as the relational q_decontam_scrub: two implementations, one
+    // contract. The streaming leg itself is proven in StreamingSpec.
+    "q_decontam_stream" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val probes = docs.filter(col("doc_id") < 3)
+        .select(substring(col("text"), 1, 120).as("ptext"))
+      Contamination.scrubOverlapsStreaming(docs, "doc_id", "text",
+          probes, "ptext", n = 5)
+        .orderBy(col("doc_id"))
+    },
+
     // Unigram log-perplexity against the corpus's own LM — the CCNet-style
     // quality signal, rounded so engine sum-order ulps can't drift the hash.
     "q_perplexity" -> { (s, dir) =>
@@ -1352,6 +1365,48 @@ object LlmQueries {
             AS FLOAT) AS DOUBLE))"""
   }
 
+  // Shared by q_decontam_scrub (relational) and q_decontam_stream (native
+  // projection): one output contract, two execution strategies, one oracle.
+  private val decontamScrubSql: String =
+    """WITH tk AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents),
+         pk AS (
+           SELECT list_filter(string_split_regex(lower(substr(text, 1, 120)), '[^a-z'']+'), x -> x <> '') AS ptoks
+           FROM documents WHERE doc_id < 3),
+         pg AS (
+           SELECT DISTINCT array_to_string(ptoks[i : i + 4], ' ') AS g
+           FROM (SELECT ptoks, unnest(range(1, len(ptoks) - 3)) AS i
+                 FROM pk WHERE len(ptoks) >= 5)),
+         occ AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + 4], ' ') AS g
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+                 FROM tk WHERE len(toks) >= 5)),
+         hit AS (SELECT o.doc_id, o.pos FROM occ o JOIN pg USING (g)),
+         tok AS (
+           SELECT doc_id, unnest(toks) AS t, unnest(range(0, len(toks))) AS i
+           FROM tk),
+         removedpos AS (
+           SELECT DISTINCT t.doc_id, t.i
+           FROM tok t JOIN hit d
+             ON t.doc_id = d.doc_id AND t.i >= d.pos AND t.i < d.pos + 5),
+         kept AS (
+           SELECT t.doc_id, t.i, t.t
+           FROM tok t LEFT JOIN removedpos r
+             ON t.doc_id = r.doc_id AND t.i = r.i
+           WHERE r.i IS NULL),
+         agg AS (
+           SELECT doc_id, count(*) AS n_kept,
+             string_agg(t, ' ' ORDER BY i) AS scrubbed_text
+           FROM kept GROUP BY doc_id)
+         SELECT k.doc_id,
+           CAST(len(k.toks) AS BIGINT) AS n_tokens,
+           CAST(len(k.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(a.scrubbed_text, '') AS scrubbed_text
+         FROM tk k LEFT JOIN agg a USING (doc_id)
+         ORDER BY k.doc_id"""
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact_rows" ->
       """WITH k AS (
@@ -1782,46 +1837,11 @@ object LlmQueries {
          ORDER BY probe_id, doc_id""",
     // Positional replay of the decontamination scrub. Gram convention is
     // ngramStrings' (EMPTY below n — no whole-text fallback), unlike the
-    // detection query's shingleHashes convention.
-    "q_decontam_scrub" ->
-      """WITH tk AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
-           FROM documents),
-         pk AS (
-           SELECT list_filter(string_split_regex(lower(substr(text, 1, 120)), '[^a-z'']+'), x -> x <> '') AS ptoks
-           FROM documents WHERE doc_id < 3),
-         pg AS (
-           SELECT DISTINCT array_to_string(ptoks[i : i + 4], ' ') AS g
-           FROM (SELECT ptoks, unnest(range(1, len(ptoks) - 3)) AS i
-                 FROM pk WHERE len(ptoks) >= 5)),
-         occ AS (
-           SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + 4], ' ') AS g
-           FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
-                 FROM tk WHERE len(toks) >= 5)),
-         hit AS (SELECT o.doc_id, o.pos FROM occ o JOIN pg USING (g)),
-         tok AS (
-           SELECT doc_id, unnest(toks) AS t, unnest(range(0, len(toks))) AS i
-           FROM tk),
-         removedpos AS (
-           SELECT DISTINCT t.doc_id, t.i
-           FROM tok t JOIN hit d
-             ON t.doc_id = d.doc_id AND t.i >= d.pos AND t.i < d.pos + 5),
-         kept AS (
-           SELECT t.doc_id, t.i, t.t
-           FROM tok t LEFT JOIN removedpos r
-             ON t.doc_id = r.doc_id AND t.i = r.i
-           WHERE r.i IS NULL),
-         agg AS (
-           SELECT doc_id, count(*) AS n_kept,
-             string_agg(t, ' ' ORDER BY i) AS scrubbed_text
-           FROM kept GROUP BY doc_id)
-         SELECT k.doc_id,
-           CAST(len(k.toks) AS BIGINT) AS n_tokens,
-           CAST(len(k.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
-           coalesce(a.scrubbed_text, '') AS scrubbed_text
-         FROM tk k LEFT JOIN agg a USING (doc_id)
-         ORDER BY k.doc_id""",
+    // detection query's shingleHashes convention. The stream-safe native
+    // implementation must satisfy the IDENTICAL oracle (one contract,
+    // two execution strategies).
+    "q_decontam_scrub" -> decontamScrubSql,
+    "q_decontam_stream" -> decontamScrubSql,
     "q_bigram_ppl" ->
       """WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
          tgt AS (SELECT * FROM documents WHERE doc_id % 2 = 1),

@@ -86,4 +86,35 @@ class ContaminationSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect()
     assert(out.forall(_._3 == 0L))
   }
+
+  test("scrubOverlapsStreaming (native projection) ≡ scrubOverlaps (relational)") {
+    val rel = Contamination.scrubOverlaps(docs, "doc_id", "text",
+      probes, "probe_id", "ptext", n = 5)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val nat = Contamination.scrubOverlapsStreaming(docs, "doc_id", "text",
+      probes.select($"ptext"), "ptext", n = 5)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(nat == rel)
+  }
+
+  test("scrubOverlapsStreaming rejects probe-gram sets above the bound") {
+    val e = intercept[IllegalArgumentException] {
+      Contamination.scrubOverlapsStreaming(docs, "doc_id", "text",
+        probes.select($"ptext"), "ptext", n = 5, maxProbeGrams = 2)
+    }
+    assert(e.getMessage.contains("maxProbeGrams"))
+  }
+
+  test("scrubOverlapsStreaming: null and empty docs pass through") {
+    val d = Seq((1L, ""), (2L, null.asInstanceOf[String]),
+      (3L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val out = Contamination.scrubOverlapsStreaming(d, "doc_id", "text",
+      probes.select($"ptext"), "ptext", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out(1L) === ((Some(0L), Some(0L), Some(""))))
+    assert(out(2L) === ((None, None, None)))
+    assert(out(3L) === ((Some(10L), Some(7L), Some("the dog tonight"))))
+  }
 }

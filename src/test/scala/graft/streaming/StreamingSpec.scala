@@ -187,6 +187,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination scrub ≡ batch: the native projection is stream-safe") {
+    // Contamination.scrubOverlapsStreaming collects the probe-gram set
+    // once (bounded) and evaluates as a single stateless projection —
+    // the SAME call must scrub an unbounded stream in append mode with
+    // no state store and produce exactly the batch answer.
+    val dir = "/root/testdata/sf0.001"
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val probes = batchDocs.filter(col("doc_id") < 3)
+      .select(substring(col("text"), 1, 120).as("ptext"))
+    def scrub(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      graft.llm.Contamination.scrubOverlapsStreaming(df, "doc_id", "text",
+        probes, "ptext", n = 5)
+    val expected = scrub(batchDocs)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(expected.exists(_._3 > 0), "fixture produced no scrubbed spans")
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-scrub-src-")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scrub-").toString
+    val q = scrub(stream).writeStream.format("memory").queryName("scrub")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("scrub")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming parquet file sink commits atomically (Write 3-phase contract)") {
     // [U] IO/Write.java's init/write/finalize maps to the streaming file
     // sink's transaction log: output appears with a _spark_metadata commit,
