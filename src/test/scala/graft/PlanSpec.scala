@@ -111,6 +111,21 @@ class PlanSpec extends SparkSpec {
     // the corpus side reaches the probe check without any exchange
     assert(plan("q_decontam_scrub").contains("BroadcastHashJoin"),
       "probe-gram semi-join does not broadcast")
+    // the stream-safe scrub is a pure projection: its ONLY exchange is
+    // the presentation ORDER BY (range partitioning of the output rows)
+    locally {
+      import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+      val exec = SparkEntry.queries("q_decontam_stream")(spark, dir)
+        .queryExecution.executedPlan
+      val root = exec match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val nonSort = shuffles(root).filterNot(
+        _.outputPartitioning.isInstanceOf[RangePartitioning])
+      assert(nonSort.isEmpty,
+        s"q_decontam_stream shuffles beyond the output sort:\n${nonSort.headOption.getOrElse("")}")
+    }
   }
 
   test("prefix-rank/sum queries shuffle the data ONCE; offsets reuse that exchange") {

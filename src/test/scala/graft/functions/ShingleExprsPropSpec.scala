@@ -204,4 +204,51 @@ class ShingleExprsPropSpec extends SparkSpec {
         s"bpeProxyCount diverged on: ${t.take(80)} -> ${r.getLong(13)} vs ${r.getLong(14)}")
     }
   }
+
+  test("native scrubSpans ≡ Column-combinator reference on random text + probes") {
+    // Reference: mark token i removed iff some start p with p <= i < p+n
+    // has gram-hash(p) in the probe set — the same contract the relational
+    // scrubOverlaps implements (ContaminationSpec pins native ≡ relational
+    // on directed fixtures; this pins it on arbitrary strings).
+    val n = 3
+    val texts = (0 until 150).flatMap { i =>
+      textGen.apply(Gen.Parameters.default, Seed(1000L + i))
+    }
+    assert(texts.length >= 100, "generator drought")
+    // probe set: every 3rd text contributes its grams, so some texts are
+    // fully scrubbed, some partially (prefix overlap), most untouched
+    val probeTexts = texts.zipWithIndex.collect { case (t, i) if i % 3 == 0 => t }
+    val probeHashes = probeTexts.toDF("p")
+      .select(explode(ShingleExprs.ngramStrings(col("p"), n)).as("g"))
+      .select(xxhash64(col("g"))).distinct().collect().map(_.getLong(0))
+
+    val ts = filter(split(lower(col("text")), "[^a-z']+"), t => length(t) > 0)
+    val probeArr = typedLit(probeHashes.toSeq)
+    val starts = when(size(ts) >= n,
+      filter(sequence(lit(1), greatest(size(ts) - lit(n - 1), lit(1))),
+        i => array_contains(probeArr,
+          xxhash64(concat_ws(" ", slice(ts, i, lit(n)))))))
+      .otherwise(array().cast("array<int>"))
+    val keptRef = filter(
+      transform(ts, (t, i) => struct(t.as("t"), i.as("i"))),
+      s => !exists(starts,
+        p => s.getField("i") >= p - 1 && s.getField("i") < p - 1 + lit(n)))
+    val rows = texts.toDF("text").select(
+      col("text"),
+      ShingleExprs.scrubSpans(col("text"), n, probeHashes).as("f"),
+      size(ts).as("r_n"),
+      (size(ts) - size(keptRef)).as("r_rm"),
+      concat_ws(" ", transform(keptRef, s => s.getField("t"))).as("r_txt"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val f = r.getStruct(1)
+      assert(f.getInt(0) == r.getInt(2),
+        s"n_tokens diverged on: ${t.take(80)}")
+      assert(f.getInt(1) == r.getInt(3),
+        s"n_removed diverged on: ${t.take(80)} -> ${f.getInt(1)} vs ${r.getInt(3)}")
+      assert(f.getString(2) == r.getString(4),
+        s"scrubbed_text diverged on: ${t.take(80)}")
+    }
+  }
 }
