@@ -142,4 +142,65 @@ object Mixture {
       domain -> (if (capAtOne) math.min(1.0, raw) else raw)
     }
   }
+
+  /** TOKEN-MASS variant of [[rebalanceRates]]: pretraining mixtures are
+    * specified in tokens ("30% web, 15% code BY TOKENS"), and solving
+    * rates on document counts over-keeps domains of long documents. The
+    * per-domain `weight` aggregate (typically a token count) replaces
+    * count(*) in the rate arithmetic; rates still act on whole ROWS via
+    * [[sampleByRates]] — the md5-fraction keep decision is independent of
+    * a row's weight, so the EXPECTED kept mass realizes `share ×
+    * outFraction × total mass` exactly (the per-domain realized mass
+    * concentrates around it; document-level mixture noise is inherent to
+    * row-atomic sampling and reported by the registered query).
+    *
+    * `weight` must be non-negative and integer-valued for cross-engine
+    * reproducibility: integer-valued doubles below 2^53 sum exactly in
+    * any order, so the driver-side arithmetic is replayable by an
+    * external auditor summing in ANY order. One k-row aggregate action
+    * with map-side partials. */
+  def rebalanceRatesByWeight(df: DataFrame, domainCol: String,
+                             weight: Column,
+                             targets: Map[String, Double],
+                             outFraction: Double,
+                             capAtOne: Boolean = true): Map[String, Double] = {
+    require(outFraction > 0 && outFraction <= 1, "outFraction must be in (0, 1]")
+    require(targets.values.forall(_ >= 0), "target shares must be >= 0")
+    val masses = df.groupBy(col(domainCol))
+      .agg(sum(weight.cast("long")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(masses.values.forall(_ >= 0L), "weights must be non-negative")
+    val total = masses.values.sum
+    targets.map { case (domain, share) =>
+      val w = masses.getOrElse(domain, 0L)
+      val raw = if (w == 0L) 0.0 else outFraction * total * share / w
+      domain -> (if (capAtOne) math.min(1.0, raw) else raw)
+    }
+  }
+
+  /** TOKEN-MASS variant of [[temperatureRates]] (same motivation as
+    * [[rebalanceRatesByWeight]]): p_d ∝ mass_d^alpha over token mass.
+    * Domain iteration stays FIXED (domain-sorted) so the normalizer sum
+    * is reproducible IEEE arithmetic. */
+  def temperatureRatesByWeight(df: DataFrame, domainCol: String,
+                               weight: Column, alpha: Double,
+                               outFraction: Double,
+                               capAtOne: Boolean = true): Map[String, Double] = {
+    require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
+    require(outFraction > 0 && outFraction <= 1, "outFraction must be in (0, 1]")
+    val masses = df.groupBy(col(domainCol))
+      .agg(sum(weight.cast("long")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(masses.values.forall(_ >= 0L), "weights must be non-negative")
+    val doms = masses.keys.toSeq.sorted
+    val pw = doms.map(d => d -> math.pow(masses(d).toDouble, alpha)).toMap
+    val z = doms.map(pw).sum
+    val total = doms.map(masses).sum
+    doms.map { d =>
+      val raw =
+        if (masses(d) == 0L) 0.0
+        else outFraction * total * (pw(d) / z) / masses(d)
+      d -> (if (capAtOne) math.min(1.0, raw) else raw)
+    }.toMap
+  }
 }

@@ -905,6 +905,26 @@ object LlmQueries {
         .orderBy(col("lang"))
     },
 
+    // TOKEN-denominated mixture: rates solved on whitespace-token MASS
+    // (integer-valued, so the driver sums replay exactly in any order),
+    // realized by the same row-atomic md5 sampling. The oracle re-derives
+    // the per-lang masses, the rate arithmetic, and the kept set.
+    "q_mixture_tokens" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val rates = graft.llm.Mixture.rebalanceRatesByWeight(
+        docs, "lang", TextFunctions.tokenCount(col("text")),
+        langs.map(_ -> 0.2).toMap, outFraction = 0.5)
+      graft.llm.Mixture.sampleByRates(docs, "doc_id", "lang", rates,
+          defaultRate = 0.0)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("kept_tokens"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("lang"))
+    },
+
     // Deterministic UPsampling — the other half of temperature mixing:
     // rare domains repeat (rate > 1: floor guaranteed copies + one md5-
     // fraction extra), tagged with an epoch index. Fixed literal rates so
@@ -2128,6 +2148,26 @@ object LlmQueries {
              AS UBIGINT) / 4294967296.0 < r.rate)
          SELECT lang, count(*) AS n_kept, min(doc_id) AS min_id,
            max(doc_id) AS max_id
+         FROM kept GROUP BY lang ORDER BY lang""",
+    "q_mixture_tokens" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS wt
+           FROM documents),
+         c AS (
+           SELECT lang, CAST(sum(wt) AS BIGINT) AS mass FROM w
+           WHERE lang IN ('de', 'en', 'es', 'fr', 'zh') GROUP BY lang),
+         tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total FROM w),
+         r AS (
+           SELECT lang, LEAST(1.0, 0.5 * total * 0.2 / mass) AS rate
+           FROM c, tot),
+         kept AS (
+           SELECT d.doc_id, d.lang, d.wt
+           FROM w d JOIN r USING (lang)
+           WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) / 4294967296.0 < r.rate)
+         SELECT lang, count(*) AS n_kept, CAST(sum(wt) AS BIGINT) AS kept_tokens,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM kept GROUP BY lang ORDER BY lang""",
     "q_mixture_epochs" ->
       """WITH r AS (

@@ -123,4 +123,44 @@ class MixtureSpec extends SparkSpec {
     val plan = sampled.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"mixture filter must not shuffle:\n$plan")
   }
+
+  // weighted corpus: same doc counts, but domain a's docs carry weight 1
+  // and domain c's carry weight 100 — token-mass order inverts doc-count
+  // order between them (a: 800 mass, b: 150·10=1500, c: 50·100=5000)
+  private def weighted = {
+    val rows = (1L to 1000L).map { i =>
+      val (d, w) = if (i <= 800) ("a", 1L) else if (i <= 950) ("b", 10L) else ("c", 100L)
+      (i, d, w)
+    }
+    rows.toDF("doc_id", "domain", "wt")
+  }
+
+  test("rebalanceRatesByWeight solves on mass, not doc counts") {
+    val rates = Mixture.rebalanceRatesByWeight(weighted, "domain", col("wt"),
+      Map("a" -> 0.4, "b" -> 0.3, "c" -> 0.3), outFraction = 0.5)
+    // total mass 7300; a: 0.5*7300*0.4/800 = 1.825 → cap 1.0
+    // b: 0.5*7300*0.3/1500 = 0.73; c: 0.5*7300*0.3/5000 = 0.219
+    assert(rates("a") === 1.0)
+    assert(math.abs(rates("b") - 0.5 * 7300 * 0.3 / 1500) < 1e-12)
+    assert(math.abs(rates("c") - 0.5 * 7300 * 0.3 / 5000) < 1e-12)
+    // doc-count solving would have given c the HIGHEST rate (smallest
+    // domain); mass solving gives it the lowest — the inversion that
+    // motivates the variant
+    val byDocs = Mixture.rebalanceRates(weighted, "domain",
+      Map("a" -> 0.4, "b" -> 0.3, "c" -> 0.3), outFraction = 0.5,
+      capAtOne = false)
+    assert(byDocs("c") > byDocs("b") && rates("c") < rates("b"))
+  }
+
+  test("temperatureRatesByWeight: alpha=1 natural in mass, alpha=0 uniform") {
+    val r1 = Mixture.temperatureRatesByWeight(weighted, "domain", col("wt"),
+      alpha = 1.0, outFraction = 0.5)
+    assert(r1.values.forall(r => math.abs(r - 0.5) < 1e-12),
+      "alpha=1 must keep the natural mass mixture")
+    val r0 = Mixture.temperatureRatesByWeight(weighted, "domain", col("wt"),
+      alpha = 0.0, outFraction = 0.5, capAtOne = false)
+    // uniform target mass 7300/3 per domain; a needs upsampling (>1)
+    assert(r0("a") > 1.0 && r0("c") < 1.0)
+    assert(math.abs(r0("c") - 0.5 * 7300.0 / 3.0 / 5000.0) < 1e-12)
+  }
 }
