@@ -125,4 +125,51 @@ object Packing {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__h")
   }
+
+  /** OVERLAPPING token chunking — the retrieval-indexing sibling of
+    * [[packSequences]]: each document is cut into windows of `chunkSize`
+    * tokens starting every `stride` tokens (stride < chunkSize ⇒
+    * consecutive chunks overlap by chunkSize − stride tokens — the
+    * standard RAG/embedding-index layout, also the long-document
+    * training layout when context windows overlap). Chunk starts are
+    * 0, stride, 2·stride, … while start < n_tokens, with one final
+    * possibly-short chunk; a document shorter than `chunkSize` yields
+    * exactly one chunk; an empty or null document yields none. A start
+    * is emitted only if it covers at least one NEW token (start = 0 or
+    * start + chunkSize − stride < n_tokens … equivalently the last
+    * start is the smallest multiple of stride with start + chunkSize ≥
+    * n_tokens), so no fully-redundant tail chunks are produced.
+    *
+    * Output: (id, chunk_idx INT, n_chunk_tokens INT, chunk_text) —
+    * chunk_idx is 0-based in document order; chunk text is rebuilt from
+    * the tokenizer's tokens (whitespace/case-normalized, like every
+    * text-surgery operator here).
+    *
+    * Scale: tokenize + window slicing are per-row HOFs inside one
+    * projection and the explode is the output itself — no shuffle, no
+    * join, no state; stream-safe in append mode by construction. */
+  def chunkWithOverlap(df: DataFrame, idCol: String, textCol: String,
+                       chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(stride > 0 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    val toks = TextFunctions.tokens(col(textCol))
+    // last start: smallest multiple of stride covering the doc's tail;
+    // floor((max(n - chunkSize + stride - 1, 0)) / stride) * stride
+    val n = size(toks)
+    val lastStart = floor(
+      greatest(n - lit(chunkSize) + lit(stride) - 1, lit(0))
+        .cast("double") / stride).cast("int") * stride
+    val chunks = when(n > 0,
+      transform(sequence(lit(0), lastStart, lit(stride)),
+        start => struct(
+          slice(toks, start + 1, lit(chunkSize)).as("ts"),
+          start.as("s"))))
+      .otherwise(array().cast(
+        "array<struct<ts:array<string>,s:int>>"))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "__c")))
+      .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        size(col("__c.ts")).as("n_chunk_tokens"),
+        concat_ws(" ", col("__c.ts")).as("chunk_text"))
+  }
 }

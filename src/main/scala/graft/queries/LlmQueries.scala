@@ -888,6 +888,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Overlapping token chunking (retrieval-index layout): 6-token
+    // windows every 4 tokens, final short chunk, no fully-redundant
+    // tails. Pure per-row HOFs; the explode IS the output — no shuffle.
+    "q_chunk_overlap" -> { (s, dir) =>
+      graft.llm.Packing.chunkWithOverlap(Tables(s, dir).documents,
+          "doc_id", "text", chunkSize = 6, stride = 4)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Domain-mixture sampling: rebalance the lang mix toward uniform
     // shares at half the corpus size, with deterministic md5-threshold
     // membership — thresholds are fixed-order IEEE doubles, so the oracle
@@ -2114,6 +2123,23 @@ object LlmQueries {
          FROM p a JOIN p b ON a.band = b.band AND a.doc_id < b.doc_id
          WHERE levenshtein(a.pre, b.pre) <= 8
          ORDER BY id_a, id_b""",
+    "q_chunk_overlap" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents),
+         st AS (
+           SELECT doc_id, toks,
+             CAST(floor(greatest(len(toks) - 6 + 4 - 1, 0) / 4.0) AS INTEGER) * 4 AS last
+           FROM tk WHERE len(toks) > 0),
+         ch AS (
+           SELECT doc_id, i, (i // 4) AS chunk_idx, toks[i + 1 : i + 6] AS ts
+           FROM (SELECT doc_id, toks, last,
+                   unnest(range(0, last + 1, 4)) AS i FROM st))
+         SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(len(ts) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(ts, ' ') AS chunk_text
+         FROM ch ORDER BY doc_id, chunk_idx""",
     "q_seq_packing" ->
       """WITH t AS (
            SELECT doc_id,

@@ -110,4 +110,40 @@ class PackingSpec extends SparkSpec {
     val corr = cov / (sx * sy)
     assert(math.abs(corr) < 0.15, f"epoch order correlation $corr%.3f too high")
   }
+
+  test("chunkWithOverlap: stride windows, short tail, no redundant chunks") {
+    // 10 tokens, chunk 4, stride 3 → starts 0,3,6 (6 ≥ 10−4, so no start 9)
+    val d = Seq((1L, "ta tb tc td te tf tg th ti tj")).toDF("doc_id", "text")
+    val out = Packing.chunkWithOverlap(d, "doc_id", "text", 4, 3)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._2)
+    assert(out.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(out(0)._4 == "ta tb tc td")
+    assert(out(1)._4 == "td te tf tg")
+    assert(out(2)._4 == "tg th ti tj")
+    assert(out.forall(_._3 == 4))
+  }
+
+  test("chunkWithOverlap: short tail chunk, sub-size and empty docs") {
+    // 11 tokens, chunk 4, stride 3 → starts 0,3,6,9; last chunk 2 tokens
+    val d = Seq(
+      (1L, "a b c d e f g h i j k"),
+      (2L, "x y"),                       // below chunkSize → one chunk
+      (3L, ""),                          // no tokens → no chunks
+      (4L, null.asInstanceOf[String])    // null → no chunks
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkWithOverlap(d, "doc_id", "text", 4, 3)
+      .as[(Long, Int, Int, String)].collect()
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).length == 4)
+    assert(byDoc(1L).maxBy(_._2)._4 == "j k")
+    assert(byDoc(2L).toSeq == Seq((2L, 0, 2, "x y")))
+    assert(!byDoc.contains(3L) && !byDoc.contains(4L))
+  }
+
+  test("chunkWithOverlap: stride == chunkSize degrades to disjoint chunks") {
+    val d = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = Packing.chunkWithOverlap(d, "doc_id", "text", 3, 3)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._2)
+    assert(out.map(_._4).toSeq == Seq("a b c", "d e f", "g"))
+  }
 }
