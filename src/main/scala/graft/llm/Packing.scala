@@ -153,7 +153,14 @@ object Packing {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
     require(stride > 0 && stride <= chunkSize,
       s"stride must be in [1, chunkSize], got $stride")
-    val toks = TextFunctions.tokens(col(textCol))
+    // tokenize ONCE into an attribute: the token array is referenced by
+    // every per-chunk slice lambda, and a raw tokens(textCol) expression
+    // there would re-tokenize the document once per chunk (custom
+    // expressions are not collapse-cheap, but lambdas re-evaluate their
+    // captured non-attribute expressions per element)
+    val tokenized = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val toks = col("__toks")
     // last start: smallest multiple of stride covering the doc's tail;
     // floor((max(n - chunkSize + stride - 1, 0)) / stride) * stride
     val n = size(toks)
@@ -167,7 +174,7 @@ object Packing {
           start.as("s"))))
       .otherwise(array().cast(
         "array<struct<ts:array<string>,s:int>>"))
-    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "__c")))
+    tokenized.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "__c")))
       .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
         size(col("__c.ts")).as("n_chunk_tokens"),
         concat_ws(" ", col("__c.ts")).as("chunk_text"))
