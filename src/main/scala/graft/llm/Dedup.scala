@@ -519,6 +519,73 @@ object Dedup {
     out
   }
 
+  /** Serialized Bloom filter over a BIGINT key expression, built as ONE
+    * distributed aggregation (`bloom_filter_agg`: per-partition filters,
+    * merged partials — the corpus never leaves the executors; only
+    * fixed-size bit arrays ride the final merge). `expectedItems` sizes
+    * the filter (`optimalNumOfBits(n, fpp)`); at 10^8 keys and 1% fpp the
+    * filter is ~120 MB of bits — still broadcast-able task state, and the
+    * builder caps per `spark.sql.optimizer.runtime.bloomFilter.*` limits,
+    * so very large reference sets should raise those or accept a higher
+    * fpp. Probe the result with [[graft.functions.SketchExprs.bloomMightContain]]
+    * (`putLong`/`mightContainLong` parity with the aggregate's insert). */
+  def trainBloomFilter(keys: DataFrame, key: Column,
+                       expectedItems: Long, fpp: Double): Array[Byte] = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    // optimalNumOfBits truncates to 0 for tiny n × loose fpp (e.g. n=3,
+    // fpp=0.9), which bloom_filter_agg rejects — floor at one word
+    val numBits = math.max(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp), 64L)
+    val bf = keys.select(key.cast("long").as("__bk"))
+      .stat.bloomFilter("__bk", expectedItems, numBits)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Exact cross-corpus dedup accelerated by a Bloom pre-filter: keep the
+    * new-corpus documents whose normalized-text fingerprint does NOT occur
+    * in the reference corpus — byte-identical output to the plain
+    * fingerprint anti-join, reached without shuffling the full new corpus.
+    *
+    * The 100 TB shape this exists for: the reference key set is too big to
+    * broadcast (so the anti-join is a shuffle join), while the true
+    * duplicate rate is small. A Bloom filter over the reference
+    * fingerprints is built once (one aggregation, a few-MB result) and
+    * probed in the new corpus's scan: rows failing the probe are
+    * DEFINITELY not duplicates (no false negatives) and are kept with no
+    * join at all; only the passing sliver — true dups + an fpp-fraction of
+    * false positives — reaches the anti-join exchange. The join's left
+    * side shrinks from |new| to ≈ dups + fpp·|new| (≈100× at fpp=1%),
+    * which is the difference between shuffling 100 TB and shuffling 1 TB.
+    * Equivalence to the exact anti-join is structural: false positives are
+    * eliminated by the exact join they fall through to; false negatives do
+    * not exist.
+    *
+    * `expectedRefItems < 0` (default) counts the distinct reference keys
+    * exactly (the key frame is persisted and reused by the anti-join); at
+    * scale pass an estimate to skip that job. */
+  def exactSurvivorsViaBloom(newDocs: DataFrame, refDocs: DataFrame,
+                             textCol: String,
+                             fpp: Double = 0.01,
+                             expectedRefItems: Long = -1L): DataFrame = {
+    val key = TextFunctions.fingerprintPortable(col(textCol))
+    // read twice (filter build + anti-join) → persist per module convention
+    val refKeys = track(refDocs.select(key.as("__k")).distinct())
+    val n = if (expectedRefItems > 0) expectedRefItems
+            else math.max(refKeys.count(), 1L)
+    val filter = trainBloomFilter(refKeys, xxhash64(col("__k")), n, fpp)
+    // read twice (definitely-clean leg + maybe-dup leg) → persist
+    val keyed = track(newDocs.withColumn("__k", key))
+    val pass = graft.functions.SketchExprs.bloomMightContain(
+      xxhash64(col("__k")), filter)
+    val definitelyClean = keyed.filter(!pass)
+    val survivorsOfMaybe = keyed.filter(pass)
+      .join(refKeys, Seq("__k"), "left_anti")
+    definitelyClean.unionByName(survivorsOfMaybe).drop("__k")
+  }
+
   /** Cross-document duplication audit (the span-level view behind
     * suffix-array dedup, Lee et al. 2021 "Deduplicating Training Data
     * Makes Language Models Better", arXiv:2107.06499): per document, the

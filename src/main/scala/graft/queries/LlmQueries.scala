@@ -1221,6 +1221,20 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bloom-accelerated exact cross-corpus dedup: byte-identical to the
+    // plain fingerprint anti-join (no false negatives; false positives
+    // fall through to the exact join), but only the bloom-passing sliver
+    // of the new corpus reaches the join exchange — the FULL oracle
+    // proves the acceleration is lossless.
+    "q_bloom_dedup" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val refd = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val newd = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      Dedup.exactSurvivorsViaBloom(newd, refd, "text", fpp = 0.01)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // Size-balanced training shards: serpentine LPT deal over the
     // distributed rank; per-shard totals are the checkable output.
     "q_shard_assign" -> { (s, dir) =>
@@ -2465,6 +2479,19 @@ object LlmQueries {
            WHERE s.c >= 0.5 * z.sz)
          SELECT doc_id, n_chars FROM ex
          WHERE doc_id NOT IN (SELECT nid FROM drops)
+         ORDER BY doc_id""",
+    // FULL oracle for the Bloom-accelerated path: the pre-filter is
+    // lossless (no false negatives; false positives fall through to the
+    // exact anti-join), so the oracle is the plain fingerprint anti-join.
+    "q_bloom_dedup" ->
+      """WITH refd AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         newd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+         refk AS (SELECT DISTINCT
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS k
+           FROM refd)
+         SELECT doc_id, n_chars FROM newd
+         WHERE md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           NOT IN (SELECT k FROM refk)
          ORDER BY doc_id""",
     // FULL oracle through a real compressed codec: PNG is lossless, so
     // the decoded channel means are the pixel function's exact means.

@@ -261,4 +261,43 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((Some(0L), Some(0L), Some(""))))
     assert(out(4L) === ((None, None, None)))
   }
+
+  test("trainBloomFilter: no false negatives over every inserted key") {
+    val keys = spark.range(0, 10000).select((col("id") * 7919L).as("k"))
+    val bytes = Dedup.trainBloomFilter(keys, col("k"), 10000L, 0.01)
+    // probe distributed, through the native expression
+    val misses = keys.filter(
+      !graft.functions.SketchExprs.bloomMightContain(col("k"), bytes)).count()
+    assert(misses == 0L, "a Bloom filter can never miss an inserted key")
+    // false-positive rate on a disjoint probe set stays near fpp (generous
+    // 5x bound: 10k probes at 1% expect ~100, σ ≈ 10)
+    val probes = spark.range(0, 10000).select((col("id") * 7919L + 1L).as("k"))
+    val fps = probes.filter(
+      graft.functions.SketchExprs.bloomMightContain(col("k"), bytes)).count()
+    assert(fps <= 500L, s"false-positive rate implausibly high: $fps / 10000")
+  }
+
+  test("exactSurvivorsViaBloom ≡ plain fingerprint anti-join") {
+    // fixture with exact dups (normalized), near-dups (must NOT drop), and
+    // fresh docs, across a ref/new split
+    val ref = Seq(
+      (0L, "The Quick   Brown Fox"),
+      (2L, "shared reference document body"),
+      (4L, "another reference only document")
+    ).toDF("doc_id", "text")
+    val newd = Seq(
+      (1L, "the quick brown fox"),            // exact dup of 0 after norm
+      (3L, "shared reference document body"), // exact dup of 2
+      (5L, "shared reference document bodies"), // near-dup: survives
+      (7L, "entirely new material here")
+    ).toDF("doc_id", "text")
+    val viaBloom = Dedup.exactSurvivorsViaBloom(newd, ref, "text", fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBloom == Set(5L, 7L))
+    // and at an absurd fpp (dense false positives) the output is unchanged:
+    // FPs fall through to the exact join
+    val denseFp = Dedup.exactSurvivorsViaBloom(newd, ref, "text", fpp = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(denseFp == viaBloom)
+  }
 }
