@@ -52,6 +52,53 @@ object TextRelevance {
   def docFrequencies(termCounts: DataFrame): DataFrame =
     termCounts.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
+  /** Positional inverted index — the retrieval-side artifact a curation
+    * pipeline builds next to chunking (BM25 serving, phrase queries, span
+    * provenance): one posting row per (term, document) carrying the
+    * term's document frequency, in-document frequency, and sorted
+    * 1-based token positions.
+    *
+    * `maxDf` (absolute) and `maxDfFrac` (fraction of the corpus's
+    * document count — the scale-consistent form) drop terms occurring in
+    * too many documents: the stopword cap every real index applies, and
+    * the skew guard here — a corpus-wide term ("the" at 100 TB) would
+    * otherwise concentrate its whole posting list construction in one
+    * hot key. The caps are enforced by a grouped count + join-back
+    * (map-side partials, AQE-skew-splittable), never a per-term window;
+    * the corpus count rides a broadcast 1-row frame, never a driver
+    * collect.
+    *
+    * Scale posture: one token posexplode feeding one (term, doc)
+    * aggregation — `collect_list` of in-doc positions partial-aggregates
+    * per partition (ObjectHashAggregate), and position lists are bounded
+    * by document length, not corpus size; the df frame joins back on the
+    * term key. Output: (term, doc_id, doc_freq, tf, positions). */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxDf: Long = Long.MaxValue,
+                    maxDfFrac: Double = 1.0): DataFrame = {
+    require(maxDfFrac > 0.0 && maxDfFrac <= 1.0,
+      s"maxDfFrac must be in (0,1], got $maxDfFrac")
+    val pos = df.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__p", "term")))
+      .select(col("doc_id"), col("term"), (col("__p") + 1).cast("long").as("__p"))
+    val postings = pos.groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("__p"))).as("positions"))
+    val dfreq0 = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") <= maxDf)
+    val dfreq =
+      if (maxDfFrac < 1.0) {
+        val n = df.select(count(lit(1)).as("__n"))
+        dfreq0.crossJoin(broadcast(n))
+          .filter(col("doc_freq") <= col("__n") * maxDfFrac)
+          .drop("__n")
+      } else dfreq0
+    postings.join(dfreq, Seq("term"))
+      .select(col("term"), col("doc_id"), col("doc_freq"), col("tf"),
+        col("positions"))
+  }
+
   /** TF-IDF per (doc, term): tf · (ln((N+1)/(df+1)) + 1) — the smoothed
     * idf (sklearn's formulation: never zero, no division by zero on
     * unseen terms). N rides a broadcast 1-row aggregate, not a driver

@@ -627,6 +627,16 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("term"))
     },
 
+    // Positional inverted index over the documents table, stopword-capped
+    // at df <= 80% of the corpus (the scale-consistent skew guard a
+    // 100 TB index needs for corpus-wide terms); postings carry doc_freq,
+    // tf, and sorted 1-based positions.
+    "q_inverted_index" -> { (s, dir) =>
+      TextRelevance.invertedIndex(Tables(s, dir).documents,
+          "doc_id", "text", maxDfFrac = 0.8)
+        .orderBy(col("term"), col("doc_id"))
+    },
+
     // BM25 query scoring over the corpus (k1=1.2, b=0.75).
     "q_bm25" -> { (s, dir) =>
       TextRelevance.bm25(Tables(s, dir).documents, "doc_id", "text",
@@ -1940,6 +1950,26 @@ object LlmQueries {
          SELECT d.doc_id, round(p.log_ppl, 4) AS log_ppl
          FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
          ORDER BY d.doc_id""",
+    // Postings replay: DuckDB zips parallel unnests positionally, so the
+    // (term, 1-based position) pairs come from one zipped unnest; the
+    // 80%-of-corpus df cap filters after the per-(term,doc) aggregation,
+    // exactly like the Spark join-back (identical IEEE double compare).
+    "q_inverted_index" ->
+      """WITH tk AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents),
+         pos AS (SELECT doc_id, unnest(toks) AS term,
+             unnest(range(1, len(toks) + 1)) AS p
+           FROM tk WHERE len(toks) > 0),
+         post AS (SELECT term, doc_id, count(*) AS tf,
+             list_sort(list(p)) AS positions
+           FROM pos GROUP BY term, doc_id),
+         dfc AS (SELECT term, count(*) AS doc_freq FROM post GROUP BY term),
+         n AS (SELECT count(*) AS nd FROM documents)
+         SELECT p.term, p.doc_id, d.doc_freq, p.tf, p.positions
+         FROM post p JOIN dfc d USING (term), n
+         WHERE d.doc_freq <= n.nd * 0.8
+         ORDER BY p.term, p.doc_id""",
     "q_tfidf" ->
       """WITH tok AS (
            SELECT doc_id,

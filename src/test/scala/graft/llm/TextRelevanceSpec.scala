@@ -83,4 +83,29 @@ class TextRelevanceSpec extends SparkSpec {
     assert(s(7L).isEmpty, "sub-bigram docs score null")
     assert(s(1L).get > 0.0)
   }
+
+  test("invertedIndex: positions, tf, doc_freq, and the maxDf stopword cap") {
+    val idx = TextRelevance.invertedIndex(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getSeq[Long](4)))).toMap
+    // "data" occurs in doc 1 at 1-based token positions 3,4,5
+    assert(idx(("data", 1L)) === ((1L, 3L, Seq(3L, 4L, 5L))))
+    // "spark" occurs in two docs, position 1 in each
+    assert(idx(("spark", 1L)) === ((2L, 1L, Seq(1L))))
+    assert(idx(("spark", 2L)) === ((2L, 1L, Seq(1L))))
+    // every posting's tf equals its position count
+    assert(idx.values.forall { case (_, tf, ps) => tf == ps.length })
+    // maxDf=1 drops the df-2 term ("spark"), keeps everything else
+    val capped = TextRelevance.invertedIndex(docs, "doc_id", "text", maxDf = 1L)
+      .select("term").distinct().as[String].collect().toSet
+    assert(!capped.contains("spark"))
+    assert(capped.contains("data") && capped.contains("tables"))
+    // relative cap: df=2 over 3 docs fails frac 0.5 (2 > 1.5), passes 0.7
+    val frac = TextRelevance.invertedIndex(docs, "doc_id", "text", maxDfFrac = 0.5)
+      .select("term").distinct().as[String].collect().toSet
+    assert(!frac.contains("spark") && frac.contains("data"))
+    val loose = TextRelevance.invertedIndex(docs, "doc_id", "text", maxDfFrac = 0.7)
+      .select("term").distinct().as[String].collect().toSet
+    assert(loose.contains("spark"))
+  }
 }
