@@ -55,7 +55,8 @@ object Stress {
     * degrades to a per-group product instead of staying an equi-join */
   val ContamQueries = Seq(
     "q_contamination_exact", "q_contamination_ngram",
-    "q_contamination_full", "q_crosscorpus_dedup", "q_decontam_scrub")
+    "q_contamination_full", "q_crosscorpus_dedup", "q_decontam_scrub",
+    "q_bloom_dedup")
   /** token-stream aggregations with self-assert booleans worth re-proving
     * at duplicate-dense scale: BPE training (pair counts grow with the
     * duplicated stream; the scalar-replay booleans must keep holding),
@@ -63,7 +64,7 @@ object Stress {
     * mass), and the classifier's held-out floors on a perturbed corpus */
   val TextQueries = Seq(
     "q_bpe_train", "q_cms_counts", "q_quality_classifier",
-    "q_epoch_shuffle")
+    "q_epoch_shuffle", "q_inverted_index")
 
   def allQueries: Seq[String] =
     DedupQueries ++ EmbQueries ++ ContamQueries ++ TextQueries

@@ -99,6 +99,48 @@ object TextRelevance {
         col("positions"))
   }
 
+  /** Positional phrase search — the query-time consumer of the
+    * [[invertedIndex]] artifact, run here directly against the corpus
+    * WITHOUT materializing the full index: the phrase-term filter is
+    * applied to the exploded token stream BEFORE any aggregation, so the
+    * only rows that ever shuffle are occurrences of the (few) phrase
+    * terms; everything else dies in the scan. Per distinct term one
+    * small posting frame is built, the frames inner-join on the document
+    * key (a doc lacking any phrase term can't match — and the frames are
+    * probe-sized, so AQE broadcasts them), and consecutive-position
+    * containment checks run as array HOFs inside the join projection.
+    * Repeated phrase terms reuse one posting frame at several offsets.
+    *
+    * Output: (doc_id, n_matches, first_pos) for documents containing the
+    * exact token sequence, positions 1-based. */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val terms = phrase.map(_.toLowerCase)
+    val distinctTerms = terms.distinct
+    val termIdx = distinctTerms.zipWithIndex.toMap
+    val pos = df.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__p", "__t")))
+      .filter(col("__t").isin(distinctTerms: _*))
+      .select(col("doc_id"), col("__t"), (col("__p") + 1).cast("long").as("__p"))
+    val postings = pos.groupBy(col("doc_id"), col("__t"))
+      .agg(sort_array(collect_list(col("__p"))).as("__ps"))
+    val frames = distinctTerms.zipWithIndex.map { case (t, i) =>
+      postings.filter(col("__t") === t)
+        .select(col("doc_id"), col("__ps").as(s"__ps_$i"))
+    }
+    val joined = frames.reduce(_.join(_, Seq("doc_id")))
+    val starts = filter(col(s"__ps_${termIdx(terms.head)}"), p =>
+      terms.zipWithIndex.drop(1).map { case (t, j) =>
+        array_contains(col(s"__ps_${termIdx(t)}"), p + j)
+      }.foldLeft(lit(true))(_ && _))
+    joined.select(col("doc_id"), starts.as("__starts"))
+      .filter(size(col("__starts")) > 0)
+      .select(col("doc_id"),
+        size(col("__starts")).cast("long").as("n_matches"),
+        element_at(col("__starts"), 1).as("first_pos"))
+  }
+
   /** TF-IDF per (doc, term): tf · (ln((N+1)/(df+1)) + 1) — the smoothed
     * idf (sklearn's formulation: never zero, no division by zero on
     * unseen terms). N rides a broadcast 1-row aggregate, not a driver

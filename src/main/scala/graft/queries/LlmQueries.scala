@@ -637,6 +637,15 @@ object LlmQueries {
         .orderBy(col("term"), col("doc_id"))
     },
 
+    // Positional phrase search: exact token-sequence match via per-term
+    // posting frames — the phrase-term filter runs BEFORE the shuffle,
+    // so only phrase-term occurrences leave the scan.
+    "q_phrase_search" -> { (s, dir) =>
+      TextRelevance.phraseSearch(Tables(s, dir).documents,
+          "doc_id", "text", Seq("value", "table"))
+        .orderBy(col("doc_id"))
+    },
+
     // BM25 query scoring over the corpus (k1=1.2, b=0.75).
     "q_bm25" -> { (s, dir) =>
       TextRelevance.bm25(Tables(s, dir).documents, "doc_id", "text",
@@ -1970,6 +1979,22 @@ object LlmQueries {
          FROM post p JOIN dfc d USING (term), n
          WHERE d.doc_freq <= n.nd * 0.8
          ORDER BY p.term, p.doc_id""",
+    // Phrase replay: scan 1-based token positions directly for the
+    // consecutive sequence — equivalent to the posting-frame join.
+    "q_phrase_search" ->
+      """WITH tk AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents),
+         st AS (SELECT doc_id,
+             list_filter(range(1, len(toks) + 1),
+               p -> p + 1 <= len(toks)
+                 AND toks[CAST(p AS INT)] = 'value'
+                 AND toks[CAST(p AS INT) + 1] = 'table') AS starts
+           FROM tk)
+         SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_matches,
+           starts[1] AS first_pos
+         FROM st WHERE len(starts) > 0
+         ORDER BY doc_id""",
     "q_tfidf" ->
       """WITH tok AS (
            SELECT doc_id,

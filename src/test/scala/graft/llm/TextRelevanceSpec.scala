@@ -108,4 +108,34 @@ class TextRelevanceSpec extends SparkSpec {
       .select("term").distinct().as[String].collect().toSet
     assert(loose.contains("spark"))
   }
+
+  test("phraseSearch: exact sequences only, repeated terms, overlaps, case") {
+    val d = Seq(
+      (1L, "big data data data pipeline"),
+      (2L, "data pipeline Data Data"),   // case-insensitive match at 4
+      (3L, "data and data again"),       // "data data" never consecutive
+      (4L, "no match at all")
+    ).toDF("doc_id", "text")
+    // repeated-term phrase: "data data" — overlapping occurrences count
+    val rep = TextRelevance.phraseSearch(d, "doc_id", "text", Seq("data", "data"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rep(1L) === ((2L, 2L)))  // starts at positions 2 and 3 (overlap)
+    assert(rep(2L) === ((1L, 3L)))
+    assert(!rep.contains(3L) && !rep.contains(4L))
+    // three-term phrase spanning the repeats: doc 1 matches at start 3
+    // (data@3 data@4 pipeline@5); doc 2's "data pipeline" lacks the
+    // double-data prefix
+    val tri = TextRelevance.phraseSearch(d, "doc_id", "text",
+      Seq("data", "data", "pipeline"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(tri == Seq((1L, 1L, 3L)))
+    val tri2 = TextRelevance.phraseSearch(d, "doc_id", "text",
+      Seq("data", "data", "data"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(tri2 == Seq((1L, 1L, 2L)))
+    // single-term phrase degenerates to term lookup
+    val one = TextRelevance.phraseSearch(d, "doc_id", "text", Seq("pipeline"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(one(1L) === ((1L, 5L)) && one(2L) === ((1L, 2L)))
+  }
 }
