@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.ShingleExprs
+import graft.functions.{CurationExprs, ShingleExprs}
 
 /** SparkSessionExtensions injector: mounts graft's native expressions into
   * the SQL function registry, so the same hot-path operators are reachable
@@ -85,6 +85,36 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "lang_id(text)")
         ShingleExprs.LangIdExpr(args.head)
+      }),
+    (new FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(classOf[CurationExprs.NormalizeText].getName, "normalize_text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "normalize_text(text, 'NFC'|'NFD'|'NFKC'|'NFKD')")
+        val form = args(1) match {
+          case Literal(v, _) if v != null =>
+            java.text.Normalizer.Form.valueOf(v.toString.toUpperCase)
+          case other => throw new IllegalArgumentException(
+            s"form must be a string literal, got $other")
+        }
+        CurationExprs.NormalizeText(args.head, form)
+      }),
+    (new FunctionIdentifier("clean_text"),
+      new ExpressionInfo(classOf[CurationExprs.CleanTextExpr].getName, "clean_text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "clean_text(text)")
+        CurationExprs.CleanTextExpr(args.head)
+      }),
+    (new FunctionIdentifier("strip_html"),
+      new ExpressionInfo(classOf[CurationExprs.StripHtmlExpr].getName, "strip_html"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "strip_html(text)")
+        CurationExprs.StripHtmlExpr(args.head)
+      }),
+    (new FunctionIdentifier("deflate_size"),
+      new ExpressionInfo(classOf[CurationExprs.DeflateSizeExpr].getName, "deflate_size"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "deflate_size(text)")
+        CurationExprs.DeflateSizeExpr(args.head)
       }))
 
   /** Register on an already-running session (extensions only bind at

@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.CurationExprs
+
+/** Text-curation FRONT of the pipeline (normalize → clean → extract →
+  * quality-signal) — the stages that run before any dedup/quality
+  * operator at 100 TB, each as a native single-pass expression
+  * ([[CurationExprs]]) fused into the document scan.
+  *
+  * Oracle strategy: the synthetic corpus is pure ASCII, so each query
+  * first MANGLES the text deterministically (doc_id-keyed unicode/
+  * control/markup injections, the same construction spelled in both
+  * engines) and then un-does it with the operator under test — DuckDB
+  * replays NFC via `nfc_normalize`, the cleanup chain via regexp, and
+  * entity/tag extraction via replace chains, giving full value oracles.
+  * NFKC and DEFLATE have no DuckDB twin: NFKC's expected output is
+  * constructible exactly for the injected compatibility chars, and the
+  * deflate query pins engine-computed invariant booleans TRUE
+  * (the q_approx_sketches self-asserting form).
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** doc_id-keyed unicode mangle shared by the two normalize queries:
+    * decomposed e+acute (%3), fi-ligature (%4), NBSP pair (%5). */
+  private def unicodeMangle(withNbsp: Boolean): org.apache.spark.sql.Column = {
+    val nbsp = if (withNbsp)
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("a\u00A0b ")).otherwise(lit(""))
+    else lit("")
+    concat(
+      when(pmod(col("doc_id"), lit(3)) === 0, lit("éclair ")).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("\uFB01le ")).otherwise(lit("")),
+      nbsp,
+      col("text"))
+  }
+
+  val defs: Map[String, Q] = Map(
+
+    // Canonical composition: byte-different, render-identical strings
+    // must collide before any hash-keyed dedup. Full DuckDB oracle
+    // (nfc_normalize).
+    "q_normalize_nfc" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), unicodeMangle(withNbsp = false).as("raw"))
+        .select(col("doc_id"), CurationExprs.nfc(col("raw")).as("nfc_text"), col("raw"))
+        .select(col("doc_id"), col("nfc_text"),
+          (col("nfc_text") =!= col("raw")).as("changed"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Compatibility folding: ligatures/fullwidth/NBSP fold to ASCII so
+    // tokenizers see one surface form. DuckDB has no NFKC — the oracle
+    // CONSTRUCTS the expected folded text exactly (the injected chars
+    // have known folds; the ASCII body is NFKC-invariant) and pins the
+    // idempotence/NFC-stability booleans TRUE.
+    "q_normalize_nfkc" -> { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"), unicodeMangle(withNbsp = true).as("raw"))
+        .select(col("doc_id"), CurationExprs.nfkc(col("raw")).as("nfkc_text"))
+        .select(col("doc_id"), col("nfkc_text"),
+          (CurationExprs.nfkc(col("nfkc_text")) === col("nfkc_text")).as("idempotent_ok"),
+          (CurationExprs.nfc(col("nfkc_text")) === col("nfkc_text")).as("nfc_stable_ok"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Whitespace/control cleanup ahead of tokenization — CRLF, doubled
+    // spaces, stray controls, trailing runs. Full DuckDB oracle (the
+    // literal 5-step regexp chain the native pass is fuzz-pinned to).
+    "q_clean_text" -> { (s, dir) =>
+      val crlf = regexp_replace(col("text"), lit(" the "), lit(" the\r\n"))
+      val raw = concat(
+        when(pmod(col("doc_id"), lit(5)) === 0, lit("\u000B\r\n")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2)) === 0, regexp_replace(crlf, lit(" "), lit("  ")))
+          .otherwise(crlf),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" \t\n")).otherwise(lit("")))
+      Tables(s, dir).documents
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), CurationExprs.cleanText(col("raw")).as("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Crawl-to-text: markup wraps every word, attributes carry ids,
+    // entities (named + numeric, one per-row computed) pepper the
+    // footer. Full DuckDB oracle (tag regexp + entity replace chain,
+    // &amp; decoded last so double-escapes decode one level).
+    "q_html_extract" -> { (s, dir) =>
+      val entNum = (lit(65) + pmod(col("doc_id"), lit(26))).cast("int")
+      val html = concat(
+        lit("<!doctype html><html><body data-id=\""), col("doc_id"),
+        lit("\"><h1>Doc &#"), entNum, lit(";</h1><p>"),
+        regexp_replace(col("text"), lit(" "), lit("</p> <p>")),
+        lit("</p><footer>&amp; &nbsp;fin&#233;</footer></body></html>"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"), CurationExprs.stripHtml(col("html")).as("body"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Compression-ratio quality signal (deflate level 6, raw stream):
+    // degenerate repetition compresses far below prose; high-entropy
+    // noise doesn't compress. No DuckDB deflate — self-asserting form:
+    //   pos_ok      compressed size is positive
+    //   bounded_ok  deflate never expands past raw + 64 (stored-block cap)
+    //   backref_ok  text||text < 2×text + slack (the second copy is one
+    //               back-reference; docs sit inside the 32 KB window)
+    //   entropy_ok  single-char run of the same length compresses harder
+    //               than the document's prose
+    "q_compress_ratio" -> { (s, dir) =>
+      val sz = CurationExprs.deflateSize(col("text"))
+      val szDouble = CurationExprs.deflateSize(concat(col("text"), col("text")))
+      val szDegenerate =
+        CurationExprs.deflateSize(expr("repeat('a', CAST(n_chars AS INT))"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"),
+          (sz > 0).as("pos_ok"),
+          (sz <= octet_length(col("text")) + 64).as("bounded_ok"),
+          (szDouble < sz * 2 + 64).as("backref_ok"),
+          (szDegenerate < sz).as("entropy_ok"))
+        .orderBy(col("doc_id"))
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_normalize_nfc" ->
+      """WITH raw AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'e' || chr(769) || 'clair ' ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0 THEN chr(64257) || 'le ' ELSE '' END || text AS raw
+           FROM documents)
+         SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+                nfc_normalize(raw) <> raw AS changed
+         FROM raw ORDER BY doc_id""",
+
+    "q_normalize_nfkc" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN chr(233) || 'clair ' ELSE '' END ||
+           CASE WHEN doc_id % 4 = 0 THEN 'file ' ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0 THEN 'a b ' ELSE '' END || text AS nfkc_text,
+           TRUE AS idempotent_ok, TRUE AS nfc_stable_ok
+         FROM documents ORDER BY doc_id""",
+
+    "q_clean_text" ->
+      """WITH raw AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN chr(11) || chr(13) || chr(10) ELSE '' END ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN replace(replace(text, ' the ', ' the' || chr(13) || chr(10)), ' ', '  ')
+                  ELSE replace(text, ' the ', ' the' || chr(13) || chr(10)) END ||
+             CASE WHEN doc_id % 3 = 0 THEN ' ' || chr(9) || chr(10) ELSE '' END AS raw
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(
+             replace(raw, chr(13) || chr(10), chr(10)),
+             '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+             '[ \t]+', ' ', 'g'),
+             ' +\n', chr(10), 'g'), ' ' || chr(10)) AS cleaned
+         FROM raw ORDER BY doc_id""",
+
+    "q_html_extract" ->
+      """WITH h AS (
+           SELECT doc_id, '<!doctype html><html><body data-id="' || doc_id || '"><h1>Doc &#'
+             || (65 + doc_id % 26) || ';</h1><p>' || replace(text, ' ', '</p> <p>')
+             || '</p><footer>&amp; &nbsp;fin&#233;</footer></body></html>' AS html
+           FROM documents)
+         SELECT doc_id,
+           replace(replace(replace(replace(
+             regexp_replace(html, '<[^>]*>', ' ', 'g'),
+             '&#' || (65 + doc_id % 26) || ';', chr(CAST(65 + doc_id % 26 AS INTEGER))),
+             '&#233;', chr(233)), '&nbsp;', ' '), '&amp;', '&') AS body
+         FROM h ORDER BY doc_id""",
+
+    "q_compress_ratio" ->
+      """SELECT doc_id, n_chars,
+           TRUE AS pos_ok, TRUE AS bounded_ok, TRUE AS backref_ok, TRUE AS entropy_ok
+         FROM documents ORDER BY doc_id""",
+  )
+}

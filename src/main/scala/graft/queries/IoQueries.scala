@@ -318,6 +318,67 @@ object IoQueries {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy(col("source"))
     },
+
+    // Z-order (Morton) clustering — the multi-dimension layout tool: the
+    // 32-bit interleave of two 16-bit keys, bucketed by leading bits.
+    // Each z-bucket is a small hyper-rectangle in (x, y) space — that is
+    // the file-skipping property, and the per-bucket min/max PROVE it
+    // (bucket spans are oracle-checked exactly: the same magic-mask
+    // arithmetic replays bit-for-bit in DuckDB). ZOrderSpec measures the
+    // actual file-pruning win on a written layout.
+    "q_zorder" -> { (s, dir) =>
+      import graft.operators.ZOrder
+      val x = col("l_partkey").bitwiseAND(lit(65535L))
+      val y = col("l_suppkey").bitwiseAND(lit(65535L))
+      Tables(s, dir).lineitem
+        .select(x.as("x"), y.as("y"))
+        .select(col("x"), col("y"),
+          ZOrder.zValue(col("x"), col("y")).as("z"))
+        .groupBy(shiftright(col("z"), 12).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy(col("bucket"))
+    },
+
+    // Schema evolution on a 100 TB table: old shards lack a column newer
+    // shards carry. Write both generations into one directory, read with
+    // mergeSchema (schema union at footer level; old files yield nulls),
+    // and aggregate by the evolved column with an explicit legacy
+    // fallback. The oracle replays the generation split from the source
+    // of truth.
+    "q_schema_evolution" -> { (s, dir) =>
+      val out = tmp("graft_evolve")
+      val orders = Tables(s, dir).orders
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(out)
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("append").parquet(out)
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(coalesce(col("o_orderstatus"), lit("LEGACY")).as("status"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("status"))
+    },
+
+    // Malformed-record quarantine at ingestion: corrupt JSON payloads
+    // (a deterministic 1-in-7 mangle) must route to a dead-letter
+    // branch, never poison the batch. from_json PERMISSIVE yields null
+    // on corrupt input — the ok flag IS the router; both branches stay
+    // one codegen'd projection. Oracle replays validity via json_valid.
+    "q_jsonl_quarantine" -> { (s, dir) =>
+      val payload = when(pmod(col("event_id"), lit(7)) === 0,
+        expr("substring(props, 1, length(props)-1)")).otherwise(col("props"))
+      Tables(s, dir).events
+        .select(col("event_id"), payload.as("payload"))
+        .select(col("event_id"),
+          from_json(col("payload"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .select(col("event_id"), col("k").isNotNull.as("ok"), col("k"))
+        .orderBy(col("event_id"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -386,5 +447,35 @@ object IoQueries {
     // The export IS q_pipeline_e2e plus transparent IO legs, so the
     // oracle is the same SQL by construction.
     "q_shard_export" -> LlmQueries.oracles("q_pipeline_e2e"),
+
+    // Morton interleave replayed with the same magic-mask network
+    // (decimal masks: 0x00FF00FF, 0x0F0F0F0F, 0x33333333, 0x55555555).
+    "q_zorder" ->
+      """WITH base AS (SELECT l_partkey & 65535 AS x, l_suppkey & 65535 AS y FROM lineitem),
+         s1 AS (SELECT x, y, (x | (x << 8)) & 16711935 AS xa, (y | (y << 8)) & 16711935 AS ya FROM base),
+         s2 AS (SELECT x, y, (xa | (xa << 4)) & 252645135 AS xb, (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+         s3 AS (SELECT x, y, (xb | (xb << 2)) & 858993459 AS xc, (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+         s4 AS (SELECT x, y, (xc | (xc << 1)) & 1431655765 AS xd, (yc | (yc << 1)) & 1431655765 AS yd FROM s3),
+         zt AS (SELECT x, y, (xd | (yd << 1)) AS z FROM s4)
+         SELECT z >> 12 AS bucket, COUNT(*) AS n,
+                MIN(x) AS x_min, MAX(x) AS x_max,
+                MIN(y) AS y_min, MAX(y) AS y_max
+         FROM zt GROUP BY 1 ORDER BY 1""",
+
+    "q_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE 'LEGACY' END AS status,
+                COUNT(*) AS n,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q_jsonl_quarantine" ->
+      """WITH raw AS (
+           SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN substring(props, 1, length(props)-1)
+                  ELSE props END AS payload
+           FROM events)
+         SELECT event_id, json_valid(payload) AS ok,
+           CASE WHEN json_valid(payload) THEN CAST(payload->>'$.k' AS INTEGER) END AS k
+         FROM raw ORDER BY event_id""",
   )
 }
