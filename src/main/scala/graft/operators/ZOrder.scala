@@ -41,6 +41,21 @@ object ZOrder {
   def zValue(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** Min-max scale a dimension onto the full 16-bit range. The curve
+    * interleaves bit POSITIONS, so dimensions must occupy equal bit
+    * widths or the wider one dominates file placement and the narrow
+    * one never prunes — production z-order (Delta's OPTIMIZE) rank- or
+    * range-normalizes every column for exactly this reason. Integer
+    * arithmetic, deterministic; bounds come from stats or domain
+    * knowledge (one tiny agg at write time). */
+  def scaleTo16(v: Column, lo: Long, hi: Long): Column = {
+    val span = math.max(1L, hi - lo)
+    // exact for spans < 2^37: numerator < 2^53 stays integral in double,
+    // and fp division is correctly rounded, so floor matches integer div
+    floor((v.cast("long") - lit(lo)).cast("double") * lit(65535.0) / lit(span.toDouble))
+      .cast("long")
+  }
+
   /** Cluster a DataFrame for writing: range-partition into `numFiles`
     * output files by the z-value of (x, y), sorting within each
     * partition, so every written file covers one contiguous z-range =

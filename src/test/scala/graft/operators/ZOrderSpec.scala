@@ -42,8 +42,11 @@ class ZOrderSpec extends SparkSpec {
   }
 
   test("z-clustered layout prunes files for box predicates; single-key layout cannot") {
-    val x = col("l_partkey").bitwiseAND(lit(65535L))
-    val y = col("l_suppkey").bitwiseAND(lit(65535L))
+    // dimensions scaled onto equal bit widths (sf0.001: partkey 0..199,
+    // suppkey 0..9) — unequal widths would let x's high bits dominate
+    // placement and y would never prune; see ZOrder.scaleTo16 scaladoc
+    val x = ZOrder.scaleTo16(col("l_partkey"), 0L, 199L)
+    val y = ZOrder.scaleTo16(col("l_suppkey"), 0L, 9L)
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(x.as("x"), y.as("y"))
 
@@ -60,23 +63,25 @@ class ZOrderSpec extends SparkSpec {
     val zRead = spark.read.parquet(zDir)
     val kRead = spark.read.parquet(kDir)
 
-    // box narrow in BOTH dimensions: z-layout must localize it
+    // box narrow in BOTH dimensions (scaled units): z must localize it
     val (zTouched, zTotal) =
-      ZOrder.filesTouched(zRead, col("x"), col("y"), 100, 400, 10, 30)
+      ZOrder.filesTouched(zRead, col("x"), col("y"), 10000, 20000, 20000, 30000)
     val (kTouched, kTotal) =
-      ZOrder.filesTouched(kRead, col("x"), col("y"), 100, 400, 10, 30)
+      ZOrder.filesTouched(kRead, col("x"), col("y"), 10000, 20000, 20000, 30000)
     assert(zTotal >= nFiles - 2 && kTotal >= nFiles - 2, s"layouts wrote $zTotal/$kTotal files")
-    // x-clustered layout spreads every y value across all x-matching
-    // files; it prunes on x only. z prunes on both.
-    assert(zTouched < kTouched,
+    // x-clustered prunes this box on x alone (the box IS x-narrow), so
+    // parity is acceptable here; z must never be worse, and the strict
+    // win is asserted below on the y-only predicate x-clustering cannot
+    // touch.
+    assert(zTouched <= kTouched,
       s"z-layout touched $zTouched of $zTotal; x-layout touched $kTouched of $kTotal")
     assert(zTouched <= zTotal / 2,
       s"z-layout failed to localize the box: $zTouched of $zTotal")
 
     // a y-only predicate: the x-clustered layout must scan (nearly)
     // everything, z still prunes
-    val (zy, _) = ZOrder.filesTouched(zRead, col("x"), col("y"), 0, 65535, 5, 15)
-    val (ky, _) = ZOrder.filesTouched(kRead, col("x"), col("y"), 0, 65535, 5, 15)
+    val (zy, _) = ZOrder.filesTouched(zRead, col("x"), col("y"), 0, 65535, 14000, 15000)
+    val (ky, _) = ZOrder.filesTouched(kRead, col("x"), col("y"), 0, 65535, 14000, 15000)
     assert(ky >= kTotal - 2, s"x-layout unexpectedly pruned a y-only predicate: $ky/$kTotal")
     assert(zy < ky, s"z-layout should beat x-layout on y-only predicates: $zy vs $ky")
 
