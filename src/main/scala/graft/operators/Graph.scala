@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames — the authority-
+  * scoring companion to Dedup's connected components. A 100 TB crawl
+  * weights sources by link-graph centrality (PageRank — Page et al.,
+  * "The PageRank Citation Ranking", 1999) before mixing; Common Crawl
+  * publishes exactly this kind of host-level ranking for crawl
+  * prioritization.
+  *
+  * Arithmetic contract: everything is 64-bit integer fixed-point
+  * (ranks in units of scale⁻¹), so every operation — long sums
+  * (associative/commutative), integer division — is EXACTLY
+  * reproducible in any engine regardless of partitioning or order.
+  * That is what lets the gate replay 5 full iterations in DuckDB and
+  * hash-compare; float PageRank can only ever be compared with
+  * tolerances.
+  *
+  * Scale posture: per iteration there is ONE shuffle join of the
+  * (small) rank vector against the edge list pre-partitioned by src,
+  * and one aggregation of contributions by dst — the textbook
+  * relational PR shape. The edge list (with out-weights pre-joined) is
+  * computed once and cached; lineage is flattened per iteration via
+  * localCheckpoint, same as connected components.
+  */
+object Graph {
+
+  /** Weighted PageRank, fixed iteration count, integer fixed-point.
+    *
+    * @param edges (src: long, dst: long, w: long) — directed, positive
+    *              weights. Symmetrize first for undirected semantics.
+    *              Nodes = src ∪ dst; a node with no OUT-edges keeps the
+    *              teleport base only and its mass leaks (the standard
+    *              dangling simplification — symmetrized graphs have no
+    *              dangling nodes).
+    * @param iters fixed iteration count (a convergence loop would need
+    *              a per-iteration driver action anyway; fixed counts
+    *              are also what makes the computation replayable)
+    * @param scale fixed-point unit (rank 1.0 ≡ `scale`)
+    * @return (node: long, rank: long) — Σ rank ≈ scale (minus integer
+    *         rounding and dangling leak)
+    */
+  /** @param smallRanks when true (default), the per-iteration rank
+    *        vector is broadcast into the edge join — right whenever
+    *        |nodes| ≪ |edges| (host/domain graphs: millions of nodes,
+    *        billions of edges). The edge list is materialized ONCE and
+    *        never re-shuffles; one distributed aggregation per
+    *        iteration. Flip to false for node sets too big to
+    *        broadcast — iterations become co-partitioned shuffle joins
+    *        on the same hash partitioning instead. */
+  def pageRank(edges: DataFrame, iters: Int,
+               scale: Long = 1000000000000L,
+               dampNum: Long = 85, dampDen: Long = 100,
+               smallRanks: Boolean = true): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampNum < dampDen)
+    // snapshot the edge list FIRST: nodes, out-weights, and eo all
+    // derive from it — without this, an expensive upstream edge build
+    // (join + groupBy) re-executes once per derived checkpoint
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    // out-weights ride the edge list once; per-iteration joins then only
+    // move the rank vector
+    val eo = e.join(outw, "src").localCheckpoint()
+
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    // teleport base: ((scale * (dampDen-dampNum)) DIV dampDen) DIV n —
+    // spelled exactly like this in the oracle SQL
+    val base = scale * (dampDen - dampNum) / dampDen / n
+    val r0 = scale / n
+
+    val hint: DataFrame => DataFrame =
+      if (smallRanks) broadcast(_) else identity
+    // Each iteration materializes the (tiny) rank vector via
+    // localCheckpoint and broadcasts it into the edge join: the big edge
+    // list NEVER re-shuffles and never recomputes, each iteration is one
+    // short job (broadcast join + one aggregation). Without the
+    // checkpoint, iteration k's broadcast would re-execute iterations
+    // 1..k-1 — quadratic re-evaluation (measured 13.6 s vs 2 s at sf0.1).
+    var ranks = nodes.withColumn("rank", lit(r0)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contribs = eo.join(hint(ranks), col("src") === col("node"))
+        .select(col("dst"), expr("rank * w DIV ow").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .withColumnRenamed("dst", "node")
+      ranks = nodes.join(hint(contribs), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(s, CAST(0 AS BIGINT))) DIV $dampDen"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

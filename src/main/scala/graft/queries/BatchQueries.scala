@@ -405,6 +405,34 @@ object BatchQueries {
         round(col("value") - lag(col("value"), 1, 0.0).over(w), 2).as("delta"))
         .orderBy(col("user_id"), col("rn"))
     },
+
+    // Link-graph authority (weighted PageRank, 5 iterations) over the
+    // customer↔supplier interaction graph — the source-quality-weighting
+    // step a crawl pipeline runs before mixing. Integer fixed-point
+    // arithmetic end to end (Graph.pageRank scaladoc), which is what
+    // lets DuckDB replay all five iterations EXACTLY (unrolled CTEs)
+    // and hash-match — a float PageRank could only ever be
+    // tolerance-compared.
+    "q_pagerank" -> { (s, dir) =>
+      import graft.operators.Graph
+      val t = Tables(s, dir)
+      // orderkey→custkey is a narrow keymap — broadcast it (at larger SF
+      // this becomes the bucketed co-located join; the hint is the
+      // local[32] choice, not the algorithm)
+      val e0 = t.lineitem
+        .join(broadcast(t.orders.select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      // symmetrize in ONE pass (explode of both directions) — a union of
+      // two selects over e0 would execute the join+aggregation twice
+      val edges = e0.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"), col("w"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("w"))
+      Graph.pageRank(edges, iters = 5).orderBy(col("node"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -590,5 +618,43 @@ object BatchQueries {
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
            round(value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
          FROM events ORDER BY user_id, rn""",
+
+    "q_pagerank" ->
+      """WITH e0 AS (
+  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, COUNT(*) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+edges AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+eo AS (SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN outw o ON o.src = e.src),
+p AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, (1000000000000 // n) AS rank FROM nodes, p),
+c1 AS (SELECT eo.dst AS node, SUM((r.rank * eo.w) // eo.ow) AS s
+       FROM r0 r JOIN eo ON eo.src = r.node GROUP BY 1),
+r1 AS (SELECT nodes.node,
+         ((1000000000000 * 15 // 100) // p.n) + ((85 * COALESCE(c1.s, 0)) // 100) AS rank
+       FROM nodes CROSS JOIN p LEFT JOIN c1 ON c1.node = nodes.node),
+c2 AS (SELECT eo.dst AS node, SUM((r.rank * eo.w) // eo.ow) AS s
+       FROM r1 r JOIN eo ON eo.src = r.node GROUP BY 1),
+r2 AS (SELECT nodes.node,
+         ((1000000000000 * 15 // 100) // p.n) + ((85 * COALESCE(c2.s, 0)) // 100) AS rank
+       FROM nodes CROSS JOIN p LEFT JOIN c2 ON c2.node = nodes.node),
+c3 AS (SELECT eo.dst AS node, SUM((r.rank * eo.w) // eo.ow) AS s
+       FROM r2 r JOIN eo ON eo.src = r.node GROUP BY 1),
+r3 AS (SELECT nodes.node,
+         ((1000000000000 * 15 // 100) // p.n) + ((85 * COALESCE(c3.s, 0)) // 100) AS rank
+       FROM nodes CROSS JOIN p LEFT JOIN c3 ON c3.node = nodes.node),
+c4 AS (SELECT eo.dst AS node, SUM((r.rank * eo.w) // eo.ow) AS s
+       FROM r3 r JOIN eo ON eo.src = r.node GROUP BY 1),
+r4 AS (SELECT nodes.node,
+         ((1000000000000 * 15 // 100) // p.n) + ((85 * COALESCE(c4.s, 0)) // 100) AS rank
+       FROM nodes CROSS JOIN p LEFT JOIN c4 ON c4.node = nodes.node),
+c5 AS (SELECT eo.dst AS node, SUM((r.rank * eo.w) // eo.ow) AS s
+       FROM r4 r JOIN eo ON eo.src = r.node GROUP BY 1),
+r5 AS (SELECT nodes.node,
+         ((1000000000000 * 15 // 100) // p.n) + ((85 * COALESCE(c5.s, 0)) // 100) AS rank
+       FROM nodes CROSS JOIN p LEFT JOIN c5 ON c5.node = nodes.node)
+SELECT node, rank FROM r5 ORDER BY node""",
   )
 }

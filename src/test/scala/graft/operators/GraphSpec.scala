@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PageRank: the relational iteration must equal a dense scalar
+  * reference EXACTLY (same integer fixed-point arithmetic — that is the
+  * operator's contract and what the DuckDB gate relies on), and ranks
+  * must order by authority on structured graphs. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  /** Dense scalar PR with identical integer arithmetic. */
+  private def scalarPR(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val n = nodes.length.toLong
+    val base = Scale * 15 / 100 / n
+    var rank = nodes.map(_ -> Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d, w) =>
+        contrib(d) += rank(s) * w / outw(s)
+      }
+      rank = nodes.map(v => v -> (base + 85L * contrib(v) / 100L)).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(Long, Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst", "w"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("relational PR equals the dense scalar reference bit-for-bit") {
+    // asymmetric weighted digraph incl. a dangling-ish sink with a
+    // return edge, multi-edges folded into weights
+    val edges = Seq(
+      (1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 1L, 5L),
+      (4L, 1L, 1L), (3L, 4L, 1L), (2L, 4L, 7L), (4L, 2L, 2L))
+    (1 to 6).foreach { iters =>
+      assert(run(edges, iters) == scalarPR(edges, iters), s"diverged at iters=$iters")
+    }
+  }
+
+  test("star graph: the hub out-ranks every leaf; mass is conserved") {
+    val leaves = (2L to 9L)
+    val edges = leaves.flatMap(l => Seq((1L, l, 1L), (l, 1L, 1L)))
+    val ranks = run(edges, 5)
+    val hub = ranks(1L)
+    leaves.foreach(l => assert(hub > ranks(l), s"hub should out-rank leaf $l"))
+    // all leaves are symmetric: identical ranks
+    assert(leaves.map(ranks).toSet.size == 1)
+    // mass ≈ scale (integer rounding only: < 1 unit per node per iteration)
+    val mass = ranks.values.sum
+    assert(math.abs(mass - Scale) < 9L * 6L * 2L + 100L, s"mass drifted: $mass")
+  }
+
+  test("a node with no out-edges keeps only the teleport base (documented leak)") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (1L, 4L, 1L))
+    // node 4 has no out-edges
+    val ranks = run(edges, 3)
+    val base = Scale * 15 / 100 / 4
+    assert(ranks(4L) >= base, "sink keeps at least the teleport base")
+    assert(ranks == scalarPR(edges, 3), "dangling case must still match the reference")
+  }
+}
