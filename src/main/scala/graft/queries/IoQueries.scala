@@ -362,21 +362,42 @@ object IoQueries {
         .orderBy(col("status"))
     },
 
+    // Small-file compaction: fragment documents into 64 tiny files (the
+    // streaming-ingestion pathology), rewrite at a byte-planned target
+    // size, and prove the row multiset survived via a content aggregate
+    // the oracle replays from the source of truth. CompactionSpec
+    // additionally asserts the file-count arithmetic; the aggregate here
+    // is what guards the data.
+    "q_compaction" -> { (s, dir) =>
+      import graft.operators.Compaction
+      val frag = tmp("graft_frag")
+      val compacted = tmp("graft_compacted")
+      Tables(s, dir).documents
+        .repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      Compaction.compact(s, frag, compacted, targetFileBytes = 4L << 20)
+      s.read.parquet(compacted)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("source"))
+    },
+
     // Malformed-record quarantine at ingestion: corrupt JSON payloads
     // (a deterministic 1-in-7 mangle) must route to a dead-letter
-    // branch, never poison the batch. from_json PERMISSIVE yields null
-    // on corrupt input — the ok flag IS the router; both branches stay
-    // one codegen'd projection. Oracle replays validity via json_valid.
+    // branch, never poison the batch. The tag is StreamOps.
+    // tagDeadLetters — PERMISSIVE from_json with corrupt-record capture
+    // (a struct-level null check can NOT detect corruption; the
+    // _corrupt side channel can) — the IDENTICAL call that routes the
+    // unbounded stream in DlqStreamSpec. Oracle replays validity via
+    // json_valid.
     "q_jsonl_quarantine" -> { (s, dir) =>
       val payload = when(pmod(col("event_id"), lit(7)) === 0,
         expr("substring(props, 1, length(props)-1)")).otherwise(col("props"))
-      Tables(s, dir).events
-        .select(col("event_id"), payload.as("payload"))
-        .select(col("event_id"),
-          from_json(col("payload"),
-            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
-            .getField("k").as("k"))
-        .select(col("event_id"), col("k").isNotNull.as("ok"), col("k"))
+      graft.streaming.StreamOps.tagDeadLetters(
+          Tables(s, dir).events.select(col("event_id"), payload.as("payload")),
+          "payload", "k INT")
+        .select(col("event_id"), col("ok"), col("parsed.k").as("k"))
         .orderBy(col("event_id"))
     },
   )
@@ -467,6 +488,11 @@ object IoQueries {
                 COUNT(*) AS n,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q_compaction" ->
+      """SELECT source, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
+                MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         FROM documents GROUP BY source ORDER BY source""",
 
     "q_jsonl_quarantine" ->
       """WITH raw AS (

@@ -162,4 +162,48 @@ object StreamOps {
   def globalAgg(df: DataFrame, keys: Seq[Column], aggs: Seq[Column]): DataFrame =
     if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+
+  /** Tag each record of a JSON payload stream as parsed-or-dead-letter
+    * via PERMISSIVE `from_json` with corrupt-record capture (the struct
+    * itself is NEVER null in PERMISSIVE mode — malformed input yields a
+    * struct of nulls, so a struct-level null check cannot detect
+    * corruption; the `columnNameOfCorruptRecord` side channel can, and
+    * also distinguishes "corrupt" from "valid but missing fields").
+    * The flag and both branches stay inside ONE stateless projection —
+    * no shuffle, no state, append-mode safe. The same call works on a
+    * batch frame (q_jsonl_quarantine is the oracle-checked batch twin).
+    */
+  def tagDeadLetters(df: DataFrame, payloadCol: String, ddl: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      .add("_corrupt", org.apache.spark.sql.types.StringType)
+    df.withColumn("parsed",
+        from_json(col(payloadCol), schema,
+          Map("columnNameOfCorruptRecord" -> "_corrupt").asJava))
+      .withColumn("ok", col("parsed._corrupt").isNull)
+      .withColumn("parsed", col("parsed").dropFields("_corrupt"))
+  }
+
+  /** Route a tagged stream to a main sink and a dead-letter sink in one
+    * streaming query: foreachBatch splits each micro-batch by the `ok`
+    * flag and appends parquet to each path. One query = one checkpoint/
+    * epoch lineage — running two filtered queries instead would read the
+    * source twice AND commit independently (a record could be consumed
+    * by one and lost by the other on failure). The batch frame is
+    * persisted so the two writes don't recompute the source. */
+  def writeWithDeadLetterQueue(tagged: DataFrame, mainPath: String, dlqPath: String,
+                               checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    tagged.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          batch.filter(col("ok"))
+            .select(col("*")).drop("ok")
+            .write.mode("append").parquet(mainPath)
+          batch.filter(!col("ok")).drop("ok", "parsed")
+            .write.mode("append").parquet(dlqPath)
+        } finally { batch.unpersist(); () }
+      }
+      .start()
 }
