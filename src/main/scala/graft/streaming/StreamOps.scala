@@ -186,23 +186,28 @@ object StreamOps {
 
   /** Route a tagged stream to a main sink and a dead-letter sink in one
     * streaming query: foreachBatch splits each micro-batch by the `ok`
-    * flag and appends parquet to each path. One query = one checkpoint/
-    * epoch lineage — running two filtered queries instead would read the
-    * source twice AND commit independently (a record could be consumed
-    * by one and lost by the other on failure). The batch frame is
-    * persisted so the two writes don't recompute the source. */
+    * flag. One query = one checkpoint/epoch lineage — two filtered
+    * queries would read the source twice AND commit independently (a
+    * record could be consumed by one and lost by the other on failure).
+    *
+    * Exactly-once despite foreachBatch's at-least-once contract: after
+    * a crash the LAST micro-batch re-runs with the SAME batchId, so a
+    * plain parquet append would duplicate its rows. Each batch instead
+    * OVERWRITES its own `epoch=<batchId>` subdirectory — the replay is
+    * idempotent, and readers just read the root (epoch is a normal
+    * hive partition column). The batch frame persists across the two
+    * writes so the source isn't recomputed. */
   def writeWithDeadLetterQueue(tagged: DataFrame, mainPath: String, dlqPath: String,
                                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     tagged.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          batch.filter(col("ok"))
-            .select(col("*")).drop("ok")
-            .write.mode("append").parquet(mainPath)
+          batch.filter(col("ok")).drop("ok")
+            .write.mode("overwrite").parquet(s"$mainPath/epoch=$batchId")
           batch.filter(!col("ok")).drop("ok", "parsed")
-            .write.mode("append").parquet(dlqPath)
+            .write.mode("overwrite").parquet(s"$dlqPath/epoch=$batchId")
         } finally { batch.unpersist(); () }
       }
       .start()

@@ -45,9 +45,55 @@ class DlqStreamSpec extends SparkSpec {
     assert(main.select(col("parsed.k")).as[Long].collect().sorted.toSeq == expectedGood)
     // the DLQ keeps the RAW payload for forensics
     assert(dlq.select("id").as[Long].collect().sorted.toSeq == expectedBad)
-    assert(dlq.columns.toSet == Set("id", "payload"))
+    assert(dlq.columns.toSet == Set("id", "payload", "epoch"))
     dlq.select("payload").as[String].collect()
       .foreach(p => assert(!p.endsWith("}"), s"valid payload leaked to DLQ: $p"))
+  }
+
+  test("crash replay of the last micro-batch is idempotent (epoch overwrite)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-dlq-replay-").toString
+    val input = MemoryStream[Long](spark)
+    def tagged = StreamOps.tagDeadLetters(
+      input.toDF().select(col("value").as("id"),
+        payloadCol(col("value")).as("payload")),
+      "payload", "k BIGINT")
+
+    val q1 = StreamOps.writeWithDeadLetterQueue(
+      tagged, s"$base/main", s"$base/dlq", s"$base/ckpt")
+    try {
+      input.addData(0L until 12L: _*)
+      q1.processAllAvailable()
+      input.addData(12L until 21L: _*)
+      q1.processAllAvailable()
+    } finally { q1.stop(); q1.awaitTermination() }
+
+    val before = spark.read.parquet(s"$base/main").count() +
+      spark.read.parquet(s"$base/dlq").count()
+    assert(before == 21, s"setup wrote $before rows")
+
+    // simulate a crash AFTER the sink write but BEFORE the epoch commit:
+    // delete the newest commit marker — on restart the engine re-runs
+    // that micro-batch with the SAME batchId against the same sink
+    val commits = new java.io.File(s"$base/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val last = commits.last
+    // the local FS keeps a checksum sidecar; leaving it behind makes the
+    // replayed commit's rename fail as a phantom concurrent query
+    val crc = new java.io.File(last.getParentFile, s".${last.getName}.crc")
+    assert(last.delete(), "could not remove the last commit marker")
+    if (crc.exists()) assert(crc.delete())
+
+    val q2 = StreamOps.writeWithDeadLetterQueue(
+      tagged, s"$base/main", s"$base/dlq", s"$base/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+
+    val main = spark.read.parquet(s"$base/main")
+    val dlq = spark.read.parquet(s"$base/dlq")
+    assert(main.count() + dlq.count() == 21,
+      s"replay duplicated or dropped rows: ${main.count()} + ${dlq.count()}")
+    assert(main.select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 21L).filterNot(_ % 3 == 0))
   }
 
   test("the tag projection is identical in batch (the oracle-checked twin)") {
