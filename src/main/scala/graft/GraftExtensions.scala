@@ -115,6 +115,15 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "deflate_size(text)")
         CurationExprs.DeflateSizeExpr(args.head)
+      }),
+    // an AGGREGATE function: the analyzer wraps the returned
+    // AggregateFunction in an AggregateExpression at resolution
+    (new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[graft.functions.CmsSketchAgg].getName, "cms_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "cms_sketch(value, depth, width)")
+        graft.functions.CmsSketchAgg(args.head,
+          intArg(args(1), "depth"), intArg(args(2), "width"))
       }))
 
   /** Register on an already-running session (extensions only bind at

@@ -1049,6 +1049,41 @@ object LlmQueries {
         .orderBy(col("cnt").desc, col("token"))
     },
 
+    // The CMS as a NATIVE Catalyst TypedImperativeAggregate (SURVEY §7's
+    // optional custom-Catalyst tier): per-source sketches built by the
+    // native aggregate, rolled up relationally into the global sketch,
+    // which must equal the directly-aggregated one ELEMENT-FOR-ELEMENT
+    // (counters are sums — merge order and grouping cannot matter).
+    // Exact companion: top-20 token counts; booleans: merge_ok (rollup ≡
+    // direct), lower_ok/bound_ok (CMS guarantees on the rolled-up
+    // sketch). SketchAggSpec additionally pins native ≡ Aggregator
+    // bridge and the SQL-registry path.
+    "q_cms_native" -> { (s, dir) =>
+      import graft.functions.SketchAgg
+      val depth = 4; val width = 4096
+      val toks = Tables(s, dir).documents
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      val perSource = toks.groupBy(col("source"))
+        .agg(SketchAgg.cmsSketch(col("token"), depth, width).as("sk"))
+      val rolled = perSource
+        .agg(SketchAgg.mergeSketches(col("sk"), depth, width).as("sketch"))
+      val direct = toks
+        .agg(SketchAgg.cmsSketch(col("token"), depth, width).as("sketch_direct"),
+          count(lit(1)).as("n"))
+      val both = direct.crossJoin(broadcast(rolled))
+        .withColumn("merge_ok", col("sketch") === col("sketch_direct"))
+      toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(20)
+        .crossJoin(broadcast(both))
+        .withColumn("est", CountMin.estimate(col("sketch"), col("token"), depth, width))
+        .select(col("token"), col("cnt"),
+          col("merge_ok"),
+          (col("est") >= col("cnt")).as("lower_ok"),
+          (col("est") <= col("cnt") +
+            ceil(lit(math.E) * col("n") / lit(width)).cast("long")).as("bound_ok"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+
     // Distributed BPE tokenizer training (Sennrich et al. 2016), self-
     // asserting form. The 20-merge trajectory is engine-derived (argmax
     // over pair counts isn't SQL-replicable), so the gate rides the
@@ -2319,6 +2354,17 @@ object LlmQueries {
          SELECT token, count(*) AS cnt, TRUE AS lower_ok, TRUE AS bound_ok
          FROM tok GROUP BY token
          ORDER BY cnt DESC, token LIMIT 50""",
+    // Native-TypedImperativeAggregate CMS gate: exact top-20 companion;
+    // rollup-equality and CMS-bound booleans ride pinned TRUE.
+    "q_cms_native" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+             t -> t <> '')) AS token
+           FROM documents)
+         SELECT token, count(*) AS cnt,
+                TRUE AS merge_ok, TRUE AS lower_ok, TRUE AS bound_ok
+         FROM tok GROUP BY token
+         ORDER BY cnt DESC, token LIMIT 20""",
     // Self-asserting BPE-encode gate: per-source doc counts exact; the
     // scalar-equality and token-conservation booleans ride pinned TRUE.
     "q_bpe_encode" ->

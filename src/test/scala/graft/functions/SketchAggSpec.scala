@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.llm.CountMin
+import org.apache.spark.sql.functions._
+
+/** The native TypedImperativeAggregate CMS must equal the Aggregator
+  * bridge element-for-element, survive partial/final aggregation across
+  * partitions, round-trip its serialized buffer, work from SQL, and
+  * roll up per-group sketches into the global one exactly. */
+class SketchAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val depth = 3
+  private val width = 64
+
+  private def tokens = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("source"), explode(
+      graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+
+  test("native aggregate equals the Aggregator bridge element-for-element") {
+    val native = tokens.repartition(7)
+      .agg(SketchAgg.cmsSketch(col("token"), depth, width).as("sk"))
+      .head().getSeq[Long](0)
+    val bridged = tokens
+      .select(col("token")).as[String]
+      .select(CountMin.CmsAggregator(depth, width).toColumn)
+      .head().toSeq
+    assert(native == bridged, "native and bridge sketches diverged")
+    assert(native.sum == tokens.count() * depth, "each token increments one counter per row")
+  }
+
+  test("partition count cannot change the sketch (counters are sums)") {
+    val a = tokens.repartition(1)
+      .agg(SketchAgg.cmsSketch(col("token"), depth, width)).head().getSeq[Long](0)
+    val b = tokens.repartition(13)
+      .agg(SketchAgg.cmsSketch(col("token"), depth, width)).head().getSeq[Long](0)
+    assert(a == b)
+  }
+
+  test("serialize/deserialize round-trips the buffer") {
+    val agg = CmsSketchAgg(org.apache.spark.sql.catalyst.expressions.Literal("x"), depth, width)
+    val buf = agg.createAggregationBuffer()
+    buf(0) = 42L; buf(depth * width - 1) = Long.MaxValue; buf(17) = -3L
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.toSeq == buf.toSeq)
+  }
+
+  test("SQL-registered: GROUP BY sketches roll up to the global sketch") {
+    graft.GraftExtensions.register(spark)
+    tokens.createOrReplaceTempView("sketch_tokens")
+    val perSource = spark.sql(
+      s"SELECT source, cms_sketch(token, $depth, $width) AS sk " +
+        "FROM sketch_tokens GROUP BY source")
+    val merged = perSource
+      .agg(SketchAgg.mergeSketches(col("sk"), depth, width).as("sk"))
+      .head().getSeq[Long](0)
+    val global = spark.sql(
+      s"SELECT cms_sketch(token, $depth, $width) FROM sketch_tokens")
+      .head().getSeq[Long](0)
+    assert(merged == global, "per-group sketches must merge to the global sketch")
+  }
+
+  test("point estimates from the native sketch respect CMS bounds") {
+    val sk = tokens.agg(SketchAgg.cmsSketch(col("token"), depth, width).as("sketch"))
+    val n = tokens.count()
+    val exact = tokens.groupBy("token").count()
+      .orderBy(col("count").desc).limit(20)
+      .as[(String, Long)].collect()
+    val arr = sk.head().getSeq[Long](0)
+    exact.foreach { case (tok, cnt) =>
+      val est = (0 until depth)
+        .map(i => arr(i * width + CountMin.bucket(tok, i, width))).min
+      assert(est >= cnt, s"CMS must never undercount ($tok)")
+      assert(est <= cnt + math.ceil(math.E * n / width).toLong,
+        s"CMS bound violated for $tok: est=$est cnt=$cnt")
+    }
+  }
+}
