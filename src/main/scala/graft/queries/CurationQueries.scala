@@ -101,6 +101,39 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The curation FRONT composed end-to-end: crawl-shaped HTML →
+    // strip_html → clean_text → NFKC fold → tokenize → prefix-keyed
+    // exact dedup → per-source report. Every stage is one of the native
+    // single-pass expressions above, fused into ONE scan projection
+    // before the dedup shuffle; the oracle replays the whole chain
+    // (tag/entity regexps, the cleanup chain, the ligature's known NFKC
+    // fold, md5-prefix keepers) in DuckDB. The numeric-entity ligature
+    // (&#64257; = ﬁ) exercises the fold for real: strip decodes it,
+    // NFKC folds it to "fi".
+    "q_curation_front" -> { (s, dir) =>
+      val html = concat(
+        lit("<!doctype html><html><body data-id=\""), col("doc_id"),
+        lit("\"><h1>&#64257;le sample</h1><p>"),
+        regexp_replace(col("text"), lit(" "), lit("</p> <p>")),
+        lit("</p><footer>&amp; fin&#233;</footer></body></html>"))
+      val folded = CurationExprs.nfkc(
+        CurationExprs.cleanText(CurationExprs.stripHtml(html)))
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), folded.as("folded"))
+      val keepers = docs
+        .groupBy(md5(substring(col("folded"), 1, 64).cast("binary")).as("k"))
+        .agg(min(col("doc_id")).as("keeper"))
+      docs
+        .join(keepers,
+          md5(substring(col("folded"), 1, 64).cast("binary")) === col("k"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") === col("keeper"), 1).otherwise(0)).as("n_keepers"),
+          sum(size(graft.functions.TextFunctions.tokens(col("folded"))).cast("long"))
+            .as("total_tokens"))
+        .orderBy(col("source"))
+    },
+
     // Compression-ratio quality signal (deflate level 6, raw stream):
     // degenerate repetition compresses far below prose; high-entropy
     // noise doesn't compress. No DuckDB deflate — self-asserting form:
@@ -179,5 +212,45 @@ object CurationQueries {
       """SELECT doc_id, n_chars,
            TRUE AS pos_ok, TRUE AS bounded_ok, TRUE AS backref_ok, TRUE AS entropy_ok
          FROM documents ORDER BY doc_id""",
+
+    "q_curation_front" ->
+      """WITH h AS (
+           SELECT doc_id, source,
+             '<!doctype html><html><body data-id="' || doc_id || '"><h1>&#64257;le sample</h1><p>'
+             || replace(text, ' ', '</p> <p>') || '</p><footer>&amp; fin&#233;</footer></body></html>' AS html
+           FROM documents),
+         body AS (
+           SELECT doc_id, source,
+             replace(replace(replace(
+               regexp_replace(html, '<[^>]*>', ' ', 'g'),
+               '&#64257;', chr(64257)), '&#233;', chr(233)), '&amp;', '&') AS body
+           FROM h),
+         cleaned AS (
+           SELECT doc_id, source,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               replace(body, chr(13) || chr(10), chr(10)),
+               '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+               '[ \t]+', ' ', 'g'),
+               ' +\n', chr(10), 'g'), ' ' || chr(10)) AS cleaned
+           FROM body),
+         folded AS (
+           SELECT doc_id, source, replace(cleaned, chr(64257), 'fi') AS folded
+           FROM cleaned),
+         keepers AS (
+           SELECT md5(substring(folded, 1, 64)) AS k, MIN(doc_id) AS keeper
+           FROM folded GROUP BY 1),
+         toks AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(lower(folded), '[^a-z'']+'),
+               t -> t <> '')) AS n_toks
+           FROM folded)
+         SELECT f.source,
+                COUNT(*) AS n_docs,
+                SUM(CASE WHEN f.doc_id = kp.keeper THEN 1 ELSE 0 END) AS n_keepers,
+                SUM(t.n_toks) AS total_tokens
+         FROM folded f
+         JOIN keepers kp ON md5(substring(f.folded, 1, 64)) = kp.k
+         JOIN toks t ON t.doc_id = f.doc_id
+         GROUP BY f.source ORDER BY f.source""",
   )
 }
