@@ -118,14 +118,15 @@ object CurationQueries {
         lit("</p><footer>&amp; fin&#233;</footer></body></html>"))
       val folded = CurationExprs.nfkc(
         CurationExprs.cleanText(CurationExprs.stripHtml(html)))
-      val docs = Tables(s, dir).documents
+      // keeper via a k-partitioned window, NOT a groupBy+self-join: the
+      // join shape would execute the fold chain twice (docs appears on
+      // both sides); this is ONE scan projection + ONE shuffle on k
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k"))
+      Tables(s, dir).documents
         .select(col("doc_id"), col("source"), folded.as("folded"))
-      val keepers = docs
-        .groupBy(md5(substring(col("folded"), 1, 64).cast("binary")).as("k"))
-        .agg(min(col("doc_id")).as("keeper"))
-      docs
-        .join(keepers,
-          md5(substring(col("folded"), 1, 64).cast("binary")) === col("k"))
+        .withColumn("k", md5(substring(col("folded"), 1, 64).cast("binary")))
+        .withColumn("keeper", min(col("doc_id")).over(w))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("doc_id") === col("keeper"), 1).otherwise(0)).as("n_keepers"),
