@@ -32,6 +32,28 @@ object Compaction {
     (files.map(_.getLen).sum, files.length)
   }
 
+  /** Compact every hive partition of a partitioned table independently
+    * — the real 100 TB maintenance shape: `root/part=X/` each gets its
+    * own byte-planned rewrite, partitions stay directory-pruned, and a
+    * failed partition leaves the others' committed output intact (each
+    * is its own 3-phase commit). Returns per-partition
+    * (name, bytesIn, filesIn, filesPlanned). Driver-side work is one
+    * directory listing; partitions could be dispatched concurrently,
+    * but sequential keeps failure attribution per-partition. */
+  def compactPartitioned(spark: SparkSession, inRoot: String, outRoot: String,
+                         targetFileBytes: Long): Seq[(String, Long, Int, Int)] = {
+    val fs = new Path(inRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new Path(inRoot))
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath.getName).sorted
+    require(parts.nonEmpty, s"no hive partitions (name=value dirs) under $inRoot")
+    parts.toSeq.map { p =>
+      val (bytes, nIn, nOut) =
+        compact(spark, s"$inRoot/$p", s"$outRoot/$p", targetFileBytes)
+      (p, bytes, nIn, nOut)
+    }
+  }
+
   /** Rewrite `inDir` (parquet) into `outDir` targeting
     * `targetFileBytes` per output file. Returns (bytesIn, filesIn,
     * filesPlanned). Layout-only: the row multiset is untouched. */

@@ -43,6 +43,30 @@ class CompactionSpec extends SparkSpec {
     assert(nOut == planned, s"wrote $nOut, planned $planned")
   }
 
+  test("partitioned table: each hive partition compacts independently; pruning survives") {
+    val base = freshDir()
+    val src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    src.repartition(9).write.mode("overwrite")
+      .partitionBy("event_type").parquet(s"$base/frag")
+
+    val results = Compaction.compactPartitioned(
+      spark, s"$base/frag", s"$base/out", targetFileBytes = 64L << 20)
+    assert(results.nonEmpty && results.forall(_._1.startsWith("event_type=")))
+    results.foreach { case (p, bytes, nIn, planned) =>
+      assert(nIn > 1, s"$p was not fragmented ($nIn files)")
+      assert(planned == 1 && bytes > 0, s"$p planned $planned files")
+      val (_, nOut) = Compaction.dirStats(spark, s"$base/out/$p")
+      assert(nOut == 1, s"$p compacted to $nOut files")
+    }
+    // partition column survives (directory structure is the schema)
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.columns.toSet == src.columns.toSet)
+    val a = src.orderBy("event_id").collect().toSeq
+    val b = back.select(src.columns.map(col): _*).orderBy("event_id").collect().toSeq
+    assert(a == b, "partitioned compaction changed the data")
+  }
+
   test("sort-preserving compaction keeps clustering (file-level ranges stay disjoint)") {
     val base = freshDir()
     val src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
