@@ -64,7 +64,11 @@ object Stress {
     * mass), and the classifier's held-out floors on a perturbed corpus */
   val TextQueries = Seq(
     "q_bpe_train", "q_cms_counts", "q_quality_classifier",
-    "q_epoch_shuffle", "q_inverted_index")
+    "q_epoch_shuffle", "q_inverted_index",
+    // round-8 additions: the native-aggregate CMS (rollup equality +
+    // ε·N bounds where N grows with the blow-up) and the deflate
+    // signal (back-reference/entropy orderings on perturbed copies)
+    "q_cms_native", "q_compress_ratio")
 
   def allQueries: Seq[String] =
     DedupQueries ++ EmbQueries ++ ContamQueries ++ TextQueries

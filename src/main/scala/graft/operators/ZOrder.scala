@@ -41,6 +41,26 @@ object ZOrder {
   def zValue(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** Spread the low 21 bits of `v` to every 3rd bit position (the 3-D
+    * sibling of [[spread16]]; same public magic-mask network with the
+    * standard 3-spacing constants). */
+  def spread21(v: Column): Column = {
+    val a = v.bitwiseAND(lit(0x1FFFFFL))
+    val b = a.bitwiseOR(shiftleft(a, 32)).bitwiseAND(lit(0x1F00000000FFFFL))
+    val c = b.bitwiseOR(shiftleft(b, 16)).bitwiseAND(lit(0x1F0000FF0000FFL))
+    val d = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    val e = d.bitwiseOR(shiftleft(d, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    e.bitwiseOR(shiftleft(e, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** 63-bit Morton code of three 21-bit keys — box predicates on any of
+    * THREE columns prune files. Same normalization rule as 2-D: scale
+    * all dimensions to equal bit widths first. */
+  def zValue3(x: Column, y: Column, z: Column): Column =
+    spread21(x)
+      .bitwiseOR(shiftleft(spread21(y), 1))
+      .bitwiseOR(shiftleft(spread21(z), 2))
+
   /** Min-max scale a dimension onto the full 16-bit range. The curve
     * interleaves bit POSITIONS, so dimensions must occupy equal bit
     * widths or the wider one dominates file placement and the narrow

@@ -41,6 +41,35 @@ class ZOrderSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).distinct.length == cases.distinct.length)
   }
 
+  test("zValue3 is the exact 3-way bit interleave (scalar cross-check)") {
+    def spread21Scalar(v: Long): Long = {
+      var a = v & 0x1FFFFFL
+      a = (a | (a << 32)) & 0x1F00000000FFFFL
+      a = (a | (a << 16)) & 0x1F0000FF0000FFL
+      a = (a | (a << 8)) & 0x100F00F00F00F00FL
+      a = (a | (a << 4)) & 0x10C30C30C30C30C3L
+      (a | (a << 2)) & 0x1249249249249249L
+    }
+    def z3(x: Long, y: Long, z: Long): Long =
+      spread21Scalar(x) | (spread21Scalar(y) << 1) | (spread21Scalar(z) << 2)
+    val cases = (for (x <- 0L to 9L; y <- 0L to 9L; z <- 0L to 9L) yield (x, y, z)) ++
+      Seq((0x1FFFFFL, 0x1FFFFFL, 0x1FFFFFL), (12345L, 54321L, 98765L))
+    val rows = cases.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        ZOrder.zValue3(col("x"), col("y"), col("z")).as("m"))
+      .collect()
+    rows.foreach { r =>
+      val (x, y, z, m) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(m == z3(x, y, z), s"z3($x,$y,$z)")
+      (0 until 21).foreach { i =>
+        assert(((m >> (3 * i)) & 1L) == ((x >> i) & 1L))
+        assert(((m >> (3 * i + 1)) & 1L) == ((y >> i) & 1L))
+        assert(((m >> (3 * i + 2)) & 1L) == ((z >> i) & 1L))
+      }
+    }
+    assert(rows.map(_.getLong(3)).distinct.length == cases.distinct.length)
+  }
+
   test("z-clustered layout prunes files for box predicates; single-key layout cannot") {
     // dimensions scaled onto equal bit widths (sf0.001: partkey 0..199,
     // suppkey 0..9) — unequal widths would let x's high bits dominate
