@@ -341,6 +341,25 @@ object IoQueries {
         .orderBy(col("bucket"))
     },
 
+    // The 3-dimension Morton sibling: box predicates on ANY of three
+    // columns prune files. Same exact-replay oracle discipline — the
+    // 3-spacing magic-mask network replays bit-for-bit in SQL.
+    "q_zorder3" -> { (s, dir) =>
+      import graft.operators.ZOrder
+      Tables(s, dir).lineitem
+        .select(col("l_partkey").bitwiseAND(lit(2097151L)).as("x"),
+          col("l_suppkey").bitwiseAND(lit(2097151L)).as("y"),
+          col("l_orderkey").bitwiseAND(lit(2097151L)).as("z"))
+        .select(col("x"), col("y"), col("z"),
+          ZOrder.zValue3(col("x"), col("y"), col("z")).as("morton"))
+        .groupBy(shiftright(col("morton"), 30).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+        .orderBy(col("bucket"))
+    },
+
     // Schema evolution on a 100 TB table: old shards lack a column newer
     // shards carry. Write both generations into one directory, read with
     // mergeSchema (schema union at footer level; old files yield nulls),
@@ -482,6 +501,37 @@ object IoQueries {
                 MIN(x) AS x_min, MAX(x) AS x_max,
                 MIN(y) AS y_min, MAX(y) AS y_max
          FROM zt GROUP BY 1 ORDER BY 1""",
+
+    "q_zorder3" ->
+      """WITH base AS (
+  SELECT l_partkey & 2097151 AS x, l_suppkey & 2097151 AS y,
+         l_orderkey & 2097151 AS z FROM lineitem),
+s1 AS (SELECT x,y,z,
+  (x | (x << 32)) & 8725724278095871 AS xa,
+  (y | (y << 32)) & 8725724278095871 AS ya,
+  (z | (z << 32)) & 8725724278095871 AS za FROM base),
+s2 AS (SELECT x,y,z,
+  (xa | (xa << 16)) & 8725728556220671 AS xb,
+  (ya | (ya << 16)) & 8725728556220671 AS yb,
+  (za | (za << 16)) & 8725728556220671 AS zb FROM s1),
+s3 AS (SELECT x,y,z,
+  (xb | (xb << 8)) & 1157144660301377551 AS xc,
+  (yb | (yb << 8)) & 1157144660301377551 AS yc,
+  (zb | (zb << 8)) & 1157144660301377551 AS zc FROM s2),
+s4 AS (SELECT x,y,z,
+  (xc | (xc << 4)) & 1207822528635744451 AS xd,
+  (yc | (yc << 4)) & 1207822528635744451 AS yd,
+  (zc | (zc << 4)) & 1207822528635744451 AS zd FROM s3),
+s5 AS (SELECT x,y,z,
+  (xd | (xd << 2)) & 1317624576693539401 AS xe,
+  (yd | (yd << 2)) & 1317624576693539401 AS ye,
+  (zd | (zd << 2)) & 1317624576693539401 AS ze FROM s4),
+m AS (SELECT x,y,z, xe | (ye << 1) | (ze << 2) AS morton FROM s5)
+SELECT morton >> 30 AS bucket, COUNT(*) AS n,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max,
+       MIN(z) AS z_min, MAX(z) AS z_max
+FROM m GROUP BY 1 ORDER BY 1""",
 
     "q_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE 'LEGACY' END AS status,
