@@ -124,6 +124,12 @@ object GraftExtensions {
         require(args.length == 3, "cms_sketch(value, depth, width)")
         graft.functions.CmsSketchAgg(args.head,
           intArg(args(1), "depth"), intArg(args(2), "width"))
+      }),
+    (new FunctionIdentifier("cms_merge"),
+      new ExpressionInfo(classOf[graft.functions.CmsMergeAgg].getName, "cms_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "cms_merge(sketch)")
+        graft.functions.CmsMergeAgg(args.head)
       }))
 
   /** Register on an already-running session (extensions only bind at

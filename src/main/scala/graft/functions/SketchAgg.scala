@@ -95,6 +95,80 @@ final case class CmsSketchAgg(
   override def prettyName: String = "cms_sketch"
 }
 
+/** Merge PRE-COMPUTED sketch columns (long arrays) under a constant
+  * aggregation buffer: update folds each input array into one d·w
+  * buffer (sized from the first input), partial buffers merge
+  * element-wise. A `collect_list`-then-fold would materialize ALL G
+  * group sketches in one buffer (G × 64 KB — the thing that dies at a
+  * million groups); this never holds more than one sketch. */
+final case class CmsMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cms_merge expects array<bigint>, got ${other.catalogString}")
+  }
+
+  // empty = "no sketch seen yet"; sized lazily from the first input so
+  // callers don't re-state depth/width the sketches already encode
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    child.eval(input) match {
+      case null => buffer
+      case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+        val n = arr.numElements()
+        val b = if (buffer.isEmpty) new Array[Long](n) else buffer
+        require(b.length == n,
+          s"cms_merge: mixed sketch sizes (${b.length} vs $n)")
+        var i = 0
+        while (i < n) { b(i) += arr.getLong(i); i += 1 }
+        b
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      require(a.length == b.length,
+        s"cms_merge: mixed sketch sizes (${a.length} vs ${b.length})")
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val lb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer()
+    val out = new Array[Long](lb.remaining())
+    lb.get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsMergeAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "cms_merge"
+}
+
 object SketchAgg {
 
   /** Column-API form of the native aggregate (usable anywhere `sum` is). */
@@ -103,14 +177,11 @@ object SketchAgg {
       CmsSketchAgg(GraftSqlBridge.expression(value), depth, width)
         .toAggregateExpression())
 
-  /** Merge pre-computed sketch COLUMNS (arrays) relationally: the
-    * element-wise sum across rows — how per-partition / per-group /
-    * per-day sketches roll up without touching raw data again. */
-  def mergeSketches(sketch: Column, depth: Int, width: Int): Column = {
-    import org.apache.spark.sql.functions._
-    aggregate(
-      collect_list(sketch),
-      array_repeat(lit(0L), depth * width),
-      (acc, s) => zip_with(acc, s, (a, b) => a + b))
-  }
+  /** Merge pre-computed sketch COLUMNS (arrays) relationally via
+    * [[CmsMergeAgg]] — constant aggregation buffer regardless of group
+    * count (depth/width come from the sketches themselves; the
+    * parameters are kept for call-site documentation). */
+  def mergeSketches(sketch: Column, depth: Int, width: Int): Column =
+    GraftSqlBridge.column(
+      CmsMergeAgg(GraftSqlBridge.expression(sketch)).toAggregateExpression())
 }

@@ -62,6 +62,24 @@ class SketchAggSpec extends SparkSpec {
     assert(merged == global, "per-group sketches must merge to the global sketch")
   }
 
+  test("cms_merge: constant-buffer rollup equals fold; SQL path; size mismatch rejected") {
+    graft.GraftExtensions.register(spark)
+    val sketches = Seq(
+      Seq(1L, 0L, 2L), Seq(0L, 5L, 1L), Seq(3L, 3L, 3L))
+    val rolled = sketches.toDF("sk").repartition(3)
+      .agg(SketchAgg.mergeSketches(col("sk"), 1, 3)).head().getSeq[Long](0)
+    assert(rolled == Seq(4L, 8L, 6L))
+    sketches.toDF("sk").createOrReplaceTempView("cms_merge_in")
+    assert(spark.sql("SELECT cms_merge(sk) FROM cms_merge_in")
+      .head().getSeq[Long](0) == Seq(4L, 8L, 6L))
+    val e = intercept[Exception] {
+      Seq(Seq(1L), Seq(1L, 2L)).toDF("sk").coalesce(1)
+        .agg(SketchAgg.mergeSketches(col("sk"), 1, 1)).head()
+    }
+    assert(e.getMessage.contains("mixed sketch sizes") ||
+      e.getCause != null && e.getCause.getMessage.contains("mixed sketch sizes"))
+  }
+
   test("point estimates from the native sketch respect CMS bounds") {
     val sk = tokens.agg(SketchAgg.cmsSketch(col("token"), depth, width).as("sketch"))
     val n = tokens.count()
