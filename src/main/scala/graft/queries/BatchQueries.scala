@@ -352,6 +352,40 @@ object BatchQueries {
             <= ceil(col("exact_customers") * 0.1)).as("merge_ok"))
     },
 
+    // Corpus-overlap audit via sketch set algebra: how much vocabulary do
+    // two corpus halves share? Exact distinct counts are the oracle
+    // columns; the HLL legs estimate |A|, |B|, |A∪B| from per-half
+    // sketches and derive |A∩B| by inclusion–exclusion — the audit shape
+    // that at 100 TB runs on pre-built per-shard sketches without ever
+    // re-reading raw text. Error pins: 10% on each direct estimate
+    // (lgK=12 rsd≈1.6%, bound is >5σ), and the intersection inherits the
+    // sum of the three (≤ 0.3·|A∪B|, conservative triangle bound).
+    "q_corpus_overlap" -> { (s, dir) =>
+      val toks = Tables(s, dir).documents
+        .select(pmod(col("doc_id"), lit(2)).as("half"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      val perHalf = toks.groupBy(col("half"))
+        .agg(Combine.hllSketch(col("token")).as("sk"))
+      val ests = perHalf.agg(
+        Combine.hllEstimate(Combine.hllUnion(col("sk"))).as("est_union"),
+        Combine.hllEstimate(min(when(col("half") === 0, col("sk")))).as("est_a"),
+        Combine.hllEstimate(min(when(col("half") === 1, col("sk")))).as("est_b"))
+      val exact = toks.agg(
+        countDistinct(when(col("half") === 0, col("token"))).as("exact_a"),
+        countDistinct(when(col("half") === 1, col("token"))).as("exact_b"),
+        countDistinct(col("token")).as("exact_union"))
+      exact.crossJoin(broadcast(ests))
+        .select(col("exact_a"), col("exact_b"), col("exact_union"),
+          (col("exact_a") + col("exact_b") - col("exact_union")).as("exact_inter"),
+          (abs(col("est_a") - col("exact_a")) <= ceil(col("exact_a") * 0.1)).as("a_ok"),
+          (abs(col("est_b") - col("exact_b")) <= ceil(col("exact_b") * 0.1)).as("b_ok"),
+          (abs(col("est_union") - col("exact_union"))
+            <= ceil(col("exact_union") * 0.1)).as("union_ok"),
+          (abs((col("est_a") + col("est_b") - col("est_union"))
+            - (col("exact_a") + col("exact_b") - col("exact_union")))
+            <= ceil(col("exact_union") * 0.3)).as("inter_ok"))
+    },
+
     // §2.3 Sample.fixedSizePerKey, deterministic variant: top-n per key by
     // md5 of the row identity — size-exact like the reservoir, but
     // reproducible across engines so the oracle can replicate it (the
@@ -618,6 +652,22 @@ object BatchQueries {
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
            round(value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
          FROM events ORDER BY user_id, rn""",
+
+    "q_corpus_overlap" ->
+      """WITH tok AS (
+           SELECT doc_id % 2 AS half,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+               t -> t <> '')) AS token
+           FROM documents)
+         SELECT
+           COUNT(DISTINCT CASE WHEN half = 0 THEN token END) AS exact_a,
+           COUNT(DISTINCT CASE WHEN half = 1 THEN token END) AS exact_b,
+           COUNT(DISTINCT token) AS exact_union,
+           COUNT(DISTINCT CASE WHEN half = 0 THEN token END)
+             + COUNT(DISTINCT CASE WHEN half = 1 THEN token END)
+             - COUNT(DISTINCT token) AS exact_inter,
+           TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok
+         FROM tok""",
 
     "q_pagerank" ->
       """WITH e0 AS (
