@@ -130,6 +130,37 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "cms_merge(sketch)")
         graft.functions.CmsMergeAgg(args.head)
+      }),
+    (new FunctionIdentifier("kll_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KllSketchAgg].getName, "kll_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kll_sketch(value, k)")
+        graft.functions.KllSketchAgg(args.head, intArg(args(1), "k"))
+      }),
+    (new FunctionIdentifier("kll_merge"),
+      new ExpressionInfo(classOf[graft.functions.KllMergeAgg].getName, "kll_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "kll_merge(sketch)")
+        graft.functions.KllMergeAgg(args.head)
+      }),
+    (new FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[graft.functions.KllQuantile].getName, "kll_quantile"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "kll_quantile(sketch, rank)")
+        // SQL literals arrive as DECIMAL (possibly under a cast) — fold
+        // any constant numeric expression rather than pattern-matching
+        // literal shapes
+        val rank = args(1) match {
+          case e if e.foldable => e.eval() match {
+            case d: Double => d
+            case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+            case other => throw new IllegalArgumentException(
+              s"rank must be numeric, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"rank must be a constant, got $other")
+        }
+        graft.functions.KllQuantile(args.head, rank)
       }))
 
   /** Register on an already-running session (extensions only bind at

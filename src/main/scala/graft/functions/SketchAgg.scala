@@ -5,8 +5,9 @@ import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftglue.GraftSqlBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -169,6 +170,142 @@ final case class CmsMergeAgg(
   override def prettyName: String = "cms_merge"
 }
 
+/** Mergeable QUANTILE sketch column: `org.apache.datasketches.kll.
+  * KllDoublesSketch` (Karnin-Lang-Liberty, FOCS'16; the library ships on
+  * the Spark classpath — exactly the SURVEY §7 "TypedImperativeAggregate
+  * wrapping datasketches-java" option) aggregated natively. Unlike
+  * `percentile_approx`, whose GK summary lives only inside one
+  * aggregation, this emits the sketch itself as a binary column:
+  * per-shard/per-day sketches persist, merge relationally
+  * ([[KllMergeAgg]]), and answer any quantile later without re-reading
+  * data — completing the mergeable-sketch family (HLL distinct, CMS
+  * frequency, MG heavy hitters, KLL quantiles).
+  *
+  * KLL is RANDOMIZED (sampling levels), so two runs' sketches differ in
+  * bytes while both honor the rank-error guarantee (~1.65/√k normalized
+  * rank error at 99% confidence per level; k=200 ⇒ <1%). Gate queries
+  * therefore pin rank-error BOUNDS (with generous margins), never
+  * sketch bytes.
+  */
+final case class KllSketchAgg(
+    child: Expression, k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.kll.KllDoublesSketch] {
+
+  require(k >= 8 && k <= 65535, "k out of KLL range")
+  private type Kll = org.apache.datasketches.kll.KllDoublesSketch
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kll_sketch expects double, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Kll =
+    org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buffer: Kll, input: InternalRow): Kll = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(a: Kll, b: Kll): Kll = { a.merge(b); a }
+
+  override def eval(buffer: Kll): Any = buffer.toByteArray
+
+  override def serialize(buffer: Kll): Array[Byte] = buffer.toByteArray
+  override def deserialize(bytes: Array[Byte]): Kll =
+    org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllSketchAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kll_sketch"
+}
+
+/** Merge pre-built KLL sketch columns (binary) — the quantile sibling of
+  * [[CmsMergeAgg]]: constant buffer, native partial/final. */
+final case class KllMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.kll.KllDoublesSketch] {
+
+  private type Kll = org.apache.datasketches.kll.KllDoublesSketch
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kll_merge expects a binary sketch, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Kll =
+    org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(200)
+
+  override def update(buffer: Kll, input: InternalRow): Kll = {
+    child.eval(input) match {
+      case null => buffer
+      case bytes: Array[Byte] =>
+        buffer.merge(org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(bytes)))
+        buffer
+    }
+  }
+
+  override def merge(a: Kll, b: Kll): Kll = { a.merge(b); a }
+  override def eval(buffer: Kll): Any = buffer.toByteArray
+  override def serialize(buffer: Kll): Array[Byte] = buffer.toByteArray
+  override def deserialize(bytes: Array[Byte]): Kll =
+    org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllMergeAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kll_merge"
+}
+
+/** Scalar: quantile estimate from a serialized KLL sketch. */
+final case class KllQuantile(sketch: Expression, rank: Double)
+  extends UnaryExpression with CodegenFallback {
+  require(rank >= 0.0 && rank <= 1.0, "rank must be in [0,1]")
+  override def child: Expression = sketch
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  // an EMPTY sketch has no quantiles — the estimate is null even when
+  // the sketch column itself is non-null
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = sketch.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kll_quantile expects a binary sketch, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(input.asInstanceOf[Array[Byte]]))
+    if (sk.isEmpty) null else sk.getQuantile(rank)
+  }
+  override def prettyName: String = "kll_quantile"
+  override protected def withNewChildInternal(newChild: Expression): KllQuantile =
+    copy(sketch = newChild)
+}
+
 object SketchAgg {
 
   /** Column-API form of the native aggregate (usable anywhere `sum` is). */
@@ -184,4 +321,18 @@ object SketchAgg {
   def mergeSketches(sketch: Column, depth: Int, width: Int): Column =
     GraftSqlBridge.column(
       CmsMergeAgg(GraftSqlBridge.expression(sketch)).toAggregateExpression())
+
+  /** Mergeable KLL quantile sketch of a double column (binary output). */
+  def kllSketch(value: Column, k: Int = 200): Column =
+    GraftSqlBridge.column(
+      KllSketchAgg(GraftSqlBridge.expression(value), k).toAggregateExpression())
+
+  /** Merge pre-built KLL sketch columns. */
+  def kllMerge(sketch: Column): Column =
+    GraftSqlBridge.column(
+      KllMergeAgg(GraftSqlBridge.expression(sketch)).toAggregateExpression())
+
+  /** Quantile estimate from a serialized KLL sketch column. */
+  def kllQuantile(sketch: Column, rank: Double): Column =
+    GraftSqlBridge.column(KllQuantile(GraftSqlBridge.expression(sketch), rank))
 }

@@ -352,6 +352,49 @@ object BatchQueries {
             <= ceil(col("exact_customers") * 0.1)).as("merge_ok"))
     },
 
+    // Mergeable QUANTILE sketches (KLL, datasketches-java): per-flag
+    // price sketches answer q10/q50/q90 and ALSO roll up into the
+    // global sketch relationally — percentile_approx can do neither
+    // (its GK summary dies with the aggregation). KLL is randomized, so
+    // the gate pins RANK-ERROR bounds, never sketch bytes: the exact
+    // rank of each estimate (computed relationally against the data)
+    // must sit within ±5% of the requested rank (k=200 ⇒ <1.4%
+    // normalized error at 99%; the margin is >3× that). Exact
+    // companions: per-flag row counts.
+    "q_kll_quantiles" -> { (s, dir) =>
+      import graft.functions.SketchAgg
+      val li = Tables(s, dir).lineitem
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+      val perFlag = li.groupBy(col("flag"))
+        .agg(SketchAgg.kllSketch(col("v")).as("sk"), count(lit(1)).as("n"))
+      val ests = perFlag.select(col("flag"), col("n"),
+        SketchAgg.kllQuantile(col("sk"), 0.1).as("e10"),
+        SketchAgg.kllQuantile(col("sk"), 0.5).as("e50"),
+        SketchAgg.kllQuantile(col("sk"), 0.9).as("e90"))
+      val global = perFlag
+        .agg(SketchAgg.kllMerge(col("sk")).as("gsk"), sum(col("n")).as("gn"))
+        .select(SketchAgg.kllQuantile(col("gsk"), 0.5).as("g50"), col("gn"))
+      val flagRanks = li.join(broadcast(ests), Seq("flag"))
+        .groupBy(col("flag"))
+        .agg(first(col("n")).as("n"),
+          (sum(when(col("v") <= col("e10"), 1).otherwise(0)) / first(col("n")))
+            .as("r10"),
+          (sum(when(col("v") <= col("e50"), 1).otherwise(0)) / first(col("n")))
+            .as("r50"),
+          (sum(when(col("v") <= col("e90"), 1).otherwise(0)) / first(col("n")))
+            .as("r90"))
+      val globalRank = li.crossJoin(broadcast(global))
+        .agg((sum(when(col("v") <= col("g50"), 1).otherwise(0)) / first(col("gn")))
+          .as("rg50"))
+      flagRanks.crossJoin(broadcast(globalRank))
+        .select(col("flag"), col("n"),
+          (abs(col("r10") - 0.1) <= 0.05).as("q10_ok"),
+          (abs(col("r50") - 0.5) <= 0.05).as("q50_ok"),
+          (abs(col("r90") - 0.9) <= 0.05).as("q90_ok"),
+          (abs(col("rg50") - 0.5) <= 0.05).as("merged_q50_ok"))
+        .orderBy(col("flag"))
+    },
+
     // Corpus-overlap audit via sketch set algebra: how much vocabulary do
     // two corpus halves share? Exact distinct counts are the oracle
     // columns; the HLL legs estimate |A|, |B|, |A∪B| from per-half
@@ -652,6 +695,12 @@ object BatchQueries {
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
            round(value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
          FROM events ORDER BY user_id, rn""",
+
+    "q_kll_quantiles" ->
+      """SELECT l_returnflag AS flag, COUNT(*) AS n,
+                TRUE AS q10_ok, TRUE AS q50_ok, TRUE AS q90_ok,
+                TRUE AS merged_q50_ok
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q_corpus_overlap" ->
       """WITH tok AS (

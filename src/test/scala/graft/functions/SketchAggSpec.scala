@@ -80,6 +80,47 @@ class SketchAggSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("mixed sketch sizes"))
   }
 
+  test("KLL: rank errors within bound; merged per-group sketches answer like the direct one") {
+    val n = 100000
+    val vals = spark.range(n).select((col("id") * 7919 % n).cast("double").as("v"),
+      pmod(col("id"), lit(4)).as("g"))
+    // direct sketch over everything
+    val direct = vals.agg(SketchAgg.kllSketch(col("v")).as("sk"))
+    // per-group sketches merged relationally
+    val merged = vals.groupBy(col("g"))
+      .agg(SketchAgg.kllSketch(col("v")).as("sk"))
+      .agg(SketchAgg.kllMerge(col("sk")).as("sk"))
+    for (skDf <- Seq(direct, merged); q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = skDf.select(SketchAgg.kllQuantile(col("sk"), q)).head().getDouble(0)
+      // (id*7919)%n is a permutation of 0..n-1, so exact rank of value x is (x+1)/n
+      val rank = (est + 1.0) / n
+      assert(math.abs(rank - q) <= 0.03, s"rank error at q=$q: est=$est rank=$rank")
+    }
+  }
+
+  test("KLL: SQL registry, serde round-trip, empty sketch yields null quantile") {
+    graft.GraftExtensions.register(spark)
+    spark.range(1000).select(col("id").cast("double").as("v"))
+      .createOrReplaceTempView("kll_in")
+    val viaSql = spark.sql(
+      "SELECT kll_quantile(kll_merge(sk), CAST(0.5 AS DOUBLE)) FROM " +
+        "(SELECT kll_sketch(v, 200) AS sk FROM kll_in GROUP BY CAST(v AS INT) % 8)")
+      .head().getDouble(0)
+    assert(math.abs(viaSql - 500.0) <= 50.0, s"SQL-path median drifted: $viaSql")
+    // serde: heapify(toByteArray) round-trips through an agg exchange
+    val bytes = spark.range(100).select(col("id").cast("double").as("v"))
+      .repartition(5)
+      .agg(SketchAgg.kllSketch(col("v")).as("sk")).head().getAs[Array[Byte]](0)
+    val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(bytes))
+    assert(sk.getN == 100)
+    // empty input -> empty sketch -> null estimate
+    val row = spark.range(0).select(col("id").cast("double").as("v"))
+      .agg(SketchAgg.kllSketch(col("v")).as("sk"))
+      .select(SketchAgg.kllQuantile(col("sk"), 0.5)).head()
+    assert(row.isNullAt(0))
+  }
+
   test("point estimates from the native sketch respect CMS bounds") {
     val sk = tokens.agg(SketchAgg.cmsSketch(col("token"), depth, width).as("sketch"))
     val n = tokens.count()
