@@ -335,4 +335,28 @@ object SketchAgg {
   /** Quantile estimate from a serialized KLL sketch column. */
   def kllQuantile(sketch: Column, rank: Double): Column =
     GraftSqlBridge.column(KllQuantile(GraftSqlBridge.expression(sketch), rank))
+
+  /** The KLL sketch as a reference-shaped CombineFn — pluggable into the
+    * streaming TriggerEngine (the CountMin.combineFn pattern), so
+    * windowed per-key QUANTILE panes get the trigger algebra for free.
+    * Accumulators are the serialized sketch (state stores persist plain
+    * bytes; datasketches objects aren't java-serializable), so each
+    * element pays a heapify/serialize round-trip — fine for pane-sized
+    * windows, use the batch aggregate for bulk data. */
+  def kllCombineFn(k: Int = 200)
+      : graft.operators.Combine.CombineFn[Double, Array[Byte], Array[Byte]] =
+    new graft.operators.Combine.CombineFn[Double, Array[Byte], Array[Byte]] {
+      private def heapify(b: Array[Byte]) =
+        org.apache.datasketches.kll.KllDoublesSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(b))
+      def createAccumulator(): Array[Byte] =
+        org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k).toByteArray
+      def addInput(acc: Array[Byte], in: Double): Array[Byte] = {
+        val s = heapify(acc); s.update(in); s.toByteArray
+      }
+      def mergeAccumulators(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+        val sa = heapify(a); sa.merge(heapify(b)); sa.toByteArray
+      }
+      def extractOutput(acc: Array[Byte]): Array[Byte] = acc
+    }
 }

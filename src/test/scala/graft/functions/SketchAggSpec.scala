@@ -121,6 +121,38 @@ class SketchAggSpec extends SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("KLL rides the streaming trigger engine: pane quantiles equal the batch slice") {
+    import java.sql.Timestamp
+    import java.time.Duration
+    import graft.streaming.TriggerEngine
+    import graft.streaming.TriggerEngine._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def ts(minute: Int) = new Timestamp(minute * 60000L)
+    val values = Seq(10.0, 50.0, 20.0, 40.0, 30.0)
+    val input = MemoryStream[(String, Timestamp, Double)](4243, spark, None)
+    val panes = TriggerEngine.windowedAggregate(
+      input.toDS(), Duration.ofMinutes(10), Duration.ZERO,
+      TriggerSpec.default, Accumulating, SketchAgg.kllCombineFn(200))
+    val dir = java.nio.file.Files.createTempDirectory("graft-kll-stream").toString
+    val q = panes.writeStream.format("memory").queryName("kll_stream")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      input.addData(values.zipWithIndex.map { case (v, i) => ("k", ts(i + 1), v) })
+      q.processAllAvailable()
+      input.addData(Seq(("k", ts(12), 99.0))) // advance watermark, close [0,10)
+      q.processAllAvailable()
+    } finally q.stop()
+    val pane = spark.table("kll_stream").as[Pane[String, Array[Byte]]].collect()
+      .filter(p => p.windowStart == ts(0) && p.timing == "ON_TIME")
+    assert(pane.length == 1)
+    val sk = org.apache.datasketches.kll.KllDoublesSketch.heapify(
+      org.apache.datasketches.memory.Memory.wrap(pane.head.value))
+    // 5 values, k=200: no compaction, quantiles are EXACT
+    assert(sk.getN == 5 && sk.getQuantile(0.5) == 30.0)
+    assert(sk.getMinItem == 10.0 && sk.getMaxItem == 50.0)
+  }
+
   test("point estimates from the native sketch respect CMS bounds") {
     val sk = tokens.agg(SketchAgg.cmsSketch(col("token"), depth, width).as("sketch"))
     val n = tokens.count()
