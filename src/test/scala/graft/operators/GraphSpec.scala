@@ -44,6 +44,17 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("co-partitioned mode (smallRanks=false) matches the broadcast mode exactly") {
+    val edges = Seq(
+      (1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 1L, 5L),
+      (4L, 1L, 1L), (3L, 4L, 1L), (2L, 4L, 7L), (4L, 2L, 2L))
+    val broadcastMode = run(edges, 4)
+    val shuffleMode = Graph.pageRank(edges.toDF("src", "dst", "w"), 4, smallRanks = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffleMode == broadcastMode,
+      "integer fixed-point must make the join strategy invisible")
+  }
+
   test("star graph: the hub out-ranks every leaf; mass is conserved") {
     val leaves = (2L to 9L)
     val edges = leaves.flatMap(l => Seq((1L, l, 1L), (l, 1L, 1L)))
