@@ -62,6 +62,11 @@ object Compaction {
               orderBy: Seq[org.apache.spark.sql.Column] = Nil): (Long, Int, Int) = {
     require(targetFileBytes > 0)
     val (bytes, nIn) = dirStats(spark, inDir)
+    // a hive-partitioned root has no top-level data files — compacting it
+    // flat would lose the directory layout AND plan from 0 bytes; route
+    // those through compactPartitioned
+    require(nIn > 0,
+      s"no data files directly under $inDir — for a partitioned table use compactPartitioned")
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val df = spark.read.parquet(inDir)
     val shaped =

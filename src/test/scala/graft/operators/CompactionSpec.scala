@@ -59,6 +59,13 @@ class CompactionSpec extends SparkSpec {
       val (_, nOut) = Compaction.dirStats(spark, s"$base/out/$p")
       assert(nOut == 1, s"$p compacted to $nOut files")
     }
+    // the flat entry point must refuse the partitioned root rather than
+    // silently flatten it from a 0-byte plan
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, s"$base/frag", s"$base/flat", 64L << 20)
+    }
+    assert(e.getMessage.contains("compactPartitioned"))
+
     // partition column survives (directory structure is the schema)
     val back = spark.read.parquet(s"$base/out")
     assert(back.columns.toSet == src.columns.toSet)
