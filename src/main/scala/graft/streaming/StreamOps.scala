@@ -180,7 +180,11 @@ object StreamOps {
     df.withColumn("parsed",
         from_json(col(payloadCol), schema,
           Map("columnNameOfCorruptRecord" -> "_corrupt").asJava))
-      .withColumn("ok", col("parsed._corrupt").isNull)
+      // a NULL payload must dead-letter too: from_json(null) yields a
+      // null struct whose _corrupt extraction is null, which would read
+      // as "no corruption" without the explicit payload null check
+      .withColumn("ok",
+        col(payloadCol).isNotNull && col("parsed._corrupt").isNull)
       .withColumn("parsed", col("parsed").dropFields("_corrupt"))
   }
 

@@ -104,4 +104,12 @@ class DlqStreamSpec extends SparkSpec {
     val got = batch.select(col("id"), col("ok")).as[(Long, Boolean)].collect().toMap
     ids.foreach(i => assert(got(i) == (i % 3 != 0), s"id $i"))
   }
+
+  test("a NULL payload dead-letters (a null struct is not 'no corruption')") {
+    val rows = StreamOps.tagDeadLetters(
+      Seq((1L, Some("""{"k": 7}""")), (2L, None)).toDF("id", "payload"),
+      "payload", "k BIGINT")
+      .select(col("id"), col("ok")).as[(Long, Boolean)].collect().toMap
+    assert(rows(1L) && !rows(2L))
+  }
 }
