@@ -86,22 +86,31 @@ object ZOrder {
     df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
   }
 
-  /** File-skipping estimate for a box predicate over a written layout:
-    * per-file min/max of both dimensions (the stats parquet footers
-    * keep), then count files whose bounding box intersects
-    * [xLo,xHi]×[yLo,yHi]. Used by the spec to PROVE z-clustering beats
-    * single-key clustering; at scale the same arithmetic is what the
-    * scan planner does with footer stats. */
-  def filesTouched(written: DataFrame, x: Column, y: Column,
-                   xLo: Long, xHi: Long, yLo: Long, yHi: Long): (Long, Long) = {
-    val stats = written
+  /** Per-file (x_min, x_max, y_min, y_max) of a written layout — the
+    * stats parquet footers keep, collected once (one row per file) so
+    * any number of box probes evaluate driver-side without re-scanning. */
+  def fileStats(written: DataFrame, x: Column, y: Column): Array[(Long, Long, Long, Long)] =
+    written
       .groupBy(input_file_name().as("file"))
       .agg(min(x).as("x_min"), max(x).as("x_max"),
         min(y).as("y_min"), max(y).as("y_max"))
-    val total = stats.count()
-    val touched = stats.filter(
-      col("x_max") >= xLo && col("x_min") <= xHi &&
-        col("y_max") >= yLo && col("y_min") <= yHi).count()
-    (touched, total)
+      .collect()
+      .map(r => (r.getAs[Long]("x_min"), r.getAs[Long]("x_max"),
+        r.getAs[Long]("y_min"), r.getAs[Long]("y_max")))
+
+  /** Files whose bounding box intersects [xLo,xHi]×[yLo,yHi] — the scan
+    * planner's footer-stats pruning arithmetic. */
+  def touched(stats: Array[(Long, Long, Long, Long)],
+              xLo: Long, xHi: Long, yLo: Long, yHi: Long): Int =
+    stats.count { case (xMin, xMax, yMin, yMax) =>
+      xMax >= xLo && xMin <= xHi && yMax >= yLo && yMin <= yHi
+    }
+
+  /** One-box convenience over [[fileStats]]/[[touched]]; prefer those
+    * directly when probing several boxes on one layout. */
+  def filesTouched(written: DataFrame, x: Column, y: Column,
+                   xLo: Long, xHi: Long, yLo: Long, yHi: Long): (Long, Long) = {
+    val stats = fileStats(written, x, y)
+    (touched(stats, xLo, xHi, yLo, yHi).toLong, stats.length.toLong)
   }
 }

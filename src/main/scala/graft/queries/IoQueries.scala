@@ -341,6 +341,46 @@ object IoQueries {
         .orderBy(col("bucket"))
     },
 
+    // The z-order PAYOFF under the gate (ZOrderSpec measures it in the
+    // suite; this query makes it oracle-visible): write the SAME rows
+    // z-clustered and x-clustered, count files a box predicate must
+    // touch via per-file min/max (the footer-stats arithmetic), and pin
+    // the pruning relations as booleans — z never worse on a 2-D box,
+    // strictly better on a y-only predicate (which x-clustering cannot
+    // prune), and actually pruning (not reading every file). Exact
+    // companion: total row count, proving the rewrites lost nothing.
+    "q_zorder_prune" -> { (s, dir) =>
+      import graft.operators.ZOrder
+      val bounds = Tables(s, dir).lineitem
+        .agg(max(col("l_partkey")).as("xm"), max(col("l_suppkey")).as("ym")).head()
+      val (xMax, yMax) = (bounds.getLong(0), bounds.getLong(1))
+      val li = Tables(s, dir).lineitem.select(
+        ZOrder.scaleTo16(col("l_partkey"), 0L, xMax).as("x"),
+        ZOrder.scaleTo16(col("l_suppkey"), 0L, yMax).as("y"))
+      val zDir = tmp("graft_zorder_z")
+      val kDir = tmp("graft_zorder_k")
+      val nFiles = 16
+      ZOrder.clusterByZ(li, nFiles, col("x"), col("y"))
+        .write.mode("overwrite").parquet(zDir)
+      li.repartitionByRange(nFiles, col("x")).sortWithinPartitions(col("x"))
+        .write.mode("overwrite").parquet(kDir)
+      val zRead = s.read.parquet(zDir)
+      val kRead = s.read.parquet(kDir)
+      // one stats collect per layout; every box probe is driver-side
+      val zStats = ZOrder.fileStats(zRead, col("x"), col("y"))
+      val kStats = ZOrder.fileStats(kRead, col("x"), col("y"))
+      val zTotal = zStats.length
+      val zBox = ZOrder.touched(zStats, 10000, 20000, 20000, 30000)
+      val kBox = ZOrder.touched(kStats, 10000, 20000, 20000, 30000)
+      val zY = ZOrder.touched(zStats, 0, 65535, 14000, 15000)
+      val kY = ZOrder.touched(kStats, 0, 65535, 14000, 15000)
+      zRead.agg(count(lit(1)).as("n_rows"))
+        .select(col("n_rows"),
+          lit(zBox <= kBox).as("box_z_le_x"),
+          lit(zBox < zTotal).as("box_z_prunes"),
+          lit(zY < kY).as("yonly_z_lt_x"))
+    },
+
     // The 3-dimension Morton sibling: box predicates on ANY of three
     // columns prune files. Same exact-replay oracle discipline — the
     // 3-spacing magic-mask network replays bit-for-bit in SQL.
@@ -501,6 +541,11 @@ object IoQueries {
                 MIN(x) AS x_min, MAX(x) AS x_max,
                 MIN(y) AS y_min, MAX(y) AS y_max
          FROM zt GROUP BY 1 ORDER BY 1""",
+
+    "q_zorder_prune" ->
+      """SELECT COUNT(*) AS n_rows, TRUE AS box_z_le_x,
+                TRUE AS box_z_prunes, TRUE AS yonly_z_lt_x
+         FROM lineitem""",
 
     "q_zorder3" ->
       """WITH base AS (
