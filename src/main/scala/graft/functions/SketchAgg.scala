@@ -359,4 +359,31 @@ object SketchAgg {
       }
       def extractOutput(acc: Array[Byte]): Array[Byte] = acc
     }
+
+  /** Distinct-count sibling for the stream: datasketches HLL as a
+    * CombineFn, so windowed per-key UNIQUE-COUNT panes (unique users
+    * per window, unique shingles per session) ride the trigger algebra
+    * too. Same serialized-state contract as [[kllCombineFn]]; merging
+    * goes through `hll.Union` (sketch-vs-sketch union is only defined
+    * on the union operator, not the sketch). Completes the streaming
+    * sketch family: CMS frequency, KLL quantiles, HLL distincts. */
+  def hllCombineFn(lgK: Int = 12)
+      : graft.operators.Combine.CombineFn[String, Array[Byte], Long] =
+    new graft.operators.Combine.CombineFn[String, Array[Byte], Long] {
+      private def heapify(b: Array[Byte]) =
+        org.apache.datasketches.hll.HllSketch.heapify(
+          org.apache.datasketches.memory.Memory.wrap(b))
+      def createAccumulator(): Array[Byte] =
+        new org.apache.datasketches.hll.HllSketch(lgK).toCompactByteArray
+      def addInput(acc: Array[Byte], in: String): Array[Byte] = {
+        val s = heapify(acc); s.update(in); s.toCompactByteArray
+      }
+      def mergeAccumulators(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+        val u = new org.apache.datasketches.hll.Union(lgK)
+        u.update(heapify(a)); u.update(heapify(b))
+        u.getResult.toCompactByteArray
+      }
+      def extractOutput(acc: Array[Byte]): Long =
+        math.round(heapify(acc).getEstimate)
+    }
 }

@@ -153,6 +153,35 @@ class SketchAggSpec extends SparkSpec {
     assert(sk.getMinItem == 10.0 && sk.getMaxItem == 50.0)
   }
 
+  test("HLL rides the streaming trigger engine: pane distinct-counts are exact at small n") {
+    import java.sql.Timestamp
+    import java.time.Duration
+    import graft.streaming.TriggerEngine
+    import graft.streaming.TriggerEngine._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def ts(minute: Int) = new Timestamp(minute * 60000L)
+    // 5 arrivals, 3 distinct values: lgK=12 is exact at this scale
+    val tokens = Seq("a", "b", "a", "c", "b")
+    val input = MemoryStream[(String, Timestamp, String)](4244, spark, None)
+    val panes = TriggerEngine.windowedAggregate(
+      input.toDS(), Duration.ofMinutes(10), Duration.ZERO,
+      TriggerSpec.default, Accumulating, SketchAgg.hllCombineFn(12))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-stream").toString
+    val q = panes.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      input.addData(tokens.zipWithIndex.map { case (t, i) => ("k", ts(i + 1), t) })
+      q.processAllAvailable()
+      input.addData(Seq(("k", ts(12), "late")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pane = spark.table("hll_stream").as[Pane[String, Long]].collect()
+      .filter(p => p.windowStart == ts(0) && p.timing == "ON_TIME")
+    assert(pane.length == 1 && pane.head.value == 3L,
+      s"expected 3 distinct, got ${pane.map(_.value).mkString(",")}")
+  }
+
   test("point estimates from the native sketch respect CMS bounds") {
     val sk = tokens.agg(SketchAgg.cmsSketch(col("token"), depth, width).as("sketch"))
     val n = tokens.count()
