@@ -6,16 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column conventions: image/audio/video as opaque binary
   * columns with typed metadata (builder mandate; SURVEY.md §7 Phase 4).
   *
-  * The Spark-side plumbing — schema, batch shape, partition-parallel
-  * decode, frame explosion — is real and tested. The IMAGE codec path is
-  * real: [[PpmCodec]] (dependency-free P6) and [[ImageIoCodec]]
-  * (PNG/JPEG/BMP/GIF via the in-JDK `javax.imageio`, headless). The
-  * AUDIO codec path is real too: [[WavCodec]] (WAV/PCM 16-bit via the
-  * in-JDK `javax.sound.sampled`, headless). Only VIDEO decode remains a
-  * STUB ([[FakeCodec]], deterministic fake features derived from the
-  * bytes) — the JDK genuinely ships no video codec (no H.264/VP9/AV1
-  * anywhere in java.desktop); swapping in a real decoder changes only
-  * the body of [[FakeCodec.decode]].
+  * Every modality now has a REAL codec path, all in-JDK and headless:
+  * IMAGE via [[PpmCodec]] (dependency-free P6) and [[ImageIoCodec]]
+  * (PNG/JPEG/BMP/GIF via `javax.imageio`); AUDIO via [[WavCodec]]
+  * (WAV/PCM 16-bit via `javax.sound.sampled`); VIDEO via
+  * [[AviMjpegCodec]] (AVI/RIFF container parsed byte-by-byte, frames
+  * as real JPEGs through `javax.imageio` — Motion-JPEG needs no
+  * inter-frame codec, so the one video format the JDK CAN decode is a
+  * genuine, widely-used one). Inter-frame-compressed formats
+  * (H.264/VP9/AV1) remain out of reach without native libraries;
+  * [[FakeCodec]] survives only as the generic opaque-payload
+  * featurizer for payloads that are not media at all.
   */
 object Multimodal {
 
@@ -25,12 +26,14 @@ object Multimodal {
   /** A sampled frame: (id, frameIdx, frameBytes). */
   final case class Frame(id: Long, frameIdx: Int, frame: Array[Byte])
 
-  /** STUB codec — deterministic pseudo-features from the bytes. Images
-    * decode for real via [[PpmCodec]]/[[ImageIoCodec]] and audio via
-    * [[WavCodec]]; this stub stands in only for VIDEO (no codec exists
-    * in the JDK) and for generic opaque-payload feature extraction. A
-    * real implementation calls the decoder here; everything around it
-    * (distribution, batching, schema) is unchanged.
+  /** Deterministic pseudo-features from opaque bytes. Images decode for
+    * real via [[PpmCodec]]/[[ImageIoCodec]], audio via [[WavCodec]],
+    * video via [[AviMjpegCodec]]; this featurizer remains only for
+    * payloads that are NOT decodable media (the generic binary-column
+    * convention — e.g. serialized blobs fingerprinted for similarity
+    * blocking). A model-based embedder would replace the arithmetic
+    * here; everything around it (distribution, batching, schema) is
+    * unchanged.
     *
     * The arithmetic is deliberately BOUNDED (every intermediate stays far
     * below 2^63): a position-weighted unsigned-byte sum mod a small prime,
@@ -229,6 +232,51 @@ object Multimodal {
       val n = (w.toLong * h).toDouble
       ImageStats(id, w, h, r / n, g / n, b / n)
     }
+
+    /** REAL image resize: decode any ImageIO payload, downsample by
+      * integer factors (fx, fy) with an area-averaging box filter —
+      * each output pixel is the floor of the exact integer mean of its
+      * fx×fy source block — and re-encode as lossless PNG. Exact
+      * integer arithmetic end-to-end, so decode→resize→re-encode→decode
+      * replays bit-for-bit in plain SQL (a full oracle through a real
+      * resampling kernel; Graphics2D interpolation would be
+      * platform-dependent and unverifiable). */
+    def boxResizePng(bytes: Array[Byte], fx: Int, fy: Int): Array[Byte] = {
+      require(fx > 0 && fy > 0, "resize factors must be positive")
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      val w = img.getWidth; val h = img.getHeight
+      require(w % fx == 0 && h % fy == 0,
+        s"geometry ${w}x$h not divisible by box $fx x $fy")
+      val ow = w / fx; val oh = h / fy
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+      val area = fx * fy
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var r = 0; var g = 0; var b = 0
+          var dy = 0
+          while (dy < fy) {
+            val rowBase = (oy * fy + dy) * w + ox * fx
+            var dx = 0
+            while (dx < fx) {
+              val p = px(rowBase + dx)
+              r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+              dx += 1
+            }
+            dy += 1
+          }
+          out.setRGB(ox, oy, ((r / area) << 16) | ((g / area) << 8) | (b / area))
+          ox += 1
+        }
+        oy += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
   }
 
   /** REAL audio codec via the in-JDK `javax.sound.sampled` (ships in
@@ -332,6 +380,221 @@ object Multimodal {
     media.mapPartitions(_.map { case (id, bytes) => WavCodec.decodeStats(id, bytes) })
   }
 
+  /** REAL video codec: Motion-JPEG in an AVI/RIFF container, both ends
+    * in-JDK. The RIFF container is a plain little-endian chunk format
+    * (fourcc + u32 size + payload), written and parsed here
+    * byte-by-byte; each frame is an independent real JPEG encoded and
+    * decoded through `javax.imageio`. MJPEG has no inter-frame
+    * compression, which is exactly why it is the one genuine video
+    * format a pure-JVM pipeline can handle — and it is a real format
+    * (webcams, capture cards, DV workflows), not a project invention.
+    * A parser that mis-reads the header (geometry, frame count, frame
+    * timing), chunk padding, or frame boundaries flips an exact column
+    * in the oracle-checked video query.
+    *
+    * Layout written (and required back): `RIFF('AVI ' LIST('hdrl'
+    * avih LIST('strl' strh strf)) LIST('movi' '00dc'×n) idx1)`. */
+  object AviMjpegCodec {
+    import java.io.ByteArrayOutputStream
+
+    /** Container-level metadata parsed from the AVI headers. */
+    final case class VideoInfo(width: Int, height: Int, nFrames: Int,
+                               usPerFrame: Int)
+
+    private def fourcc(s: String): Array[Byte] = {
+      require(s.length == 4); s.getBytes("US-ASCII")
+    }
+    private final class W {
+      val out = new ByteArrayOutputStream()
+      def u32(v: Long): Unit = {
+        out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+        out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+      }
+      def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      def cc(s: String): Unit = out.write(fourcc(s))
+      def bytes(b: Array[Byte]): Unit = out.write(b)
+      def result(): Array[Byte] = out.toByteArray
+    }
+    /** A chunk: fourcc + u32 size + payload + even-byte pad. */
+    private def chunk(cc: String, payload: Array[Byte]): Array[Byte] = {
+      val w = new W; w.cc(cc); w.u32(payload.length.toLong); w.bytes(payload)
+      if (payload.length % 2 == 1) w.out.write(0)
+      w.result()
+    }
+    private def list(kind: String, payload: Array[Byte]): Array[Byte] = {
+      val w = new W; w.cc("LIST"); w.u32(payload.length + 4L); w.cc(kind)
+      w.bytes(payload)
+      if (payload.length % 2 == 1) w.out.write(0)
+      w.result()
+    }
+
+    /** Synthesize an AVI/MJPEG video: `nFrames` real JPEG frames from a
+      * per-frame pixel function, at `fps` frames/second. Deterministic:
+      * the JDK JPEG encoder is a pure function of pixels + quality, and
+      * the container layout is fixed. */
+    def encode(width: Int, height: Int, fps: Int, nFrames: Int, quality: Float,
+               pixel: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      require(fps > 0 && nFrames > 0)
+      val jpegs = (0 until nFrames).map { f =>
+        ImageIoCodec.encodeJpeg(width, height, quality, (x, y) => pixel(f, x, y))
+      }
+      val avih = { // MainAVIHeader: 56 bytes
+        val w = new W
+        w.u32(1000000L / fps)              // dwMicroSecPerFrame
+        w.u32(jpegs.map(_.length.toLong).sum * fps) // dwMaxBytesPerSec (advisory)
+        w.u32(0); w.u32(0x10)              // padding, AVIF_HASINDEX
+        w.u32(nFrames.toLong); w.u32(0)    // dwTotalFrames, dwInitialFrames
+        w.u32(1); w.u32(jpegs.map(_.length).max.toLong) // streams, sugg. buffer
+        w.u32(width.toLong); w.u32(height.toLong)
+        (0 until 4).foreach(_ => w.u32(0)) // dwReserved
+        w.result()
+      }
+      val strh = { // AVIStreamHeader: 56 bytes
+        val w = new W
+        w.cc("vids"); w.cc("MJPG")
+        w.u32(0); w.u16(0); w.u16(0); w.u32(0) // flags, prio, lang, initFrames
+        w.u32(1); w.u32(fps.toLong)        // dwScale, dwRate → rate/scale = fps
+        w.u32(0); w.u32(nFrames.toLong)    // dwStart, dwLength (frames)
+        w.u32(jpegs.map(_.length).max.toLong); w.u32(0xffffffffL) // buf, quality
+        w.u32(0)                           // dwSampleSize (0 = varying)
+        w.u16(0); w.u16(0); w.u16(width); w.u16(height) // rcFrame
+        w.result()
+      }
+      val strf = { // BITMAPINFOHEADER: 40 bytes
+        val w = new W
+        w.u32(40); w.u32(width.toLong); w.u32(height.toLong)
+        w.u16(1); w.u16(24)                // planes, bit count
+        w.cc("MJPG")                       // biCompression
+        w.u32(width.toLong * height * 3)   // biSizeImage
+        w.u32(0); w.u32(0); w.u32(0); w.u32(0)
+        w.result()
+      }
+      val hdrl = list("hdrl",
+        chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val frameChunks = jpegs.map(j => chunk("00dc", j))
+      val movi = list("movi", frameChunks.reduce(_ ++ _))
+      val idx1 = { // offsets relative to the 'movi' fourcc position
+        val w = new W
+        var off = 4L
+        jpegs.zip(frameChunks).foreach { case (j, fc) =>
+          w.cc("00dc"); w.u32(0x10)        // AVIIF_KEYFRAME (every MJPEG frame)
+          w.u32(off); w.u32(j.length.toLong)
+          off += fc.length
+        }
+        w.result()
+      }
+      val body = fourcc("AVI ") ++ hdrl ++ movi ++ chunk("idx1", idx1)
+      val w = new W
+      w.cc("RIFF"); w.u32(body.length.toLong); w.bytes(body)
+      w.result()
+    }
+
+    private def rdU32(b: Array[Byte], p: Int): Long =
+      (b(p) & 0xffL) | ((b(p + 1) & 0xffL) << 8) | ((b(p + 2) & 0xffL) << 16) |
+        ((b(p + 3) & 0xffL) << 24)
+    private def ccAt(b: Array[Byte], p: Int): String =
+      new String(b, p, 4, "US-ASCII")
+
+    /** Parse an AVI payload → container info + the raw JPEG frame
+      * payloads, validating the RIFF grammar, the MJPG fourcc, the
+      * even-byte chunk padding, and frame-count agreement between the
+      * main header, the stream header, the movi list, and idx1. */
+    def decode(bytes: Array[Byte]): (VideoInfo, Vector[Array[Byte]]) = {
+      require(bytes.length >= 12 && ccAt(bytes, 0) == "RIFF" &&
+        ccAt(bytes, 8) == "AVI ", "not a RIFF/AVI payload")
+      val riffEnd = math.min(8L + rdU32(bytes, 4), bytes.length.toLong).toInt
+      var info: VideoInfo = null
+      var strhFrames = -1L
+      var idxFrames = -1L
+      val frames = Vector.newBuilder[Array[Byte]]
+      var nFrames = 0
+
+      // walk one LIST body for subchunks (hdrl/strl are shallow: recurse)
+      def walk(from: Int, to: Int): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val cc = ccAt(bytes, p)
+          val size = rdU32(bytes, p + 4).toInt
+          val dataStart = p + 8
+          require(dataStart + size <= to, s"truncated chunk $cc at $p")
+          cc match {
+            case "LIST" =>
+              walk(dataStart + 4, dataStart + size)
+            case "avih" =>
+              require(size >= 40, "short avih")
+              info = VideoInfo(
+                width = rdU32(bytes, dataStart + 32).toInt,
+                height = rdU32(bytes, dataStart + 36).toInt,
+                nFrames = rdU32(bytes, dataStart + 16).toInt,
+                usPerFrame = rdU32(bytes, dataStart).toInt)
+            case "strh" =>
+              require(ccAt(bytes, dataStart) == "vids" &&
+                ccAt(bytes, dataStart + 4) == "MJPG",
+                s"not an MJPEG video stream (${ccAt(bytes, dataStart + 4)})")
+              strhFrames = rdU32(bytes, dataStart + 32)
+            case "00dc" | "00db" =>
+              frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + size)
+              nFrames += 1
+            case "idx1" =>
+              idxFrames = size / 16L
+            case _ => () // strf, JUNK, vendor chunks: skip
+          }
+          p = dataStart + size + (size % 2) // chunks pad to even offsets
+        }
+      }
+      walk(12, riffEnd)
+      require(info != null, "missing avih header")
+      require(nFrames == info.nFrames,
+        s"movi frame count $nFrames != header ${info.nFrames}")
+      require(strhFrames == info.nFrames.toLong,
+        s"strh dwLength $strhFrames != header ${info.nFrames}")
+      require(idxFrames < 0 || idxFrames == info.nFrames.toLong,
+        s"idx1 entry count $idxFrames != header ${info.nFrames}")
+      (info, frames.result())
+    }
+  }
+
+  /** One decoded video frame's statistics: container metadata (exact:
+    * geometry, frame count, per-frame microseconds) + this frame's
+    * decoded per-channel means (JPEG-lossy: bounded, not exact). */
+  final case class VideoFrameStats(id: Long, frame_idx: Int, width: Int,
+                                   height: Int, n_frames: Int, us_per_frame: Int,
+                                   mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Partition-parallel REAL video decode: parse each AVI/MJPEG
+    * container, decode every JPEG frame, emit one stats row per frame.
+    * Each frame's decoded geometry must agree with the container header
+    * (a parse cross-check, not an assumption). */
+  def decodeVideoStats(media: Dataset[(Long, Array[Byte])])(
+      implicit spark: SparkSession): Dataset[VideoFrameStats] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      val (info, frames) = AviMjpegCodec.decode(bytes)
+      frames.iterator.zipWithIndex.map { case (jpeg, idx) =>
+        val s = ImageIoCodec.decodeStats(id, jpeg)
+        require(s.width == info.width && s.height == info.height,
+          s"frame $idx geometry ${s.width}x${s.height} != container ${info.width}x${info.height}")
+        VideoFrameStats(id, idx, info.width, info.height, info.nFrames,
+          info.usPerFrame, s.mean_r, s.mean_g, s.mean_b)
+      }
+    })
+  }
+
+  /** REAL frame sampling for video payloads: parse the AVI container and
+    * emit every `stride`-th JPEG frame as its own row — actual frame
+    * payloads from the container index, not byte slices. */
+  def sampleVideoFrames(media: Dataset[(Long, Array[Byte])], stride: Int)(
+      implicit spark: SparkSession): Dataset[Frame] = {
+    import spark.implicits._
+    require(stride > 0)
+    media.mapPartitions(_.flatMap { case (id, bytes) =>
+      val (_, frames) = AviMjpegCodec.decode(bytes)
+      frames.iterator.zipWithIndex.collect {
+        case (jpeg, idx) if idx % stride == 0 => Frame(id, idx, jpeg)
+      }
+    })
+  }
+
   /** Partition-parallel decode of real compressed images (PNG/JPEG/…)
     * through [[ImageIoCodec]] — identical bundle shape to
     * [[decodeImageStats]], genuinely compressed payloads. */
@@ -391,11 +654,27 @@ object Multimodal {
   /** A resized media item. */
   final case class ResizedMedia(id: Long, width: Int, height: Int, bytes: Array[Byte])
 
-  /** Resize stub: deterministic stride-resample of the payload to a byte
-    * budget derived from the target geometry (budget = W·H/64 fake
-    * bytes-per-image). A real implementation decodes + rescales here; the
-    * partition-parallel shape, output schema, and determinism contract are
-    * the real thing. Output length = min(budget, input length). */
+  /** REAL partition-parallel image resize: decode each payload through
+    * [[ImageIoCodec]], area-average by (fx, fy), re-encode lossless
+    * PNG. Same bundle shape as [[resizeMedia]]; the kernel is genuine
+    * (and exactly SQL-replayable — see [[ImageIoCodec.boxResizePng]]). */
+  def resizeImages(media: Dataset[(Long, Array[Byte])], fx: Int, fy: Int)(
+      implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { case (id, bytes) =>
+      val out = ImageIoCodec.boxResizePng(bytes, fx, fy)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+      ResizedMedia(id, img.getWidth, img.getHeight, out)
+    })
+  }
+
+  /** Opaque-payload thumbnailer: deterministic stride-resample of raw
+    * bytes to a byte budget derived from the target geometry (budget =
+    * W·H/64). For payloads that are decodable images, [[resizeImages]]
+    * is the REAL path (decode → box filter → PNG); this byte-level
+    * variant remains for non-media binaries where "resize" can only
+    * mean bounded-size fingerprinting. Output length = min(budget,
+    * input length). */
   def resizeMedia(media: Dataset[(Long, Array[Byte])], targetW: Int, targetH: Int)(
       implicit spark: SparkSession): Dataset[ResizedMedia] = {
     import spark.implicits._

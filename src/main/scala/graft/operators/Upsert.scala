@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions._
+
+/** Partition-scoped MERGE — upsert + delete a delta into a
+  * directory-partitioned parquet snapshot, rewriting ONLY the
+  * partitions the delta touches.
+  *
+  * The 100 TB ingest shape: a day's corrections arrive for a
+  * multi-year partitioned table. A naive MERGE rewrites the whole
+  * table (100 TB of IO for a GB of changes); a partition-scoped merge
+  * reads and rewrites just the touched `part=v` directories — IO
+  * ∝ touched-partition bytes, and the scan of the old snapshot slice
+  * is directory-pruned (`PartitionFilters`, not a full-table filter).
+  * The swap is per-partition directory renames after the full rewrite
+  * lands in a temp root, so readers never observe a half-merged
+  * partition and untouched partitions are never opened, let alone
+  * rewritten (asserted byte-for-byte in the registered query).
+  *
+  * Semantics (per key, within the snapshot): a delta row with op 'U'
+  * replaces the stored row (or inserts if absent); op 'D' removes it.
+  * Delta rows must carry the partition value of the stored row they
+  * target — the same contract Hive/Delta static-partition MERGE has;
+  * a mis-partitioned delta row would silently duplicate the key, so
+  * [[mergeIntoPartitioned]] rejects deltas whose key appears in more
+  * than one partition.
+  */
+object Upsert {
+
+  /** What the merge did: partition dirs rewritten vs left untouched,
+    * and the row movement (survivors kept, upserts written, deletes
+    * dropped are implied by the difference). */
+  final case class MergeStats(touchedPartitions: Seq[String],
+                              untouchedPartitions: Seq[String],
+                              survivorRows: Long, upsertRows: Long)
+
+  /** Hive dir name (`part=escapedValue`) for a partition value. */
+  private def dirName(partCol: String, value: Any): String =
+    s"$partCol=${ExternalCatalogUtils.escapePathName(String.valueOf(value))}"
+
+  /** (fileName, length, mtime) of every data file directly under
+    * `root/partDir`, sorted — a byte-level identity signature for the
+    * no-rewrite assertion (renames elsewhere must not perturb it). */
+  def partitionFileSignature(spark: SparkSession, root: String,
+                             partDir: String): Seq[(String, Long, Long)] = {
+    val p = new Path(root, partDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isFile)
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq
+  }
+
+  /** MERGE `delta` into the partitioned snapshot at `root`.
+    *
+    * `delta` must contain the snapshot's columns plus `opCol` with
+    * values 'U' (upsert) or 'D' (delete; only key + partition columns
+    * are consulted). Returns [[MergeStats]]; the snapshot at `root` is
+    * atomically-per-partition replaced.
+    */
+  def mergeIntoPartitioned(spark: SparkSession, root: String, delta: DataFrame,
+                           keyCols: Seq[String], partCol: String,
+                           opCol: String = "op"): MergeStats = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(rootPath), s"snapshot root $root does not exist")
+
+    val ops = delta.select(col(opCol)).distinct().collect().map(_.getString(0)).toSet
+    require(ops.subsetOf(Set("U", "D")),
+      s"unknown $opCol values: ${(ops -- Set("U", "D")).mkString(", ")}")
+    // one stored row per key → the delta must target each key in exactly
+    // one partition, or the anti-join keeps the old row AND the new one
+    val multi = delta.groupBy(keyCols.map(col): _*)
+      .agg(countDistinct(col(partCol)).as("np")).filter(col("np") > 1).count()
+    require(multi == 0, s"$multi delta key(s) appear in more than one $partCol")
+
+    val touchedValues = delta.select(col(partCol)).distinct().collect().map(_.get(0))
+    val touchedDirs = touchedValues.map(dirName(partCol, _)).sorted.toSeq
+    val existingDirs = fs.listStatus(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath.getName).sorted.toSeq
+    val untouchedDirs = existingDirs.filterNot(touchedDirs.contains)
+
+    // directory-pruned read of ONLY the touched slice of the snapshot
+    val snap = spark.read.parquet(root)
+    val affected = snap.filter(col(partCol).isInCollection(touchedValues.toSeq))
+    val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
+    val survivors = affected.join(deltaKeys, keyCols, "left_anti")
+    val upserts = delta.filter(col(opCol) === "U").drop(opCol)
+      .select(snap.columns.map(col).toIndexedSeq: _*) // snapshot column order
+    val merged = survivors.unionByName(upserts)
+
+    // land the rewrite in a temp root first: the swap below is pure
+    // renames, so a mid-merge failure leaves every partition either
+    // fully old or fully new, never mixed
+    val tmp = s"$root.merge-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    merged.write.partitionBy(partCol).mode("overwrite").parquet(tmp)
+    // row accounting from the MATERIALIZED rewrite (cheap re-scan of the
+    // touched slice only); survivors and upserts are disjoint by the
+    // anti-join construction. Explicit schema: a delete-everything merge
+    // writes zero files and schema inference would fail on the empty dir.
+    val mergedRows = spark.read.schema(snap.schema).parquet(tmp).count()
+    val upsertRows = delta.filter(col(opCol) === "U").count()
+    val survivorRows = mergedRows - upsertRows
+    try {
+      touchedDirs.foreach { d =>
+        val oldDir = new Path(rootPath, d)
+        if (fs.exists(oldDir)) require(fs.delete(oldDir, true), s"could not drop $oldDir")
+        val newDir = new Path(tmp, d)
+        // a fully-deleted partition writes no dir — dropping the old one IS the merge
+        if (fs.exists(newDir))
+          require(fs.rename(newDir, oldDir), s"could not move $newDir into place")
+      }
+    } finally fs.delete(new Path(tmp), true)
+    MergeStats(touchedDirs, untouchedDirs, survivorRows, upsertRows)
+  }
+}

@@ -442,6 +442,49 @@ object IoQueries {
         .orderBy(col("source"))
     },
 
+    // Partition-scoped MERGE: upsert + delete a delta into a
+    // directory-partitioned snapshot, rewriting ONLY the touched
+    // partitions. The oracle replays the merge semantics relationally
+    // (kept ∪ updated ∪ inserted); the untouched_intact boolean pins
+    // the 100 TB property — the two untouched partitions' data files
+    // are byte-for-byte identical (name, length, mtime) after the
+    // merge, proving the rewrite never opened them.
+    "q_upsert_partitioned" -> { (s, dir) =>
+      import graft.operators.Upsert
+      val root = tmp("graft_upsert")
+      val orders = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
+      val updates = orders
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("op", lit("U"))
+      val deletes = orders
+        .filter(col("o_orderpriority") === "3-MEDIUM" &&
+          pmod(col("o_orderkey"), lit(5)) === 0)
+        .withColumn("op", lit("D"))
+      val inserts = orders
+        .filter(col("o_orderpriority") === "2-HIGH" &&
+          pmod(col("o_orderkey"), lit(11)) === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("2-HIGH").as("o_orderpriority"), lit(123.45).as("o_totalprice"))
+        .withColumn("op", lit("U"))
+      val delta = updates.unionByName(deletes).unionByName(inserts)
+      val untouched = Seq("o_orderpriority=4-NOT SPECIFIED", "o_orderpriority=5-LOW")
+      val before = untouched.map(d => Upsert.partitionFileSignature(s, root, d))
+      Upsert.mergeIntoPartitioned(s, root, delta, Seq("o_orderkey"), "o_orderpriority")
+      val after = untouched.map(d => Upsert.partitionFileSignature(s, root, d))
+      val intact = before == after && before.forall(_.nonEmpty)
+      s.read.parquet(root)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("rewritten",
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .withColumn("untouched_intact", lit(intact))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Malformed-record quarantine at ingestion: corrupt JSON payloads
     // (a deterministic 1-in-7 mangle) must route to a dead-letter
     // branch, never poison the batch. The tag is StreamOps.
@@ -588,6 +631,31 @@ FROM m GROUP BY 1 ORDER BY 1""",
       """SELECT source, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
                 MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
          FROM documents GROUP BY source ORDER BY source""",
+
+    // MERGE semantics replayed relationally: rows kept (key untouched)
+    // ∪ updated rows ∪ inserted rows; deletes vanish. The rewritten
+    // flag replays the touched-partition set; untouched_intact is the
+    // file-level no-rewrite assertion, pinned TRUE.
+    "q_upsert_partitioned" ->
+      """WITH upd AS (SELECT o_orderkey FROM orders
+             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderkey % 7 = 0),
+         dels AS (SELECT o_orderkey FROM orders
+             WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 5 = 0),
+         ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+               '2-HIGH' AS o_orderpriority, 123.45 AS o_totalprice
+             FROM orders WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 11 = 0),
+         kept AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+               AND o_orderkey NOT IN (SELECT o_orderkey FROM dels)),
+         updnew AS (SELECT o_orderkey, o_orderpriority, o_totalprice + 1000 AS o_totalprice
+             FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM upd)),
+         merged AS (SELECT * FROM kept UNION ALL SELECT * FROM updnew
+                    UNION ALL SELECT * FROM ins)
+         SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           (o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')) AS rewritten,
+           TRUE AS untouched_intact
+         FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_jsonl_quarantine" ->
       """WITH raw AS (

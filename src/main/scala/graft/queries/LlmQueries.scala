@@ -769,6 +769,67 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL video decode end-to-end: synthesize genuine AVI/MJPEG
+    // containers (RIFF chunks written byte-by-byte, every frame a real
+    // JPEG) with per-doc frame count and frame rate, parse them back
+    // partition-parallel, decode every JPEG frame. Container metadata
+    // (geometry, frame count, per-frame microseconds) is exact — a
+    // mis-parsed header, chunk pad, or frame boundary flips those
+    // columns; frame pixel content is JPEG-lossy, so per-frame channel
+    // means self-assert against encode-time ground truth (tolerance
+    // 3/255, the q_multimodal_jpeg contract per frame). The per-frame
+    // blue constant varies with (doc, frame), so a decoder that
+    // returned frames out of order or reused one frame flips b_ok.
+    "q_multimodal_video" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val w = 16; val h = 12
+      val vids = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+        .map { id =>
+          val fps = if (id % 2 == 0) 10 else 25
+          val nf = (3 + id % 3).toInt
+          (id, Multimodal.AviMjpegCodec.encode(w, h, fps, nf, 0.9f,
+            (f, x, y) => (32 + x * 192 / (w - 1), 32 + y * 192 / (h - 1),
+              (32 + (id * 7 + f * 11) % 192).toInt)))
+        }
+      val trueR = (0 until w).map(x => 32 + x * 192 / (w - 1)).sum / w.toDouble
+      val trueG = (0 until h).map(y => 32 + y * 192 / (h - 1)).sum / h.toDouble
+      Multimodal.decodeVideoStats(vids)
+        .select(col("id").as("doc_id"), col("frame_idx"), col("width"),
+          col("height"), col("n_frames"), col("us_per_frame"),
+          (abs(col("mean_r") - lit(trueR)) <= 3.0).as("r_ok"),
+          (abs(col("mean_g") - lit(trueG)) <= 3.0).as("g_ok"),
+          (abs(col("mean_b") -
+            (pmod(col("id") * 7 + col("frame_idx") * 11, lit(192)) + 32L)
+              .cast("double")) <= 3.0).as("b_ok"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // REAL resize through real codecs, FULL oracle: PNG in (lossless),
+    // exact-integer box filter (each output pixel = floor mean of its
+    // 4×4 block), PNG back out (lossless), decode AGAIN and reduce —
+    // so the checked numbers went through decode → resample → encode →
+    // decode of genuine compressed payloads, and the whole chain
+    // replays exactly in SQL.
+    "q_multimodal_resize_real" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val imgs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, Multimodal.ImageIoCodec.encodePng(32, 24, (x, y) => {
+            val p = y * 32 + x
+            (((id * 31 + p * 7) % 256).toInt,
+             ((id * 17 + p * 5) % 256).toInt,
+             ((id * 13 + p * 3) % 256).toInt)
+          }))
+        }
+      val resized = Multimodal.resizeImages(imgs, fx = 4, fy = 4)
+      Multimodal.decodeImageStatsIo(resized.map(r => (r.id, r.bytes)))
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("doc_id"))
+    },
+
     // Multimodal plumbing: synthetic media structs → partition-parallel
     // stub decode → feature rows. FakeCodec's bounded integer arithmetic
     // (position-weighted byte sum + LCG mod a small prime) replays
@@ -2632,6 +2693,36 @@ object LlmQueries {
       """SELECT doc_id, 16 AS width, 12 AS height,
            TRUE AS r_ok, TRUE AS g_ok, TRUE AS b_ok
          FROM documents ORDER BY doc_id""",
+    // Video gate: container metadata replays exactly (frame count and
+    // per-frame microseconds are pure functions of doc_id; one row per
+    // frame via lateral range), per-frame JPEG means self-assert TRUE.
+    "q_multimodal_video" ->
+      """WITH p AS (SELECT doc_id, CAST(3 + doc_id % 3 AS INT) AS nf,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 100000 ELSE 40000 END AS INT) AS uspf
+           FROM documents)
+         SELECT doc_id, CAST(unnest(range(0, nf)) AS INT) AS frame_idx,
+           16 AS width, 12 AS height, nf AS n_frames, uspf AS us_per_frame,
+           TRUE AS r_ok, TRUE AS g_ok, TRUE AS b_ok
+         FROM p ORDER BY doc_id, frame_idx""",
+    // FULL oracle through decode → box filter → re-encode → decode:
+    // output pixel (ox, oy) = floor mean of the 4×4 source block, all
+    // exact integer arithmetic; channel means of the 8×6 result divide
+    // exact integer sums once.
+    "q_multimodal_resize_real" ->
+      """WITH px AS (SELECT doc_id, unnest(range(0, 48)) AS op FROM documents),
+         b AS (SELECT doc_id,
+           list_sum(list_transform(range(0, 16), k ->
+             (doc_id * 31 + (((op // 8) * 4 + k // 4) * 32 + (op % 8) * 4 + k % 4) * 7) % 256)) // 16 AS rv,
+           list_sum(list_transform(range(0, 16), k ->
+             (doc_id * 17 + (((op // 8) * 4 + k // 4) * 32 + (op % 8) * 4 + k % 4) * 5) % 256)) // 16 AS gv,
+           list_sum(list_transform(range(0, 16), k ->
+             (doc_id * 13 + (((op // 8) * 4 + k // 4) * 32 + (op % 8) * 4 + k % 4) * 3) % 256)) // 16 AS bv
+           FROM px)
+         SELECT doc_id, 8 AS width, 6 AS height,
+           CAST(SUM(rv) AS DOUBLE) / 48.0 AS mean_r,
+           CAST(SUM(gv) AS DOUBLE) / 48.0 AS mean_g,
+           CAST(SUM(bv) AS DOUBLE) / 48.0 AS mean_b
+         FROM b GROUP BY doc_id ORDER BY doc_id""",
     "q_multimodal_ppm" ->
       """SELECT doc_id, 8 AS width, 6 AS height,
            CAST(list_sum(list_transform(range(0, 48),

@@ -178,4 +178,96 @@ class MultimodalSpec extends SparkSpec {
       out(1L).mean_g == 100.0 && out(1L).mean_b == 50.0)
     assert(out(2L).width == 8 && math.abs(out(2L).mean_g - 120.0) <= 3.0)
   }
+
+  test("AviMjpegCodec: encode→decode round-trips container metadata and real frames") {
+    val avi = Multimodal.AviMjpegCodec.encode(16, 12, 25, 4, 0.9f,
+      (f, _, _) => (40 + f * 50, 90, 140))
+    assert(new String(avi.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    val (info, frames) = Multimodal.AviMjpegCodec.decode(avi)
+    assert(info.width == 16 && info.height == 12 && info.nFrames == 4 &&
+      info.usPerFrame == 40000)
+    assert(frames.length == 4)
+    // each frame is a genuine JPEG whose constant red channel tracks f
+    frames.zipWithIndex.foreach { case (jpeg, f) =>
+      assert((jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8) // JPEG SOI
+      val st = Multimodal.ImageIoCodec.decodeStats(f.toLong, jpeg)
+      assert(st.width == 16 && st.height == 12)
+      assert(math.abs(st.mean_r - (40 + f * 50)) <= 3.0, s"frame $f mean_r ${st.mean_r}")
+    }
+    // deterministic encoder
+    assert(Multimodal.AviMjpegCodec.encode(16, 12, 25, 4, 0.9f,
+      (f, _, _) => (40 + f * 50, 90, 140)).toSeq == avi.toSeq)
+  }
+
+  test("AviMjpegCodec: odd-length frames exercise even-byte chunk padding") {
+    // force varying frame payload lengths; the parser must stay aligned
+    // through odd-length chunks or every later frame misparses
+    val avi = Multimodal.AviMjpegCodec.encode(8, 8, 10, 5, 0.8f,
+      (f, x, y) => ((x * 37 + f * 91) % 256, (y * 53 + f) % 256, (x * y + f * 7) % 256))
+    val (info, frames) = Multimodal.AviMjpegCodec.decode(avi)
+    assert(info.nFrames == 5 && frames.length == 5)
+    frames.foreach(j => assert((j(0) & 0xff) == 0xff && (j(1) & 0xff) == 0xd8))
+  }
+
+  test("AviMjpegCodec: truncated and non-AVI payloads fail fast") {
+    intercept[IllegalArgumentException] {
+      Multimodal.AviMjpegCodec.decode("not remotely an avi".getBytes("UTF-8"))
+    }
+    val avi = Multimodal.AviMjpegCodec.encode(8, 8, 10, 2, 0.9f, (_, _, _) => (1, 2, 3))
+    intercept[IllegalArgumentException] {
+      Multimodal.AviMjpegCodec.decode(java.util.Arrays.copyOfRange(avi, 0, avi.length / 2))
+    }
+  }
+
+  test("decodeVideoStats: distributed per-frame decode with container cross-checks") {
+    val vids = spark.createDataset(Seq(
+      (1L, Multimodal.AviMjpegCodec.encode(16, 8, 10, 3, 0.9f, (f, _, _) => (f * 80, 100, 50))),
+      (2L, Multimodal.AviMjpegCodec.encode(8, 8, 25, 2, 0.9f, (_, _, _) => (10, 20, 30)))))
+    val out = Multimodal.decodeVideoStats(vids).collect()
+    assert(out.count(_.id == 1L) == 3 && out.count(_.id == 2L) == 2)
+    val f2 = out.find(r => r.id == 1L && r.frame_idx == 2).get
+    assert(f2.width == 16 && f2.height == 8 && f2.n_frames == 3 && f2.us_per_frame == 100000)
+    assert(math.abs(f2.mean_r - 160.0) <= 3.0)
+  }
+
+  test("sampleVideoFrames: stride extraction yields real JPEG frame payloads") {
+    val vids = spark.createDataset(Seq(
+      (7L, Multimodal.AviMjpegCodec.encode(8, 8, 10, 6, 0.9f, (f, _, _) => (f * 40, 0, 0)))))
+    val frames = Multimodal.sampleVideoFrames(vids, stride = 2).collect().sortBy(_.frameIdx)
+    assert(frames.map(_.frameIdx).toSeq == Seq(0, 2, 4))
+    frames.foreach(fr => assert((fr.frame(0) & 0xff) == 0xff && (fr.frame(1) & 0xff) == 0xd8))
+  }
+
+  test("boxResizePng: exact integer area average, full re-encode round-trip") {
+    // 4x2 image → 2x1: each output pixel is floor mean of its 2x2 block
+    val src = Multimodal.ImageIoCodec.encodePng(4, 2, (x, y) => {
+      val p = y * 4 + x
+      (p * 10, 255 - p * 20, (p * p) % 256)
+    })
+    val out = Multimodal.ImageIoCodec.boxResizePng(src, 2, 2)
+    val st = Multimodal.ImageIoCodec.decodeStats(0L, out)
+    assert(st.width == 2 && st.height == 1)
+    // block(0): p∈{0,1,4,5}; block(1): p∈{2,3,6,7} — floor means, then
+    // the 2-pixel image mean divides their exact sum once
+    def blockMean(ps: Seq[Int], f: Int => Int) = ps.map(f).sum / 4
+    val r = Seq(blockMean(Seq(0, 1, 4, 5), _ * 10), blockMean(Seq(2, 3, 6, 7), _ * 10))
+    assert(st.mean_r == r.sum / 2.0)
+    val g = Seq(blockMean(Seq(0, 1, 4, 5), 255 - _ * 20), blockMean(Seq(2, 3, 6, 7), 255 - _ * 20))
+    assert(st.mean_g == g.sum / 2.0)
+  }
+
+  test("resizeImages: distributed real resize rejects non-divisible geometry") {
+    val ok = spark.createDataset(Seq(
+      (1L, Multimodal.ImageIoCodec.encodePng(8, 4, (x, y) => (x * 30, y * 60, 128)))))
+    val rs = Multimodal.resizeImages(ok, 4, 4).collect()
+    assert(rs.head.width == 2 && rs.head.height == 1)
+    val bad = spark.createDataset(Seq(
+      (2L, Multimodal.ImageIoCodec.encodePng(9, 4, (_, _) => (1, 2, 3)))))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.resizeImages(bad, 4, 4).collect()
+    }
+    assert(e.getMessage.contains("not divisible") ||
+      e.getCause != null && e.getCause.getMessage.contains("not divisible"))
+  }
 }

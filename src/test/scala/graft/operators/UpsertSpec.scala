@@ -1,0 +1,110 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String = {
+    val d = Files.createTempDirectory("graft_upsert_spec_").toString
+    // mergeIntoPartitioned requires an existing snapshot root
+    d
+  }
+
+  private def writeSnapshot(root: String): Unit =
+    Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0),
+      (4L, "b", 40.0), (5L, "b", 50.0),
+      (6L, "c", 60.0))
+      .toDF("k", "part", "v")
+      .write.partitionBy("part").mode("overwrite").parquet(root)
+
+  test("merge applies upserts, inserts, and deletes with exact row accounting") {
+    val root = freshRoot()
+    writeSnapshot(root)
+    val delta = Seq(
+      (2L, "a", 99.0, "U"),  // update
+      (7L, "a", 70.0, "U"),  // insert
+      (4L, "b", 0.0, "D"))   // delete
+      .toDF("k", "part", "v", "op")
+    val stats = Upsert.mergeIntoPartitioned(spark, root, delta, Seq("k"), "part")
+    assert(stats.touchedPartitions.sorted == Seq("part=a", "part=b"))
+    assert(stats.untouchedPartitions == Seq("part=c"))
+    assert(stats.upsertRows == 2L)
+    assert(stats.survivorRows == 3L) // a:{1,3}, b:{5}
+    val out = spark.read.parquet(root).select("k", "part", "v")
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "a", 10.0), (2L, "a", 99.0), (3L, "a", 30.0),
+      (5L, "b", 50.0), (6L, "c", 60.0), (7L, "a", 70.0)).sortBy(_._1))
+  }
+
+  test("untouched partitions keep byte-identical files; touched ones are replaced") {
+    val root = freshRoot()
+    writeSnapshot(root)
+    val beforeC = Upsert.partitionFileSignature(spark, root, "part=c")
+    val beforeA = Upsert.partitionFileSignature(spark, root, "part=a")
+    assert(beforeC.nonEmpty && beforeA.nonEmpty)
+    val delta = Seq((1L, "a", -1.0, "U")).toDF("k", "part", "v", "op")
+    Upsert.mergeIntoPartitioned(spark, root, delta, Seq("k"), "part")
+    assert(Upsert.partitionFileSignature(spark, root, "part=c") == beforeC)
+    assert(Upsert.partitionFileSignature(spark, root, "part=a") != beforeA)
+  }
+
+  test("a fully-deleted partition's directory is removed") {
+    val root = freshRoot()
+    writeSnapshot(root)
+    val delta = Seq((6L, "c", 0.0, "D")).toDF("k", "part", "v", "op")
+    val stats = Upsert.mergeIntoPartitioned(spark, root, delta, Seq("k"), "part")
+    assert(stats.touchedPartitions == Seq("part=c"))
+    assert(Upsert.partitionFileSignature(spark, root, "part=c").isEmpty)
+    assert(spark.read.parquet(root).count() == 5L)
+  }
+
+  test("delta rows targeting new partitions create them") {
+    val root = freshRoot()
+    writeSnapshot(root)
+    val delta = Seq((8L, "d", 80.0, "U")).toDF("k", "part", "v", "op")
+    Upsert.mergeIntoPartitioned(spark, root, delta, Seq("k"), "part")
+    val d = spark.read.parquet(root).filter(col("part") === "d")
+      .select("k", "v").as[(Long, Double)].collect()
+    assert(d.toSeq == Seq((8L, 80.0)))
+  }
+
+  test("a key split across two delta partitions is rejected") {
+    val root = freshRoot()
+    writeSnapshot(root)
+    val delta = Seq((2L, "a", 1.0, "U"), (2L, "b", 2.0, "U"))
+      .toDF("k", "part", "v", "op")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergeIntoPartitioned(spark, root, delta, Seq("k"), "part")
+    }
+    assert(e.getMessage.contains("more than one"))
+  }
+
+  test("unknown op values are rejected before any IO") {
+    val root = freshRoot()
+    writeSnapshot(root)
+    val sig = Upsert.partitionFileSignature(spark, root, "part=a")
+    val delta = Seq((2L, "a", 1.0, "X")).toDF("k", "part", "v", "op")
+    intercept[IllegalArgumentException] {
+      Upsert.mergeIntoPartitioned(spark, root, delta, Seq("k"), "part")
+    }
+    assert(Upsert.partitionFileSignature(spark, root, "part=a") == sig)
+  }
+
+  test("partition values needing hive escaping survive the dir swap") {
+    val root = freshRoot()
+    Seq((1L, "x:1", 1.0), (2L, "plain", 2.0)).toDF("k", "part", "v")
+      .write.partitionBy("part").mode("overwrite").parquet(root)
+    val delta = Seq((1L, "x:1", 9.0, "U")).toDF("k", "part", "v", "op")
+    val stats = Upsert.mergeIntoPartitioned(spark, root, delta, Seq("k"), "part")
+    assert(stats.touchedPartitions.size == 1)
+    val out = spark.read.parquet(root).filter(col("part") === "x:1")
+      .select("v").as[Double].collect()
+    assert(out.toSeq == Seq(9.0))
+  }
+}
