@@ -148,6 +148,36 @@ object Combine {
     }
   }
 
+  /** Leakage-safe split: assign every member of a GROUP (near-dup
+    * cluster, source domain, conversation thread …) to the same split,
+    * by hashing the group's canonical representative (min id) through
+    * the same 10,000-bucket machinery as [[hashSplit]]. Splitting
+    * per-document leaks near-duplicates across train/test — the eval
+    * set then contains soft copies of training documents and measured
+    * loss is contaminated; splitting per-group is the fix, and keeping
+    * the representative-hash scheme makes membership a pure replayable
+    * function of the data. Returns `df` plus a `split` int column.
+    *
+    * Scale shape: one ids-only partial aggregation for representatives,
+    * then one equi-join back on the group key (AQE skew-splittable —
+    * a window over the group key would concentrate each mega-cluster
+    * in one task with no skew remedy). */
+  def splitByGroup(df: DataFrame, idCol: String, groupCol: String,
+                   weights: Seq[Double]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_ > 0), "weights must be positive")
+    val buckets = 10000
+    val total = weights.sum
+    val bounds = weights.scanLeft(0.0)(_ + _)
+      .map(w => math.round(w / total * buckets).toInt)
+    val reps = df.groupBy(col(groupCol)).agg(min(col(idCol)).as("__rep"))
+    val b = hashBucket(col("__rep"), buckets)
+    val splitCol = bounds.sliding(2).zipWithIndex
+      .foldLeft(lit(-1): Column) { case (acc, (Seq(lo, hi), i)) =>
+        when(b >= lo && b < hi, lit(i)).otherwise(acc)
+      }
+    df.join(reps.withColumn("split", splitCol).drop("__rep"), Seq(groupCol))
+  }
+
   /** Deterministic stratified sample: per-stratum keep fraction,
     * membership a pure function of the id (the same 10,000-bucket md5
     * machinery as [[hashSplit]]). Unlike `DataFrame.stat.sampleBy` —

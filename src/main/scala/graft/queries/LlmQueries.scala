@@ -543,6 +543,29 @@ object LlmQueries {
         .orderBy(col("split"))
     },
 
+    // Leakage-safe split: near-dup CLUSTERS (normalized-text groups, the
+    // q_dedup_clusters fingerprint) are the split unit, so soft copies of
+    // a training document can never land in the eval split. Assignment
+    // hashes each cluster's min doc id through the q_hash_split bucket
+    // scheme — fully replayable; the no_leakage boolean is recomputed
+    // from the OUTPUT assignment (max splits-per-cluster == 1), pinned
+    // TRUE by the oracle.
+    "q_split_leakage_safe" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+        .withColumn("fp",
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")))
+      val assigned =
+        graft.operators.Combine.splitByGroup(docs, "doc_id", "fp", Seq(0.8, 0.1, 0.1))
+      val leak = assigned.groupBy(col("fp"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(max(col("ns")).as("mx"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_clusters"))
+        .crossJoin(broadcast(leak))
+        .withColumn("no_leakage", col("mx") === 1).drop("mx")
+        .orderBy(col("split"))
+    },
+
     // Benchmark-contamination checks: probes are spans of the first three
     // documents (an eval set stand-in, derived lazily — no collect).
     // Exact-substring form: verbatim containment.
@@ -1961,6 +1984,27 @@ object LlmQueries {
                      WHEN bucket < 9000 THEN 1 ELSE 2 END AS split,
            count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM b GROUP BY 1 ORDER BY 1""",
+    // split assignment replayed end-to-end: fingerprint → cluster rep
+    // (min doc id) → md5 bucket → split; leakage-freedom is structural
+    // (one split per fp by construction) so the boolean pins TRUE.
+    "q_split_leakage_safe" ->
+      """WITH g AS (
+           SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         rep AS (SELECT fp, min(doc_id) AS rep FROM g GROUP BY fp),
+         b AS (SELECT fp,
+             CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS UBIGINT)
+               % 10000 AS bucket
+           FROM rep),
+         s AS (SELECT fp, CASE WHEN bucket < 8000 THEN 0
+                               WHEN bucket < 9000 THEN 1 ELSE 2 END AS split
+           FROM b)
+         SELECT split, count(*) AS n_docs, count(DISTINCT g.fp) AS n_clusters,
+           TRUE AS no_leakage
+         FROM g JOIN s ON g.fp = s.fp
+         GROUP BY split ORDER BY split""",
+
     "q_contamination_exact" ->
       """WITH probes AS (
            SELECT doc_id AS probe_id, substr(text, 1, 40) AS ptext

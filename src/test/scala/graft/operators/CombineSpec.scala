@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.operators.Combine._
+import org.apache.spark.sql.functions.{col, countDistinct, first, min}
 
 class CombineSpec extends SparkSpec {
   import spark.implicits._
@@ -109,6 +110,30 @@ class CombineSpec extends SparkSpec {
     val again = Combine.hashSplit(df, "id", Seq(0.8, 0.1, 0.1))
       .map(_.select("id").as[Long].collect().toSet)
     assert(again == sets)
+  }
+
+  test("splitByGroup: whole groups move together; singleton groups ≡ hashSplit") {
+    // ids 0..9999 in groups of 4 (group = id/4): all 4 members must share
+    // a split, and the split must be the one the group's min id hashes to
+    val df = spark.range(10000).toDF("id")
+      .withColumn("grp", (col("id") / 4).cast("long"))
+    val assigned = Combine.splitByGroup(df, "id", "grp", Seq(0.8, 0.1, 0.1))
+    val perGroup = assigned.groupBy("grp")
+      .agg(countDistinct(col("split")).as("ns"), min(col("id")).as("rep"),
+        first(col("split")).as("split"))
+      .collect()
+    assert(perGroup.forall(_.getLong(1) == 1L), "a group straddles splits")
+    // representative-hash agreement with hashSplit on the reps alone
+    val repSplit = perGroup.map(r => r.getLong(2) -> r.getInt(3)).toMap
+    val repsDf = spark.createDataset(repSplit.keySet.toSeq).toDF("id")
+    val expected = Combine.hashSplit(repsDf, "id", Seq(0.8, 0.1, 0.1))
+      .zipWithIndex.flatMap { case (p, i) =>
+        p.as[Long].collect().map(_ -> i)
+      }.toMap
+    assert(repSplit == expected)
+    // proportions hold at the group level
+    val bySplit = assigned.groupBy("split").count().as[(Int, Long)].collect().toMap
+    assert(math.abs(bySplit(0) - 8000) < 1200)
   }
 
   test("stratifiedSampleByHash: per-stratum rates, deterministic, scan-side filter") {
