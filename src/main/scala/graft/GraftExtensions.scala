@@ -161,6 +161,36 @@ object GraftExtensions {
             s"rank must be a constant, got $other")
         }
         graft.functions.KllQuantile(args.head, rank)
+      }),
+    (new FunctionIdentifier("theta_sketch"),
+      new ExpressionInfo(classOf[graft.functions.ThetaSketchAgg].getName, "theta_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "theta_sketch(value, lgK)")
+        graft.functions.ThetaSketchAgg(args.head, intArg(args(1), "lgK"))
+      }),
+    (new FunctionIdentifier("theta_merge"),
+      new ExpressionInfo(classOf[graft.functions.ThetaMergeAgg].getName, "theta_merge"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "theta_merge(sketch, lgK)")
+        graft.functions.ThetaMergeAgg(args.head, intArg(args(1), "lgK"))
+      }),
+    (new FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[graft.functions.ThetaEstimate].getName, "theta_estimate"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "theta_estimate(sketch)")
+        graft.functions.ThetaEstimate(args.head, 0)
+      }),
+    (new FunctionIdentifier("theta_intersect"),
+      new ExpressionInfo(classOf[graft.functions.ThetaSetOp].getName, "theta_intersect"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "theta_intersect(a, b)")
+        graft.functions.ThetaSetOp(args.head, args(1), "intersect")
+      }),
+    (new FunctionIdentifier("theta_a_not_b"),
+      new ExpressionInfo(classOf[graft.functions.ThetaSetOp].getName, "theta_a_not_b"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "theta_a_not_b(a, b)")
+        graft.functions.ThetaSetOp(args.head, args(1), "a_not_b")
       }))
 
   /** Register on an already-running session (extensions only bind at

@@ -306,6 +306,197 @@ final case class KllQuantile(sketch: Expression, rank: Double)
     copy(sketch = newChild)
 }
 
+/** Theta distinct sketch of a string column (compact binary output) —
+  * the SET-ALGEBRA member of the sketch family. HLL answers |A| and
+  * |A∪B|; intersections must go through inclusion–exclusion, whose
+  * absolute error scales with |A∪B| — for a small overlap of two large
+  * corpora the estimate drowns in the unions' noise. Theta sketches
+  * keep a uniform hash SAMPLE of the set (the k smallest hashes), so
+  * intersection and difference are first-class operations
+  * ([[ThetaIntersect]]/[[ThetaAnotB]]) with error bounds from the
+  * result sketch itself. The 100 TB shape: per-shard/per-snapshot
+  * sketches persist as binary columns, set questions ("how much of
+  * corpus B is already in A?") answer from sketches alone.
+  *
+  * The aggregation buffer is a theta Union (streaming updates and
+  * sketch merges are both unions); serialization is the compact form. */
+final case class ThetaSketchAgg(
+    child: Expression,
+    lgK: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.theta.Union] {
+
+  private type TUnion = org.apache.datasketches.theta.Union
+  require(lgK >= 4 && lgK <= 26, "lgK must be in [4, 26]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"theta_sketch expects a string column, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): TUnion =
+    org.apache.datasketches.theta.SetOperation.builder()
+      .setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buffer: TUnion, input: InternalRow): TUnion = {
+    child.eval(input) match {
+      case null => buffer
+      case s: UTF8String => buffer.update(s.toString); buffer
+    }
+  }
+
+  override def merge(a: TUnion, b: TUnion): TUnion = {
+    a.union(b.getResult); a
+  }
+
+  override def eval(buffer: TUnion): Any = buffer.getResult.toByteArray
+  override def serialize(buffer: TUnion): Array[Byte] = buffer.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): TUnion = {
+    val u = createAggregationBuffer()
+    u.union(org.apache.datasketches.theta.Sketches.heapifySketch(
+      org.apache.datasketches.memory.Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ThetaSketchAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "theta_sketch"
+}
+
+/** Union pre-built theta sketch columns (binary) relationally —
+  * constant buffer, the [[CmsMergeAgg]]/[[KllMergeAgg]] shape. */
+final case class ThetaMergeAgg(
+    child: Expression,
+    lgK: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[org.apache.datasketches.theta.Union] {
+
+  private type TUnion = org.apache.datasketches.theta.Union
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"theta_merge expects a binary sketch, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): TUnion =
+    org.apache.datasketches.theta.SetOperation.builder()
+      .setLogNominalEntries(lgK).buildUnion()
+
+  override def update(buffer: TUnion, input: InternalRow): TUnion = {
+    child.eval(input) match {
+      case null => buffer
+      case bytes: Array[Byte] =>
+        buffer.union(org.apache.datasketches.theta.Sketches.heapifySketch(
+          org.apache.datasketches.memory.Memory.wrap(bytes)))
+        buffer
+    }
+  }
+
+  override def merge(a: TUnion, b: TUnion): TUnion = { a.union(b.getResult); a }
+  override def eval(buffer: TUnion): Any = buffer.getResult.toByteArray
+  override def serialize(buffer: TUnion): Array[Byte] = buffer.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): TUnion = {
+    val u = createAggregationBuffer()
+    u.union(org.apache.datasketches.theta.Sketches.heapifySketch(
+      org.apache.datasketches.memory.Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ThetaMergeAgg =
+    copy(child = newChildren.head)
+  override def prettyName: String = "theta_merge"
+}
+
+/** Scalar helpers shared by the theta set-operation expressions. */
+private[functions] object ThetaOps {
+  def heapify(bytes: Array[Byte]): org.apache.datasketches.theta.Sketch =
+    org.apache.datasketches.theta.Sketches.heapifySketch(
+      org.apache.datasketches.memory.Memory.wrap(bytes))
+}
+
+/** Scalar: |set| estimate (or an nStdDev bound) from a serialized theta
+  * sketch. mode 0 = estimate, -1 = lower bound, +1 = upper bound. */
+final case class ThetaEstimate(sketch: Expression, mode: Int, numStdDev: Int = 2)
+  extends UnaryExpression with CodegenFallback {
+  require(mode >= -1 && mode <= 1, "mode must be -1 (lb), 0 (est), or 1 (ub)")
+  require(numStdDev >= 1 && numStdDev <= 3, "numStdDev must be in [1, 3]")
+  override def child: Expression = sketch
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = sketch.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"theta_estimate expects a binary sketch, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val sk = ThetaOps.heapify(input.asInstanceOf[Array[Byte]])
+    mode match {
+      case -1 => sk.getLowerBound(numStdDev)
+      case 0 => sk.getEstimate
+      case 1 => sk.getUpperBound(numStdDev)
+    }
+  }
+  override def prettyName: String = "theta_estimate"
+  override protected def withNewChildInternal(newChild: Expression): ThetaEstimate =
+    copy(sketch = newChild)
+}
+
+/** Scalar: theta set operation over two serialized sketches → compact
+  * binary result sketch. op = "intersect" | "a_not_b". The result is a
+  * real sketch, so it composes (chain intersections, then estimate with
+  * bounds) — the property inclusion–exclusion does not have. */
+final case class ThetaSetOp(a: Expression, b: Expression, op: String)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with CodegenFallback {
+  require(op == "intersect" || op == "a_not_b", s"unknown theta set op $op")
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (a.dataType, b.dataType) match {
+      case (org.apache.spark.sql.types.BinaryType,
+            org.apache.spark.sql.types.BinaryType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"theta_$op expects two binary sketches, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def nullSafeEval(la: Any, rb: Any): Any = {
+    val sa = ThetaOps.heapify(la.asInstanceOf[Array[Byte]])
+    val sb = ThetaOps.heapify(rb.asInstanceOf[Array[Byte]])
+    val out =
+      if (op == "intersect")
+        org.apache.datasketches.theta.SetOperation.builder()
+          .buildIntersection().intersect(sa, sb)
+      else
+        org.apache.datasketches.theta.SetOperation.builder()
+          .buildANotB().aNotB(sa, sb)
+    out.toByteArray
+  }
+  override def prettyName: String = s"theta_$op"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ThetaSetOp =
+    copy(a = newLeft, b = newRight)
+}
+
 object SketchAgg {
 
   /** Column-API form of the native aggregate (usable anywhere `sum` is). */
@@ -335,6 +526,35 @@ object SketchAgg {
   /** Quantile estimate from a serialized KLL sketch column. */
   def kllQuantile(sketch: Column, rank: Double): Column =
     GraftSqlBridge.column(KllQuantile(GraftSqlBridge.expression(sketch), rank))
+
+  /** Mergeable theta distinct sketch of a string column (binary). */
+  def thetaSketch(value: Column, lgK: Int = 12): Column =
+    GraftSqlBridge.column(
+      ThetaSketchAgg(GraftSqlBridge.expression(value), lgK).toAggregateExpression())
+
+  /** Union pre-built theta sketch columns. */
+  def thetaMerge(sketch: Column, lgK: Int = 12): Column =
+    GraftSqlBridge.column(
+      ThetaMergeAgg(GraftSqlBridge.expression(sketch), lgK).toAggregateExpression())
+
+  /** Estimate / bounds from a serialized theta sketch. */
+  def thetaEstimate(sketch: Column): Column =
+    GraftSqlBridge.column(ThetaEstimate(GraftSqlBridge.expression(sketch), 0))
+  def thetaLowerBound(sketch: Column, numStdDev: Int = 2): Column =
+    GraftSqlBridge.column(
+      ThetaEstimate(GraftSqlBridge.expression(sketch), -1, numStdDev))
+  def thetaUpperBound(sketch: Column, numStdDev: Int = 2): Column =
+    GraftSqlBridge.column(
+      ThetaEstimate(GraftSqlBridge.expression(sketch), 1, numStdDev))
+
+  /** Sketch-level set intersection / difference (result is a sketch —
+    * composes, and carries its own error bounds). */
+  def thetaIntersect(a: Column, b: Column): Column =
+    GraftSqlBridge.column(ThetaSetOp(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b), "intersect"))
+  def thetaANotB(a: Column, b: Column): Column =
+    GraftSqlBridge.column(ThetaSetOp(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b), "a_not_b"))
 
   /** The KLL sketch as a reference-shaped CombineFn — pluggable into the
     * streaming TriggerEngine (the CountMin.combineFn pattern), so

@@ -429,6 +429,49 @@ object BatchQueries {
             <= ceil(col("exact_union") * 0.3)).as("inter_ok"))
     },
 
+    // Theta-sketch set algebra: the same two corpus halves as
+    // q_corpus_overlap, but intersection and difference are FIRST-CLASS
+    // sketch operations instead of inclusion–exclusion arithmetic — the
+    // result of theta_intersect is itself a sketch carrying its own
+    // error bounds, where the HLL route's intersection error scales
+    // with |A∪B| and has no per-result bound at all. Gate: every
+    // estimate's own [lb, ub] interval (3σ) must contain the exact
+    // companion — including the intersection and difference, which is
+    // precisely the guarantee inclusion–exclusion cannot give.
+    "q_theta_overlap" -> { (s, dir) =>
+      import graft.functions.SketchAgg
+      val toks = Tables(s, dir).documents
+        .select(pmod(col("doc_id"), lit(2)).as("half"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      val perHalf = toks.groupBy(col("half"))
+        .agg(SketchAgg.thetaSketch(col("token"), 12).as("sk"))
+      val ests = perHalf.agg(
+        SketchAgg.thetaMerge(col("sk"), 12).as("sk_union"),
+        min(when(col("half") === 0, col("sk"))).as("sk_a"),
+        min(when(col("half") === 1, col("sk"))).as("sk_b"))
+        .select(col("sk_a"), col("sk_b"), col("sk_union"),
+          SketchAgg.thetaIntersect(col("sk_a"), col("sk_b")).as("sk_inter"),
+          SketchAgg.thetaANotB(col("sk_a"), col("sk_b")).as("sk_diff"))
+      val exact = toks.agg(
+        countDistinct(when(col("half") === 0, col("token"))).as("exact_a"),
+        countDistinct(when(col("half") === 1, col("token"))).as("exact_b"),
+        countDistinct(col("token")).as("exact_union"))
+      def inBounds(sk: org.apache.spark.sql.Column,
+                   exactC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        SketchAgg.thetaLowerBound(sk, 3) <= exactC &&
+          SketchAgg.thetaUpperBound(sk, 3) >= exactC
+      exact.crossJoin(broadcast(ests))
+        .select(col("exact_a"), col("exact_b"), col("exact_union"),
+          (col("exact_a") + col("exact_b") - col("exact_union")).as("exact_inter"),
+          inBounds(col("sk_a"), col("exact_a")).as("a_ok"),
+          inBounds(col("sk_b"), col("exact_b")).as("b_ok"),
+          inBounds(col("sk_union"), col("exact_union")).as("union_ok"),
+          inBounds(col("sk_inter"),
+            col("exact_a") + col("exact_b") - col("exact_union")).as("inter_ok"),
+          inBounds(col("sk_diff"),
+            col("exact_union") - col("exact_b")).as("diff_ok"))
+    },
+
     // §2.3 Sample.fixedSizePerKey, deterministic variant: top-n per key by
     // md5 of the row identity — size-exact like the reservoir, but
     // reproducible across engines so the oracle can replicate it (the
@@ -716,6 +759,26 @@ object BatchQueries {
              + COUNT(DISTINCT CASE WHEN half = 1 THEN token END)
              - COUNT(DISTINCT token) AS exact_inter,
            TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok
+         FROM tok""",
+
+    // theta set algebra: exact companions identical to q_corpus_overlap;
+    // every sketch-side [lb, ub] containment boolean pins TRUE,
+    // including the direct intersection/difference results.
+    "q_theta_overlap" ->
+      """WITH tok AS (
+           SELECT doc_id % 2 AS half,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+               t -> t <> '')) AS token
+           FROM documents)
+         SELECT
+           COUNT(DISTINCT CASE WHEN half = 0 THEN token END) AS exact_a,
+           COUNT(DISTINCT CASE WHEN half = 1 THEN token END) AS exact_b,
+           COUNT(DISTINCT token) AS exact_union,
+           COUNT(DISTINCT CASE WHEN half = 0 THEN token END)
+             + COUNT(DISTINCT CASE WHEN half = 1 THEN token END)
+             - COUNT(DISTINCT token) AS exact_inter,
+           TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok,
+           TRUE AS inter_ok, TRUE AS diff_ok
          FROM tok""",
 
     "q_pagerank" ->

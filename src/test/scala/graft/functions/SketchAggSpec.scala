@@ -182,6 +182,71 @@ class SketchAggSpec extends SparkSpec {
       s"expected 3 distinct, got ${pane.map(_.value).mkString(",")}")
   }
 
+  test("theta: below-k sets are EXACT through sketch, merge, intersect, and a-not-b") {
+    // two overlapping sets well below k = 2^12 — theta keeps every hash,
+    // so every estimate (including set ops) must be exactly right
+    val a = (0 until 500).map(i => ("a", s"tok$i"))
+    val b = (300 until 900).map(i => ("b", s"tok$i"))
+    val df = spark.createDataset(a ++ b).toDF("side", "token")
+    val sks = df.groupBy("side").agg(SketchAgg.thetaSketch(col("token"), 12).as("sk"))
+    val row = sks.agg(
+      SketchAgg.thetaMerge(col("sk"), 12).as("u"),
+      min(when(col("side") === "a", col("sk"))).as("ska"),
+      min(when(col("side") === "b", col("sk"))).as("skb"))
+      .select(
+        SketchAgg.thetaEstimate(col("u")).as("un"),
+        SketchAgg.thetaEstimate(col("ska")).as("ea"),
+        SketchAgg.thetaEstimate(col("skb")).as("eb"),
+        SketchAgg.thetaEstimate(
+          SketchAgg.thetaIntersect(col("ska"), col("skb"))).as("inter"),
+        SketchAgg.thetaEstimate(
+          SketchAgg.thetaANotB(col("ska"), col("skb"))).as("diff"))
+      .head()
+    assert(row.getDouble(0) == 900.0) // |A ∪ B|
+    assert(row.getDouble(1) == 500.0 && row.getDouble(2) == 600.0)
+    assert(row.getDouble(3) == 200.0) // |A ∩ B| = {300..499}
+    assert(row.getDouble(4) == 300.0) // |A \ B| = {0..299}
+  }
+
+  test("theta: estimation-mode bounds contain the truth; SQL path; partition-invariant") {
+    graft.GraftExtensions.register(spark)
+    val n = 200000
+    val df = spark.range(n).select(concat(lit("u"), col("id")).as("token"))
+    val est = df.repartition(7)
+      .agg(SketchAgg.thetaSketch(col("token"), 12).as("sk"))
+      .select(
+        SketchAgg.thetaEstimate(col("sk")).as("est"),
+        SketchAgg.thetaLowerBound(col("sk"), 3).as("lb"),
+        SketchAgg.thetaUpperBound(col("sk"), 3).as("ub"))
+      .head()
+    assert(est.getDouble(1) <= n && n <= est.getDouble(2),
+      s"3σ bounds [${est.getDouble(1)}, ${est.getDouble(2)}] miss $n")
+    assert(math.abs(est.getDouble(0) - n) < 0.1 * n)
+    // the same sketch through SQL functions, different partitioning —
+    // the union result must be identical (theta unions are order-safe)
+    df.repartition(3).createOrReplaceTempView("theta_toks")
+    val sqlEst = spark.sql(
+      """SELECT theta_estimate(theta_sketch(token, 12)) AS e FROM theta_toks""")
+      .head().getDouble(0)
+    assert(sqlEst == est.getDouble(0), s"SQL $sqlEst != column API ${est.getDouble(0)}")
+  }
+
+  test("theta: per-group sketches merged relationally answer like the direct sketch") {
+    graft.GraftExtensions.register(spark)
+    val df = spark.range(50000)
+      .select((col("id") % 10).as("g"), concat(lit("t"), col("id") % 3000).as("token"))
+    df.createOrReplaceTempView("theta_groups")
+    val direct = spark.sql(
+      "SELECT theta_estimate(theta_sketch(token, 12)) AS e FROM theta_groups")
+      .head().getDouble(0)
+    val rolled = spark.sql(
+      """SELECT theta_estimate(theta_merge(sk, 12)) AS e FROM (
+           SELECT g, theta_sketch(token, 12) AS sk FROM theta_groups GROUP BY g)""")
+      .head().getDouble(0)
+    // 3000 distinct < k = 2^12 → exact mode both directly and rolled up
+    assert(direct == 3000.0 && rolled == 3000.0)
+  }
+
   test("point estimates from the native sketch respect CMS bounds") {
     val sk = tokens.agg(SketchAgg.cmsSketch(col("token"), depth, width).as("sketch"))
     val n = tokens.count()
