@@ -215,4 +215,42 @@ object StreamOps {
         } finally { batch.unpersist(); () }
       }
       .start()
+
+  /** Continuous MERGE sink: every micro-batch of change rows (op 'U'
+    * upsert / 'D' delete, plus an event-order column) lands in the
+    * partitioned snapshot at `root` via
+    * [[graft.operators.Upsert.mergeIntoPartitioned]] — only touched
+    * partitions rewrite, per micro-batch. The streaming CDC-apply
+    * shape: a correction feed maintains a 100 TB lake table without
+    * ever rewriting cold partitions.
+    *
+    * Within one batch, several changes to one key collapse to the row
+    * with the max `orderCol` (ties broken by preferring 'D' — a
+    * delete-then-reinsert at the same timestamp has no well-defined
+    * order, so the conservative read wins) BEFORE merging; without the
+    * collapse, two same-key updates in one batch would both survive
+    * the anti-join and duplicate the key. Failure-replay safe: a merge
+    * of the same collapsed delta is idempotent (upserts re-replace,
+    * deletes are already gone), which is exactly the guarantee
+    * foreachBatch needs since a batch can be re-delivered after a
+    * crash between the merge and the checkpoint commit. */
+  def writeStreamMerge(changes: DataFrame, root: String, keyCols: Seq[String],
+                       partCol: String, orderCol: String, checkpoint: String,
+                       opCol: String = "op"): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keyWindow = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col(orderCol).desc, when(col(opCol) === "D", 0).otherwise(1))
+        val collapsed = batch
+          .withColumn("__rn", row_number().over(keyWindow))
+          .filter(col("__rn") === 1).drop("__rn", orderCol)
+        if (!collapsed.isEmpty) {
+          graft.operators.Upsert.mergeIntoPartitioned(
+            batch.sparkSession, root, collapsed, keyCols, partCol, opCol)
+          ()
+        }
+      }
+      .start()
 }
