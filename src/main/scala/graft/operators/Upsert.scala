@@ -54,6 +54,44 @@ object Upsert {
       .sortBy(_._1).toSeq
   }
 
+  /** CDC read side — the inverse of [[mergeIntoPartitioned]]: the
+    * minimal delta (op 'U'/'D' rows) that transforms snapshot `from`
+    * into snapshot `to`. Inserts and updates surface as 'U' carrying
+    * `to`'s row; deletes as 'D' carrying `from`'s row (so the delta
+    * has the partition value the merge needs to find the victim).
+    * Unchanged rows emit nothing — the delta is change-sized, which is
+    * the whole point at 100 TB: diff two snapshot generations once,
+    * then ship/apply/audit the delta instead of either snapshot.
+    *
+    * One full-outer equi-join on the keys; row equality compares all
+    * non-key columns null-safely. `roundtrip` holds by construction:
+    * merging the returned delta into `from` reproduces `to` exactly
+    * (asserted in the registered query and UpsertSpec). */
+  def diffSnapshots(from: DataFrame, to: DataFrame, keyCols: Seq[String],
+                    opCol: String = "op"): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(from.columns.toSeq == to.columns.toSeq,
+      s"snapshots must share a schema: ${from.columns.mkString(",")} vs ${to.columns.mkString(",")}")
+    val nonKey = from.columns.filterNot(keyCols.contains).toSeq
+    // presence markers instead of key-null checks: a null key column must
+    // not read as "row absent"
+    val lf = from.withColumn("__lp", lit(true)).as("l")
+    val rt = to.withColumn("__rp", lit(true)).as("r")
+    val cond = keyCols.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val joined = lf.join(rt, cond, "full_outer")
+    val differs = !(struct(nonKey.map(c => col(s"l.$c")): _*) <=>
+      struct(nonKey.map(c => col(s"r.$c")): _*))
+    val upserts = joined
+      .filter(col("r.__rp") && (col("l.__lp").isNull || differs))
+      .select(from.columns.map(c => col(s"r.$c")).toIndexedSeq: _*)
+      .withColumn(opCol, lit("U"))
+    val deletes = joined
+      .filter(col("l.__lp") && col("r.__rp").isNull)
+      .select(from.columns.map(c => col(s"l.$c")).toIndexedSeq: _*)
+      .withColumn(opCol, lit("D"))
+    upserts.unionByName(deletes)
+  }
+
   /** MERGE `delta` into the partitioned snapshot at `root`.
     *
     * `delta` must contain the snapshot's columns plus `opCol` with

@@ -485,6 +485,41 @@ object IoQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // CDC read side: diff two snapshot generations into a change-sized
+    // U/D delta, then CLOSE THE LOOP — merge the delta into generation
+    // A on disk and assert the result equals generation B exactly
+    // (roundtrip_ok, both exceptAll directions empty). The oracle
+    // replays the delta's op/partition counts from the same mutation
+    // arithmetic.
+    "q_snapshot_diff" -> { (s, dir) =>
+      import graft.operators.Upsert
+      val root = tmp("graft_diff")
+      val a = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val b = a
+        .filter(!(col("o_orderpriority") === "3-MEDIUM" &&
+          pmod(col("o_orderkey"), lit(5)) === 0))
+        .withColumn("o_totalprice",
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+            pmod(col("o_orderkey"), lit(7)) === 0,
+            col("o_totalprice") + 1000).otherwise(col("o_totalprice")))
+        .unionByName(a
+          .filter(col("o_orderpriority") === "2-HIGH" &&
+            pmod(col("o_orderkey"), lit(11)) === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("2-HIGH").as("o_orderpriority"), lit(123.45).as("o_totalprice")))
+      val delta = Upsert.diffSnapshots(a, b, Seq("o_orderkey"))
+      a.write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
+      Upsert.mergeIntoPartitioned(s, root, delta, Seq("o_orderkey"), "o_orderpriority")
+      val merged = s.read.parquet(root)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val mismatch = merged.exceptAll(b).count() + b.exceptAll(merged).count()
+      delta.groupBy(col("op"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("roundtrip_ok", lit(mismatch == 0L))
+        .orderBy(col("op"), col("o_orderpriority"))
+    },
+
     // Malformed-record quarantine at ingestion: corrupt JSON payloads
     // (a deterministic 1-in-7 mangle) must route to a dead-letter
     // branch, never poison the batch. The tag is StreamOps.
@@ -656,6 +691,28 @@ FROM m GROUP BY 1 ORDER BY 1""",
            (o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')) AS rewritten,
            TRUE AS untouched_intact
          FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // the delta replayed from the same mutation arithmetic: updates are
+    // 'U' with the NEW price, inserts 'U' with the synthetic row,
+    // deletes 'D' with the original row; roundtrip_ok pinned TRUE.
+    "q_snapshot_diff" ->
+      """WITH upd AS (SELECT o_orderkey, o_orderpriority,
+               o_totalprice + 1000 AS o_totalprice FROM orders
+             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderkey % 7 = 0),
+         ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+               '2-HIGH' AS o_orderpriority, 123.45 AS o_totalprice
+             FROM orders WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 11 = 0),
+         dels AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+             WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 5 = 0),
+         delta AS (
+           SELECT 'U' AS op, * FROM upd
+           UNION ALL SELECT 'U' AS op, * FROM ins
+           UNION ALL SELECT 'D' AS op, * FROM dels)
+         SELECT op, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           TRUE AS roundtrip_ok
+         FROM delta GROUP BY op, o_orderpriority
+         ORDER BY op, o_orderpriority""",
 
     "q_jsonl_quarantine" ->
       """WITH raw AS (

@@ -96,6 +96,45 @@ class UpsertSpec extends SparkSpec {
     assert(Upsert.partitionFileSignature(spark, root, "part=a") == sig)
   }
 
+  test("diffSnapshots emits the minimal U/D delta and merge(from, diff) == to") {
+    val root = freshRoot()
+    writeSnapshot(root)
+    val from = spark.read.parquet(root).select("k", "part", "v")
+    val to = Seq(
+      (1L, "a", 10.0),  // unchanged
+      (2L, "a", 99.0),  // updated
+      // 3 deleted
+      (4L, "b", 40.0),  // unchanged
+      (5L, "b", 50.0),  // unchanged
+      (6L, "c", 60.0),  // unchanged
+      (7L, "d", 70.0))  // inserted (new partition)
+      .toDF("k", "part", "v")
+    val delta = Upsert.diffSnapshots(from, to, Seq("k"))
+      .as[(Long, String, Double, String)].collect().sortBy(_._1)
+    assert(delta.toSeq == Seq(
+      (2L, "a", 99.0, "U"), (3L, "a", 30.0, "D"), (7L, "d", 70.0, "U")))
+    Upsert.mergeIntoPartitioned(spark, root,
+      Upsert.diffSnapshots(from, to, Seq("k")), Seq("k"), "part")
+    val merged = spark.read.parquet(root).select("k", "part", "v")
+    assert(merged.exceptAll(to).count() == 0 && to.exceptAll(merged).count() == 0)
+  }
+
+  test("diffSnapshots of identical snapshots is empty") {
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "part", "v")
+    assert(Upsert.diffSnapshots(df, df, Seq("k")).count() == 0L)
+  }
+
+  test("diffSnapshots treats null values null-safely, not as always-differing") {
+    val from = Seq[(Long, String, Option[Double])](
+      (1L, "a", Some(1.0)), (2L, "a", None)).toDF("k", "part", "v")
+    val to = Seq[(Long, String, Option[Double])](
+      (1L, "a", None), (2L, "a", None)).toDF("k", "part", "v")
+    val delta = Upsert.diffSnapshots(from, to, Seq("k"))
+      .as[(Long, String, Option[Double], String)].collect()
+    // k=2 is null on both sides → unchanged; k=1 changed value→null → U
+    assert(delta.toSeq == Seq((1L, "a", None, "U")))
+  }
+
   test("partition values needing hive escaping survive the dir swap") {
     val root = freshRoot()
     Seq((1L, "x:1", 1.0), (2L, "plain", 2.0)).toDF("k", "part", "v")
