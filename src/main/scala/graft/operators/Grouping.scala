@@ -24,6 +24,22 @@ object Grouping {
       implicit ek: Encoder[K], e: Encoder[(K, Seq[V])]): Dataset[(K, Seq[V])] =
     ds.groupByKey(_._1).mapGroups { (k, it) => (k, it.map(_._2).toSeq) }
 
+  /** Secondary sort — GroupByKey with per-key ORDERED iteration and no
+    * group materialization: each key's values stream through `f` in
+    * `sortCols` order (sort columns reference the pair schema, e.g.
+    * `col("_2.ts")`). The engine sorts within partitions after the key
+    * shuffle (one exchange + local sort — the
+    * repartitionAndSortWithinPartitions pattern as a first-class typed
+    * op), so sequential per-key logic (session reconstruction, gap
+    * detection, running state machines) runs without `groupByKey`'s
+    * whole-group buffering: a hot key costs sort spill, not an OOM. */
+  def groupByKeySorted[K, V, U](ds: Dataset[(K, V)], sortCols: Seq[Column])(
+      f: (K, Iterator[V]) => IterableOnce[U])(
+      implicit ek: Encoder[K], eu: Encoder[U]): Dataset[U] =
+    ds.groupByKey(_._1).flatMapSortedGroups(sortCols: _*) { (k, it) =>
+      f(k, it.map(_._2))
+    }
+
   /** CoGroupByKey ([U] T/join/CoGroupByKey.java): two keyed datasets →
     * per-key (values-from-a, values-from-b). N-way = chain over the tuple. */
   def coGroupByKey[K, A, B](a: Dataset[(K, A)], b: Dataset[(K, B)])(

@@ -120,6 +120,31 @@ object BatchQueries {
         .orderBy(col("n_regionkey"))
     },
 
+    // §2.2 secondary sort: per-customer orders stream through the group
+    // function in (date, key) order WITHOUT materializing the group —
+    // max gap between consecutive orders needs ordered iteration (the
+    // state-machine-per-key shape); the oracle replays it with a lag
+    // window. floor is monotone, so max-then-floor ≡ floor-then-max.
+    "q_sorted_group" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val ds = Tables(s, dir).orders
+        .select(col("o_custkey").as("_1"),
+          struct(col("o_orderdate").cast("timestamp").cast("long").as("_1"),
+            col("o_orderkey").as("_2")).as("_2"))
+        .as[(Long, (Long, Long))]
+      Grouping.groupByKeySorted(ds, Seq(col("_2._1"), col("_2._2"))) {
+        (cust: Long, it: Iterator[(Long, Long)]) =>
+          var n = 0L; var prev = -1L; var maxGap = 0L
+          it.foreach { case (ts, _) =>
+            if (prev >= 0 && ts - prev > maxGap) maxGap = ts - prev
+            prev = ts; n += 1
+          }
+          Iterator((cust, n, maxGap / 86400L))
+      }.toDF("custkey", "n_orders", "max_gap_days")
+        .orderBy(col("custkey"))
+    },
+
     // §2.2 CoGroupByKey: relational CoGbkResult over customer/supplier
     // keyed by nation.
     "q_cogroupbykey" -> { (s, dir) =>
@@ -600,6 +625,16 @@ object BatchQueries {
     "q_groupbykey" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q_sorted_group" ->
+      """WITH g AS (
+           SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS ts,
+             lag(CAST(epoch(o_orderdate) AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders)
+         SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+           CAST(COALESCE(MAX(ts - prev), 0) // 86400 AS BIGINT) AS max_gap_days
+         FROM g GROUP BY o_custkey ORDER BY custkey""",
+
     "q_cogroupbykey" ->
       """WITH c AS (
            SELECT c_nationkey AS nationkey, count(*) AS n_cust,

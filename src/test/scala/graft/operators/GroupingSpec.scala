@@ -12,6 +12,31 @@ class GroupingSpec extends SparkSpec {
     assertInAnyOrder(out, Seq(("a", Seq(1, 3)), ("b", Seq(2))))
   }
 
+  test("groupByKeySorted streams each group's values in sort order") {
+    import org.apache.spark.sql.functions.col
+    // values arrive shuffled; the group fn must see them ordered, and a
+    // running-difference output proves the ORDER, not just the multiset
+    val ds = Seq(("a", 30), ("b", 5), ("a", 10), ("a", 20), ("b", 1))
+      .toDS().repartition(4)
+    val out = Grouping.groupByKeySorted(ds, Seq(col("_2"))) {
+      (k: String, it: Iterator[Int]) =>
+        var prev = 0
+        it.map { v => val d = v - prev; prev = v; (k, v, d) }
+    }.collect().toSeq.sorted
+    assert(out == Seq(("a", 10, 10), ("a", 20, 10), ("a", 30, 10),
+      ("b", 1, 1), ("b", 5, 4)))
+  }
+
+  test("groupByKeySorted honors descending and multi-column sorts") {
+    import org.apache.spark.sql.functions.col
+    val ds = Seq((1, (2, "x")), (1, (1, "z")), (1, (1, "a"))).toDS()
+    val out = Grouping.groupByKeySorted(ds,
+      Seq(col("_2._1").desc, col("_2._2"))) {
+      (_: Int, it: Iterator[(Int, String)]) => it.map(_._2)
+    }.collect().toSeq
+    assert(out == Seq("x", "a", "z"))
+  }
+
   test("coGroupByKey tags values per side, including key-only-on-one-side") {
     val a = Seq(("k1", 1), ("k1", 2), ("k2", 3)).toDS()
     val b = Seq(("k1", "x"), ("k3", "y")).toDS()
