@@ -35,7 +35,8 @@ object Upsert {
     * dropped are implied by the difference). */
   final case class MergeStats(touchedPartitions: Seq[String],
                               untouchedPartitions: Seq[String],
-                              survivorRows: Long, upsertRows: Long)
+                              survivorRows: Long, upsertRows: Long,
+                              touchedValues: Seq[Any])
 
   /** Hive dir name (`part=escapedValue`) for a partition value. */
   private def dirName(partCol: String, value: Any): String =
@@ -90,6 +91,39 @@ object Upsert {
       .select(from.columns.map(c => col(s"l.$c")).toIndexedSeq: _*)
       .withColumn(opCol, lit("D"))
     upserts.unionByName(deletes)
+  }
+
+  /** Incremental report maintenance — refresh a per-partition summary
+    * after a merge by recomputing ONLY the touched partitions'
+    * summary rows and carrying the rest over from the previous
+    * summary. `summarize` must group by `partCol` (one-or-more rows
+    * per partition value, each carrying the partition column); a
+    * fully-deleted partition naturally drops out (its slice is empty,
+    * so `summarize` emits nothing for it, and its old rows are
+    * filtered away). At 100 TB this is the difference between
+    * re-aggregating the whole table after every merge and
+    * re-aggregating the day that changed: cost ∝ touched-partition
+    * bytes, with the touched scan directory-pruned like the merge
+    * itself. The registered query asserts refreshed-incrementally ==
+    * recomputed-from-scratch exactly.
+    *
+    * `previous` must hold PRE-merge values that survive the merge's
+    * directory swap — read it from the stored summary table (the
+    * normal case), or materialize it first. A merely-persisted
+    * `summarize(read(root))` plan is a trap twice over: lazy
+    * re-evaluation would read post-merge files, and the cache manager
+    * matches plan-equal fragments, so a later from-scratch recompute
+    * with the same shape silently reuses the stale cached rows. */
+  def refreshPartitionSummaries(spark: SparkSession, root: String,
+                                partCol: String, touchedValues: Seq[Any],
+                                previous: DataFrame,
+                                summarize: DataFrame => DataFrame): DataFrame = {
+    require(previous.columns.contains(partCol),
+      s"previous summary must carry $partCol")
+    val touchedSlice = spark.read.parquet(root)
+      .filter(col(partCol).isInCollection(touchedValues))
+    previous.filter(!col(partCol).isInCollection(touchedValues))
+      .unionByName(summarize(touchedSlice))
   }
 
   /** MERGE `delta` into the partitioned snapshot at `root`.
@@ -154,6 +188,7 @@ object Upsert {
           require(fs.rename(newDir, oldDir), s"could not move $newDir into place")
       }
     } finally fs.delete(new Path(tmp), true)
-    MergeStats(touchedDirs, untouchedDirs, survivorRows, upsertRows)
+    MergeStats(touchedDirs, untouchedDirs, survivorRows, upsertRows,
+      touchedValues.toSeq)
   }
 }

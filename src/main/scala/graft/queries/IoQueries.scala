@@ -485,6 +485,52 @@ object IoQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Incremental report maintenance: after the same partition-scoped
+    // merge as q_upsert_partitioned, the per-partition summary is
+    // refreshed by recomputing ONLY touched partitions (untouched rows
+    // carry over from the pre-merge summary) — and the incremental
+    // result must equal a from-scratch recompute EXACTLY
+    // (incremental_consistent, both exceptAll directions empty). The
+    // oracle replays the merged per-partition counts/sums.
+    "q_incremental_report" -> { (s, dir) =>
+      import graft.operators.Upsert
+      val root = tmp("graft_increport")
+      val orders = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
+      def summarize(df: DataFrame): DataFrame = df
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      // the pre-merge summary lives ON DISK, as a real report table
+      // would (also sidesteps plan-identity cache aliasing: a persisted
+      // summary plan would be plan-equal to the post-merge recompute
+      // and hijack it via the cache manager)
+      val summaryPath = tmp("graft_increport_sum")
+      summarize(s.read.parquet(root)).write.mode("overwrite").parquet(summaryPath)
+      val before = s.read.parquet(summaryPath)
+      val updates = orders
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("op", lit("U"))
+      val deletes = orders
+        .filter(col("o_orderpriority") === "3-MEDIUM" &&
+          pmod(col("o_orderkey"), lit(5)) === 0)
+        .withColumn("op", lit("D"))
+      val stats = Upsert.mergeIntoPartitioned(s, root,
+        updates.unionByName(deletes), Seq("o_orderkey"), "o_orderpriority")
+      val incremental = Upsert.refreshPartitionSummaries(s, root,
+        "o_orderpriority", stats.touchedValues, before, summarize)
+      val scratch = summarize(s.read.parquet(root))
+      val mismatch = incremental.exceptAll(scratch).count() +
+        scratch.exceptAll(incremental).count()
+      incremental
+        .withColumn("refreshed",
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .withColumn("incremental_consistent", lit(mismatch == 0L))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // CDC read side: diff two snapshot generations into a change-sized
     // U/D delta, then CLOSE THE LOOP — merge the delta into generation
     // A on disk and assert the result equals generation B exactly
@@ -690,6 +736,27 @@ FROM m GROUP BY 1 ORDER BY 1""",
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
            (o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')) AS rewritten,
            TRUE AS untouched_intact
+         FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // merged per-partition summary replayed relationally (kept ∪
+    // updated, deletes gone); refreshed replays the touched set,
+    // consistency boolean pinned TRUE.
+    "q_incremental_report" ->
+      """WITH upd AS (SELECT o_orderkey FROM orders
+             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderkey % 7 = 0),
+         dels AS (SELECT o_orderkey FROM orders
+             WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 5 = 0),
+         merged AS (
+           SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+               AND o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+           UNION ALL
+           SELECT o_orderkey, o_orderpriority, o_totalprice + 1000 FROM orders
+             WHERE o_orderkey IN (SELECT o_orderkey FROM upd))
+         SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           (o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')) AS refreshed,
+           TRUE AS incremental_consistent
          FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // the delta replayed from the same mutation arithmetic: updates are

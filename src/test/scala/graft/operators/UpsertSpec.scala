@@ -135,6 +135,29 @@ class UpsertSpec extends SparkSpec {
     assert(delta.toSeq == Seq((1L, "a", None, "U")))
   }
 
+  test("refreshPartitionSummaries recomputes touched rows, carries the rest, drops emptied") {
+    val root = freshRoot()
+    writeSnapshot(root)
+    def summarize(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("part").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("v").as("sv"))
+    val before = summarize(spark.read.parquet(root)).persist()
+    before.count()
+    // update in a, delete ALL of c (partition vanishes), b untouched
+    val delta = Seq((1L, "a", 100.0, "U"), (6L, "c", 0.0, "D"))
+      .toDF("k", "part", "v", "op")
+    val stats = Upsert.mergeIntoPartitioned(spark, root, delta, Seq("k"), "part")
+    val out = Upsert.refreshPartitionSummaries(spark, root, "part",
+      stats.touchedValues, before, summarize)
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    before.unpersist()
+    assert(out.toSeq == Seq(("a", 3L, 150.0), ("b", 2L, 90.0)))
+    // b's row came from the carried-over summary, a's from the re-scan,
+    // c dropped because its slice is empty post-merge
+  }
+
   test("partition values needing hive escaping survive the dir swap") {
     val root = freshRoot()
     Seq((1L, "x:1", 1.0), (2L, "plain", 2.0)).toDF("k", "part", "v")
