@@ -40,6 +40,20 @@ object Grouping {
       f(k, it.map(_._2))
     }
 
+  /** Sorted streaming cogroup — [[coGroupByKey]] with BOTH sides'
+    * values arriving ordered (each by its own sort columns, referencing
+    * that side's pair schema), no group materialization on either side.
+    * The sorted-merge shape: reconcile two per-key event streams
+    * (orders vs shipments, expected vs observed) with one forward pass
+    * instead of buffering either side's iterable. */
+  def coGroupByKeySorted[K, A, B, U](a: Dataset[(K, A)], b: Dataset[(K, B)],
+                                     sortA: Seq[Column], sortB: Seq[Column])(
+      f: (K, Iterator[A], Iterator[B]) => IterableOnce[U])(
+      implicit ek: Encoder[K], eu: Encoder[U]): Dataset[U] =
+    a.groupByKey(_._1).cogroupSorted(b.groupByKey(_._1))(sortA: _*)(sortB: _*) {
+      (k, as, bs) => f(k, as.map(_._2), bs.map(_._2))
+    }
+
   /** CoGroupByKey ([U] T/join/CoGroupByKey.java): two keyed datasets →
     * per-key (values-from-a, values-from-b). N-way = chain over the tuple. */
   def coGroupByKey[K, A, B](a: Dataset[(K, A)], b: Dataset[(K, B)])(

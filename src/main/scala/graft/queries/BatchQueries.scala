@@ -145,6 +145,35 @@ object BatchQueries {
         .orderBy(col("custkey"))
     },
 
+    // §2.2 sorted cogroup: per-order reconciliation of the order row
+    // with its shipments in ship-date order — first-shipment lag and
+    // shipment count from ONE forward pass over each side, nothing
+    // buffered. floorDiv on both engines (shipdate can precede
+    // orderdate only if the fixture drifts; floor keeps parity either
+    // way). Orders with no lineitems surface with n_ship = 0.
+    "q_cogroup_sorted" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val o = Tables(s, dir).orders
+        .select(col("o_orderkey").as("_1"),
+          col("o_orderdate").cast("timestamp").cast("long").as("_2"))
+        .as[(Long, Long)]
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("_1"),
+          col("l_shipdate").cast("timestamp").cast("long").as("_2"))
+        .as[(Long, Long)]
+      Grouping.coGroupByKeySorted(o, li, Nil, Seq(col("_2"))) {
+        (k: Long, os: Iterator[Long], ls: Iterator[Long]) =>
+          os.map { od =>
+            var n = 0L
+            var first = -1L
+            ls.foreach { sd => if (n == 0) first = sd; n += 1 }
+            (k, n, if (n > 0) Math.floorDiv(first - od, 86400L) else -1L)
+          }
+      }.toDF("orderkey", "n_ship", "first_gap_days")
+        .orderBy(col("orderkey"))
+    },
+
     // §2.2 CoGroupByKey: relational CoGbkResult over customer/supplier
     // keyed by nation.
     "q_cogroupbykey" -> { (s, dir) =>
@@ -625,6 +654,18 @@ object BatchQueries {
     "q_groupbykey" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q_cogroup_sorted" ->
+      """WITH s AS (
+           SELECT l_orderkey, COUNT(*) AS cnt,
+             MIN(CAST(epoch(l_shipdate) AS BIGINT)) AS firstship
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT o_orderkey AS orderkey,
+           COALESCE(cnt, 0) AS n_ship,
+           CAST(COALESCE((firstship - CAST(epoch(o_orderdate) AS BIGINT)) // 86400,
+             -1) AS BIGINT) AS first_gap_days
+         FROM orders LEFT JOIN s ON l_orderkey = o_orderkey
+         ORDER BY orderkey""",
+
     "q_sorted_group" ->
       """WITH g AS (
            SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS ts,

@@ -37,6 +37,17 @@ class GroupingSpec extends SparkSpec {
     assert(out == Seq("x", "a", "z"))
   }
 
+  test("coGroupByKeySorted streams both sides in their own sort orders") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((1, 20), (1, 10), (2, 5)).toDS().repartition(3)
+    val b = Seq((1, "c"), (1, "a"), (1, "b")).toDS().repartition(2)
+    val out = Grouping.coGroupByKeySorted(a, b, Seq(col("_2").desc), Seq(col("_2"))) {
+      (k: Int, as: Iterator[Int], bs: Iterator[String]) =>
+        Iterator((k, as.mkString(","), bs.mkString(",")))
+    }.collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1, "20,10", "a,b,c"), (2, "5", "")))
+  }
+
   test("coGroupByKey tags values per side, including key-only-on-one-side") {
     val a = Seq(("k1", 1), ("k1", 2), ("k2", 3)).toDS()
     val b = Seq(("k1", "x"), ("k3", "y")).toDS()

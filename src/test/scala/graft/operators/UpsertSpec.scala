@@ -158,6 +158,23 @@ class UpsertSpec extends SparkSpec {
     // c dropped because its slice is empty post-merge
   }
 
+  test("untouched partitions are never even OPENED (corrupt-file tripwire)") {
+    val root = freshRoot()
+    writeSnapshot(root)
+    // a poison pill in partition c: any read that touches c explodes, so
+    // a merge of a-only succeeding proves the directory pruning is real,
+    // not just a filter that still scans everything
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "part=c", "part-corrupt.snappy.parquet"),
+      "this is not a parquet file".getBytes("UTF-8"))
+    val delta = Seq((1L, "a", -5.0, "U")).toDF("k", "part", "v", "op")
+    val stats = Upsert.mergeIntoPartitioned(spark, root, delta, Seq("k"), "part")
+    assert(stats.touchedPartitions == Seq("part=a"))
+    val a = spark.read.parquet(root).filter(col("part") === "a")
+      .select("k", "v").as[(Long, Double)].collect().sortBy(_._1)
+    assert(a.toSeq == Seq((1L, -5.0), (2L, 20.0), (3L, 30.0)))
+  }
+
   test("partition values needing hive escaping survive the dir swap") {
     val root = freshRoot()
     Seq((1L, "x:1", 1.0), (2L, "plain", 2.0)).toDF("k", "part", "v")
