@@ -537,6 +537,19 @@ object BatchQueries {
         .orderBy(col("event_type"), col("event_id"))
     },
 
+    // Key-skew diagnosis: measure hot keys (exact counts via MG-prune +
+    // recount; the tail never shuffles) and derive the salt factor the
+    // remedies need, instead of guessing it. The fixture key is made
+    // 60% hot deliberately; suggested_salt uses pure integer ceil, so
+    // the recommendation replays exactly.
+    "q_skew_report" -> { (s, dir) =>
+      val keyed = Tables(s, dir).events
+        .select(when(pmod(col("event_id"), lit(10)) < 6, lit("hot"))
+          .otherwise(col("event_type")).as("k"))
+      graft.operators.Skew.keySkewReport(keyed, col("k"),
+        minShare = 0.05, parallelism = 32)
+    },
+
     // §2.3 Combine.perKey.withHotKeyFanout: two-stage salted aggregation.
     "q_hotkey_sum" -> { (s, dir) =>
       Combine.sumWithHotKeyFanout(
@@ -654,6 +667,20 @@ object BatchQueries {
     "q_groupbykey" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q_skew_report" ->
+      """WITH v AS (
+           SELECT CASE WHEN event_id % 10 < 6 THEN 'hot'
+                       ELSE event_type END AS key_value
+           FROM events),
+         t AS (SELECT COUNT(*) AS total FROM v),
+         g AS (SELECT key_value, COUNT(*) AS n_rows FROM v GROUP BY 1)
+         SELECT key_value, n_rows,
+           CAST(n_rows AS DOUBLE) / total AS share,
+           CAST(FLOOR((n_rows * 32 + total - 1) / total) AS BIGINT) AS suggested_salt
+         FROM g, t
+         WHERE n_rows >= CEIL(0.05 * total)
+         ORDER BY n_rows DESC, key_value""",
+
     "q_cogroup_sorted" ->
       """WITH s AS (
            SELECT l_orderkey, COUNT(*) AS cnt,
