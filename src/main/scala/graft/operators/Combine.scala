@@ -148,6 +148,32 @@ object Combine {
     }
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement: k rows with
+    * inclusion probability ∝ `weight` (Efraimidis–Spirakis A-Res, the
+    * mergeable one-pass weighted reservoir), derandomized the way
+    * [[hashBucket]] derandomizes Bernoulli draws — the uniform draw is
+    * an md5-derived fraction of the id, so the sample is a pure
+    * replayable function of the data: same rows on any engine, any
+    * partitioning, any day. Each row gets an exponential key
+    * −ln(u)/w (u from the first 52 md5 bits); the k SMALLEST keys are
+    * the sample, which Spark plans as TakeOrderedAndProject — a
+    * bounded per-partition heap + merge, never a global sort. Rows
+    * with non-positive weight are excluded (they have no valid
+    * exponential). The pretraining-mixture use: "sample 100k documents
+    * ∝ quality·tokens" with an audit trail anyone can recompute. */
+  def weightedSampleByHash(df: DataFrame, idCol: String, weight: Column,
+                           k: Int): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    val u = (conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 13),
+      16, 10).cast("double") + 0.5) / 4503599627370496.0 // 2^52
+    val key = -log(u) / weight.cast("double")
+    df.filter(weight.cast("double") > 0.0)
+      .withColumn("__wkey", key)
+      .orderBy(col("__wkey"), col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Leakage-safe split: assign every member of a GROUP (near-dup
     * cluster, source domain, conversation thread …) to the same split,
     * by hashing the group's canonical representative (min id) through

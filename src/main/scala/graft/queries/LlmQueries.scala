@@ -543,6 +543,19 @@ object LlmQueries {
         .orderBy(col("split"))
     },
 
+    // Deterministic weighted sampling: 200 docs ∝ length via
+    // hash-derandomized A-Res reservoir keys — the oracle recomputes
+    // the exact same exponential keys and takes the same bottom-k, so
+    // the SAMPLE MEMBERSHIP itself is oracle-checked, not just its
+    // size (the derandomization is what makes that possible; an RNG
+    // reservoir could only be rows-counted).
+    "q_weighted_sample" -> { (s, dir) =>
+      graft.operators.Combine.weightedSampleByHash(
+        Tables(s, dir).documents, "doc_id", col("n_chars"), k = 200)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // Leakage-safe split: near-dup CLUSTERS (normalized-text groups, the
     // q_dedup_clusters fingerprint) are the split unit, so soft copies of
     // a training document can never land in the eval split. Assignment
@@ -1984,6 +1997,18 @@ object LlmQueries {
                      WHEN bucket < 9000 THEN 1 ELSE 2 END AS split,
            count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM b GROUP BY 1 ORDER BY 1""",
+    // the A-Res keys replayed exactly: u from the first 52 md5 bits of
+    // the id string, key = -ln(u)/weight, bottom-k by (key, id).
+    "q_weighted_sample" ->
+      """WITH kd AS (
+           SELECT doc_id, n_chars,
+             -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                    AS UBIGINT) + 0.5) / 4503599627370496.0)
+               / CAST(n_chars AS DOUBLE) AS wkey
+           FROM documents WHERE n_chars > 0),
+         pick AS (SELECT doc_id, n_chars FROM kd ORDER BY wkey, doc_id LIMIT 200)
+         SELECT doc_id, n_chars FROM pick ORDER BY doc_id""",
+
     // split assignment replayed end-to-end: fingerprint → cluster rep
     // (min doc id) → md5 bucket → split; leakage-freedom is structural
     // (one split per fp by construction) so the boolean pins TRUE.

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.operators.Combine._
-import org.apache.spark.sql.functions.{col, countDistinct, first, min}
+import org.apache.spark.sql.functions.{col, countDistinct, first, min, when}
 
 class CombineSpec extends SparkSpec {
   import spark.implicits._
@@ -110,6 +110,42 @@ class CombineSpec extends SparkSpec {
     val again = Combine.hashSplit(df, "id", Seq(0.8, 0.1, 0.1))
       .map(_.select("id").as[Long].collect().toSet)
     assert(again == sets)
+  }
+
+  test("weightedSampleByHash: ≡ scalar A-Res reference; partition-invariant; ∝ weight") {
+    val df = spark.range(2000).toDF("id")
+      .withColumn("w", when(col("id") % 10 === 0, 20.0).otherwise(1.0))
+    val out = Combine.weightedSampleByHash(df, "id", col("w"), 300)
+      .select("id").as[Long].collect().toSet
+    assert(out.size == 300)
+    // scalar reference: identical md5-fraction keys, bottom-k
+    def key(id: Long, w: Double): Double = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md5.map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4503599627370496.0
+      -math.log(u) / w
+    }
+    val ref = (0L until 2000L)
+      .map(i => (i, key(i, if (i % 10 == 0) 20.0 else 1.0)))
+      .sortBy { case (i, k) => (k, i) }.take(300).map(_._1).toSet
+    assert(out == ref)
+    // repartitioning cannot change a pure function of the data
+    val again = Combine.weightedSampleByHash(df.repartition(13), "id", col("w"), 300)
+      .select("id").as[Long].collect().toSet
+    assert(again == out)
+    // weight-20 items are 10% of rows; ∝-weight sampling must pull them
+    // far above 10% of the sample (exact value fixed by the hash)
+    val heavy = out.count(_ % 10 == 0)
+    assert(heavy > 75, s"heavy stratum underrepresented: $heavy/300")
+  }
+
+  test("weightedSampleByHash excludes non-positive weights") {
+    val df = spark.range(100).toDF("id")
+      .withColumn("w", when(col("id") < 50, -1.0).otherwise(2.0))
+    val out = Combine.weightedSampleByHash(df, "id", col("w"), 100)
+      .select("id").as[Long].collect()
+    assert(out.length == 50 && out.forall(_ >= 50))
   }
 
   test("splitByGroup: whole groups move together; singleton groups ≡ hashSplit") {
