@@ -485,6 +485,47 @@ object IoQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // The incremental-ingest flagship: a new shard arrives at an
+    // already-ingested partitioned corpus and flows through the whole
+    // engine — quality gate → intra-shard exact dedup → cross-corpus
+    // fingerprint anti-join against the snapshot → partition-scoped
+    // merge. Post-ingest state is read back from DISK and gated: per-
+    // source totals replayed relationally by the oracle, plus a
+    // no_cross_dup boolean recomputed from the final table (no new doc
+    // shares a fingerprint with a pre-existing one — the invariant the
+    // anti-join exists to enforce).
+    "q_incremental_ingest" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      import graft.operators.Upsert
+      val root = tmp("graft_ingest")
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      val base = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      base.write.partitionBy("source").mode("overwrite").parquet(root)
+      val quality = docs.filter(pmod(col("doc_id"), lit(3)) === 0 &&
+        col("n_chars").between(100, 20000))
+      val shardDeduped = graft.llm.Dedup.exactRows(quality, "doc_id", "text")
+      val baseFps = s.read.parquet(root)
+        .select(TextFunctions.fingerprintPortable(col("text")).as("__k")).distinct()
+      val fresh = shardDeduped
+        .withColumn("__k", TextFunctions.fingerprintPortable(col("text")))
+        .join(baseFps, Seq("__k"), "left_anti").drop("__k")
+      Upsert.mergeIntoPartitioned(s, root,
+        fresh.withColumn("op", lit("U")), Seq("doc_id"), "source")
+      val post = s.read.parquet(root)
+        .withColumn("__k", TextFunctions.fingerprintPortable(col("text")))
+      val crossDups = post.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("__k"))
+        .join(post.filter(pmod(col("doc_id"), lit(3)) =!= 0).select(col("__k")),
+          Seq("__k"), "left_semi")
+        .count()
+      post.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(pmod(col("doc_id"), lit(3)) === 0, 1L).otherwise(0L)).as("n_new"))
+        .withColumn("no_cross_dup", lit(crossDups == 0L))
+        .orderBy(col("source"))
+    },
+
     // Incremental report maintenance: after the same partition-scoped
     // merge as q_upsert_partitioned, the per-partition summary is
     // refreshed by recomputing ONLY touched partitions (untouched rows
@@ -737,6 +778,29 @@ FROM m GROUP BY 1 ORDER BY 1""",
            (o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')) AS rewritten,
            TRUE AS untouched_intact
          FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // the whole ingest replayed relationally: base ∪ (quality-gated,
+    // intra-shard-min-id-deduped, base-fingerprint-anti-joined shard);
+    // the cross-dup invariant is structural post-anti-join → TRUE.
+    "q_incremental_ingest" ->
+      """WITH fp AS (
+           SELECT doc_id, source, n_chars,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS k
+           FROM documents),
+         base AS (SELECT * FROM fp WHERE doc_id % 3 <> 0),
+         q AS (SELECT * FROM fp
+           WHERE doc_id % 3 = 0 AND n_chars BETWEEN 100 AND 20000),
+         sd AS (SELECT q.* FROM q
+           JOIN (SELECT k, min(doc_id) AS keep FROM q GROUP BY k) m
+             ON q.k = m.k AND q.doc_id = m.keep),
+         survivors AS (SELECT * FROM sd
+           WHERE k NOT IN (SELECT k FROM base)),
+         final AS (SELECT doc_id, source FROM base
+                   UNION ALL SELECT doc_id, source FROM survivors)
+         SELECT source, COUNT(*) AS n_docs,
+           SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS n_new,
+           TRUE AS no_cross_dup
+         FROM final GROUP BY source ORDER BY source""",
 
     // merged per-partition summary replayed relationally (kept ∪
     // updated, deletes gone); refreshed replays the touched set,
