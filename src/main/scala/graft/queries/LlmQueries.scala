@@ -482,6 +482,20 @@ object LlmQueries {
         .orderBy(col("detected"))
     },
 
+    // The pure-SQL surface under the gate: the same native kernels, but
+    // invoked through spark.sql over the SQL-registered names
+    // (GraftExtensions) instead of the Column API — proving the SQL
+    // registration path end-to-end in the driver's oracle, not just in
+    // specs. Same replay semantics as q_lang_id + q_token_counts.
+    "q_sql_surface" -> { (s, dir) =>
+      graft.GraftExtensions.register(s)
+      Tables(s, dir).documents.createOrReplaceTempView("graft_docs_sql")
+      s.sql("""SELECT lang_id(text) AS detected,
+                 COUNT(*) AS n,
+                 SUM(size(ngram_strings(text, 1))) AS total_tokens
+               FROM graft_docs_sql GROUP BY lang_id(text) ORDER BY detected""")
+    },
+
     // Per-document token/shingle accounting.
     "q_token_counts" -> { (s, dir) =>
       Tables(s, dir).documents.select(
@@ -1901,6 +1915,30 @@ object LlmQueries {
               ELSE 'de' END AS detected
             FROM scores)
           GROUP BY detected ORDER BY detected""",
+    // the SQL-surface query replayed with the same lang-marker scoring
+    // and [a-z'] token accounting as q_lang_id/q_token_counts.
+    "q_sql_surface" ->
+      s"""WITH tok AS (
+            SELECT list_filter(string_split_regex(lower(text), '[^a-z'']+'), t -> t <> '') AS ts
+            FROM documents),
+          scores AS (
+            SELECT len(ts) AS ntok,
+              len(list_filter(ts, t -> list_contains(${inList(markers("de"))}, t))) AS de,
+              len(list_filter(ts, t -> list_contains(${inList(markers("en"))}, t))) AS en,
+              len(list_filter(ts, t -> list_contains(${inList(markers("es"))}, t))) AS es,
+              len(list_filter(ts, t -> list_contains(${inList(markers("fr"))}, t))) AS fr
+            FROM tok),
+          det AS (
+            SELECT ntok, CASE
+              WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+              WHEN fr = greatest(de, en, es, fr) THEN 'fr'
+              WHEN es = greatest(de, en, es, fr) THEN 'es'
+              WHEN en = greatest(de, en, es, fr) THEN 'en'
+              ELSE 'de' END AS detected
+            FROM scores)
+          SELECT detected, count(*) AS n, SUM(ntok) AS total_tokens
+          FROM det GROUP BY detected ORDER BY detected""",
+
     "q_dedup_keep_best" ->
       s"""WITH t AS (
            SELECT doc_id, text,
