@@ -174,6 +174,29 @@ object Combine {
       .drop("__wkey")
   }
 
+  /** Per-key variant of [[weightedSampleByHash]]: k rows per key with
+    * inclusion ∝ `weight` inside each key — "10 exemplar docs per
+    * source, length-weighted". Same derandomized A-Res keys; selection
+    * is a rank over a window PARTITIONED by the keys (each key's rank
+    * runs in its own partition — never a global window). */
+  def weightedSamplePerKeyByHash(df: DataFrame, keyCols: Seq[String],
+                                 idCol: String, weight: Column,
+                                 k: Int): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val u = (conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 13),
+      16, 10).cast("double") + 0.5) / 4503599627370496.0
+    val wkey = -log(u) / weight.cast("double")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__wkey"), col(idCol))
+    df.filter(weight.cast("double") > 0.0)
+      .withColumn("__wkey", wkey)
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= k)
+      .drop("__wkey", "__rn")
+  }
+
   /** Leakage-safe split: assign every member of a GROUP (near-dup
     * cluster, source domain, conversation thread …) to the same split,
     * by hashing the group's canonical representative (min id) through

@@ -570,6 +570,16 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-key weighted sampling: 5 exemplar docs per source, length-
+    // weighted, same derandomized A-Res keys — membership replayed
+    // exactly per key by the oracle's windowed rank.
+    "q_weighted_sample_perkey" -> { (s, dir) =>
+      graft.operators.Combine.weightedSamplePerKeyByHash(
+        Tables(s, dir).documents, Seq("source"), "doc_id", col("n_chars"), k = 5)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+
     // Leakage-safe split: near-dup CLUSTERS (normalized-text groups, the
     // q_dedup_clusters fingerprint) are the split unit, so soft copies of
     // a training document can never land in the eval split. Assignment
@@ -2035,6 +2045,19 @@ object LlmQueries {
                      WHEN bucket < 9000 THEN 1 ELSE 2 END AS split,
            count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM b GROUP BY 1 ORDER BY 1""",
+    "q_weighted_sample_perkey" ->
+      """WITH kd AS (
+           SELECT source, doc_id, n_chars,
+             -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                    AS UBIGINT) + 0.5) / 4503599627370496.0)
+               / CAST(n_chars AS DOUBLE) AS wkey
+           FROM documents WHERE n_chars > 0),
+         r AS (SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY wkey, doc_id) AS rn
+           FROM kd)
+         SELECT source, doc_id, n_chars FROM r WHERE rn <= 5
+         ORDER BY source, doc_id""",
+
     // the A-Res keys replayed exactly: u from the first 52 md5 bits of
     // the id string, key = -ln(u)/weight, bottom-k by (key, id).
     "q_weighted_sample" ->
