@@ -110,7 +110,16 @@ object HeavyHitters {
     }
 
   def frequentValues(df: DataFrame, valueCol: Column, minFrac: Double,
-                     slack: Int = 2): DataFrame = {
+                     slack: Int = 2): DataFrame =
+    frequentValuesWithTotal(df, valueCol, minFrac, slack)
+      .select(col("value"), col("n"))
+
+  /** [[frequentValues]] plus the non-null total each row was measured
+    * against — the completeness-critical MG-prune/recount pipeline
+    * lives HERE once; share-style consumers (`operators/Skew`) derive
+    * ratios from the carried total instead of re-implementing it. */
+  def frequentValuesWithTotal(df: DataFrame, valueCol: Column, minFrac: Double,
+                              slack: Int = 2): DataFrame = {
     require(minFrac > 0.0 && minFrac <= 1.0, "minFrac must be in (0, 1]")
     require(slack >= 1, "slack must be >= 1")
     val capacity = math.ceil(slack / minFrac).toInt
@@ -122,6 +131,6 @@ object HeavyHitters {
       .groupBy(col("value")).agg(count(lit(1)).as("n"))
       .crossJoin(broadcast(total))
       .filter(col("n") >= ceil(lit(minFrac) * col("total")))
-      .select(col("value"), col("n"))
+      .select(col("value"), col("n"), col("total"))
   }
 }

@@ -241,7 +241,14 @@ object Multimodal {
       * replays bit-for-bit in plain SQL (a full oracle through a real
       * resampling kernel; Graphics2D interpolation would be
       * platform-dependent and unverifiable). */
-    def boxResizePng(bytes: Array[Byte], fx: Int, fy: Int): Array[Byte] = {
+    def boxResizePng(bytes: Array[Byte], fx: Int, fy: Int): Array[Byte] =
+      boxResizePngWithGeometry(bytes, fx, fy)._1
+
+    /** [[boxResizePng]] plus the output geometry — callers that need
+      * (w, h) use this instead of decoding the fresh PNG a second time
+      * just to read its header. */
+    def boxResizePngWithGeometry(bytes: Array[Byte], fx: Int,
+                                 fy: Int): (Array[Byte], Int, Int) = {
       require(fx > 0 && fy > 0, "resize factors must be positive")
       val img = ImageIO.read(new ByteArrayInputStream(bytes))
       require(img != null, "payload is not a decodable image")
@@ -275,7 +282,7 @@ object Multimodal {
       }
       val bos = new ByteArrayOutputStream()
       ImageIO.write(out, "png", bos)
-      bos.toByteArray
+      (bos.toByteArray, ow, oh)
     }
   }
 
@@ -514,9 +521,15 @@ object Multimodal {
         var p = from
         while (p + 8 <= to) {
           val cc = ccAt(bytes, p)
-          val size = rdU32(bytes, p + 4).toInt
+          // Long math, then range-check BEFORE narrowing: a corrupt size
+          // field >= 2^31 would wrap negative as an Int, defeat the
+          // truncation check, and (at exactly -8) freeze the cursor in
+          // an infinite loop — a hung executor task, worse than a crash
+          val sizeL = rdU32(bytes, p + 4)
+          require(sizeL >= 0 && p + 8 + sizeL <= to,
+            s"truncated or corrupt chunk $cc at $p (size $sizeL)")
+          val size = sizeL.toInt
           val dataStart = p + 8
-          require(dataStart + size <= to, s"truncated chunk $cc at $p")
           cc match {
             case "LIST" =>
               walk(dataStart + 4, dataStart + size)
@@ -662,9 +675,8 @@ object Multimodal {
       implicit spark: SparkSession): Dataset[ResizedMedia] = {
     import spark.implicits._
     media.mapPartitions(_.map { case (id, bytes) =>
-      val out = ImageIoCodec.boxResizePng(bytes, fx, fy)
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
-      ResizedMedia(id, img.getWidth, img.getHeight, out)
+      val (out, ow, oh) = ImageIoCodec.boxResizePngWithGeometry(bytes, fx, fy)
+      ResizedMedia(id, ow, oh, out)
     })
   }
 

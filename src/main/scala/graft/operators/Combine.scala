@@ -224,7 +224,12 @@ object Combine {
       .foldLeft(lit(-1): Column) { case (acc, (Seq(lo, hi), i)) =>
         when(b >= lo && b < hi, lit(i)).otherwise(acc)
       }
-    df.join(reps.withColumn("split", splitCol).drop("__rep"), Seq(groupCol))
+    // null-SAFE join: groupBy keeps a null group (its min id is a valid
+    // representative), but a plain equi-join would drop those rows from
+    // every split — every row must land in exactly one split, nulls too
+    val assigned = reps.withColumn("split", splitCol).drop("__rep")
+      .withColumnRenamed(groupCol, "__grp")
+    df.join(assigned, col(groupCol) <=> col("__grp")).drop("__grp")
   }
 
   /** Deterministic stratified sample: per-stratum keep fraction,

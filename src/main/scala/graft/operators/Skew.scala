@@ -32,21 +32,14 @@ object Skew {
     * engine). */
   def keySkewReport(df: DataFrame, key: Column, minShare: Double = 0.01,
                     parallelism: Int = 200, slack: Int = 2): DataFrame = {
-    require(minShare > 0.0 && minShare <= 1.0, "minShare must be in (0, 1]")
     require(parallelism > 0, "parallelism must be positive")
-    val vals = df.select(key.cast("string").as("key_value"))
-      .filter(col("key_value").isNotNull)
-    val capacity = math.ceil(slack / minShare).toInt
-    val cand = graft.llm.HeavyHitters.candidates(vals, col("key_value"), capacity)
-      .select(col("value").as("key_value"))
-    val total = vals.agg(count(lit(1)).as("total"))
-    vals.join(broadcast(cand), Seq("key_value"), "left_semi")
-      .groupBy(col("key_value")).agg(count(lit(1)).as("n_rows"))
-      .crossJoin(broadcast(total))
-      .filter(col("n_rows") >= ceil(lit(minShare) * col("total")))
-      .select(col("key_value"), col("n_rows"),
-        (col("n_rows").cast("double") / col("total")).as("share"),
-        floor((col("n_rows") * parallelism + col("total") - 1) / col("total"))
+    // the completeness-critical MG-prune/recount pipeline lives in
+    // HeavyHitters (one copy of the N/(capacity+1) argument); this op
+    // only adds the share/salt projection
+    graft.llm.HeavyHitters.frequentValuesWithTotal(df, key, minShare, slack)
+      .select(col("value").as("key_value"), col("n").as("n_rows"),
+        (col("n").cast("double") / col("total")).as("share"),
+        floor((col("n") * parallelism + col("total") - 1) / col("total"))
           .cast("long").as("suggested_salt"))
       .orderBy(col("n_rows").desc, col("key_value"))
   }

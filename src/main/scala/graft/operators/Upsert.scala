@@ -140,55 +140,92 @@ object Upsert {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(rootPath), s"snapshot root $root does not exist")
+    // dirName must agree with how Spark's partitioned write names the
+    // value's directory; that holds for strings and integral/boolean
+    // types, but NOT for null (writes __HIVE_DEFAULT_PARTITION__) or for
+    // date/timestamp/decimal formatting — a mismatch would silently
+    // strand the rewrite in tmp, so reject rather than lose data
+    import org.apache.spark.sql.types._
+    delta.schema(partCol).dataType match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           BooleanType => ()
+      case other => throw new IllegalArgumentException(
+        s"$partCol has type ${other.catalogString}; partition-scoped merge " +
+          "supports string/integral/boolean partition values (path-name-stable)")
+    }
 
-    val ops = delta.select(col(opCol)).distinct().collect().map(_.getString(0)).toSet
-    require(ops.subsetOf(Set("U", "D")),
-      s"unknown $opCol values: ${(ops -- Set("U", "D")).mkString(", ")}")
-    // one stored row per key → the delta must target each key in exactly
-    // one partition, or the anti-join keeps the old row AND the new one
-    val multi = delta.groupBy(keyCols.map(col): _*)
-      .agg(countDistinct(col(partCol)).as("np")).filter(col("np") > 1).count()
-    require(multi == 0, s"$multi delta key(s) appear in more than one $partCol")
-
-    val touchedValues = delta.select(col(partCol)).distinct().collect().map(_.get(0))
-    val touchedDirs = touchedValues.map(dirName(partCol, _)).sorted.toSeq
-    val existingDirs = fs.listStatus(rootPath)
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-      .map(_.getPath.getName).sorted.toSeq
-    val untouchedDirs = existingDirs.filterNot(touchedDirs.contains)
-
-    // directory-pruned read of ONLY the touched slice of the snapshot
-    val snap = spark.read.parquet(root)
-    val affected = snap.filter(col(partCol).isInCollection(touchedValues.toSeq))
-    val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
-    val survivors = affected.join(deltaKeys, keyCols, "left_anti")
-    val upserts = delta.filter(col(opCol) === "U").drop(opCol)
-      .select(snap.columns.map(col).toIndexedSeq: _*) // snapshot column order
-    val merged = survivors.unionByName(upserts)
-
-    // land the rewrite in a temp root first: the swap below is pure
-    // renames, so a mid-merge failure leaves every partition either
-    // fully old or fully new, never mixed
-    val tmp = s"$root.merge-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
-    merged.write.partitionBy(partCol).mode("overwrite").parquet(tmp)
-    // row accounting from the MATERIALIZED rewrite (cheap re-scan of the
-    // touched slice only); survivors and upserts are disjoint by the
-    // anti-join construction. Explicit schema: a delete-everything merge
-    // writes zero files and schema inference would fail on the empty dir.
-    val mergedRows = spark.read.schema(snap.schema).parquet(tmp).count()
-    val upsertRows = delta.filter(col(opCol) === "U").count()
-    val survivorRows = mergedRows - upsertRows
+    // the delta feeds several collects, the rewrite, and the row
+    // accounting — evaluate its upstream plan once
+    delta.persist()
     try {
+      require(delta.filter(col(partCol).isNull).isEmpty,
+        s"delta rows with null $partCol are not mergeable (no stable dir name)")
+      val ops = delta.select(col(opCol)).distinct().collect().map(_.getString(0)).toSet
+      require(ops.subsetOf(Set("U", "D")),
+        s"unknown $opCol values: ${(ops -- Set("U", "D")).mkString(", ")}")
+      // one stored row per key → each key may appear ONCE in the delta;
+      // two same-key rows (even in one partition) would both survive the
+      // anti-join and duplicate the key in the snapshot. Callers with
+      // multi-change feeds collapse first (see StreamOps.writeStreamMerge).
+      val dup = delta.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("np")).filter(col("np") > 1).count()
+      require(dup == 0, s"$dup delta key(s) appear in more than one row; " +
+        "collapse the delta to one row per key before merging")
+
+      val touchedValues = delta.select(col(partCol)).distinct().collect().map(_.get(0))
+      val touchedDirs = touchedValues.map(dirName(partCol, _)).sorted.toSeq
+      val existingDirs = fs.listStatus(rootPath)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .map(_.getPath.getName).sorted.toSeq
+      val untouchedDirs = existingDirs.filterNot(touchedDirs.contains)
+
+      // directory-pruned read of ONLY the touched slice of the snapshot
+      val snap = spark.read.parquet(root)
+      val affected = snap.filter(col(partCol).isInCollection(touchedValues.toSeq))
+      val deltaKeys = delta.select(keyCols.map(col): _*).distinct()
+      val survivors = affected.join(deltaKeys, keyCols, "left_anti")
+      val upserts = delta.filter(col(opCol) === "U").drop(opCol)
+        .select(snap.columns.map(col).toIndexedSeq: _*) // snapshot column order
+      val merged = survivors.unionByName(upserts)
+
+      // land the rewrite in a temp root first: the swap below is pure
+      // renames, so a mid-merge failure leaves every partition either
+      // fully old or fully new, never mixed
+      val tmp = s"$root.merge-tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+      merged.write.partitionBy(partCol).mode("overwrite").parquet(tmp)
+      // row accounting from the MATERIALIZED rewrite (cheap re-scan of the
+      // touched slice only); survivors and upserts are disjoint by the
+      // anti-join construction. Explicit schema: a delete-everything merge
+      // writes zero files and schema inference would fail on the empty dir.
+      val mergedRows = spark.read.schema(snap.schema).parquet(tmp).count()
+      val upsertRows = delta.filter(col(opCol) === "U").count()
+      val survivorRows = mergedRows - upsertRows
+
+      // Swap, preserving a recovery path at every step: the OLD dir is
+      // renamed aside (never deleted) before the new one moves in, so a
+      // failed rename can restore it; tmp is only removed after EVERY
+      // partition swapped — on failure it stays on disk with both the
+      // aside copies and any unswapped rewrites.
       touchedDirs.foreach { d =>
         val oldDir = new Path(rootPath, d)
-        if (fs.exists(oldDir)) require(fs.delete(oldDir, true), s"could not drop $oldDir")
         val newDir = new Path(tmp, d)
-        // a fully-deleted partition writes no dir — dropping the old one IS the merge
-        if (fs.exists(newDir))
-          require(fs.rename(newDir, oldDir), s"could not move $newDir into place")
+        val aside = new Path(tmp, s".replaced-$d")
+        val hadOld = fs.exists(oldDir)
+        if (hadOld) require(fs.rename(oldDir, aside),
+          s"could not move $oldDir aside (snapshot unchanged)")
+        // a fully-deleted partition writes no dir — retiring the old one
+        // IS the merge for it
+        if (fs.exists(newDir) && !fs.rename(newDir, oldDir)) {
+          if (hadOld && !fs.rename(aside, oldDir))
+            throw new IllegalStateException(
+              s"swap of $d failed AND restore failed; old data preserved at $aside")
+          throw new IllegalStateException(
+            s"could not move $newDir into place; $d restored, rewrite kept at $tmp")
+        }
       }
-    } finally fs.delete(new Path(tmp), true)
-    MergeStats(touchedDirs, untouchedDirs, survivorRows, upsertRows,
-      touchedValues.toSeq)
+      fs.delete(new Path(tmp), true) // success: drop asides + empty shell
+      MergeStats(touchedDirs, untouchedDirs, survivorRows, upsertRows,
+        touchedValues.toSeq)
+    } finally { delta.unpersist(); () }
   }
 }

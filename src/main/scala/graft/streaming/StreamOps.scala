@@ -243,14 +243,21 @@ object StreamOps {
         val keyWindow = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*)
           .orderBy(col(orderCol).desc, when(col(opCol) === "D", 0).otherwise(1))
+        // persist: the collapse window feeds isEmpty AND the merge's
+        // several passes — without it each pass re-pulls the micro-batch
+        // from the source and re-runs the rank shuffle (the same reason
+        // writeWithDeadLetterQueue persists its batch)
         val collapsed = batch
           .withColumn("__rn", row_number().over(keyWindow))
           .filter(col("__rn") === 1).drop("__rn", orderCol)
-        if (!collapsed.isEmpty) {
-          graft.operators.Upsert.mergeIntoPartitioned(
-            batch.sparkSession, root, collapsed, keyCols, partCol, opCol)
-          ()
-        }
+          .persist()
+        try {
+          if (!collapsed.isEmpty) {
+            graft.operators.Upsert.mergeIntoPartitioned(
+              batch.sparkSession, root, collapsed, keyCols, partCol, opCol)
+            ()
+          }
+        } finally { collapsed.unpersist(); () }
       }
       .start()
 }

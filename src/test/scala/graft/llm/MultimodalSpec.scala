@@ -220,6 +220,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AviMjpegCodec: a corrupt huge chunk-size field fails fast, never loops") {
+    // size 0xFFFFFFF8 once wrapped to Int -8 and froze the chunk cursor
+    // in place — a hung executor task; it must be a crisp parse error
+    val avi = Multimodal.AviMjpegCodec.encode(8, 8, 10, 2, 0.9f, (_, _, _) => (9, 9, 9))
+    val evil = avi.clone()
+    // find the first '00dc' chunk and poison its size field
+    val idx = evil.sliding(4).indexWhere(w => new String(w.toArray, "US-ASCII") == "00dc")
+    assert(idx > 0)
+    evil(idx + 4) = 0xf8.toByte; evil(idx + 5) = 0xff.toByte
+    evil(idx + 6) = 0xff.toByte; evil(idx + 7) = 0xff.toByte
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.AviMjpegCodec.decode(evil)
+    }
+    assert(e.getMessage.contains("corrupt") || e.getMessage.contains("truncated"))
+  }
+
   test("decodeVideoStats: distributed per-frame decode with container cross-checks") {
     val vids = spark.createDataset(Seq(
       (1L, Multimodal.AviMjpegCodec.encode(16, 8, 10, 3, 0.9f, (f, _, _) => (f * 80, 100, 50))),

@@ -172,6 +172,17 @@ class CombineSpec extends SparkSpec {
     assert(math.abs(bySplit(0) - 8000) < 1200)
   }
 
+  test("splitByGroup keeps null-group rows (null-safe join), all in one split") {
+    val df = Seq[(Long, Option[String])](
+      (1L, Some("g1")), (2L, None), (3L, None), (4L, Some("g2")))
+      .toDF("id", "grp")
+    val out = Combine.splitByGroup(df, "id", "grp", Seq(0.5, 0.5))
+      .select("id", "split").as[(Long, Int)].collect().toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L), "rows were dropped")
+    // the null group is ONE group: both its members share a split
+    assert(out(2L) == out(3L))
+  }
+
   test("stratifiedSampleByHash: per-stratum rates, deterministic, scan-side filter") {
     val df = spark.range(12000)
       .selectExpr("id", "CASE id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS s")

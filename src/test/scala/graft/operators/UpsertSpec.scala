@@ -74,6 +74,43 @@ class UpsertSpec extends SparkSpec {
     assert(d.toSeq == Seq((8L, 80.0)))
   }
 
+  test("same-partition duplicate delta keys are rejected (no silent key duplication)") {
+    val root = freshRoot()
+    writeSnapshot(root)
+    val delta = Seq((2L, "a", 1.0, "U"), (2L, "a", 2.0, "U"))
+      .toDF("k", "part", "v", "op")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergeIntoPartitioned(spark, root, delta, Seq("k"), "part")
+    }
+    assert(e.getMessage.contains("more than one"))
+    // snapshot unharmed
+    assert(spark.read.parquet(root).count() == 6L)
+  }
+
+  test("null partition values in the delta are rejected, not silently dropped") {
+    val root = freshRoot()
+    writeSnapshot(root)
+    val delta = Seq[(Long, Option[String], Double, String)](
+      (9L, None, 1.0, "U")).toDF("k", "part", "v", "op")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergeIntoPartitioned(spark, root, delta, Seq("k"), "part")
+    }
+    assert(e.getMessage.contains("null part"))
+  }
+
+  test("path-name-unstable partition types are rejected up front") {
+    val root = freshRoot()
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("k", "part", "v")
+      .write.partitionBy("part").mode("overwrite").parquet(root)
+    val delta = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2.0, "U"))
+      .toDF("k", "part", "v", "op")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergeIntoPartitioned(spark, root, delta, Seq("k"), "part")
+    }
+    assert(e.getMessage.contains("path-name-stable"))
+  }
+
   test("a key split across two delta partitions is rejected") {
     val root = freshRoot()
     writeSnapshot(root)
