@@ -70,8 +70,19 @@ object Stress {
     // signal (back-reference/entropy orderings on perturbed copies)
     "q_cms_native", "q_compress_ratio")
 
+  /** round-8 lake/curation additions over the documents table: the
+    * incremental-ingest flagship (every stage must stay linear when the
+    * corpus is duplicate-dense — the dedup anti-join's fingerprint keys
+    * go 10× hot), the leakage-safe split (cluster sizes grow ~10×, the
+    * rep join must not super-linearize), weighted sampling (TakeOrdered
+    * heap at 10× input), and theta set algebra (sketch work should be
+    * nearly corpus-size-flat; the bound booleans re-prove at 10×). */
+  val LakeQueries = Seq(
+    "q_incremental_ingest", "q_split_leakage_safe", "q_weighted_sample",
+    "q_theta_overlap")
+
   def allQueries: Seq[String] =
-    DedupQueries ++ EmbQueries ++ ContamQueries ++ TextQueries
+    DedupQueries ++ EmbQueries ++ ContamQueries ++ TextQueries ++ LakeQueries
 
   private def releaseCaches(): Unit = {
     graft.llm.Dedup.releasePersistedState()
