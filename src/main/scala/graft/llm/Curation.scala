@@ -57,6 +57,39 @@ object Curation {
         col("__g.f_bullets").as("f_bullets"),
         col("__g.keep").as("keep"))
 
+  /** Curation decision trace — the observability inverse of the drop
+    * pipeline: instead of filtering documents away, label EVERY
+    * document with the first stage that would drop it (`gopher` →
+    * `dedup` → `trim`) or `kept`. The funnel report this feeds answers
+    * the question every training-data pipeline gets asked — "where did
+    * my documents go?" — per source, with numbers an auditor can
+    * recompute (all three stage decisions are deterministic functions
+    * of the corpus). Same per-stage plans as the filtering pipeline;
+    * the only addition is three left joins of id-sized frames. */
+  def pipelineFunnel(docs: DataFrame, idCol: String, textCol: String,
+                     lengthCol: Column, minWords: Int = 50,
+                     lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val flags = gopherQualityFlags(docs, idCol, textCol, minWords)
+      .select(col(idCol), col("keep"))
+    val kept = docs.join(flags.filter(col("keep")).select(col(idCol)), Seq(idCol))
+    val keepers = Dedup.exactByKey(kept, idCol,
+        TextFunctions.fingerprintPortable(col(textCol)))
+      .select(col("keeper").as(idCol), lit(true).as("__kp"))
+    val deduped = kept.join(keepers.select(col(idCol)), Seq(idCol))
+    val trimmed = trimByQuantiles(deduped, idCol, lengthCol, lo, hi)
+      .select(col(idCol), lit(true).as("__tr"))
+    docs
+      .join(flags, Seq(idCol), "left")
+      .join(keepers, Seq(idCol), "left")
+      .join(trimmed, Seq(idCol), "left")
+      .withColumn("stage",
+        when(!col("keep"), "gopher")
+          .when(col("__kp").isNull, "dedup")
+          .when(col("__tr").isNull, "trim")
+          .otherwise("kept"))
+      .drop("keep", "__kp", "__tr")
+  }
+
   /** Budget-bounded greedy selection: take documents in descending
     * `score` order (ties by ascending id) until the token budget is
     * spent — "best docs first until the run's token budget is full", the

@@ -1467,6 +1467,18 @@ object LlmQueries {
         .orderBy(col("source"))
     },
 
+    // The pipeline's decision trace: every document labeled with the
+    // FIRST stage that drops it (gopher → dedup → trim) or kept — the
+    // "where did my documents go" funnel per source, all three stage
+    // decisions deterministic and replayed by the oracle.
+    "q_curation_funnel" -> { (s, dir) =>
+      Curation.pipelineFunnel(Tables(s, dir).documents, "doc_id", "text",
+          col("n_chars"), minWords = 20, lo = 0.05, hi = 0.95)
+        .groupBy(col("source"), col("stage"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("stage"))
+    },
+
     // Length-complete contamination: short probes (< n tokens) route
     // through the exact-substring scan, long probes through the n-gram
     // hash join — closes the short-probe false-negative of the pure
@@ -3005,6 +3017,56 @@ object LlmQueries {
              x -> len(x) > 0))) AS BIGINT) AS total_tokens,
            min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM fin GROUP BY source ORDER BY source""",
+    // the funnel labels from the SAME stage CTEs as q_pipeline_e2e:
+    // first-drop-stage per doc, counted per source.
+    "q_curation_funnel" ->
+      s"""WITH t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks,
+             list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             len(ws) AS nw,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
+             END AS mwl,
+             (length(text) - length(replace(text, '#', ''))) +
+               (length(text) - length(replace(text, '…', ''))) +
+               CAST((length(text) - length(replace(text, '...', ''))) / 3 AS INTEGER) AS sym,
+             CASE WHEN len(ws) = 0 THEN 0.0
+                  ELSE len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE / len(ws)
+             END AS af,
+             len(list_intersect(list_distinct(toks), ${inList(TextFunctions.EnglishStopwords)})) AS ds,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE / len(lines)
+             END AS bf,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE len(list_filter(lines, l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))::DOUBLE / len(lines)
+             END AS ef
+           FROM t),
+         g AS (
+           SELECT doc_id FROM m
+           WHERE (nw >= 20 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+             AND (CASE WHEN nw = 0 THEN FALSE ELSE sym::DOUBLE / nw <= 0.1 END)
+             AND af >= 0.8 AND ds >= 2 AND (bf < 0.9 AND ef < 0.3)),
+         kept AS (SELECT d.* FROM documents d JOIN g USING (doc_id)),
+         dd AS (SELECT min(doc_id) AS doc_id FROM kept
+                GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+         dkept AS (SELECT k.* FROM kept k JOIN dd USING (doc_id)),
+         b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+                      quantile_cont(n_chars, 0.95) AS hi FROM dkept),
+         lab AS (
+           SELECT d.source,
+             CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM g) THEN 'gopher'
+                  WHEN d.doc_id NOT IN (SELECT doc_id FROM dd) THEN 'dedup'
+                  WHEN d.n_chars < (SELECT lo FROM b)
+                    OR d.n_chars > (SELECT hi FROM b) THEN 'trim'
+                  ELSE 'kept' END AS stage
+           FROM documents d)
+         SELECT source, stage, count(*) AS n
+         FROM lab GROUP BY source, stage ORDER BY source, stage""",
     "q_contamination_full" ->
       """WITH p AS (
            SELECT doc_id AS probe_id, substr(text, 1, 40) AS ptext
