@@ -13,6 +13,7 @@ object Bench {
     graft.llm.TextRelevance.releasePersistedState()
     graft.llm.Boilerplate.releasePersistedState()
     graft.llm.Contamination.releasePersistedState()
+    graft.operators.ElementWise.releasePersistedState()
   }
 
   def main(args: Array[String]): Unit = {

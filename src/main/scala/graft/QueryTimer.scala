@@ -41,6 +41,7 @@ object QueryTimer {
       graft.llm.TextRelevance.releasePersistedState()
       graft.llm.Boilerplate.releasePersistedState()
       graft.llm.Contamination.releasePersistedState()
+    graft.operators.ElementWise.releasePersistedState()
     }
     spark.stop()
   }

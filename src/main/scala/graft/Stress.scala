@@ -90,6 +90,7 @@ object Stress {
     graft.llm.TextRelevance.releasePersistedState()
     graft.llm.Boilerplate.releasePersistedState()
     graft.llm.Contamination.releasePersistedState()
+    graft.operators.ElementWise.releasePersistedState()
   }
 
   /** Duplicate+perturb `baseDir`'s documents + embeddings `factor`× into

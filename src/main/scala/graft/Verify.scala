@@ -34,6 +34,7 @@ object Verify {
         graft.llm.TextRelevance.releasePersistedState()
         graft.llm.Boilerplate.releasePersistedState()
         graft.llm.Contamination.releasePersistedState()
+    graft.operators.ElementWise.releasePersistedState()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -89,17 +89,27 @@ object TextFunctions {
   def qualityScore(text: Column): Column =
     ShingleExprs.qualityScore(text)
 
+  /** The normative dedup whitespace class, spelled OUT rather than as
+    * `\s`: Java-regex `\s` is `[ \t\n\x0B\f\r]` but RE2 (DuckDB, Go —
+    * the engines that recompute these keys) excludes `\x0B` from `\s`,
+    * so a document containing a vertical tab would fingerprint
+    * differently across engines. Pinning the explicit class keeps the
+    * normalization engine-portable by construction (Spark behavior is
+    * unchanged — the class IS Java's `\s`). */
+  private val WsClass = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** 64-bit document fingerprint of the normalized text (case-folded,
     * whitespace-collapsed) — the exact-dedup key. */
   def fingerprint(text: Column): Column =
-    xxhash64(trim(regexp_replace(lower(text), "\\s+", " ")))
+    xxhash64(trim(regexp_replace(lower(text), WsClass, " ")))
 
   /** Engine-portable fingerprint: md5 hex of the same normalization.
     * Slower than [[fingerprint]] but reproducible outside Spark (xxhash64's
     * seed/variant is engine-specific) — use when downstream systems must
-    * recompute the key. */
+    * recompute the key. Oracle twin: `md5(trim(regexp_replace(lower(text),
+    * '[ \t\n\x0B\f\r]+', ' ', 'g')))`. */
   def fingerprintPortable(text: Column): Column =
-    md5(trim(regexp_replace(lower(text), "\\s+", " ")).cast("binary"))
+    md5(trim(regexp_replace(lower(text), WsClass, " ")).cast("binary"))
 
   /** Scrub common PII shapes to typed placeholder tokens — emails, IPv4
     * addresses, phone-like digit runs — the redaction pass a pretraining

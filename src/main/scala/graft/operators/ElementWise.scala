@@ -18,6 +18,19 @@ import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
   */
 object ElementWise {
 
+  // tracked-persist registry (the llm-module convention): caches created
+  // by partitionInto live here so sweep harnesses can flush them
+  private val persisted = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+  private def track[T](ds: Dataset[T]): Dataset[T] = persisted.synchronized {
+    persisted += ds
+    ds.cache()
+  }
+  /** Unpersist every cache this module created (sweep/REPL hygiene). */
+  def releasePersistedState(): Unit = persisted.synchronized {
+    persisted.foreach(_.unpersist())
+    persisted.clear()
+  }
+
   /** Dataflow-style DoFn: per-bundle setup/teardown + 0..n outputs per
     * element. finishBundle may emit trailing elements (e.g. flush buffers).
     * Mirrors [U] sdk/.../transforms/DoFn.java semantics. */
@@ -64,10 +77,13 @@ object ElementWise {
       partitionIntoManaged(n)(f)._1
 
     /** [[partitionInto]] plus a release handle that unpersists the shared
-      * parent once every branch has been consumed. */
+      * parent once every branch has been consumed. The parent is also
+      * registered with [[ElementWise.releasePersistedState]] so sweep
+      * harnesses (Bench/Verify) that run hundreds of queries per session
+      * can flush it between queries like the llm-module caches. */
     def partitionIntoManaged(n: Int)(f: T => Int): (IndexedSeq[Dataset[T]], () => Unit) = {
       require(n > 0, "partitionInto needs n > 0")
-      val parent = ds.cache()
+      val parent = ElementWise.track(ds)
       ((0 until n).map(i => parent.filter((t: T) => f(t) == i)),
         () => { parent.unpersist(); () })
     }

@@ -45,8 +45,11 @@ object BatchQueries {
       val re = """"k": (\d+)""".r
       val props = Tables(s, dir).events.select(col("props")).as[String]
       val ks = ElementWise.parDo(props)(new DoFn[String, String] {
+        // a non-matching payload maps to "" (exactly what the oracle's
+        // regexp_extract returns on no-match) — dropping it instead
+        // would silently diverge the two sides on a fixture change
         def processElement(p: String): IterableOnce[String] =
-          re.findFirstMatchIn(p).map(_.group(1))
+          Iterator.single(re.findFirstMatchIn(p).map(_.group(1)).getOrElse(""))
       })
       ks.toDF("k").groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy(col("k"))
     },
@@ -65,9 +68,12 @@ object BatchQueries {
     // §2.1 Partition: fan out by a partition fn over one cached scan,
     // then per-branch aggregates unioned back.
     "q_partition" -> { (s, dir) =>
-      val statusIdx = Map("F" -> 0, "O" -> 1, "P" -> 2)
+      val statusIdx = Map("F" -> 0, "O" -> 1)
+      // total fn (unknown statuses → last bucket), mirroring the oracle's
+      // CASE ... ELSE — Map.apply would crash on a status the oracle
+      // happily routes to bucket 2
       val parts = Tables(s, dir).orders
-        .partitionInto(3)(r => statusIdx(r.getAs[String]("o_orderstatus")))
+        .partitionInto(3)(r => statusIdx.getOrElse(r.getAs[String]("o_orderstatus"), 2))
       val counted = parts.zipWithIndex.map { case (p, i) =>
         p.agg(count(lit(1)).as("n")).select(lit(i).as("bucket"), col("n"))
       }
@@ -646,10 +652,14 @@ object BatchQueries {
     "q_kv_ops" ->
       """SELECT event_type, count(*) AS n FROM events
          GROUP BY event_type ORDER BY event_type""",
+    // all three buckets always present (the engine aggregates each branch
+    // even when empty, so the oracle must emit n=0 rows too)
     "q_partition" ->
-      """SELECT CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 ELSE 2 END AS bucket,
-           count(*) AS n
-         FROM orders GROUP BY bucket ORDER BY bucket""",
+      """SELECT b.bucket, count(o_orderkey) AS n
+         FROM (VALUES (0), (1), (2)) b(bucket)
+         LEFT JOIN orders
+           ON CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 ELSE 2 END = b.bucket
+         GROUP BY b.bucket ORDER BY b.bucket""",
     "q_with_timestamps" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts + (event_id % 120) * INTERVAL '1 minute') AS w_start,
            count(*) AS n

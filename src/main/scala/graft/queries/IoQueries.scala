@@ -785,7 +785,7 @@ FROM m GROUP BY 1 ORDER BY 1""",
     "q_incremental_ingest" ->
       """WITH fp AS (
            SELECT doc_id, source, n_chars,
-             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS k
+             md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS k
            FROM documents),
          base AS (SELECT * FROM fp WHERE doc_id % 3 <> 0),
          q AS (SELECT * FROM fp

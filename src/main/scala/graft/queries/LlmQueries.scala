@@ -27,7 +27,7 @@ object LlmQueries {
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exactByKey(
         Tables(s, dir).documents, "doc_id",
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")))
+        TextFunctions.fingerprintPortable(col("text")))
         .orderBy(col("keeper"))
     },
 
@@ -36,7 +36,7 @@ object LlmQueries {
     "q_dedup_clusters" -> { (s, dir) =>
       Dedup.exactByKey(
         Tables(s, dir).documents, "doc_id",
-        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")))
+        TextFunctions.fingerprintPortable(col("text")))
         .groupBy(col("n_dups"))
         .agg(count(lit(1)).as("n_clusters"))
         .orderBy(col("n_dups"))
@@ -189,7 +189,7 @@ object LlmQueries {
       val grp = docs
         .filter(size(TextFunctions.tokens(col("text"))) > 0)
         .select(col("doc_id"),
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")).as("fp"))
+          TextFunctions.fingerprintPortable(col("text")).as("fp"))
         .join(lab, Seq("doc_id"))
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n"), countDistinct(col("label")).as("nl"))
@@ -590,7 +590,7 @@ object LlmQueries {
     "q_split_leakage_safe" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
         .withColumn("fp",
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")))
+          TextFunctions.fingerprintPortable(col("text")))
       val assigned =
         graft.operators.Combine.splitByGroup(docs, "doc_id", "fp", Seq(0.8, 0.1, 0.1))
       val leak = assigned.groupBy(col("fp"))
@@ -1338,7 +1338,7 @@ object LlmQueries {
     },
 
     // Budget-bounded greedy selection: best-quality docs first until a
-    // 50k-token budget is spent. Runs on the distributed prefix sum
+    // 20k-token budget is spent. Runs on the distributed prefix sum
     // (range-partitioned cumsum — no single-partition window).
     "q_token_budget" -> { (s, dir) =>
       Curation.selectByTokenBudget(Tables(s, dir).documents, "doc_id",
@@ -1641,7 +1641,7 @@ object LlmQueries {
     "q_dedup_exact_rows" ->
       """WITH k AS (
            SELECT doc_id, lang, source, n_chars,
-             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
            FROM documents),
          m AS (SELECT fp, min(doc_id) AS keep FROM k GROUP BY fp)
          SELECT k.doc_id, k.lang, k.source, k.n_chars
@@ -1649,12 +1649,12 @@ object LlmQueries {
          ORDER BY k.doc_id""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_dups FROM documents
-         GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+         GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')))
          ORDER BY keeper""",
     "q_dedup_clusters" ->
       """WITH g AS (
            SELECT count(*) AS n_dups FROM documents
-           GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))))
+           GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))))
          SELECT n_dups, count(*) AS n_clusters FROM g
          GROUP BY n_dups ORDER BY n_dups""",
     // Self-asserting minhash gate: the deterministic row set is the exact
@@ -1694,7 +1694,7 @@ object LlmQueries {
     // companions; component-invariant booleans pinned TRUE.
     "q_dedup_pipeline" ->
       """WITH g AS (
-           SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
            FROM documents
            WHERE len(list_filter(string_split_regex(lower(text), '[^a-z'']+'), t -> t <> '')) > 0
            GROUP BY 1 HAVING count(*) >= 2)
@@ -2088,7 +2088,7 @@ object LlmQueries {
     "q_split_leakage_safe" ->
       """WITH g AS (
            SELECT doc_id,
-             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+             md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
            FROM documents),
          rep AS (SELECT fp, min(doc_id) AS rep FROM g GROUP BY fp),
          b AS (SELECT fp,
@@ -2313,7 +2313,7 @@ object LlmQueries {
           + (CASE WHEN sr > 0.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality,
            CAST(coalesce(list_sum(list_transform(pieces,
              p -> CAST(ceil(length(p)::DOUBLE / 4.0) AS BIGINT))), 0) AS BIGINT) AS bpe_tokens,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+           md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
          FROM m ORDER BY doc_id""",
     "q_token_counts" ->
       """WITH tok AS (
@@ -2750,10 +2750,10 @@ object LlmQueries {
       """WITH refd AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
          newd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
          refk AS (SELECT DISTINCT
-             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS k
+             md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS k
            FROM refd),
          ex AS (SELECT * FROM newd
-           WHERE md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           WHERE md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')))
              NOT IN (SELECT k FROM refk)),
          ntk AS (SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
@@ -2791,10 +2791,10 @@ object LlmQueries {
       """WITH refd AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
          newd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
          refk AS (SELECT DISTINCT
-             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS k
+             md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS k
            FROM refd)
          SELECT doc_id, n_chars FROM newd
-         WHERE md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+         WHERE md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')))
            NOT IN (SELECT k FROM refk)
          ORDER BY doc_id""",
     // FULL oracle through a real compressed codec: PNG is lossless, so
@@ -3006,7 +3006,7 @@ object LlmQueries {
              AND af >= 0.8 AND ds >= 2 AND (bf < 0.9 AND ef < 0.3)),
          kept AS (SELECT d.* FROM documents d JOIN g USING (doc_id)),
          dd AS (SELECT min(doc_id) AS doc_id FROM kept
-                GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+                GROUP BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))),
          dkept AS (SELECT k.* FROM kept k JOIN dd USING (doc_id)),
          b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
                       quantile_cont(n_chars, 0.95) AS hi FROM dkept),
@@ -3053,7 +3053,7 @@ object LlmQueries {
              AND af >= 0.8 AND ds >= 2 AND (bf < 0.9 AND ef < 0.3)),
          kept AS (SELECT d.* FROM documents d JOIN g USING (doc_id)),
          dd AS (SELECT min(doc_id) AS doc_id FROM kept
-                GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))),
+                GROUP BY md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))),
          dkept AS (SELECT k.* FROM kept k JOIN dd USING (doc_id)),
          b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
                       quantile_cont(n_chars, 0.95) AS hi FROM dkept),
@@ -3129,7 +3129,7 @@ object LlmQueries {
              CASE WHEN len(toks) = 0 THEN 0.0
                   ELSE len(list_filter(toks, x -> list_contains(${inList(TextFunctions.EnglishStopwords)}, x)))::DOUBLE / len(toks)
              END AS sr,
-             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+             md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
            FROM t),
          q AS (
            SELECT source, tok, fp,
