@@ -197,6 +197,15 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Synthesize a BMP payload (uncompressed 24-bit — lossless like
+      * PNG, so decoded pixels equal the pixel function bit-for-bit). */
+    def encodeBmp(width: Int, height: Int,
+                  pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(render(width, height, pixel), "bmp", out)
+      out.toByteArray
+    }
+
     /** Synthesize a JPEG payload at an explicit quality (deterministic:
       * the JDK encoder is a pure function of pixels + quality). */
     def encodeJpeg(width: Int, height: Int, quality: Float,

@@ -773,6 +773,29 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Fourth image container under a FULL oracle: BMP (uncompressed
+    // 24-bit, lossless) — with PPM, PNG, and WAV this pins the decode
+    // matrix across raw, zlib-compressed, DCT-lossy, and
+    // uncompressed-container formats, all through the same
+    // partition-parallel decodeImageStatsIo path.
+    "q_multimodal_bmp" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val imgs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, Multimodal.ImageIoCodec.encodeBmp(12, 10, (x, y) => {
+            val p = y * 12 + x
+            (((id * 31 + p * 7) % 256).toInt,
+             ((id * 17 + p * 5) % 256).toInt,
+             ((id * 13 + p * 3) % 256).toInt)
+          }))
+        }
+      Multimodal.decodeImageStatsIo(imgs)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("doc_id"))
+    },
+
     // REAL compressed-codec decode, lossy leg: deterministic JPEGs
     // (quality 0.9, smooth gradient + per-doc constant blue — JPEG's DCT
     // DC coefficients preserve block means, so channel means survive
@@ -2808,6 +2831,16 @@ object LlmQueries {
            CAST(list_sum(list_transform(range(0, 128),
              p -> (doc_id * 13 + p * 3) % 256)) AS DOUBLE) / 128.0 AS mean_b
          FROM documents ORDER BY doc_id""",
+    "q_multimodal_bmp" ->
+      """SELECT doc_id, 12 AS width, 10 AS height,
+           CAST(list_sum(list_transform(range(0, 120),
+             p -> (doc_id * 31 + p * 7) % 256)) AS DOUBLE) / 120.0 AS mean_r,
+           CAST(list_sum(list_transform(range(0, 120),
+             p -> (doc_id * 17 + p * 5) % 256)) AS DOUBLE) / 120.0 AS mean_g,
+           CAST(list_sum(list_transform(range(0, 120),
+             p -> (doc_id * 13 + p * 3) % 256)) AS DOUBLE) / 120.0 AS mean_b
+         FROM documents ORDER BY doc_id""",
+
     // FULL oracle through a real audio codec: PCM 16-bit is lossless,
     // so the decoded per-channel sums are the waveform function's exact
     // integer sums, and RMS is one exact-integer division + sqrt.
