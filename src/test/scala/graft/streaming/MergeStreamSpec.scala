@@ -81,6 +81,31 @@ class MergeStreamSpec extends SparkSpec {
     assert(!readBack(root).contains(3L))
   }
 
+  test("restart from checkpoint resumes the merge stream without replay damage") {
+    val base = java.nio.file.Files.createTempDirectory("graft-merge-stream-").toString
+    val root = s"$base/snap"
+    snapshot(root)
+    val input = MemoryStream[(Long, String, Double, String, Long)](spark)
+    def start() = StreamOps.writeStreamMerge(
+      input.toDF().toDF("k", "part", "v", "op", "seq"),
+      root, Seq("k"), "part", "seq", s"$base/ckpt")
+    val q1 = start()
+    try {
+      input.addData((1L, "a", 100.0, "U", 1L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(readBack(root)(1L) == (("a", 100.0)))
+    // second incarnation, same checkpoint: the committed batch must not
+    // re-apply, and new data must merge on top of the restored state
+    val q2 = start()
+    try {
+      input.addData((2L, "a", 0.0, "D", 2L), (6L, "d", 60.0, "U", 3L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(readBack(root) == Map(
+      1L -> ("a", 100.0), 3L -> ("b", 30.0), 4L -> ("c", 40.0), 6L -> ("d", 60.0)))
+  }
+
   test("replaying an identical delta is idempotent (the foreachBatch contract)") {
     val base = java.nio.file.Files.createTempDirectory("graft-merge-stream-").toString
     val root = s"$base/snap"
