@@ -541,6 +541,7 @@ object Multimodal {
           val dataStart = p + 8
           cc match {
             case "LIST" =>
+              require(size >= 4, s"short LIST chunk at $p")
               walk(dataStart + 4, dataStart + size)
             case "avih" =>
               require(size >= 40, "short avih")
@@ -550,6 +551,7 @@ object Multimodal {
                 nFrames = rdU32(bytes, dataStart + 16).toInt,
                 usPerFrame = rdU32(bytes, dataStart).toInt)
             case "strh" =>
+              require(size >= 36, s"short strh chunk at $p")
               require(ccAt(bytes, dataStart) == "vids" &&
                 ccAt(bytes, dataStart + 4) == "MJPG",
                 s"not an MJPEG video stream (${ccAt(bytes, dataStart + 4)})")

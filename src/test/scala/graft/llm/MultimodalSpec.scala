@@ -236,6 +236,28 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("corrupt") || e.getMessage.contains("truncated"))
   }
 
+  test("AviMjpegCodec: 500 seeded byte-mutations never hang, OOB, or leak a raw error") {
+    // parser contract under corruption: for ANY mutation the decode must
+    // terminate promptly with either a successful parse or a descriptive
+    // IllegalArgumentException — no index errors, no infinite walks
+    val avi = Multimodal.AviMjpegCodec.encode(8, 6, 10, 3, 0.85f,
+      (f, x, y) => ((x * 40 + f) % 256, (y * 50) % 256, 128))
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 500).foreach { i =>
+      val evil = avi.clone()
+      // corrupt 1..4 bytes anywhere (headers, sizes, fourccs, payload)
+      (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+        evil(rnd.nextInt(evil.length)) = rnd.nextInt(256).toByte
+      }
+      try { Multimodal.AviMjpegCodec.decode(evil); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"mutation $i leaked ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("decodeVideoStats: distributed per-frame decode with container cross-checks") {
     val vids = spark.createDataset(Seq(
       (1L, Multimodal.AviMjpegCodec.encode(16, 8, 10, 3, 0.9f, (f, _, _) => (f * 80, 100, 50))),
