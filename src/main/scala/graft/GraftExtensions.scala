@@ -140,8 +140,9 @@ object GraftExtensions {
     (new FunctionIdentifier("kll_merge"),
       new ExpressionInfo(classOf[graft.functions.KllMergeAgg].getName, "kll_merge"),
       (args: Seq[Expression]) => {
-        require(args.length == 1, "kll_merge(sketch)")
-        graft.functions.KllMergeAgg(args.head)
+        require(args.length == 1 || args.length == 2, "kll_merge(sketch[, k])")
+        if (args.length == 1) graft.functions.KllMergeAgg(args.head)
+        else graft.functions.KllMergeAgg(args.head, intArg(args(1), "k"))
       }),
     (new FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[graft.functions.KllQuantile].getName, "kll_quantile"),

@@ -237,11 +237,13 @@ final case class KllSketchAgg(
   * [[CmsMergeAgg]]: constant buffer, native partial/final. */
 final case class KllMergeAgg(
     child: Expression,
+    k: Int = 200,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[org.apache.datasketches.kll.KllDoublesSketch] {
 
   private type Kll = org.apache.datasketches.kll.KllDoublesSketch
+  require(k >= 8, "k must be >= 8")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -252,8 +254,11 @@ final case class KllMergeAgg(
       s"kll_merge expects a binary sketch, got ${other.catalogString}")
   }
 
+  // the merge buffer's k must be >= the input sketches' k: KLL merge
+  // adopts the SMALLER k, so a hardcoded 200 would silently degrade
+  // sketches built at higher accuracy
   override def createAggregationBuffer(): Kll =
-    org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(200)
+    org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(k)
 
   override def update(buffer: Kll, input: InternalRow): Kll = {
     child.eval(input) match {
@@ -518,10 +523,11 @@ object SketchAgg {
     GraftSqlBridge.column(
       KllSketchAgg(GraftSqlBridge.expression(value), k).toAggregateExpression())
 
-  /** Merge pre-built KLL sketch columns. */
-  def kllMerge(sketch: Column): Column =
+  /** Merge pre-built KLL sketch columns; `k` must be at least the k the
+    * inputs were built with (KLL adopts the smaller k on merge). */
+  def kllMerge(sketch: Column, k: Int = 200): Column =
     GraftSqlBridge.column(
-      KllMergeAgg(GraftSqlBridge.expression(sketch)).toAggregateExpression())
+      KllMergeAgg(GraftSqlBridge.expression(sketch), k).toAggregateExpression())
 
   /** Quantile estimate from a serialized KLL sketch column. */
   def kllQuantile(sketch: Column, rank: Double): Column =

@@ -127,7 +127,11 @@ object Combine {
     * reproducible train/val/test assignment needs (rand(seed) is neither). */
   def hashBucket(id: Column, buckets: Int): Column = {
     require(buckets > 0, "buckets must be positive")
-    pmod(conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+    // total over null ids: a null would otherwise propagate through the
+    // hash and silently drop the row from every split/sample predicate
+    // (oracle twin for non-null ids: md5(CAST(id AS VARCHAR)))
+    val idStr = coalesce(id.cast("string"), lit("__graft_null__"))
+    pmod(conv(substring(md5(idStr.cast("binary")), 1, 8), 16, 10)
       .cast("long"), lit(buckets.toLong))
   }
 
@@ -167,7 +171,9 @@ object Combine {
     val u = (conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 13),
       16, 10).cast("double") + 0.5) / 4503599627370496.0 // 2^52
     val key = -log(u) / weight.cast("double")
-    df.filter(weight.cast("double") > 0.0)
+    // null ids have no hash identity (their key would sort NULLS FIRST
+    // and hijack the sample) — excluded like non-positive weights
+    df.filter(weight.cast("double") > 0.0 && col(idCol).isNotNull)
       .withColumn("__wkey", key)
       .orderBy(col("__wkey"), col(idCol))
       .limit(k)
@@ -190,7 +196,7 @@ object Combine {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("__wkey"), col(idCol))
-    df.filter(weight.cast("double") > 0.0)
+    df.filter(weight.cast("double") > 0.0 && col(idCol).isNotNull)
       .withColumn("__wkey", wkey)
       .withColumn("__rn", row_number().over(win))
       .filter(col("__rn") <= k)

@@ -25,6 +25,9 @@ object ElementWise {
     persisted += ds
     ds.cache()
   }
+  private def untrack(ds: Dataset[_]): Unit = persisted.synchronized {
+    persisted -= ds; ()
+  }
   /** Unpersist every cache this module created (sweep/REPL hygiene). */
   def releasePersistedState(): Unit = persisted.synchronized {
     persisted.foreach(_.unpersist())
@@ -85,7 +88,7 @@ object ElementWise {
       require(n > 0, "partitionInto needs n > 0")
       val parent = ElementWise.track(ds)
       ((0 until n).map(i => parent.filter((t: T) => f(t) == i)),
-        () => { parent.unpersist(); () })
+        () => { parent.unpersist(); ElementWise.untrack(parent) })
     }
 
     /** Reshuffle ([U] UT/Reshuffle.java): redistribute; an Exchange is
@@ -135,10 +138,10 @@ object ElementWise {
   def multiOutputManaged[I, O: Encoder](ds: Dataset[I], tags: Seq[String])(
       route: I => (String, O))(
       implicit e: Encoder[(String, O)]): (Map[String, Dataset[O]], () => Unit) = {
-    val tagged = ds.map(route).cache()
+    val tagged = ElementWise.track(ds.map(route))
     (tags.map { tag =>
       tag -> tagged.filter((kv: (String, O)) => kv._1 == tag).map(_._2)
     }.toMap,
-      () => { tagged.unpersist(); () })
+      () => { tagged.unpersist(); ElementWise.untrack(tagged) })
   }
 }

@@ -72,6 +72,14 @@ object Graph {
 
     val n = nodes.count()
     require(n > 0, "empty graph")
+    // overflow guard: total rank mass is conserved at ~`scale` units, so
+    // the per-edge contribution product rank·w is bounded by scale·maxW;
+    // a weight beyond Long.MaxValue/scale would wrap the product negative
+    // SILENTLY (non-ANSI Spark) and corrupt every downstream rank
+    val maxW = e.agg(max(col("w"))).head().getLong(0)
+    require(maxW <= Long.MaxValue / scale,
+      s"max edge weight $maxW overflows the fixed-point product at scale $scale; " +
+        "pre-scale the weights or lower `scale`")
     // teleport base: ((scale * (dampDen-dampNum)) DIV dampDen) DIV n —
     // spelled exactly like this in the oracle SQL
     val base = scale * (dampDen - dampNum) / dampDen / n

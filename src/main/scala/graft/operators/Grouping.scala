@@ -171,6 +171,11 @@ object Grouping {
                       binSize: Long): DataFrame = {
     import org.apache.spark.sql.functions.{explode, floor, sequence}
     require(binSize > 0, "binSize must be positive")
+    // precision note: bin = floor(value / binSize) evaluates in DOUBLE,
+    // exact only while |value| < 2^53. For nanosecond-epoch-scale longs,
+    // pre-scale to coarser units (or pick binSize so value/binSize stays
+    // under 2^53) — a value whose low bits round across a bin edge would
+    // otherwise silently miss its interval.
     val p2 = points.withColumn("__bin", floor(pt / binSize).cast("long"))
     val i2 = intervals.withColumn("__bin",
       explode(sequence(floor(start / binSize).cast("long"),

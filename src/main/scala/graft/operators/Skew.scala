@@ -39,7 +39,10 @@ object Skew {
     graft.llm.HeavyHitters.frequentValuesWithTotal(df, key, minShare, slack)
       .select(col("value").as("key_value"), col("n").as("n_rows"),
         (col("n").cast("double") / col("total")).as("share"),
-        floor((col("n") * parallelism + col("total") - 1) / col("total"))
+        // SQL `div`, not `/`: Spark's slash on longs routes through
+        // doubles, which is off-by-one-able past 2^53 — the exact
+        // integer ceil is what "replays exactly in any engine" means
+        expr(s"(n * $parallelism + total - 1) div total")
           .cast("long").as("suggested_salt"))
       .orderBy(col("n_rows").desc, col("key_value"))
   }
