@@ -172,6 +172,18 @@ class CombineSpec extends SparkSpec {
     assert(math.abs(bySplit(0) - 8000) < 1200)
   }
 
+  test("hashSplit and samplers are total over null ids (no silent row loss)") {
+    val df = Seq[(Option[Long], Double)]((Some(1L), 2.0), (None, 3.0), (Some(2L), 4.0))
+      .toDF("id", "w")
+    val parts = Combine.hashSplit(df, "id", Seq(0.5, 0.5))
+    assert(parts.map(_.count()).sum == 3L, "a null id fell out of every split")
+    // weighted samplers EXCLUDE null ids (documented: no hash identity) —
+    // but deterministically, not via a null-key sort accident
+    val s = Combine.weightedSampleByHash(df, "id", col("w"), 3)
+      .select("id").as[Option[Long]].collect()
+    assert(s.length == 2 && s.forall(_.isDefined))
+  }
+
   test("splitByGroup keeps null-group rows (null-safe join), all in one split") {
     val df = Seq[(Long, Option[String])](
       (1L, Some("g1")), (2L, None), (3L, None), (4L, Some("g2")))
