@@ -532,6 +532,38 @@ object BatchQueries {
             col("exact_union") - col("exact_b")).as("diff_ok"))
     },
 
+    // The sketch-REUSE capstone: one theta sketch per source (20 builds
+    // over one corpus scan), then every pairwise source-overlap question
+    // answers from the stored sketches alone — 190 intersections with
+    // per-result error bounds, no raw-text re-read. At 100 TB this is
+    // the "which sources duplicate each other" audit as sketch algebra;
+    // the gate pins every pair's exact vocabulary intersection inside
+    // the intersection sketch's own 3σ interval.
+    "q_source_overlap_matrix" -> { (s, dir) =>
+      import graft.functions.SketchAgg
+      val toks = Tables(s, dir).documents
+        .select(col("source"), explode(
+          graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      val sks = toks.groupBy(col("source"))
+        .agg(SketchAgg.thetaSketch(col("token"), 12).as("sk"))
+      val pairs = sks.as("a").join(sks.as("b"),
+          col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+          SketchAgg.thetaIntersect(col("a.sk"), col("b.sk")).as("sk_inter"))
+      val exact = toks.select(col("source"), col("token")).distinct()
+      val exactPairs = exact.as("x").join(exact.as("y"),
+          col("x.token") === col("y.token") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+        .agg(count(lit(1)).as("exact_inter"))
+      pairs.join(exactPairs, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"),
+          coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+          (SketchAgg.thetaLowerBound(col("sk_inter"), 3) <= coalesce(col("exact_inter"), lit(0L)) &&
+           SketchAgg.thetaUpperBound(col("sk_inter"), 3) >= coalesce(col("exact_inter"), lit(0L)))
+            .as("inter_ok"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // §2.3 Sample.fixedSizePerKey, deterministic variant: top-n per key by
     // md5 of the row identity — size-exact like the reservoir, but
     // reproducible across engines so the oracle can replicate it (the
@@ -873,6 +905,31 @@ object BatchQueries {
              - COUNT(DISTINCT token) AS exact_inter,
            TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok
          FROM tok""",
+
+    // pairwise exact vocabulary intersections; every sketch interval
+    // containment boolean pins TRUE.
+    "q_source_overlap_matrix" ->
+      """WITH tok AS (
+           SELECT DISTINCT source, token FROM (
+             SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+                 t -> t <> '')) AS token
+             FROM documents)),
+         pairs AS (
+           SELECT x.source AS source_a, y.source AS source_b,
+             COUNT(*) AS exact_inter
+           FROM tok x JOIN tok y
+             ON x.token = y.token AND x.source < y.source
+           GROUP BY x.source, y.source),
+         allp AS (
+           SELECT a.source AS source_a, b.source AS source_b
+           FROM (SELECT DISTINCT source FROM documents) a
+           JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source)
+         SELECT allp.source_a AS source_a, allp.source_b AS source_b,
+           COALESCE(exact_inter, 0) AS exact_inter, TRUE AS inter_ok
+         FROM allp LEFT JOIN pairs
+           ON allp.source_a = pairs.source_a AND allp.source_b = pairs.source_b
+         ORDER BY allp.source_a, allp.source_b""",
 
     // theta set algebra: exact companions identical to q_corpus_overlap;
     // every sketch-side [lb, ub] containment boolean pins TRUE,
