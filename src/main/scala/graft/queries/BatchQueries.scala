@@ -588,6 +588,55 @@ object BatchQueries {
         minShare = 0.05, parallelism = 32)
     },
 
+    // §2.3 View side inputs under the driver gate: the nation table
+    // becomes an asMap BROADCAST side input consumed inside a typed map
+    // (the Beam View.asMap pattern — closure lookup, no join in the
+    // plan), and the oracle replays it as the join it semantically is.
+    // Unknown keys take the documented "unknown" default.
+    "q_side_input" -> { (s, dir) =>
+      import s.implicits._
+      val names = graft.operators.View.asMap(
+        Tables(s, dir).nation.select(col("n_nationkey"), col("n_name"))
+          .as[(Long, String)])
+      Tables(s, dir).customer.select(col("c_nationkey")).as[Long]
+        .map(k => names.value.getOrElse(k, "unknown"))
+        .toDF("nation_name")
+        .groupBy(col("nation_name")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nation_name"))
+    },
+
+    // §2.3 CombineWithContext under the gate: the combine logic reads a
+    // broadcast context (the corpus-wide balance total, in exact integer
+    // cents) and emits each nation's mean deviation from the global
+    // mean — context captured ONCE, read executor-locally. All sums are
+    // integer cents so the fold is order-free; doubles appear only in
+    // the final two divisions, which the oracle replays verbatim.
+    "q_combine_context" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables(s, dir).customer
+      val global = cust.agg(
+        sum(round(col("c_acctbal") * 100).cast("long")).as("tc"),
+        count(lit(1)).as("tn")).head()
+      val fn = Combine.withContext(s, (global.getLong(0), global.getLong(1))) { ctx =>
+        new Combine.CombineFn[Double, (Long, Long), Double] {
+          def createAccumulator(): (Long, Long) = (0L, 0L)
+          def addInput(acc: (Long, Long), in: Double): (Long, Long) =
+            (acc._1 + Math.round(in * 100), acc._2 + 1)
+          def mergeAccumulators(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+            (a._1 + b._1, a._2 + b._2)
+          def extractOutput(acc: (Long, Long)): Double = {
+            val (tc, tn) = ctx.value
+            (acc._1.toDouble / acc._2 - tc.toDouble / tn) / 100.0
+          }
+        }
+      }
+      Combine.perKey(
+          cust.select(col("c_nationkey"), col("c_acctbal")).as[(Long, Double)], fn)
+        .toDF("nationkey", "mean_deviation")
+        .select(col("nationkey"), round(col("mean_deviation"), 4).as("mean_deviation"))
+        .orderBy(col("nationkey"))
+    },
+
     // §2.3 Combine.perKey.withHotKeyFanout: two-stage salted aggregation.
     "q_hotkey_sum" -> { (s, dir) =>
       Combine.sumWithHotKeyFanout(
@@ -709,6 +758,23 @@ object BatchQueries {
     "q_groupbykey" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    // side input replayed as the join it semantically is
+    "q_side_input" ->
+      """SELECT COALESCE(n_name, 'unknown') AS nation_name, COUNT(*) AS n
+         FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    // exact integer-cent sums; doubles only in the two final divisions.
+    "q_combine_context" ->
+      """WITH g AS (
+           SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE) AS tc,
+                  COUNT(*) AS tn
+           FROM customer)
+         SELECT c_nationkey AS nationkey,
+           round((CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                    / COUNT(*) - tc / tn) / 100, 4) AS mean_deviation
+         FROM customer, g GROUP BY c_nationkey, tc, tn
+         ORDER BY nationkey""",
+
     "q_skew_report" ->
       """WITH v AS (
            SELECT CASE WHEN event_id % 10 < 6 THEN 'hot'
