@@ -588,6 +588,16 @@ object BatchQueries {
         minShare = 0.05, parallelism = 32)
     },
 
+    // §2.1 Create under the gate: a literal in-memory dataset is a real
+    // source (parallelized, partitioned); the oracle replays it as VALUES.
+    "q_create" -> { (s, _) =>
+      import s.implicits._
+      ElementWise.create(s, Seq(("a", 1L), ("b", 2L), ("a", 3L), ("c", 5L)))
+        .toDF("k", "v")
+        .groupBy(col("k")).agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    },
+
     // §2.3 View side inputs under the driver gate: the nation table
     // becomes an asMap BROADCAST side input consumed inside a typed map
     // (the Beam View.asMap pattern — closure lookup, no join in the
@@ -758,6 +768,10 @@ object BatchQueries {
     "q_groupbykey" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "q_create" ->
+      """SELECT k, SUM(v) AS s, COUNT(*) AS n
+         FROM (VALUES ('a', 1), ('b', 2), ('a', 3), ('c', 5)) t(k, v)
+         GROUP BY k ORDER BY k""",
     // side input replayed as the join it semantically is
     "q_side_input" ->
       """SELECT COALESCE(n_name, 'unknown') AS nation_name, COUNT(*) AS n
