@@ -90,7 +90,11 @@ object CountMin {
     * n: total items) — broadcast it and probe with [[estimate]]. */
   def sketch(df: DataFrame, value: Column, depth: Int, width: Int): DataFrame = {
     val cms = udaf(CmsAggregator(depth, width), Encoders.STRING)
+    // nulls are not countable items (SQL-aggregate convention, same as
+    // HeavyHitters.candidates) — interpolating them would count the
+    // literal string "null" and inflate its point estimates
     df.select(value.cast("string").as("__v"))
+      .filter(col("__v").isNotNull)
       .agg(cms(col("__v")).as("sketch"), count(lit(1)).as("n"))
   }
 

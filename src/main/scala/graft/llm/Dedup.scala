@@ -331,6 +331,9 @@ object Dedup {
           (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
         .localCheckpoint()
       converged = next.filter(col("changed")).isEmpty
+      // next is materialized — the superseded iterate's checkpoint blocks
+      // are dead weight on a long-lived driver; release them per round
+      prev.unpersist()
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
@@ -378,7 +381,9 @@ object Dedup {
     var converged = e.isEmpty
     var prevSig: (Long, Long) = sig(e)
     while (iter < maxIter && !converged) {
+      val prev = e
       e = smallStar(largeStar(e)).localCheckpoint()
+      prev.unpersist() // sig(e) below materialized the new checkpoint...
       val s = sig(e)
       converged = s == prevSig
       prevSig = s

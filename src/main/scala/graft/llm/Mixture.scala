@@ -115,7 +115,10 @@ object Mixture {
                        capAtOne: Boolean = true): Map[String, Double] = {
     require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
     require(outFraction > 0 && outFraction <= 1, "outFraction must be in (0, 1]")
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+    // null domains are not sampleable (no Map key; .sorted would NPE) —
+    // excluded from counts AND totals for a consistent denominator
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val doms = counts.keys.toSeq.sorted
     val pw = doms.map(d => d -> math.pow(counts(d).toDouble, alpha)).toMap
@@ -133,7 +136,10 @@ object Mixture {
                      capAtOne: Boolean = true): Map[String, Double] = {
     require(outFraction > 0 && outFraction <= 1, "outFraction must be in (0, 1]")
     require(targets.values.forall(_ >= 0), "target shares must be >= 0")
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+    // null domains are not sampleable (no Map key; .sorted would NPE) —
+    // excluded from counts AND totals for a consistent denominator
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = counts.values.sum
     targets.map { case (domain, share) =>
@@ -166,7 +172,7 @@ object Mixture {
                              capAtOne: Boolean = true): Map[String, Double] = {
     require(outFraction > 0 && outFraction <= 1, "outFraction must be in (0, 1]")
     require(targets.values.forall(_ >= 0), "target shares must be >= 0")
-    val masses = df.groupBy(col(domainCol))
+    val masses = df.filter(col(domainCol).isNotNull).groupBy(col(domainCol))
       .agg(sum(weight.cast("long")).as("w"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(masses.values.forall(_ >= 0L), "weights must be non-negative")
@@ -188,7 +194,7 @@ object Mixture {
                                capAtOne: Boolean = true): Map[String, Double] = {
     require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
     require(outFraction > 0 && outFraction <= 1, "outFraction must be in (0, 1]")
-    val masses = df.groupBy(col(domainCol))
+    val masses = df.filter(col(domainCol).isNotNull).groupBy(col(domainCol))
       .agg(sum(weight.cast("long")).as("w"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(masses.values.forall(_ >= 0L), "weights must be non-negative")

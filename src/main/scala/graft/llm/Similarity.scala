@@ -140,6 +140,7 @@ object Similarity {
         .select(col("centroid_id"),
           coalesce(col("new_emb"), col("cent_emb")).as("cent_emb"))
         .localCheckpoint()
+      cents.unpersist() // release the superseded iterate's blocks
       cents = next
       it += 1
     }
@@ -207,9 +208,10 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val assigned = pqAssign(subs, codebook)
+      // no join-back needed: pqAssign's (sub_id, code_id) come FROM the
+      // codebook, so a filtering join against its key set is a no-op that
+      // only costs a distinct + broadcast per iteration
       val means = assigned
-        .join(broadcast(codebook.select(col("sub_id"), col("code_id")).distinct()),
-          Seq("sub_id", "code_id"))
         .select(col("sub_id"), col("code_id"), posexplode(col("sub_emb")))
         .groupBy(col("sub_id"), col("code_id"), col("pos"))
         .agg(avg(col("col")).as("mn"))
@@ -217,10 +219,12 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("cells"))
         .select(col("sub_id"), col("code_id"),
           transform(col("cells"), c => c.getField("mn")).as("new_emb"))
-      codebook = codebook.join(means, Seq("sub_id", "code_id"), "left_outer")
+      val nextBook = codebook.join(means, Seq("sub_id", "code_id"), "left_outer")
         .select(col("sub_id"), col("code_id"),
           coalesce(col("new_emb"), col("code_emb")).as("code_emb"))
         .localCheckpoint()
+      codebook.unpersist()
+      codebook = nextBook
       it += 1
     }
     codebook

@@ -273,7 +273,11 @@ object TextRelevance {
     // both corpus scalars come from the cached lens frame (one row per
     // document, zero-token docs included) — no extra scan of the corpus
     val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    tc.filter(col("term").isin(queryTerms.map(lit): _*))
+    // the index holds LOWERCASED tokens (TextFunctions.tokens); match the
+    // caller's terms case-insensitively like phraseSearch does, or a
+    // capitalized query term would silently score nothing
+    val terms = queryTerms.map(_.toLowerCase)
+    tc.filter(col("term").isin(terms.map(lit): _*))
       .join(dfreq, "term")
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats))

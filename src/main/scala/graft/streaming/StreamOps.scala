@@ -111,7 +111,8 @@ object StreamOps {
     require(inputs.nonEmpty, "streamCoGroupByKeyN needs at least one input")
     val tags = inputs.map(_._1)
     require(tags.distinct.size == tags.size, s"duplicate tags: $tags")
-    val reserved = Seq("__ts", "window") ++ tags.map(t => s"__$t")
+    val reserved = Seq("__ts", "window") ++ tags.map(t => s"__$t") ++
+      tags.map(t => s"${t}_values") // output aliases collide too
     require(!on.exists(reserved.contains),
       s"key columns may not use the reserved names ${reserved.mkString(", ")}")
     val types = inputs.map { case (_, df, v, _) => df.select(v).schema.head.dataType }

@@ -407,9 +407,15 @@ object TriggerEngine {
           st = st.copy(firedOnTime = true)
           windows.updateValue(ws, st)
           if (allowedLatenessMs == 0) windows.removeKey(ws)
-        } else if (wEnd > wm && !st.firedOnTime) {
-          // near-epoch clamp: fired too early relative to the true
-          // watermark — retry on the next watermark advance
+        } else if (wEnd > wm && !st.firedOnTime &&
+            wEnd - allowedLatenessMs <= 0) {
+          // near-epoch clamp ONLY: the registration at
+          // max(wEnd - lateness, 1) fired before the true watermark
+          // reached wEnd — retry on the next advance. Unclamped windows
+          // never hit this (their timer implies wm >= wEnd); without the
+          // clamp guard, every OTHER open window visited during a key's
+          // timer expiry would re-register sparkWm+1 and spin a
+          // timer-per-watermark-advance loop in the state store hot path.
           getHandle.registerTimer(sparkWm + 1)
         }
         if (wEnd + allowedLatenessMs <= wm && windows.containsKey(ws)) {
