@@ -68,7 +68,12 @@ object Stress {
     // round-8 additions: the native-aggregate CMS (rollup equality +
     // ε·N bounds where N grows with the blow-up) and the deflate
     // signal (back-reference/entropy orderings on perturbed copies)
-    "q_cms_native", "q_compress_ratio")
+    "q_cms_native", "q_compress_ratio",
+    // DSIR: duplicate-dense copies multiply every bucket count ~uniformly
+    // on both sides, so the log-ratio table barely moves while the
+    // (doc, bucket) aggregation carries factor× rows — the risk profile
+    // is the scoring join staying a broadcast, never a shuffle join
+    "q_dsir_select")
 
   /** round-8 lake/curation additions over the documents table: the
     * incremental-ingest flagship (every stage must stay linear when the

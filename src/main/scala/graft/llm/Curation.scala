@@ -139,6 +139,68 @@ object Curation {
       .select(col(idCol), col("value"))
   }
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by its log importance
+    * weight log p̂_target(x) − log p̂_raw(x) under hashed-n-gram bag
+    * models, so downstream selection (top-k, or ∝-weight sampling via
+    * [[Combine.weightedSampleByHash]]) shifts the raw corpus toward the
+    * target domain. Features are the word unigrams + bigrams
+    * ([[TextFunctions.tokens]] / [[graft.functions.ShingleExprs.NgramStrings]]
+    * with the space-joined convention), hashed into `buckets` via the
+    * engine-portable md5 bucket ([[Combine.hashBucket]]); each side's
+    * distribution is the Laplace-smoothed bucket frequency
+    * (count+1)/(total+buckets); a doc's weight is
+    * Σ_b c_doc[b]·(ln p̂_t[b] − ln p̂_r[b]).
+    *
+    * Scale posture: one (doc, bucket) aggregation over the raw corpus
+    * (map-side partials) feeds both the per-doc feature counts and the
+    * raw bucket totals; the target corpus aggregates straight to its
+    * `buckets`-row total table. The per-bucket log-ratio table is
+    * `buckets` rows — broadcast — so scoring is one shuffle on
+    * (doc, bucket) plus one on doc, independent of corpus size. The
+    * log-ratios are quantized to 9 dp and summed as exact DECIMALs
+    * (BASELINE.md hash-parity rule), so `logw` is an order-free pure
+    * function of the data: same doubles on any engine, any partitioning.
+    *
+    * Output: (idCol, n_feats, logw). Docs with NULL text or zero
+    * features are absent (they carry no evidence either way). */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    import org.apache.spark.sql.types.DecimalType
+    def feats(df: DataFrame) = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(concat(
+        TextFunctions.tokens(col(textCol)),
+        graft.functions.ShingleExprs.ngramStrings(col(textCol), 2))).as("__f"))
+      .select(col(idCol), Combine.hashBucket(col("__f"), buckets).as("__b"))
+    val rawDocBuckets = feats(raw)
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val rawTot = rawDocBuckets.groupBy(col("__b"))
+      .agg(sum(col("__c")).as("__cr"))
+    val tgtTot = feats(target).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__ct"))
+    val rawN = rawTot.agg(coalesce(sum(col("__cr")), lit(0L)).as("__tr"))
+    val tgtN = tgtTot.agg(coalesce(sum(col("__ct")), lit(0L)).as("__tt"))
+    // buckets-row log-ratio table over the RAW side's buckets (a scored
+    // doc's features are a subset of the raw corpus's by construction);
+    // absent-in-target buckets smooth to count 0
+    val lr = rawTot
+      .join(tgtTot, Seq("__b"), "left")
+      .crossJoin(broadcast(rawN)).crossJoin(broadcast(tgtN))
+      .select(col("__b"),
+        round(
+          log((coalesce(col("__ct"), lit(0L)) + 1.0) / (col("__tt") + buckets.toDouble)) -
+          log((col("__cr") + 1.0) / (col("__tr") + buckets.toDouble)), 9)
+          .cast(DecimalType(19, 12)).as("__lr"))
+    rawDocBuckets.join(broadcast(lr), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c").cast(DecimalType(18, 0)) * col("__lr"))
+          .cast("double").as("logw"),
+        sum(col("__c")).as("n_feats"))
+      .select(col(idCol), col("n_feats"), col("logw"))
+  }
+
   /** Head+tail token truncation: cap each document at `maxTokens`
     * whitespace tokens, keeping the first ceil(headFrac·maxTokens) and
     * the last maxTokens−head tokens — the standard long-document cap

@@ -135,6 +135,23 @@ object CurationQueries {
         .orderBy(col("source"))
     },
 
+    // DSIR data selection (Xie et al. 2023): raw docs scored by hashed
+    // unigram+bigram log importance weight toward a target domain
+    // (here: the doc_id%5==0 slice as the "target", everything else as
+    // the raw pool), top-50 selected. Full DuckDB oracle — the md5
+    // bucket, the Laplace-smoothed bucket frequencies, and the exact
+    // DECIMAL weight sum all replay in SQL.
+    "q_dsir_select" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val target = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val raw = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      graft.llm.Curation.dsirLogWeights(raw, target, "doc_id", "text", buckets = 1024)
+        .orderBy(desc("logw"), col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("n_feats"), round(col("logw"), 4).as("logw"))
+        .orderBy(col("doc_id"))
+    },
+
     // Compression-ratio quality signal (deflate level 6, raw stream):
     // degenerate repetition compresses far below prose; high-entropy
     // noise doesn't compress. No DuckDB deflate — self-asserting form:
@@ -208,6 +225,52 @@ object CurationQueries {
              '&#' || (65 + doc_id % 26) || ';', chr(CAST(65 + doc_id % 26 AS INTEGER))),
              '&#233;', chr(233)), '&nbsp;', ' '), '&amp;', '&') AS body
          FROM h ORDER BY doc_id""",
+
+    "q_dsir_select" ->
+      """WITH tgt AS (SELECT text FROM documents
+             WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+         raw AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+         rt AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS ts
+           FROM raw),
+         rf AS (SELECT doc_id, f FROM (
+             SELECT doc_id, unnest(ts) AS f FROM rt
+             UNION ALL
+             SELECT doc_id, ts[i] || ' ' || ts[i+1] AS f
+             FROM rt, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2)),
+         rb AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(f), 1, 8)) AS UBIGINT) % 1024 AS b,
+             count(*) AS c
+           FROM rf GROUP BY 1, 2),
+         rtot AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM rb GROUP BY b),
+         rn AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM rtot),
+         tt AS (SELECT
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS ts
+           FROM tgt),
+         tf AS (SELECT f FROM (
+             SELECT unnest(ts) AS f FROM tt
+             UNION ALL
+             SELECT ts[i] || ' ' || ts[i+1] AS f
+             FROM tt, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2)),
+         tb AS (SELECT
+             CAST(('0x' || substr(md5(f), 1, 8)) AS UBIGINT) % 1024 AS b,
+             count(*) AS ct
+           FROM tf GROUP BY 1),
+         tn AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS ttot FROM tb),
+         lr AS (SELECT rtot.b,
+             CAST(round(
+               ln((coalesce(tb.ct, 0) + 1.0) / (tn.ttot + 1024.0)) -
+               ln((rtot.cr + 1.0) / (rn.tr + 1024.0)), 9) AS DECIMAL(19,12)) AS lr
+           FROM rtot LEFT JOIN tb USING (b), rn, tn),
+         w AS (SELECT doc_id,
+             CAST(sum(CAST(c AS DECIMAL(18,0)) * lr) AS DOUBLE) AS logw,
+             CAST(sum(c) AS BIGINT) AS n_feats
+           FROM rb JOIN lr USING (b) GROUP BY doc_id),
+         pick AS (SELECT doc_id, n_feats, logw FROM w
+           ORDER BY logw DESC, doc_id LIMIT 50)
+         SELECT doc_id, n_feats, round(logw, 4) AS logw
+         FROM pick ORDER BY doc_id""",
 
     "q_compress_ratio" ->
       """SELECT doc_id, n_chars,

@@ -200,4 +200,39 @@ class CurationSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(kept === Set(1L, 2L, 3L))
   }
+
+  test("dsirLogWeights: target ≡ raw ⇒ every weight is exactly zero") {
+    // identical distributions make every per-bucket log-ratio 0, and the
+    // exact DECIMAL sum keeps the zero exact — no float residue
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "stock market prices rose sharply today"),
+      (3L, "the dog ran through the tall grass")).toDF("doc_id", "text")
+    val out = Curation.dsirLogWeights(docs, docs, "doc_id", "text", buckets = 64)
+      .collect()
+    assert(out.length == 3)
+    out.foreach(r => assert(r.getDouble(r.fieldIndex("logw")) == 0.0,
+      s"doc ${r.getLong(0)} expected exact 0, got $r"))
+  }
+
+  test("dsirLogWeights: target-like docs outscore off-domain docs") {
+    val target = Seq(
+      (100L, "theorem proof lemma corollary induction hypothesis"),
+      (101L, "proof by induction on the lemma and the theorem"),
+      (102L, "the corollary follows from the main theorem proof")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "lemma proof theorem induction corollary"),   // on-domain
+      (2L, "pizza recipe cheese tomato basil oven"),     // off-domain
+      (3L, "the proof of the theorem uses induction")    // on-domain
+    ).toDF("doc_id", "text")
+    val w = Curation.dsirLogWeights(raw, target, "doc_id", "text", buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("logw"))).toMap
+    assert(w(1) > w(2) && w(3) > w(2),
+      s"on-domain docs must outscore the off-domain doc: $w")
+    // null text carries no evidence: the doc is absent, others unchanged
+    val withNull = raw.union(Seq((4L, null: String)).toDF("doc_id", "text"))
+    val w2 = Curation.dsirLogWeights(withNull, target, "doc_id", "text", buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("logw"))).toMap
+    assert(!w2.contains(4L) && w2 == w)
+  }
 }
