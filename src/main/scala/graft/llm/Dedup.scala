@@ -581,8 +581,17 @@ object Dedup {
     val n = if (expectedRefItems > 0) expectedRefItems
             else math.max(refKeys.count(), 1L)
     val filter = trainBloomFilter(refKeys, xxhash64(col("__k")), n, fpp)
-    // read twice (definitely-clean leg + maybe-dup leg) → persist
-    val keyed = track(newDocs.withColumn("__k", key))
+    // read twice (definitely-clean leg + maybe-dup leg) → persist.
+    // An UNBOUNDED newDocs cannot persist, and doesn't need to: the two
+    // legs re-read only the current micro-batch, and everything else here
+    // is streaming-legal (static-side Bloom build, stream-static LEFT
+    // ANTI confirm, same-source self-union) — so the identical operator
+    // is the lake's ingest front door: drop arriving docs that already
+    // exist ON DISK, with only the fpp-sliver reaching the join, no
+    // state store, no watermark. (For duplicates WITHIN the stream,
+    // compose with [[graft.streaming.StreamOps.dedupByFingerprint]].)
+    val keyed0 = newDocs.withColumn("__k", key)
+    val keyed = if (newDocs.isStreaming) keyed0 else track(keyed0)
     val pass = graft.functions.SketchExprs.bloomMightContain(
       xxhash64(col("__k")), filter)
     val definitelyClean = keyed.filter(!pass)

@@ -289,4 +289,41 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set((1L, Some("gold")), (3L, None)))
     } finally q.stop()
   }
+
+  test("exactSurvivorsViaBloom on an unbounded stream: ingest front door ≡ batch") {
+    // the lake's front door: drop arriving docs whose fingerprint already
+    // exists ON DISK — same operator as batch, streaming-legal because the
+    // Bloom build + LEFT ANTI confirm are both against the static side.
+    // fpp=0.5 with a 64-bit floor forces false positives through the
+    // confirm join, so the exactness guarantee is exercised, not assumed.
+    val ref = Seq((10L, "alpha doc text"), (11L, "beta doc text"),
+      (12L, "gamma doc text")).toDF("doc_id", "text")
+    val arriving = Seq(
+      (1L, "alpha doc text"),     // exact dup of ref 10 → dropped
+      (2L, "fresh document one"), // new → kept
+      (3L, "Beta  Doc   Text"),   // normalization dup of ref 11 → dropped
+      (4L, "fresh document two")) // new → kept
+    val expected = graft.llm.Dedup.exactSurvivorsViaBloom(
+        arriving.toDF("doc_id", "text"), ref, "text", fpp = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected == Set(2L, 4L), "batch truth must drop the two dups")
+    val input = MemoryStream[(Long, String)](7, spark, None)
+    val out = graft.llm.Dedup.exactSurvivorsViaBloom(
+      input.toDF().toDF("doc_id", "text"), ref, "text", fpp = 0.5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bfd-").toString
+    val q = out.writeStream.format("memory").queryName("bloom_front_door")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      input.addData(arriving.take(2))
+      q.processAllAvailable()
+      input.addData(arriving.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("bloom_front_door")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected, s"stream must equal batch: got $got")
+    } finally {
+      q.stop()
+      graft.llm.Dedup.releasePersistedState()
+    }
+  }
 }
