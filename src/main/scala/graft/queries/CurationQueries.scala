@@ -152,6 +152,25 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     },
 
+    // DSIR composed with the token-budget selector — the production
+    // "take the most target-like documents until the budget is spent"
+    // shape: DSIR log-weights order the raw pool, prefixSum's
+    // range-partitioned cumulative sum (never a single-partition window)
+    // cuts it at the budget. n_feats (unigrams+bigrams) is the budget
+    // unit, so the whole composition stays inside the one oracle.
+    "q_dsir_budget" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val target = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val raw = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val weighted = graft.llm.Curation.dsirLogWeights(
+        raw, target, "doc_id", "text", buckets = 1024)
+      graft.llm.Curation.selectByTokenBudget(weighted, "doc_id",
+          col("logw"), col("n_feats"), budget = 20000L)
+        .select(col("doc_id"), round(col("score"), 4).as("logw"),
+          col("tokens").as("n_feats"), col("cum_tokens").as("cum_feats"))
+        .orderBy(col("doc_id"))
+    },
+
     // Compression-ratio quality signal (deflate level 6, raw stream):
     // degenerate repetition compresses far below prose; high-entropy
     // noise doesn't compress. No DuckDB deflate — self-asserting form:
@@ -271,6 +290,54 @@ object CurationQueries {
            ORDER BY logw DESC, doc_id LIMIT 50)
          SELECT doc_id, n_feats, round(logw, 4) AS logw
          FROM pick ORDER BY doc_id""",
+
+    "q_dsir_budget" ->
+      """WITH tgt AS (SELECT text FROM documents
+             WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+         raw AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+         rt AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS ts
+           FROM raw),
+         rf AS (SELECT doc_id, f FROM (
+             SELECT doc_id, unnest(ts) AS f FROM rt
+             UNION ALL
+             SELECT doc_id, ts[i] || ' ' || ts[i+1] AS f
+             FROM rt, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2)),
+         rb AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(f), 1, 8)) AS UBIGINT) % 1024 AS b,
+             count(*) AS c
+           FROM rf GROUP BY 1, 2),
+         rtot AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM rb GROUP BY b),
+         rn AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM rtot),
+         tt AS (SELECT
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS ts
+           FROM tgt),
+         tf AS (SELECT f FROM (
+             SELECT unnest(ts) AS f FROM tt
+             UNION ALL
+             SELECT ts[i] || ' ' || ts[i+1] AS f
+             FROM tt, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2)),
+         tb AS (SELECT
+             CAST(('0x' || substr(md5(f), 1, 8)) AS UBIGINT) % 1024 AS b,
+             count(*) AS ct
+           FROM tf GROUP BY 1),
+         tn AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS ttot FROM tb),
+         lr AS (SELECT rtot.b,
+             CAST(round(
+               ln((coalesce(tb.ct, 0) + 1.0) / (tn.ttot + 1024.0)) -
+               ln((rtot.cr + 1.0) / (rn.tr + 1024.0)), 9) AS DECIMAL(19,12)) AS lr
+           FROM rtot LEFT JOIN tb USING (b), rn, tn),
+         w AS (SELECT doc_id,
+             CAST(sum(CAST(c AS DECIMAL(18,0)) * lr) AS DOUBLE) AS logw,
+             CAST(sum(c) AS BIGINT) AS n_feats
+           FROM rb JOIN lr USING (b) GROUP BY doc_id),
+         sel AS (SELECT doc_id, logw, n_feats,
+             CAST(sum(n_feats) OVER (ORDER BY logw DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM w)
+         SELECT doc_id, round(logw, 4) AS logw, n_feats, cum AS cum_feats
+         FROM sel WHERE cum - n_feats < 20000 ORDER BY doc_id""",
 
     "q_compress_ratio" ->
       """SELECT doc_id, n_chars,
