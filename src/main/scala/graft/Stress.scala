@@ -48,6 +48,7 @@ object Stress {
     * ~factor members */
   val EmbQueries = Seq(
     "q_semdedup", "q_embedding_neardup", "q_similarity_srp",
+    "q_similarity_multiprobe",
     "q_similarity_ivf", "q_similarity_pq", "q_similarity_ivfpq")
   /** probe-hit / containment joins with the hot-key risk profile: a
     * probe n-gram (or reference shingle) shared by many corpus near-dups

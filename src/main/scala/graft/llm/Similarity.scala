@@ -91,6 +91,63 @@ object Similarity {
       Seq("probe_id"), k, col("score").desc, col("cand_id"))
   }
 
+  /** Multi-probe SRP top-k (Lv et al. 2007, "Multi-Probe LSH: Efficient
+    * Indexing for High-Dimensional Similarity Search", VLDB): each probe
+    * searches its own SRP bucket PLUS the `nProbes` buckets reached by
+    * flipping the sign bit of its lowest-|margin| hyperplanes — the
+    * hyperplanes the vector sits closest to, i.e. the boundaries its true
+    * neighbors most plausibly fell across. Recall rises toward the
+    * multi-table OR-LSH level while indexing ONE table: the classic
+    * memory/recall trade at 100 TB, where every extra table is another
+    * corpus-wide signature column.
+    *
+    * Scale shape is [[srpTopK]]'s: the corpus is bucketed once (one scan,
+    * no index structure), the probe side explodes to 1+nProbes bucket
+    * rows per probe and broadcasts, and candidates arrive through the
+    * same equi-join — never a similarity scan. A candidate found via two
+    * probed buckets is deduplicated BEFORE scoring (its bucket rows are
+    * identical after the bucket column drops, so the dedup is exact),
+    * keeping top-k heaps duplicate-free. The candidate set is a strict
+    * superset of [[srpTopK]]'s (same planes; bucket list includes the
+    * base), so per-probe recall can only improve — asserted in
+    * SimilaritySpec against the brute-force truth. */
+  def srpTopKMultiProbe(corpus: DataFrame, probes: DataFrame, k: Int,
+                        nPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
+                        nProbes: Int = 2): DataFrame = {
+    require(nProbes >= 0 && nProbes <= nPlanes,
+      s"nProbes must be in [0, nPlanes=$nPlanes], got $nProbes")
+    val planes = VectorFunctions.makePlanes(nPlanes, dim, seed)
+    val c = corpus.select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+      VectorFunctions.srpBucket(
+        dimChecked(col("embedding"), dim, "srpTopKMultiProbe"), planes).as("bucket"))
+    val emb = dimChecked(col("embedding"), dim, "srpTopKMultiProbe probes")
+    // per-probe hyperplane margins, in plane order — the same dots the
+    // bucket's sign tests evaluate, kept as magnitudes
+    val margins = array(planes.map(p => abs(VectorFunctions.dot(emb, typedlit(p)))): _*)
+    val p0 = probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+      VectorFunctions.srpBucket(emb, planes).as("bucket0"),
+      margins.as("__m"))
+    // flip indices: the nProbes planes with the smallest |margin|
+    // (ties by plane index — array_sort on (margin, index) structs)
+    val ranked = array_sort(transform(sequence(lit(0), lit(nPlanes - 1)),
+      i => struct(element_at(col("__m"), i + 1).as("a"), i.as("i"))))
+    val flips = transform(slice(ranked, 1, nProbes), s => s.getField("i"))
+    val buckets = concat(array(col("bucket0")),
+      transform(flips, i => col("bucket0")
+        .bitwiseXOR(pow(lit(2.0), i).cast("int"))))
+    val p = p0.withColumn("bucket", explode(buckets))
+      .select(col("probe_id"), col("p_emb"), col("bucket"))
+    val cand = c.join(broadcast(p), Seq("bucket"))
+      .filter(col("cand_id") =!= col("probe_id"))
+      .drop("bucket")
+      .dropDuplicates("probe_id", "cand_id")
+    val scored = cand
+      .withColumn("score", VectorFunctions.cosine(col("p_emb"), col("c_emb")))
+    Combine.topPerKey(
+      scored.select(col("probe_id"), col("cand_id"), col("score")),
+      Seq("probe_id"), k, col("score").desc, col("cand_id"))
+  }
+
   /** IVF index build: deterministic centroid sample (first nCentroids by
     * id — the cheap default; see [[kMeans]] for trained centroids with the
     * same output shape), then one-pass nearest-centroid assignment.

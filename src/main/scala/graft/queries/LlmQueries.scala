@@ -232,6 +232,19 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("score").desc, col("cand_id"))
     },
 
+    // Multi-probe SRP (Lv et al. 2007): same single table as
+    // q_similarity_srp, but each probe also searches the nProbes=2
+    // buckets across its lowest-|margin| hyperplanes. The margin sort,
+    // XOR bucket perturbation, candidate dedup, and scoring all replay
+    // in SQL with the plane literals inlined.
+    "q_similarity_multiprobe" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      Similarity.srpTopKMultiProbe(emb, emb.filter(col("vec_id") < 20), k = 3,
+        nPlanes = 4, dim = 64, nProbes = 2)
+        .select(col("probe_id"), col("cand_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("probe_id"), col("score").desc, col("cand_id"))
+    },
+
     // ANN recall audit: srpTopK vs the exact brute-force baseline, per
     // probe — the "is my index any good" loop. Both inputs deterministic,
     // so the whole report (including the SRP side's misses) replays in
@@ -1559,6 +1572,15 @@ object LlmQueries {
   private def srpBucketSql(embExpr: String, nPlanes: Int, dim: Int): String =
     srpBucketSqlFrom(embExpr, VectorFunctions.makePlanes(nPlanes, dim))
 
+  /** DuckDB list of |⟨emb, plane_i⟩| magnitudes in plane order — the
+    * multi-probe perturbation margins, same inlined-literal convention
+    * as [[srpBucketSqlFrom]]. */
+  private def srpMarginsSql(embExpr: String, nPlanes: Int, dim: Int): String =
+    VectorFunctions.makePlanes(nPlanes, dim).map { p =>
+      val lits = p.map(_.toString).mkString("[", ", ", "]")
+      s"abs(list_inner_product($embExpr, $lits))"
+    }.mkString("[", ", ", "]")
+
   /** UNION ALL of per-table (vec_id, ne, tbl, bucket) selects replicating
     * [[Similarity.cosinePairsBlocked]]'s multi-table bucketing. */
   private def srpTablesSql(nPlanes: Int, nTables: Int, dim: Int): String = {
@@ -1842,6 +1864,31 @@ object LlmQueries {
            FROM p JOIN b c USING (bucket) WHERE c.vec_id <> probe_id),
          ranked AS (
            SELECT probe_id, cand_id, raw,
+             row_number() OVER (PARTITION BY probe_id ORDER BY raw DESC, cand_id) AS rn
+           FROM scored)
+         SELECT probe_id, cand_id, round(raw, 4) AS score FROM ranked WHERE rn <= 3
+         ORDER BY probe_id, raw DESC, cand_id""",
+    // multi-probe SRP: base bucket + XOR flips of the 2 lowest-|margin|
+    // planes (ties by plane index), candidate dedup before scoring.
+    "q_similarity_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         b AS (SELECT vec_id, emb, ${srpBucketSql("emb", 4, 64)} AS bucket FROM e),
+         p0 AS (SELECT vec_id AS probe_id, emb AS pe, bucket AS b0 FROM b WHERE vec_id < 20),
+         m AS (SELECT probe_id, pe, b0, ${srpMarginsSql("pe", 4, 64)} AS mg FROM p0),
+         f AS (SELECT probe_id, pe, b0, i FROM (
+             SELECT probe_id, pe, b0, CAST(i AS INTEGER) AS i,
+               row_number() OVER (PARTITION BY probe_id ORDER BY mg[CAST(i + 1 AS INTEGER)], i) AS rn
+             FROM m, unnest(range(0, 4)) AS u(i)) WHERE rn <= 2),
+         pb AS (SELECT probe_id, pe, b0 AS bucket FROM m
+           UNION ALL
+           SELECT probe_id, pe, xor(b0, 1 << i) AS bucket FROM f),
+         cand AS (SELECT DISTINCT probe_id, pe, c.vec_id AS cand_id, c.emb AS ce
+           FROM pb JOIN b c ON c.bucket = pb.bucket WHERE c.vec_id <> probe_id),
+         scored AS (SELECT probe_id, cand_id,
+             list_inner_product(pe, ce) /
+               (sqrt(list_inner_product(pe, pe)) * sqrt(list_inner_product(ce, ce))) AS raw
+           FROM cand),
+         ranked AS (SELECT probe_id, cand_id, raw,
              row_number() OVER (PARTITION BY probe_id ORDER BY raw DESC, cand_id) AS rn
            FROM scored)
          SELECT probe_id, cand_id, round(raw, 4) AS score FROM ranked WHERE rn <= 3

@@ -299,4 +299,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got.size >= (truth.size * 0.3).toInt,
       s"recall ${got.size}/${truth.size} below floor")
   }
+
+  test("srpTopKMultiProbe: nProbes=0 ≡ srpTopK; probing only improves recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter(col("vec_id") < 15)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("probe_id"), col("cand_id"),
+          round(col("score"), 9).as("score"))
+        .as[(Long, Long, Double)].collect().toSet
+    val plain = Similarity.srpTopK(emb, probes, k = 5, nPlanes = 6, dim = 64)
+    val zero = Similarity.srpTopKMultiProbe(emb, probes, k = 5,
+      nPlanes = 6, dim = 64, nProbes = 0)
+    assert(rows(zero) == rows(plain),
+      "nProbes=0 must degenerate to plain single-bucket SRP")
+    val truth = Similarity.bruteForceTopK(emb, probes, k = 5)
+    def recallSum(ann: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallReport(ann, truth)
+        .agg(sum(col("n_hit")).cast("double")).as[Double].head()
+    val multi = Similarity.srpTopKMultiProbe(emb, probes, k = 5,
+      nPlanes = 6, dim = 64, nProbes = 3)
+    val (rPlain, rMulti) = (recallSum(plain), recallSum(multi))
+    // candidate superset ⇒ recall can only rise; on 6 planes / 3 probes
+    // it must ACTUALLY rise on this fixture, not just tie
+    assert(rMulti > rPlain,
+      s"multi-probe recall $rMulti must beat single-bucket $rPlain")
+  }
 }
