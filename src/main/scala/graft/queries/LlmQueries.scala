@@ -245,6 +245,43 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("score").desc, col("cand_id"))
     },
 
+    // Cluster-balanced diversity sample: assign every embedding to its
+    // nearest deterministic centroid, keep n per cluster by md5 order —
+    // the "subsample without collapsing onto the dominant mode" curation
+    // op. Composes the proven IVF-argmin and hash-sample oracles.
+    "q_cluster_sample" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val assigned = Similarity.ivfAssign(emb, nCentroids = 8)
+        .select(col("vec_id"), col("centroid_id"))
+      graft.operators.Combine.samplePerKeyByHash(assigned,
+          Seq("centroid_id"), 5, Seq("centroid_id", "vec_id"))
+        .orderBy(col("centroid_id"), col("vec_id"))
+    },
+
+    // Hard-negative mining (contrastive-training data prep): per probe,
+    // the most-similar candidates that live in a DIFFERENT cluster —
+    // near in embedding space, different by the cluster proxy — exactly
+    // the negatives a bi-encoder trains against. Brute-force truth +
+    // argmin clusters + anti-cluster filter, all under one oracle.
+    "q_hard_negatives" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val assigned = Similarity.ivfAssign(emb, nCentroids = 8)
+        .select(col("vec_id"), col("centroid_id"))
+      val probes = emb.filter(col("vec_id") < 10)
+      val topk = Similarity.bruteForceTopK(emb, probes, k = 10)
+      val negs = topk
+        .join(assigned.toDF("probe_id", "p_cluster"), Seq("probe_id"))
+        .join(assigned.toDF("cand_id", "neg_cluster"), Seq("cand_id"))
+        .filter(col("p_cluster") =!= col("neg_cluster"))
+      graft.operators.Combine.topPerKey(
+          negs.select(col("probe_id"), col("cand_id"), col("neg_cluster"),
+            col("score")),
+          Seq("probe_id"), 3, col("score").desc, col("cand_id"))
+        .select(col("probe_id"), col("cand_id"), col("neg_cluster"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("probe_id"), col("score").desc, col("cand_id"))
+    },
+
     // ANN recall audit: srpTopK vs the exact brute-force baseline, per
     // probe — the "is my index any good" loop. Both inputs deterministic,
     // so the whole report (including the SRP side's misses) replays in
@@ -1892,6 +1929,66 @@ object LlmQueries {
              row_number() OVER (PARTITION BY probe_id ORDER BY raw DESC, cand_id) AS rn
            FROM scored)
          SELECT probe_id, cand_id, round(raw, 4) AS score FROM ranked WHERE rn <= 3
+         ORDER BY probe_id, raw DESC, cand_id""",
+    // cluster-balanced sample: IVF argmin assignment + md5-order top-5
+    // per cluster (the q_similarity_ivf and q_sample_perkey patterns).
+    "q_cluster_sample" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cents AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e ORDER BY vec_id LIMIT 8),
+         assigned AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(v.emb) + 1),
+                   i -> (v.emb[i] - c.cemb[i]) * (v.emb[i] - c.cemb[i]))) ASC,
+                 c.centroid_id) AS rn
+             FROM e v, cents c)
+           WHERE rn = 1)
+         SELECT vec_id, centroid_id FROM (
+           SELECT vec_id, centroid_id,
+             row_number() OVER (PARTITION BY centroid_id
+               ORDER BY md5(coalesce(CAST(centroid_id AS VARCHAR), chr(0)) || '|' ||
+                            coalesce(CAST(vec_id AS VARCHAR), chr(0)))) AS rn
+           FROM assigned)
+         WHERE rn <= 5
+         ORDER BY centroid_id, vec_id""",
+    // hard negatives: brute-force top-10 + argmin clusters, keep the 3
+    // best candidates whose cluster differs from the probe's.
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cents AS (SELECT vec_id AS centroid_id, emb AS cemb FROM e ORDER BY vec_id LIMIT 8),
+         assigned AS (
+           SELECT vec_id, centroid_id FROM (
+             SELECT v.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_sum(list_transform(range(1, len(v.emb) + 1),
+                   i -> (v.emb[i] - c.cemb[i]) * (v.emb[i] - c.cemb[i]))) ASC,
+                 c.centroid_id) AS rn
+             FROM e v, cents c)
+           WHERE rn = 1),
+         p AS (SELECT vec_id AS probe_id, emb AS pe FROM e WHERE vec_id < 10),
+         scored AS (
+           SELECT probe_id, c.vec_id AS cand_id,
+             list_inner_product(pe, c.emb) /
+               (sqrt(list_inner_product(pe, pe)) * sqrt(list_inner_product(c.emb, c.emb))) AS raw
+           FROM p, e c WHERE c.vec_id <> probe_id),
+         topk AS (SELECT probe_id, cand_id, raw FROM (
+             SELECT probe_id, cand_id, raw,
+               row_number() OVER (PARTITION BY probe_id ORDER BY raw DESC, cand_id) AS rn
+             FROM scored)
+           WHERE rn <= 10),
+         negs AS (
+           SELECT t.probe_id, t.cand_id, t.raw, ac.centroid_id AS neg_cluster
+           FROM topk t
+           JOIN assigned ap ON ap.vec_id = t.probe_id
+           JOIN assigned ac ON ac.vec_id = t.cand_id
+           WHERE ap.centroid_id <> ac.centroid_id),
+         ranked AS (
+           SELECT probe_id, cand_id, neg_cluster, raw,
+             row_number() OVER (PARTITION BY probe_id ORDER BY raw DESC, cand_id) AS rn
+           FROM negs)
+         SELECT probe_id, cand_id, neg_cluster, round(raw, 4) AS score
+         FROM ranked WHERE rn <= 3
          ORDER BY probe_id, raw DESC, cand_id""",
     // resize: out_len = min(budget, payload bytes) with budget = 75·75/64;
     // payload = utf8 bytes of text (octet_length on the encoded blob).
