@@ -201,6 +201,71 @@ object Curation {
       .select(col(idCol), col("n_feats"), col("logw"))
   }
 
+  /** The DSIR per-bucket log-ratio table as a driver-side map — bounded
+    * by `buckets` (the same bounded-collect class as Mixture's per-domain
+    * maps, NOT a corpus collect). Values are the 9-dp-quantized ratios as
+    * exact BigDecimals, so any consumer summing them reproduces
+    * [[dsirLogWeights]] bit-for-bit: decimal addition is associative, so
+    * per-feature and per-bucket-count summation orders agree exactly.
+    * The bucket totals are aggregated straight from the feature stream
+    * (Σ of the per-doc counts — identical longs to the per-doc path). */
+  def dsirRatioTable(raw: DataFrame, target: DataFrame, textCol: String,
+                     buckets: Int = 1024): Map[Long, java.math.BigDecimal] = {
+    require(buckets > 0, "buckets must be positive")
+    import org.apache.spark.sql.types.DecimalType
+    def feats(df: DataFrame) = df.filter(col(textCol).isNotNull)
+      .select(explode(concat(
+        TextFunctions.tokens(col(textCol)),
+        graft.functions.ShingleExprs.ngramStrings(col(textCol), 2))).as("__f"))
+      .select(Combine.hashBucket(col("__f"), buckets).as("__b"))
+    val rawTot = feats(raw).groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val tgtTot = feats(target).groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val rawN = rawTot.agg(coalesce(sum(col("__cr")), lit(0L)).as("__tr"))
+    val tgtN = tgtTot.agg(coalesce(sum(col("__ct")), lit(0L)).as("__tt"))
+    rawTot
+      .join(tgtTot, Seq("__b"), "left")
+      .crossJoin(broadcast(rawN)).crossJoin(broadcast(tgtN))
+      .select(col("__b"),
+        round(
+          log((coalesce(col("__ct"), lit(0L)) + 1.0) / (col("__tt") + buckets.toDouble)) -
+          log((col("__cr") + 1.0) / (col("__tr") + buckets.toDouble)), 9)
+          .cast(DecimalType(19, 12)).as("__lr"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1))
+      .toMap
+  }
+
+  /** Per-row DSIR score from a frozen ratio table: Σ over the row's
+    * unigram+bigram features of the table's quantized log-ratio — ONE
+    * scan, ZERO shuffles, and streaming-legal (a pure projection), which
+    * makes it the ingest-time deployment shape: freeze the table against
+    * yesterday's corpus, score every arriving document in the stream.
+    * Bit-equal to [[dsirLogWeights]] on the corpus the table was built
+    * from (asserted in CurationSpec): the decimal sum is order-free, so
+    * per-feature summation here equals per-bucket-count summation there.
+    * Features whose bucket is absent from the table (never seen in the
+    * table's raw corpus) contribute nothing — they carry no evidence
+    * under either model. NULL text scores NULL. */
+  def dsirScore(text: Column, table: Map[Long, java.math.BigDecimal],
+                buckets: Int = 1024): Column = {
+    require(buckets > 0, "buckets must be positive")
+    import org.apache.spark.sql.types.DecimalType
+    // exact integer arithmetic: the 9-dp ratios become nano-unit longs
+    // (|lr| < 100 ⇒ |nanos| < 10^11; a row's sum < n_feats·10^11 ≪ 2^63),
+    // so the in-row fold is overflow-safe long addition — no decimal
+    // precision-promotion rules inside the lambda
+    val nanos: Map[Long, Long] =
+      table.map { case (k, v) => k -> v.movePointRight(9).longValueExact() }
+    val m = typedlit(nanos)
+    val fs = concat(TextFunctions.tokens(text),
+      graft.functions.ShingleExprs.ngramStrings(text, 2))
+    val sumNanos = aggregate(fs, lit(0L),
+      (a, f) => a + coalesce(element_at(m, Combine.hashBucket(f, buckets)), lit(0L)))
+    // ÷10^9 in DECIMAL (exact at scale ≥ 9), then one double cast — the
+    // same mathematical value dsirLogWeights casts, hence the same double
+    (sumNanos.cast(DecimalType(38, 9)) / lit(1000000000L)).cast("double")
+  }
+
   /** Head+tail token truncation: cap each document at `maxTokens`
     * whitespace tokens, keeping the first ceil(headFrac·maxTokens) and
     * the last maxTokens−head tokens — the standard long-document cap

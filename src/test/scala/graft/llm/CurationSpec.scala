@@ -235,4 +235,44 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("logw"))).toMap
     assert(!w2.contains(4L) && w2 == w)
   }
+
+  test("dsirScore: frozen-table per-row scorer ≡ dsirLogWeights bit-for-bit, on batch AND stream") {
+    val target = Seq(
+      (100L, "theorem proof lemma corollary induction hypothesis"),
+      (101L, "proof by induction on the lemma and the theorem")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "lemma proof theorem induction corollary"),
+      (2L, "pizza recipe cheese tomato basil oven"),
+      (3L, "the proof of the theorem uses induction")).toDF("doc_id", "text")
+    val table = Curation.dsirRatioTable(raw, target, "text", buckets = 256)
+    val batch = Curation.dsirLogWeights(raw, target, "doc_id", "text", buckets = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("logw"))).toMap
+    // batch projection: exactly the shuffle-free scorer, bit-equal
+    val scored = raw
+      .select(col("doc_id"), Curation.dsirScore(col("text"), table, 256).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored == batch,
+      s"per-row scorer must be bit-equal to the aggregate path: $scored vs $batch")
+    // null text scores null (no evidence), not 0
+    val nullScore = Seq((9L, null: String)).toDF("doc_id", "text")
+      .select(Curation.dsirScore(col("text"), table, 256)).collect().head
+    assert(nullScore.isNullAt(0))
+    // the same Column runs on an unbounded frame — ingest-time scoring
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, String)](11, spark, None)
+    val out = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), Curation.dsirScore(col("text"), table, 256).as("s"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir-").toString
+    val q = out.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").option("checkpointLocation", dir).start()
+    try {
+      input.addData(Seq((1L, "lemma proof theorem induction corollary"),
+        (2L, "pizza recipe cheese tomato basil oven"),
+        (3L, "the proof of the theorem uses induction")))
+      q.processAllAvailable()
+      val got = spark.table("dsir_stream")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == batch, s"stream scores must equal batch: $got vs $batch")
+    } finally q.stop()
+  }
 }
