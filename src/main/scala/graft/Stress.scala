@@ -48,7 +48,7 @@ object Stress {
     * ~factor members */
   val EmbQueries = Seq(
     "q_semdedup", "q_embedding_neardup", "q_similarity_srp",
-    "q_similarity_multiprobe",
+    "q_similarity_multiprobe", "q_cluster_sample", "q_hard_negatives",
     "q_similarity_ivf", "q_similarity_pq", "q_similarity_ivfpq")
   /** probe-hit / containment joins with the hot-key risk profile: a
     * probe n-gram (or reference shingle) shared by many corpus near-dups
@@ -74,7 +74,7 @@ object Stress {
     // on both sides, so the log-ratio table barely moves while the
     // (doc, bucket) aggregation carries factor× rows — the risk profile
     // is the scoring join staying a broadcast, never a shuffle join
-    "q_dsir_select")
+    "q_dsir_select", "q_dsir_budget")
 
   /** round-8 lake/curation additions over the documents table: the
     * incremental-ingest flagship (every stage must stay linear when the
