@@ -164,27 +164,33 @@ object Curation {
     *
     * Output: (idCol, n_feats, logw). Docs with NULL text or zero
     * features are absent (they carry no evidence either way). */
-  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
-                     textCol: String, buckets: Int = 1024): DataFrame = {
-    require(buckets > 0, "buckets must be positive")
-    import org.apache.spark.sql.types.DecimalType
-    def feats(df: DataFrame) = df.filter(col(textCol).isNotNull)
-      .select(col(idCol), explode(concat(
+  /** The DSIR hashed-feature stream: unigrams + bigrams of `textCol`,
+    * exploded and md5-bucketed. One definition feeds every DSIR entry
+    * point, so the feature convention cannot drift between them. */
+  private def dsirFeatureBucket(textCol: String, buckets: Int): Column =
+    Combine.hashBucket(col("__f"), buckets)
+
+  private def dsirFeats(df: DataFrame, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .withColumn("__f", explode(concat(
         TextFunctions.tokens(col(textCol)),
-        graft.functions.ShingleExprs.ngramStrings(col(textCol), 2))).as("__f"))
-      .select(col(idCol), Combine.hashBucket(col("__f"), buckets).as("__b"))
-    val rawDocBuckets = feats(raw)
-      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
-    val rawTot = rawDocBuckets.groupBy(col("__b"))
-      .agg(sum(col("__c")).as("__cr"))
-    val tgtTot = feats(target).groupBy(col("__b"))
-      .agg(count(lit(1)).as("__ct"))
+        graft.functions.ShingleExprs.ngramStrings(col(textCol), 2))))
+
+  /** The `buckets`-row quantized log-ratio frame shared by
+    * [[dsirLogWeights]] and [[dsirRatioTable]] — the smoothing and
+    * 9-dp quantization live HERE once, so the bit-parity contract
+    * between the aggregate path and the frozen-table scorer cannot be
+    * broken by editing one copy. Inputs: (__b, __cr) raw bucket totals,
+    * (__b, __ct) target bucket totals. */
+  private def dsirLrFrame(rawTot: DataFrame, tgtTot: DataFrame,
+                          buckets: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val rawN = rawTot.agg(coalesce(sum(col("__cr")), lit(0L)).as("__tr"))
     val tgtN = tgtTot.agg(coalesce(sum(col("__ct")), lit(0L)).as("__tt"))
     // buckets-row log-ratio table over the RAW side's buckets (a scored
     // doc's features are a subset of the raw corpus's by construction);
     // absent-in-target buckets smooth to count 0
-    val lr = rawTot
+    rawTot
       .join(tgtTot, Seq("__b"), "left")
       .crossJoin(broadcast(rawN)).crossJoin(broadcast(tgtN))
       .select(col("__b"),
@@ -192,7 +198,21 @@ object Curation {
           log((coalesce(col("__ct"), lit(0L)) + 1.0) / (col("__tt") + buckets.toDouble)) -
           log((col("__cr") + 1.0) / (col("__tr") + buckets.toDouble)), 9)
           .cast(DecimalType(19, 12)).as("__lr"))
-    rawDocBuckets.join(broadcast(lr), Seq("__b"))
+  }
+
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    import org.apache.spark.sql.types.DecimalType
+    val rawDocBuckets = dsirFeats(raw, textCol)
+      .select(col(idCol), dsirFeatureBucket(textCol, buckets).as("__b"))
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val rawTot = rawDocBuckets.groupBy(col("__b"))
+      .agg(sum(col("__c")).as("__cr"))
+    val tgtTot = dsirFeats(target, textCol)
+      .select(dsirFeatureBucket(textCol, buckets).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    rawDocBuckets.join(broadcast(dsirLrFrame(rawTot, tgtTot, buckets)), Seq("__b"))
       .groupBy(col(idCol))
       .agg(
         sum(col("__c").cast(DecimalType(18, 0)) * col("__lr"))
@@ -212,24 +232,13 @@ object Curation {
   def dsirRatioTable(raw: DataFrame, target: DataFrame, textCol: String,
                      buckets: Int = 1024): Map[Long, java.math.BigDecimal] = {
     require(buckets > 0, "buckets must be positive")
-    import org.apache.spark.sql.types.DecimalType
-    def feats(df: DataFrame) = df.filter(col(textCol).isNotNull)
-      .select(explode(concat(
-        TextFunctions.tokens(col(textCol)),
-        graft.functions.ShingleExprs.ngramStrings(col(textCol), 2))).as("__f"))
-      .select(Combine.hashBucket(col("__f"), buckets).as("__b"))
-    val rawTot = feats(raw).groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
-    val tgtTot = feats(target).groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
-    val rawN = rawTot.agg(coalesce(sum(col("__cr")), lit(0L)).as("__tr"))
-    val tgtN = tgtTot.agg(coalesce(sum(col("__ct")), lit(0L)).as("__tt"))
-    rawTot
-      .join(tgtTot, Seq("__b"), "left")
-      .crossJoin(broadcast(rawN)).crossJoin(broadcast(tgtN))
-      .select(col("__b"),
-        round(
-          log((coalesce(col("__ct"), lit(0L)) + 1.0) / (col("__tt") + buckets.toDouble)) -
-          log((col("__cr") + 1.0) / (col("__tr") + buckets.toDouble)), 9)
-          .cast(DecimalType(19, 12)).as("__lr"))
+    val rawTot = dsirFeats(raw, textCol)
+      .select(dsirFeatureBucket(textCol, buckets).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val tgtTot = dsirFeats(target, textCol)
+      .select(dsirFeatureBucket(textCol, buckets).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    dsirLrFrame(rawTot, tgtTot, buckets)
       .collect()
       .map(r => r.getLong(0) -> r.getDecimal(1))
       .toMap
@@ -249,18 +258,26 @@ object Curation {
   def dsirScore(text: Column, table: Map[Long, java.math.BigDecimal],
                 buckets: Int = 1024): Column = {
     require(buckets > 0, "buckets must be positive")
+    require(table.keySet.forall(k => k >= 0 && k < buckets),
+      s"table has bucket keys outside [0, $buckets) - was it built with a different bucket count?")
     import org.apache.spark.sql.types.DecimalType
     // exact integer arithmetic: the 9-dp ratios become nano-unit longs
     // (|lr| < 100 ⇒ |nanos| < 10^11; a row's sum < n_feats·10^11 ≪ 2^63),
     // so the in-row fold is overflow-safe long addition — no decimal
-    // precision-promotion rules inside the lambda
-    val nanos: Map[Long, Long] =
-      table.map { case (k, v) => k -> v.movePointRight(9).longValueExact() }
-    val m = typedlit(nanos)
+    // precision-promotion rules inside the lambda. The table densifies
+    // to a buckets-length ARRAY literal (keys are exactly [0, buckets);
+    // absent buckets are 0 = "no evidence"), because element_at on a MAP
+    // literal is a per-feature O(buckets) linear key scan — a 1000×
+    // slowdown on exactly the ingest hot path this exists for — while an
+    // array index is O(1).
+    val dense: Seq[Long] = (0L until buckets.toLong).map(b =>
+      table.get(b).map(_.movePointRight(9).longValueExact()).getOrElse(0L))
+    val m = typedlit(dense)
     val fs = concat(TextFunctions.tokens(text),
       graft.functions.ShingleExprs.ngramStrings(text, 2))
     val sumNanos = aggregate(fs, lit(0L),
-      (a, f) => a + coalesce(element_at(m, Combine.hashBucket(f, buckets)), lit(0L)))
+      (a, f) => a + element_at(m,
+        (Combine.hashBucket(f, buckets) + 1L).cast("int")))
     // ÷10^9 in DECIMAL (exact at scale ≥ 9), then one double cast — the
     // same mathematical value dsirLogWeights casts, hence the same double
     (sumNanos.cast(DecimalType(38, 9)) / lit(1000000000L)).cast("double")

@@ -134,7 +134,7 @@ object Similarity {
     val flips = transform(slice(ranked, 1, nProbes), s => s.getField("i"))
     val buckets = concat(array(col("bucket0")),
       transform(flips, i => col("bucket0")
-        .bitwiseXOR(pow(lit(2.0), i).cast("int"))))
+        .bitwiseXOR(call_function("shiftleft", lit(1), i))))
     val p = p0.withColumn("bucket", explode(buckets))
       .select(col("probe_id"), col("p_emb"), col("bucket"))
     val cand = c.join(broadcast(p), Seq("bucket"))

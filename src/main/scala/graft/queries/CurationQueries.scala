@@ -195,6 +195,57 @@ object CurationQueries {
     },
   )
 
+  /** Shared DSIR weighting CTE chain (through `w`: doc_id, logw,
+    * n_feats) — ONE definition for both DSIR oracles so the SQL cannot
+    * drift from itself; it must mirror `Curation.dsirLogWeights`
+    * clause-for-clause (tokenizer regex, md5 bucket, Laplace smoothing,
+    * 9-dp quantized DECIMAL sum). Parity note: round(·, 9) of an
+    * ln-based double sits in the same accepted quantization-parity
+    * class as the perplexity oracles (a value within 1 ulp of a 0.5e-9
+    * boundary could round differently across engines — never observed
+    * on the fixtures, including the 10× stress corpus). */
+  private val dsirWeightsCte: String =
+    """tgt AS (SELECT text FROM documents
+             WHERE doc_id % 5 = 0 AND text IS NOT NULL),
+         raw AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+         rt AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS ts
+           FROM raw),
+         rf AS (SELECT doc_id, f FROM (
+             SELECT doc_id, unnest(ts) AS f FROM rt
+             UNION ALL
+             SELECT doc_id, ts[i] || ' ' || ts[i+1] AS f
+             FROM rt, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2)),
+         rb AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(f), 1, 8)) AS UBIGINT) % 1024 AS b,
+             count(*) AS c
+           FROM rf GROUP BY 1, 2),
+         rtot AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM rb GROUP BY b),
+         rn AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM rtot),
+         tt AS (SELECT
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS ts
+           FROM tgt),
+         tf AS (SELECT f FROM (
+             SELECT unnest(ts) AS f FROM tt
+             UNION ALL
+             SELECT ts[i] || ' ' || ts[i+1] AS f
+             FROM tt, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2)),
+         tb AS (SELECT
+             CAST(('0x' || substr(md5(f), 1, 8)) AS UBIGINT) % 1024 AS b,
+             count(*) AS ct
+           FROM tf GROUP BY 1),
+         tn AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS ttot FROM tb),
+         lr AS (SELECT rtot.b,
+             CAST(round(
+               ln((coalesce(tb.ct, 0) + 1.0) / (tn.ttot + 1024.0)) -
+               ln((rtot.cr + 1.0) / (rn.tr + 1024.0)), 9) AS DECIMAL(19,12)) AS lr
+           FROM rtot LEFT JOIN tb USING (b), rn, tn),
+         w AS (SELECT doc_id,
+             CAST(sum(CAST(c AS DECIMAL(18,0)) * lr) AS DOUBLE) AS logw,
+             CAST(sum(c) AS BIGINT) AS n_feats
+           FROM rb JOIN lr USING (b) GROUP BY doc_id)"""
+
   val oracles: Map[String, String] = Map(
 
     "q_normalize_nfc" ->
@@ -246,92 +297,14 @@ object CurationQueries {
          FROM h ORDER BY doc_id""",
 
     "q_dsir_select" ->
-      """WITH tgt AS (SELECT text FROM documents
-             WHERE doc_id % 5 = 0 AND text IS NOT NULL),
-         raw AS (SELECT doc_id, text FROM documents
-             WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
-         rt AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS ts
-           FROM raw),
-         rf AS (SELECT doc_id, f FROM (
-             SELECT doc_id, unnest(ts) AS f FROM rt
-             UNION ALL
-             SELECT doc_id, ts[i] || ' ' || ts[i+1] AS f
-             FROM rt, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2)),
-         rb AS (SELECT doc_id,
-             CAST(('0x' || substr(md5(f), 1, 8)) AS UBIGINT) % 1024 AS b,
-             count(*) AS c
-           FROM rf GROUP BY 1, 2),
-         rtot AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM rb GROUP BY b),
-         rn AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM rtot),
-         tt AS (SELECT
-             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS ts
-           FROM tgt),
-         tf AS (SELECT f FROM (
-             SELECT unnest(ts) AS f FROM tt
-             UNION ALL
-             SELECT ts[i] || ' ' || ts[i+1] AS f
-             FROM tt, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2)),
-         tb AS (SELECT
-             CAST(('0x' || substr(md5(f), 1, 8)) AS UBIGINT) % 1024 AS b,
-             count(*) AS ct
-           FROM tf GROUP BY 1),
-         tn AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS ttot FROM tb),
-         lr AS (SELECT rtot.b,
-             CAST(round(
-               ln((coalesce(tb.ct, 0) + 1.0) / (tn.ttot + 1024.0)) -
-               ln((rtot.cr + 1.0) / (rn.tr + 1024.0)), 9) AS DECIMAL(19,12)) AS lr
-           FROM rtot LEFT JOIN tb USING (b), rn, tn),
-         w AS (SELECT doc_id,
-             CAST(sum(CAST(c AS DECIMAL(18,0)) * lr) AS DOUBLE) AS logw,
-             CAST(sum(c) AS BIGINT) AS n_feats
-           FROM rb JOIN lr USING (b) GROUP BY doc_id),
+      s"""WITH $dsirWeightsCte,
          pick AS (SELECT doc_id, n_feats, logw FROM w
            ORDER BY logw DESC, doc_id LIMIT 50)
          SELECT doc_id, n_feats, round(logw, 4) AS logw
          FROM pick ORDER BY doc_id""",
 
     "q_dsir_budget" ->
-      """WITH tgt AS (SELECT text FROM documents
-             WHERE doc_id % 5 = 0 AND text IS NOT NULL),
-         raw AS (SELECT doc_id, text FROM documents
-             WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
-         rt AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS ts
-           FROM raw),
-         rf AS (SELECT doc_id, f FROM (
-             SELECT doc_id, unnest(ts) AS f FROM rt
-             UNION ALL
-             SELECT doc_id, ts[i] || ' ' || ts[i+1] AS f
-             FROM rt, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2)),
-         rb AS (SELECT doc_id,
-             CAST(('0x' || substr(md5(f), 1, 8)) AS UBIGINT) % 1024 AS b,
-             count(*) AS c
-           FROM rf GROUP BY 1, 2),
-         rtot AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM rb GROUP BY b),
-         rn AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS tr FROM rtot),
-         tt AS (SELECT
-             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS ts
-           FROM tgt),
-         tf AS (SELECT f FROM (
-             SELECT unnest(ts) AS f FROM tt
-             UNION ALL
-             SELECT ts[i] || ' ' || ts[i+1] AS f
-             FROM tt, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2)),
-         tb AS (SELECT
-             CAST(('0x' || substr(md5(f), 1, 8)) AS UBIGINT) % 1024 AS b,
-             count(*) AS ct
-           FROM tf GROUP BY 1),
-         tn AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS ttot FROM tb),
-         lr AS (SELECT rtot.b,
-             CAST(round(
-               ln((coalesce(tb.ct, 0) + 1.0) / (tn.ttot + 1024.0)) -
-               ln((rtot.cr + 1.0) / (rn.tr + 1024.0)), 9) AS DECIMAL(19,12)) AS lr
-           FROM rtot LEFT JOIN tb USING (b), rn, tn),
-         w AS (SELECT doc_id,
-             CAST(sum(CAST(c AS DECIMAL(18,0)) * lr) AS DOUBLE) AS logw,
-             CAST(sum(c) AS BIGINT) AS n_feats
-           FROM rb JOIN lr USING (b) GROUP BY doc_id),
+      s"""WITH $dsirWeightsCte,
          sel AS (SELECT doc_id, logw, n_feats,
              CAST(sum(n_feats) OVER (ORDER BY logw DESC, doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
