@@ -152,6 +152,24 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The frozen-table DSIR scorer under its own gate: the ratio table
+    // collects driver-side (bounded by buckets) and every raw doc is
+    // scored by the ZERO-SHUFFLE per-row path — a different execution
+    // route than q_dsir_select's aggregate, which the oracle replays via
+    // the aggregate SQL, so the two paths' documented bit-equality is
+    // DuckDB-checked, not just spec-checked. Docs whose text yields no
+    // features score 0 (no evidence), mirrored by the oracle's coalesce.
+    "q_dsir_score" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val target = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      val raw = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val table = graft.llm.Curation.dsirRatioTable(raw, target, "text", buckets = 1024)
+      raw.filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          round(graft.llm.Curation.dsirScore(col("text"), table, 1024), 4).as("logw"))
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR composed with the token-budget selector — the production
     // "take the most target-like documents until the budget is spent"
     // shape: DSIR log-weights order the raw pool, prefixSum's
@@ -302,6 +320,12 @@ object CurationQueries {
            ORDER BY logw DESC, doc_id LIMIT 50)
          SELECT doc_id, n_feats, round(logw, 4) AS logw
          FROM pick ORDER BY doc_id""",
+
+    "q_dsir_score" ->
+      s"""WITH $dsirWeightsCte
+         SELECT r.doc_id, round(coalesce(w.logw, 0.0), 4) AS logw
+         FROM raw r LEFT JOIN w ON w.doc_id = r.doc_id
+         ORDER BY r.doc_id""",
 
     "q_dsir_budget" ->
       s"""WITH $dsirWeightsCte,
