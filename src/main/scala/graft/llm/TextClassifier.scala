@@ -116,4 +116,62 @@ object TextClassifier {
       train.unpersist(); test.unpersist()
     }
   }
+
+  /** Exact, engine-replayable binary-classifier evaluation — the "is my
+    * quality filter any good, and where do I cut" report a curation
+    * pipeline needs before deploying a threshold:
+    *
+    *  - `auc`: exact Mann-Whitney AUC (ties get the standard half
+    *    credit). Computed WITHOUT a global rank: scores aggregate to a
+    *    distinct-score table, [[Combine.prefixSum]] supplies cumulative
+    *    negative counts (range-partitioned — never a single-partition
+    *    window over the corpus), and 2·Σ np·(2·cumNegBelow + nn) stays
+    *    in exact integer arithmetic until one final division.
+    *  - `threshold`: the highest score cut achieving `targetRecall` —
+    *    max s with #(positives ≥ s) ≥ ⌈targetRecall·P⌉.
+    *  - `precision`/`recall`: achieved at that threshold (≥-inclusive).
+    *
+    * Output: one row (n_pos, n_neg, auc, threshold, precision, recall).
+    * Rows with NULL score or label are excluded (they grade nothing).
+    * `ml`'s BinaryClassificationEvaluator computes AUC by approximate
+    * curve sampling; this is the exact relational form, and every number
+    * replays in SQL (window cumsum over distinct scores). */
+  def evalReport(df: DataFrame, label: Column, score: Column,
+                 targetRecall: Double): DataFrame = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val base = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.cast("double").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+    val byScore = base.groupBy(col("s")).agg(
+      sum(col("y")).as("np"),
+      (count(lit(1)) - sum(col("y"))).as("nn"))
+    // inclusive cumsums over ascending score; strictly-below = cum − own
+    val c1 = Combine.prefixSum(byScore, Seq(col("s").asc), col("nn"), "cum_nn")
+    val c = Combine.prefixSum(c1, Seq(col("s").asc), col("np"), "cum_np")
+    val totals = byScore.agg(
+      coalesce(sum(col("np")), lit(0L)).as("P"),
+      coalesce(sum(col("nn")), lit(0L)).as("N"))
+    // 2·(AUC numerator): Σ np·(2·negBelow + nn) — exact longs throughout
+    val auc2 = c.agg(coalesce(
+      sum(col("np") * (lit(2L) * (col("cum_nn") - col("nn")) + col("nn"))),
+      lit(0L)).as("num2"))
+    val withTotals = c.crossJoin(broadcast(totals))
+      .withColumn("pos_at_or_above", col("P") - (col("cum_np") - col("np")))
+      .withColumn("neg_at_or_above", col("N") - (col("cum_nn") - col("nn")))
+    val need = ceil(lit(targetRecall) * col("P"))
+    val cut = withTotals.filter(col("pos_at_or_above") >= need)
+      .agg(max(col("s")).as("threshold"))
+    withTotals.crossJoin(broadcast(cut))
+      .filter(col("s") === col("threshold"))
+      .crossJoin(broadcast(auc2))
+      .select(
+        col("P").as("n_pos"), col("N").as("n_neg"),
+        (col("num2").cast("double") /
+          (lit(2.0) * col("P") * col("N"))).as("auc"),
+        col("threshold"),
+        (col("pos_at_or_above").cast("double") /
+          (col("pos_at_or_above") + col("neg_at_or_above"))).as("precision"),
+        (col("pos_at_or_above").cast("double") / col("P")).as("recall"))
+  }
 }

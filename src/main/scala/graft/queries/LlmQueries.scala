@@ -1200,6 +1200,32 @@ object LlmQueries {
     // 0.9, held-out AUROC ≥ 0.95 — a broken feature hash, a diverged
     // optimizer, or a leaky split smashes them. Exact oracle
     // companions: per-label document counts (SQL-replicated label).
+    // Exact filter evaluation (Mann-Whitney AUC + threshold-at-recall
+    // via range-partitioned prefix sums — never a corpus-wide rank
+    // window): grade the English-stopword-fraction score against the
+    // fixture's lang labels and pick the 0.9-recall cut. Every number
+    // is exact integer arithmetic until one final division, so the
+    // whole report replays in SQL. On THIS fixture the text is
+    // lang-independent, so the report correctly grades the filter as
+    // useless (AUC ≈ 0.47, cut collapses to 0) — which is precisely the
+    // deploy/don't-deploy answer the operator exists to give; the
+    // hand-computed AUC/threshold math is pinned in TextClassifierSpec.
+    "q_filter_eval" -> { (s, dir) =>
+      val en = TextFunctions.LanguageMarkers("en")
+      val toks = TextFunctions.tokens(col("text"))
+      val docs = Tables(s, dir).documents
+        .withColumn("__t", toks).filter(size(col("__t")) > 0)
+        .withColumn("__score",
+          size(filter(col("__t"), t => t.isInCollection(en))).cast("double") /
+            size(col("__t")))
+      TextClassifier.evalReport(docs, col("lang") === "en", col("__score"),
+          targetRecall = 0.9)
+        .select(col("n_pos"), col("n_neg"), round(col("auc"), 4).as("auc"),
+          round(col("threshold"), 4).as("threshold"),
+          round(col("precision"), 4).as("precision"),
+          round(col("recall"), 4).as("recall"))
+    },
+
     "q_quality_classifier" -> { (s, dir) =>
       val famA = Seq("join", "merge", "hash", "group")
       val famB = Seq("scan", "filter", "sort", "order")
@@ -2701,6 +2727,35 @@ object LlmQueries {
            CAST(sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
              AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
          FROM top, tot ORDER BY rank""",
+    "q_filter_eval" ->
+      """WITH d AS (SELECT lang,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents WHERE lang IS NOT NULL),
+         s0 AS (SELECT
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             len(list_filter(toks,
+               t -> list_contains(['the', 'and', 'of', 'to', 'is', 'that', 'with'], t)))
+               * 1.0 / len(toks) AS s
+           FROM d WHERE len(toks) > 0),
+         b AS (SELECT s, CAST(sum(y) AS BIGINT) AS np,
+             CAST(count(*) - sum(y) AS BIGINT) AS nn
+           FROM s0 GROUP BY s),
+         c AS (SELECT s, np, nn,
+             CAST(sum(nn) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_nn,
+             CAST(sum(np) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_np
+           FROM b),
+         t AS (SELECT CAST(sum(np) AS BIGINT) AS p, CAST(sum(nn) AS BIGINT) AS n FROM b),
+         a AS (SELECT CAST(sum(np * (2 * (cum_nn - nn) + nn)) AS BIGINT) AS num2 FROM c),
+         w2 AS (SELECT s, p - (cum_np - np) AS paa, n - (cum_nn - nn) AS naa
+           FROM c, t),
+         cut AS (SELECT max(s) AS threshold FROM w2, t WHERE paa >= ceil(0.9 * p))
+         SELECT p AS n_pos, n AS n_neg,
+           round(num2 * 1.0 / (2.0 * p * n), 4) AS auc,
+           round(threshold, 4) AS threshold,
+           round(paa * 1.0 / (paa + naa), 4) AS precision,
+           round(paa * 1.0 / p, 4) AS recall
+         FROM w2, t, a, cut WHERE s = threshold""",
+
     // Self-asserting classifier gate: per-label doc counts exact (label
     // SQL-replicated); the held-out metric floors ride pinned TRUE.
     "q_quality_classifier" ->

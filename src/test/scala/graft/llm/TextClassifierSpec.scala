@@ -76,4 +76,42 @@ class TextClassifierSpec extends SparkSpec {
     val pb = b.scoredTest.select("id", "prediction").as[(Long, Double)].collect().sorted.toSeq
     assert(pa == pb)
   }
+
+  test("evalReport: hand-computed Mann-Whitney AUC with ties, threshold at target recall") {
+    // pos scores {0.9, 0.8, 0.5}, neg {0.7, 0.5, 0.3, 0.1}:
+    // pairs won = 4 + 4 + (2 + 0.5 tie) = 10.5 of 12 → AUC 0.875
+    val df = Seq(
+      (0.9, true), (0.8, true), (0.5, true),
+      (0.7, false), (0.5, false), (0.3, false), (0.1, false)
+    ).toDF("s", "y")
+    val r = TextClassifier.evalReport(df, col("y"), col("s"), targetRecall = 2.0 / 3.0)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("n_pos")) == 3L && r.getLong(r.fieldIndex("n_neg")) == 4L)
+    assert(r.getDouble(r.fieldIndex("auc")) == 10.5 / 12.0)
+    // recall 2/3 needs 2 positives ≥ cut: highest such cut is 0.8,
+    // where precision is 2/2 and achieved recall exactly 2/3
+    assert(r.getDouble(r.fieldIndex("threshold")) == 0.8)
+    assert(r.getDouble(r.fieldIndex("precision")) == 1.0)
+    assert(r.getDouble(r.fieldIndex("recall")) == 2.0 / 3.0)
+    // recall 1.0 forces the cut down to 0.5 where the tied negative
+    // enters: precision 3/5
+    val r2 = TextClassifier.evalReport(df, col("y"), col("s"), targetRecall = 1.0)
+      .collect().head
+    assert(r2.getDouble(r2.fieldIndex("threshold")) == 0.5)
+    assert(r2.getDouble(r2.fieldIndex("precision")) == 0.6)
+    assert(r2.getDouble(r2.fieldIndex("recall")) == 1.0)
+    // degenerate sanity: perfect separation → AUC 1; inverted → AUC 0
+    val sep = Seq((1.0, true), (0.9, true), (0.2, false)).toDF("s", "y")
+    assert(TextClassifier.evalReport(sep, col("y"), col("s"), 1.0)
+      .select("auc").as[Double].head() == 1.0)
+    val inv = Seq((0.1, true), (0.9, false)).toDF("s", "y")
+    assert(TextClassifier.evalReport(inv, col("y"), col("s"), 1.0)
+      .select("auc").as[Double].head() == 0.0)
+    // null score/label rows grade nothing
+    val withNulls = df.union(Seq((Option.empty[Double], true))
+      .toDF("s", "y").select(col("s").cast("double"), col("y")))
+    val r3 = TextClassifier.evalReport(withNulls, col("y"), col("s"), 1.0)
+      .collect().head
+    assert(r3.getLong(r3.fieldIndex("n_pos")) == 3L)
+  }
 }
