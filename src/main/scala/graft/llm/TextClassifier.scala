@@ -174,4 +174,30 @@ object TextClassifier {
           (col("pos_at_or_above") + col("neg_at_or_above"))).as("precision"),
         (col("pos_at_or_above").cast("double") / col("P")).as("recall"))
   }
+
+  /** Calibration (reliability-diagram) table: scores bucket into `bins`
+    * equal-width bins over [0, 1] (scores at exactly 1.0 fold into the
+    * top bin); each bin reports its count, observed positive rate, and
+    * mean score. A well-calibrated filter has frac_pos ≈ mean_score per
+    * bin; the gap drives ECE. One groupBy — no window, no sort. The
+    * mean goes through a 9-dp DECIMAL sum (hash-parity rule), so every
+    * number is an order-free pure function of the data. Output:
+    * (bin, n, frac_pos, mean_score), one row per NON-EMPTY bin. */
+  def calibrationTable(df: DataFrame, label: Column, score: Column,
+                       bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    import org.apache.spark.sql.types.DecimalType
+    val base = df.filter(score.isNotNull && label.isNotNull)
+      .select(score.cast("double").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+    base
+      .withColumn("bin",
+        least(floor(col("s") * bins).cast("long"), lit(bins - 1L)))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("y")).cast("double") / count(lit(1))).as("frac_pos"),
+        (sum(round(col("s"), 9).cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("mean_score"))
+  }
 }

@@ -1226,6 +1226,24 @@ object LlmQueries {
           round(col("recall"), 4).as("recall"))
     },
 
+    // Calibration table for the same filter: does the score behave like
+    // a probability (per-bin observed positive rate ≈ mean score)? One
+    // groupBy over 10 bins; decimal-sum means keep it order-free.
+    "q_calibration" -> { (s, dir) =>
+      val en = TextFunctions.LanguageMarkers("en")
+      val toks = TextFunctions.tokens(col("text"))
+      val docs = Tables(s, dir).documents
+        .withColumn("__t", toks).filter(size(col("__t")) > 0)
+        .withColumn("__score",
+          size(filter(col("__t"), t => t.isInCollection(en))).cast("double") /
+            size(col("__t")))
+      TextClassifier.calibrationTable(docs, col("lang") === "en",
+          col("__score"), bins = 10)
+        .select(col("bin"), col("n"), round(col("frac_pos"), 4).as("frac_pos"),
+          round(col("mean_score"), 4).as("mean_score"))
+        .orderBy(col("bin"))
+    },
+
     "q_quality_classifier" -> { (s, dir) =>
       val famA = Seq("join", "merge", "hash", "group")
       val famB = Seq("scan", "filter", "sort", "order")
@@ -2755,6 +2773,22 @@ object LlmQueries {
            round(paa * 1.0 / (paa + naa), 4) AS precision,
            round(paa * 1.0 / p, 4) AS recall
          FROM w2, t, a, cut WHERE s = threshold""",
+
+    "q_calibration" ->
+      """WITH d AS (SELECT lang,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents WHERE lang IS NOT NULL),
+         s0 AS (SELECT
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             len(list_filter(toks,
+               t -> list_contains(['the', 'and', 'of', 'to', 'is', 'that', 'with'], t)))
+               * 1.0 / len(toks) AS s
+           FROM d WHERE len(toks) > 0),
+         binned AS (SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin, y, s FROM s0)
+         SELECT bin, count(*) AS n,
+           round(sum(y) * 1.0 / count(*), 4) AS frac_pos,
+           round(CAST(sum(CAST(round(s, 9) AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4) AS mean_score
+         FROM binned GROUP BY bin ORDER BY bin""",
 
     // Self-asserting classifier gate: per-label doc counts exact (label
     // SQL-replicated); the held-out metric floors ride pinned TRUE.

@@ -114,4 +114,20 @@ class TextClassifierSpec extends SparkSpec {
       .collect().head
     assert(r3.getLong(r3.fieldIndex("n_pos")) == 3L)
   }
+
+  test("calibrationTable: bin edges, top-bin fold, exact per-bin rates") {
+    val df = Seq(
+      (0.05, false),            // bin 0
+      (0.15, true), (0.19, false), // bin 1: frac_pos 0.5, mean 0.17
+      (1.0, true)               // exactly 1.0 folds into bin 9, not 10
+    ).toDF("s", "y")
+    val out = TextClassifier.calibrationTable(df, col("y"), col("s"), bins = 10)
+      .orderBy(col("bin"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 0.0, 0.05),
+      (1L, 2L, 0.5, 0.17),
+      (9L, 1L, 1.0, 1.0)))
+  }
 }
