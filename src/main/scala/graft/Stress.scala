@@ -74,7 +74,11 @@ object Stress {
     // on both sides, so the log-ratio table barely moves while the
     // (doc, bucket) aggregation carries factor× rows — the risk profile
     // is the scoring join staying a broadcast, never a shuffle join
-    "q_dsir_select", "q_dsir_budget")
+    "q_dsir_select", "q_dsir_budget",
+    // eval family: distinct-score tables and bins grow with duplicate
+    // density but stay bounded by the score grid; the risk profile is
+    // the prefix-sum range exchange staying reused, never re-scanned
+    "q_dsir_score", "q_filter_eval", "q_calibration")
 
   /** round-8 lake/curation additions over the documents table: the
     * incremental-ingest flagship (every stage must stay linear when the

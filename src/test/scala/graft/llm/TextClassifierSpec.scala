@@ -115,6 +115,39 @@ class TextClassifierSpec extends SparkSpec {
     assert(r3.getLong(r3.fieldIndex("n_pos")) == 3L)
   }
 
+  test("evalReport: seeded fuzz vs the pairwise AUC definition and a scalar threshold scan") {
+    val rng = new scala.util.Random(4242L)
+    for (round <- 1 to 20) {
+      val n = 3 + rng.nextInt(40)
+      // coarse score grid so ties actually occur
+      val data = Seq.fill(n)((rng.nextInt(8) / 7.0, rng.nextBoolean()))
+      val pos = data.filter(_._2).map(_._1)
+      val neg = data.filterNot(_._2).map(_._1)
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val targetRecall = (1 + rng.nextInt(10)) / 10.0
+        val r = TextClassifier.evalReport(
+            data.toDF("s", "y"), col("y"), col("s"), targetRecall)
+          .collect().head
+        // pairwise Mann-Whitney definition: wins + half-ties over P·N
+        val wins = (for (p <- pos; q <- neg) yield
+          if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+        val aucRef = wins / (pos.size.toDouble * neg.size)
+        assert(math.abs(r.getDouble(r.fieldIndex("auc")) - aucRef) < 1e-12,
+          s"round $round: auc ${r.getDouble(r.fieldIndex("auc"))} != $aucRef")
+        // scalar threshold scan: highest cut keeping >= ceil(recall·P) positives
+        val needed = math.ceil(targetRecall * pos.size).toLong
+        val tRef = data.map(_._1).distinct.sorted(Ordering[Double].reverse)
+          .filter(t => pos.count(_ >= t) >= needed).headOption.get
+        assert(r.getDouble(r.fieldIndex("threshold")) == tRef,
+          s"round $round: threshold ${r.getDouble(r.fieldIndex("threshold"))} != $tRef")
+        val tp = pos.count(_ >= tRef).toDouble
+        val fp = neg.count(_ >= tRef).toDouble
+        assert(r.getDouble(r.fieldIndex("precision")) == tp / (tp + fp))
+        assert(r.getDouble(r.fieldIndex("recall")) == tp / pos.size)
+      }
+    }
+  }
+
   test("calibrationTable: bin edges, top-bin fold, exact per-bin rates") {
     val df = Seq(
       (0.05, false),            // bin 0
