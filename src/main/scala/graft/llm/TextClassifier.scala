@@ -175,6 +175,40 @@ object TextClassifier {
         (col("pos_at_or_above").cast("double") / col("P")).as("recall"))
   }
 
+  /** Per-group exact AUC — the bias audit: does the filter score
+    * separate positives equally well across sources/languages/domains?
+    * A filter with AUC 0.9 overall and 0.6 on one source silently
+    * under-curates that source. Same exact Mann-Whitney arithmetic as
+    * [[evalReport]], but cumulative counts ride a window PARTITIONED BY
+    * the group (scale-safe: each partition holds one group's distinct
+    * scores, never the corpus). Groups missing a class emit a NULL auc
+    * rather than disappearing — absence would read as "fine".
+    * Output: (group, n_pos, n_neg, auc). */
+  def evalReportPerGroup(df: DataFrame, group: Column, label: Column,
+                         score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.filter(score.isNotNull && label.isNotNull && group.isNotNull)
+      .select(group.as("g"), score.cast("double").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+    val byScore = base.groupBy(col("g"), col("s")).agg(
+      sum(col("y")).as("np"),
+      (count(lit(1)) - sum(col("y"))).as("nn"))
+    val w = Window.partitionBy(col("g")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byScore
+      .withColumn("cum_nn", sum(col("nn")).over(w))
+      .groupBy(col("g"))
+      .agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * (col("cum_nn") - col("nn")) + col("nn")))
+          .as("num2"))
+      .select(col("g").as("group"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("num2").cast("double") / (lit(2.0) * col("n_pos") * col("n_neg")))
+          .as("auc"))
+  }
+
   /** Calibration (reliability-diagram) table: scores bucket into `bins`
     * equal-width bins over [0, 1] (scores at exactly 1.0 fold into the
     * top bin); each bin reports its count, observed positive rate, and

@@ -1226,6 +1226,24 @@ object LlmQueries {
           round(col("recall"), 4).as("recall"))
     },
 
+    // Per-SOURCE AUC for the same filter — the bias audit: a filter
+    // that separates well overall but poorly on one source silently
+    // under-curates it. Window partitioned by source (never corpus-wide).
+    "q_filter_bias" -> { (s, dir) =>
+      val en = TextFunctions.LanguageMarkers("en")
+      val toks = TextFunctions.tokens(col("text"))
+      val docs = Tables(s, dir).documents
+        .withColumn("__t", toks).filter(size(col("__t")) > 0)
+        .withColumn("__score",
+          size(filter(col("__t"), t => t.isInCollection(en))).cast("double") /
+            size(col("__t")))
+      TextClassifier.evalReportPerGroup(docs, col("source"),
+          col("lang") === "en", col("__score"))
+        .select(col("group"), col("n_pos"), col("n_neg"),
+          round(col("auc"), 4).as("auc"))
+        .orderBy(col("group"))
+    },
+
     // Calibration table for the same filter: does the score behave like
     // a probability (per-bin observed positive rate ≈ mean score)? One
     // groupBy over 10 bins; decimal-sum means keep it order-free.
@@ -2773,6 +2791,33 @@ object LlmQueries {
            round(paa * 1.0 / (paa + naa), 4) AS precision,
            round(paa * 1.0 / p, 4) AS recall
          FROM w2, t, a, cut WHERE s = threshold""",
+
+    "q_filter_bias" ->
+      """WITH d AS (SELECT lang, source,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+         s0 AS (SELECT source AS g,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             len(list_filter(toks,
+               t -> list_contains(['the', 'and', 'of', 'to', 'is', 'that', 'with'], t)))
+               * 1.0 / len(toks) AS s
+           FROM d WHERE len(toks) > 0),
+         b AS (SELECT g, s, CAST(sum(y) AS BIGINT) AS np,
+             CAST(count(*) - sum(y) AS BIGINT) AS nn
+           FROM s0 GROUP BY g, s),
+         c AS (SELECT g, s, np, nn,
+             CAST(sum(nn) OVER (PARTITION BY g ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_nn
+           FROM b),
+         agg AS (SELECT g,
+             CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             CAST(sum(np * (2 * (cum_nn - nn) + nn)) AS BIGINT) AS num2
+           FROM c GROUP BY g)
+         SELECT g AS "group", n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN round(num2 * 1.0 / (2.0 * n_pos * n_neg), 4) END AS auc
+         FROM agg ORDER BY g""",
 
     "q_calibration" ->
       """WITH d AS (SELECT lang,

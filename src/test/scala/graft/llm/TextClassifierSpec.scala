@@ -148,6 +148,24 @@ class TextClassifierSpec extends SparkSpec {
     }
   }
 
+  test("evalReportPerGroup: per-group pairwise AUC; one-class groups emit NULL") {
+    val df = Seq(
+      ("a", 0.9, true), ("a", 0.5, true), ("a", 0.7, false), ("a", 0.5, false),
+      ("b", 0.2, true), ("b", 0.8, false),
+      ("c", 0.6, true), ("c", 0.4, true) // positives only: AUC undefined
+    ).toDF("g", "s", "y")
+    val out = TextClassifier.evalReportPerGroup(df, col("g"), col("y"), col("s"))
+      .orderBy(col("group")).collect()
+    // a: wins 2 (0.9 beats both) + 0 (0.5 < 0.7) + 0.5 (tie) = 2.5 of 4
+    val a = out(0)
+    assert(a.getString(0) == "a" && a.getDouble(a.fieldIndex("auc")) == 2.5 / 4.0)
+    val b = out(1)
+    assert(b.getString(0) == "b" && b.getDouble(b.fieldIndex("auc")) == 0.0)
+    val cRow = out(2)
+    assert(cRow.getString(0) == "c" && cRow.isNullAt(cRow.fieldIndex("auc")) &&
+      cRow.getLong(cRow.fieldIndex("n_pos")) == 2L)
+  }
+
   test("calibrationTable: bin edges, top-bin fold, exact per-bin rates") {
     val df = Seq(
       (0.05, false),            // bin 0
