@@ -379,6 +379,41 @@ object Multimodal {
           rms(0), rms(1))
       } finally ais.close()
     }
+
+    /** Decoded 16-bit amplitudes of ONE channel, frame order, as
+      * doubles — the input surface for [[Multimodal.detectTones]]'
+      * Goertzel recurrence. Same container validation as
+      * [[decodeStats]]. */
+    def channelSamples(id: Long, bytes: Array[Byte], channel: Int): Array[Double] = {
+      val ais =
+        try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        catch { case e: Exception =>
+          throw new IllegalArgumentException(
+            s"payload for id=$id is not a decodable audio stream", e)
+        }
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"payload for id=$id is not 16-bit signed little-endian PCM ($fmt)")
+        val channels = fmt.getChannels
+        require(channel >= 0 && channel < channels,
+          s"payload for id=$id has $channels channels; asked for $channel")
+        val data = ais.readAllBytes()
+        val frameBytes = channels * 2
+        require(frameBytes > 0 && data.length % frameBytes == 0,
+          s"truncated PCM frame data for id=$id")
+        val nFrames = data.length / frameBytes
+        val out = new Array[Double](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          val idx = (i * channels + channel) * 2
+          out(i) = ((data(idx) & 0xff) | (data(idx + 1).toInt << 8)).toDouble
+          i += 1
+        }
+        out
+      } finally ais.close()
+    }
   }
 
   /** Decoded audio statistics: exact integer per-channel sample sums
@@ -386,6 +421,50 @@ object Multimodal {
   final case class AudioStats(id: Long, sample_rate: Int, channels: Int,
                               n_frames: Long, sum_l: Long, sum_r: Long,
                               rms_l: Double, rms_r: Double)
+
+  /** Tone detection over decoded PCM — REAL frequency-domain DSP, not
+    * container stats: per candidate frequency, Goertzel's single-bin
+    * DFT power (the O(N) recurrence used for DTMF detection; Goertzel
+    * 1958, public classic), evaluated on channel 0 of a decoded WAV.
+    * Candidates snap to the nearest DFT bin (k = round(N·f/sr)) so a
+    * pure tone at a candidate lands its full energy in one bin.
+    * Output per doc: the winning candidate index, plus the win margin
+    * power ratio best/secondBest (≥ 1; a real tone dominates by
+    * orders of magnitude, a mis-parsed stream does not). */
+  final case class ToneStats(id: Long, sample_rate: Int, n_frames: Long,
+                             best_idx: Int, margin: Double)
+
+  def detectTones(media: Dataset[(Long, Array[Byte])],
+                  candidatesHz: Seq[Double])(
+      implicit spark: SparkSession): Dataset[ToneStats] = {
+    require(candidatesHz.size >= 2, "need at least two candidate tones")
+    import spark.implicits._
+    val cands = candidatesHz.toArray
+    media.mapPartitions(_.map { case (id, bytes) =>
+      val st = WavCodec.decodeStats(id, bytes) // validates the container
+      val pcm = WavCodec.channelSamples(id, bytes, channel = 0)
+      val n = pcm.length
+      val powers = cands.map { f =>
+        val k = math.round(n * f / st.sample_rate).toInt
+        val w = 2.0 * math.Pi * k / n
+        val coeff = 2.0 * math.cos(w)
+        var s1 = 0.0; var s2 = 0.0
+        var i = 0
+        while (i < n) {
+          val s0 = pcm(i) + coeff * s1 - s2
+          s2 = s1; s1 = s0
+          i += 1
+        }
+        s1 * s1 + s2 * s2 - coeff * s1 * s2
+      }
+      val best = powers.indices.maxBy(powers)
+      val second = powers.indices.filter(_ != best).maxBy(powers)
+      val margin =
+        if (powers(second) > 0.0) powers(best) / powers(second)
+        else Double.MaxValue
+      ToneStats(id, st.sample_rate, st.n_frames, best, margin)
+    })
+  }
 
   /** Partition-parallel decode of real WAV/PCM payloads through
     * [[WavCodec]] — identical bundle shape to [[decodeImageStatsIo]],

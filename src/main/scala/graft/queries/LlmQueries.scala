@@ -902,6 +902,34 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // REAL frequency-domain audio DSP: per-doc pure tones (one of four
+    // candidate frequencies, chosen by doc_id) synthesized into genuine
+    // WAV containers, decoded, and DETECTED by Goertzel single-bin DFT
+    // power. Frame counts are multiples of 16 so every candidate lands
+    // exactly on a DFT bin. The detected index is an ORACLE-EXACT value
+    // (= doc_id % 4) — a mis-parsed stream, wrong channel stride, or a
+    // broken recurrence misses the bin; margin_ok additionally pins
+    // that the winning bin dominates by >100× (a pure tone
+    // concentrates its energy; noise does not).
+    "q_multimodal_tone" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val cands = Seq(500.0, 1000.0, 1500.0, 2000.0)
+      val wavs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+        .map { id =>
+          val nf = (800 + id % 3 * 80).toInt
+          val f = cands((id % 4).toInt)
+          (id, Multimodal.WavCodec.encode(8000, 1, nf,
+            (_, i) => (12000.0 * math.sin(2.0 * math.Pi * f * i / 8000.0)).toShort))
+        }
+      Multimodal.detectTones(wavs, cands)
+        .select(col("id").as("doc_id"), col("sample_rate"), col("n_frames"),
+          col("best_idx"),
+          (col("best_idx") === pmod(col("id"), lit(4)).cast("int")).as("tone_ok"),
+          (col("margin") > 100.0).as("margin_ok"))
+        .orderBy(col("doc_id"))
+    },
+
     // REAL video decode end-to-end: synthesize genuine AVI/MJPEG
     // containers (RIFF chunks written byte-by-byte, every frame a real
     // JPEG) with per-doc frame count and frame rate, parse them back
@@ -3122,6 +3150,15 @@ object LlmQueries {
     // FULL oracle through a real audio codec: PCM 16-bit is lossless,
     // so the decoded per-channel sums are the waveform function's exact
     // integer sums, and RMS is one exact-integer division + sqrt.
+    // tone detection: the winning Goertzel bin is ORACLE-EXACT
+    // (doc_id picks the synthesized frequency); metadata exact too.
+    "q_multimodal_tone" ->
+      """SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(800 + doc_id % 3 * 80 AS BIGINT) AS n_frames,
+           CAST(doc_id % 4 AS INTEGER) AS best_idx,
+           TRUE AS tone_ok, TRUE AS margin_ok
+         FROM documents ORDER BY doc_id""",
     "q_multimodal_wav" ->
       """WITH p AS (SELECT doc_id,
            CAST(600 + doc_id % 5 * 37 AS BIGINT) AS nf FROM documents)

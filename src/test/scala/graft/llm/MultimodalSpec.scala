@@ -308,4 +308,25 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("not divisible") ||
       e.getCause != null && e.getCause.getMessage.contains("not divisible"))
   }
+
+  test("detectTones: Goertzel finds the synthesized frequency with a dominant margin") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val cands = Seq(440.0, 880.0, 1320.0)
+    // 8000 Hz, 800 frames → 10 Hz bins; 440/880/1320 all on-bin
+    def tone(f: Double) = Multimodal.WavCodec.encode(8000, 1, 800,
+      (_, i) => (10000.0 * math.sin(2.0 * math.Pi * f * i / 8000.0)).toShort)
+    val media = spark.createDataset(Seq(
+      (0L, tone(440.0)), (1L, tone(880.0)), (2L, tone(1320.0))))
+    val out = Multimodal.detectTones(media, cands).collect()
+      .map(t => t.id -> t).toMap
+    assert(out(0L).best_idx == 0 && out(1L).best_idx == 1 && out(2L).best_idx == 2)
+    out.values.foreach(t => assert(t.margin > 100.0,
+      s"pure tone must dominate its bin: $t"))
+    // stereo payload, channel-0 analysis: tone on channel 0, silence on 1
+    val stereo = spark.createDataset(Seq((3L,
+      Multimodal.WavCodec.encode(8000, 2, 800, (ch, i) =>
+        if (ch == 0) (10000.0 * math.sin(2.0 * math.Pi * 880.0 * i / 8000.0)).toShort
+        else 0.toShort))))
+    assert(Multimodal.detectTones(stereo, cands).collect().head.best_idx == 1)
+  }
 }
