@@ -242,6 +242,43 @@ object Multimodal {
       ImageStats(id, w, h, r / n, g / n, b / n)
     }
 
+    /** Exact integer gray grid for [[Multimodal.dHash64]]: decode any
+      * ImageIO payload, gray each pixel as ⌊(r+g+b)/3⌋, box-average
+      * onto a gw×gh grid with floor division — all integer arithmetic,
+      * so the grid (and every dHash bit derived from it) replays
+      * bit-for-bit in SQL for losslessly-coded payloads. */
+    def grayGrid(id: Long, bytes: Array[Byte], gw: Int, gh: Int): Array[Array[Long]] = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, s"payload for id=$id is not a decodable image")
+      val w = img.getWidth; val h = img.getHeight
+      require(w % gw == 0 && h % gh == 0,
+        s"image ${w}x$h for id=$id not divisible into a ${gw}x$gh grid")
+      val bx = w / gw; val by = h / gh
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      val grid = Array.fill(gw)(new Array[Long](gh))
+      var gy = 0
+      while (gy < gh) {
+        var gx = 0
+        while (gx < gw) {
+          var s = 0L
+          var j = 0
+          while (j < by) {
+            var i = 0
+            while (i < bx) {
+              val p = px((gy * by + j) * w + gx * bx + i)
+              s += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+              i += 1
+            }
+            j += 1
+          }
+          grid(gx)(gy) = s / (bx.toLong * by)
+          gx += 1
+        }
+        gy += 1
+      }
+      grid
+    }
+
     /** REAL image resize: decode any ImageIO payload, downsample by
       * integer factors (fx, fy) with an area-averaging box filter —
       * each output pixel is the floor of the exact integer mean of its
@@ -421,6 +458,49 @@ object Multimodal {
   final case class AudioStats(id: Long, sample_rate: Int, channels: Int,
                               n_frames: Long, sum_l: Long, sum_r: Long,
                               rms_l: Double, rms_r: Double)
+
+  /** Perceptual difference-hash (dHash; the public classic cheap image
+    * near-dup key): decode → integer gray (⌊(r+g+b)/3⌋) → EXACT integer
+    * box means onto a 9×8 grid (width must divide by 9, height by 8 —
+    * the [[resizeImages]] exact-arithmetic discipline) → 64 bits, bit
+    * (x, y) set iff grid[x+1][y] > grid[x][y]. Global brightness and
+    * contrast shifts barely move it; content changes do.
+    *
+    * The 64 bits are emitted as FOUR 16-bit band ints (band b = grid
+    * rows 2b and 2b+1; in-band bit index j·8+x for row offset j),
+    * deliberately: bands are the pigeonhole blocking unit for the
+    * near-dup join (hamming ≤ k with k < 4·ceil ⇒ some band matches
+    * exactly... the standard SimHash-style argument), and small
+    * non-negative ints sidestep every signed-shift pitfall a packed
+    * 64-bit key would meet in cross-engine SQL. Hamming distance =
+    * Σ_b bit_count(h_b XOR h_b'). Output: (id, h0, h1, h2, h3). */
+  final case class DHash(id: Long, h0: Int, h1: Int, h2: Int, h3: Int)
+
+  def dHash64(media: Dataset[(Long, Array[Byte])])(
+      implicit spark: SparkSession): Dataset[DHash] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { case (id, bytes) =>
+      val g = ImageIoCodec.grayGrid(id, bytes, 9, 8)
+      val bands = new Array[Int](4)
+      var b = 0
+      while (b < 4) {
+        var acc = 0
+        var j = 0
+        while (j < 2) {
+          val y = 2 * b + j
+          var x = 0
+          while (x < 8) {
+            if (g(x + 1)(y) > g(x)(y)) acc |= 1 << (j * 8 + x)
+            x += 1
+          }
+          j += 1
+        }
+        bands(b) = acc
+        b += 1
+      }
+      DHash(id, bands(0), bands(1), bands(2), bands(3))
+    })
+  }
 
   /** Tone detection over decoded PCM — REAL frequency-domain DSP, not
     * container stats: per candidate frequency, Goertzel's single-bin

@@ -902,6 +902,69 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // IMAGE near-dup via perceptual dHash — the image-modality leg of
+    // the dedup family (text: MinHash/SimHash; embeddings: cosine
+    // blocking; images: THIS). Every doc gets a real 36×32 PNG; odd
+    // docs repeat the previous even doc's image with the red channel
+    // shifted (+2 mod 256) — a brightness-class perturbation dHash
+    // shrugs off except where the mod wraps. The synthetic corpus is
+    // deliberately near-dup DENSE beyond the planted pairs (mod-256
+    // channel arithmetic correlates patterns across seeds), so the
+    // banding join carries a rich candidate structure, the same
+    // duplicate-dense posture the stress harness tests. Hashes go
+    // through the REAL decode path (PNG is lossless, the
+    // gray/box/compare chain is exact-integer), candidates come from
+    // SimHash-style 16-bit band pigeonholes, and survivors verify
+    // hamming ≤ 10. FULL oracle: the grid arithmetic, band join, and
+    // bit_count hamming all replay in SQL from the closed-form pixel
+    // function. Planted-pair recall is pinned on controlled data in
+    // MultimodalSpec (this corpus recalls 226/~250 — wrap-heavy pairs
+    // legitimately exceed the cut).
+    "q_image_neardup" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      // seed multiplies position (not merely offsets it): an additive
+      // seed would shift every pixel by a constant, and dHash — being
+      // brightness-invariant BY DESIGN — would collide across the whole
+      // corpus; the multiplicative form gives unrelated seeds unrelated
+      // difference structure (hamming ~32) while planted pairs stay ≤10
+      val pngs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+        .map { id =>
+          val seed = id - id % 2
+          val bump = (id % 2) * 2
+          def idx(x: Int, y: Int) = (y * 36 + x).toLong
+          // the seed/256 term keeps the pattern period above any corpus
+          // size (channel values are mod 256, so a single seed residue
+          // would cycle and plant accidental exact duplicates)
+          (id, Multimodal.ImageIoCodec.encodePng(36, 32, (x, y) => (
+            ((((seed + 11) * (idx(x, y) + 17) * (idx(x, y) + 29)
+               + (seed / 256) * (idx(x, y) + 41) * (idx(x, y) + 53)) % 256 + bump) % 256).toInt,
+            (((seed + 23) * (idx(x, y) + 31) * (idx(x, y) + 7)
+               + (seed / 256) * (idx(x, y) + 59) * (idx(x, y) + 3)) % 256).toInt,
+            (((seed + 5) * (idx(x, y) + 13) * (idx(x, y) + 37)
+               + (seed / 256) * (idx(x, y) + 43) * (idx(x, y) + 19)) % 256).toInt)))
+        }
+      val hashed = Multimodal.dHash64(pngs).toDF()
+      val bands = hashed.select(col("id"), explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"h$b").as("v"))): _*)).as("e"))
+        .select(col("id"), col("e.band").as("band"), col("e.v").as("v"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      val ha = hashed.toDF("id_a", "a0", "a1", "a2", "a3")
+      val hb = hashed.toDF("id_b", "b0", "b1", "b2", "b3")
+      cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+        .withColumn("hamming", (
+          bit_count(col("a0").bitwiseXOR(col("b0"))) +
+          bit_count(col("a1").bitwiseXOR(col("b1"))) +
+          bit_count(col("a2").bitwiseXOR(col("b2"))) +
+          bit_count(col("a3").bitwiseXOR(col("b3")))).cast("long"))
+        .filter(col("hamming") <= 10)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // REAL frequency-domain audio DSP: per-doc pure tones (one of four
     // candidate frequencies, chosen by doc_id) synthesized into genuine
     // WAV containers, decoded, and DETECTED by Goertzel single-bin DFT
@@ -3150,6 +3213,62 @@ object LlmQueries {
     // FULL oracle through a real audio codec: PCM 16-bit is lossless,
     // so the decoded per-channel sums are the waveform function's exact
     // integer sums, and RMS is one exact-integer division + sqrt.
+    // dHash image near-dup: gray grid (⌊(r+g+b)/3⌋ per pixel, 16-pixel
+    // floor box means), 16-bit comparison bands, pigeonhole join,
+    // bit_count hamming — all in closed-form SQL (PNG is lossless so
+    // the engine's decoded pixels ARE the pixel function).
+    "q_image_neardup" ->
+      """WITH g AS (
+           SELECT doc_id,
+             list_transform(range(0, 9), gx ->
+               list_transform(range(0, 8), gy ->
+                 list_sum(list_transform(range(0, 16), k ->
+                   (((((doc_id - doc_id % 2) + 11)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 17)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 29)
+                      + ((doc_id - doc_id % 2) // 256)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 41)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 53)) % 256
+                      + (doc_id % 2) * 2) % 256
+                    + (((doc_id - doc_id % 2) + 23)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 31)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 7)
+                      + ((doc_id - doc_id % 2) // 256)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 59)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 3)) % 256
+                    + (((doc_id - doc_id % 2) + 5)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 13)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 37)
+                      + ((doc_id - doc_id % 2) // 256)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 43)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 19)) % 256) // 3
+                 )) // 16
+               )) AS grid
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             list_transform(range(0, 4), b ->
+               list_sum(list_transform(range(0, 16), k2 ->
+                 CASE WHEN grid[(k2%8) + 2][2*b + k2//8 + 1] > grid[(k2%8) + 1][2*b + k2//8 + 1]
+                      THEN 1 << ((k2//8)*8 + k2%8) ELSE 0 END))) AS hs
+           FROM g),
+         hbl AS (SELECT doc_id, b, hs[b + 1] AS v
+           FROM h, unnest(range(0, 4)) AS u(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+           FROM hbl a JOIN hbl bb
+             ON a.b = bb.b AND a.v = bb.v AND a.doc_id < bb.doc_id),
+         pairs AS (SELECT id_a, id_b,
+             bit_count(xor(CAST(ha.hs[1] AS BIGINT), CAST(h2.hs[1] AS BIGINT))) +
+             bit_count(xor(CAST(ha.hs[2] AS BIGINT), CAST(h2.hs[2] AS BIGINT))) +
+             bit_count(xor(CAST(ha.hs[3] AS BIGINT), CAST(h2.hs[3] AS BIGINT))) +
+             bit_count(xor(CAST(ha.hs[4] AS BIGINT), CAST(h2.hs[4] AS BIGINT))) AS hamming
+           FROM cand
+           JOIN h ha ON ha.doc_id = cand.id_a
+           JOIN h h2 ON h2.doc_id = cand.id_b)
+         SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+         FROM pairs WHERE hamming <= 10
+         ORDER BY id_a, id_b""",
+
     // tone detection: the winning Goertzel bin is ORACLE-EXACT
     // (doc_id picks the synthesized frequency); metadata exact too.
     "q_multimodal_tone" ->

@@ -309,6 +309,52 @@ class MultimodalSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("not divisible"))
   }
 
+  test("dHash64: brightness-invariant, content-sensitive, exact grid arithmetic") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    def png(f: (Int, Int) => (Int, Int, Int)) =
+      Multimodal.ImageIoCodec.encodePng(36, 32, f)
+    def base(x: Int, y: Int) = {
+      val i = (y * 36 + x).toLong
+      ((13 * (i + 17) * (i + 29) % 256).toInt,
+        (29 * (i + 31) * (i + 7) % 256).toInt,
+        (7 * (i + 13) * (i + 37) % 256).toInt)
+    }
+    // +40 uniform brightness, clamped: differences survive except at
+    // clamp saturation — hamming must stay small; a DIFFERENT image is far
+    def brighter(x: Int, y: Int) = {
+      val (r, g, b) = base(x, y)
+      (math.min(r + 40, 255), math.min(g + 40, 255), math.min(b + 40, 255))
+    }
+    def other(x: Int, y: Int) = {
+      val i = (y * 36 + x).toLong
+      ((41 * (i + 3) * (i + 11) % 256).toInt,
+        (17 * (i + 19) * (i + 23) % 256).toInt,
+        (31 * (i + 43) * (i + 5) % 256).toInt)
+    }
+    val hashed = Multimodal.dHash64(spark.createDataset(Seq(
+        (0L, png(base)), (1L, png(brighter)), (2L, png(other)))))
+      .collect().map(d => d.id -> Seq(d.h0, d.h1, d.h2, d.h3)).toMap
+    def ham(a: Seq[Int], b: Seq[Int]) =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    assert(ham(hashed(0L), hashed(1L)) <= 8,
+      s"brightness shift must barely move dHash: ${ham(hashed(0L), hashed(1L))}")
+    assert(ham(hashed(0L), hashed(2L)) >= 16,
+      s"different content must be far: ${ham(hashed(0L), hashed(2L))}")
+    // identical image → identical hash (and h fields are 16-bit clean)
+    val again = Multimodal.dHash64(spark.createDataset(Seq((9L, png(base)))))
+      .collect().head
+    assert(Seq(again.h0, again.h1, again.h2, again.h3) == hashed(0L))
+    hashed.values.flatten.foreach(v => assert(v >= 0 && v <= 0xffff))
+    // non-divisible geometry fails loudly
+    val bad = spark.createDataset(Seq(
+      (3L, Multimodal.ImageIoCodec.encodePng(35, 32, (_, _) => (1, 2, 3)))))
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.dHash64(bad).collect()
+    }
+    assert(e.getMessage.contains("not divisible") ||
+      e.getCause != null && e.getCause.getMessage.contains("not divisible"))
+  }
+
   test("detectTones: Goertzel finds the synthesized frequency with a dominant margin") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val cands = Seq(440.0, 880.0, 1320.0)
