@@ -49,6 +49,10 @@ object Stress {
   val EmbQueries = Seq(
     "q_semdedup", "q_embedding_neardup", "q_similarity_srp",
     "q_similarity_multiprobe", "q_cluster_sample", "q_hard_negatives",
+    // image dHash near-dup: the corpus is ALREADY near-dup-dense by
+    // construction; the blow-up multiplies band-bucket populations, so
+    // the candidate equi-join is the part under test
+    "q_image_neardup",
     "q_similarity_ivf", "q_similarity_pq", "q_similarity_ivfpq")
   /** probe-hit / containment joins with the hot-key risk profile: a
     * probe n-gram (or reference shingle) shared by many corpus near-dups
