@@ -21,6 +21,57 @@ object LlmQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Shared dHash near-dup pipeline for the two image queries (the SQL
+    * twin is [[imageDHashCte]] — ONE definition per engine so the pair
+    * semantics cannot drift between the near-dup and dedup gates).
+    * Fixture: every doc a real 36×32 PNG; odd docs repeat the previous
+    * even doc's image with the red channel shifted (+2 mod 256). The
+    * seed MULTIPLIES position (an additive seed would shift every pixel
+    * by a constant, and dHash — brightness-invariant by design — would
+    * collide corpus-wide), and the seed/256 term keeps the pattern
+    * period above any corpus size (channel values are mod 256, so a
+    * single seed residue would cycle into accidental exact duplicates);
+    * the corpus is still deliberately near-dup DENSE beyond the planted
+    * pairs. Hashes go through the REAL decode path (PNG lossless, the
+    * gray/box/compare chain exact-integer); candidates come from
+    * SimHash-style 16-bit band pigeonholes; survivors verify
+    * bit_count hamming ≤ 10. Output: (id_a, id_b, hamming). */
+  private def imageDHashPairs(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val pngs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      .map { id =>
+        val seed = id - id % 2
+        val bump = (id % 2) * 2
+        def idx(x: Int, y: Int) = (y * 36 + x).toLong
+        (id, Multimodal.ImageIoCodec.encodePng(36, 32, (x, y) => (
+          ((((seed + 11) * (idx(x, y) + 17) * (idx(x, y) + 29)
+             + (seed / 256) * (idx(x, y) + 41) * (idx(x, y) + 53)) % 256 + bump) % 256).toInt,
+          (((seed + 23) * (idx(x, y) + 31) * (idx(x, y) + 7)
+             + (seed / 256) * (idx(x, y) + 59) * (idx(x, y) + 3)) % 256).toInt,
+          (((seed + 5) * (idx(x, y) + 13) * (idx(x, y) + 37)
+             + (seed / 256) * (idx(x, y) + 43) * (idx(x, y) + 19)) % 256).toInt)))
+      }
+    val hashed = Multimodal.dHash64(pngs).toDF()
+    val bands = hashed.select(col("id"), explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), col(s"h$b").as("v"))): _*)).as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.v").as("v"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val ha = hashed.toDF("id_a", "a0", "a1", "a2", "a3")
+    val hb = hashed.toDF("id_b", "b0", "b1", "b2", "b3")
+    cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+      .withColumn("hamming", (
+        bit_count(col("a0").bitwiseXOR(col("b0"))) +
+        bit_count(col("a1").bitwiseXOR(col("b1"))) +
+        bit_count(col("a2").bitwiseXOR(col("b2"))) +
+        bit_count(col("a3").bitwiseXOR(col("b3")))).cast("long"))
+      .filter(col("hamming") <= 10)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // Exact dedup with a portable key (md5 of normalized text).
@@ -904,65 +955,31 @@ object LlmQueries {
 
     // IMAGE near-dup via perceptual dHash — the image-modality leg of
     // the dedup family (text: MinHash/SimHash; embeddings: cosine
-    // blocking; images: THIS). Every doc gets a real 36×32 PNG; odd
-    // docs repeat the previous even doc's image with the red channel
-    // shifted (+2 mod 256) — a brightness-class perturbation dHash
-    // shrugs off except where the mod wraps. The synthetic corpus is
-    // deliberately near-dup DENSE beyond the planted pairs (mod-256
-    // channel arithmetic correlates patterns across seeds), so the
-    // banding join carries a rich candidate structure, the same
-    // duplicate-dense posture the stress harness tests. Hashes go
-    // through the REAL decode path (PNG is lossless, the
-    // gray/box/compare chain is exact-integer), candidates come from
-    // SimHash-style 16-bit band pigeonholes, and survivors verify
-    // hamming ≤ 10. FULL oracle: the grid arithmetic, band join, and
-    // bit_count hamming all replay in SQL from the closed-form pixel
-    // function. Planted-pair recall is pinned on controlled data in
-    // MultimodalSpec (this corpus recalls 226/~250 — wrap-heavy pairs
-    // legitimately exceed the cut).
+    // blocking; images: THIS). Pipeline + fixture: [[imageDHashPairs]].
+    // FULL oracle: grid arithmetic, band join, and bit_count hamming
+    // replay in SQL from the closed-form pixel function. Planted-pair
+    // recall is pinned on controlled data in MultimodalSpec (this
+    // corpus recalls 226/~250 — wrap-heavy pairs legitimately exceed
+    // the cut).
     "q_image_neardup" -> { (s, dir) =>
-      implicit val sp: SparkSession = s
-      import s.implicits._
-      // seed multiplies position (not merely offsets it): an additive
-      // seed would shift every pixel by a constant, and dHash — being
-      // brightness-invariant BY DESIGN — would collide across the whole
-      // corpus; the multiplicative form gives unrelated seeds unrelated
-      // difference structure (hamming ~32) while planted pairs stay ≤10
-      val pngs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
-        .map { id =>
-          val seed = id - id % 2
-          val bump = (id % 2) * 2
-          def idx(x: Int, y: Int) = (y * 36 + x).toLong
-          // the seed/256 term keeps the pattern period above any corpus
-          // size (channel values are mod 256, so a single seed residue
-          // would cycle and plant accidental exact duplicates)
-          (id, Multimodal.ImageIoCodec.encodePng(36, 32, (x, y) => (
-            ((((seed + 11) * (idx(x, y) + 17) * (idx(x, y) + 29)
-               + (seed / 256) * (idx(x, y) + 41) * (idx(x, y) + 53)) % 256 + bump) % 256).toInt,
-            (((seed + 23) * (idx(x, y) + 31) * (idx(x, y) + 7)
-               + (seed / 256) * (idx(x, y) + 59) * (idx(x, y) + 3)) % 256).toInt,
-            (((seed + 5) * (idx(x, y) + 13) * (idx(x, y) + 37)
-               + (seed / 256) * (idx(x, y) + 43) * (idx(x, y) + 19)) % 256).toInt)))
-        }
-      val hashed = Multimodal.dHash64(pngs).toDF()
-      val bands = hashed.select(col("id"), explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"), col(s"h$b").as("v"))): _*)).as("e"))
-        .select(col("id"), col("e.band").as("band"), col("e.v").as("v"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
-            col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-      val ha = hashed.toDF("id_a", "a0", "a1", "a2", "a3")
-      val hb = hashed.toDF("id_b", "b0", "b1", "b2", "b3")
-      cand.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
-        .withColumn("hamming", (
-          bit_count(col("a0").bitwiseXOR(col("b0"))) +
-          bit_count(col("a1").bitwiseXOR(col("b1"))) +
-          bit_count(col("a2").bitwiseXOR(col("b2"))) +
-          bit_count(col("a3").bitwiseXOR(col("b3")))).cast("long"))
-        .filter(col("hamming") <= 10)
+      imageDHashPairs(s, dir)
         .select(col("id_a"), col("id_b"), col("hamming"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Image DEDUP clusters: the dHash near-dup pairs feed min-label
+    // connected components, and the component-size histogram is checked
+    // against a DuckDB RECURSIVE CTE computing the same transitive
+    // closure — the strongest cross-engine gate the CC operator has
+    // (elsewhere it is pinned by exact-group collapse and spec
+    // equivalence; here an independent engine derives the components).
+    "q_image_dedup" -> { (s, dir) =>
+      val nodes = Tables(s, dir).documents.select(col("doc_id").as("id"))
+      val labels = Dedup.connectedComponents(nodes,
+        imageDHashPairs(s, dir).select(col("id_a"), col("id_b")))
+      labels.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
+        .orderBy(col("sz"))
     },
 
     // REAL frequency-domain audio DSP: per-doc pure tones (one of four
@@ -1748,6 +1765,58 @@ object LlmQueries {
 
   private val markers = TextFunctions.LanguageMarkers
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Shared DuckDB dHash chain (through `pairs`: id_a, id_b, hamming)
+    * — the SQL twin of [[imageDHashPairs]], one definition for both
+    * image oracles. */
+  private val imageDHashCte: String =
+    """g AS (
+           SELECT doc_id,
+             list_transform(range(0, 9), gx ->
+               list_transform(range(0, 8), gy ->
+                 list_sum(list_transform(range(0, 16), k ->
+                   (((((doc_id - doc_id % 2) + 11)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 17)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 29)
+                      + ((doc_id - doc_id % 2) // 256)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 41)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 53)) % 256
+                      + (doc_id % 2) * 2) % 256
+                    + (((doc_id - doc_id % 2) + 23)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 31)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 7)
+                      + ((doc_id - doc_id % 2) // 256)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 59)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 3)) % 256
+                    + (((doc_id - doc_id % 2) + 5)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 13)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 37)
+                      + ((doc_id - doc_id % 2) // 256)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 43)
+                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 19)) % 256) // 3
+                 )) // 16
+               )) AS grid
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             list_transform(range(0, 4), b ->
+               list_sum(list_transform(range(0, 16), k2 ->
+                 CASE WHEN grid[(k2%8) + 2][2*b + k2//8 + 1] > grid[(k2%8) + 1][2*b + k2//8 + 1]
+                      THEN 1 << ((k2//8)*8 + k2%8) ELSE 0 END))) AS hs
+           FROM g),
+         hbl AS (SELECT doc_id, b, hs[b + 1] AS v
+           FROM h, unnest(range(0, 4)) AS u(b)),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+           FROM hbl a JOIN hbl bb
+             ON a.b = bb.b AND a.v = bb.v AND a.doc_id < bb.doc_id),
+         pairs AS (SELECT id_a, id_b,
+             bit_count(xor(CAST(ha.hs[1] AS BIGINT), CAST(h2.hs[1] AS BIGINT))) +
+             bit_count(xor(CAST(ha.hs[2] AS BIGINT), CAST(h2.hs[2] AS BIGINT))) +
+             bit_count(xor(CAST(ha.hs[3] AS BIGINT), CAST(h2.hs[3] AS BIGINT))) +
+             bit_count(xor(CAST(ha.hs[4] AS BIGINT), CAST(h2.hs[4] AS BIGINT))) AS hamming
+           FROM cand
+           JOIN h ha ON ha.doc_id = cand.id_a
+           JOIN h h2 ON h2.doc_id = cand.id_b)"""
 
   /** DuckDB expression computing the same SRP bucket as
     * [[VectorFunctions.srpBucket]]: the seeded planes are deterministic, so
@@ -3218,56 +3287,26 @@ object LlmQueries {
     // bit_count hamming — all in closed-form SQL (PNG is lossless so
     // the engine's decoded pixels ARE the pixel function).
     "q_image_neardup" ->
-      """WITH g AS (
-           SELECT doc_id,
-             list_transform(range(0, 9), gx ->
-               list_transform(range(0, 8), gy ->
-                 list_sum(list_transform(range(0, 16), k ->
-                   (((((doc_id - doc_id % 2) + 11)
-                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 17)
-                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 29)
-                      + ((doc_id - doc_id % 2) // 256)
-                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 41)
-                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 53)) % 256
-                      + (doc_id % 2) * 2) % 256
-                    + (((doc_id - doc_id % 2) + 23)
-                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 31)
-                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 7)
-                      + ((doc_id - doc_id % 2) // 256)
-                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 59)
-                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 3)) % 256
-                    + (((doc_id - doc_id % 2) + 5)
-                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 13)
-                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 37)
-                      + ((doc_id - doc_id % 2) // 256)
-                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 43)
-                        * ((gy*4 + k//4) * 36 + gx*4 + k%4 + 19)) % 256) // 3
-                 )) // 16
-               )) AS grid
-           FROM documents),
-         h AS (
-           SELECT doc_id,
-             list_transform(range(0, 4), b ->
-               list_sum(list_transform(range(0, 16), k2 ->
-                 CASE WHEN grid[(k2%8) + 2][2*b + k2//8 + 1] > grid[(k2%8) + 1][2*b + k2//8 + 1]
-                      THEN 1 << ((k2//8)*8 + k2%8) ELSE 0 END))) AS hs
-           FROM g),
-         hbl AS (SELECT doc_id, b, hs[b + 1] AS v
-           FROM h, unnest(range(0, 4)) AS u(b)),
-         cand AS (SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
-           FROM hbl a JOIN hbl bb
-             ON a.b = bb.b AND a.v = bb.v AND a.doc_id < bb.doc_id),
-         pairs AS (SELECT id_a, id_b,
-             bit_count(xor(CAST(ha.hs[1] AS BIGINT), CAST(h2.hs[1] AS BIGINT))) +
-             bit_count(xor(CAST(ha.hs[2] AS BIGINT), CAST(h2.hs[2] AS BIGINT))) +
-             bit_count(xor(CAST(ha.hs[3] AS BIGINT), CAST(h2.hs[3] AS BIGINT))) +
-             bit_count(xor(CAST(ha.hs[4] AS BIGINT), CAST(h2.hs[4] AS BIGINT))) AS hamming
-           FROM cand
-           JOIN h ha ON ha.doc_id = cand.id_a
-           JOIN h h2 ON h2.doc_id = cand.id_b)
+      s"""WITH $imageDHashCte
          SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
          FROM pairs WHERE hamming <= 10
          ORDER BY id_a, id_b""",
+    // image dedup clusters: transitive closure via a RECURSIVE CTE —
+    // an independent engine derives the same components the min-label
+    // propagation computes; the size histogram must match exactly.
+    "q_image_dedup" ->
+      s"""WITH RECURSIVE $imageDHashCte,
+         nd AS (SELECT id_a, id_b FROM pairs WHERE hamming <= 10),
+         e2 AS (SELECT id_a AS a, id_b AS b FROM nd
+                UNION ALL SELECT id_b, id_a FROM nd),
+         reach(id, lbl) AS (
+           SELECT doc_id, doc_id FROM documents
+           UNION
+           SELECT e2.b, reach.lbl FROM reach JOIN e2 ON e2.a = reach.id),
+         comp AS (SELECT id, min(lbl) AS label FROM reach GROUP BY id),
+         szs AS (SELECT label, count(*) AS sz FROM comp GROUP BY label)
+         SELECT sz, count(*) AS n_components FROM szs
+         GROUP BY sz ORDER BY sz""",
 
     // tone detection: the winning Goertzel bin is ORACLE-EXACT
     // (doc_id picks the synthesized frequency); metadata exact too.
