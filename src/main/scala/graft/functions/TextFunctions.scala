@@ -143,6 +143,15 @@ object TextFunctions {
     * per doc instead of all of them. */
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column = {
     require(w > 0, "window size must be positive")
+    // native one-pass monotonic-deque form; value-identical to the
+    // Column reference below (asserted in the property fuzz)
+    ShingleExprs.winnowFingerprints(text, k, w)
+  }
+
+  /** The Column-combinator reference [[winnowingFingerprints]] replaced
+    * (O(n·w) interpreted slices): kept as the fuzz target that pins the
+    * native's values. */
+  private[graft] def winnowingFingerprintsReference(text: Column, k: Int, w: Int): Column = {
     val sh = shingleHashes(text, k)
     val n = size(sh)
     array_distinct(

@@ -953,6 +953,36 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Winnowing copy-detection (Schleimer et al. 2003, MOSS) under the
+    // gate: from every doc build a PAIR — the tokenized text, and a
+    // copy whose first 5 tokens are replaced — so each pair shares a
+    // long token run. The winnowing guarantee (any shared run of
+    // w+k−1 = 6 tokens yields ≥1 shared fingerprint) is pinned TRUE
+    // per pair, with the rigorous size bounds for VALUE-deduplicated
+    // fingerprints: 1 ≤ n_fps ≤ windows (the ⌈windows/w⌉ lower bound
+    // holds only for positional fingerprints — a repeated shingle's
+    // value can be the min of many non-consecutive windows, so value
+    // dedup can legitimately go below it on repetitive text). n_tokens
+    // is the exact oracle column.
+    "q_winnow_copydetect" -> { (s, dir) =>
+      val toks = TextFunctions.tokens(col("text"))
+      val base = Tables(s, dir).documents
+        .withColumn("__t", toks).filter(size(col("__t")) >= 11)
+      val a = array_join(col("__t"), " ")
+      val b = concat(lit("zq1 zq2 zq3 zq4 zq5 "),
+        array_join(slice(col("__t"), lit(6), size(col("__t"))), " "))
+      val fpA = TextFunctions.winnowingFingerprints(a, 3, 4)
+      val fpB = TextFunctions.winnowingFingerprints(b, 3, 4)
+      val windows = size(col("__t")) - lit(2) - lit(3) // shingles − w + 1
+      base.select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"),
+          fpA.as("__fa"), fpB.as("__fb"), windows.as("__w"))
+        .select(col("doc_id"), col("n_tokens"),
+          (size(array_intersect(col("__fa"), col("__fb"))) >= 1).as("shared_ok"),
+          (size(col("__fa")) <= col("__w")).as("density_hi_ok"),
+          (size(col("__fa")) >= 1).as("density_lo_ok"))
+        .orderBy(col("doc_id"))
+    },
+
     // IMAGE near-dup via perceptual dHash — the image-modality leg of
     // the dedup family (text: MinHash/SimHash; embeddings: cosine
     // blocking; images: THIS). Pipeline + fixture: [[imageDHashPairs]].
@@ -3282,6 +3312,19 @@ object LlmQueries {
     // FULL oracle through a real audio codec: PCM 16-bit is lossless,
     // so the decoded per-channel sums are the waveform function's exact
     // integer sums, and RMS is one exact-integer division + sqrt.
+    // winnowing: n_tokens exact; the guarantee and density bounds are
+    // engine-computed booleans pinned TRUE (xxhash64 shingle values
+    // have no DuckDB twin — the accepted self-asserting form).
+    "q_winnow_copydetect" ->
+      """SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+             x -> x <> '')) AS BIGINT) AS n_tokens,
+           TRUE AS shared_ok, TRUE AS density_hi_ok, TRUE AS density_lo_ok
+         FROM documents
+         WHERE len(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+           x -> x <> '')) >= 11
+         ORDER BY doc_id""",
+
     // dHash image near-dup: gray grid (⌊(r+g+b)/3⌋ per pixel, 16-pixel
     // floor box means), 16-bit comparison bands, pigeonhole join,
     // bit_count hamming — all in closed-form SQL (PNG is lossless so

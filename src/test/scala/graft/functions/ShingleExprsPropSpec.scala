@@ -251,4 +251,22 @@ class ShingleExprsPropSpec extends SparkSpec {
         s"scrubbed_text diverged on: ${t.take(80)}")
     }
   }
+
+  test("native winnowing ≡ the Column-combinator reference on random text") {
+    val texts = (0 until 200).flatMap { i =>
+      textGen.apply(Gen.Parameters.default, Seed(9000L + i))
+    }
+    assert(texts.length >= 150, "generator drought")
+    for ((k, w) <- Seq((3, 4), (2, 7), (1, 1))) {
+      val rows = texts.toDF("text").select(
+        col("text"),
+        ShingleExprs.winnowFingerprints(col("text"), k, w).as("f"),
+        TextFunctions.winnowingFingerprintsReference(col("text"), k, w).as("r"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"winnow(k=$k,w=$w) diverged on: ${r.getString(0).take(80)}")
+      }
+    }
+  }
 }
