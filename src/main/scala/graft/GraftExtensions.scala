@@ -30,6 +30,27 @@ object GraftExtensions {
   /** (identifier, info, builder) triples shared by the extension injector
     * and [[register]]. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.StringMetricExprs.JaroWinkler].getName,
+        "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaro_winkler(a, b)")
+        graft.functions.StringMetricExprs.JaroWinkler(args.head, args(1))
+      }),
+    (new FunctionIdentifier("canonicalize_url"),
+      new ExpressionInfo(classOf[graft.functions.StringMetricExprs.CanonicalizeUrl].getName,
+        "canonicalize_url"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "canonicalize_url(url)")
+        graft.functions.StringMetricExprs.CanonicalizeUrl(args.head)
+      }),
+    (new FunctionIdentifier("registrable_domain"),
+      new ExpressionInfo(classOf[graft.functions.StringMetricExprs.RegistrableDomain].getName,
+        "registrable_domain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "registrable_domain(host)")
+        graft.functions.StringMetricExprs.RegistrableDomain(args.head)
+      }),
     (new FunctionIdentifier("shingle_hash"),
       new ExpressionInfo(classOf[ShingleExprs.ShingleHash].getName, "shingle_hash"),
       (args: Seq[Expression]) => {

@@ -309,4 +309,26 @@ object Curation {
       array_join(kept, " ").as("text_trunc"),
       least(size(ws), lit(maxTokens)).cast("long").as("n_tokens"))
   }
+
+  /** k-anonymity suppression (Sweeney 2002): drop every row whose
+    * quasi-identifier combination occurs fewer than k times, so no
+    * released row is re-identifiable below a group of k. Suppression
+    * (not generalization): groups under k vanish entirely — the
+    * conservative default for corpus releases.
+    *
+    * One hash shuffle on the quasi columns (a count window, no join, no
+    * second scan of the input); hot quasi-groups only ever carry a
+    * count, so skew is harmless. Rows with NULL in a quasi column form
+    * their own group per SQL window-partition semantics — pre-bucket
+    * NULLs explicitly if a different policy is wanted. */
+  def kAnonymize(df: DataFrame, quasi: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(!df.columns.contains("__gn"),
+      "input already has a __gn column; rename it before kAnonymize")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(quasi.map(col): _*)
+    df.withColumn("__gn", count(lit(1)).over(w))
+      .filter(col("__gn") >= k)
+      .drop("__gn")
+  }
 }
