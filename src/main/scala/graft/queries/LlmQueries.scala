@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.queries.QueryUtil.davg
-import graft.llm.{Boilerplate, Bpe, Contamination, CountMin, Curation, Dedup, HeavyHitters, Mixture, Multimodal, Packing, Repetition, Similarity, TextClassifier, TextRelevance}
+import graft.llm.{Boilerplate, Bpe, Contamination, CountMin, Curation, Dedup, HeavyHitters, Mixture, Multimodal, Packing, Repetition, Similarity, TextClassifier, TextRelevance, Unigram}
 
 /** LLM-data-pipeline operator inventory (SURVEY.md §7 Phase 4): dedup,
   * similarity search, text analysis, multimodal plumbing. Oracles exist
@@ -1563,6 +1563,39 @@ object LlmQueries {
         .orderBy(col("source"))
     },
 
+    // Unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece
+    // unigram model) as deterministic hard-EM — the second tokenizer
+    // family next to BPE. State lives on the distinct-word table (one
+    // corpus shuffle total); each EM round is one vocab-sized
+    // aggregation with the piece table shipped inside the native
+    // Viterbi expression. Exact companions: distinct words + freqs +
+    // lengths. Booleans pinned TRUE per word: recon_ok (pieces
+    // concatenate back to the word), opt_vs_greedy_ok / opt_vs_chars_ok
+    // (the DP dominates both heuristic segmentations), score_xpath_ok
+    // (the expression's DP score equals an independent relational
+    // re-derivation — seg exploded against a map literal of the learned
+    // log-probs, summed left-to-right, bit-exact). UnigramSpec pins the
+    // whole training loop against a scalar reference EM.
+    "q_unigram_train" -> { (s, dir) =>
+      val words = Bpe.wordFreqs(Tables(s, dir).documents, col("text"))
+      val vocab = Unigram.train(words, vocabSize = 60, rounds = 3,
+        maxPieceLen = 6, maxSeed = 2000)
+      val logpMap = map(vocab.flatMap(p => Seq(lit(p.piece), lit(p.logp))): _*)
+      // own projection: the non-cheap DP struct must evaluate once per row
+      val segd = words
+        .select(col("word"), col("freq"),
+          Unigram.segment(col("word"), vocab, maxPieceLen = 6).as("sg"))
+      segd.select(col("word"), col("freq"),
+          length(col("word")).cast("long").as("word_len"),
+          (concat_ws("", col("sg.seg")) === col("word")).as("recon_ok"),
+          (col("sg.vscore") >= col("sg.gscore")).as("opt_vs_greedy_ok"),
+          (col("sg.vscore") >= col("sg.cscore")).as("opt_vs_chars_ok"),
+          (col("sg.vscore") === aggregate(
+            transform(col("sg.seg"), p => element_at(logpMap, p)),
+            lit(0.0), (a, x) => a + x)).as("score_xpath_ok"))
+        .orderBy(col("word"))
+    },
+
     // Deterministic per-epoch shuffle: every doc re-dealt to a shard and
     // an in-shard position by the salted md5 hash of "seed|doc_id" — one
     // hash shuffle + shard-local sorts, no corpus-wide range exchange.
@@ -3078,6 +3111,18 @@ object LlmQueries {
            (SELECT CAST(sum(len(word)) AS BIGINT) FROM w) AS n_init_symbols,
            TRUE AS count_ok, TRUE AS applied_ok
          FROM range(0, 20) ORDER BY rank""",
+    "q_unigram_train" ->
+      """WITH w AS (
+           SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'),
+               t -> t <> '')) AS word
+             FROM documents)
+           GROUP BY word)
+         SELECT word, freq, CAST(len(word) AS BIGINT) AS word_len,
+           TRUE AS recon_ok, TRUE AS opt_vs_greedy_ok,
+           TRUE AS opt_vs_chars_ok, TRUE AS score_xpath_ok
+         FROM w ORDER BY word""",
+
     "q_packing_stats" ->
       """WITH t AS (
            SELECT doc_id,
