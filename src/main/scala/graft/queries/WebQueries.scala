@@ -192,6 +192,31 @@ object WebQueries {
         .orderBy(col("clean_id"), col("dirty_id"))
     },
 
+    // Crawl-policy filter with robots.txt longest-prefix-match
+    // semantics: per domain a rule set of (path-prefix, allow/deny),
+    // the LONGEST matching prefix decides (the robots.txt tie rule;
+    // '/docs/2' re-allows inside a '/docs/' deny — raw string-prefix
+    // matching, including '/docs/2' covering '/docs/20-29/...', exactly
+    // as robots does). Rules are tiny → broadcast; the corpus never
+    // shuffles: one broadcast join + one per-doc argmax.
+    "q_robots_policy" -> { (s, dir) =>
+      val rules = s.createDataFrame(policyRules).toDF("domain", "prefix", "allow")
+      val g = gid
+      val docs = Tables(s, dir).documents.select(col("doc_id"),
+        concat(lit("example"), pmod(g, lit(7)),
+          when(pmod(g, lit(5)) === 0, lit(".co.uk")).otherwise(lit(".com")))
+          .as("domain"),
+        concat(lit("/docs/"), pmod(g, lit(50)), lit("/x")).as("path"))
+      docs.join(broadcast(rules), Seq("domain"))
+        .filter(col("path").startsWith(col("prefix")))
+        .groupBy(col("doc_id"), col("domain"), col("path"))
+        .agg(max_by(struct(col("prefix"), col("allow")), length(col("prefix")))
+          .as("m"))
+        .select(col("doc_id"), col("domain"), col("path"),
+          col("m.prefix").as("rule_prefix"), col("m.allow").as("allowed"))
+        .orderBy(col("doc_id"))
+    },
+
     // k-anonymity suppression: quasi-identifier groups smaller than k=8
     // are dropped entirely; surviving groups report size and sensitive-
     // attribute diversity (l-diversity on the market segment).
@@ -207,6 +232,26 @@ object WebQueries {
         .orderBy(col("c_nationkey"), col("bal_bucket"))
     },
   )
+
+  /** Crawl-policy rule set, ONE definition feeding both engines (the
+    * Spark DataFrame and the oracle's VALUES literal): every domain
+    * allows at root; domains 1 and 4 deny under /docs/ but re-allow the
+    * /docs/2 prefix; domain 3 bans the single page prefix /docs/13.
+    * Prefix lengths are distinct per domain, so longest-match is a
+    * total rule. */
+  private val policyRules: Seq[(String, String, Boolean)] =
+    for {
+      tld <- Seq(".com", ".co.uk")
+      i <- 0 to 6
+      d = s"example$i$tld"
+      rule <- Seq((d, "/", true)) ++
+        (if (i == 1 || i == 4) Seq((d, "/docs/", false), (d, "/docs/2", true))
+         else Nil) ++
+        (if (i == 3) Seq((d, "/docs/13", false)) else Nil)
+    } yield rule
+
+  private def policyRulesSql: String =
+    policyRules.map { case (d, p, a) => s"('$d', '$p', $a)" }.mkString(",\n           ")
 
   /** DuckDB list-literal twins of the two name arrays. */
   private def sqlList(xs: Seq[String]): String =
@@ -260,6 +305,23 @@ object WebQueries {
           AND length(c.name) = length(d.name)
          WHERE jaro_winkler_similarity(c.name, d.name) >= 0.94
          ORDER BY clean_id, dirty_id""",
+
+    "q_robots_policy" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+             'example' || ((doc_id % 100) % 7) ||
+               CASE WHEN (doc_id % 100) % 5 = 0 THEN '.co.uk' ELSE '.com' END AS domain,
+             '/docs/' || ((doc_id % 100) % 50) || '/x' AS path
+           FROM documents),
+         rules(domain, prefix, allow) AS (VALUES
+           $policyRulesSql)
+         SELECT doc_id, domain, path,
+           arg_max(prefix, length(prefix)) AS rule_prefix,
+           arg_max(allow, length(prefix)) AS allowed
+         FROM d JOIN rules USING (domain)
+         WHERE starts_with(path, prefix)
+         GROUP BY doc_id, domain, path
+         ORDER BY doc_id""",
 
     "q_k_anonymity" ->
       """WITH g AS (
