@@ -717,6 +717,71 @@ object BatchQueries {
         .select(col("e.src").as("src"), col("e.dst").as("dst"), col("w"))
       Graph.pageRank(edges, iters = 5).orderBy(col("node"))
     },
+
+    // Ordered conversion funnel (view → click → purchase): each step's
+    // entry time must STRICTLY follow the previous step's — min-ts per
+    // user per step with a progressive time filter, the standard funnel
+    // definition (an unordered count-if would overcount users who
+    // purchased before ever viewing). Three per-user aggregations, each
+    // one hash shuffle on user_id; the step joins are user-cardinality
+    // (post-aggregation), co-partitioned on the same key so AQE plans
+    // them without a second exchange. Conversion ratios go through
+    // exact integer counts and one double division (hash parity).
+    "q_funnel" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val steps = v.agg(count(lit(1)).as("n")).select(lit(1).as("step"), lit("view").as("step_name"), col("n"))
+        .unionByName(c.agg(count(lit(1)).as("n")).select(lit(2).as("step"), lit("click").as("step_name"), col("n")))
+        .unionByName(p.agg(count(lit(1)).as("n")).select(lit(3).as("step"), lit("purchase").as("step_name"), col("n")))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("step"))
+      // 3-row frame: the ordered window is a no-op at scale
+      steps
+        .withColumn("n_first", first(col("n")).over(w))
+        .withColumn("n_prev", coalesce(lag(col("n"), 1).over(w), col("n")))
+        .select(col("step").cast("long").as("step"), col("step_name"),
+          col("n").as("n_users"),
+          round(col("n").cast("double") / col("n_prev"), 4).as("conv_from_prev"),
+          round(col("n").cast("double") / col("n_first"), 4).as("conv_from_first"))
+        .orderBy(col("step"))
+    },
+
+    // Weekly retention cohorts: users grouped by the ISO week of their
+    // first event; a cohort's week-k retention = share of its users
+    // active in cohort_week + k. Two per-user shuffles (first-seen agg,
+    // active-week distinct) + user-keyed join; ratios exact-int / one
+    // double division.
+    "q_retention" -> { (s, dir) =>
+      // every user touches every week of the dense fixture — a 1-in-7
+      // deterministic event sample spreads first-seen times so the
+      // cohort matrix is non-trivial (same construction both engines)
+      val ev = Tables(s, dir).events.filter(pmod(col("event_id"), lit(7)) === 0)
+      val firsts = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val cohortSizes = firsts.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).as("n_cohort"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      active.join(firsts, Seq("user_id"))
+        .withColumn("week_offset",
+          ((unix_timestamp(col("week")) - unix_timestamp(col("cohort_week")))
+            / 604800L).cast("long"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(cohortSizes, Seq("cohort_week"))
+        .select(col("cohort_week"), col("week_offset"), col("n_cohort"),
+          col("n_active"),
+          round(col("n_active").cast("double") / col("n_cohort"), 4)
+            .as("retention"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -1068,5 +1133,40 @@ r5 AS (SELECT nodes.node,
          ((1000000000000 * 15 // 100) // p.n) + ((85 * COALESCE(c5.s, 0)) // 100) AS rank
        FROM nodes CROSS JOIN p LEFT JOIN c5 ON c5.node = nodes.node)
 SELECT node, rank FROM r5 ORDER BY node""",
+
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+             WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1),
+         s AS (SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM v) AS n
+           UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+           UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p))
+         SELECT CAST(step AS BIGINT) AS step, step_name, n AS n_users,
+           round(CAST(n AS DOUBLE) / coalesce(lag(n) OVER (ORDER BY step), n), 4)
+             AS conv_from_prev,
+           round(CAST(n AS DOUBLE) / first_value(n) OVER (ORDER BY step), 4)
+             AS conv_from_first
+         FROM s ORDER BY step""",
+
+    "q_retention" ->
+      """WITH f AS (SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+             FROM events WHERE event_id % 7 = 0 GROUP BY 1),
+         cs AS (SELECT cohort_week, count(*) AS n_cohort FROM f GROUP BY 1),
+         a AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+           FROM events WHERE event_id % 7 = 0),
+         j AS (SELECT f.cohort_week,
+             CAST((epoch(a.week) - epoch(f.cohort_week)) // 604800 AS BIGINT)
+               AS week_offset,
+             count(*) AS n_active
+           FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+         SELECT j.cohort_week, j.week_offset, cs.n_cohort, j.n_active,
+           round(CAST(j.n_active AS DOUBLE) / cs.n_cohort, 4) AS retention
+         FROM j JOIN cs USING (cohort_week)
+         ORDER BY cohort_week, week_offset""",
   )
 }
