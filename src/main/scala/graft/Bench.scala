@@ -14,6 +14,7 @@ object Bench {
     graft.llm.Boilerplate.releasePersistedState()
     graft.llm.Contamination.releasePersistedState()
     graft.operators.ElementWise.releasePersistedState()
+    graft.llm.Multimodal.releasePersistedState()
   }
 
   def main(args: Array[String]): Unit = {

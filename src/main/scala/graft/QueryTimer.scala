@@ -42,6 +42,7 @@ object QueryTimer {
       graft.llm.Boilerplate.releasePersistedState()
       graft.llm.Contamination.releasePersistedState()
     graft.operators.ElementWise.releasePersistedState()
+    graft.llm.Multimodal.releasePersistedState()
     }
     spark.stop()
   }

@@ -105,6 +105,7 @@ object Stress {
     graft.llm.Boilerplate.releasePersistedState()
     graft.llm.Contamination.releasePersistedState()
     graft.operators.ElementWise.releasePersistedState()
+    graft.llm.Multimodal.releasePersistedState()
   }
 
   /** Duplicate+perturb `baseDir`'s documents + embeddings `factor`× into

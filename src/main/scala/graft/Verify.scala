@@ -35,6 +35,7 @@ object Verify {
         graft.llm.Boilerplate.releasePersistedState()
         graft.llm.Contamination.releasePersistedState()
     graft.operators.ElementWise.releasePersistedState()
+    graft.llm.Multimodal.releasePersistedState()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

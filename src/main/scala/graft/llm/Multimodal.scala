@@ -20,6 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // Internal persisted frames (decoded-hash tables are read 3× by the
+  // image near-dup joins; without a persist the full codec pass re-runs
+  // per leg) — released by the Bench/Verify sweeps between queries.
+  private val persisted = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+  private[graft] def trackPersisted[T](ds: Dataset[T]): Dataset[T] =
+    persisted.synchronized {
+      persisted += ds
+      ds.persist()
+    }
+
+  /** Unpersist every cache this module created (REPL/long-lived-driver
+    * hygiene — the sweep mains call this between queries). */
+  def releasePersistedState(): Unit = persisted.synchronized {
+    persisted.foreach(_.unpersist())
+    persisted.clear()
+  }
+
   /** A decoded media batch row: (id, features). */
   final case class MediaFeatures(id: Long, features: Array[Float])
 

@@ -52,7 +52,9 @@ object LlmQueries {
           (((seed + 5) * (idx(x, y) + 13) * (idx(x, y) + 37)
              + (seed / 256) * (idx(x, y) + 43) * (idx(x, y) + 19)) % 256).toInt)))
       }
-    val hashed = Multimodal.dHash64(pngs).toDF()
+    // one codec pass: the hash table feeds the band self-join AND both
+    // verify legs — unpersisted, the 5,000-image decode runs per leg
+    val hashed = Multimodal.trackPersisted(Multimodal.dHash64(pngs).toDF())
     val bands = hashed.select(col("id"), explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"), col(s"h$b").as("v"))): _*)).as("e"))
       .select(col("id"), col("e.band").as("band"), col("e.v").as("v"))
