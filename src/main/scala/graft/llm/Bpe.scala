@@ -131,12 +131,27 @@ object Bpe {
     * replacing exactly two symbols with one — with no separate counting
     * job. The scalar replay in q_bpe_train re-derives every applied count
     * independently, so the identity is oracle-checked, not assumed. */
-  def train(words: DataFrame, numMerges: Int): Seq[BpeMerge] = {
+  def train(words: DataFrame, numMerges: Int,
+            localThreshold: Int = 65536): Seq[BpeMerge] = {
     val merges = ArrayBuffer.empty[BpeMerge]
     var state = words
       .select(col("word"), col("freq").cast("long").as("freq"),
         charSyms(col("word")).as("syms"))
       .localCheckpoint(true)
+
+    // Adaptive small-state cutover (the broadcast-threshold pattern):
+    // the training state is the distinct-word table; below the
+    // threshold the 2·numMerges distributed jobs are pure scheduler
+    // overhead, so collect the (already materialized) state once and
+    // run the scalar trainer — merge-for-merge identical to the
+    // relational loop by BpeSpec's classic + randomized fixtures. The
+    // count reads checkpoint blocks, not the upstream plan.
+    if (state.count() <= localThreshold) {
+      val local = state.select(col("word"), col("freq"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      state.unpersist()
+      return scalarTrain(local, numMerges)
+    }
 
     /** (best pair with its count, S(t)): one job. */
     def bestAndMass(): (Option[(String, String, Long)], Long) = {

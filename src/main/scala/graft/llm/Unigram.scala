@@ -80,13 +80,24 @@ object Unigram {
   /** Train on a `(word, freq)` table (see [[Bpe.wordFreqs]]). Returns
     * the final vocabulary, piece-sorted. */
   def train(words: DataFrame, vocabSize: Int, rounds: Int = 3,
-            maxPieceLen: Int = 6, maxSeed: Int = 2000): Seq[Piece] = {
+            maxPieceLen: Int = 6, maxSeed: Int = 2000,
+            localThreshold: Int = 65536): Seq[Piece] = {
     require(vocabSize >= 1 && rounds >= 0 && maxPieceLen >= 1)
     require(maxSeed >= vocabSize, "maxSeed must be >= vocabSize")
     // the word table is read by the seed, the char-universe scan, and
     // every EM round — cut the upstream (usually corpus-sized) plan off
     // once, the Bpe.train state pattern
     val wordsCk = words.localCheckpoint(true)
+    // adaptive small-state cutover, as in Bpe.train: below the
+    // threshold every EM job is scheduler overhead — collect the
+    // materialized word table and run the scalar loop, which
+    // UnigramSpec pins piece-for-piece against the relational path
+    if (wordsCk.count() <= localThreshold) {
+      val local = wordsCk.select(col("word"), col("freq").cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      wordsCk.unpersist()
+      return scalarTrain(local, vocabSize, rounds, maxPieceLen, maxSeed)
+    }
     val seedCounts = substringCounts(wordsCk, maxPieceLen)
       .orderBy(desc("cnt"), col("piece"))
       .limit(maxSeed)

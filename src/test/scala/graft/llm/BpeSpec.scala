@@ -28,7 +28,8 @@ class BpeSpec extends SparkSpec {
     val words = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L), ("bun", 4L),
       ("hugs", 5L))
     val expected = Bpe.scalarTrain(words, numMerges = 8)
-    val got = Bpe.train(words.toDF("word", "freq"), numMerges = 8)
+    val got = Bpe.train(words.toDF("word", "freq"), numMerges = 8,
+      localThreshold = 0) // force the relational path — the cutover would route to the scalar reference itself
     assert(got == expected)
     // (u,g)=20 beats (p,u)=17 and (u,n)=16; with ug fused, (u,n)=16 wins next
     assert(expected.take(2).map(m => m.left + m.right) == Seq("ug", "un"))
@@ -43,7 +44,8 @@ class BpeSpec extends SparkSpec {
           1L + rnd.nextInt(5))
       }.distinct
       val expected = Bpe.scalarTrain(words, numMerges = 6)
-      val got = Bpe.train(words.toDF("word", "freq"), numMerges = 6)
+      val got = Bpe.train(words.toDF("word", "freq"), numMerges = 6,
+        localThreshold = 0)
       assert(got == expected, s"trial $trial diverged:\n got=$got\n exp=$expected")
     }
   }
@@ -77,7 +79,8 @@ class BpeSpec extends SparkSpec {
 
   test("replay re-derives the trainer's per-rank trajectory (the gate's independent leg)") {
     val words = Seq(("banana", 3L), ("bandana", 2L), ("ananas", 4L))
-    val merges = Bpe.train(words.toDF("word", "freq"), numMerges = 5)
+    val merges = Bpe.train(words.toDF("word", "freq"), numMerges = 5,
+      localThreshold = 0)
     val pairs = merges.map(m => (m.left, m.right))
     val weighted = words.flatMap { case (w, f) =>
       Bpe.replay(w, pairs).map { case (rank, pos, app) => (rank, pos * f, app * f) }

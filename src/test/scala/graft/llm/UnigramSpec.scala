@@ -17,7 +17,8 @@ class UnigramSpec extends SparkSpec {
   test("relational train equals the scalar reference piece-for-piece") {
     val df = fixtureWords.toDF("word", "freq")
     val got = Unigram.train(df, vocabSize = 30, rounds = 3,
-      maxPieceLen = 5, maxSeed = 200)
+      maxPieceLen = 5, maxSeed = 200,
+      localThreshold = 0) // force the relational path — the cutover would route to the scalar reference itself
     val want = Unigram.scalarTrain(fixtureWords, vocabSize = 30, rounds = 3,
       maxPieceLen = 5, maxSeed = 200)
     assert(got.map(p => (p.piece, p.cnt)) === want.map(p => (p.piece, p.cnt)))
