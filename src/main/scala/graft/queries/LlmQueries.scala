@@ -1598,6 +1598,51 @@ object LlmQueries {
         .orderBy(col("word"))
     },
 
+    // Corpus-scale unigram ENCODE with a trained vocab — the unigram
+    // twin of q_bpe_encode, same scale shape: the Viterbi DP runs once
+    // per DISTINCT word, docs get their piece counts by joining exploded
+    // tokens back to that vocabulary-sized table. Booleans pinned TRUE:
+    // encode_ok (the native DP segmentation of every distinct word
+    // equals the independent scalar Viterbi), conservation_ok (per-
+    // source piece totals through the doc join-back equal freq-weighted
+    // totals from the word table alone).
+    "q_unigram_encode" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val words = Bpe.wordFreqs(docs, col("text"))
+      val vocab = Unigram.train(words, vocabSize = 60, rounds = 3,
+        maxPieceLen = 6, maxSeed = 2000)
+      val logp = vocab.map(p => p.piece -> p.logp).toMap
+      val enc = words
+        .select(col("word"), col("freq"),
+          Unigram.segment(col("word"), vocab, maxPieceLen = 6)
+            .getField("seg").as("seg"))
+        .withColumn("n_pieces", size(col("seg")))
+        .localCheckpoint(true)
+      val scalarUdf = udf((w: String) => Unigram.scalarViterbi(w, logp, 6)._1)
+      val encodeOk = enc
+        .agg(coalesce(bool_and(col("seg") === scalarUdf(col("word"))), lit(true))
+          .as("encode_ok"))
+      val perSourceDocs = docs
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("word"))
+        .join(enc.select(col("word"), col("n_pieces")), Seq("word"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_pieces").cast("long")).as("pieces_docs"))
+      val perSourceWords = docs
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy(col("source"), col("word")).agg(count(lit(1)).as("f"))
+        .join(enc.select(col("word"), col("n_pieces")), Seq("word"))
+        .groupBy(col("source"))
+        .agg(sum(col("f") * col("n_pieces")).as("pieces_words"))
+      val conservation = perSourceDocs
+        .join(perSourceWords, Seq("source"), "full_outer")
+        .agg(coalesce(bool_and(col("pieces_docs") === col("pieces_words")),
+          lit(true)).as("conservation_ok"))
+      docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(encodeOk))
+        .crossJoin(broadcast(conservation))
+        .orderBy(col("source"))
+    },
+
     // Deterministic per-epoch shuffle: every doc re-dealt to a shard and
     // an in-shard position by the salted md5 hash of "seed|doc_id" — one
     // hash shuffle + shard-local sorts, no corpus-wide range exchange.
@@ -3113,6 +3158,11 @@ object LlmQueries {
            (SELECT CAST(sum(len(word)) AS BIGINT) FROM w) AS n_init_symbols,
            TRUE AS count_ok, TRUE AS applied_ok
          FROM range(0, 20) ORDER BY rank""",
+    "q_unigram_encode" ->
+      """SELECT source, count(*) AS n_docs,
+           TRUE AS encode_ok, TRUE AS conservation_ok
+         FROM documents GROUP BY source ORDER BY source""",
+
     "q_unigram_train" ->
       """WITH w AS (
            SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
