@@ -95,8 +95,17 @@ object Stress {
     "q_incremental_ingest", "q_split_leakage_safe", "q_weighted_sample",
     "q_theta_overlap")
 
+  /** round-8 continued-session additions: URL canonical keys go 10×
+    * hot (the recrawl-collapse aggregation must stay a hash agg, never
+    * a per-key product), and the unigram EM's reconstruction/dominance/
+    * cross-path-score booleans must re-prove on a corpus whose distinct-
+    * word table gained ~factor× perturbed variants. */
+  val WebTokQueries = Seq(
+    "q_url_canon", "q_url_dedup", "q_unigram_train", "q_unigram_encode")
+
   def allQueries: Seq[String] =
-    DedupQueries ++ EmbQueries ++ ContamQueries ++ TextQueries ++ LakeQueries
+    DedupQueries ++ EmbQueries ++ ContamQueries ++ TextQueries ++ LakeQueries ++
+      WebTokQueries
 
   private def releaseCaches(): Unit = {
     graft.llm.Dedup.releasePersistedState()
