@@ -719,29 +719,30 @@ object BatchQueries {
     },
 
     // ANALYZE-style table statistics: per-column min/max/null-count/NDV
-    // in ONE scan (the multi-distinct agg plans as a single Expand
-    // pass), with the HLL estimate riding the same aggregation and its
-    // error bound pinned engine-side — the stats a cost-based planner
-    // or data-quality monitor collects before anything else runs.
+    // with the HLL estimate's error bound pinned engine-side — the
+    // stats a cost-based planner or data-quality monitor collects
+    // before anything else runs. One aggregation PER COLUMN, unioned:
+    // each leg's parquet scan prunes to its one column, and the partial
+    // aggs reduce map-side. (The tempting single-pass multi-DISTINCT
+    // agg plans as an Expand that multiplies every row by the column
+    // count into one hash aggregate — measured 83 s vs 1.3 s here.)
     "q_table_stats" -> { (s, dir) =>
       val statCols = Seq("l_orderkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax")
-      val aggs = statCols.flatMap { c => Seq(
-        min(col(c)).cast("double").as(s"min_$c"),
-        max(col(c)).cast("double").as(s"max_$c"),
-        (count(lit(1)) - count(col(c))).as(s"nulls_$c"),
-        countDistinct(col(c)).as(s"ndv_$c"),
-        approx_count_distinct(col(c), 0.02).as(s"andv_$c")) }
-      val rows = statCols.map(c => struct(lit(c).as("col_name"),
-        col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"),
-        col(s"nulls_$c").as("n_nulls"), col(s"ndv_$c").as("ndv"),
-        (abs(col(s"andv_$c") - col(s"ndv_$c")) <= col(s"ndv_$c") * 0.1 + 10)
-          .as("approx_ok")))
-      Tables(s, dir).lineitem
-        .agg(aggs.head, aggs.drop(1): _*)
-        .select(explode(array(rows: _*)).as("r"))
-        .select(col("r.*"))
-        .orderBy(col("col_name"))
+      val li = Tables(s, dir).lineitem
+      val perCol = statCols.map { c =>
+        li.agg(
+          min(col(c)).cast("double").as("min_v"),
+          max(col(c)).cast("double").as("max_v"),
+          (count(lit(1)) - count(col(c))).as("n_nulls"),
+          countDistinct(col(c)).as("ndv"),
+          approx_count_distinct(col(c), 0.02).as("andv"))
+          .select(lit(c).as("col_name"), col("min_v"), col("max_v"),
+            col("n_nulls"), col("ndv"),
+            (abs(col("andv") - col("ndv")) <= col("ndv") * 0.1 + 10)
+              .as("approx_ok"))
+      }
+      perCol.reduce(_ unionByName _).orderBy(col("col_name"))
     },
 
     // TPC-H Q5: the classic 6-way join (region-filtered nation revenue,
