@@ -70,6 +70,55 @@ object WindowQueries {
         .orderBy(col("user_id"), col("session_start"))
     },
 
+    // Sessionized PATH analysis: lag-based 15-minute sessionization
+    // (user-partitioned windows, never global), then the first five
+    // event types of each session as a '>'-joined path, ranked by
+    // session count — the "how do users move through the product"
+    // query. Full oracle: the lag/running-sum islands, the ordered
+    // list aggregation, and the top-20 cut all replay in SQL.
+    "q_session_paths" -> { (s, dir) =>
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("ns", when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >=
+            15L * 60L * 1000000L, 1).otherwise(0))
+        .withColumn("sess_no", sum(col("ns")).over(byUser))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("evs"))
+        .select(concat_ws(">",
+          slice(transform(col("evs"), e => e.getField("event_type")), 1, 5))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), col("path"))
+        .limit(20)
+        .orderBy(col("path"))
+    },
+
+    // Trailing-window rate anomaly: hourly per-type counts scored
+    // against the preceding 24 hours — spike/dip flags in EXACT integer
+    // arithmetic (n·cnt vs 2·sum cross-multiplication, never a float
+    // mean or stddev whose summation order could drift cross-engine).
+    // Type-partitioned window; ≥12 trailing hours required to score.
+    "q_anomaly_rate" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(-24, -1)
+      Tables(s, dir).events
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("trail_sum", sum(col("n")).over(w))
+        .withColumn("trail_cnt", count(col("n")).over(w))
+        .filter(col("trail_cnt") >= 12)
+        .select(col("event_type"), col("hour"), col("n"),
+          col("trail_sum"), col("trail_cnt"),
+          (col("n") * col("trail_cnt") > col("trail_sum") * 2).as("spike_hi"),
+          (col("n") * col("trail_cnt") * 2 < col("trail_sum")).as("dip_lo"))
+        .orderBy(col("event_type"), col("hour"))
+    },
+
     // CalendarWindows.months over orders.
     "q_calendar_window" -> { (s, dir) =>
       Tables(s, dir).orders
@@ -158,6 +207,45 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q_session_paths" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 15 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sess_no
+           FROM e),
+         p AS (
+           SELECT array_to_string(
+             (list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+           FROM s GROUP BY user_id, sess_no),
+         top AS (
+           SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+           ORDER BY n_sessions DESC, path LIMIT 20)
+         SELECT path, n_sessions FROM top ORDER BY path""",
+
+    "q_anomaly_rate" ->
+      """WITH h AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, hour, n,
+             sum(n) OVER w AS trail_sum, count(n) OVER w AS trail_cnt
+           FROM h
+           WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, hour, n,
+           CAST(trail_sum AS BIGINT) AS trail_sum, trail_cnt,
+           n * trail_cnt > trail_sum * 2 AS spike_hi,
+           n * trail_cnt * 2 < trail_sum AS dip_lo
+         FROM t WHERE trail_cnt >= 12
+         ORDER BY event_type, hour""",
     "q_fixed_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, count(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
