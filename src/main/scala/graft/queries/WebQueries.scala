@@ -217,6 +217,42 @@ object WebQueries {
         .orderBy(col("doc_id"))
     },
 
+    // The crawl-ingest front composed end-to-end: messy URLs →
+    // canonicalize → URL-keyed dedup (first crawl wins) → registrable-
+    // domain extraction → robots longest-prefix policy → token-count
+    // gate → per-domain report. Each stage is individually oracled
+    // above; this proves the composition stays bit-reproducible (the
+    // q_pipeline_e2e contract for the web front). The policy verdict is
+    // computed on an ids-only frame and joined back by doc_id, so the
+    // text column never rides through the rules join or the argmax.
+    "q_web_pipeline" -> { (s, dir) =>
+      val rules = s.createDataFrame(policyRules).toDF("domain", "prefix", "allow")
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), col("text"),
+          StringMetricExprs.canonicalizeUrl(messyUrl).as("url"))
+      val keeper = docs.groupBy(col("url")).agg(min(col("doc_id")).as("doc_id"))
+      val canon = docs.join(keeper, Seq("url", "doc_id"))
+        .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+        .withColumn("domain", StringMetricExprs.registrableDomainOf(col("host")))
+        .withColumn("path", regexp_extract(col("url"), "^[a-z]+://[^/]+(/[^?#]*)", 1))
+      val verdicts = canon.select(col("doc_id"), col("domain"), col("path"))
+        .join(broadcast(rules), Seq("domain"))
+        .filter(col("path").startsWith(col("prefix")))
+        .groupBy(col("doc_id"))
+        .agg(max_by(col("allow"), length(col("prefix"))).as("allowed"))
+      canon.join(verdicts, Seq("doc_id"))
+        .withColumn("n_toks",
+          size(graft.functions.TextFunctions.tokens(col("text"))))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(when(col("allowed"), 1).otherwise(0)).cast("long").as("n_allowed"),
+          sum(when(col("allowed") && col("n_toks") >= 20, 1).otherwise(0))
+            .cast("long").as("n_final"),
+          sum(when(col("allowed") && col("n_toks") >= 20, col("n_toks"))
+            .otherwise(0)).cast("long").as("total_tokens"))
+        .orderBy(col("domain"))
+    },
+
     // k-anonymity suppression: quasi-identifier groups smaller than k=8
     // are dropped entirely; surviving groups report size and sensitive-
     // attribute diversity (l-diversity on the market segment).
@@ -322,6 +358,36 @@ object WebQueries {
          WHERE starts_with(path, prefix)
          GROUP BY doc_id, domain, path
          ORDER BY doc_id""",
+
+    "q_web_pipeline" ->
+      s"""WITH d AS (
+           SELECT doc_id, text, $canonSql AS url FROM documents),
+         k AS (SELECT url, min(doc_id) AS doc_id FROM d GROUP BY url),
+         c AS (
+           SELECT d.doc_id, d.text, d.url,
+             'example' || ((d.doc_id % 100) % 7) ||
+               CASE WHEN (d.doc_id % 100) % 5 = 0 THEN '.co.uk' ELSE '.com' END AS domain,
+             '/docs/' || ((d.doc_id % 100) % 50) || '/x' AS path
+           FROM d JOIN k ON d.url = k.url AND d.doc_id = k.doc_id),
+         rules(domain, prefix, allow) AS (VALUES
+           $policyRulesSql),
+         v AS (
+           SELECT c.doc_id, arg_max(r.allow, length(r.prefix)) AS allowed
+           FROM c JOIN rules r USING (domain)
+           WHERE starts_with(c.path, r.prefix)
+           GROUP BY c.doc_id),
+         st AS (
+           SELECT c.domain, v.allowed,
+             len(list_filter(string_split_regex(lower(c.text), '[^a-z'']+'),
+               t -> t <> '')) AS n_toks
+           FROM c JOIN v USING (doc_id))
+         SELECT domain, count(*) AS n_pages,
+           CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+           CAST(sum(CASE WHEN allowed AND n_toks >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_final,
+           CAST(sum(CASE WHEN allowed AND n_toks >= 20 THEN n_toks ELSE 0 END)
+             AS BIGINT) AS total_tokens
+         FROM st GROUP BY domain ORDER BY domain""",
 
     "q_k_anonymity" ->
       """WITH g AS (
