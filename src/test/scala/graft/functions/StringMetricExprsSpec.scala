@@ -97,6 +97,17 @@ class StringMetricExprsSpec extends SparkSpec {
     assert(viaSql == viaColumn)
   }
 
+  test("canonicalize_url and registrable_domain resolve in SQL") {
+    graft.GraftExtensions.register(spark)
+    val row = Seq("HTTPS://WWW.Img.Example.CO.UK:443/a//b/?utm_source=x&id=1#f")
+      .toDF("u")
+      .selectExpr("canonicalize_url(u) AS c",
+        "registrable_domain('img.example.co.uk:8080') AS d")
+      .head
+    assert(row.getString(0) === "https://img.example.co.uk/a/b?id=1")
+    assert(row.getString(1) === "example.co.uk")
+  }
+
   // ---- URL canonicalization ----
 
   private def canon(u: String): String = StringMetricExprs.canonicalize(u)
