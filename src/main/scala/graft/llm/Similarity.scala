@@ -354,6 +354,67 @@ object Similarity {
       zip_with(codes, dt, (c, row) => element_at(row, c.cast("int") + 1)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Scalar quantization bounds (SQ8): per-dimension exact min/max over
+    * the corpus — the trained state. One posexplode + hash-agg; partial
+    * min/max reduce map-side, so only d rows per partition shuffle.
+    * Unlike PQ's sampled k-means, the bounds are DETERMINISTIC exact
+    * aggregates, which is what lets the whole SQ encode/probe path
+    * replay cross-engine as a full value oracle. Output: (pos, mn, mx),
+    * pos 1-based (posexplode + 1) to match SQL list indexing. */
+  def sqTrain(corpus: DataFrame): DataFrame =
+    corpus.select(posexplode(col("embedding").cast("array<double>")))
+      .groupBy((col("pos") + 1).as("pos"))
+      .agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+
+  /** SQ8 encode: each coordinate → one byte code
+    * q = clamp(floor((x−mn)·255/(mx−mn)), 0, 255) (4× smaller than
+    * float32 — per-dimension fidelity, vs PQ's 64× with subspace loss —
+    * the standard FAISS SQ8 rung between brute force and PQ). The
+    * dequantized bin centers x̂ = mn + (q+0.5)·(mx−mn)/255 and their
+    * self-dot ride along so probe scoring is pure arithmetic over the
+    * codes. Bounds (≤ a few thousand dims) ship as array literals.
+    * Output: (vec_id, codes, deq, self_dot). */
+  def sqEncode(corpus: DataFrame, bounds: DataFrame): DataFrame = {
+    val b = bounds.orderBy(col("pos")).collect()
+    require(b.nonEmpty, "empty bounds — train on a non-empty corpus")
+    val mns = array(b.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val mxs = array(b.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+    val v = col("embedding").cast("array<double>")
+    val codes = transform(v, (x, i) => {
+      val mn = element_at(mns, i + 1)
+      val mx = element_at(mxs, i + 1)
+      when(mx === mn, lit(0)).otherwise(
+        least(lit(255.0), greatest(lit(0.0),
+          floor((x - mn) * lit(255.0) / (mx - mn)))).cast("int"))
+    })
+    corpus.select(col("vec_id"), codes.as("codes"))
+      .withColumn("deq", transform(col("codes"), (q, i) => {
+        val mn = element_at(mns, i + 1)
+        val mx = element_at(mxs, i + 1)
+        mn + (q.cast("double") + lit(0.5)) * (mx - mn) / lit(255.0)
+      }))
+      .withColumn("self_dot", VectorFunctions.dot(col("deq"), col("deq")))
+  }
+
+  /** SQ8 probe via asymmetric distance: raw probe vs dequantized codes,
+    * decomposed as ‖p−x̂‖² = p·p − 2·p·x̂ + x̂·x̂ so every term is a
+    * sequential inner product (the established cross-engine-exact form;
+    * the corpus's x̂·x̂ is precomputed at encode time). Probes broadcast;
+    * the code table is scanned once, raw corpus vectors never touched. */
+  def sqTopK(encoded: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val p = probes.select(col("vec_id").as("probe_id"),
+        col("embedding").cast("array<double>").as("pv"))
+      .withColumn("pp", VectorFunctions.dot(col("pv"), col("pv")))
+    val scored = encoded.crossJoin(broadcast(p))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adist",
+        col("pp") - lit(2.0) * VectorFunctions.dot(col("pv"), col("deq"))
+          + col("self_dot"))
+    Combine.topPerKey(
+      scored.select(col("probe_id"), col("vec_id").as("cand_id"), col("adist")),
+      Seq("probe_id"), k, col("adist").asc, col("cand_id").asc)
+  }
+
   /** IVF + PQ composed (the FAISS-style IVFPQ shape): candidates come
     * from the nProbe nearest centroids' inverted lists (corpus never
     * scanned whole — write `encoded ⋈ assigned` partitioned by

@@ -420,6 +420,23 @@ object LlmQueries {
     // proves the lookup indexing end to end), cost_ok (per-subspace Lloyd
     // monotonicity: trained quantization cost <= deterministic-init cost
     // in EVERY subspace).
+    // Scalar quantization (SQ8) ANN — the FAISS rung between brute force
+    // and PQ: per-dimension exact min/max bounds (deterministic, unlike
+    // PQ's seeded k-means), byte codes, asymmetric probe distance over
+    // dequantized bin centers. That determinism buys the quantization
+    // family its only FULL value oracle: bounds, codes, dequantization,
+    // and the p·p − 2·p·x̂ + x̂·x̂ decomposition all replay in SQL
+    // exactly (sequential inner products, the established parity form).
+    "q_similarity_sq8" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val bounds = Similarity.sqTrain(emb)
+      val enc = Similarity.sqEncode(emb, bounds)
+      val probes = emb.filter(col("vec_id") < 10)
+      Similarity.sqTopK(enc, probes, k = 5)
+        .select(col("probe_id"), col("cand_id"), round(col("adist"), 6).as("adist"))
+        .orderBy(col("probe_id"), col("cand_id"))
+    },
+
     "q_similarity_pq" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val m = 4; val ksub = 16; val dim = 64; val len = dim / m
@@ -2123,6 +2140,44 @@ object LlmQueries {
       """SELECT vec_id AS centroid_id, TRUE AS assign_ok, TRUE AS cost_ok
          FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
          ORDER BY centroid_id""",
+    "q_similarity_sq8" ->
+      """WITH e AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         b AS (
+           SELECT r.pos, min(e.v[r.pos]) AS mn, max(e.v[r.pos]) AS mx
+           FROM e, unnest(range(1, len(e.v) + 1)) AS r(pos)
+           GROUP BY r.pos),
+         q AS (
+           SELECT e.vec_id, r.pos,
+             CASE WHEN b.mx = b.mn THEN 0
+                  ELSE CAST(least(255.0, greatest(0.0,
+                    floor((e.v[r.pos] - b.mn) * 255.0 / (b.mx - b.mn)))) AS INT)
+             END AS code,
+             b.mn, b.mx
+           FROM e, unnest(range(1, len(e.v) + 1)) AS r(pos)
+           JOIN b ON b.pos = r.pos),
+         d AS (
+           SELECT vec_id,
+             list(mn + (code + 0.5) * (mx - mn) / 255.0 ORDER BY pos) AS deq
+           FROM q GROUP BY vec_id),
+         dd AS (
+           SELECT vec_id, deq, list_inner_product(deq, deq) AS self_dot FROM d),
+         p AS (
+           SELECT vec_id AS probe_id, v AS pv, list_inner_product(v, v) AS pp
+           FROM e WHERE vec_id < 10),
+         s AS (
+           SELECT p.probe_id, dd.vec_id AS cand_id,
+             p.pp - 2.0 * list_inner_product(p.pv, dd.deq) + dd.self_dot AS adist
+           FROM dd CROSS JOIN p WHERE dd.vec_id <> p.probe_id),
+         top AS (
+           SELECT probe_id, cand_id, adist,
+             row_number() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS rn
+           FROM s)
+         SELECT probe_id, cand_id, round(adist, 6) AS adist
+         FROM top WHERE rn <= 5
+         ORDER BY probe_id, cand_id""",
+
     "q_similarity_pq" ->
       """SELECT vec_id AS probe_id,
            (SELECT count(*) FROM embeddings) AS n_vecs,

@@ -324,4 +324,41 @@ class SimilaritySpec extends SparkSpec {
     assert(rMulti > rPlain,
       s"multi-probe recall $rMulti must beat single-bucket $rPlain")
   }
+
+  test("SQ8: codes in range, dequantization error bounded by half a bin, probe ranking sane") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bounds = Similarity.sqTrain(emb)
+    val enc = Similarity.sqEncode(emb, bounds)
+    // every code in [0, 255]
+    val codeOk = enc.select(
+      org.apache.spark.sql.functions.forall(col("codes"),
+        c => c >= 0 && c <= 255).as("ok"))
+      .agg(bool_and(col("ok"))).head.getBoolean(0)
+    assert(codeOk)
+    // |x - xhat| <= binWidth/2 per coordinate (bin-center dequantization)
+    val b = bounds.orderBy("pos").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val half = b.map { case (mn, mx) => (mx - mn) / 255.0 / 2.0 + 1e-9 }
+    val rows = enc.join(emb, "vec_id")
+      .select(col("embedding").cast("array<double>"), col("deq"))
+      .collect()
+    rows.foreach { r =>
+      val x = r.getSeq[Double](0); val xh = r.getSeq[Double](1)
+      x.indices.foreach { i =>
+        assert(math.abs(x(i) - xh(i)) <= half(i),
+          s"coordinate $i off by ${math.abs(x(i) - xh(i))} > ${half(i)}")
+      }
+    }
+    // asymmetric-distance ranking approximates brute force: the true
+    // nearest neighbor of each probe appears in SQ8's top-5
+    val probes = emb.filter(col("vec_id") < 5)
+    val sq = Similarity.sqTopK(enc, probes, k = 5)
+      .select(col("probe_id"), col("cand_id"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val truth = Similarity.bruteForceTopK(emb, probes, k = 1)
+      .select(col("probe_id"), col("cand_id"))
+      .as[(Long, Long)].collect()
+    truth.foreach { case (p, c) =>
+      assert(sq(p).contains(c), s"probe $p: true NN $c missing from SQ8 top-5")
+    }
+  }
 }
