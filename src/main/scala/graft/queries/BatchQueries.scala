@@ -745,6 +745,53 @@ object BatchQueries {
       perCol.reduce(_ unionByName _).orderBy(col("col_name"))
     },
 
+    // Declarative data-quality expectations (the dbt-test /
+    // Great-Expectations shape): each rule is one relational check —
+    // not-null, key uniqueness, accepted range, referential integrity —
+    // evaluated as aggregates/anti-joins, never row-at-a-time; the
+    // report is one row per rule with checked/violation counts. The
+    // uniqueness rule counts EXCESS rows (n - distinct), the FK rule is
+    // a broadcast anti-join against the dimension.
+    "q_expectations" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val cust = t.customer
+      val orders = t.orders
+      val notNull = cust.agg(
+        count(lit(1)).as("n_checked"),
+        (count(lit(1)) - count(col("c_name"))).as("n_violations"))
+        .select(lit("customer.c_name not_null").as("rule"), col("n_checked"),
+          col("n_violations"))
+      val unique = cust.agg(
+        count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(col("c_custkey"))).as("n_violations"))
+        .select(lit("customer.c_custkey unique").as("rule"), col("n_checked"),
+          col("n_violations"))
+      val range = cust.agg(
+        count(lit(1)).as("n_checked"),
+        sum(when(col("c_acctbal") < -1000.0 || col("c_acctbal") > 10000.0, 1)
+          .otherwise(0)).cast("long").as("n_violations"))
+        .select(lit("customer.c_acctbal in [-1000, 10000]").as("rule"),
+          col("n_checked"), col("n_violations"))
+      val fkViol = cust.join(broadcast(t.nation),
+          col("c_nationkey") === col("n_nationkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val fk = cust.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(broadcast(fkViol))
+        .select(lit("customer.c_nationkey fk nation").as("rule"),
+          col("n_checked"), col("n_violations"))
+      val dateRange = orders.agg(
+        count(lit(1)).as("n_checked"),
+        sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+          col("o_orderdate") >= lit("2002-01-01").cast("timestamp"), 1)
+          .otherwise(0)).cast("long").as("n_violations"))
+        .select(lit("orders.o_orderdate in [1992, 2002)").as("rule"),
+          col("n_checked"), col("n_violations"))
+      Seq(notNull, unique, range, fk, dateRange).reduce(_ unionByName _)
+        .select(col("rule"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+        .orderBy(col("rule"))
+    },
+
     // TPC-H Q5: the classic 6-way join (region-filtered nation revenue,
     // one order year) — customer and supplier must share the nation, so
     // the join graph has a cycle Catalyst must plan well: small dims
@@ -1198,6 +1245,37 @@ SELECT node, rank FROM r5 ORDER BY node""",
           FROM lineitem""").mkString("SELECT * FROM (\n", "\nUNION ALL\n",
         "\n) ORDER BY col_name")
     },
+
+    "q_expectations" ->
+      """SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+         FROM (
+           SELECT 'customer.c_name not_null' AS rule,
+             count(*) AS n_checked, count(*) - count(c_name) AS n_violations
+           FROM customer
+           UNION ALL
+           SELECT 'customer.c_custkey unique',
+             count(*), count(*) - count(DISTINCT c_custkey)
+           FROM customer
+           UNION ALL
+           SELECT 'customer.c_acctbal in [-1000, 10000]',
+             count(*),
+             CAST(sum(CASE WHEN c_acctbal < -1000.0 OR c_acctbal > 10000.0
+               THEN 1 ELSE 0 END) AS BIGINT)
+           FROM customer
+           UNION ALL
+           SELECT 'customer.c_nationkey fk nation',
+             (SELECT count(*) FROM customer),
+             (SELECT count(*) FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                WHERE n.n_nationkey = c.c_nationkey))
+           UNION ALL
+           SELECT 'orders.o_orderdate in [1992, 2002)',
+             count(*),
+             CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+               OR o_orderdate >= TIMESTAMP '2002-01-01 00:00:00'
+               THEN 1 ELSE 0 END) AS BIGINT)
+           FROM orders)
+         ORDER BY rule""",
 
     "q_join_q5" ->
       """SELECT n_name,
