@@ -745,6 +745,39 @@ object BatchQueries {
       perCol.reduce(_ unionByName _).orderBy(col("col_name"))
     },
 
+    // Population-stability-index drift monitor (the ML-ops metric for
+    // "did the feature distribution move between corpus snapshots"):
+    // token-count distribution of the doc_id%2 halves, 10 exact-integer
+    // bins, +1-smoothed shares, per-bin PSI terms and the total. All
+    // counts exact; the ln-based terms are 9-dp-quantized and summed
+    // through DECIMAL (the dsir logw order-free-sum pattern).
+    "q_psi_drift" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+        .withColumn("n_toks",
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+        .select(pmod(col("doc_id"), lit(2)).as("half"),
+          least(lit(9L), expr("n_toks div 25")).as("bin"))
+      val counts = docs.groupBy(col("bin")).agg(
+        sum(when(col("half") === 0, 1).otherwise(0)).cast("long").as("n_ref"),
+        sum(when(col("half") === 1, 1).otherwise(0)).cast("long").as("n_cur"))
+      val tot = counts.agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+      val terms = counts.crossJoin(broadcast(tot))
+        .withColumn("p",
+          (col("n_ref") + 1).cast("double") / (col("t_ref") + 10).cast("double"))
+        .withColumn("q",
+          (col("n_cur") + 1).cast("double") / (col("t_cur") + 10).cast("double"))
+        .withColumn("term", round((col("p") - col("q")) * log(col("p") / col("q")), 9))
+      val total = terms.agg(
+        sum(col("term").cast("decimal(19,12)")).cast("double").as("psi"),
+        max(col("t_ref")).as("t_ref"), max(col("t_cur")).as("t_cur"))
+      terms.select(lit("bin").as("row_type"), col("bin"),
+          col("n_ref"), col("n_cur"), col("term").as("value"))
+        .unionByName(total.select(lit("total_psi").as("row_type"),
+          lit(-1L).as("bin"), col("t_ref").as("n_ref"), col("t_cur").as("n_cur"),
+          col("psi").as("value")))
+        .orderBy(col("row_type"), col("bin"))
+    },
+
     // Declarative data-quality expectations (the dbt-test /
     // Great-Expectations shape): each rule is one relational check —
     // not-null, key uniqueness, accepted range, referential integrity —
@@ -1245,6 +1278,35 @@ SELECT node, rank FROM r5 ORDER BY node""",
           FROM lineitem""").mkString("SELECT * FROM (\n", "\nUNION ALL\n",
         "\n) ORDER BY col_name")
     },
+
+    "q_psi_drift" ->
+      """WITH d AS (
+           SELECT doc_id % 2 AS half,
+             least(9, len(list_filter(string_split_regex(text, '\s+'),
+               x -> len(x) > 0)) // 25) AS bin
+           FROM documents),
+         c AS (
+           SELECT bin,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+           FROM d GROUP BY bin),
+         t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+                      CAST(sum(n_cur) AS BIGINT) AS t_cur FROM c),
+         terms AS (
+           SELECT c.bin, c.n_ref, c.n_cur,
+             round((CAST(c.n_ref + 1 AS DOUBLE) / CAST(t.t_ref + 10 AS DOUBLE)
+                  - CAST(c.n_cur + 1 AS DOUBLE) / CAST(t.t_cur + 10 AS DOUBLE))
+               * ln((CAST(c.n_ref + 1 AS DOUBLE) / CAST(t.t_ref + 10 AS DOUBLE))
+                  / (CAST(c.n_cur + 1 AS DOUBLE) / CAST(t.t_cur + 10 AS DOUBLE))), 9)
+               AS term
+           FROM c, t)
+         SELECT row_type, bin, n_ref, n_cur, value FROM (
+           SELECT 'bin' AS row_type, bin, n_ref, n_cur, term AS value FROM terms
+           UNION ALL
+           SELECT 'total_psi', CAST(-1 AS BIGINT), t.t_ref, t.t_cur,
+             CAST((SELECT sum(CAST(term AS DECIMAL(19,12))) FROM terms) AS DOUBLE)
+           FROM t)
+         ORDER BY row_type, bin""",
 
     "q_expectations" ->
       """SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
