@@ -253,6 +253,31 @@ object WebQueries {
         .orderBy(col("domain"))
     },
 
+    // Entity CLUSTERS: the linkage pairs (all record pairs this time,
+    // clean-clean exact-name duplicates included) feed min-label
+    // connected components; the entity-size histogram is checked
+    // against a DuckDB RECURSIVE-CTE transitive closure — the image-
+    // dedup gate pattern applied to the record-linkage family, so the
+    // CC operator is cross-engine-verified on a second edge topology
+    // (near-clique name groups + typo spurs).
+    "q_entity_clusters" -> { (s, dir) =>
+      val recs = personRecords(s, dir)
+        .withColumn("blk_p", substring(col("name"), 1, 2))
+        .withColumn("blk_l", length(col("name")))
+      val a = recs.select(col("id").as("id_a"), col("name").as("name_a"),
+        col("blk_p"), col("blk_l"))
+      val b = recs.select(col("id").as("id_b"), col("name").as("name_b"),
+        col("blk_p"), col("blk_l"))
+      val pairs = a.join(b, Seq("blk_p", "blk_l"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(StringMetricExprs.jaroWinkler(col("name_a"), col("name_b")) >= 0.94)
+        .select(col("id_a"), col("id_b"))
+      graft.llm.Dedup.connectedComponents(recs.select(col("id")), pairs)
+        .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_entities"))
+        .orderBy(col("sz"))
+    },
+
     // k-anonymity suppression: quasi-identifier groups smaller than k=8
     // are dropped entirely; surviving groups report size and sensitive-
     // attribute diversity (l-diversity on the market segment).
@@ -388,6 +413,26 @@ object WebQueries {
            CAST(sum(CASE WHEN allowed AND n_toks >= 20 THEN n_toks ELSE 0 END)
              AS BIGINT) AS total_tokens
          FROM st GROUP BY domain ORDER BY domain""",
+
+    "q_entity_clusters" ->
+      s"""WITH RECURSIVE $personCte,
+         recs2 AS (SELECT id, name FROM clean UNION ALL SELECT id, name FROM dirty),
+         prs AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM recs2 a JOIN recs2 b
+             ON substr(a.name, 1, 2) = substr(b.name, 1, 2)
+            AND length(a.name) = length(b.name)
+            AND a.id < b.id
+           WHERE jaro_winkler_similarity(a.name, b.name) >= 0.94),
+         e2 AS (SELECT id_a AS a, id_b AS b FROM prs
+                UNION ALL SELECT id_b, id_a FROM prs),
+         reach(id, lbl) AS (
+           SELECT id, id FROM recs2
+           UNION
+           SELECT e2.b, reach.lbl FROM reach JOIN e2 ON e2.a = reach.id),
+         comp AS (SELECT id, min(lbl) AS label FROM reach GROUP BY id),
+         szs AS (SELECT label, count(*) AS sz FROM comp GROUP BY label)
+         SELECT sz, count(*) AS n_entities FROM szs GROUP BY sz ORDER BY sz""",
 
     "q_k_anonymity" ->
       """WITH g AS (
