@@ -730,19 +730,34 @@ object BatchQueries {
       val statCols = Seq("l_orderkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax")
       val li = Tables(s, dir).lineitem
-      val perCol = statCols.map { c =>
-        li.agg(
-          min(col(c)).cast("double").as("min_v"),
-          max(col(c)).cast("double").as("max_v"),
-          (count(lit(1)) - count(col(c))).as("n_nulls"),
-          countDistinct(col(c)).as("ndv"),
-          approx_count_distinct(col(c), 0.02).as("andv"))
-          .select(lit(c).as("col_name"), col("min_v"), col("max_v"),
-            col("n_nulls"), col("ndv"),
-            (abs(col("andv") - col("ndv")) <= col("ndv") * 0.1 + 10)
-              .as("approx_ok"))
-      }
-      perCol.reduce(_ unionByName _).orderBy(col("col_name"))
+      // min/max/nulls + the HLL estimate: ONE scan, no shuffle beyond
+      // the 1-row final agg (approx_count_distinct is a mergeable
+      // sketch, unlike countDistinct's Expand)
+      val basicAggs = statCols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c"),
+        (count(lit(1)) - count(col(c))).as(s"nulls_$c"),
+        approx_count_distinct(col(c), 0.02).as(s"andv_$c")))
+      val basic = li.agg(basicAggs.head, basicAggs.drop(1): _*)
+      // exact NDV for ALL columns through ONE distinct-pair shuffle
+      // (stack → distinct → per-column count) instead of a shuffle
+      // stage per column
+      val ndv = li.select(expr("stack(" + statCols.length + ", " +
+          statCols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ") +
+          ") AS (col_name, v)"))
+        .filter(col("v").isNotNull)
+        .distinct()
+        .groupBy(col("col_name")).agg(count(lit(1)).as("ndv"))
+      val rows = statCols.map(c => struct(lit(c).as("col_name"),
+        col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"),
+        col(s"nulls_$c").as("n_nulls"), col(s"andv_$c").as("andv")))
+      basic.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+        .join(broadcast(ndv), Seq("col_name"))
+        .select(col("col_name"), col("min_v"), col("max_v"), col("n_nulls"),
+          col("ndv"),
+          (abs(col("andv") - col("ndv")) <= col("ndv") * 0.1 + 10)
+            .as("approx_ok"))
+        .orderBy(col("col_name"))
     },
 
     // Population-stability-index drift monitor (the ML-ops metric for
