@@ -38,7 +38,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * corpus char, so this only fires on out-of-corpus application). */
 final case class UnigramViterbi(child: Expression,
                                 logp: Map[String, Double],
-                                maxPieceLen: Int)
+                                maxPieceLen: Int,
+                                heuristics: Boolean = true)
     extends UnaryExpression with CodegenFallback {
   require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
 
@@ -96,10 +97,18 @@ final case class UnigramViterbi(child: Expression,
       pos = j
     }
     val seg = rev.reverse.map(s => UTF8String.fromString(s): Any).toArray
-    // greedy longest-match
+    if (!heuristics)
+      // E-step use: only seg/vscore are read — skip the heuristic legs
+      // (their loops double the per-word cost); both mirror vscore so
+      // the dominance invariants hold vacuously
+      return InternalRow(new GenericArrayData(seg), best(L), best(L), best(L))
+    // greedy longest-match. NOT unreachable after DP success: a table
+    // without full char coverage can let greedy dead-end where the DP
+    // found a different split (e.g. {aab, aa, ba} on "aaba") — that leg
+    // reports the Unsegmentable sentinel, like the other fallbacks
     var gscore = 0.0
     pos = 0
-    while (pos < L && gscore != Double.NegativeInfinity) {
+    while (pos < L && gscore != UnigramViterbi.Unsegmentable) {
       var len = math.min(maxPieceLen, L - pos)
       var taken = false
       while (len >= 1 && !taken) {
@@ -108,15 +117,16 @@ final case class UnigramViterbi(child: Expression,
           case None => len -= 1
         }
       }
-      if (!taken) gscore = Double.NegativeInfinity // unreachable after DP success
+      if (!taken) gscore = UnigramViterbi.Unsegmentable
     }
     // single-char segmentation
     var cscore = 0.0
     var k = 0
-    while (k < L && cscore != Double.NegativeInfinity) {
-      cscore += logp.getOrElse(word.substring(k, k + 1), Double.NegativeInfinity)
+    while (k < L && cscore != UnigramViterbi.Unsegmentable) {
+      cscore += logp.getOrElse(word.substring(k, k + 1), UnigramViterbi.Unsegmentable)
       k += 1
     }
+    if (cscore < UnigramViterbi.Unsegmentable) cscore = UnigramViterbi.Unsegmentable
     InternalRow(new GenericArrayData(seg), best(L), gscore, cscore)
   }
 
@@ -129,7 +139,9 @@ object UnigramViterbi {
   /** Score reported when a word has an out-of-vocabulary character. */
   val Unsegmentable: Double = -1e9
 
-  def apply(word: Column, logp: Map[String, Double], maxPieceLen: Int): Column =
+  def apply(word: Column, logp: Map[String, Double], maxPieceLen: Int,
+            heuristics: Boolean): Column =
     GraftSqlBridge.column(
-      new UnigramViterbi(GraftSqlBridge.expression(word), logp, maxPieceLen))
+      new UnigramViterbi(GraftSqlBridge.expression(word), logp, maxPieceLen,
+        heuristics))
 }

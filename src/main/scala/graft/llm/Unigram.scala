@@ -114,7 +114,8 @@ object Unigram {
       val logp = vocab.map(p => p.piece -> p.logp).toMap
       val counts = wordsCk
         .select(col("freq"),
-          explode(UnigramViterbi(col("word"), logp, maxPieceLen).getField("seg"))
+          explode(UnigramViterbi(col("word"), logp, maxPieceLen,
+            heuristics = false).getField("seg"))
             .as("piece"))
         .groupBy(col("piece"))
         .agg(sum(col("freq")).as("cnt"))
@@ -134,7 +135,8 @@ object Unigram {
   /** Final-vocab segmentation of a word column: struct(seg, vscore,
     * gscore, cscore) — see [[UnigramViterbi]]. */
   def segment(word: Column, vocab: Seq[Piece], maxPieceLen: Int = 6): Column =
-    UnigramViterbi(word, vocab.map(p => p.piece -> p.logp).toMap, maxPieceLen)
+    UnigramViterbi(word, vocab.map(p => p.piece -> p.logp).toMap, maxPieceLen,
+      heuristics = true)
 
   // ---- independent scalar reference (the spec's ground truth) ----
 

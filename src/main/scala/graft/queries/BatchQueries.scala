@@ -721,11 +721,12 @@ object BatchQueries {
     // ANALYZE-style table statistics: per-column min/max/null-count/NDV
     // with the HLL estimate's error bound pinned engine-side — the
     // stats a cost-based planner or data-quality monitor collects
-    // before anything else runs. One aggregation PER COLUMN, unioned:
-    // each leg's parquet scan prunes to its one column, and the partial
-    // aggs reduce map-side. (The tempting single-pass multi-DISTINCT
-    // agg plans as an Expand that multiplies every row by the column
-    // count into one hash aggregate — measured 83 s vs 1.3 s here.)
+    // before anything else runs. Plan: min/max/nulls/HLL in ONE
+    // shuffle-free scan, plus ONE stack→distinct shuffle answering all
+    // exact NDVs. Plan history at sf0.1: single-pass multi-DISTINCT
+    // Expand 83 s → six unioned per-column countDistinct legs 4.7 s →
+    // this fused form 3.3 s (same ambient load as the 9.3 s leg
+    // re-measure).
     "q_table_stats" -> { (s, dir) =>
       val statCols = Seq("l_orderkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax")

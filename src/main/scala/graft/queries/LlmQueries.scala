@@ -1511,7 +1511,13 @@ object LlmQueries {
     // itself is pinned against the scalar reference trainer in BpeSpec.
     "q_bpe_train" -> { (s, dir) =>
       val words = Bpe.wordFreqs(Tables(s, dir).documents, col("text"))
-      val merges = Bpe.train(words, numMerges = 20)
+      // localThreshold = 0: THIS query's gate is the relational-trainer
+      // vs scalar-replay cross-check — the small-state cutover would
+      // route training through the same scalar machinery the replay
+      // uses and make applied_ok compare a function with itself. The
+      // cutover stays default everywhere merges are an INPUT
+      // (q_bpe_encode's gates check encode, which is independent).
+      val merges = Bpe.train(words, numMerges = 20, localThreshold = 0)
       val pairs = merges.map(m => (m.left, m.right))
       val replayUdf = udf((w: String) => Bpe.replay(w, pairs))
       val rep = words

@@ -30,15 +30,15 @@ object WebQueries {
     * it, so the ~100 distinct gids are the true URL universe. */
   private def gid: Column = pmod(col("doc_id"), lit(100))
 
-  /** The canonical-identity pieces (shared by messy construction). */
+  /** Canonical-identity pieces reused by [[messyUrl]]; the port rule is
+    * inline there (its messy form interleaves with the default-port
+    * noise) and in [[canonSql]] — the oracle-side single definition. */
   private def schemeOf(g: Column): Column =
     when(pmod(g, lit(2)) === 0, lit("https")).otherwise(lit("http"))
   private def hostOf(g: Column): Column = concat(
     when(pmod(g, lit(3)) === 0, lit("img.")).otherwise(lit("")),
     lit("example"), pmod(g, lit(7)),
     when(pmod(g, lit(5)) === 0, lit(".co.uk")).otherwise(lit(".com")))
-  private def portOf(g: Column): Column =
-    when(pmod(g, lit(11)) === 0, lit(":8080")).otherwise(lit(""))
 
   /** Messy URL: canonical identity from gid, byte-noise from doc_id —
     * uppercased scheme/host, WWW. prefix, explicit default port,

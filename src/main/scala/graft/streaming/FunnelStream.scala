@@ -47,12 +47,6 @@ object FunnelStream {
   /** Monotone progress: completion epoch-micros per completed prefix. */
   final case class Progress(times: List[Long])
 
-  private def usToTimestamp(us: Long): Timestamp = {
-    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
-    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
-    t
-  }
-
   final class FunnelProcessor(steps: Array[String])
       extends StatefulProcessor[Long, (Long, Long, Int), StepDone] {
 
@@ -87,7 +81,7 @@ object FunnelStream {
             (done.isEmpty || e.tsUs > done.head)) {
           done = e.tsUs :: done
           out += StepDone(key, done.length, steps(done.length - 1),
-            usToTimestamp(e.tsUs))
+            FunnelStreamTime.usToTimestamp(e.tsUs))
         }
       }
       prog.update(Progress(done))
