@@ -103,9 +103,17 @@ object Stress {
   val WebTokQueries = Seq(
     "q_url_canon", "q_url_dedup", "q_unigram_train", "q_unigram_encode")
 
+  /** Record-linkage family: the customer blow-up multiplies every name
+    * combo's population ~factor×, so each (prefix, length) block gains
+    * ~factor members and the in-block JW pair count grows ~factor² —
+    * the same worst case the dedup blocking structures face. The risk
+    * profile is the blocked join staying an equi-join (never a
+    * cartesian) and CC absorbing ~factor²-denser near-clique edges. */
+  val LinkageQueries = Seq("q_entity_resolution", "q_entity_clusters")
+
   def allQueries: Seq[String] =
     DedupQueries ++ EmbQueries ++ ContamQueries ++ TextQueries ++ LakeQueries ++
-      WebTokQueries
+      WebTokQueries ++ LinkageQueries
 
   private def releaseCaches(): Unit = {
     graft.llm.Dedup.releasePersistedState()
@@ -151,6 +159,25 @@ object Stress {
       .drop("copy")
     blownEmb.repartition(32).write.mode("overwrite")
       .parquet(s"$workDir/embeddings.parquet")
+
+    // customer: plain duplication with re-keying (no perturbation —
+    // names in the linkage queries DERIVE from the key arithmetic, so
+    // key*factor+copy re-deals the copies across the same 1024 name
+    // combos, multiplying every (prefix, length) block's population
+    // ~factor× — exactly the in-block pair blow-up under test)
+    val cust = spark.read.parquet(s"$baseDir/customer.parquet")
+    cust
+      .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("c_custkey", col("c_custkey") * factor + col("copy"))
+      .drop("copy")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$workDir/customer.parquet")
+
+    // untouched tables the stressed queries' fixtures may read
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$workDir/$t.parquet")
+    }
   }
 
   private def force(df: DataFrame): Unit =
