@@ -834,6 +834,42 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Hybrid retrieval via reciprocal rank fusion (the Elastic/vector-DB
+    // hybrid-search standard): the BM25 lexical leg and the cosine
+    // vector leg each rank their candidates, fused as
+    // Σ 1/(60 + rank) over the union. Ranks come from the range-
+    // partitioned prefix sum (never a single-partition window); scores
+    // are 9-dp-quantized before ranking so near-ties rank identically
+    // cross-engine; exact ties break on doc_id. FULL oracle: both legs
+    // and the fusion arithmetic replay in SQL.
+    "q_hybrid_rrf" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val lex0 = TextRelevance.bm25(docs, "doc_id", "text",
+          Seq("query", "stream", "vector"))
+        .select(col("doc_id"), round(col("score"), 9).as("s"))
+      val lex = graft.operators.Combine.prefixSum(lex0,
+          Seq(col("s").desc, col("doc_id").asc), lit(1L), "lex_rank")
+        .select(col("doc_id"), col("lex_rank"))
+      val emb = Tables(s, dir).embeddings
+      val probe = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("pv"))
+      val vec0 = emb.filter(col("vec_id") > 0 && col("vec_id") < 500)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          round(VectorFunctions.cosine(col("embedding"), col("pv")), 9).as("c"))
+      val vec = graft.operators.Combine.prefixSum(vec0,
+          Seq(col("c").desc, col("doc_id").asc), lit(1L), "vec_rank")
+        .select(col("doc_id"), col("vec_rank"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0)), 6))
+        .orderBy(desc("rrf"), col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"), col("rrf"))
+        .orderBy(col("doc_id"))
+    },
+
     // Quality scoring + BPE-ish token estimate + portable (md5) fingerprint
     // — every component replicable in the oracle's SQL.
     "q_quality_scores" -> { (s, dir) =>
@@ -2811,6 +2847,55 @@ object LlmQueries {
            FROM w)
          SELECT doc_id, term, tf, tfidf FROM ranked WHERE rn <= 3
          ORDER BY doc_id, term""",
+    "q_hybrid_rrf" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '')) AS term
+           FROM documents),
+         tc AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         dfq AS (SELECT term AS t2, count(*) AS df FROM tc GROUP BY term),
+         lens AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '')) AS dl
+           FROM documents),
+         stats AS (
+           SELECT (SELECT count(*) FROM documents) AS n_docs,
+                  (SELECT avg(dl) FROM lens) AS avgdl),
+         scored AS (
+           SELECT tc.doc_id,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+             tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS tf_norm
+           FROM tc, dfq, lens, stats
+           WHERE tc.term = dfq.t2 AND tc.doc_id = lens.doc_id
+             AND tc.term IN ('query', 'stream', 'vector')),
+         lexs AS (SELECT doc_id, round(sum(idf * tf_norm), 9) AS s
+           FROM scored GROUP BY doc_id),
+         lex AS (SELECT doc_id,
+             row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank
+           FROM lexs),
+         e AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         p AS (SELECT v AS pv FROM e WHERE vec_id = 0),
+         vecs AS (
+           SELECT e.vec_id AS doc_id,
+             round(list_inner_product(e.v, p.pv) /
+               (sqrt(list_inner_product(e.v, e.v)) *
+                sqrt(list_inner_product(p.pv, p.pv))), 9) AS c
+           FROM e, p WHERE e.vec_id > 0 AND e.vec_id < 500),
+         vec AS (SELECT doc_id,
+             row_number() OVER (ORDER BY c DESC, doc_id) AS vec_rank
+           FROM vecs),
+         u AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+             lex.lex_rank, vec.vec_rank
+           FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+         r AS (SELECT doc_id, lex_rank, vec_rank,
+             round(coalesce(1.0 / (60.0 + lex_rank), 0.0) +
+                   coalesce(1.0 / (60.0 + vec_rank), 0.0), 6) AS rrf
+           FROM u),
+         top AS (SELECT * FROM r ORDER BY rrf DESC, doc_id LIMIT 20)
+         SELECT doc_id, lex_rank, vec_rank, rrf FROM top ORDER BY doc_id""",
+
     "q_bm25" ->
       """WITH tok AS (
            SELECT doc_id,
