@@ -286,7 +286,12 @@ object TextRelevance {
       .withColumn("tf_norm", col("tf") * (lit(k1) + 1.0) /
         (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy(col("doc_id"))
-      .agg(sum(col("idf") * col("tf_norm")).as("score"),
+      // rounded-then-DECIMAL summation (the unigramLogPerplexity device):
+      // a raw double sum's partial-agg order varies with partitioning,
+      // and consumers that RANK on the score (q_hybrid_rrf) would let a
+      // last-ulp drift flip a rounding boundary and cascade into ranks
+      .agg(sum(round(col("idf") * col("tf_norm"), 9).cast("decimal(28,12)"))
+        .cast("double").as("score"),
         count(lit(1)).as("n_matched"))
   }
 }

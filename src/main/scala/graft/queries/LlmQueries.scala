@@ -847,8 +847,8 @@ object LlmQueries {
       val lex0 = TextRelevance.bm25(docs, "doc_id", "text",
           Seq("query", "stream", "vector"))
         .select(col("doc_id"), round(col("score"), 9).as("s"))
-      val lex = graft.operators.Combine.prefixSum(lex0,
-          Seq(col("s").desc, col("doc_id").asc), lit(1L), "lex_rank")
+      val lex = graft.operators.Combine.prefixRank(lex0,
+          Seq(col("s").desc, col("doc_id").asc), "lex_rank")
         .select(col("doc_id"), col("lex_rank"))
       val emb = Tables(s, dir).embeddings
       val probe = emb.filter(col("vec_id") === 0)
@@ -857,8 +857,8 @@ object LlmQueries {
         .crossJoin(broadcast(probe))
         .select(col("vec_id").as("doc_id"),
           round(VectorFunctions.cosine(col("embedding"), col("pv")), 9).as("c"))
-      val vec = graft.operators.Combine.prefixSum(vec0,
-          Seq(col("c").desc, col("doc_id").asc), lit(1L), "vec_rank")
+      val vec = graft.operators.Combine.prefixRank(vec0,
+          Seq(col("c").desc, col("doc_id").asc), "vec_rank")
         .select(col("doc_id"), col("vec_rank"))
       lex.join(vec, Seq("doc_id"), "full_outer")
         .withColumn("rrf", round(
@@ -2868,7 +2868,9 @@ object LlmQueries {
            FROM tc, dfq, lens, stats
            WHERE tc.term = dfq.t2 AND tc.doc_id = lens.doc_id
              AND tc.term IN ('query', 'stream', 'vector')),
-         lexs AS (SELECT doc_id, round(sum(idf * tf_norm), 9) AS s
+         lexs AS (SELECT doc_id,
+             round(CAST(sum(CAST(round(idf * tf_norm, 9) AS DECIMAL(28,12)))
+               AS DOUBLE), 9) AS s
            FROM scored GROUP BY doc_id),
          lex AS (SELECT doc_id,
              row_number() OVER (ORDER BY s DESC, doc_id) AS lex_rank
@@ -2917,7 +2919,9 @@ object LlmQueries {
            FROM tc, dfq, lens, stats
            WHERE tc.term = dfq.t2 AND tc.doc_id = lens.doc_id
              AND tc.term IN ('query', 'stream', 'vector'))
-         SELECT doc_id, round(sum(idf * tf_norm), 4) AS score,
+         SELECT doc_id,
+           round(CAST(sum(CAST(round(idf * tf_norm, 9) AS DECIMAL(28,12)))
+             AS DOUBLE), 4) AS score,
            count(*) AS n_matched
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
     // quality/bpe/fp replicated component-by-component. RE2 has no
