@@ -7,15 +7,7 @@ import org.apache.spark.sql.SparkSession
   * a regression must look like a failure, not a speedup. */
 object Bench {
   /** keep executor cache flat across the full query sweep */
-  private def releaseCaches(): Unit = {
-    graft.llm.Dedup.releasePersistedState()
-    graft.llm.Similarity.releasePersistedState()
-    graft.llm.TextRelevance.releasePersistedState()
-    graft.llm.Boilerplate.releasePersistedState()
-    graft.llm.Contamination.releasePersistedState()
-    graft.operators.ElementWise.releasePersistedState()
-    graft.llm.Multimodal.releasePersistedState()
-  }
+  private def releaseCaches(): Unit = Caches.releaseAll()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

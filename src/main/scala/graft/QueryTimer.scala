@@ -36,13 +36,7 @@ object QueryTimer {
       val secs = (System.nanoTime() - t0) / 1e9
       val n = obs.get("rows")
       println(f"[timer] $name rows=$n time=$secs%.2f s")
-      graft.llm.Dedup.releasePersistedState()
-      graft.llm.Similarity.releasePersistedState()
-      graft.llm.TextRelevance.releasePersistedState()
-      graft.llm.Boilerplate.releasePersistedState()
-      graft.llm.Contamination.releasePersistedState()
-    graft.operators.ElementWise.releasePersistedState()
-    graft.llm.Multimodal.releasePersistedState()
+      Caches.releaseAll()
     }
     spark.stop()
   }

@@ -121,15 +121,7 @@ object Stress {
     DedupQueries ++ EmbQueries ++ ContamQueries ++ TextQueries ++ LakeQueries ++
       WebTokQueries ++ LinkageQueries
 
-  private def releaseCaches(): Unit = {
-    graft.llm.Dedup.releasePersistedState()
-    graft.llm.Similarity.releasePersistedState()
-    graft.llm.TextRelevance.releasePersistedState()
-    graft.llm.Boilerplate.releasePersistedState()
-    graft.llm.Contamination.releasePersistedState()
-    graft.operators.ElementWise.releasePersistedState()
-    graft.llm.Multimodal.releasePersistedState()
-  }
+  private def releaseCaches(): Unit = Caches.releaseAll()
 
   /** Duplicate+perturb `baseDir`'s documents + embeddings `factor`× into
     * `workDir` — the worst-case near-dup-dense corpus described above. */

@@ -29,13 +29,7 @@ object Verify {
       }
       finally {
         // keep executor cache flat across the full query sweep
-        graft.llm.Dedup.releasePersistedState()
-        graft.llm.Similarity.releasePersistedState()
-        graft.llm.TextRelevance.releasePersistedState()
-        graft.llm.Boilerplate.releasePersistedState()
-        graft.llm.Contamination.releasePersistedState()
-    graft.operators.ElementWise.releasePersistedState()
-    graft.llm.Multimodal.releasePersistedState()
+        Caches.releaseAll()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

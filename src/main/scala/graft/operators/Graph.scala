@@ -107,4 +107,62 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts via degree-ordered edge orientation
+    * (Schank & Wagner 2005 / the MapReduce form in Suri & Vassilvitskii,
+    * "Counting Triangles and the Curse of the Last Reducer", WWW 2011).
+    *
+    * Each undirected edge is oriented from its (degree, id)-lower
+    * endpoint to its higher one; a triangle {a,b,c} is then found
+    * exactly once, as the wedge at its order-minimal vertex closed by
+    * the oriented edge between the other two. The wedge self-join fans
+    * out by ORIENTED out-degree, which the ordering bounds by O(√|E|)
+    * even at power-law hubs — the un-oriented join would square the hub
+    * degree. All joins are equi-joins on node keys; no windows, no
+    * global order.
+    *
+    * @param edges undirected edge list (a: long, b: long), one row per
+    *              edge with a < b, no self-loops (callers dedupe)
+    * @return (node, degree, n_tri) — n_tri = triangles containing the
+    *         node; Σ n_tri = 3 · total triangles
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
+    // orient by (degree, id): the struct comparison IS the total order —
+    // no global rank window needed
+    val keyed = e
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), Seq("b"))
+    val oriented = keyed.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("id"), col("da").as("d")))
+          .otherwise(struct(col("b").as("id"), col("db").as("d"))).as("lo"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("b").as("id"), col("db").as("d")))
+          .otherwise(struct(col("a").as("id"), col("da").as("d"))).as("hi"))
+      .select(col("lo.id").as("src"), col("hi.id").as("dst"),
+        col("hi.d").as("dd"))
+      .localCheckpoint()
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (struct(col("e1.dd"), col("e1.dst")) <
+            struct(col("e2.dd"), col("e2.dst"))))
+      .select(col("e1.src").as("v1"), col("e1.dst").as("v2"),
+        col("e2.dst").as("v3"))
+    val triangles = wedges.join(
+      oriented.select(col("src").as("v2"), col("dst").as("v3")),
+      Seq("v2", "v3"))
+    val perNode = triangles
+      .select(explode(array(col("v1"), col("v2"), col("v3"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid resampling over irregular per-key observations — the
+  * missing-data companion to the as-of join ([U] contrib join / our
+  * Grouping.asOfJoin): where as-of aligns two streams at query points,
+  * gap-fill materializes the dense grid a downstream model or chart
+  * expects, with the two standard imputations (last-observation-
+  * carried-forward and linear interpolation) side by side.
+  *
+  * Scale posture: the grid is generated per key from that key's own
+  * span (`sequence` — no driver-side materialization, no global grid),
+  * the observation join is an equi-join on (key, slot), and both fill
+  * windows are partitioned by key and ordered by slot — partition-local
+  * after one hash exchange, never a global sort. Grid size is
+  * span/step per key; a key's grid rides in one partition, which is
+  * the right unit as long as a single key's span stays in the
+  * millions of slots (hour grids: centuries) — shard the key space
+  * upstream if a key legitimately needs more.
+  *
+  * Arithmetic contract (hash parity with the DuckDB oracle): the
+  * interpolation is a fixed IEEE expression tree
+  * `pv + (nv - pv) * ((t - pt) / (nt - pt))` over already-exact
+  * inputs, so results are bit-identical on any engine that evaluates
+  * the same tree — no tolerance needed.
+  */
+object TimeSeries {
+
+  /** Dense grid + LOCF + linear interpolation.
+    *
+    * @param obs   observations, one row per (keys, slot) at most
+    *              (pre-aggregate duplicates upstream)
+    * @param keys  series identity columns
+    * @param slot  integer grid coordinate column (e.g. epoch-hours) —
+    *              LONG; the grid is every value in [min, max] per key
+    * @param value observed DOUBLE column
+    * @return one row per (keys, grid slot): value (observed, null in
+    *         gaps), `ffill` (last observation carried forward), and
+    *         `interp` (linear between the bracketing observations;
+    *         null before the first / after the last observation)
+    */
+  def gapFillLinear(obs: DataFrame, keys: Seq[String], slot: String,
+                    value: String): DataFrame = {
+    val kc = keys.map(col)
+    val spans = obs.groupBy(kc: _*)
+      .agg(min(col(slot)).as("__lo"), max(col(slot)).as("__hi"))
+    val grid = spans.select(kc :+
+      explode(sequence(col("__lo"), col("__hi"))).as(slot): _*)
+    val joined = grid.join(obs, keys :+ slot, "left")
+
+    val w = Window.partitionBy(kc: _*).orderBy(col(slot))
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obSlot = when(col(value).isNotNull, col(slot))
+    val t = col(slot)
+    val pv = col("__pv"); val nv = col("__nv")
+    val pt = col("__pt"); val nt = col("__nt")
+    joined
+      .withColumn("__pv", last(col(value), ignoreNulls = true).over(back))
+      .withColumn("__pt", last(obSlot, ignoreNulls = true).over(back))
+      .withColumn("__nv", first(col(value), ignoreNulls = true).over(fwd))
+      .withColumn("__nt", first(obSlot, ignoreNulls = true).over(fwd))
+      .withColumn("ffill", pv)
+      .withColumn("interp",
+        when(pv.isNull || nv.isNull, lit(null).cast("double"))
+          .when(pt === nt, pv)
+          .otherwise(pv + (nv - pv) *
+            ((t - pt).cast("double") / (nt - pt).cast("double"))))
+      .drop("__pv", "__pt", "__nv", "__nt")
+  }
+}

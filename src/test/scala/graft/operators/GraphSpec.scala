@@ -76,4 +76,52 @@ class GraphSpec extends SparkSpec {
     assert(ranks(4L) >= base, "sink keeps at least the teleport base")
     assert(ranks == scalarPR(edges, 3), "dangling case must still match the reference")
   }
+
+  // ---- triangleCount ------------------------------------------------
+
+  /** Dense reference: enumerate all closed triples over adjacency sets. */
+  private def scalarTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val tri = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      a <- nodes; b <- nodes if a < b && adj(a)(b)
+      c <- nodes if b < c && adj(a)(c) && adj(b)(c)
+    } { tri(a) += 1; tri(b) += 1; tri(c) += 1 }
+    nodes.map(n => n -> tri(n)).toMap
+  }
+
+  private def runTri(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    Graph.triangleCount(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("triangleCount: directed cases — K4, star, path") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val got = runTri(k4)
+    (1L to 4L).foreach(n => assert(got(n) == (3L, 3L), s"K4 node $n: ${got(n)}"))
+
+    val star = (2L to 6L).map(l => (1L, l))
+    runTri(star).foreach { case (n, (_, t)) => assert(t == 0L, s"star node $n") }
+
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    runTri(path).foreach { case (_, (_, t)) => assert(t == 0L) }
+  }
+
+  test("triangleCount matches the dense reference on a seeded G(n,p) graph") {
+    val rnd = new scala.util.Random(11)
+    val n = 30
+    val edges = for {
+      a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+      if rnd.nextDouble() < 0.25
+    } yield (a, b)
+    val got = runTri(edges)
+    val want = scalarTriangles(edges)
+    assert(got.view.mapValues(_._2).toMap == want)
+    // degrees come back right too
+    val deg = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (node, (d, _)) => assert(d == deg(node)) }
+    // Σ n_tri = 3 · total triangles (each triangle counted at 3 nodes)
+    assert(got.values.map(_._2).sum % 3 == 0)
+  }
 }

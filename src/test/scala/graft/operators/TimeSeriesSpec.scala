@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** gapFillLinear: the grid must be dense per key, LOCF must carry the
+  * last observation, and the linear interpolation must hit the exact
+  * IEEE values of `pv + (nv-pv)·((t-pt)/(nt-pt))` — that expression
+  * tree is the operator's oracle-parity contract. */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(obs: Seq[(String, Long, java.lang.Double)]): Map[(String, Long), Row] =
+    TimeSeries.gapFillLinear(
+        obs.toDF("k", "slot", "v"), Seq("k"), "slot", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r)
+      .toMap
+
+  test("dense grid, LOCF, and exact linear interpolation across a gap") {
+    val out = run(Seq(("a", 10L, 1.0), ("a", 13L, 4.0), ("a", 15L, 2.0)))
+    assert(out.keySet == Set(10L, 11L, 12L, 13L, 14L, 15L).map("a" -> _))
+    // observed slots: value, ffill, interp all equal the observation
+    assert(out(("a", 10L)).getDouble(3) == 1.0 && out(("a", 10L)).getDouble(4) == 1.0)
+    // gap 11,12: ffill carries 1.0; interp walks the line 1.0 -> 4.0
+    assert(out(("a", 11L)).isNullAt(2))
+    assert(out(("a", 11L)).getDouble(3) == 1.0)
+    assert(out(("a", 11L)).getDouble(4) == 1.0 + (4.0 - 1.0) * (1.0 / 3.0))
+    assert(out(("a", 12L)).getDouble(4) == 1.0 + (4.0 - 1.0) * (2.0 / 3.0))
+    // gap 14: between 4.0 and 2.0
+    assert(out(("a", 14L)).getDouble(3) == 4.0)
+    assert(out(("a", 14L)).getDouble(4) == 4.0 + (2.0 - 4.0) * (1.0 / 2.0))
+  }
+
+  test("null observations inside the span fill like absent rows") {
+    val out = run(Seq(("a", 1L, 5.0), ("a", 2L, null), ("a", 3L, 7.0)))
+    assert(out(("a", 2L)).isNullAt(2))
+    assert(out(("a", 2L)).getDouble(3) == 5.0)
+    assert(out(("a", 2L)).getDouble(4) == 5.0 + (7.0 - 5.0) * (1.0 / 2.0))
+  }
+
+  test("keys are independent; a single-observation key yields one row") {
+    val out = run(Seq(("a", 5L, 1.0), ("a", 7L, 3.0), ("b", 100L, 9.0)))
+    assert(out.size == 4)
+    val b = out(("b", 100L))
+    assert(b.getDouble(2) == 9.0 && b.getDouble(3) == 9.0 && b.getDouble(4) == 9.0)
+  }
+
+  test("interp is null before the first observation would bracket it") {
+    // leading edge inside a key's span can't happen (span starts at the
+    // first observation), but a null FIRST observation row can create one
+    val out = run(Seq(("a", 1L, null), ("a", 2L, 4.0), ("a", 3L, null)))
+    val lead = out(("a", 1L))
+    assert(lead.isNullAt(3) && lead.isNullAt(4)) // no prior obs: ffill+interp null
+    val trail = out(("a", 3L))
+    assert(trail.getDouble(3) == 4.0 && trail.isNullAt(4)) // no next obs: LOCF only
+  }
+
+  test("matches a scalar reference on a seeded irregular series") {
+    val rnd = new scala.util.Random(42)
+    val obs = (0 until 200).flatMap { i =>
+      val k = s"k${i % 3}"
+      if (rnd.nextDouble() < 0.4) Some((k, i.toLong / 3, java.lang.Double.valueOf(rnd.nextDouble() * 10)))
+      else None
+    }
+    // one row per (k, slot): keep first
+    val uniq = obs.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val out = run(uniq)
+    val byKey = uniq.groupBy(_._1)
+    for ((k, rows) <- byKey) {
+      val m = rows.map(t => t._2 -> t._3.doubleValue()).toMap
+      val lo = m.keys.min; val hi = m.keys.max
+      for (t <- lo to hi) {
+        val row = out((k, t))
+        val prev = (lo to t).reverse.find(m.contains)
+        val next = (t to hi).find(m.contains)
+        assert(row.getDouble(3) == m(prev.get)) // ffill: prev always exists in-span
+        val expectInterp = (prev, next) match {
+          case (Some(p), Some(n)) if p == n => m(p)
+          case (Some(p), Some(n)) =>
+            m(p) + (m(n) - m(p)) * ((t - p).toDouble / (n - p).toDouble)
+          case _ => Double.NaN
+        }
+        if (next.isEmpty) assert(row.isNullAt(4))
+        else assert(row.getDouble(4) == expectInterp)
+      }
+    }
+  }
+}
