@@ -331,4 +331,49 @@ object Curation {
       .filter(col("__gn") >= k)
       .drop("__gn")
   }
+
+  /** Differentially-private group counts via the geometric mechanism
+    * (Ghosh, Roughgarden & Sundararajan, "Universally Utility-
+    * Maximizing Privacy Mechanisms", STOC 2009): each count gets
+    * two-sided-geometric noise with ratio α = 1/2 — the ε = ln 2 DP
+    * release for a sensitivity-1 count query — computed ENTIRELY in
+    * integer arithmetic. A geometric(1/2) draw is the number of
+    * trailing zero bits of a uniform integer, so
+    * `noise = ntz(h1) − ntz(h2)` over two independent 52-bit hash
+    * draws is an exact discrete-Laplace sample: no float logs, no
+    * inverse-CDF rounding, bit-reproducible in any engine.
+    *
+    * Determinism caveat (by design, stated loudly): the draws are
+    * seeded from the group key via the portable md5 device, so the
+    * release is REPLAYABLE — which is what lets the DuckDB oracle pin
+    * every noised count, and what a PRODUCTION release must change
+    * (derive the seed from a per-release secret, or the noise can be
+    * subtracted). The mechanism and its ε are unaffected by where the
+    * uniform bits come from.
+    *
+    * One hash-aggregation shuffle; the noise is a per-group scalar
+    * expression on the (small) aggregated frame.
+    *
+    * @return one row per group: keys, `n` (true count — drop it from a
+    *         real release; kept here so audits and the oracle can see
+    *         the mechanism), `noise`, `n_noised` (= n + noise, can go
+    *         negative as the raw mechanism prescribes)
+    */
+  def dpNoisedCounts(df: DataFrame, keys: Seq[String],
+                     seed: String = "graft-dp"): DataFrame = {
+    require(keys.nonEmpty, "need at least one group-by column")
+    // ntz of (v | 2^52): Geometric(1/2) capped at 52 — the cap keeps the
+    // v=0 corner (probability 2^-52) finite and identical cross-engine
+    def geom(tag: String): Column = {
+      val keyStr = concat_ws("|", lit(s"$seed-$tag") +: keys.map(col): _*)
+      val v = conv(substring(md5(keyStr.cast("binary")), 1, 13), 16, 10)
+        .cast("long")
+      val w = v.bitwiseOR(lit(4503599627370496L))
+      bit_count(w.bitwiseAND(-w) - 1).cast("long")
+    }
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise", geom("a") - geom("b"))
+      .withColumn("n_noised", col("n") + col("noise"))
+  }
 }

@@ -122,6 +122,18 @@ object AnalyticsQueries {
           round(col("gain"), 6).as("gain"), round(col("radius"), 6).as("radius"))
         .orderBy(col("sel_rank"))
     },
+
+    // ε = ln 2 differentially-private per-(source,lang) counts: the
+    // geometric mechanism with EXACT integer noise (trailing-zero-bit
+    // geometric draws from the portable md5 device — no float logs), so
+    // the oracle replays every noised count bit-for-bit. True counts
+    // stay in the output for the audit/oracle; a real release drops
+    // them and re-seeds (Curation.dpNoisedCounts scaladoc).
+    "q_dp_counts" -> { (s, dir) =>
+      graft.llm.Curation.dpNoisedCounts(
+          Tables(s, dir).documents, Seq("source", "lang"))
+        .orderBy(col("source"), col("lang"))
+    },
   )
 
   // ---- oracle SQL ---------------------------------------------------
@@ -246,5 +258,19 @@ object AnalyticsQueries {
          FROM deg d LEFT JOIN pn ON pn.node = d.node ORDER BY d.node""",
     "q_mmr_rerank" -> mmrSql(nProbes = 8, topN = 20, k = 5),
     "q_kcenter_coreset" -> kCenterSql(k = 6),
+    "q_dp_counts" -> {
+      def w(tag: String) =
+        s"(CAST(('0x' || substr(md5(concat_ws('|', 'graft-dp-$tag', source, lang)), 1, 13)) AS BIGINT) | 4503599627370496) AS w$tag"
+      s"""WITH g AS (
+           SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY source, lang),
+         h AS (SELECT source, lang, n, ${w("a")}, ${w("b")} FROM g),
+         d AS (SELECT source, lang, n,
+             CAST(bit_count((wa & (-wa)) - 1) AS BIGINT)
+               - CAST(bit_count((wb & (-wb)) - 1) AS BIGINT) AS noise
+           FROM h)
+         SELECT source, lang, n, noise, n + noise AS n_noised
+         FROM d ORDER BY source, lang"""
+    },
   )
 }

@@ -275,4 +275,54 @@ class CurationSpec extends SparkSpec {
       assert(got == batch, s"stream scores must equal batch: $got vs $batch")
     } finally q.stop()
   }
+
+  // ---- dpNoisedCounts ----------------------------------------------
+
+  /** Scalar twin of the geometric draw: md5 hex prefix → 52-bit int →
+    * trailing zeros of (v | 2^52). */
+  private def scalarGeom(key: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(13)
+    val v = java.lang.Long.parseLong(hex, 16) | 4503599627370496L
+    java.lang.Long.numberOfTrailingZeros(v).toLong
+  }
+
+  test("dpNoisedCounts: noise matches the scalar md5 derivation exactly") {
+    val df = Seq(("s0", "en"), ("s0", "en"), ("s0", "de"), ("s1", "en"))
+      .toDF("source", "lang")
+    val got = Curation.dpNoisedCounts(df, Seq("source", "lang"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.size == 3)
+    for (((src, lang), (n, noise, noised)) <- got) {
+      val expectN = Seq(("s0", "en") -> 2L, ("s0", "de") -> 1L,
+        ("s1", "en") -> 1L).toMap.apply((src, lang))
+      val expect = scalarGeom(s"graft-dp-a|$src|$lang") -
+        scalarGeom(s"graft-dp-b|$src|$lang")
+      assert(n == expectN)
+      assert(noise == expect, s"($src,$lang): noise $noise vs $expect")
+      assert(noised == n + noise)
+    }
+  }
+
+  test("dpNoisedCounts: the noise is two-sided geometric with ratio 1/2") {
+    // mechanism-level check over many independent groups: P(noise = 0)
+    // = (1-α)/(1+α) = 1/3 and the distribution is symmetric
+    val df = (0 until 20000).map(i => (s"g$i", "x")).toDF("source", "lang")
+    val noises = Curation.dpNoisedCounts(df, Seq("source", "lang"))
+      .select($"noise").collect().map(_.getLong(0))
+    val n = noises.length.toDouble
+    val p0 = noises.count(_ == 0L) / n
+    assert(math.abs(p0 - 1.0 / 3.0) < 0.02, s"P(noise=0) = $p0, want ~1/3")
+    val mean = noises.sum / n
+    assert(math.abs(mean) < 0.05, s"mean $mean, want ~0")
+    val p1 = noises.count(_ == 1L) / n
+    val pm1 = noises.count(_ == -1L) / n
+    // P(±1) = α(1-α)/(1+α)... = 1/6 each for α = 1/2
+    assert(math.abs(p1 - 1.0 / 6.0) < 0.02 && math.abs(pm1 - 1.0 / 6.0) < 0.02,
+      s"P(±1) = ($p1, $pm1), want ~1/6 each")
+  }
 }
