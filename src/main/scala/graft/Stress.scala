@@ -53,7 +53,13 @@ object Stress {
     // construction; the blow-up multiplies band-bucket populations, so
     // the candidate equi-join is the part under test
     "q_image_neardup",
-    "q_similarity_ivf", "q_similarity_pq", "q_similarity_ivfpq")
+    "q_similarity_ivf", "q_similarity_pq", "q_similarity_ivfpq",
+    // diversity selection: a duplicate-dense corpus is MMR's worst case
+    // (the top-N fills with near-identical candidates, so the redundancy
+    // penalty does maximal work) and k-center's easy case (copies never
+    // widen the radius); the risk profile is both staying k bounded
+    // relational stages over candidate-sized frames, never corpus joins
+    "q_mmr_rerank", "q_kcenter_coreset")
   /** probe-hit / containment joins with the hot-key risk profile: a
     * probe n-gram (or reference shingle) shared by many corpus near-dups
     * is one join key with ~factor× matches — quadratic only if the plan
@@ -115,7 +121,8 @@ object Stress {
     * bounds) — boundViolations skips them instead of paying a full
     * stressed-scale execution just to read an empty schema (CC's
     * construction runs eager actions). */
-  val NoBoundCheck: Set[String] = Set("q_entity_resolution", "q_entity_clusters")
+  val NoBoundCheck: Set[String] = Set("q_entity_resolution", "q_entity_clusters",
+    "q_mmr_rerank", "q_kcenter_coreset")
 
   def allQueries: Seq[String] =
     DedupQueries ++ EmbQueries ++ ContamQueries ++ TextQueries ++ LakeQueries ++

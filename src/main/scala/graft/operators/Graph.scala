@@ -127,8 +127,13 @@ object Graph {
     *         node; Σ n_tri = 3 · total triangles
     */
   def triangleCount(edges: DataFrame): DataFrame = {
+    // snapshot first: deg and the orientation BOTH consume the edge
+    // list, and an expensive upstream build (co-occurrence self-join +
+    // distinct) would otherwise execute once per consumer — the
+    // pageRank device (measured 6.8 s → ~4 s at sf0.1)
     val e = edges.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
+      .localCheckpoint()
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
