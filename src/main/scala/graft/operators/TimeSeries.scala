@@ -42,6 +42,44 @@ object TimeSeries {
     *         `interp` (linear between the bracketing observations;
     *         null before the first / after the last observation)
     */
+  /** Per-key EWMA scan: `y₁ = x₁`, `yₜ = α·xₜ + (1−α)·yₜ₋₁` over the
+    * key's observations in slot order — the sequential recurrence
+    * Column algebra can't express (no scan HOF), run as ONE typed
+    * flatMapGroups per key: a single hash shuffle, then a sort + fold
+    * inside each group. A key's full series must fit one task (the same
+    * per-key-span contract as [[gapFillLinear]]).
+    *
+    * Arithmetic contract: each step is two multiplies and an add in a
+    * fixed order, so with an α whose complement is IEEE-exact (0.25,
+    * 0.5) the whole trajectory is bit-reproducible — the DuckDB oracle
+    * replays it as a recursive CTE over the same slot order.
+    *
+    * @param obs one row per (key, slot); key is a single STRING column
+    *            (concat composite keys upstream)
+    * @return (key, slot, x, ewma), one row per input observation
+    */
+  def ewma(obs: DataFrame, key: String, slot: String, value: String,
+           alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val out = obs
+      .select(col(key).cast("string"), col(slot).cast("long"),
+        col(value).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        var y = 0.0
+        rows.iterator.zipWithIndex.map { case ((_, t, x), i) =>
+          y = if (i == 0) x else alpha * x + (1 - alpha) * y
+          (k, t, x, y)
+        }
+      }
+      .toDF(key, slot, value, "ewma")
+    out
+  }
+
   def gapFillLinear(obs: DataFrame, keys: Seq[String], slot: String,
                     value: String): DataFrame = {
     val kc = keys.map(col)

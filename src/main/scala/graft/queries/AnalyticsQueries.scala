@@ -123,6 +123,21 @@ object AnalyticsQueries {
         .orderBy(col("sel_rank"))
     },
 
+    // EWMA smoothing over the same sampled hourly series as q_gapfill
+    // (observed points, irregular slots): the sequential recurrence
+    // y₁=x₁, yₜ=α·xₜ+(1−α)·yₜ₋₁ as one typed per-key scan; α=0.25 so
+    // both coefficients are IEEE-exact and the whole trajectory
+    // hash-matches the oracle's recursive-CTE replay step for step.
+    "q_ewma" -> { (s, dir) =>
+      val obs = Tables(s, dir).events
+        .filter(pmod(col("event_id"), lit(13)) === 0)
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) DIV 3600").as("slot"))
+        .agg(davg(col("value")).as("v"))
+      TimeSeries.ewma(obs, "event_type", "slot", "v", alpha = 0.25)
+        .orderBy(col("event_type"), col("slot"))
+    },
+
     // ε = ln 2 differentially-private per-(source,lang) counts: the
     // geometric mechanism with EXACT integer noise (trailing-zero-bit
     // geometric draws from the portable md5 device — no float logs), so
@@ -256,6 +271,20 @@ object AnalyticsQueries {
                 GROUP BY node)
          SELECT d.node, d.degree, COALESCE(pn.n_tri, 0) AS n_tri
          FROM deg d LEFT JOIN pn ON pn.node = d.node ORDER BY d.node""",
+    "q_ewma" ->
+      """WITH RECURSIVE obs AS (
+           SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS slot,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v
+           FROM events WHERE event_id % 13 = 0 GROUP BY 1, 2),
+         o2 AS (SELECT event_type, slot, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY slot) AS rn
+           FROM obs),
+         r AS (
+           SELECT event_type, slot, v, v AS ewma, rn FROM o2 WHERE rn = 1
+           UNION ALL
+           SELECT o.event_type, o.slot, o.v, 0.25 * o.v + 0.75 * r.ewma, o.rn
+           FROM o2 o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+         SELECT event_type, slot, v, ewma FROM r ORDER BY event_type, slot""",
     "q_mmr_rerank" -> mmrSql(nProbes = 8, topN = 20, k = 5),
     "q_kcenter_coreset" -> kCenterSql(k = 6),
     "q_dp_counts" -> {

@@ -56,6 +56,36 @@ class TimeSeriesSpec extends SparkSpec {
     assert(trail.getDouble(3) == 4.0 && trail.isNullAt(4)) // no next obs: LOCF only
   }
 
+  test("ewma matches the scalar fold bit-for-bit on a seeded series") {
+    val rnd = new scala.util.Random(5)
+    val obs = for (k <- Seq("a", "b"); t <- 0 until 300 if rnd.nextDouble() < 0.5)
+      yield (k, t.toLong, rnd.nextDouble() * 100)
+    val got = TimeSeries.ewma(obs.toDF("k", "slot", "v"), "k", "slot", "v", 0.25)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.size == obs.size)
+    for ((k, series) <- obs.groupBy(_._1)) {
+      var y = 0.0
+      series.sortBy(_._2).zipWithIndex.foreach { case ((_, t, x), i) =>
+        y = if (i == 0) x else 0.25 * x + 0.75 * y
+        assert(got((k, t)) == (x, y), s"($k,$t)")
+      }
+    }
+  }
+
+  test("ewma: single observation is its own smoothed value; alpha=1 is identity") {
+    val df = Seq(("a", 1L, 5.0), ("b", 3L, 2.0), ("b", 9L, 8.0)).toDF("k", "slot", "v")
+    val one = TimeSeries.ewma(df, "k", "slot", "v", 0.25).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(one(("a", 1L)) == 5.0 && one(("b", 3L)) == 2.0)
+    assert(one(("b", 9L)) == 0.25 * 8.0 + 0.75 * 2.0)
+    val ident = TimeSeries.ewma(df, "k", "slot", "v", 1.0).collect()
+      .map(r => r.getDouble(3)).toSet
+    assert(ident == Set(5.0, 2.0, 8.0))
+    intercept[IllegalArgumentException](TimeSeries.ewma(df, "k", "slot", "v", 0.0))
+  }
+
   test("matches a scalar reference on a seeded irregular series") {
     val rnd = new scala.util.Random(42)
     val obs = (0 until 200).flatMap { i =>
