@@ -718,6 +718,29 @@ object BatchQueries {
       Graph.pageRank(edges, iters = 5).orderBy(col("node"))
     },
 
+    // Personalized PageRank over the same customer-supplier graph:
+    // teleports restart at the BUILDING-segment customers only, so
+    // ranks measure proximity to that segment (Haveliwala 2002). Same
+    // integer fixed-point arithmetic → the full 5-iteration replay
+    // stays hash-exact under the oracle.
+    "q_pagerank_personalized" -> { (s, dir) =>
+      import graft.operators.Graph
+      val t = Tables(s, dir)
+      val e0 = t.lineitem
+        .join(broadcast(t.orders.select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = e0.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"), col("w"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("w"))
+      val seeds = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select((col("c_custkey") * 2).as("node"))
+      Graph.pageRank(edges, iters = 5, seeds = Some(seeds)).orderBy(col("node"))
+    },
+
     // ANALYZE-style table statistics: per-column min/max/null-count/NDV
     // with the HLL estimate's error bound pinned engine-side — the
     // stats a cost-based planner or data-quality monitor collects
@@ -861,6 +884,50 @@ object BatchQueries {
         .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
         .orderBy(desc("revenue"), col("n_name"))
+    },
+
+    // TPC-H Q7 (volume shipping): the two-nation trade flow with the
+    // directional OR join predicate — both (supp→cust) directions in
+    // one pass. Nation dims broadcast; year extraction groups the
+    // DECIMAL-exact revenue.
+    "q_join_q7" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val n1 = t.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t.nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      t.supplier
+        .join(t.lineitem, col("s_suppkey") === col("l_suppkey"))
+        .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter(((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")) &&
+          col("l_shipdate").between(lit("1996-01-01").cast("timestamp"),
+            lit("1997-12-31").cast("timestamp")))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // TPC-H Q10 (returned-item revenue): top-20 customers by revenue
+    // lost to returns in a quarter. The top-20 cut is a TakeOrdered
+    // heap (revenue desc, custkey tie-break), never a global sort.
+    "q_join_q10" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_returnflag") === "R")
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
     },
 
     // Ordered conversion funnel (view → click → purchase): each step's
@@ -1245,6 +1312,32 @@ object BatchQueries {
            TRUE AS inter_ok, TRUE AS diff_ok
          FROM tok""",
 
+    "q_pagerank_personalized" -> {
+      val head = """WITH e0 AS (
+  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, COUNT(*) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+edges AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+eo AS (SELECT e.src, e.dst, e.w, o.ow FROM edges e JOIN outw o ON o.src = e.src),
+seeds AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer WHERE c_mktsegment = 'BUILDING'),
+sn AS (SELECT n.node FROM nodes n JOIN seeds s ON s.node = n.node),
+p AS (SELECT COUNT(*) AS n FROM sn),
+nb AS (SELECT nodes.node,
+         CASE WHEN sn.node IS NOT NULL THEN ((1000000000000 * 15 // 100) // p.n) ELSE 0 END AS b,
+         CASE WHEN sn.node IS NOT NULL THEN (1000000000000 // p.n) ELSE 0 END AS r
+       FROM nodes CROSS JOIN p LEFT JOIN sn ON sn.node = nodes.node),
+r0 AS (SELECT node, r AS rank FROM nb)"""
+      val iterations = (1 to 5).map { i =>
+        s""",
+c$i AS (SELECT eo.dst AS node, SUM((r.rank * eo.w) // eo.ow) AS s
+       FROM r${i - 1} r JOIN eo ON eo.src = r.node GROUP BY 1),
+r$i AS (SELECT nb.node, nb.b + ((85 * COALESCE(c$i.s, 0)) // 100) AS rank
+       FROM nb LEFT JOIN c$i ON c$i.node = nb.node)"""
+      }.mkString
+      head + iterations + "\nSELECT node, rank FROM r5 ORDER BY node"
+    },
     "q_pagerank" ->
       """WITH e0 AS (
   SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, COUNT(*) AS w
@@ -1355,6 +1448,34 @@ SELECT node, rank FROM r5 ORDER BY node""",
            FROM orders)
          ORDER BY rule""",
 
+    "q_join_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(volume AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+         FROM (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1.0 - l_discount) AS volume
+           FROM supplier, lineitem, orders, customer, nation n1, nation n2
+           WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+             AND c_custkey = o_custkey
+             AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+             AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                AND TIMESTAMP '1997-12-31 00:00:00')
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "q_join_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6)))
+             AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem, nation
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_join_q5" ->
       """SELECT n_name,
            CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6)))

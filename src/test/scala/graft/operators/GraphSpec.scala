@@ -77,6 +77,43 @@ class GraphSpec extends SparkSpec {
     assert(ranks == scalarPR(edges, 3), "dangling case must still match the reference")
   }
 
+  /** Dense scalar PERSONALIZED PR: teleport + init restricted to seeds. */
+  private def scalarPPR(edges: Seq[(Long, Long, Long)], iters: Int,
+                        seeds: Set[Long]): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val sn = nodes.filter(seeds).toSet
+    val m = sn.size.toLong
+    val outw = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val base = Scale * 15 / 100 / m
+    var rank = nodes.map(v => v -> (if (sn(v)) Scale / m else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d, w) => contrib(d) += rank(s) * w / outw(s) }
+      rank = nodes.map(v =>
+        v -> ((if (sn(v)) base else 0L) + 85L * contrib(v) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("personalized PR equals the seed-gated scalar reference; seeds dominate") {
+    val edges = Seq(
+      (1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 1L, 5L),
+      (4L, 1L, 1L), (3L, 4L, 1L), (2L, 4L, 7L), (4L, 2L, 2L))
+    val seeds = Set(1L)
+    val got = Graph.pageRank(edges.toDF("src", "dst", "w"), 4,
+        seeds = Some(Seq(1L).toDF("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scalarPPR(edges, 4, seeds))
+    // the walk restarts at node 1: it must out-rank its own global score
+    val global = run(edges, 4)
+    assert(got(1L) > global(1L), "seed should gain rank under personalization")
+    // a seed with no graph presence must be rejected
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges.toDF("src", "dst", "w"), 2,
+        seeds = Some(Seq(99L).toDF("node"))).collect()
+    }
+  }
+
   // ---- triangleCount ------------------------------------------------
 
   /** Dense reference: enumerate all closed triples over adjacency sets. */
