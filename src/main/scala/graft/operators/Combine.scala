@@ -275,6 +275,41 @@ object Combine {
                           accuracy: Int = 10000): Column =
     percentile_approx(c, lit(quantile), lit(accuracy))
 
+  /** EXACT weighted median per key — the smallest value v whose
+    * cumulative weight reaches half the key's total (the lower
+    * weighted median; unlike [[approximateQuantile]] this is exact and
+    * weight-aware, the "median price weighted by units sold" form).
+    *
+    * Scale posture: first collapse to one row per (key, value) — the
+    * hash aggregation does the heavy lifting, and the per-key window
+    * that follows only sees DISTINCT values of that key (bounded by
+    * value cardinality, not row count). The half-total test is exact:
+    * weights accumulate as DECIMAL(18,4) sums and the comparison is
+    * 2·cum ≥ total in decimal — no float boundary to flip.
+    *
+    * @return (keys…, median, total_w) — total_w as double (one cast
+    *         from the exact decimal total)
+    */
+  def weightedMedianPerKey(df: DataFrame, keys: Seq[String],
+                           value: Column, weight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keys.nonEmpty, "weightedMedianPerKey needs grouping keys " +
+      "(wrap a constant key for a global median)")
+    val kc = keys.map(col)
+    val perV = df.groupBy(kc :+ value.as("__v"): _*)
+      .agg(sum(weight.cast("decimal(18,4)")).as("__w"))
+    val wRun = Window.partitionBy(kc: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(kc: _*)
+    perV
+      .withColumn("__cum", sum(col("__w")).over(wRun))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(kc: _*)
+      .agg(min(col("__v")).as("median"),
+        min(col("__tot")).cast("double").as("total_w"))
+  }
+
   /** MERGEABLE distinct-count sketch (SURVEY §4 optional row: sketch
     * columns): build per-group HLL sketches as binary columns, union them
     * across groups later — the pre-aggregate-once, re-aggregate-anywhere

@@ -137,6 +137,54 @@ object Graph {
     ranks
   }
 
+  /** Multi-source BFS hop distance, bounded depth — the reachability
+    * companion to [[pageRank]] (proximity as a walk) and Dedup's
+    * connected components (reachability without distance): hops =
+    * length of the shortest edge path from the nearest seed, the
+    * "how far is this item from the catalog core" curation signal.
+    *
+    * Scale posture: frontier-at-a-time relational BFS (the standard
+    * Pregel-without-Pregel shape). Per hop: one equi-join of the
+    * (small) frontier against the symmetrized edge list, one distinct,
+    * one anti-join against the visited set — frontier and visited
+    * broadcast under `smallFrontier` (right whenever |nodes| ≪ |edges|,
+    * the host/item-graph case), so the big edge list never re-shuffles.
+    * Lineage flattens per hop via localCheckpoint (the pageRank device)
+    * and the loop short-circuits when a frontier empties.
+    *
+    * @param edges undirected edges (a: long, b: long); symmetrized here
+    * @param seeds one column `node`; seeds absent from the graph still
+    *              emit their hop-0 row (they are trivially reachable)
+    * @param maxHops inclusive depth bound — nodes farther than this (or
+    *              unreachable) are absent from the output
+    * @return (node, hops) — hops = min over seeds, 0 for the seeds
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+              smallFrontier: Boolean = true): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val hint: DataFrame => DataFrame =
+      if (smallFrontier) broadcast(_) else identity
+    var dist = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint()
+    var frontier = dist.select(col("node"))
+    var h = 1
+    while (h <= maxHops && !frontier.isEmpty) {
+      val next = sym.join(hint(frontier), col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(hint(dist.select(col("node"))), Seq("node"), "left_anti")
+        .localCheckpoint()
+      dist = dist.union(next.withColumn("hops", lit(h.toLong))).localCheckpoint()
+      frontier = next
+      h += 1
+    }
+    dist
+  }
+
   /** Per-node triangle counts via degree-ordered edge orientation
     * (Schank & Wagner 2005 / the MapReduce form in Suri & Vassilvitskii,
     * "Counting Triangles and the Curse of the Last Reducer", WWW 2011).

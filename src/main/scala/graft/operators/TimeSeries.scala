@@ -80,6 +80,79 @@ object TimeSeries {
     out
   }
 
+  /** One-sided (upper) CUSUM change detection — Page 1954, the
+    * classic drift detector: s₀ = 0, sₜ = max(0, sₜ₋₁ + xₜ − target −
+    * slack), alarm when sₜ > threshold. Same typed per-key scan device
+    * as [[ewma]] (the recurrence has no Column rendering), same
+    * per-key-series-fits-one-task contract.
+    *
+    * Arithmetic contract: each step is three left-associated additions
+    * and a max in a fixed order — `((s + x) − target) − slack` — so the
+    * whole trajectory replays bit-for-bit in a recursive-CTE oracle
+    * spelling the same tree (`greatest(0, s + x − target − slack)`
+    * parses left-associated in SQL). The alarm boolean compares exact
+    * doubles, so it is as reproducible as the trajectory.
+    *
+    * @param obs    one row per (key, slot): the monitored series plus a
+    *               per-key `target` column (pre-join the in-control
+    *               mean; keeping it a column keeps the scan pure)
+    * @param target column name in `obs` holding the in-control level
+    * @param slack  the CUSUM allowance k (tune ≈ half the shift to
+    *               detect; too small and the statistic random-walks up)
+    * @return (key, slot, x, cusum, alarm) per input observation
+    */
+  def cusum(obs: DataFrame, key: String, slot: String, value: String,
+            target: String, slack: Double, threshold: Double): DataFrame = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs
+      .select(col(key).cast("string"), col(slot).cast("long"),
+        col(value).cast("double"), col(target).cast("double"))
+      .as[(String, Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        var s = 0.0
+        rows.iterator.map { case (_, t, x, tg) =>
+          s = math.max(0.0, s + x - tg - slack)
+          (k, t, x, s, s > threshold)
+        }
+      }
+      .toDF(key, slot, value, "cusum", "alarm")
+  }
+
+  /** Peak concurrency per key — the sweep-line classic: explode each
+    * interval into a +1 start / −1 end event, running-sum in
+    * (time, starts-before-ends) order, take the max. Intervals are
+    * CLOSED on both ends: an interval ending at t and one starting at
+    * t overlap (the +1 sorts first via `d DESC`). Ties beyond (t, d)
+    * need no order: equal deltas reach the same partial sums in any
+    * permutation, so the max is deterministic.
+    *
+    * Scale posture: one explode (2 rows per interval), one
+    * key-partitioned running-sum window, one aggregation. A key's
+    * endpoints ride one task (the [[gapFillLinear]] per-key contract) —
+    * shard the key space upstream if a single key legitimately owns
+    * hundreds of millions of intervals.
+    *
+    * @return (keys…, n_intervals, max_concurrent)
+    */
+  def maxConcurrent(intervals: DataFrame, keys: Seq[String],
+                    start: Column, end: Column): DataFrame = {
+    val kc = keys.map(col)
+    val ev = intervals
+      .select(kc :+ explode(array(
+        struct(start.cast("long").as("t"), lit(1L).as("d")),
+        struct(end.cast("long").as("t"), lit(-1L).as("d")))).as("__ev"): _*)
+      .select(kc :+ col("__ev.t").as("__t") :+ col("__ev.d").as("__d"): _*)
+    val w = Window.partitionBy(kc: _*).orderBy(col("__t"), col("__d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("__run", sum(col("__d")).over(w))
+      .groupBy(kc: _*)
+      .agg((count(lit(1)) / 2).cast("long").as("n_intervals"),
+        max(col("__run")).as("max_concurrent"))
+  }
+
   def gapFillLinear(obs: DataFrame, keys: Seq[String], slot: String,
                     value: String): DataFrame = {
     val kc = keys.map(col)

@@ -38,6 +38,62 @@ object Upsert {
                               survivorRows: Long, upsertRows: Long,
                               touchedValues: Seq[Any])
 
+  /** Slowly-changing-dimension type-2 history from a change log —
+    * Kimball's SCD2: collapse each key's consecutive runs of an
+    * unchanged state into one validity range [valid_from, valid_to),
+    * the open (valid_to NULL) range being current. The complement to
+    * [[diffSnapshots]]: diff derives the change log from two
+    * snapshots; this derives the dimension history from the log.
+    *
+    * The island detection is the gaps-and-islands classic: a change
+    * flag per row (null-safe lag comparison, so the first row of a key
+    * always opens an island), a running sum of flags numbering the
+    * islands, then one aggregation per island and a lead() for the
+    * exclusive range end. All windows are partitioned by the dimension
+    * key — high-cardinality by construction (one task never sees more
+    * than one key's history), no global order anywhere.
+    *
+    * @param log       one row per observed (key, state) at some order
+    *                  position; rows need not be pre-sorted
+    * @param keys      dimension identity columns
+    * @param orderCols total order within a key (make it unique — add a
+    *                  tiebreaker column — or runs that interleave at
+    *                  equal order positions split nondeterministically)
+    * @param stateCol  the tracked attribute (null-safe compared)
+    * @param fromCol   the column reported as each range's valid_from
+    *                  (min over the island; typically the event time
+    *                  that orderCols leads with)
+    * @return (keys…, range_idx, state, valid_from, valid_to,
+    *         is_current, n_rows) — range_idx numbers a key's ranges
+    *         1..k in order (deterministic given unique orderCols, and
+    *         the unambiguous sort key when two ranges share a
+    *         valid_from); valid_to = next range's valid_from, NULL on
+    *         the current range; n_rows = log rows collapsed in
+    */
+  def scd2FromChangeLog(log: DataFrame, keys: Seq[String],
+                        orderCols: Seq[org.apache.spark.sql.Column],
+                        stateCol: String,
+                        fromCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = keys.map(col)
+    val w = Window.partitionBy(kc: _*).orderBy(orderCols: _*)
+    val flagged = log
+      .withColumn("__chg",
+        when(!(lag(col(stateCol), 1).over(w) <=> col(stateCol)), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val islands = flagged
+      .groupBy(kc :+ col("__island"): _*)
+      .agg(min(col(stateCol)).as("state"), // constant within an island
+        min(fromCol).as("valid_from"), count(lit(1)).as("n_rows"))
+    val w2 = Window.partitionBy(kc: _*).orderBy(col("__island"))
+    islands
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumnRenamed("__island", "range_idx")
+  }
+
   /** Hive dir name (`part=escapedValue`) for a partition value. */
   private def dirName(partCol: String, value: Any): String =
     s"$partCol=${ExternalCatalogUtils.escapePathName(String.valueOf(value))}"
