@@ -154,11 +154,16 @@ object Selection {
         .localCheckpoint()
       selected = selected.unionByName(
         c.select(lit(i.toLong).as("rank"), col("vec_id"), col("gain")))
+      // checkpoint the POINT frame too, not just the 1-row centers:
+      // without it stage i's TakeOrdered re-executes all i prior
+      // least(mind, dist) maps over the full point set — O(k²·n)
+      // distance work instead of the k·n this loop promises
       pts = pts
         .crossJoin(broadcast(c.select(col("__cemb"))))
         .withColumn("__mind", least(col("__mind"),
           VectorFunctions.sqDist(col("embedding"), col("__cemb"))))
         .drop("__cemb")
+        .localCheckpoint()
     }
     val radius = pts.agg(max(col("__mind")).as("radius"))
     selected.crossJoin(broadcast(radius))

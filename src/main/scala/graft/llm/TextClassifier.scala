@@ -160,15 +160,23 @@ object TextClassifier {
       .withColumn("pos_at_or_above", col("P") - (col("cum_np") - col("np")))
       .withColumn("neg_at_or_above", col("N") - (col("cum_nn") - col("nn")))
     val need = ceil(lit(targetRecall) * col("P"))
-    val cut = withTotals.filter(col("pos_at_or_above") >= need)
-      .agg(max(col("s")).as("threshold"))
-    withTotals.crossJoin(broadcast(cut))
-      .filter(col("s") === col("threshold"))
-      .crossJoin(broadcast(auc2))
+    // P = 0 makes need = 0, which would pass EVERY row and set the
+    // threshold to the global max score while auc/recall divide by
+    // zero into NaN — guard the missing-class cases like
+    // [[evalReportPerGroup]] does: one row, NULL metrics. The
+    // at-threshold counts ride the same aggregation via max_by
+    // (scores are distinct after the byScore collapse, so max_by is
+    // deterministic; on an empty cut it is NULL, not a dropped row).
+    val cut = withTotals.filter(col("pos_at_or_above") >= need && col("P") > 0)
+      .agg(max(col("s")).as("threshold"),
+        max_by(col("pos_at_or_above"), col("s")).as("pos_at_or_above"),
+        max_by(col("neg_at_or_above"), col("s")).as("neg_at_or_above"))
+    broadcast(totals).crossJoin(broadcast(auc2)).crossJoin(broadcast(cut))
       .select(
         col("P").as("n_pos"), col("N").as("n_neg"),
-        (col("num2").cast("double") /
-          (lit(2.0) * col("P") * col("N"))).as("auc"),
+        when(col("P") > 0 && col("N") > 0,
+          col("num2").cast("double") /
+            (lit(2.0) * col("P") * col("N"))).as("auc"),
         col("threshold"),
         (col("pos_at_or_above").cast("double") /
           (col("pos_at_or_above") + col("neg_at_or_above"))).as("precision"),

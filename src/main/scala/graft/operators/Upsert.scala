@@ -77,9 +77,14 @@ object Upsert {
     import org.apache.spark.sql.expressions.Window
     val kc = keys.map(col)
     val w = Window.partitionBy(kc: _*).orderBy(orderCols: _*)
+    // the first row of a key is flagged EXPLICITLY: the null-safe lag
+    // comparison alone reads NULL <=> NULL as "unchanged" when a key's
+    // first state is NULL, which would number that key's islands 0..k−1
+    // while every other key counts 1..k
     val flagged = log
       .withColumn("__chg",
-        when(!(lag(col(stateCol), 1).over(w) <=> col(stateCol)), 1L)
+        when(row_number().over(w) === 1 ||
+            !(lag(col(stateCol), 1).over(w) <=> col(stateCol)), 1L)
           .otherwise(0L))
       .withColumn("__island", sum(col("__chg")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

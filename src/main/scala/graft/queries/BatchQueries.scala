@@ -765,9 +765,12 @@ object BatchQueries {
       val basic = li.agg(basicAggs.head, basicAggs.drop(1): _*)
       // exact NDV for ALL columns through ONE distinct-pair shuffle
       // (stack → distinct → per-column count) instead of a shuffle
-      // stage per column
+      // stage per column. Values stack as STRINGS: the cast is
+      // injective for every column type here, where a DOUBLE stack
+      // would collide distinct BIGINT keys above 2^53 at larger SFs
+      // and silently undercount l_orderkey's NDV
       val ndv = li.select(expr("stack(" + statCols.length + ", " +
-          statCols.map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ") +
+          statCols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
           ") AS (col_name, v)"))
         .filter(col("v").isNotNull)
         .distinct()
