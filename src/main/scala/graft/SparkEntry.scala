@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.queries.{AnalyticsQueries, BatchQueries, CurationQueries, IoQueries, LlmQueries, WebQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, BatchQueries, CurationQueries, IoQueries, LlmQueries, WarehouseQueries, WebQueries, WindowQueries}
 import graft.queries.QueryUtil._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -27,14 +27,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     core ++ BatchQueries.defs ++ WindowQueries.defs ++ LlmQueries.defs ++ IoQueries.defs ++
-      CurationQueries.defs ++ WebQueries.defs ++ AnalyticsQueries.defs
+      CurationQueries.defs ++ WebQueries.defs ++ AnalyticsQueries.defs ++
+      WarehouseQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     coreOracles ++ BatchQueries.oracles ++ WindowQueries.oracles ++ LlmQueries.oracles ++
       IoQueries.oracles ++ CurationQueries.oracles ++ WebQueries.oracles ++
-      AnalyticsQueries.oracles
+      AnalyticsQueries.oracles ++ WarehouseQueries.oracles
 
   // ---- the two flagship queries kept inline: the multi-agg Combine.perKey
   // shape (TPC-H Q1) and the reference's canonical WordCount example.

@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Association, Combine, Graph, Skyline, TimeSeries, Upsert}
+import graft.queries.QueryUtil._
+
+/** Round-9 gate closures: the seven operators that shipped in round 8
+  * without a registered query now each carry a full DuckDB oracle —
+  * skyline, frequent pairs, SCD2 history, weighted median, CUSUM,
+  * sweep-line peak concurrency, and multi-source BFS.
+  *
+  * Oracle posture: all seven are full-value oracles. The two devices
+  * that need care are the proven house patterns — the CUSUM recurrence
+  * replays as a recursive CTE over the identical IEEE expression tree
+  * (the q_ewma device), and every ratio is ONE double division over
+  * exact integer/decimal aggregates, rounded identically on both
+  * engines.
+  */
+object WarehouseQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Pareto frontier per brand: cheapest-for-the-size parts (price
+    // minimized, size maximized). The operator's plan is the scale
+    // shape — per-x collapse + range-partitioned exclusive prefix max —
+    // while the oracle states the O(n²) NOT EXISTS definition directly;
+    // matching outputs prove the decomposition IS the skyline.
+    "q_skyline" -> { (s, dir) =>
+      val p = Tables(s, dir).part
+      Skyline.skyline2d(p, Seq("p_brand"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_brand"), col("p_partkey"))
+    },
+
+    // Frequent supplier pairs within an order (basket = order, item =
+    // supplier), min support 1/500 of baskets. Supports are exact
+    // BIGINT counts; the threshold is exact integer ceil-division;
+    // confidence/lift are one rounded double division each.
+    "q_frequent_pairs" -> { (s, dir) =>
+      Association.frequentPairs(Tables(s, dir).lineitem,
+          "l_orderkey", "l_suppkey", minSupNum = 1L, minSupDen = 500L)
+        .orderBy(col("item_a"), col("item_b"))
+    },
+
+    // SCD2 validity ranges from the lineitem "change log": per order,
+    // consecutive runs of l_returnflag in line-number order collapse to
+    // [valid_from, valid_to) ranges. Exercises the explicit first-row
+    // flag (gaps-and-islands numbering 1..k even for NULL-leading keys).
+    // The fixture's l_linenumber is NOT unique per order, so the state
+    // column itself is the tiebreaker (the scaladoc's uniqueness
+    // contract): rows still tied after it carry equal states, and
+    // equal-state rows are interchangeable for island numbering.
+    "q_scd2" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      Upsert.scd2FromChangeLog(li, Seq("l_orderkey"),
+          Seq(col("l_linenumber"), col("l_returnflag")),
+          "l_returnflag", col("l_linenumber"))
+        .select(col("l_orderkey"), col("range_idx"), col("state"),
+          col("valid_from"), col("valid_to"), col("is_current"), col("n_rows"))
+        .orderBy(col("l_orderkey"), col("range_idx"))
+    },
+
+    // Exact weighted median: the quantity-weighted median extended
+    // price per (returnflag, linestatus). Weights accumulate as
+    // DECIMAL(18,4) and the half-total test is exact decimal compare —
+    // no float boundary to flip between engines.
+    "q_weighted_median" -> { (s, dir) =>
+      Combine.weightedMedianPerKey(Tables(s, dir).lineitem,
+          Seq("l_returnflag", "l_linestatus"),
+          col("l_extendedprice"), col("l_quantity"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // CUSUM drift detection over the q_ewma hourly series: per-type
+    // in-control level = the exact davg of the same sampled events,
+    // allowance 0.5, alarm threshold 5·avg-scale. The recurrence
+    // sₜ = max(0, sₜ₋₁ + xₜ − target − slack) replays step-for-step in
+    // the oracle's recursive CTE — identical left-associated IEEE tree,
+    // so trajectory AND alarm booleans are bit-reproducible.
+    "q_cusum" -> { (s, dir) =>
+      val ev = Tables(s, dir).events
+        .filter(pmod(col("event_id"), lit(13)) === 0)
+      val obs = ev.groupBy(col("event_type"),
+          expr("unix_timestamp(ts) DIV 3600").as("slot"))
+        .agg(davg(col("value")).as("v"))
+      val tgt = ev.groupBy(col("event_type"))
+        .agg(davg(col("value")).as("target"))
+      TimeSeries.cusum(obs.join(broadcast(tgt), Seq("event_type")),
+          "event_type", "slot", "v", "target",
+          slack = 0.5, threshold = 250.0)
+        .orderBy(col("event_type"), col("slot"))
+    },
+
+    // Peak concurrent open orders per priority class: intervals of
+    // 1..30 days (deterministic per-order span), sweep-line +1/−1
+    // running sum, closed-interval semantics (+1 sorts before −1 at
+    // equal time). Counts exact; no floats anywhere.
+    "q_max_concurrent" -> { (s, dir) =>
+      val o = Tables(s, dir).orders
+        .withColumn("__d0", expr("unix_timestamp(o_orderdate) DIV 86400"))
+        .withColumn("__d1", col("__d0") + pmod(col("o_orderkey"), lit(30)) + 1)
+      TimeSeries.maxConcurrent(o, Seq("o_orderpriority"),
+          col("__d0"), col("__d1"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Multi-source BFS over the customer–supplier bipartite graph
+    // (node ids disambiguated as cust·2 / supp·2+1, the q_pagerank
+    // encoding): hop distance from the BUILDING-segment customers,
+    // depth ≤ 3. The oracle replays reachability as a recursive CTE
+    // bounded by the same depth and takes min(hops) per node.
+    "q_bfs_hops" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val edges = t.lineitem
+        .join(broadcast(t.orders.select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val seeds = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select((col("c_custkey") * 2).as("node"))
+      Graph.bfsHops(edges, seeds, maxHops = 3)
+        .orderBy(col("node"))
+    },
+  )
+
+  // ---- oracle SQL ---------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "q_skyline" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+         FROM part q
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part p
+           WHERE p.p_brand = q.p_brand
+             AND p.p_retailprice <= q.p_retailprice AND p.p_size >= q.p_size
+             AND (p.p_retailprice < q.p_retailprice OR p.p_size > q.p_size))
+         ORDER BY p_brand, p_partkey""",
+    "q_frequent_pairs" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS b, CAST(l_suppkey AS BIGINT) AS i
+                     FROM lineitem),
+         nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM bi),
+         thr AS (SELECT n_baskets, (n_baskets * 1 + 499) // 500 AS t FROM nb),
+         fi AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY i
+                HAVING count(*) >= (SELECT t FROM thr)),
+         p AS (SELECT x.i AS item_a, y.i AS item_b,
+                 CAST(count(*) AS BIGINT) AS n_ab, min(fx.n) AS n_a, min(fy.n) AS n_b
+               FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+               JOIN fi fx ON fx.i = x.i JOIN fi fy ON fy.i = y.i
+               GROUP BY 1, 2)
+         SELECT item_a, item_b, (SELECT n_baskets FROM thr) AS n_baskets,
+           n_a, n_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) / n_a, 6) AS conf_a_to_b,
+           round(CAST(n_ab AS DOUBLE) / n_b, 6) AS conf_b_to_a,
+           round(CAST(n_ab * (SELECT n_baskets FROM thr) AS DOUBLE)
+                 / CAST(n_a * n_b AS DOUBLE), 6) AS lift
+         FROM p WHERE n_ab >= (SELECT t FROM thr)
+         ORDER BY item_a, item_b""",
+    "q_scd2" ->
+      """WITH f AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+             CASE WHEN row_number() OVER w = 1
+                    OR lag(l_returnflag) OVER w IS DISTINCT FROM l_returnflag
+                  THEN 1 ELSE 0 END AS chg
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_orderkey
+                        ORDER BY l_linenumber, l_returnflag)),
+         i AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_returnflag
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS island FROM f),
+         g AS (SELECT l_orderkey, island AS range_idx,
+                 min(l_returnflag) AS state, min(l_linenumber) AS valid_from,
+                 CAST(count(*) AS BIGINT) AS n_rows
+               FROM i GROUP BY 1, 2)
+         SELECT l_orderkey, range_idx, state, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           lead(valid_from) OVER w2 IS NULL AS is_current, n_rows
+         FROM g
+         WINDOW w2 AS (PARTITION BY l_orderkey ORDER BY range_idx)
+         ORDER BY l_orderkey, range_idx""",
+    "q_weighted_median" ->
+      """WITH perv AS (SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS w
+           FROM lineitem GROUP BY 1, 2, 3),
+         c AS (SELECT *,
+             SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS tot
+           FROM perv)
+         SELECT l_returnflag, l_linestatus, min(v) AS median,
+           CAST(min(tot) AS DOUBLE) AS total_w
+         FROM c WHERE cum * 2 >= tot
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_cusum" ->
+      """WITH RECURSIVE obs AS (
+           SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS slot,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v
+           FROM events WHERE event_id % 13 = 0 GROUP BY 1, 2),
+         t AS (
+           SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS target
+           FROM events WHERE event_id % 13 = 0 GROUP BY 1),
+         o2 AS (SELECT o.event_type, o.slot, o.v, t.target,
+             row_number() OVER (PARTITION BY o.event_type ORDER BY o.slot) AS rn
+           FROM obs o JOIN t USING (event_type)),
+         r AS (
+           SELECT event_type, slot, v, target,
+             greatest(CAST(0 AS DOUBLE), 0 + v - target - 0.5) AS s, rn
+           FROM o2 WHERE rn = 1
+           UNION ALL
+           SELECT o.event_type, o.slot, o.v, o.target,
+             greatest(CAST(0 AS DOUBLE), r.s + o.v - o.target - 0.5), o.rn
+           FROM o2 o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+         SELECT event_type, slot, v, s AS cusum, s > 250.0 AS alarm
+         FROM r ORDER BY event_type, slot""",
+    "q_max_concurrent" ->
+      """WITH iv AS (SELECT o_orderpriority,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d0,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+               + o_orderkey % 30 + 1 AS d1
+           FROM orders),
+         ev AS (SELECT o_orderpriority, d0 AS t, CAST(1 AS BIGINT) AS d FROM iv
+                UNION ALL
+                SELECT o_orderpriority, d1, CAST(-1 AS BIGINT) FROM iv),
+         r AS (SELECT o_orderpriority,
+             SUM(d) OVER (PARTITION BY o_orderpriority ORDER BY t, d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+           FROM ev)
+         SELECT o_orderpriority,
+           CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+           max(run) AS max_concurrent
+         FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_bfs_hops" ->
+      """WITH RECURSIVE e AS (
+           SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION ALL SELECT b, a FROM e),
+         seeds AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+                   WHERE c_mktsegment = 'BUILDING'),
+         r AS (SELECT node, CAST(0 AS BIGINT) AS hops FROM seeds
+               UNION
+               SELECT s.dst, r.hops + 1 FROM r JOIN sym s ON s.src = r.node
+               WHERE r.hops < 3)
+         SELECT node, CAST(min(hops) AS BIGINT) AS hops
+         FROM r GROUP BY node ORDER BY node""",
+  )
+}

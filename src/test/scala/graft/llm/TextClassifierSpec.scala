@@ -181,4 +181,28 @@ class TextClassifierSpec extends SparkSpec {
       (1L, 2L, 0.5, 0.17),
       (9L, 1L, 1.0, 1.0)))
   }
+
+  test("evalReport: an input with no positives (or no negatives) reports NULL metrics, not NaN") {
+    // all-negative: P = 0 must NOT set threshold to the max score
+    val neg = Seq((0.9, false), (0.1, false)).toDF("s", "y")
+    val r1 = TextClassifier.evalReport(neg, col("y"), col("s"), 0.9).collect()
+    assert(r1.length == 1)
+    assert(r1(0).getLong(0) == 0L && r1(0).getLong(1) == 2L)
+    for (c <- Seq("auc", "threshold", "precision", "recall"))
+      assert(r1(0).isNullAt(r1(0).fieldIndex(c)), s"$c should be NULL at P=0")
+    // all-positive: N = 0 gives a real threshold/recall but a NULL auc
+    val pos = Seq((0.9, true), (0.1, true)).toDF("s", "y")
+    val r2 = TextClassifier.evalReport(pos, col("y"), col("s"), 1.0).collect()
+    assert(r2.length == 1)
+    assert(r2(0).getLong(0) == 2L && r2(0).getLong(1) == 0L)
+    assert(r2(0).isNullAt(r2(0).fieldIndex("auc")))
+    assert(r2(0).getDouble(r2(0).fieldIndex("threshold")) == 0.1)
+    assert(r2(0).getDouble(r2(0).fieldIndex("recall")) == 1.0)
+    assert(r2(0).getDouble(r2(0).fieldIndex("precision")) == 1.0)
+    // empty input: still one row, zero counts, NULL metrics
+    val r3 = TextClassifier.evalReport(neg.filter(col("s") > 2), col("y"),
+      col("s"), 0.5).collect()
+    assert(r3.length == 1 && r3(0).getLong(0) == 0L && r3(0).getLong(1) == 0L)
+    assert(r3(0).isNullAt(r3(0).fieldIndex("auc")))
+  }
 }

@@ -254,4 +254,38 @@ class CombineSpec extends SparkSpec {
       assert(got == want, s"k=$k")
     }
   }
+
+  test("weightedMedianPerKey: exact half-total boundary picks the lower median") {
+    val df = Seq(
+      // key a: weights 1,1 over values 10,20 -> cum(10)=1, 2*1 >= 2 exactly,
+      // so the LOWER median 10 wins (the boundary case a float sum could flip)
+      ("a", 10.0, 1.0), ("a", 20.0, 1.0),
+      // key b: duplicate values collapse; median where cum crosses half
+      ("b", 1.0, 1.0), ("b", 1.0, 1.0), ("b", 5.0, 1.0), ("b", 9.0, 0.5),
+      // key c: one dominant weight owns the median outright
+      ("c", 3.0, 10.0), ("c", 100.0, 1.0))
+      .toDF("k", "v", "w")
+    val out = weightedMedianPerKey(df, Seq("k"), col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      "a" -> (10.0, 2.0), "b" -> (1.0, 3.5), "c" -> (3.0, 11.0)))
+  }
+
+  test("weightedMedianPerKey matches a scalar reference on seeded data") {
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 500).map { i =>
+      (s"k${i % 5}", rnd.nextInt(50).toDouble, (rnd.nextInt(40) + 1) / 4.0)
+    }
+    val got = weightedMedianPerKey(rows.toDF("k", "v", "w"), Seq("k"),
+        col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((k, g) <- rows.groupBy(_._1)) {
+      // scalar lower weighted median over exact 0.25-granular weights
+      val byV = g.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tot = byV.map(_._2).sum
+      var cum = 0.0
+      val want = byV.find { case (_, w) => cum += w; 2 * cum >= tot }.get._1
+      assert(got(k) == want, k)
+    }
+  }
 }

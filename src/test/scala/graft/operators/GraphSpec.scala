@@ -161,4 +161,51 @@ class GraphSpec extends SparkSpec {
     // Σ n_tri = 3 · total triangles (each triangle counted at 3 nodes)
     assert(got.values.map(_._2).sum % 3 == 0)
   }
+
+  private def runBfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
+                     maxHops: Int): Map[Long, Long] =
+    Graph.bfsHops(edges.toDF("a", "b"), seeds.toDF("node"), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfsHops: min hop over seeds on an undirected path, depth-bounded") {
+    // path 1-2-3-4-5-6, seeds {1, 5}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val out = runBfs(edges, Seq(1L, 5L), maxHops = 2)
+    // node 3 is 2 from both seeds; node 4 is 1 from seed 5 (not 3 from 1)
+    assert(out == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 6L -> 1L, 3L -> 2L))
+    // depth 0: only the seeds
+    assert(runBfs(edges, Seq(1L), maxHops = 0) == Map(1L -> 0L))
+    // depth 1 from node 3 reaches both neighbors, nothing else
+    assert(runBfs(edges, Seq(3L), maxHops = 1) ==
+      Map(3L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("bfsHops: seeds absent from the graph emit hop 0; unreachable nodes are absent") {
+    val edges = Seq((1L, 2L), (10L, 11L)) // two components
+    val out = runBfs(edges, Seq(1L, 99L), maxHops = 5)
+    assert(out == Map(1L -> 0L, 2L -> 1L, 99L -> 0L)) // 10,11 unreachable
+  }
+
+  test("bfsHops matches a scalar BFS on a seeded G(n,p) graph") {
+    val rnd = new scala.util.Random(23)
+    val n = 40
+    val edges = for {
+      a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+      if rnd.nextDouble() < 0.08
+    } yield (a, b)
+    val seeds = Seq(1L, 7L, 20L)
+    val maxHops = 3
+    val got = runBfs(edges, seeds, maxHops)
+    // scalar frontier BFS
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap.withDefaultValue(Set.empty[Long])
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds.toSet
+    for (h <- 1 to maxHops) {
+      val next = frontier.flatMap(adj) -- dist.keySet
+      dist = dist ++ next.map(_ -> h.toLong)
+      frontier = next
+    }
+    assert(got == dist)
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 /** gapFillLinear: the grid must be dense per key, LOCF must carry the
   * last observation, and the linear interpolation must hit the exact
@@ -84,6 +85,61 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => r.getDouble(3)).toSet
     assert(ident == Set(5.0, 2.0, 8.0))
     intercept[IllegalArgumentException](TimeSeries.ewma(df, "k", "slot", "v", 0.0))
+  }
+
+  test("cusum matches the scalar fold bit-for-bit, resets at zero, alarms above threshold") {
+    val rnd = new scala.util.Random(7)
+    val obs = for (k <- Seq("a", "b"); t <- 0 until 200 if rnd.nextDouble() < 0.6)
+      yield (k, t.toLong, rnd.nextDouble() * 10, 5.0)
+    val got = TimeSeries.cusum(obs.toDF("k", "slot", "v", "tg"),
+        "k", "slot", "v", "tg", slack = 0.5, threshold = 3.0)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(got.size == obs.size)
+    for ((k, series) <- obs.groupBy(_._1)) {
+      var s = 0.0
+      var sawReset = false; var sawAlarm = false
+      series.sortBy(_._2).foreach { case (_, t, x, tg) =>
+        s = math.max(0.0, s + x - tg - 0.5)
+        if (s == 0.0) sawReset = true
+        if (s > 3.0) sawAlarm = true
+        assert(got((k, t)) == (s, s > 3.0), s"($k,$t)")
+      }
+      // the seeded series must actually exercise both regimes
+      assert(sawReset && sawAlarm, s"$k: degenerate test series")
+    }
+  }
+
+  test("maxConcurrent: closed intervals overlap at a shared endpoint; counts are exact") {
+    val iv = Seq(
+      // key a: [1,3] [3,5] touch at 3 -> 2 concurrent; [10,11] isolated
+      ("a", 1L, 3L), ("a", 3L, 5L), ("a", 10L, 11L),
+      // key b: three nested intervals -> 3 concurrent
+      ("b", 1L, 10L), ("b", 2L, 9L), ("b", 3L, 8L),
+      // key c: disjoint -> 1
+      ("c", 1L, 2L), ("c", 5L, 6L))
+      .toDF("k", "s", "e")
+    val out = TimeSeries.maxConcurrent(iv, Seq("k"), col("s"), col("e"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map("a" -> (3L, 2L), "b" -> (3L, 3L), "c" -> (2L, 1L)))
+  }
+
+  test("maxConcurrent matches a scalar sweep on a seeded interval set") {
+    val rnd = new scala.util.Random(13)
+    val iv = (0 until 400).map { i =>
+      val s = rnd.nextInt(100).toLong
+      (s"k${i % 4}", s, s + 1 + rnd.nextInt(20))
+    }
+    val got = TimeSeries.maxConcurrent(iv.toDF("k", "s", "e"), Seq("k"),
+        col("s"), col("e"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((k, rows) <- iv.groupBy(_._1)) {
+      // closed-interval scalar sweep: at each time t, count spanning intervals
+      val maxC = (0L to 125L).map(t =>
+        rows.count(r => r._2 <= t && t <= r._3).toLong).max
+      assert(got(k) == (rows.size.toLong, maxC), k)
+    }
   }
 
   test("matches a scalar reference on a seeded irregular series") {

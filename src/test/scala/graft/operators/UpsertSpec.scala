@@ -212,6 +212,40 @@ class UpsertSpec extends SparkSpec {
     assert(a.toSeq == Seq((1L, -5.0), (2L, 20.0), (3L, 30.0)))
   }
 
+  test("scd2FromChangeLog collapses runs into 1..k ranges with exclusive ends") {
+    val log = Seq(
+      (1L, 1, "new"), (1L, 2, "new"), (1L, 3, "paid"), (1L, 4, "new"),
+      (2L, 1, "new"))
+      .toDF("k", "seq", "state")
+    val out = Upsert.scd2FromChangeLog(log, Seq("k"), Seq(col("seq")),
+        "state", col("seq"))
+      .select("k", "range_idx", "state", "valid_from", "valid_to",
+        "is_current", "n_rows")
+      .as[(Long, Long, String, Int, Option[Int], Boolean, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 1L, "new", 1, Some(3), false, 2L),
+      (1L, 2L, "paid", 3, Some(4), false, 1L),
+      (1L, 3L, "new", 4, None, true, 1L),
+      (2L, 1L, "new", 1, None, true, 1L)))
+  }
+
+  test("scd2: a key whose FIRST state is NULL still numbers ranges 1..k") {
+    val log = Seq(
+      (1L, 1, null), (1L, 2, null), (1L, 3, "a"),   // null-leading key
+      (2L, 1, "x"), (2L, 2, null), (2L, 3, "x"))    // null island mid-key
+      .toDF("k", "seq", "state")
+    val out = Upsert.scd2FromChangeLog(log, Seq("k"), Seq(col("seq")),
+        "state", col("seq"))
+      .select("k", "range_idx", "state", "valid_from", "n_rows")
+      .as[(Long, Long, Option[String], Int, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 1L, None, 1, 2L), (1L, 2L, Some("a"), 3, 1L),
+      (2L, 1L, Some("x"), 1, 1L), (2L, 2L, None, 2, 1L),
+      (2L, 3L, Some("x"), 3, 1L)))
+  }
+
   test("partition values needing hive escaping survive the dir swap") {
     val root = freshRoot()
     Seq((1L, "x:1", 1.0), (2L, "plain", 2.0)).toDF("k", "part", "v")
