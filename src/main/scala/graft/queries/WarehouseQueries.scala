@@ -63,14 +63,18 @@ object WarehouseQueries {
         .orderBy(col("l_orderkey"), col("range_idx"))
     },
 
-    // Exact weighted median: the quantity-weighted median extended
-    // price per (returnflag, linestatus). Weights accumulate as
-    // DECIMAL(18,4) and the half-total test is exact decimal compare —
-    // no float boundary to flip between engines.
+    // Exact weighted median: the price-weighted median quantity per
+    // (returnflag, linestatus). Weights accumulate as DECIMAL(18,4)
+    // and the half-total test is exact decimal compare — no float
+    // boundary to flip between engines. Value = quantity (50 distinct)
+    // deliberately: the per-key window sees only DISTINCT values after
+    // the hash collapse, which is the operator's whole scale contract —
+    // a near-unique value column would push the full corpus through
+    // 6 window partitions.
     "q_weighted_median" -> { (s, dir) =>
       Combine.weightedMedianPerKey(Tables(s, dir).lineitem,
           Seq("l_returnflag", "l_linestatus"),
-          col("l_extendedprice"), col("l_quantity"))
+          col("l_quantity"), col("l_extendedprice"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
@@ -182,8 +186,8 @@ object WarehouseQueries {
          WINDOW w2 AS (PARTITION BY l_orderkey ORDER BY range_idx)
          ORDER BY l_orderkey, range_idx""",
     "q_weighted_median" ->
-      """WITH perv AS (SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
-             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS w
+      """WITH perv AS (SELECT l_returnflag, l_linestatus, l_quantity AS v,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS w
            FROM lineitem GROUP BY 1, 2, 3),
          c AS (SELECT *,
              SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY v
