@@ -185,6 +185,72 @@ object Graph {
     dist
   }
 
+  /** Multi-source WEIGHTED shortest paths, bounded relaxation depth —
+    * Bellman-Ford in its frontier (delta) form. The invariant after
+    * round i is exact: dist(v) = min cost over paths of ≤ i edges, so a
+    * fixed `maxIters` makes the result replayable as a depth-bounded
+    * path enumeration (the [[bfsHops]] recursive-CTE oracle device,
+    * with costs). Weights are exact LONGS and min() over longs is
+    * order-free, so the whole computation is bit-reproducible on any
+    * engine — the reason this is not a float Dijkstra.
+    *
+    * Scale posture: per round, one equi-join of the (small) improved
+    * frontier against the symmetrized edge list, one min-aggregation of
+    * candidate costs, one min-merge with the running dist vector —
+    * frontier and dist broadcast under `smallDist` (right whenever
+    * |nodes| ≪ |edges|), so the big edge list never re-shuffles (the
+    * [[pageRank]] device). Lineage flattens per round via
+    * localCheckpoint; the loop short-circuits when no node improves
+    * (at that point the bounded result IS the true shortest-path fix
+    * point).
+    *
+    * @param edges undirected weighted edges (a, b, w: long), w ≥ 0
+    * @param seeds one column `node`; absent-from-graph seeds still
+    *              emit their dist-0 row
+    * @param maxIters relaxation rounds = max path edge count considered
+    * @return (node, dist) — min over seeds of the cheapest ≤ maxIters-
+    *         edge path; seeds at 0; nodes unreachable within the bound
+    *         are absent
+    */
+  def shortestPaths(edges: DataFrame, seeds: DataFrame, maxIters: Int,
+                    smallDist: Boolean = true): DataFrame = {
+    require(maxIters >= 0, s"maxIters must be >= 0, got $maxIters")
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    val minW = e.agg(min(col("w"))).head()
+    require(minW.isNullAt(0) || minW.getLong(0) >= 0,
+      "negative edge weights break the bounded-depth min semantics")
+    val sym = e.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(e.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint()
+    val hint: DataFrame => DataFrame =
+      if (smallDist) broadcast(_) else identity
+    var dist = seeds.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = dist
+    var i = 1
+    while (i <= maxIters && !frontier.isEmpty) {
+      val cand = sym.join(hint(frontier), col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("__nd"))
+        .groupBy(col("node")).agg(min(col("__nd")).as("__nd"))
+      // strictly-better only: the frontier must shrink to empty at the
+      // fix point or the loop would run all maxIters rounds on a
+      // converged graph
+      val improved = cand
+        .join(hint(dist.withColumnRenamed("dist", "__d")), Seq("node"), "left")
+        .filter(col("__d").isNull || col("__nd") < col("__d"))
+        .select(col("node"), col("__nd").as("dist"))
+        .localCheckpoint()
+      dist = dist.unionByName(improved)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      frontier = improved
+      i += 1
+    }
+    dist
+  }
+
   /** Per-node triangle counts via degree-ordered edge orientation
     * (Schank & Wagner 2005 / the MapReduce form in Suri & Vassilvitskii,
     * "Counting Triangles and the Curse of the Last Reducer", WWW 2011).

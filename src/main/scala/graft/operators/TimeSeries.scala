@@ -80,6 +80,52 @@ object TimeSeries {
     out
   }
 
+  /** Holt's linear-trend double exponential smoothing (Holt 1957) —
+    * the level+trend companion to [[ewma]] for series that drift:
+    *   l₁ = x₁, b₁ = 0
+    *   lₜ = α·xₜ + (1−α)·(lₜ₋₁ + bₜ₋₁)
+    *   bₜ = β·(lₜ − lₜ₋₁) + (1−β)·bₜ₋₁
+    * emitted with the one-step-ahead forecast lₜ + bₜ. Same typed
+    * per-key scan device as [[ewma]] (a TWO-variable recurrence is even
+    * further from Column algebra), same per-key-series-fits-one-task
+    * contract.
+    *
+    * Arithmetic contract: with α and β whose complements are IEEE-exact
+    * (0.5, 0.25) every step is a fixed tree of multiplies/adds; the
+    * oracle's recursive CTE re-derives lₜ inside bₜ's expression — the
+    * identical expression over identical inputs yields the identical
+    * double, so both trajectories replay bit-for-bit.
+    *
+    * @return (key, slot, x, level, trend, forecast) per observation
+    */
+  def holtLinear(obs: DataFrame, key: String, slot: String, value: String,
+                 alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0,1], got $beta")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs
+      .select(col(key).cast("string"), col(slot).cast("long"),
+        col(value).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        var l = 0.0
+        var b = 0.0
+        rows.iterator.zipWithIndex.map { case ((_, t, x), i) =>
+          if (i == 0) { l = x; b = 0.0 }
+          else {
+            val lp = l
+            l = alpha * x + (1 - alpha) * (lp + b)
+            b = beta * (l - lp) + (1 - beta) * b
+          }
+          (k, t, x, l, b, l + b)
+        }
+      }
+      .toDF(key, slot, value, "level", "trend", "forecast")
+  }
+
   /** One-sided (upper) CUSUM change detection — Page 1954, the
     * classic drift detector: s₀ = 0, sₜ = max(0, sₜ₋₁ + xₜ − target −
     * slack), alarm when sₜ > threshold. Same typed per-key scan device

@@ -933,6 +933,41 @@ object BatchQueries {
         .limit(20)
     },
 
+    // TPC-H Q8 (national market share): NATION_1's share of AMERICA's
+    // MEDIUM-part import volume by order year. Two distinct nation
+    // roles (customer region gate, supplier attribution) broadcast
+    // separately; the share is one double division of two DECIMAL-exact
+    // volumes, rounded identically on both engines.
+    "q_join_q8" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val n1 = t.nation.select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val n2 = t.nation.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation"))
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_type") === "MEDIUM")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate").between(
+          lit("1995-01-01").cast("timestamp"),
+          lit("1996-12-31").cast("timestamp")))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "AMERICA")
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          dsum6(when(col("supp_nation") === "NATION_1",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(lit(0.0))).as("nation_volume"),
+          dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("total_volume"))
+        .select(col("o_year"), col("nation_volume"), col("total_volume"),
+          round(col("nation_volume") / col("total_volume"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+
     // Ordered conversion funnel (view → click → purchase): each step's
     // entry time must STRICTLY follow the previous step's — min-ts per
     // user per step with a progressive time filter, the standard funnel
@@ -1492,6 +1527,30 @@ SELECT node, rank FROM r5 ORDER BY node""",
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY n_name
          ORDER BY revenue DESC, n_name""",
+
+    "q_join_q8" ->
+      """SELECT o_year,
+           CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_1' THEN volume
+             ELSE 0.0 END AS DECIMAL(22,6))) AS DOUBLE) AS nation_volume,
+           CAST(SUM(CAST(volume AS DECIMAL(22,6))) AS DOUBLE) AS total_volume,
+           round(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_1' THEN volume
+               ELSE 0.0 END AS DECIMAL(22,6))) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(22,6))) AS DOUBLE), 6)
+             AS mkt_share
+         FROM (
+           SELECT year(o_orderdate) AS o_year,
+             l_extendedprice * (1.0 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+           FROM lineitem, part, orders, customer, supplier,
+                nation n1, nation n2, region
+           WHERE l_partkey = p_partkey AND p_type = 'MEDIUM'
+             AND l_orderkey = o_orderkey
+             AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+             AND n1.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+             AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+             AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                 AND TIMESTAMP '1996-12-31 00:00:00')
+         GROUP BY o_year ORDER BY o_year""",
 
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events

@@ -111,6 +111,42 @@ object WarehouseQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Weighted shortest paths over the same bipartite graph, edge cost
+    // = a deterministic 1..7 hash of the endpoints, depth ≤ 3
+    // relaxation rounds. Exact long arithmetic throughout — min() over
+    // longs is order-free, so the oracle's bounded path enumeration
+    // replays the Bellman-Ford invariant exactly.
+    "q_shortest_paths" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val edges = t.lineitem
+        .join(broadcast(t.orders.select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+        .withColumn("w", pmod(col("a") * 31 + col("b"), lit(7)) + 1)
+      val seeds = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select((col("c_custkey") * 2).as("node"))
+      Graph.shortestPaths(edges, seeds, maxIters = 3)
+        .orderBy(col("node"))
+    },
+
+    // Holt linear-trend smoothing over the q_ewma hourly series:
+    // α=0.5, β=0.25 (complements IEEE-exact), level/trend/one-step
+    // forecast per observed slot. The two-variable recurrence replays
+    // in the oracle's recursive CTE with lₜ re-derived inside bₜ —
+    // identical IEEE trees, bit-exact trajectories.
+    "q_holt_trend" -> { (s, dir) =>
+      val obs = Tables(s, dir).events
+        .filter(pmod(col("event_id"), lit(13)) === 0)
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) DIV 3600").as("slot"))
+        .agg(davg(col("value")).as("v"))
+      TimeSeries.holtLinear(obs, "event_type", "slot", "v",
+          alpha = 0.5, beta = 0.25)
+        .orderBy(col("event_type"), col("slot"))
+    },
+
     // Multi-source BFS over the customer–supplier bipartite graph
     // (node ids disambiguated as cust·2 / supp·2+1, the q_pagerank
     // encoding): hop distance from the BUILDING-segment customers,
@@ -237,6 +273,42 @@ object WarehouseQueries {
            CAST(count(*) / 2 AS BIGINT) AS n_intervals,
            max(run) AS max_concurrent
          FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_shortest_paths" ->
+      """WITH RECURSIVE e AS (
+           SELECT a, b, (a * 31 + b) % 7 + 1 AS w FROM (
+             SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey)),
+         sym AS (SELECT a AS src, b AS dst, w FROM e
+                 UNION ALL SELECT b, a, w FROM e),
+         seeds AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+                   WHERE c_mktsegment = 'BUILDING'),
+         r AS (SELECT node, CAST(0 AS BIGINT) AS d, 0 AS hops FROM seeds
+               UNION
+               SELECT s.dst, r.d + s.w, r.hops + 1
+               FROM r JOIN sym s ON s.src = r.node
+               WHERE r.hops < 3)
+         SELECT node, CAST(min(d) AS BIGINT) AS dist
+         FROM r GROUP BY node ORDER BY node""",
+    "q_holt_trend" ->
+      """WITH RECURSIVE obs AS (
+           SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS slot,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS v
+           FROM events WHERE event_id % 13 = 0 GROUP BY 1, 2),
+         o2 AS (SELECT event_type, slot, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY slot) AS rn
+           FROM obs),
+         r AS (
+           SELECT event_type, slot, v, v AS l, CAST(0 AS DOUBLE) AS b, rn
+           FROM o2 WHERE rn = 1
+           UNION ALL
+           SELECT o.event_type, o.slot, o.v,
+             0.5 * o.v + 0.5 * (r.l + r.b),
+             0.25 * ((0.5 * o.v + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b,
+             o.rn
+           FROM o2 o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1)
+         SELECT event_type, slot, v, l AS level, b AS trend,
+           l + b AS forecast
+         FROM r ORDER BY event_type, slot""",
     "q_bfs_hops" ->
       """WITH RECURSIVE e AS (
            SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b

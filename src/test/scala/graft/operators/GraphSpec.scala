@@ -186,6 +186,62 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 1L, 99L -> 0L)) // 10,11 unreachable
   }
 
+  private def runSp(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+                    maxIters: Int): Map[Long, Long] =
+    Graph.shortestPaths(edges.toDF("a", "b", "w"), seeds.toDF("node"), maxIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("shortestPaths: a longer-but-cheaper path wins once the depth bound allows it") {
+    // 1 -> 4 direct costs 10; 1-2-3-4 costs 3
+    val edges = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    assert(runSp(edges, Seq(1L), maxIters = 1) ==
+      Map(1L -> 0L, 4L -> 10L, 2L -> 1L))
+    assert(runSp(edges, Seq(1L), maxIters = 2) ==
+      Map(1L -> 0L, 4L -> 10L, 2L -> 1L, 3L -> 2L))
+    assert(runSp(edges, Seq(1L), maxIters = 3) ==
+      Map(1L -> 0L, 4L -> 3L, 2L -> 1L, 3L -> 2L))
+    // converged: extra rounds change nothing (and exit early)
+    assert(runSp(edges, Seq(1L), maxIters = 9) ==
+      runSp(edges, Seq(1L), maxIters = 3))
+  }
+
+  test("shortestPaths: multi-seed min, zero-weight edges, absent seeds") {
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 0L), (4L, 3L, 1L))
+    val out = runSp(edges, Seq(1L, 4L, 77L), maxIters = 4)
+    // 3 is cheaper via seed 4 (1) than via seed 1 (5); 2 rides 3's
+    // zero-weight edge back? no - 2 via 1 costs 5, via 4-3-2 costs 1
+    assert(out == Map(1L -> 0L, 4L -> 0L, 77L -> 0L,
+      3L -> 1L, 2L -> 1L))
+    intercept[IllegalArgumentException](
+      runSp(Seq((1L, 2L, -3L)), Seq(1L), 2))
+  }
+
+  test("shortestPaths matches a scalar Bellman-Ford on a seeded weighted G(n,p)") {
+    val rnd = new scala.util.Random(29)
+    val n = 35
+    val edges = for {
+      a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+      if rnd.nextDouble() < 0.08
+    } yield (a, b, rnd.nextInt(9).toLong + 1)
+    val seeds = Seq(2L, 19L)
+    for (k <- Seq(1, 3, 6)) {
+      val got = runSp(edges, seeds, k)
+      // synchronous Bellman-Ford: dist after round i = min over <= i edges
+      val sym = edges ++ edges.map(e => (e._2, e._1, e._3))
+      var d = seeds.map(_ -> 0L).toMap
+      for (_ <- 1 to k) {
+        val nd = scala.collection.mutable.Map(d.toSeq: _*)
+        sym.foreach { case (a, b, w) =>
+          d.get(a).foreach { da =>
+            if (!nd.contains(b) || da + w < nd(b)) nd(b) = da + w
+          }
+        }
+        d = nd.toMap
+      }
+      assert(got == d, s"maxIters=$k")
+    }
+  }
+
   test("bfsHops matches a scalar BFS on a seeded G(n,p) graph") {
     val rnd = new scala.util.Random(23)
     val n = 40

@@ -87,6 +87,46 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](TimeSeries.ewma(df, "k", "slot", "v", 0.0))
   }
 
+  test("holtLinear matches the scalar double-recurrence bit-for-bit on a seeded series") {
+    val rnd = new scala.util.Random(19)
+    val obs = for (k <- Seq("a", "b"); t <- 0 until 250 if rnd.nextDouble() < 0.5)
+      yield (k, t.toLong, rnd.nextDouble() * 100 + t * 0.3) // drifting series
+    val got = TimeSeries.holtLinear(obs.toDF("k", "slot", "v"),
+        "k", "slot", "v", alpha = 0.5, beta = 0.25)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got.size == obs.size)
+    for ((k, series) <- obs.groupBy(_._1)) {
+      var l = 0.0; var b = 0.0
+      series.sortBy(_._2).zipWithIndex.foreach { case ((_, t, x), i) =>
+        if (i == 0) { l = x; b = 0.0 }
+        else {
+          val lp = l
+          l = 0.5 * x + 0.5 * (lp + b)
+          b = 0.25 * (l - lp) + 0.75 * b
+        }
+        assert(got((k, t)) == (l, b, l + b), s"($k,$t)")
+      }
+    }
+  }
+
+  test("holtLinear: first point is level=x trend=0; a linear series locks onto its slope") {
+    val lin = (0 until 60).map(t => ("a", t.toLong, 10.0 + 2.0 * t))
+    val out = TimeSeries.holtLinear(lin.toDF("k", "slot", "v"),
+        "k", "slot", "v", alpha = 0.5, beta = 0.25)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(0L) == ((10.0, 0.0)))
+    // by the end of an exactly-linear series the trend estimate is ~the slope
+    // and the level tracks the line
+    val (lEnd, bEnd) = out(59L)
+    assert(math.abs(bEnd - 2.0) < 1e-6, s"trend $bEnd")
+    assert(math.abs(lEnd - (10.0 + 2.0 * 59)) < 1e-6, s"level $lEnd")
+    intercept[IllegalArgumentException](
+      TimeSeries.holtLinear(lin.toDF("k", "slot", "v"), "k", "slot", "v", 0.0, 0.5))
+  }
+
   test("cusum matches the scalar fold bit-for-bit, resets at zero, alarms above threshold") {
     val rnd = new scala.util.Random(7)
     val obs = for (k <- Seq("a", "b"); t <- 0 until 200 if rnd.nextDouble() < 0.6)
