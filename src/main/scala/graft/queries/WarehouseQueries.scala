@@ -111,6 +111,37 @@ object WarehouseQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // PIVOT: long → wide reshaping (quantity by returnflag × linestatus)
+    // with an EXPLICIT value list — no extra distinct scan to discover
+    // columns, deterministic schema, and the absent 'P' status proves
+    // the NULL-cell path. One hash aggregation; sums DECIMAL-exact.
+    "q_pivot" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O", "P"))
+        .agg(dsum(col("l_quantity")))
+        .select(col("l_returnflag"), col("F").as("qty_f"),
+          col("O").as("qty_o"), col("P").as("qty_p"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // UNPIVOT: the inverse reshaping via the native unpivot (melt)
+    // operator — wide pivot columns back to (variable, value) rows,
+    // including the all-NULL 'P' column (unpivot KEEPS null cells; a
+    // lossy melt would silently drop the sparse tail of a wide table).
+    "q_unpivot" -> { (s, dir) =>
+      val wide = Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O", "P"))
+        .agg(dsum(col("l_quantity")))
+        .select(col("l_returnflag"), col("F").as("qty_f"),
+          col("O").as("qty_o"), col("P").as("qty_p"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("qty_f"), col("qty_o"), col("qty_p")),
+          "status_col", "sum_qty")
+        .orderBy(col("l_returnflag"), col("status_col"))
+    },
+
     // Weighted shortest paths over the same bipartite graph, edge cost
     // = a deterministic 1..7 hash of the endpoints, depth ≤ 3
     // relaxation rounds. Exact long arithmetic throughout — min() over
@@ -273,6 +304,32 @@ object WarehouseQueries {
            CAST(count(*) / 2 AS BIGINT) AS n_intervals,
            max(run) AS max_concurrent
          FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_pivot" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+             THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+             THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_o,
+           CAST(SUM(CASE WHEN l_linestatus = 'P'
+             THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_p
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_unpivot" ->
+      """WITH wide AS (
+           SELECT l_returnflag,
+             CAST(SUM(CASE WHEN l_linestatus = 'F'
+               THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_f,
+             CAST(SUM(CASE WHEN l_linestatus = 'O'
+               THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_o,
+             CAST(SUM(CASE WHEN l_linestatus = 'P'
+               THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS qty_p
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, status_col, sum_qty FROM (
+           SELECT l_returnflag, 'qty_f' AS status_col, qty_f AS sum_qty FROM wide
+           UNION ALL
+           SELECT l_returnflag, 'qty_o', qty_o FROM wide
+           UNION ALL
+           SELECT l_returnflag, 'qty_p', qty_p FROM wide)
+         ORDER BY l_returnflag, status_col""",
     "q_shortest_paths" ->
       """WITH RECURSIVE e AS (
            SELECT a, b, (a * 31 + b) % 7 + 1 AS w FROM (
