@@ -111,6 +111,23 @@ object WarehouseQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // GROUPING SETS: the general form cube/rollup specialize — three
+    // chosen aggregation levels in ONE pass (one Expand, one hash
+    // aggregation), with grouping_id disambiguating a NULL group key
+    // from a rolled-up one. Completes the §2.3 multi-level aggregation
+    // family next to q_cube/q_rollup.
+    "q_grouping_sets" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    },
+
     // PIVOT: long → wide reshaping (quantity by returnflag × linestatus)
     // with an EXPLICIT value list — no extra distinct scan to discover
     // columns, deterministic schema, and the absent 'P' status proves
@@ -304,6 +321,15 @@ object WarehouseQueries {
            CAST(count(*) / 2 AS BIGINT) AS n_intervals,
            max(run) AS max_concurrent
          FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())
+         ORDER BY gid, l_returnflag, l_linestatus""",
     "q_pivot" ->
       """SELECT l_returnflag,
            CAST(SUM(CASE WHEN l_linestatus = 'F'
