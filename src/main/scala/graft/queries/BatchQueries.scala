@@ -968,6 +968,84 @@ object BatchQueries {
         .orderBy(col("o_year"))
     },
 
+    // TPC-H Q13 (customer order-count distribution): LEFT join so
+    // zero-order customers land in the c_count=0 bucket (the query's
+    // whole point — an inner join would erase them), then one exact
+    // count-of-counts aggregation.
+    "q_join_q13" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+
+    // TPC-H Q14 (promo revenue share): one month's lineitems against
+    // the broadcast part dim; the share is one double division of two
+    // DECIMAL-exact revenues (the q_join_q8 device), ×100 spelled as
+    // (100·a)/b on both engines.
+    "q_join_q14" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(t.part.select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          dsum6(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(lit(0.0))).as("promo_revenue"),
+          dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6)
+            .as("promo_share"))
+    },
+
+    // TPC-H Q17 (small-quantity-order revenue): the correlated
+    // 0.2·avg(quantity) subquery decorrelated into one tiny per-part
+    // aggregate over the BRAND-filtered parts only (the correlation key
+    // is the part, so restricting first shrinks the agg to |brand
+    // parts| rows — broadcast both the part filter and the averages).
+    // The threshold compare is exact: davg's decimal-exact double, one
+    // multiply, strict <, identical on both engines.
+    "q_join_q17" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val brandParts = t.part.filter(col("p_brand") === "Brand#4")
+        .select(col("p_partkey"))
+      val li = t.lineitem
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      val avgQ = li.groupBy(col("l_partkey").as("__pk"))
+        .agg(davg(col("l_quantity")).as("__avgq"))
+      li.join(broadcast(avgQ), col("l_partkey") === col("__pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("__avgq"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .select(col("n_rows"), col("sum_price"),
+          round(col("sum_price") / lit(7.0), 6).as("avg_yearly"))
+    },
+
+    // TPC-H Q18 (large-volume customers): orders whose total quantity
+    // exceeds 300 — the HAVING aggregate joins back to its order and
+    // customer; top-100 as a TakeOrdered heap with the order key as the
+    // deterministic tiebreak.
+    "q_join_q18" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val big = t.lineitem.groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    },
+
     // Ordered conversion funnel (view → click → purchase): each step's
     // entry time must STRICTLY follow the previous step's — min-ts per
     // user per step with a progressive time filter, the standard funnel
@@ -1551,6 +1629,53 @@ SELECT node, rank FROM r5 ORDER BY node""",
              AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
                                  AND TIMESTAMP '1996-12-31 00:00:00')
          GROUP BY o_year ORDER BY o_year""",
+
+    "q_join_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+           SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+           FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+           GROUP BY c.c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q_join_q14" ->
+      """SELECT
+           CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+             THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+             AS DECIMAL(22,6))) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(22,6))) AS DOUBLE) AS total_revenue,
+           round(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+               THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+               AS DECIMAL(22,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+               AS DECIMAL(22,6))) AS DOUBLE), 6) AS promo_share
+         FROM lineitem, part
+         WHERE l_partkey = p_partkey
+           AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'""",
+    "q_join_q17" ->
+      """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+         a AS (SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS avgq
+           FROM lineitem JOIN bp ON l_partkey = p_partkey
+           GROUP BY l_partkey)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_price,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly
+         FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+         WHERE l.l_quantity < 0.2 * a.avgq""",
+    "q_join_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum_qty
+         FROM customer, orders, (
+           SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey) b
+         WHERE c_custkey = o_custkey AND o_orderkey = b.l_orderkey
+           AND sum_qty > 300
+         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
 
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
