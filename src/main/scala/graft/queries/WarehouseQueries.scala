@@ -63,6 +63,23 @@ object WarehouseQueries {
         .orderBy(col("l_orderkey"), col("range_idx"))
     },
 
+    // SCD2 time travel: reconstruct each key's state AS OF position 2
+    // from the validity ranges — the query the history table exists
+    // for. Exactly one range per key satisfies valid_from ≤ T < valid_to
+    // (open range = infinity); keys born after T drop out.
+    "q_scd2_asof" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      Upsert.scd2FromChangeLog(li, Seq("l_orderkey"),
+          Seq(col("l_linenumber"), col("l_returnflag")),
+          "l_returnflag", col("l_linenumber"))
+        .filter(col("valid_from") <= 2 &&
+          (col("valid_to").isNull || col("valid_to") > 2))
+        .select(col("l_orderkey"), col("state").as("state_asof_2"),
+          col("range_idx"))
+        .orderBy(col("l_orderkey"))
+    },
+
     // Exact weighted median: the price-weighted median quantity per
     // (returnflag, linestatus). Weights accumulate as DECIMAL(18,4)
     // and the half-total test is exact decimal compare — no float
@@ -269,6 +286,29 @@ object WarehouseQueries {
          FROM g
          WINDOW w2 AS (PARTITION BY l_orderkey ORDER BY range_idx)
          ORDER BY l_orderkey, range_idx""",
+    "q_scd2_asof" ->
+      """WITH f AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+             CASE WHEN row_number() OVER w = 1
+                    OR lag(l_returnflag) OVER w IS DISTINCT FROM l_returnflag
+                  THEN 1 ELSE 0 END AS chg
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_orderkey
+                        ORDER BY l_linenumber, l_returnflag)),
+         i AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_returnflag
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS island FROM f),
+         g AS (SELECT l_orderkey, island AS range_idx,
+                 min(l_returnflag) AS state, min(l_linenumber) AS valid_from
+               FROM i GROUP BY 1, 2),
+         h AS (SELECT l_orderkey, range_idx, state, valid_from,
+                 lead(valid_from) OVER (PARTITION BY l_orderkey
+                   ORDER BY range_idx) AS valid_to
+               FROM g)
+         SELECT l_orderkey, state AS state_asof_2, range_idx
+         FROM h
+         WHERE valid_from <= 2 AND (valid_to IS NULL OR valid_to > 2)
+         ORDER BY l_orderkey""",
     "q_weighted_median" ->
       """WITH perv AS (SELECT l_returnflag, l_linestatus, l_quantity AS v,
              SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS w

@@ -242,6 +242,27 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("bfsHops and shortestPaths: co-partitioned mode (no broadcast) is result-identical") {
+    val rnd = new scala.util.Random(37)
+    val n = 30
+    val edges = for {
+      a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+      if rnd.nextDouble() < 0.1
+    } yield (a, b)
+    val wedges = edges.map { case (a, b) => (a, b, (a + b) % 5 + 1) }
+    val seeds = Seq(3L, 11L)
+    val bfsB = Graph.bfsHops(edges.toDF("a", "b"), seeds.toDF("node"), 3,
+      smallFrontier = true).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfsC = Graph.bfsHops(edges.toDF("a", "b"), seeds.toDF("node"), 3,
+      smallFrontier = false).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bfsB == bfsC)
+    val spB = Graph.shortestPaths(wedges.toDF("a", "b", "w"), seeds.toDF("node"), 4,
+      smallDist = true).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val spC = Graph.shortestPaths(wedges.toDF("a", "b", "w"), seeds.toDF("node"), 4,
+      smallDist = false).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(spB == spC)
+  }
+
   test("bfsHops matches a scalar BFS on a seeded G(n,p) graph") {
     val rnd = new scala.util.Random(23)
     val n = 40
