@@ -36,6 +36,15 @@ class PlanSpec extends SparkSpec {
 
   test("global top-k plans as TakeOrderedAndProject (bounded distributed heap)") {
     assert(plan("q_top_global").contains("TakeOrderedAndProject"))
+    // the TPC-H top-N queries must use the heap too, never a global sort
+    assert(plan("q_join_q10").contains("TakeOrderedAndProject"))
+    assert(plan("q_join_q18").contains("TakeOrderedAndProject"))
+  }
+
+  test("the TPC-H dim joins broadcast (Q8 two nation roles, Q14 part, Q17 brand+avg)") {
+    Seq("q_join_q8", "q_join_q14", "q_join_q17").foreach { name =>
+      assert(plan(name).contains("BroadcastHashJoin"), s"$name has no broadcast join")
+    }
   }
 
   test("no registered query plans an unpartitioned (single-partition) Window") {
