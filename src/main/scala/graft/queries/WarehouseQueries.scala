@@ -128,6 +128,28 @@ object WarehouseQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Order-free table fingerprint: the cross-replica / cross-engine
+    // parity check in ONE scan — 60-bit portable md5 row hashes summed
+    // as DECIMAL(38,0) (commutative: partition- and order-invariant),
+    // plus per-column sums that localize a divergence. THIS query IS
+    // its own strongest oracle: DuckDB re-derives the identical
+    // fingerprint from the same rows, proving the canonical-string +
+    // hash + sum pipeline is engine-independent end to end. Doubles
+    // ride DECIMAL(18,4) canonicalization (raw double→string differs
+    // across engines in scientific-notation ranges).
+    "q_table_checksum" -> { (s, dir) =>
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      val li = Tables(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,4)").as("l_quantity"),
+        col("l_extendedprice").cast("decimal(18,4)").as("l_extendedprice"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      graft.operators.Checksum.tableChecksum(li, cols)
+    },
+
     // GROUPING SETS: the general form cube/rollup specialize — three
     // chosen aggregation levels in ONE pass (one Expand, one hash
     // aggregation), with grouping_id disambiguating a NULL group key
@@ -361,6 +383,27 @@ object WarehouseQueries {
            CAST(count(*) / 2 AS BIGINT) AS n_intervals,
            max(run) AS max_concurrent
          FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_table_checksum" -> {
+      val canonCols = Seq(
+        "CAST(l_orderkey AS VARCHAR)", "CAST(l_partkey AS VARCHAR)",
+        "CAST(l_suppkey AS VARCHAR)", "CAST(l_linenumber AS VARCHAR)",
+        "CAST(CAST(l_quantity AS DECIMAL(18,4)) AS VARCHAR)",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR)",
+        "l_returnflag", "l_linestatus", "CAST(l_shipdate AS VARCHAR)")
+      val names = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+      def h(expr: String) =
+        s"CAST(CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT) AS DECIMAL(38,0))"
+      val rowExpr = s"concat_ws(chr(1), ${canonCols.mkString(", ")})"
+      val colSums = names.zip(canonCols).map { case (n, c) =>
+        s"CAST(SUM(${h(c)}) AS DECIMAL(38,0)) AS checksum_$n"
+      }
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(${h(rowExpr)}) AS DECIMAL(38,0)) AS row_checksum,
+           ${colSums.mkString(",\n           ")}
+         FROM lineitem"""
+    },
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
