@@ -690,6 +690,42 @@ object BatchQueries {
         .orderBy(col("user_id"), col("rn"))
     },
 
+    // The full ranking-function family per order (rank, dense_rank,
+    // percent_rank, cume_dist, frame-wide first/last). Every emitted
+    // column is a function of (l_orderkey, l_quantity) only, so tied
+    // rows produce IDENTICAL output rows — deterministic as a multiset
+    // even though the fixture's line numbers repeat. percent_rank and
+    // cume_dist are one double division of exact integers each.
+    "q_window_ranking" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_quantity"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir).lineitem.select(
+        col("l_orderkey"), col("l_quantity"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first(col("l_quantity")).over(full).as("min_q"),
+        last(col("l_quantity")).over(full).as("max_q"))
+        .orderBy(col("l_orderkey"), col("l_quantity"))
+    },
+
+    // Exact interpolated percentiles (percentile_cont semantics): for
+    // p ∈ {.25, .5, .75} every step — p·(n−1), the fractional split,
+    // lower + frac·(upper−lower) over small-integer quantities — is
+    // IEEE-exact, so the interpolated values match DuckDB's
+    // quantile_cont bit for bit with no rounding mask.
+    "q_percentile_exact" -> { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("q50"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Link-graph authority (weighted PageRank, 5 iterations) over the
     // customer↔supplier interaction graph — the source-quality-weighting
     // step a crawl pipeline runs before mixing. Integer fixed-point
@@ -1361,6 +1397,27 @@ object BatchQueries {
            round(value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
          FROM events ORDER BY user_id, rn""",
 
+    "q_window_ranking" ->
+      """SELECT l_orderkey, l_quantity,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           first_value(l_quantity) OVER wf AS min_q,
+           last_value(l_quantity) OVER wf AS max_q
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_quantity),
+                wf AS (PARTITION BY l_orderkey ORDER BY l_quantity
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)
+         ORDER BY l_orderkey, l_quantity""",
+    "q_percentile_exact" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.5) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_kll_quantiles" ->
       """SELECT l_returnflag AS flag, COUNT(*) AS n,
                 TRUE AS q10_ok, TRUE AS q50_ok, TRUE AS q90_ok,
