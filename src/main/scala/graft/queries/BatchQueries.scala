@@ -313,6 +313,22 @@ object BatchQueries {
       both.union(custOnly).orderBy(col("op"), col("nationkey"))
     },
 
+    // MULTISET set ops (the ALL variants): intersectAll keeps
+    // min(countA, countB) copies per value, exceptAll keeps the count
+    // difference — the semantics dedup-aware pipelines need (how many
+    // OCCURRENCES survive, not which values). Collapsed to per-value
+    // counts for a compact deterministic output.
+    "q_set_ops_all" -> { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      val a = li.filter(col("l_orderkey") % 2 === 0).select(col("l_suppkey"))
+      val b = li.filter(col("l_orderkey") % 3 === 0).select(col("l_suppkey"))
+      a.intersectAll(b).select(lit("inter_all").as("op"), col("l_suppkey"))
+        .union(a.exceptAll(b).select(lit("except_all").as("op"), col("l_suppkey")))
+        .groupBy(col("op"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("op"), col("l_suppkey"))
+    },
+
     // §2.3 Combine.globally: one-row global fold (composed CombineFns).
     "q_combine_global" -> { (s, dir) =>
       Tables(s, dir).lineitem.agg(
@@ -1397,6 +1413,15 @@ object BatchQueries {
            round(value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
          FROM events ORDER BY user_id, rn""",
 
+    "q_set_ops_all" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey % 2 = 0),
+         b AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey % 3 = 0),
+         ia AS (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b),
+         ea AS (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b)
+         SELECT op, l_suppkey, CAST(count(*) AS BIGINT) AS n FROM (
+           SELECT 'inter_all' AS op, l_suppkey FROM ia
+           UNION ALL SELECT 'except_all', l_suppkey FROM ea)
+         GROUP BY op, l_suppkey ORDER BY op, l_suppkey""",
     "q_window_ranking" ->
       """SELECT l_orderkey, l_quantity,
            rank() OVER w AS rnk,
