@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   * anyone diffs rows.
   *
   * Scale posture: one pass, map-side partial sums, a 1-row result.
-  * At 10¹² rows the sum stays < 2^100 ≪ DECIMAL(38)'s 2^126.
+  * At 10¹² rows the sum stays < 2^100 ≪ DECIMAL(38)'s 2^126. Cost is
+  * one md5 per emitted sum per row (the CROSS-ENGINE portability
+  * price — md5 is the one hash both engines spell identically);
+  * same-engine replica comparison should swap h60 for xxhash64, which
+  * is codegen'd and ~an order of magnitude cheaper per row.
   *
   * Cross-engine contract: parity requires ENGINE-IDENTICAL canonical
   * strings. Integers, strings, and timestamps cast identically on

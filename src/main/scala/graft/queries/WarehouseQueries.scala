@@ -136,18 +136,18 @@ object WarehouseQueries {
     // fingerprint from the same rows, proving the canonical-string +
     // hash + sum pipeline is engine-independent end to end. Doubles
     // ride DECIMAL(18,4) canonicalization (raw double→string differs
-    // across engines in scientific-notation ranges).
+    // across engines in scientific-notation ranges). Runs on the
+    // orders table: the contract is fully exercised per row, and the
+    // md5-per-sum portability cost (Checksum scaladoc) shouldn't buy
+    // the bench's biggest table.
     "q_table_checksum" -> { (s, dir) =>
-      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-        "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus",
-        "l_shipdate")
-      val li = Tables(s, dir).lineitem.select(
-        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
-        col("l_linenumber"),
-        col("l_quantity").cast("decimal(18,4)").as("l_quantity"),
-        col("l_extendedprice").cast("decimal(18,4)").as("l_extendedprice"),
-        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
-      graft.operators.Checksum.tableChecksum(li, cols)
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val o = Tables(s, dir).orders.select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,4)").as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      graft.operators.Checksum.tableChecksum(o, cols)
     },
 
     // GROUPING SETS: the general form cube/rollup specialize — three
@@ -385,14 +385,12 @@ object WarehouseQueries {
          FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_table_checksum" -> {
       val canonCols = Seq(
-        "CAST(l_orderkey AS VARCHAR)", "CAST(l_partkey AS VARCHAR)",
-        "CAST(l_suppkey AS VARCHAR)", "CAST(l_linenumber AS VARCHAR)",
-        "CAST(CAST(l_quantity AS DECIMAL(18,4)) AS VARCHAR)",
-        "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR)",
-        "l_returnflag", "l_linestatus", "CAST(l_shipdate AS VARCHAR)")
-      val names = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-        "l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus",
-        "l_shipdate")
+        "CAST(o_orderkey AS VARCHAR)", "CAST(o_custkey AS VARCHAR)",
+        "o_orderstatus",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR)",
+        "CAST(o_orderdate AS VARCHAR)", "o_orderpriority")
+      val names = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
       def h(expr: String) =
         s"CAST(CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT) AS DECIMAL(38,0))"
       val rowExpr = s"concat_ws(chr(1), ${canonCols.mkString(", ")})"
@@ -402,7 +400,7 @@ object WarehouseQueries {
       s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(SUM(${h(rowExpr)}) AS DECIMAL(38,0)) AS row_checksum,
            ${colSums.mkString(",\n           ")}
-         FROM lineitem"""
+         FROM orders"""
     },
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
