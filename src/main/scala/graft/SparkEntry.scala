@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.queries.{AnalyticsQueries, BatchQueries, CurationQueries, IoQueries, LlmQueries, WarehouseQueries, WebQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, BatchQueries, CurationQueries, GeoQueries, IoQueries, LlmQueries, StatsQueries, WarehouseQueries, WebQueries, WindowQueries}
 import graft.queries.QueryUtil._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,14 +28,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     core ++ BatchQueries.defs ++ WindowQueries.defs ++ LlmQueries.defs ++ IoQueries.defs ++
       CurationQueries.defs ++ WebQueries.defs ++ AnalyticsQueries.defs ++
-      WarehouseQueries.defs
+      WarehouseQueries.defs ++ GeoQueries.defs ++ StatsQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     coreOracles ++ BatchQueries.oracles ++ WindowQueries.oracles ++ LlmQueries.oracles ++
       IoQueries.oracles ++ CurationQueries.oracles ++ WebQueries.oracles ++
-      AnalyticsQueries.oracles ++ WarehouseQueries.oracles
+      AnalyticsQueries.oracles ++ WarehouseQueries.oracles ++ GeoQueries.oracles ++
+      StatsQueries.oracles
 
   // ---- the two flagship queries kept inline: the multi-agg Combine.perKey
   // shape (TPC-H Q1) and the reference's canonical WordCount example.

@@ -30,7 +30,9 @@ class EntryContractSpec extends SparkSpec {
       "CurationQueries" -> CurationQueries.defs.keySet,
       "WebQueries" -> WebQueries.defs.keySet,
       "AnalyticsQueries" -> AnalyticsQueries.defs.keySet,
-      "WarehouseQueries" -> WarehouseQueries.defs.keySet)
+      "WarehouseQueries" -> WarehouseQueries.defs.keySet,
+      "GeoQueries" -> GeoQueries.defs.keySet,
+      "StatsQueries" -> StatsQueries.defs.keySet)
     val dupes = parts.flatMap { case (m, ks) => ks.map(_ -> m) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty,
