@@ -4,12 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Markov, Regress, Survival}
+import graft.operators.{Inequality, Markov, RankStats, Regress, Survival}
 import graft.queries.QueryUtil._
 
-/** Sequential-statistics pack: Markov transition estimation,
-  * Kaplan-Meier survival, and autocorrelation diagnostics — the
-  * time-ordered follow-ons to the closed-form OLS family.
+/** Statistics pack: Markov transition estimation, Kaplan-Meier
+  * survival, autocorrelation diagnostics, rank statistics (Spearman ρ,
+  * Mann-Whitney U), and concentration indices (Gini, HHI).
   *
   * Oracle posture: all full-value DuckDB oracles. Transition counts are
   * exact longs with one-division probabilities; the ACF replays the
@@ -68,6 +68,44 @@ object StatsQueries {
       Regress.autocorr(obs, Seq("event_type"), "slot", "v", Seq(1, 2, 3))
         .withColumn("lag", col("lag").cast("long"))
         .orderBy(col("event_type"), col("lag"))
+    },
+
+    // Spearman rank correlation of extended price vs quantity per
+    // return flag — quantity is integral (heavy ties), so this
+    // exercises the tie-averaged doubled-rank arithmetic end to end.
+    "q_spearman" -> { (s, dir) =>
+      RankStats.spearmanPerKey(Tables(s, dir).lineitem,
+          Seq("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Mann-Whitney U: does the discount distribution differ between
+    // open (O) and finished (F) lines within each return flag? Discount
+    // has ~11 distinct values — the tie-correction term dominates σ.
+    "q_mannwhitney" -> { (s, dir) =>
+      RankStats.mannWhitney(Tables(s, dir).lineitem, Seq("l_returnflag"),
+          col("l_linestatus"), a = "O", b = "F", value = col("l_discount"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Gini coefficient of order value per priority class — the revenue
+    // concentration audit (rank-formula over ascending order totals).
+    "q_gini" -> { (s, dir) =>
+      Inequality.giniPerKey(Tables(s, dir).orders,
+          Seq("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // HHI + top-share of per-customer spend within each market segment
+    // — two-level: exact per-customer totals feed the share index.
+    "q_hhi" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val spend = t.orders.join(t.customer,
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("spend"))
+      Inequality.hhiPerKey(spend, Seq("c_mktsegment"), col("spend"))
+        .orderBy(col("c_mktsegment"))
     },
   )
 
@@ -149,5 +187,113 @@ object StatsQueries {
                     / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
            END AS r
          FROM d ORDER BY event_type, lag""",
+    // Doubled tie-averaged ranks (rank() + peer-inclusive running
+    // count = minRank + maxRank), exact HUGEINT sums, then the
+    // IDENTICAL IEEE tree as RankStats.spearmanPerKey.
+    "q_spearman" ->
+      """WITH r AS (SELECT l_returnflag,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+               + count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rx,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+               + count(*) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ry
+           FROM lineitem),
+         a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+             SUM(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS sxy,
+             SUM(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS sxx,
+             SUM(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS syy
+           FROM r GROUP BY 1),
+         d AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(syy AS DOUBLE) AS syyd
+           FROM a)
+         SELECT l_returnflag, n,
+           CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * syyd - syd * syd > 0
+             THEN round((nd * sxyd - sxd * syd)
+               / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+           END AS rho
+         FROM d ORDER BY l_returnflag""",
+    // Combined-sample doubled ranks, exact tie-cube correction, one
+    // fixed z tree — spelled exactly as RankStats.mannWhitney.
+    "q_mannwhitney" ->
+      """WITH f AS (SELECT l_returnflag, l_linestatus = 'O' AS isa,
+             l_discount AS v
+           FROM lineitem WHERE l_linestatus IN ('O', 'F')),
+         r AS (SELECT l_returnflag, isa,
+             rank() OVER (PARTITION BY l_returnflag ORDER BY v)
+               + count(*) OVER (PARTITION BY l_returnflag ORDER BY v
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+           FROM f),
+         t AS (SELECT l_returnflag,
+             SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+               - CAST(c AS HUGEINT)) AS tcorr
+           FROM (SELECT l_returnflag, v, COUNT(*) AS c FROM f GROUP BY 1, 2)
+           GROUP BY 1),
+         a AS (SELECT l_returnflag,
+             CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             SUM(CASE WHEN isa THEN CAST(r2 AS HUGEINT) ELSE 0 END) AS r2a
+           FROM r GROUP BY 1),
+         d AS (SELECT a.l_returnflag, n_a, n_b,
+             CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+             CAST(n_a + n_b AS DOUBLE) AS nd,
+             CAST(r2a AS DOUBLE) AS r2ad, CAST(tcorr AS DOUBLE) AS tcorrd
+           FROM a JOIN t ON a.l_returnflag = t.l_returnflag),
+         u AS (SELECT l_returnflag, n_a, n_b, nad, nbd, nd, tcorrd,
+             r2ad - nad * (nad + 1.0) AS du
+           FROM d)
+         SELECT l_returnflag, n_a, n_b,
+           du / 2.0 AS u_a,
+           nad * nbd - du / 2.0 AS u_b,
+           CASE WHEN n_a > 0 AND n_b > 0 AND
+               nad * nbd / 3.0 * (nd + 1.0 - tcorrd / (nd * (nd - 1.0))) > 0
+             THEN round((du - nad * nbd)
+               / sqrt(nad * nbd / 3.0
+                   * (nd + 1.0 - tcorrd / (nd * (nd - 1.0)))), 6)
+           END AS z
+         FROM u ORDER BY l_returnflag""",
+    // Sorted-rank Gini: DECIMAL-exact Σi·x and Σx, then the identical
+    // IEEE tree as Inequality.giniPerKey.
+    "q_gini" ->
+      """WITH r AS (SELECT o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS x,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY CAST(o_totalprice AS DECIMAL(18,4))) AS i
+           FROM orders),
+         a AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(x * CAST(i AS DECIMAL(12,0))) AS si,
+             MIN(x) AS minx
+           FROM r GROUP BY 1),
+         d AS (SELECT o_orderpriority, n, CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(si AS DOUBLE) AS sid, minx
+           FROM a)
+         SELECT o_orderpriority, n, sxd AS total,
+           CASE WHEN minx >= 0 AND sxd > 0
+             THEN round((2.0 * sid - (nd + 1.0) * sxd) / (nd * sxd), 6)
+           END AS gini
+         FROM d ORDER BY o_orderpriority""",
+    // Exact per-customer spend totals feed Σx², (Σx)², max x — the
+    // identical trees as Inequality.hhiPerKey. x is DECIMAL(19,4), not
+    // (18,4): width ≤ 18 keeps DuckDB's decimal in int64 storage and
+    // x*x overflows the multiply; width 19 forces hugeint (the values
+    // are identical — Spark's side is (18,4) with BigDecimal promotion).
+    "q_hhi" ->
+      """WITH spend AS (SELECT c_mktsegment,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(19,4)) AS x
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment, c_custkey),
+         a AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(x * x) AS sxx, MAX(x) AS mx
+           FROM spend GROUP BY 1),
+         d AS (SELECT c_mktsegment, n, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(mx AS DOUBLE) AS mxd
+           FROM a)
+         SELECT c_mktsegment, n, sxd AS total,
+           CASE WHEN sxd > 0 THEN round(sxxd / (sxd * sxd), 6) END AS hhi,
+           CASE WHEN sxd > 0 THEN round(mxd / sxd, 6) END AS top_share
+         FROM d ORDER BY c_mktsegment""",
   )
 }
