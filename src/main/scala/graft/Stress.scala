@@ -117,16 +117,29 @@ object Stress {
     * cartesian) and CC absorbing ~factor²-denser near-clique edges. */
   val LinkageQueries = Seq("q_entity_resolution", "q_entity_clusters")
 
+  /** Spatial grid-join family: the customer/supplier blow-up re-keys
+    * every copy, so the Lehmer point/box positions re-deal uniformly —
+    * per-cell population grows ~factor× and within-cell candidate pairs
+    * grow ~factor² (the fixed-grid analogue of the dedup blocking blow-
+    * up). The risk profile is the cell equi-join staying an equi-join
+    * with density-bounded fan-out — the OUTPUT is inherently ~factor²
+    * pairs for radiusJoin (plus its global ORDER BY), so the measured
+    * exponent includes genuinely quadratic output growth; knn stays
+    * ~linear in output (k-bounded) with factor²-denser candidates. */
+  val SpatialQueries = Seq(
+    "q_spatial_join", "q_spatial_knn", "q_spatial_contain")
+
   /** Queries with no self-assert booleans (their outputs are data, not
     * bounds) — boundViolations skips them instead of paying a full
     * stressed-scale execution just to read an empty schema (CC's
     * construction runs eager actions). */
   val NoBoundCheck: Set[String] = Set("q_entity_resolution", "q_entity_clusters",
-    "q_mmr_rerank", "q_kcenter_coreset")
+    "q_mmr_rerank", "q_kcenter_coreset",
+    "q_spatial_join", "q_spatial_knn", "q_spatial_contain")
 
   def allQueries: Seq[String] =
     DedupQueries ++ EmbQueries ++ ContamQueries ++ TextQueries ++ LakeQueries ++
-      WebTokQueries ++ LinkageQueries
+      WebTokQueries ++ LinkageQueries ++ SpatialQueries
 
   private def releaseCaches(): Unit = Caches.releaseAll()
 
@@ -178,6 +191,17 @@ object Stress {
       .repartition(32).write.mode("overwrite")
       .parquet(s"$workDir/customer.parquet")
 
+    // supplier: same re-keying — the containment query's catchment boxes
+    // derive from s_suppkey Lehmer arithmetic, so factor× suppliers =
+    // factor× boxes re-dealt over the same grid; with factor× points the
+    // per-cell points×boxes product grows ~factor²
+    val supp = spark.read.parquet(s"$baseDir/supplier.parquet")
+    supp
+      .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("s_suppkey", col("s_suppkey") * factor + col("copy"))
+      .drop("copy")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$workDir/supplier.parquet")
   }
 
   private def force(df: DataFrame): Unit =
