@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Contingency-table hypothesis tests — Pearson's chi-square test of
+  * independence and the two-proportion z-test — as pure hash
+  * aggregations over exact counts.
+  *
+  * The portability problem chi-square poses is unique in this repo: the
+  * statistic is a SUM of per-cell ratios (O−E)²/E, and a float sum's
+  * value depends on partial-sum order — Spark's partition order is
+  * nondeterministic, so a naive double sum cannot hash-match any
+  * oracle. The fix: quantize each cell's term to a fixed 6-dp integer
+  * with explicit integer division,
+  *
+  *   E6     = (Ra·Cb·10⁶) div N          (expected count, 6-dp units)
+  *   D6     = O·10⁶ − E6                 (observed − expected, 6-dp)
+  *   term   = D6² div E6                 (= (O−E)²/E in 6-dp units)
+  *
+  * — all exact DECIMAL(38,0) arithmetic, so the cell terms are
+  * order-free integers, their sum is exact, and χ² = Σterm/10⁶
+  * reproduces bit-for-bit on any engine that spells the same integer
+  * divisions (the DuckDB oracle does). The deliberate 1e-6 quantization
+  * of E is part of the operator's contract (documented here), not
+  * noise: |χ²_quantized − χ²_float| < cells·1e-5 for realistic tables.
+  * Overflow headroom: D6² ≤ (N·10⁶)² needs N ≲ 10¹² rows per key group
+  * — DECIMAL(38,0) holds to 10³⁸.
+  *
+  * Scale posture: one hash aggregation to cells, two re-aggregations to
+  * margins (rows bounded by |A| and |B| category counts, not corpus
+  * size), two margin joins on (key, category) — every frame after the
+  * first aggregation is category-sized. No windows, no sorts.
+  */
+object Hypothesis {
+
+  private val M = "1000000" // 10^6: the fixed quantization scale
+
+  /** Per-key Pearson chi-square test of independence between the
+    * categorical columns `a` and `b`.
+    *
+    * @return one row per key group: n (total count), r (distinct a),
+    *         c (distinct b), dof = (r−1)(c−1), chi2 (6-dp-quantized
+    *         statistic as a double), cramers_v (effect size
+    *         √(χ²/(n·min(r−1,c−1))), NULL when dof = 0)
+    */
+  def chiSquareIndependence(df: DataFrame, keys: Seq[String],
+                            a: Column, b: Column): DataFrame = {
+    require(keys.nonEmpty, "chiSquareIndependence needs at least one key column")
+    val cells = df
+      .filter(a.isNotNull && b.isNotNull)
+      .groupBy(keys.map(col) ++ Seq(a.as("__a"), b.as("__b")): _*)
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint() // feeds both margins and the cell join once
+    val rowM = cells.groupBy(keys.map(col) :+ col("__a"): _*)
+      .agg(sum(col("__o")).as("__ra"))
+    val colM = cells.groupBy(keys.map(col) :+ col("__b"): _*)
+      .agg(sum(col("__o")).as("__cb"))
+    val tot = cells.groupBy(keys.map(col): _*)
+      .agg(sum(col("__o")).as("n"),
+        countDistinct(col("__a")).as("r"),
+        countDistinct(col("__b")).as("c"))
+    // The full r×c grid, NOT just observed cells: an empty cell still
+    // contributes (0−E)²/E = E to the statistic. The grid is the per-key
+    // cross of the two margin frames — category-sized, never corpus-sized.
+    val grid = rowM.join(colM, keys)
+    val joined = grid
+      .join(cells, keys ++ Seq("__a", "__b"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .join(tot, keys)
+    // DIV is exact integer division (BIGINT result — in range because
+    // e6 ≤ N·10⁶ and term ≤ N·10⁶, both < 2⁶³ at the documented N
+    // bound); GREATEST(…, 1) pins the convention for the pathological
+    // E < 10⁻⁶ cell (possible when N > 10⁶·Ra·Cb) instead of a NULL/
+    // error divergence between engines.
+    val staged = joined
+      .withColumn("__e6",
+        expr(s"GREATEST((CAST(__ra AS DECIMAL(38,0)) * __cb * $M) DIV n, 1)"))
+      .withColumn("__d6",
+        expr(s"CAST(__o AS DECIMAL(38,0)) * $M - __e6"))
+      .withColumn("__term", expr("(__d6 * __d6) DIV __e6"))
+    val agg = staged
+      .groupBy(keys.map(col) ++ Seq(col("n"), col("r"), col("c")): _*)
+      .agg(sum(col("__term").cast("decimal(38,0)")).as("__chi6"))
+    val nD = col("n").cast("double")
+    val chi2 = col("__chi6").cast("double") / lit(1000000.0d)
+    val minDim = least(col("r"), col("c")).cast("double") - lit(1.0d)
+    agg.select(keys.map(col) ++ Seq(
+      col("n"), col("r"), col("c"),
+      ((col("r") - 1) * (col("c") - 1)).as("dof"),
+      round(chi2, 6).as("chi2"),
+      round(when(minDim > 0, sqrt(chi2 / (nD * minDim))), 6)
+        .as("cramers_v")): _*)
+  }
+
+  /** Per-key two-proportion z-test (pooled): does P(success | group a)
+    * differ from P(success | group b)? Counts are exact; p̂-hats and z
+    * are each one fixed IEEE tree over them.
+    *
+    * @return one row per key group: n_a, n_b, x_a, x_b (successes),
+    *         p_a, p_b (one division each), z (pooled-variance z score,
+    *         rounded 6 dp; NULL when a group is empty or the pooled
+    *         proportion is degenerate 0 or 1)
+    */
+  def proportionsZTest(df: DataFrame, keys: Seq[String], groupCol: Column,
+                       a: String, b: String, success: Column): DataFrame = {
+    require(keys.nonEmpty, "proportionsZTest needs at least one key column")
+    val base = df.filter(groupCol.isin(a, b))
+      .select(keys.map(col) ++ Seq((groupCol === a).as("__isa"),
+        success.cast("boolean").as("__s")): _*)
+    val agg = base.groupBy(keys.map(col): _*).agg(
+      sum(when(col("__isa"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__isa"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__isa") && col("__s"), 1L).otherwise(0L)).as("x_a"),
+      sum(when(!col("__isa") && col("__s"), 1L).otherwise(0L)).as("x_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val xa = col("x_a").cast("double"); val xb = col("x_b").cast("double")
+    val pa = xa / na; val pb = xb / nb
+    val pp = (xa + xb) / (na + nb)
+    val denom = sqrt(pp * (lit(1.0d) - pp) * (lit(1.0d) / na + lit(1.0d) / nb))
+    agg.select(keys.map(col) ++ Seq(
+      col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+      round(when(col("n_a") > 0, pa), 6).as("p_a"),
+      round(when(col("n_b") > 0, pb), 6).as("p_b"),
+      round(when(col("n_a") > 0 && col("n_b") > 0 &&
+        pp > 0 && pp < 1, (pa - pb) / denom), 6).as("z")): _*)
+  }
+}

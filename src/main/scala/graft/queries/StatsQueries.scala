@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Inequality, Markov, RankStats, Regress, Survival}
+import graft.operators.{Benford, Hypothesis, Inequality, Markov, RankStats, Regress, Survival}
 import graft.queries.QueryUtil._
 
 /** Statistics pack: Markov transition estimation, Kaplan-Meier
@@ -106,6 +106,38 @@ object StatsQueries {
         .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("spend"))
       Inequality.hhiPerKey(spend, Seq("c_mktsegment"), col("spend"))
         .orderBy(col("c_mktsegment"))
+    },
+
+    // Chi-square independence of event type × epoch-day-of-week per
+    // user cohort. The day index is pure integer arithmetic
+    // (epoch_us div day) % 7 — NOT dayofweek(), whose week origin
+    // differs between engines. The statistic rides the 6-dp
+    // integer-quantized cell terms (order-free exact sum).
+    "q_chisq" -> { (s, dir) =>
+      val f = Tables(s, dir).events.select(
+        pmod(col("user_id"), lit(2)).as("cohort"),
+        col("event_type").as("a"),
+        expr("pmod(unix_micros(ts) DIV 86400000000, 7)").as("b"))
+      Hypothesis.chiSquareIndependence(f, Seq("cohort"), col("a"), col("b"))
+        .orderBy(col("cohort"))
+    },
+
+    // Two-proportion z-test: do high-value orders (> 200k) occur at a
+    // different rate in open vs finished orders, per priority class?
+    "q_proportions" -> { (s, dir) =>
+      Hypothesis.proportionsZTest(Tables(s, dir).orders,
+          Seq("o_orderpriority"), col("o_orderstatus"), a = "O", b = "F",
+          success = col("o_totalprice") > 200000)
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Benford first-digit audit of order totals per status — leading
+    // digit from the integer-part string (no log10 on either engine),
+    // expected shares as shared hardcoded literals.
+    "q_benford" -> { (s, dir) =>
+      Benford.firstDigitAudit(Tables(s, dir).orders,
+          Seq("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderstatus"), col("digit"))
     },
   )
 
@@ -295,5 +327,94 @@ object StatsQueries {
            CASE WHEN sxd > 0 THEN round(sxxd / (sxd * sxd), 6) END AS hhi,
            CASE WHEN sxd > 0 THEN round(mxd / sxd, 6) END AS top_share
          FROM d ORDER BY c_mktsegment""",
+    // 6-dp integer-quantized cell terms (GREATEST(e6,1) convention),
+    // exact HUGEINT sums — the identical arithmetic as
+    // Hypothesis.chiSquareIndependence.
+    "q_chisq" ->
+      """WITH f AS (SELECT user_id % 2 AS cohort, event_type AS a,
+             (epoch_us(ts) // 86400000000) % 7 AS b FROM events),
+         cells AS (SELECT cohort, a, b, COUNT(*) AS o FROM f GROUP BY 1, 2, 3),
+         rm AS (SELECT cohort, a, SUM(o) AS ra FROM cells GROUP BY 1, 2),
+         cm AS (SELECT cohort, b, SUM(o) AS cb FROM cells GROUP BY 1, 2),
+         tot AS (SELECT cohort, CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS c
+           FROM cells GROUP BY 1),
+         grid AS (SELECT rm.cohort, a, b, ra, cb
+           FROM rm JOIN cm ON rm.cohort = cm.cohort),
+         j AS (SELECT grid.cohort, COALESCE(o, 0) AS o, ra, cb, n, r, c
+           FROM grid LEFT JOIN cells USING (cohort, a, b)
+             JOIN tot ON grid.cohort = tot.cohort),
+         t AS (SELECT cohort, n, r, c,
+             GREATEST((CAST(ra AS HUGEINT) * cb * 1000000) // n, 1) AS e6,
+             CAST(o AS HUGEINT) * 1000000 AS o6
+           FROM j),
+         s AS (SELECT cohort, n, r, c,
+             SUM(((o6 - e6) * (o6 - e6)) // e6) AS chi6
+           FROM t GROUP BY 1, 2, 3, 4)
+         SELECT cohort, n, r, c, (r - 1) * (c - 1) AS dof,
+           round(CAST(chi6 AS DOUBLE) / 1000000.0, 6) AS chi2,
+           CASE WHEN least(r, c) > 1
+             THEN round(sqrt(CAST(chi6 AS DOUBLE) / 1000000.0
+               / (CAST(n AS DOUBLE) * (CAST(least(r, c) AS DOUBLE) - 1.0))), 6)
+           END AS cramers_v
+         FROM s ORDER BY cohort""",
+    "q_proportions" ->
+      """WITH f AS (SELECT o_orderpriority, o_orderstatus = 'O' AS isa,
+             o_totalprice > 200000 AS s
+           FROM orders WHERE o_orderstatus IN ('O', 'F')),
+         a AS (SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN isa AND s THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+             CAST(SUM(CASE WHEN NOT isa AND s THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+           FROM f GROUP BY 1),
+         d AS (SELECT o_orderpriority, n_a, n_b, x_a, x_b,
+             CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+             CAST(x_a AS DOUBLE) AS xad, CAST(x_b AS DOUBLE) AS xbd
+           FROM a)
+         SELECT o_orderpriority, n_a, n_b, x_a, x_b,
+           CASE WHEN n_a > 0 THEN round(xad / nad, 6) END AS p_a,
+           CASE WHEN n_b > 0 THEN round(xbd / nbd, 6) END AS p_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+               AND (xad + xbd) / (nad + nbd) > 0
+               AND (xad + xbd) / (nad + nbd) < 1
+             THEN round((xad / nad - xbd / nbd)
+               / sqrt((xad + xbd) / (nad + nbd)
+                   * (1.0 - (xad + xbd) / (nad + nbd))
+                   * (1.0 / nad + 1.0 / nbd)), 6)
+           END AS z
+         FROM d ORDER BY o_orderpriority""",
+    // Leading digit from the integer-part string; expected shares are
+    // the SAME hardcoded literals as Benford.Expected.
+    "q_benford" ->
+      """WITH f AS (SELECT o_orderstatus,
+             CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+               1, 1) AS INT) AS digit
+           FROM orders WHERE o_totalprice >= 1),
+         counted AS (SELECT o_orderstatus, digit, COUNT(*) AS n_d
+           FROM f GROUP BY 1, 2),
+         tot AS (SELECT o_orderstatus, CAST(SUM(n_d) AS BIGINT) AS n
+           FROM counted GROUP BY 1),
+         exp AS (SELECT digit, CAST(exp_share AS DOUBLE) AS exp_share
+           FROM (VALUES
+             (1, 0.3010299956639812), (2, 0.17609125905568124),
+             (3, 0.12493873660829992), (4, 0.09691001300805642),
+             (5, 0.07918124604762482), (6, 0.06694678963061322),
+             (7, 0.05799194697768673), (8, 0.05115252244738129),
+             (9, 0.04575749056067514)) AS t(digit, exp_share)),
+         g AS (SELECT o_orderstatus, n, digit, exp_share
+           FROM tot CROSS JOIN exp),
+         j AS (SELECT g.o_orderstatus, g.digit,
+             CAST(COALESCE(n_d, 0) AS BIGINT) AS n_d, n, exp_share
+           FROM g LEFT JOIN counted
+             ON g.o_orderstatus = counted.o_orderstatus
+               AND g.digit = counted.digit)
+         SELECT o_orderstatus, digit, n_d, n,
+           round(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_share,
+           exp_share,
+           round(abs(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) - exp_share), 6)
+             AS abs_dev
+         FROM j ORDER BY o_orderstatus, digit""",
   )
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hypothesis tests: chi-square pinned to a hand-worked 2×2 (including
+  * the documented 6-dp quantization), exact zero on a proportional
+  * table, empty-cell contribution (the grid scaffold), and Cramér's V;
+  * the two-proportion z pinned to a hand case and its degenerate
+  * NULLs. */
+class HypothesisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def chi(rows: Seq[(String, String, String)]) =
+    Hypothesis.chiSquareIndependence(rows.toDF("k", "a", "b"), Seq("k"),
+        col("a"), col("b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+      .toMap
+
+  private def expand(o: Seq[((String, String), Int)], k: String) =
+    o.flatMap { case ((a, b), n) => Seq.fill(n)((k, a, b)) }
+
+  test("chi-square: hand-worked 2x2 [[10,20],[30,40]] = 0.793650 quantized") {
+    // E = [[12,18],[28,42]]; float chi2 = 0.79365079...; every cell term
+    // truncates at 6 dp: 333333+222222+142857+95238 = 793650
+    val rows = expand(Seq(("x", "p") -> 10, ("x", "q") -> 20,
+      ("y", "p") -> 30, ("y", "q") -> 40), "g")
+    val (n, r, c, dof, chi2, v) = chi(rows)("g")
+    assert((n, r, c, dof) === ((100L, 2L, 2L, 1L)))
+    assert(chi2 === 0.79365)
+    assert(math.abs(chi2 - (4.0 / 12 + 4.0 / 18 + 4.0 / 28 + 4.0 / 42)) < 2e-6)
+    assert(math.abs(v.get - math.sqrt(0.79365 / 100.0)) < 1e-6)
+  }
+
+  test("chi-square: proportional table is exactly 0") {
+    val rows = expand(Seq(("x", "p") -> 10, ("x", "q") -> 20,
+      ("y", "p") -> 20, ("y", "q") -> 40), "g")
+    val (n, _, _, dof, chi2, _) = chi(rows)("g")
+    assert((n, dof, chi2) === ((90L, 1L, 0.0)))
+  }
+
+  test("chi-square: empty cells still contribute (perfect association = n)") {
+    // [[50,0],[0,50]]: the (x,q)/(y,p) cells have O=0 but E=25 — without
+    // the grid scaffold chi2 would read n/2 instead of n
+    val rows = expand(Seq(("x", "p") -> 50, ("y", "q") -> 50), "g")
+    val (n, r, c, dof, chi2, v) = chi(rows)("g")
+    assert((n, r, c, dof) === ((100L, 2L, 2L, 1L)))
+    assert(chi2 === 100.0)
+    assert(v === Some(1.0))
+  }
+
+  test("chi-square: single-category dimension has dof 0 and NULL cramers_v") {
+    val rows = expand(Seq(("x", "p") -> 5, ("x", "q") -> 7), "g")
+    val (_, r, c, dof, chi2, v) = chi(rows)("g")
+    assert((r, c, dof, chi2, v) === ((1L, 2L, 0L, 0.0, None)))
+  }
+
+  private def prop(rows: Seq[(String, String, Boolean)]) =
+    Hypothesis.proportionsZTest(rows.toDF("k", "grp", "s"), Seq("k"),
+        col("grp"), a = "A", b = "B", success = col("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+          if (r.isNullAt(7)) None else Some(r.getDouble(7))))
+      .toMap
+
+  test("two-proportion z: hand case 10/50 vs 20/50") {
+    val rows = (1 to 50).map(i => ("g", "A", i <= 10)) ++
+      (1 to 50).map(i => ("g", "B", i <= 20))
+    val (na, nb, xa, xb, pa, pb, z) = prop(rows)("g")
+    assert((na, nb, xa, xb) === ((50L, 50L, 10L, 20L)))
+    assert((pa, pb) === ((Some(0.2), Some(0.4))))
+    val zExp = (0.2 - 0.4) / math.sqrt(0.3 * 0.7 * (1.0 / 50 + 1.0 / 50))
+    assert(math.abs(z.get - zExp) < 2e-6)
+  }
+
+  test("two-proportion z: degenerate pooled proportion or empty group is NULL") {
+    val allTrue = (1 to 10).map(i => ("all", if (i <= 5) "A" else "B", true))
+    val oneSided = (1 to 10).map(i => ("onesided", "A", i <= 3))
+    val out = prop(allTrue ++ oneSided)
+    assert(out("all")._7 === None)      // pooled p = 1
+    assert(out("all")._5 === Some(1.0))
+    assert(out("onesided")._6 === None) // empty B: p_b NULL
+    assert(out("onesided")._7 === None)
+  }
+}
