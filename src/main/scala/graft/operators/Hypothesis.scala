@@ -93,6 +93,58 @@ object Hypothesis {
         .as("cramers_v")): _*)
   }
 
+  /** Per-key two-sample Kolmogorov-Smirnov statistic: the max vertical
+    * distance between the empirical CDFs of groups `a` and `b` of
+    * `groupCol` over `value`.
+    *
+    * Exactness device: D = max |F_a − F_b| evaluates as
+    * max |cum_a·n_b − cum_b·n_a| over the combined value order — an
+    * EXACT integer per row (peer-inclusive RANGE cumulative counts, so
+    * ties resolve to the same CDF step on both engines) — followed by
+    * ONE division by n_a·n_b. The scaled statistic
+    * √(n_a·n_b/(n_a+n_b))·D is one further IEEE tree. (The asymptotic
+    * p-value is deliberately absent: the Kolmogorov series needs exp(),
+    * which is not correctly-rounded across engines — callers compare
+    * ks_stat against the standard critical values.)
+    *
+    * Scale posture: one shuffle on the keys, two running-count window
+    * frames over the same sort, a map-combinable max. The products ride
+    * DECIMAL(38,0) — BIGINT would overflow at n ≳ 3M per group.
+    *
+    * @return one row per key: n_a, n_b, d (6 dp), ks_stat (6 dp); keys
+    *         with an empty side report NULL d/ks_stat
+    */
+  def ksTest(df: DataFrame, keys: Seq[String], groupCol: Column,
+             a: String, b: String, value: Column): DataFrame = {
+    require(keys.nonEmpty, "ksTest needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(groupCol.isin(a, b) && value.isNotNull)
+      .select(keys.map(col) ++ Seq(
+        (groupCol === a).as("__isa"), value.as("__v")): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__v"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base.select(keys.map(col) ++ Seq(
+      sum(when(col("__isa"), 1L).otherwise(0L)).over(w)
+        .cast("decimal(38,0)").as("__ca"),
+      sum(when(!col("__isa"), 1L).otherwise(0L)).over(w)
+        .cast("decimal(38,0)").as("__cb")): _*)
+    val totals = base.groupBy(keys.map(col): _*).agg(
+      sum(when(col("__isa"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__isa"), 1L).otherwise(0L)).as("n_b"))
+    val dmax = cum.join(totals, keys)
+      .groupBy(keys.map(col) ++ Seq(col("n_a"), col("n_b")): _*)
+      .agg(max(abs(col("__ca") * col("n_b") - col("__cb") * col("n_a")))
+        .as("__dmax"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val d = col("__dmax").cast("double") / (na * nb)
+    dmax.select(keys.map(col) ++ Seq(
+      col("n_a"), col("n_b"),
+      round(when(col("n_a") > 0 && col("n_b") > 0, d), 6).as("d"),
+      round(when(col("n_a") > 0 && col("n_b") > 0,
+        sqrt(na * nb / (na + nb)) * d), 6).as("ks_stat")): _*)
+  }
+
   /** Per-key two-proportion z-test (pooled): does P(success | group a)
     * differ from P(success | group b)? Counts are exact; p̂-hats and z
     * are each one fixed IEEE tree over them.

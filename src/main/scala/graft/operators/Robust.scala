@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust (outlier-resistant) per-key statistics — the Tukey-fence IQR
+  * family: exact interpolated quartiles, the 1.5·IQR outlier fences,
+  * the outlier census, and the winsorized (fence-clamped) mean.
+  *
+  * Arithmetic contract: `percentile(v, 0.25/0.75)` is
+  * percentile_cont-interpolated, and at quarter fractions over values
+  * that are exact at coarse binary scales every interpolation step —
+  * p·(n−1), the fractional split, lower + frac·(upper−lower) — is
+  * IEEE-exact and matches DuckDB's quantile_cont bit for bit (the
+  * q_percentile_exact device). The fences q1 − 1.5·iqr / q3 + 1.5·iqr
+  * are then exact multiples of 0.125, the clamp greatest(lo, least(hi,
+  * v)) is exact at 4 dp, and the winsorized mean is a DECIMAL-exact
+  * sum with one final division.
+  *
+  * Scale posture: two passes — a hash aggregation for the quartiles
+  * (Spark's percentile is a single-shuffle typed aggregate), then the
+  * group-count-sized quartile frame broadcasts back onto the scan for
+  * the census/winsorize aggregation. No windows, no sort of the full
+  * data, no self-join.
+  */
+object Robust {
+
+  /** @return one row per key group: n, q1, q3, iqr, lo, hi (the Tukey
+    *         fences), n_out (count beyond the fences), winsor_mean
+    *         (fence-clamped mean, 6 dp)
+    */
+  def iqrStats(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    require(keys.nonEmpty, "iqrStats needs at least one key column")
+    val base = df.filter(value.isNotNull)
+      .select(keys.map(col) :+ value.cast("double").as("__v"): _*)
+    val quartiles = base.groupBy(keys.map(col): _*).agg(
+      percentile(col("__v"), lit(0.25)).as("q1"),
+      percentile(col("__v"), lit(0.75)).as("q3"))
+    val fenced = base.join(broadcast(quartiles), keys)
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * lit(1.5d))
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * lit(1.5d))
+    fenced
+      .groupBy(keys.map(col) ++ Seq(col("q1"), col("q3"),
+        col("lo"), col("hi")): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__v") < col("lo") || col("__v") > col("hi"), 1L)
+          .otherwise(0L)).as("n_out"),
+        round(sum(greatest(col("lo"), least(col("hi"), col("__v")))
+            .cast("decimal(18,4)")).cast("double") / count(lit(1)), 6)
+          .as("winsor_mean"))
+      .select(keys.map(col) ++ Seq(col("n"), col("q1"), col("q3"),
+        (col("q3") - col("q1")).as("iqr"), col("lo"), col("hi"),
+        col("n_out"), col("winsor_mean")): _*)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Benford, Hypothesis, Inequality, Markov, RankStats, Regress, Survival}
+import graft.operators.{Benford, Hypothesis, Inequality, Markov, RankStats, Regress, Robust, Survival}
 import graft.queries.QueryUtil._
 
 /** Statistics pack: Markov transition estimation, Kaplan-Meier
@@ -138,6 +138,26 @@ object StatsQueries {
       Benford.firstDigitAudit(Tables(s, dir).orders,
           Seq("o_orderstatus"), col("o_totalprice"))
         .orderBy(col("o_orderstatus"), col("digit"))
+    },
+
+    // Kolmogorov-Smirnov two-sample statistic: price distribution of
+    // open vs finished lines per return flag. D rides exact integer
+    // cross-products max|cum_a·n_b − cum_b·n_a| — one division at the
+    // end, no float CDF accumulation.
+    "q_ks" -> { (s, dir) =>
+      Hypothesis.ksTest(Tables(s, dir).lineitem, Seq("l_returnflag"),
+          col("l_linestatus"), a = "O", b = "F",
+          value = col("l_extendedprice"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Tukey-fence robust statistics of quantity per return flag —
+    // exact interpolated quartiles (the q_percentile_exact device),
+    // 1.5·IQR fences, outlier census, winsorized DECIMAL mean.
+    "q_robust_stats" -> { (s, dir) =>
+      Robust.iqrStats(Tables(s, dir).lineitem, Seq("l_returnflag"),
+          col("l_quantity"))
+        .orderBy(col("l_returnflag"))
     },
   )
 
@@ -416,5 +436,58 @@ object StatsQueries {
            round(abs(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) - exp_share), 6)
              AS abs_dev
          FROM j ORDER BY o_orderstatus, digit""",
+    // Peer-inclusive RANGE cumulative counts, exact HUGEINT
+    // cross-products, one division — the identical arithmetic as
+    // Hypothesis.ksTest.
+    "q_ks" ->
+      """WITH f AS (SELECT l_returnflag, l_linestatus = 'O' AS isa,
+             l_extendedprice AS v
+           FROM lineitem WHERE l_linestatus IN ('O', 'F')),
+         t AS (SELECT l_returnflag,
+             CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM f GROUP BY 1),
+         r AS (SELECT l_returnflag,
+             SUM(CASE WHEN isa THEN 1 ELSE 0 END) OVER (
+               PARTITION BY l_returnflag ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) OVER (
+               PARTITION BY l_returnflag ORDER BY v
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+           FROM f),
+         m AS (SELECT r.l_returnflag, n_a, n_b,
+             MAX(ABS(CAST(ca AS HUGEINT) * n_b - CAST(cb AS HUGEINT) * n_a))
+               AS dmax
+           FROM r JOIN t USING (l_returnflag) GROUP BY 1, 2, 3),
+         d AS (SELECT l_returnflag, n_a, n_b,
+             CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+             CAST(dmax AS DOUBLE) AS dmaxd
+           FROM m)
+         SELECT l_returnflag, n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+             THEN round(dmaxd / (nad * nbd), 6) END AS d,
+           CASE WHEN n_a > 0 AND n_b > 0
+             THEN round(sqrt(nad * nbd / (nad + nbd))
+               * (dmaxd / (nad * nbd)), 6) END AS ks_stat
+         FROM d ORDER BY l_returnflag""",
+    // quantile_cont ≡ percentile bit-for-bit at quarter fractions over
+    // integer-valued quantities; fences and clamp replay the identical
+    // trees as Robust.iqrStats.
+    "q_robust_stats" ->
+      """WITH q AS (SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.25) AS q1,
+             quantile_cont(l_quantity, 0.75) AS q3
+           FROM lineitem GROUP BY 1),
+         j AS (SELECT l.l_returnflag, l_quantity AS v, q1, q3,
+             q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+           FROM lineitem l JOIN q USING (l_returnflag))
+         SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, q1, q3,
+           q3 - q1 AS iqr, lo, hi,
+           CAST(SUM(CASE WHEN v < lo OR v > hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out,
+           round(CAST(SUM(CAST(GREATEST(lo, LEAST(hi, v)) AS DECIMAL(18,4)))
+             AS DOUBLE) / COUNT(*), 6) AS winsor_mean
+         FROM j GROUP BY l_returnflag, q1, q3, lo, hi
+         ORDER BY l_returnflag""",
   )
 }

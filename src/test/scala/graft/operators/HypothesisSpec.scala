@@ -78,6 +78,54 @@ class HypothesisSpec extends SparkSpec {
     assert(math.abs(z.get - zExp) < 2e-6)
   }
 
+  private def ks(rows: Seq[(String, String, Double)]) =
+    Hypothesis.ksTest(rows.toDF("k", "grp", "v"), Seq("k"),
+        col("grp"), a = "A", b = "B", value = col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+
+  test("ks: identical samples give D = 0; full separation gives D = 1") {
+    val same = Seq(1.0, 2.0, 5.0).flatMap(v => Seq(("same", "A", v), ("same", "B", v)))
+    val sep = Seq(("sep", "A", 1.0), ("sep", "A", 2.0),
+      ("sep", "B", 3.0), ("sep", "B", 4.0))
+    val out = ks(same ++ sep)
+    assert(out("same") === ((3L, 3L, Some(0.0), Some(0.0))))
+    assert(out("sep")._3 === Some(1.0))
+    assert(out("sep")._4 === Some(1.0)) // sqrt(4/4) * 1
+  }
+
+  test("ks: interleaved hand case and cross-group ties") {
+    // A={1,3}, B={2,4}: D = 0.5. A={1,2}, B={2,3}: the tie at 2 is one
+    // CDF step on both sides (peer-inclusive), D = 0.5.
+    val out = ks(Seq(("i", "A", 1.0), ("i", "A", 3.0),
+      ("i", "B", 2.0), ("i", "B", 4.0),
+      ("t", "A", 1.0), ("t", "A", 2.0),
+      ("t", "B", 2.0), ("t", "B", 3.0)))
+    assert(out("i")._3 === Some(0.5))
+    assert(out("t")._3 === Some(0.5))
+  }
+
+  test("ks: matches the scalar ECDF model under ties; empty side is NULL") {
+    val rows = (1 to 200).map { i =>
+      val grp = if (i * 16807 % 3 == 0) "A" else "B"
+      ("g", grp, (i * 48271 % 11).toDouble)
+    }
+    val as = rows.filter(_._2 == "A").map(_._3)
+    val bs = rows.filter(_._2 == "B").map(_._3)
+    val dExp = rows.map(_._3).distinct.map { v =>
+      math.abs(as.count(_ <= v).toDouble / as.size -
+        bs.count(_ <= v).toDouble / bs.size)
+    }.max
+    val out = ks(rows ++ Seq(("empty", "A", 1.0)))
+    assert(math.abs(out("g")._3.get - dExp) < 2e-6)
+    val ksExp = math.sqrt(as.size.toDouble * bs.size / (as.size + bs.size)) * dExp
+    assert(math.abs(out("g")._4.get - ksExp) < 2e-6)
+    assert(out("empty") === ((1L, 0L, None, None)))
+  }
+
   test("two-proportion z: degenerate pooled proportion or empty group is NULL") {
     val allTrue = (1 to 10).map(i => ("all", if (i <= 5) "A" else "B", true))
     val oneSided = (1 to 10).map(i => ("onesided", "A", i <= 3))
