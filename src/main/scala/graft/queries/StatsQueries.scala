@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Benford, Hypothesis, Inequality, Markov, RankStats, Regress, Robust, Survival}
+import graft.operators.{Benford, Hypothesis, Inequality, Isotonic, Markov, Moments, RankStats, Regress, Robust, Survival}
 import graft.queries.QueryUtil._
 
 /** Statistics pack: Markov transition estimation, Kaplan-Meier
@@ -158,6 +158,28 @@ object StatsQueries {
       Robust.iqrStats(Tables(s, dir).lineitem, Seq("l_returnflag"),
           col("l_quantity"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Skewness / kurtosis / Jarque-Bera from exact DECIMAL power sums
+    // (quantity ≤ 50, well inside the DECIMAL(8,4) input contract).
+    "q_moments" -> { (s, dir) =>
+      Moments.skewKurt(Tables(s, dir).lineitem, Seq("l_returnflag"),
+          col("l_quantity"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Isotonic regression (PAVA) of 4-hour slot totals per event type.
+    // The engine pools adjacent violators with exact-rational merge
+    // decisions; the oracle evaluates the INDEPENDENT max-min
+    // characterization fitted[i] = max_{j≤i} min_{k≥i} mean(y[j..k])
+    // from DECIMAL prefix sums — agreement proves the pooling.
+    "q_isotonic" -> { (s, dir) =>
+      val obs = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) DIV 14400").as("slot"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("y"))
+      Isotonic.fit(obs, Seq("event_type"), col("slot"), col("y"))
+        .orderBy(col("event_type"), col("o"))
     },
   )
 
@@ -489,5 +511,69 @@ object StatsQueries {
              AS DOUBLE) / COUNT(*), 6) AS winsor_mean
          FROM j GROUP BY l_returnflag, q1, q3, lo, hi
          ORDER BY l_returnflag""",
+    // Exact DECIMAL power sums then the identical central-moment IEEE
+    // trees as Moments.skewKurt.
+    "q_moments" ->
+      """WITH p AS (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(8,4)) AS x,
+             CAST(CAST(l_quantity AS DECIMAL(8,4))
+               * CAST(l_quantity AS DECIMAL(8,4)) AS DECIMAL(20,8)) AS x2
+           FROM lineitem),
+         p2 AS (SELECT l_returnflag, x, x2,
+             CAST(x2 * x AS DECIMAL(28,12)) AS x3 FROM p),
+         p3 AS (SELECT l_returnflag, x, x2, x3, x3 * x AS x4 FROM p2),
+         a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS s1, SUM(x2) AS s2, SUM(x3) AS s3, SUM(x4) AS s4
+           FROM p3 GROUP BY 1),
+         d AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+           FROM a),
+         m AS (SELECT l_returnflag, n, nd, m1,
+             r2 - m1 * m1 AS m2,
+             r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+             r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+               - 3.0 * m1 * m1 * m1 * m1 AS m4
+           FROM d)
+         SELECT l_returnflag, n, round(m1, 6) AS mean,
+           round(m2, 6) AS variance,
+           CASE WHEN m2 > 0 THEN round(m3 / (m2 * sqrt(m2)), 6)
+           END AS skewness,
+           CASE WHEN m2 > 0 THEN round(m4 / (m2 * m2), 6) END AS kurtosis,
+           CASE WHEN m2 > 0 THEN round(nd / 6.0
+             * ((m3 / (m2 * sqrt(m2))) * (m3 / (m2 * sqrt(m2)))
+               + 0.25 * (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)), 6)
+           END AS jb
+         FROM m ORDER BY l_returnflag""",
+    // The max-min characterization evaluated directly from DECIMAL
+    // prefix sums — an independent derivation of the PAVA fit (see
+    // Isotonic scaladoc; double rounding is monotone over the finite
+    // candidate set, so max/min commute with the double cast).
+    "q_isotonic" ->
+      """WITH obs AS (SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 14400 AS o,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS y
+           FROM events GROUP BY 1, 2),
+         idx AS (SELECT event_type, o, y, row_number() OVER (
+             PARTITION BY event_type ORDER BY o) AS i FROM obs),
+         ps AS (SELECT event_type, o, y, i, SUM(y) OVER (
+             PARTITION BY event_type ORDER BY i) AS s FROM idx),
+         pairs AS (SELECT a.event_type, a.i AS j, b.i AS k,
+             CAST(b.s - a.s + a.y AS DOUBLE)
+               / CAST(b.i - a.i + 1 AS DOUBLE) AS m
+           FROM ps a JOIN ps b
+             ON a.event_type = b.event_type AND b.i >= a.i),
+         minm AS (SELECT p.event_type, i.i, p.j, MIN(p.m) AS mn
+           FROM pairs p JOIN idx i
+             ON p.event_type = i.event_type AND p.j <= i.i AND p.k >= i.i
+           GROUP BY 1, 2, 3),
+         fit AS (SELECT event_type, i, MAX(mn) AS fitted
+           FROM minm GROUP BY 1, 2)
+         SELECT idx.event_type, idx.o, CAST(idx.y AS DOUBLE) AS y,
+           round(fit.fitted, 6) AS fitted
+         FROM idx JOIN fit
+           ON idx.event_type = fit.event_type AND idx.i = fit.i
+         ORDER BY idx.event_type, idx.o""",
   )
 }
