@@ -145,6 +145,53 @@ object Hypothesis {
         sqrt(na * nb / (na + nb)) * d), 6).as("ks_stat")): _*)
   }
 
+  /** Per-key Welch's t-test (unequal variances): does the mean of
+    * `value` differ between groups `a` and `b`?
+    *
+    * Sufficient statistics (n, Σx, Σx² per side) are exact
+    * DECIMAL(18,4)-routed sums in one hash aggregation; t and the
+    * Welch-Satterthwaite degrees of freedom are each ONE fixed IEEE
+    * tree over them (sample variances, n−1 denominators). Groups with
+    * n < 2 on either side, or zero pooled standard error, report NULL.
+    *
+    * @return one row per key: n_a, n_b, mean_a, mean_b, t, df
+    *         (Welch-Satterthwaite, fractional), all stats 6 dp
+    */
+  def welchT(df: DataFrame, keys: Seq[String], groupCol: Column,
+             a: String, b: String, value: Column): DataFrame = {
+    require(keys.nonEmpty, "welchT needs at least one key column")
+    val x = value.cast("decimal(18,4)")
+    val base = df.filter(groupCol.isin(a, b) && value.isNotNull)
+      .select(keys.map(col) ++ Seq((groupCol === a).as("__isa"),
+        x.as("__x")): _*)
+    def side(isA: Boolean, suffix: String) = Seq(
+      sum(when(col("__isa") === isA, 1L).otherwise(0L)).as(s"n_$suffix"),
+      sum(when(col("__isa") === isA, col("__x"))).as(s"__s_$suffix"),
+      sum(when(col("__isa") === isA, col("__x") * col("__x")))
+        .as(s"__q_$suffix"))
+    val aggs = side(isA = true, "a") ++ side(isA = false, "b")
+    val agg = base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val sa = col("__s_a").cast("double"); val sb = col("__s_b").cast("double")
+    val qa = col("__q_a").cast("double"); val qb = col("__q_b").cast("double")
+    val ma = sa / na; val mb = sb / nb
+    // sample variance: (Σx² − (Σx)²/n) / (n−1)
+    val va = (qa - sa * sa / na) / (na - lit(1.0d))
+    val vb = (qb - sb * sb / nb) / (nb - lit(1.0d))
+    val sea = va / na; val seb = vb / nb
+    val se2 = sea + seb
+    val ok = col("n_a") > 1 && col("n_b") > 1 && se2 > 0
+    val t = (ma - mb) / sqrt(se2)
+    val dfW = se2 * se2 /
+      (sea * sea / (na - lit(1.0d)) + seb * seb / (nb - lit(1.0d)))
+    agg.select(keys.map(col) ++ Seq(
+      col("n_a"), col("n_b"),
+      round(when(col("n_a") > 0, ma), 6).as("mean_a"),
+      round(when(col("n_b") > 0, mb), 6).as("mean_b"),
+      round(when(ok, t), 6).as("t"),
+      round(when(ok, dfW), 6).as("df")): _*)
+  }
+
   /** Per-key two-proportion z-test (pooled): does P(success | group a)
     * differ from P(success | group b)? Counts are exact; p̂-hats and z
     * are each one fixed IEEE tree over them.

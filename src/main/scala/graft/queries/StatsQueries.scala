@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Benford, Hypothesis, Inequality, Isotonic, Markov, Moments, RankStats, Regress, Robust, Survival}
+import graft.operators.{Benford, Hypothesis, Inequality, Isotonic, Markov, Moments, RankStats, Regress, Robust, Survival, TheilSen}
 import graft.queries.QueryUtil._
 
 /** Statistics pack: Markov transition estimation, Kaplan-Meier
@@ -180,6 +180,27 @@ object StatsQueries {
         .agg(sum(col("value").cast("decimal(18,4)")).as("y"))
       Isotonic.fit(obs, Seq("event_type"), col("slot"), col("y"))
         .orderBy(col("event_type"), col("o"))
+    },
+
+    // Welch's unequal-variance t-test on the same O-vs-F split as
+    // q_ks/q_mannwhitney — the parametric member of the family.
+    "q_welch" -> { (s, dir) =>
+      Hypothesis.welchT(Tables(s, dir).lineitem, Seq("l_returnflag"),
+          col("l_linestatus"), a = "O", b = "F",
+          value = col("l_extendedprice"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Theil-Sen robust trend of the 4-hour slot totals per event type
+    // (the same grid as q_isotonic) — lower-median rank selection over
+    // all pairwise slopes, never an interpolated midpoint.
+    "q_theilsen" -> { (s, dir) =>
+      val obs = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) DIV 14400").as("slot"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("y"))
+      TheilSen.fit(obs, Seq("event_type"), col("slot"), col("y"))
+        .orderBy(col("event_type"))
     },
   )
 
@@ -575,5 +596,68 @@ object StatsQueries {
          FROM idx JOIN fit
            ON idx.event_type = fit.event_type AND idx.i = fit.i
          ORDER BY idx.event_type, idx.o""",
+    // The identical Welch trees over exact DECIMAL sums.
+    "q_welch" ->
+      """WITH f AS (SELECT l_returnflag, l_linestatus = 'O' AS isa,
+             CAST(l_extendedprice AS DECIMAL(18,4)) AS x
+           FROM lineitem WHERE l_linestatus IN ('O', 'F')),
+         a AS (SELECT l_returnflag,
+             CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             SUM(CASE WHEN isa THEN x END) AS sa,
+             SUM(CASE WHEN NOT isa THEN x END) AS sb,
+             SUM(CASE WHEN isa THEN CAST(x AS DECIMAL(19,4))
+               * CAST(x AS DECIMAL(19,4)) END) AS qa,
+             SUM(CASE WHEN NOT isa THEN CAST(x AS DECIMAL(19,4))
+               * CAST(x AS DECIMAL(19,4)) END) AS qb
+           FROM f GROUP BY 1),
+         d AS (SELECT l_returnflag, n_a, n_b,
+             CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+             CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+             CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd
+           FROM a),
+         m AS (SELECT l_returnflag, n_a, n_b, nad, nbd,
+             sad / nad AS ma, sbd / nbd AS mb,
+             (qad - sad * sad / nad) / (nad - 1.0) / nad AS sea,
+             (qbd - sbd * sbd / nbd) / (nbd - 1.0) / nbd AS seb
+           FROM d)
+         SELECT l_returnflag, n_a, n_b,
+           CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+           CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+           CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0
+             THEN round((ma - mb) / sqrt(sea + seb), 6) END AS t,
+           CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0
+             THEN round((sea + seb) * (sea + seb)
+               / (sea * sea / (nad - 1.0) + seb * seb / (nbd - 1.0)), 6)
+           END AS df
+         FROM m ORDER BY l_returnflag""",
+    // Lower-median rank selection over all pairwise slopes — the
+    // identical construction as TheilSen.fit.
+    "q_theilsen" ->
+      """WITH obs AS (SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 14400 AS o,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS y
+           FROM events GROUP BY 1, 2),
+         pairs AS (SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.o - a.o AS DOUBLE) AS slope
+           FROM obs a JOIN obs b
+             ON a.event_type = b.event_type AND b.o > a.o),
+         sl AS (SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rnk,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+           FROM pairs),
+         s AS (SELECT event_type, m AS n_pairs, slope
+           FROM sl WHERE rnk = (m + 1) // 2),
+         res AS (SELECT o2.event_type, s.slope, s.n_pairs,
+             CAST(o2.y AS DOUBLE) - s.slope * CAST(o2.o AS DOUBLE) AS r
+           FROM obs o2 JOIN s ON o2.event_type = s.event_type),
+         rr AS (SELECT event_type, slope, n_pairs, r,
+             row_number() OVER (PARTITION BY event_type ORDER BY r) AS rnk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM res)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           round(slope, 6) AS slope, round(r, 6) AS intercept
+         FROM rr WHERE rnk = (n + 1) // 2 ORDER BY event_type""",
   )
 }

@@ -126,6 +126,36 @@ class HypothesisSpec extends SparkSpec {
     assert(out("empty") === ((1L, 0L, None, None)))
   }
 
+  private def welch(rows: Seq[(String, String, Double)]) =
+    Hypothesis.welchT(rows.toDF("k", "grp", "v"), Seq("k"),
+        col("grp"), a = "A", b = "B", value = col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+      .toMap
+
+  test("welch: hand case A={1,2,3} B={7,9} — t=-5.196152, df=32/19") {
+    val rows = Seq(("k", "A", 1.0), ("k", "A", 2.0), ("k", "A", 3.0),
+      ("k", "B", 7.0), ("k", "B", 9.0))
+    val (na, nb, ma, mb, t, dfW) = welch(rows)("k")
+    assert((na, nb, ma, mb) === ((3L, 2L, Some(2.0), Some(8.0))))
+    assert(math.abs(t.get - -6.0 / math.sqrt(4.0 / 3.0)) < 2e-6)
+    assert(math.abs(dfW.get - 32.0 / 19.0) < 2e-6)
+  }
+
+  test("welch: identical groups give t = 0; singleton side is NULL") {
+    val rows = Seq(("eq", "A", 1.0), ("eq", "A", 5.0),
+      ("eq", "B", 1.0), ("eq", "B", 5.0),
+      ("solo", "A", 2.0), ("solo", "B", 3.0), ("solo", "B", 4.0))
+    val out = welch(rows)
+    assert(out("eq")._5 === Some(0.0))
+    assert(out("solo")._5 === None)
+    assert(out("solo")._6 === None)
+  }
+
   test("two-proportion z: degenerate pooled proportion or empty group is NULL") {
     val allTrue = (1 to 10).map(i => ("all", if (i <= 5) "A" else "B", true))
     val oneSided = (1 to 10).map(i => ("onesided", "A", i <= 3))
