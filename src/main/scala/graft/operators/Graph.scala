@@ -313,4 +313,58 @@ object Graph {
       .select(col("node"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** k-core extraction — the maximal subgraph in which every node has
+    * degree ≥ k (Seidman, "Network structure and minimum degree",
+    * 1983): iterative peeling of sub-k nodes to the fix point. The
+    * standard dense-community / spam-farm screen over link graphs.
+    *
+    * Determinism: peeling is order-free — the fix point is unique
+    * regardless of removal order (the k-core is the union of all
+    * subgraphs with min-degree ≥ k), and degrees are exact integer
+    * counts, so the surviving node set replays on any engine. The
+    * DuckDB oracle does not iterate: it UNROLLS a fixed number of
+    * peels — at the fix point further peels are no-ops, so any unroll
+    * count ≥ the convergence depth yields the identical set (Verify
+    * fails loudly if the fixture ever needs more).
+    *
+    * Scale posture: per peel, one hash aggregation for degrees and two
+    * semi-joins of the edge list against the surviving-node set
+    * (node-set frames are |V|-sized; the edge list never widens);
+    * lineage flattens per peel via localCheckpoint; the loop
+    * short-circuits when an iteration removes nothing.
+    *
+    * @param edges undirected edge list (a: long, b: long); self-loops
+    *              dropped, duplicate/reversed rows collapse
+    * @return (node, degree) — nodes of the k-core with their
+    *         within-core degree; an empty core is an empty frame
+    */
+  def kCore(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e0 = edges
+      .select(least(col("a"), col("b")).cast("long").as("a"),
+        greatest(col("a"), col("b")).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    var sym = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var nEdges = sym.count()
+    var converged = nEdges == 0L
+    while (!converged) {
+      val alive = sym.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+        .filter(col("__d") >= k)
+        .select(col("src").as("__node"))
+        .localCheckpoint()
+      val pruned = sym
+        .join(alive, col("src") === col("__node"), "left_semi")
+        .join(alive, col("dst") === col("__node"), "left_semi")
+        .localCheckpoint()
+      val n2 = pruned.count()
+      converged = n2 == nEdges
+      nEdges = n2
+      sym = pruned
+    }
+    sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+  }
 }

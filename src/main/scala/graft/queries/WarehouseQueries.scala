@@ -252,6 +252,22 @@ object WarehouseQueries {
       Graph.bfsHops(edges, seeds, maxHops = 3)
         .orderBy(col("node"))
     },
+
+    // 35-core of the same bipartite graph: iterative sub-35-degree
+    // peeling to the fix point (the dense-community screen). The
+    // engine loops until no node peels; the oracle UNROLLS 6
+    // materialized peels — at the fix point extra peels are no-ops,
+    // so agreement proves both the peeling and the convergence.
+    "q_kcore" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val edges = t.lineitem
+        .join(broadcast(t.orders.select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+      Graph.kCore(edges, k = 35)
+        .orderBy(col("node"))
+    },
   )
 
   // ---- oracle SQL ---------------------------------------------------
@@ -487,5 +503,26 @@ object WarehouseQueries {
                WHERE r.hops < 3)
          SELECT node, CAST(min(hops) AS BIGINT) AS hops
          FROM r GROUP BY node ORDER BY node""",
+    // Six MATERIALIZED unrolled peels (plain CTEs re-inline — each
+    // level is referenced twice, so an un-materialized chain
+    // re-evaluates exponentially); the fixture converges after 1.
+    "q_kcore" -> {
+      val base = """WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT least(o_custkey * 2, l_suppkey * 2 + 1) AS a,
+             greatest(o_custkey * 2, l_suppkey * 2 + 1) AS b
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         s0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+           UNION ALL SELECT b, a FROM e0)"""
+      val peels = (0 until 6).map { i =>
+        s""",
+         a$i AS MATERIALIZED (SELECT src AS node FROM s$i
+           GROUP BY src HAVING COUNT(*) >= 35),
+         s${i + 1} AS MATERIALIZED (SELECT s.src, s.dst FROM s$i s
+           JOIN a$i x ON s.src = x.node JOIN a$i y ON s.dst = y.node)"""
+      }.mkString
+      base + peels + """
+         SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+         FROM s6 GROUP BY 1 ORDER BY 1"""
+    },
   )
 }

@@ -285,4 +285,49 @@ class GraphSpec extends SparkSpec {
     }
     assert(got == dist)
   }
+
+  private def runKCore(edges: Seq[(Long, Long)], k: Int) = {
+    import spark.implicits._
+    Graph.kCore(edges.toDF("a", "b"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("kCore: a path graph's 2-core is empty via a full cascade") {
+    // P5: endpoints peel, exposing new endpoints — 1 node peels per
+    // side per iteration, the deepest possible cascade
+    val path = (1L to 4L).map(i => (i, i + 1))
+    assert(runKCore(path, 2) === Map.empty)
+  }
+
+  test("kCore: a cycle with pendant chains keeps exactly the cycle") {
+    // triangle {1,2,3} + chains 3-4-5 and 1-6: chains cascade away,
+    // the triangle is the 2-core with degree 2 each
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (1L, 6L))
+    assert(runKCore(edges, 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore matches scalar peeling on a seeded G(n,p); dup/self edges collapse") {
+    val rnd = new scala.util.Random(41)
+    val n = 30
+    val edges = (for {
+      a <- 1L to n.toLong; b <- a to n.toLong
+      if rnd.nextDouble() < 0.18
+    } yield (a, b)) ++ Seq((5L, 3L), (3L, 5L), (7L, 7L)) // dup both ways + loop
+    val k = 4
+    // scalar peel to fixpoint over the simple graph
+    var simple = edges.filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    var changed = true
+    while (changed) {
+      val deg = (simple ++ simple.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.size).toMap
+      val alive = deg.filter(_._2 >= k).keySet
+      val pruned = simple.filter(e => alive(e._1) && alive(e._2))
+      changed = pruned.size != simple.size
+      simple = pruned
+    }
+    val expected = (simple ++ simple.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.size.toLong).toMap
+    assert(runKCore(edges, k) === expected)
+  }
 }
