@@ -101,6 +101,62 @@ object Regress {
     * feed values already exact at 4 dp (sums of 4-dp data, integers)
     * when bit parity matters.
     */
+  /** Per-key cross-correlation function (CCF): Pearson r between
+    * series `x` at time t and series `y` at time t+l, for each
+    * requested lag l (negative l = y LEADS x). The lead-lag diagnostic
+    * — "does ad activity precede purchases, and by how many slots?"
+    *
+    * Same machinery and arithmetic contract as [[autocorr]]: every
+    * shifted column rides ONE window pass (lead for l ≥ 0, lag for
+    * l < 0 — spelled with the same two functions in the oracle), an
+    * inline explode stacks the (lag, x, y) pairs, and one hash
+    * aggregation reduces DECIMAL-exact sufficient statistics into a
+    * fixed IEEE tree per lag. NULL on zero variance.
+    *
+    * @param order per-key ordering column — must be UNIQUE per key
+    * @return one row per (key…, lag): n pairs, r (6 dp)
+    */
+  def crosscorr(df: DataFrame, keys: Seq[String], order: String,
+                x: String, y: String, lags: Seq[Int]): DataFrame = {
+    require(keys.nonEmpty, "crosscorr needs at least one key column")
+    require(lags.nonEmpty, "crosscorr needs at least one lag")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(order))
+    val xd = col(x).cast("double")
+    val yd = col(y).cast("double")
+    val withShift = df.select(keys.map(col) ++ (xd.as("__x") +:
+      lags.map { l =>
+        val shifted = if (l >= 0) lead(yd, l).over(w) else lag(yd, -l).over(w)
+        shifted.as(s"__y$l")
+      }): _*)
+    val stacked = withShift
+      .select(keys.map(col) :+ explode(array(lags.map { l =>
+        struct(lit(l).as("lag"), col("__x").as("x"), col(s"__y$l").as("y"))
+      }: _*)).as("pair"): _*)
+      .select(keys.map(col) ++ Seq(col("pair.lag").as("lag"),
+        col("pair.x").as("x"), col("pair.y").as("y")): _*)
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val xc = col("x").cast("decimal(18,4)")
+    val yc = col("y").cast("decimal(18,4)")
+    val agg = stacked.groupBy(keys.map(col) :+ col("lag"): _*).agg(
+      count(lit(1)).as("n"),
+      sum(xc).as("__sx"), sum(yc).as("__sy"),
+      sum(xc * yc).as("__sxy"),
+      sum(xc * xc).as("__sxx"), sum(yc * yc).as("__syy"))
+    val n = col("n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val syy = col("__syy").cast("double")
+    val varXN = n * sxx - sx * sx
+    val varYN = n * syy - sy * sy
+    agg.select(keys.map(col) ++ Seq(
+      col("lag"), col("n"),
+      round(when(varXN > 0 && varYN > 0,
+        (n * sxy - sx * sy) / sqrt(varXN * varYN)), 6).as("r")): _*)
+  }
+
   def autocorr(df: DataFrame, keys: Seq[String], order: String,
                value: String, lags: Seq[Int]): DataFrame = {
     require(keys.nonEmpty, "autocorr needs at least one key column")

@@ -228,4 +228,68 @@ object TimeSeries {
             ((t - pt).cast("double") / (nt - pt).cast("double"))))
       .drop("__pv", "__pt", "__nv", "__nt")
   }
+
+  /** Classical additive seasonal decomposition (the decompose() of
+    * Kendall & Stuart / the pre-loess half of STL): y = trend +
+    * seasonal + residual for an EVEN period m.
+    *
+    *  - trend: the standard centered 2×m moving average, carried as the
+    *    DOUBLED exact sum D_t = y_{t−h} + 2·Σ_{|i|<h} y_{t+i} + y_{t+h}
+    *    (h = m/2) = full-window sum + inner-window sum — two ROWS-frame
+    *    window sums over EXACT decimals; trend = D/(2m), one division.
+    *  - seasonal: the per-phase (slot mod m) mean of the detrended
+    *    series, DEFINED over exact sums — (Σ_p y − Σ_p D/(2m))/n_p —
+    *    then centered by the all-rows mean from the same device, so no
+    *    order-dependent float accumulation ever happens.
+    *  - residual: y − trend − seasonal per row (fixed tree).
+    *
+    * Contract: the per-key slot grid must be GAPLESS and unique (ROWS
+    * frames align neighbors positionally — feed `gapFillLinear` output
+    * or a dense aggregation grid); rows whose centered window is
+    * incomplete (the first/last h) carry no trend and are dropped.
+    *
+    * @return (key, o, y, trend, seasonal, resid) for trend-defined
+    *         rows; y exact-decimal-cast to double, components 6 dp
+    */
+  def decomposeAdditive(obs: DataFrame, key: String, slot: String,
+                        value: String, period: Int): DataFrame = {
+    require(period >= 2 && period % 2 == 0,
+      s"period must be even and >= 2, got $period")
+    val h = period / 2
+    val base = obs.select(col(key), col(slot).cast("long").as("o"),
+      col(value).cast("decimal(18,4)").as("__y"))
+    val w = Window.partitionBy(col(key)).orderBy(col("o"))
+    val wFull = w.rowsBetween(-h, h)
+    val wInner = w.rowsBetween(-h + 1, h - 1)
+    val t = base
+      .withColumn("__s1", sum(col("__y")).over(wFull))
+      .withColumn("__s0", sum(col("__y")).over(wInner))
+      .withColumn("__cnt", count(lit(1)).over(wFull))
+      .filter(col("__cnt") === period + 1)
+      .withColumn("__d", col("__s1") + col("__s0"))
+      .withColumn("__p", pmod(col("o"), lit(period)))
+      .localCheckpoint() // feeds phase sums, the global sum, and the rows
+    val m2 = lit((2 * period).toDouble)
+    val phases = t.groupBy(col(key), col("__p")).agg(
+      count(lit(1)).as("__np"),
+      sum(col("__y")).as("__spy"), sum(col("__d")).as("__spd"))
+    val glob = t.groupBy(col(key)).agg(
+      count(lit(1)).as("__ng"),
+      sum(col("__y")).as("__sgy"), sum(col("__d")).as("__sgd"))
+    val sRaw = (col("__spy").cast("double")
+      - col("__spd").cast("double") / m2) / col("__np").cast("double")
+    val g = (col("__sgy").cast("double")
+      - col("__sgd").cast("double") / m2) / col("__ng").cast("double")
+    val withSeasonal = t
+      .join(broadcast(phases), Seq(key, "__p"))
+      .join(broadcast(glob), Seq(key))
+      .withColumn("__trend", col("__d").cast("double") / m2)
+      .withColumn("__seasonal", sRaw - g)
+    withSeasonal.select(
+      col(key), col("o"), col("__y").cast("double").as("y"),
+      round(col("__trend"), 6).as("trend"),
+      round(col("__seasonal"), 6).as("seasonal"),
+      round(col("__y").cast("double") - col("__trend") - col("__seasonal"), 6)
+        .as("resid"))
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Benford, Hypothesis, Inequality, Isotonic, Markov, Moments, RankStats, Regress, Robust, Survival, TheilSen}
+import graft.operators.{Benford, Hypothesis, Inequality, Isotonic, Markov, Moments, RankStats, Regress, Robust, Survival, TheilSen, TimeSeries}
 import graft.queries.QueryUtil._
 
 /** Statistics pack: Markov transition estimation, Kaplan-Meier
@@ -201,6 +201,39 @@ object StatsQueries {
         .agg(sum(col("value").cast("decimal(18,4)")).as("y"))
       TheilSen.fit(obs, Seq("event_type"), col("slot"), col("y"))
         .orderBy(col("event_type"))
+    },
+
+    // Cross-correlation: does click volume lead purchase volume, per
+    // user cohort? CCF at lags −2..2 over the 4-hour slot grid —
+    // negative lags = purchases leading (same DECIMAL-sums device as
+    // q_autocorr, lead/lag spelled identically in the oracle).
+    "q_ccf" -> { (s, dir) =>
+      val obs = Tables(s, dir).events
+        .groupBy(pmod(col("user_id"), lit(2)).as("cohort"),
+          expr("unix_timestamp(ts) DIV 14400").as("slot"))
+        .agg(
+          sum(when(col("event_type") === "click", col("value"))
+            .otherwise(lit(0)).cast("decimal(18,4)")).cast("double").as("x"),
+          sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0)).cast("decimal(18,4)")).cast("double").as("y"))
+      Regress.crosscorr(obs, Seq("cohort"), "slot", "x", "y",
+          Seq(-2, -1, 0, 1, 2))
+        .withColumn("lag", col("lag").cast("long"))
+        .orderBy(col("cohort"), col("lag"))
+    },
+
+    // Classical additive seasonal decomposition of the 4-hour slot
+    // totals per event type, period 6 (= 24 h): centered 2×6 MA trend
+    // from exact doubled window sums, per-phase seasonal means DEFINED
+    // over exact sums (no float accumulation), residual per row.
+    "q_decompose" -> { (s, dir) =>
+      val obs = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) DIV 14400").as("slot"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("y"))
+      TimeSeries.decomposeAdditive(obs, "event_type", "slot", "y",
+          period = 6)
+        .orderBy(col("event_type"), col("o"))
     },
   )
 
@@ -659,5 +692,82 @@ object StatsQueries {
            CAST(n_pairs AS BIGINT) AS n_pairs,
            round(slope, 6) AS slope, round(r, 6) AS intercept
          FROM rr WHERE rnk = (n + 1) // 2 ORDER BY event_type""",
+    // lead/lag shifts + the identical DECIMAL-sums Pearson device as
+    // Regress.crosscorr.
+    "q_ccf" ->
+      """WITH obs AS (SELECT user_id % 2 AS cohort,
+             CAST(floor(epoch(ts)) AS BIGINT) // 14400 AS slot,
+             CAST(SUM(CASE WHEN event_type = 'click'
+               THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(18,4)) ELSE 0 END) AS DOUBLE) AS y
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT cohort, -2 AS lag, x, lag(y, 2) OVER (
+             PARTITION BY cohort ORDER BY slot) AS y FROM obs
+           UNION ALL
+           SELECT cohort, -1, x, lag(y, 1) OVER (
+             PARTITION BY cohort ORDER BY slot) FROM obs
+           UNION ALL
+           SELECT cohort, 0, x, lead(y, 0) OVER (
+             PARTITION BY cohort ORDER BY slot) FROM obs
+           UNION ALL
+           SELECT cohort, 1, x, lead(y, 1) OVER (
+             PARTITION BY cohort ORDER BY slot) FROM obs
+           UNION ALL
+           SELECT cohort, 2, x, lead(y, 2) OVER (
+             PARTITION BY cohort ORDER BY slot) FROM obs),
+         a AS (SELECT cohort, lag, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS DECIMAL(18,4))) AS sx,
+             SUM(CAST(y AS DECIMAL(18,4))) AS sy,
+             SUM(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))) AS sxy,
+             SUM(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4))) AS sxx,
+             SUM(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))) AS syy
+           FROM l WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY 1, 2),
+         d AS (SELECT cohort, lag, n, CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(syy AS DOUBLE) AS syyd
+           FROM a)
+         SELECT cohort, CAST(lag AS BIGINT) AS lag, n,
+           CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * syyd - syd * syd > 0
+             THEN round((nd * sxyd - sxd * syd)
+               / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+           END AS r
+         FROM d ORDER BY cohort, lag""",
+    // Centered 2×m MA from exact window sums; per-phase seasonal means
+    // over exact sums — the identical trees as
+    // TimeSeries.decomposeAdditive.
+    "q_decompose" ->
+      """WITH obs AS (SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 14400 AS o,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS y
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT event_type, o, y,
+             SUM(y) OVER (PARTITION BY event_type ORDER BY o
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s1,
+             SUM(y) OVER (PARTITION BY event_type ORDER BY o
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS s0,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY o
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt
+           FROM obs),
+         tf AS (SELECT event_type, o, y, s1 + s0 AS d, o % 6 AS p
+           FROM t WHERE cnt = 7),
+         ph AS (SELECT event_type, p, CAST(COUNT(*) AS BIGINT) AS np,
+             SUM(y) AS spy, SUM(d) AS spd FROM tf GROUP BY 1, 2),
+         gl AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+             SUM(y) AS sgy, SUM(d) AS sgd FROM tf GROUP BY 1),
+         j AS (SELECT tf.event_type, tf.o, tf.y,
+             CAST(tf.d AS DOUBLE) / 12.0 AS trend,
+             (CAST(spy AS DOUBLE) - CAST(spd AS DOUBLE) / 12.0)
+                 / CAST(np AS DOUBLE)
+               - (CAST(sgy AS DOUBLE) - CAST(sgd AS DOUBLE) / 12.0)
+                 / CAST(ng AS DOUBLE) AS seasonal
+           FROM tf JOIN ph ON tf.event_type = ph.event_type AND tf.p = ph.p
+             JOIN gl ON tf.event_type = gl.event_type)
+         SELECT event_type, o, CAST(y AS DOUBLE) AS y,
+           round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
+           round(CAST(y AS DOUBLE) - trend - seasonal, 6) AS resid
+         FROM j ORDER BY event_type, o""",
   )
 }

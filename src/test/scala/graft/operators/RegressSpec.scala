@@ -110,4 +110,48 @@ class RegressSpec extends SparkSpec {
       assert(math.abs(got._2.get - r) < 2e-6, s"($g, lag $l)")
     }
   }
+
+  test("crosscorr: a shifted copy peaks at exactly its shift") {
+    // y_t = x_{t-2} (y lags x by 2): the (x_t, y_{t+l}) pairing is
+    // perfect at l = +2, so r = 1 there and < 1 elsewhere
+    val xs = (1L to 40L).map(t => (t, ((t * 48271) % 19).toDouble))
+    val rows = xs.map { case (t, x) =>
+      val y = ((( (t - 2) * 48271) % 19)).toDouble
+      ("g", t, x, y)
+    }
+    import spark.implicits._
+    val out = Regress.crosscorr(rows.toDF("g", "t", "x", "y"),
+        Seq("g"), "t", "x", "y", Seq(-2, -1, 0, 1, 2))
+      .collect().map(r => r.getInt(1) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(2) === Some(1.0))
+    assert(out(-2).get < 1.0 && out(0).get < 1.0 && out(1).get < 1.0)
+  }
+
+  test("crosscorr matches the scalar Pearson of shifted pairs incl. negative lags") {
+    import spark.implicits._
+    val n = 50
+    val xs = (1 to n).map(i => (i * 48271 % 23).toDouble / 4.0)
+    val ys = (1 to n).map(i => (i * 16807 % 17).toDouble / 2.0)
+    val rows = (0 until n).map(i => ("g", i.toLong, xs(i), ys(i)))
+    val out = Regress.crosscorr(rows.toDF("g", "t", "x", "y"),
+        Seq("g"), "t", "x", "y", Seq(-3, 1))
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    for (l <- Seq(-3, 1)) {
+      val pairs =
+        if (l >= 0) (0 until n - l).map(i => (xs(i), ys(i + l)))
+        else (-l until n).map(i => (xs(i), ys(i + l)))
+      val np = pairs.size.toDouble
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val r = (np * sxy - sx * sy) /
+        math.sqrt((np * sxx - sx * sx) * (np * syy - sy * sy))
+      val got = out(l)
+      assert(got._1 === pairs.size.toLong)
+      assert(math.abs(got._2.get - r) < 2e-6, s"lag $l")
+    }
+  }
 }

@@ -212,4 +212,53 @@ class TimeSeriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("decomposeAdditive: recovers a linear trend + balanced seasonal exactly") {
+    import spark.implicits._
+    // y = 0.5 t + s(t mod 4), s = (2, -1, -2, 1): sums to 0, all halves
+    val sPat = Map(0L -> 2.0, 1L -> -1.0, 2L -> -2.0, 3L -> 1.0)
+    val rows = (1L to 20L).map(t => ("g", t, 0.5 * t + sPat(t % 4)))
+    val out = TimeSeries.decomposeAdditive(rows.toDF("k", "slot", "v"),
+        "k", "slot", "v", period = 4)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // centered windows need t-2..t+2: rows 3..18 survive (16 rows, 4/phase)
+    assert(out.size === 16)
+    assert(!out.contains(1L) && !out.contains(2L) &&
+      !out.contains(19L) && !out.contains(20L))
+    for (t <- 3L to 18L) {
+      val (y, trend, seasonal, resid) = out(t)
+      assert(y === 0.5 * t + sPat(t % 4))
+      assert(trend === 0.5 * t, s"t=$t")
+      assert(seasonal === sPat(t % 4), s"t=$t")
+      assert(resid === 0.0, s"t=$t")
+    }
+  }
+
+  test("decomposeAdditive matches the exact-sums scalar model") {
+    import spark.implicits._
+    val n = 30; val m = 6; val h = m / 2
+    val ys = (1 to n).map(i => (i * 48271 % 37).toDouble / 4.0)
+    val rows = (0 until n).map(i => ("g", i.toLong, ys(i)))
+    val out = TimeSeries.decomposeAdditive(rows.toDF("k", "slot", "v"),
+        "k", "slot", "v", period = m)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    // scalar replay of the exact-sums definition
+    val d = (h until n - h).map { t =>
+      t -> (ys(t - h) + ys(t + h) + 2.0 * (t - h + 1 until t + h).map(ys).sum)
+    }.toMap
+    val defined = (h until n - h)
+    val g = (defined.map(ys).sum - defined.map(d).sum / (2 * m)) / defined.size
+    for (t <- defined) {
+      val phase = defined.filter(_ % m == t % m)
+      val sRaw = (phase.map(ys).sum - phase.map(d).sum / (2 * m)) / phase.size
+      val (trend, seasonal, resid) = out(t.toLong)
+      assert(math.abs(trend - d(t) / (2 * m)) < 2e-6, s"t=$t")
+      assert(math.abs(seasonal - (sRaw - g)) < 2e-6, s"t=$t")
+      assert(math.abs(resid - (ys(t) - d(t) / (2 * m) - (sRaw - g))) < 4e-6,
+        s"t=$t")
+    }
+  }
 }
