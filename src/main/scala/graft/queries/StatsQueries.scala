@@ -235,6 +235,29 @@ object StatsQueries {
           period = 6)
         .orderBy(col("event_type"), col("o"))
     },
+
+    // Log-rank test over the q_survival_km construction: does
+    // time-to-conversion differ between even and odd users, per
+    // user_id%3 stratum? E and V quantize to 6-dp integers with staged
+    // integer divisions (order-free exact sums — float Σ of rationals
+    // with per-time denominators could never hash-match).
+    "q_logrank" -> { (s, dir) =>
+      val u = Tables(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(
+          min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"),
+          min(when(col("event_type") === "purchase" && col("value") >= 150,
+            unix_micros(col("ts")))).as("tc"))
+      val subjects = u.select(
+        pmod(col("user_id"), lit(3)).cast("string").as("stratum"),
+        pmod(col("user_id"), lit(2)).cast("string").as("grp"),
+        expr("(coalesce(tc, t1) - t0) div 3600000000").as("dur_h"),
+        when(col("tc").isNotNull, 1L).otherwise(0L).as("obs"))
+      Survival.logRank(subjects, Seq("stratum"), col("grp"), a = "0",
+          b = "1", duration = col("dur_h"), observed = col("obs"))
+        .orderBy(col("stratum"))
+    },
   )
 
   // ---- oracle SQL ---------------------------------------------------
@@ -769,5 +792,56 @@ object StatsQueries {
            round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
            round(CAST(y AS DOUBLE) - trend - seasonal, 6) AS resid
          FROM j ORDER BY event_type, o""",
+    // Staged 6-dp integer quantization of E and V (HUGEINT // chains),
+    // exact sums, one IEEE tree — identical to Survival.logRank.
+    "q_logrank" ->
+      """WITH u AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+             max(epoch_us(ts)) AS t1,
+             min(CASE WHEN event_type = 'purchase' AND value >= 150
+                 THEN epoch_us(ts) END) AS tc
+           FROM events GROUP BY 1),
+         s AS (SELECT CAST(user_id % 3 AS VARCHAR) AS stratum,
+             user_id % 2 = 0 AS isa,
+             (coalesce(tc, t1) - t0) // 3600000000 AS t,
+             CASE WHEN tc IS NOT NULL THEN 1 ELSE 0 END AS obs
+           FROM u),
+         c AS (SELECT stratum, t,
+             SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS cb,
+             SUM(CASE WHEN isa THEN obs ELSE 0 END) AS da,
+             SUM(CASE WHEN NOT isa THEN obs ELSE 0 END) AS db
+           FROM s GROUP BY 1, 2),
+         r AS (SELECT stratum, t, da, db,
+             SUM(ca) OVER (PARTITION BY stratum ORDER BY t DESC) AS na,
+             SUM(cb) OVER (PARTITION BY stratum ORDER BY t DESC) AS nb
+           FROM c),
+         f AS (SELECT stratum, da, na, nb, da + db AS d, na + nb AS n
+           FROM r WHERE da + db > 0),
+         q AS (SELECT stratum, da, d, n, nb,
+             (CAST(d AS HUGEINT) * na * 1000000) // n AS e16
+           FROM f),
+         q2 AS (SELECT stratum, da, e16,
+             CASE WHEN n > 1
+               THEN ((e16 * nb) // n * (n - d)) // (n - 1) ELSE 0 END AS v6
+           FROM q),
+         t2 AS (SELECT stratum,
+             CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN NOT isa THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM s GROUP BY 1),
+         ag AS (SELECT stratum, CAST(SUM(da) AS BIGINT) AS o_a,
+             CAST(SUM(e16) AS DOUBLE) AS e16d,
+             CAST(SUM(v6) AS DOUBLE) AS v6d
+           FROM q2 GROUP BY 1)
+         SELECT ag.stratum, n_a, n_b, o_a,
+           round(e16d / 1000000.0, 6) AS e_a,
+           CASE WHEN n_a > 0 AND n_b > 0 AND 1000000.0 * v6d > 0
+             THEN round((CAST(o_a AS DOUBLE) * 1000000.0 - e16d)
+               * (CAST(o_a AS DOUBLE) * 1000000.0 - e16d)
+               / (1000000.0 * v6d), 6) END AS chi2,
+           CASE WHEN n_a > 0 AND n_b > 0 AND 1000000.0 * v6d > 0
+             THEN round((CAST(o_a AS DOUBLE) * 1000000.0 - e16d)
+               / sqrt(1000000.0 * v6d), 6) END AS z
+         FROM ag JOIN t2 ON ag.stratum = t2.stratum
+         ORDER BY ag.stratum""",
   )
 }

@@ -74,4 +74,49 @@ class SurvivalSpec extends SparkSpec {
     val out = run(subjects.map { case (t, o) => ("g", t, o) })
     assert(out === expected)
   }
+
+  private def runLogRank(rows: Seq[(String, String, Long, Long)]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    Survival.logRank(rows.toDF("k", "grp", "t", "obs"), Seq("k"),
+        col("grp"), a = "A", b = "B", duration = col("t"),
+        observed = col("obs"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))
+      .toMap
+  }
+
+  test("logRank: hand-worked 3-vs-3 case (quantized sums)") {
+    // A: 5(event) 7(cens) 9(event); B: 4(event) 8(event) 9(cens)
+    // E₁₆ terms: 500000+600000+333333+500000 = 1933333
+    // V₆  terms: 250000+240000+222222+250000 = 962222
+    val rows = Seq(("g", "A", 5L, 1L), ("g", "A", 7L, 0L), ("g", "A", 9L, 1L),
+      ("g", "B", 4L, 1L), ("g", "B", 8L, 1L), ("g", "B", 9L, 0L))
+    val (na, nb, oa, ea, chi2, z) = runLogRank(rows)("g")
+    assert((na, nb, oa, ea) === ((3L, 3L, 2L, 1.933333)))
+    val zExp = 66667.0 / math.sqrt(1.0e6 * 962222.0)
+    assert(math.abs(z.get - zExp) < 2e-6)
+    assert(math.abs(chi2.get - zExp * zExp) < 2e-6)
+  }
+
+  test("logRank: identical groups give z ~ 0; early-event group gets z > 0") {
+    val same = (1L to 10L).flatMap(t =>
+      Seq(("same", "A", t, t % 2), ("same", "B", t, t % 2)))
+    val sep = (1L to 5L).map(t => ("sep", "A", t, 1L)) ++
+      (11L to 15L).map(t => ("sep", "B", t, 1L))
+    val out = runLogRank(same ++ sep)
+    assert(math.abs(out("same")._6.get) < 1e-5)
+    // all of A's events happen while B's full risk set is present:
+    // observed A-events exceed expectation → positive z
+    assert(out("sep")._6.get > 1.5)
+  }
+
+  test("logRank: an empty side reports NULL chi2/z") {
+    val out = runLogRank(Seq(("g", "A", 3L, 1L), ("g", "A", 5L, 0L)))
+    assert(out("g")._2 === 0L)
+    assert(out("g")._5 === None)
+    assert(out("g")._6 === None)
+  }
 }
