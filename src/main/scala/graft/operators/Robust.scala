@@ -53,4 +53,48 @@ object Robust {
         (col("q3") - col("q1")).as("iqr"), col("lo"), col("hi"),
         col("n_out"), col("winsor_mean")): _*)
   }
+
+  /** Hampel-filter MAD constant 1/Φ⁻¹(¾) as a shared hardcoded literal
+    * (the Benford device — no erf/quantile call on either engine). */
+  val MadToSigma: Double = 1.482602218505602
+
+  /** Per-key median / MAD (median absolute deviation) robust location-
+    * scale statistics with a Hampel outlier census.
+    *
+    * Same exactness posture as [[iqrStats]]: `percentile(·, 0.5)` at
+    * the half fraction interpolates IEEE-exactly over values exact at
+    * coarse binary scales and matches quantile_cont bit-for-bit; the
+    * absolute deviations |x − median| inherit that exactness, so the
+    * MAD is a second exact interpolated median. sigma_hat = MAD·1.4826
+    * (consistency constant as a shared literal) and the census counts
+    * |x − median| > 3·sigma_hat — one fixed tree, exact comparisons.
+    *
+    * Scale posture: two percentile aggregations with a broadcast-back
+    * between them (group-count-sized frames), plus one census pass. No
+    * sorts of the full data.
+    *
+    * @return one row per key: n, median, mad, sigma_hat (6 dp),
+    *         n_out (|x − median| > 3·sigma_hat)
+    */
+  def madStats(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    require(keys.nonEmpty, "madStats needs at least one key column")
+    val base = df.filter(value.isNotNull)
+      .select(keys.map(col) :+ value.cast("double").as("__v"): _*)
+    val med = base.groupBy(keys.map(col): _*)
+      .agg(percentile(col("__v"), lit(0.5)).as("median"))
+    val dev = base.join(broadcast(med), keys)
+      .withColumn("__ad", abs(col("__v") - col("median")))
+    val mad = dev.groupBy(keys.map(col) :+ col("median"): _*)
+      .agg(percentile(col("__ad"), lit(0.5)).as("mad"))
+    val sigma = col("mad") * lit(MadToSigma)
+    val censored = dev.join(broadcast(mad.select(keys.map(col) :+
+        col("mad"): _*)), keys)
+      .groupBy(keys.map(col) ++ Seq(col("median"), col("mad")): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__ad") > lit(3.0d) * (col("mad") * lit(MadToSigma)),
+          1L).otherwise(0L)).as("n_out"))
+    censored.select(keys.map(col) ++ Seq(
+      col("n"), col("median"), col("mad"),
+      round(sigma, 6).as("sigma_hat"), col("n_out")): _*)
+  }
 }

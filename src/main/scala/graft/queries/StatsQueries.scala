@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Benford, Hypothesis, Inequality, Isotonic, Markov, Moments, RankStats, Regress, Robust, Survival, TheilSen, TimeSeries}
+import graft.operators.{Benford, Hypothesis, Inequality, Isotonic, Markov, Moments, Normalize, RankStats, Regress, Robust, Survival, TheilSen, TimeSeries}
 import graft.queries.QueryUtil._
 
 /** Statistics pack: Markov transition estimation, Kaplan-Meier
@@ -257,6 +257,31 @@ object StatsQueries {
       Survival.logRank(subjects, Seq("stratum"), col("grp"), a = "0",
           b = "1", duration = col("dur_h"), observed = col("obs"))
         .orderBy(col("stratum"))
+    },
+
+    // Median / MAD robust location-scale with a Hampel outlier census
+    // — the rank-based companion to q_robust_stats' Tukey fences.
+    "q_mad_stats" -> { (s, dir) =>
+      Robust.madStats(Tables(s, dir).lineitem, Seq("l_returnflag"),
+          col("l_quantity"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Quantile-normalize the odd-custkey half of per-customer spend
+    // onto the even-half reference distribution, per market segment —
+    // rank-selection mapping with exact integer target ranks.
+    "q_quantile_norm" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val spend = t.orders.join(t.customer,
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double").as("spend"))
+      val srcHalf = spend.filter(pmod(col("c_custkey"), lit(2)) === 1)
+      val refHalf = spend.filter(pmod(col("c_custkey"), lit(2)) === 0)
+      Normalize.quantileNormalize(srcHalf, refHalf, Seq("c_mktsegment"),
+          col("spend"), col("c_custkey"))
+        .orderBy(col("c_mktsegment"), col("src_rank"))
     },
   )
 
@@ -843,5 +868,52 @@ object StatsQueries {
                / sqrt(1000000.0 * v6d), 6) END AS z
          FROM ag JOIN t2 ON ag.stratum = t2.stratum
          ORDER BY ag.stratum""",
+    // Exact half-fraction medians (quantile_cont ≡ percentile) and the
+    // shared 1.4826… consistency literal — identical to Robust.madStats.
+    "q_mad_stats" ->
+      """WITH m AS (SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS median
+           FROM lineitem GROUP BY 1),
+         d AS (SELECT l.l_returnflag, median,
+             abs(l_quantity - median) AS ad
+           FROM lineitem l JOIN m USING (l_returnflag)),
+         md AS (SELECT l_returnflag, median,
+             quantile_cont(ad, 0.5) AS mad
+           FROM d GROUP BY 1, 2),
+         c AS (SELECT d.l_returnflag, d.median, md.mad,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN ad > 3.0 * (mad * 1.482602218505602)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+           FROM d JOIN md ON d.l_returnflag = md.l_returnflag
+           GROUP BY 1, 2, 3)
+         SELECT l_returnflag, n, median, mad,
+           round(mad * 1.482602218505602, 6) AS sigma_hat, n_out
+         FROM c ORDER BY l_returnflag""",
+    // Rank-selection quantile mapping with exact integer target ranks —
+    // identical to Normalize.quantileNormalize.
+    "q_quantile_norm" ->
+      """WITH spend AS (SELECT c_mktsegment, c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS spend
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         s AS (SELECT c_mktsegment, c_custkey AS id, spend AS value,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY spend, c_custkey) AS src_rank,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+           FROM spend WHERE c_custkey % 2 = 1),
+         r AS (SELECT c_mktsegment, spend AS rv,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY spend) AS t,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS m
+           FROM spend WHERE c_custkey % 2 = 0),
+         mm AS (SELECT c_mktsegment, MAX(m) AS m FROM r GROUP BY 1),
+         j AS (SELECT s.c_mktsegment, s.id, s.value, s.src_rank,
+             (CAST(s.src_rank AS HUGEINT) * mm.m + s.n - 1) // s.n AS t
+           FROM s JOIN mm ON s.c_mktsegment = mm.c_mktsegment)
+         SELECT j.c_mktsegment, CAST(j.id AS BIGINT) AS id, j.value,
+           CAST(j.src_rank AS BIGINT) AS src_rank, r.rv AS normalized
+         FROM j JOIN r ON j.c_mktsegment = r.c_mktsegment AND j.t = r.t
+         ORDER BY j.c_mktsegment, j.src_rank""",
   )
 }

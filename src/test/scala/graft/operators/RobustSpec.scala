@@ -42,4 +42,31 @@ class RobustSpec extends SparkSpec {
     assert((n, q1, q3, iqr, lo, hi, nOut, wm)
       === ((3L, 5.0, 5.0, 0.0, 5.0, 5.0, 0L, 5.0)))
   }
+
+  private def mad(rows: Seq[(String, Double)]) =
+    Robust.madStats(rows.toDF("k", "v"), Seq("k"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5)))
+      .toMap
+
+  test("madStats: 1..9 has median 5, MAD 2; no Hampel outliers") {
+    val out = mad((1 to 9).map(i => ("g", i.toDouble)))("g")
+    assert(out === ((9L, 5.0, 2.0,
+      BigDecimal(2.0 * Robust.MadToSigma).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, 0L)))
+  }
+
+  test("madStats: one wild outlier barely moves MAD and is censored") {
+    val (n, median, madV, sigma, nOut) =
+      mad(((1 to 9).map(_.toDouble) :+ 100.0).map(("g", _)))("g")
+    assert((n, median, madV) === ((10L, 5.5, 2.5)))
+    assert(math.abs(sigma - 2.5 * Robust.MadToSigma) < 1e-6)
+    assert(nOut === 1L)
+  }
+
+  test("madStats: constant group has MAD 0 and no outliers") {
+    assert(mad(Seq(("c", 4.0), ("c", 4.0), ("c", 4.0)))("c")
+      === ((3L, 4.0, 0.0, 0.0, 0L)))
+  }
 }
