@@ -149,6 +149,18 @@ object AnalyticsQueries {
           Tables(s, dir).documents, Seq("source", "lang"))
         .orderBy(col("source"), col("lang"))
     },
+
+    // Rank-biased overlap between two part rankings per brand
+    // (cheapest-first vs smallest-first), depth 10, p = 9/10 — the
+    // top-weighted ranking-agreement score, exact via per-depth power
+    // LITERALS and 12-dp integer-quantized terms (no pow() anywhere).
+    "q_rbo" -> { (s, dir) =>
+      import graft.operators.RankCompare
+      RankCompare.rbo(Tables(s, dir).part, Seq("p_brand"),
+          id = col("p_partkey"), scoreA = col("p_retailprice"),
+          scoreB = col("p_size"), depth = 10)
+        .orderBy(col("p_brand"))
+    },
   )
 
   // ---- oracle SQL ---------------------------------------------------
@@ -300,6 +312,44 @@ object AnalyticsQueries {
            FROM h)
          SELECT source, lang, n, noise, n + noise AS n_noised
          FROM d ORDER BY source, lang"""
+    },
+    // per-depth power literals generated once (BigInt, identical values
+    // in both engines); 12-dp integer-quantized terms; see RankCompare.
+    "q_rbo" -> {
+      val depth = 10; val pNum = 9; val pDen = 10
+      val rows = (1 to depth).map { d =>
+        val num = BigInt(pNum).pow(d - 1) * BigInt(10).pow(12)
+        val den = BigInt(pDen).pow(d - 1) * d
+        s"($d, CAST($num AS HUGEINT), CAST($den AS HUGEINT))"
+      }.mkString(", ")
+      s"""WITH ranked AS (SELECT p_brand,
+             row_number() OVER (PARTITION BY p_brand
+               ORDER BY p_retailprice, p_partkey) AS ra,
+             row_number() OVER (PARTITION BY p_brand
+               ORDER BY p_size, p_partkey) AS rb
+           FROM part),
+         mm AS (SELECT p_brand, greatest(ra, rb) AS m FROM ranked
+           WHERE greatest(ra, rb) <= $depth),
+         counts AS (SELECT p_brand, m, COUNT(*) AS c FROM mm GROUP BY 1, 2),
+         scaffold AS (SELECT * FROM (VALUES $rows) AS t(d, num, den)),
+         grid AS (SELECT b.p_brand, s.d, s.num, s.den
+           FROM (SELECT DISTINCT p_brand FROM counts) b CROSS JOIN scaffold s),
+         xd AS (SELECT g.p_brand, g.d, g.num, g.den, SUM(c) AS x
+           FROM grid g JOIN counts
+             ON g.p_brand = counts.p_brand AND counts.m <= g.d
+           GROUP BY 1, 2, 3, 4),
+         terms AS (SELECT p_brand, d, x,
+             (CAST(x AS HUGEINT) * num) // den AS t12 FROM xd),
+         agg AS (SELECT p_brand, SUM(t12) AS t12s,
+             MAX(CASE WHEN d = $depth THEN x END) AS x_final
+           FROM terms GROUP BY 1)
+         SELECT p_brand,
+           round(CAST(t12s AS DOUBLE)
+             * (CAST(1.0 AS DOUBLE) - CAST(${pNum.toDouble / pDen} AS DOUBLE))
+             / CAST(1000000000000.0 AS DOUBLE), 6) AS rbo,
+           CAST(COALESCE(x_final, 0) AS BIGINT) AS x_final,
+           CAST($depth AS BIGINT) AS depth
+         FROM agg ORDER BY p_brand"""
     },
   )
 }
