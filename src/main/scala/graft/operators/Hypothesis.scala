@@ -93,6 +93,51 @@ object Hypothesis {
         .as("cramers_v")): _*)
   }
 
+  /** Per-key Cochran-Armitage trend test: is the success proportion
+    * monotonically associated with an ORDERED category score? (The
+    * dose-response screen — "does the high-value-order rate trend with
+    * priority rank?")
+    *
+    * With integer category scores w, counts nᵢ and successes xᵢ per
+    * category, X = Σx, N = Σn, the statistic multiplies through by N
+    * so every sufficient quantity is an EXACT integer (DECIMAL sums —
+    * no quantization needed, unlike chi-square's per-cell rationals):
+    *
+    *   z = (N·Σwx − X·Σwn) / √( X·(N−X)·(N·Σw²n − (Σwn)²) / N )
+    *
+    * — one fixed IEEE tree over six exact totals, spelled identically
+    * in the oracle. NULL when the variance factor is 0 (all successes,
+    * none, or a single category). z > 0 = proportion rises with score.
+    *
+    * Scale posture: ONE map-combinable hash aggregation (the w-moments
+    * are sums); nothing downstream exceeds one row per key.
+    */
+  def trendTest(df: DataFrame, keys: Seq[String], score: Column,
+                success: Column): DataFrame = {
+    require(keys.nonEmpty, "trendTest needs at least one key column")
+    val w = score.cast("decimal(12,0)")
+    val s = success.cast("boolean")
+    val base = df.filter(score.isNotNull && success.isNotNull)
+      .select(keys.map(col) ++ Seq(w.as("__w"), s.as("__s")): _*)
+    val agg = base.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("__s"), 1L).otherwise(0L)).as("x"),
+      sum(col("__w")).as("__swn"),
+      sum(when(col("__s"), col("__w"))
+        .otherwise(lit(0).cast("decimal(12,0)"))).as("__swx"),
+      sum(col("__w") * col("__w")).as("__sw2n"))
+    val nD = col("n").cast("double"); val xD = col("x").cast("double")
+    val swn = col("__swn").cast("double")
+    val swx = col("__swx").cast("double")
+    val sw2n = col("__sw2n").cast("double")
+    val num = nD * swx - xD * swn
+    val varf = xD * (nD - xD) * (nD * sw2n - swn * swn) / nD
+    agg.select(keys.map(col) ++ Seq(
+      col("n"), col("x"),
+      round(when(col("n") > 0, xD / nD), 6).as("p"),
+      round(when(varf > 0, num / sqrt(varf)), 6).as("z")): _*)
+  }
+
   /** Per-key two-sample Kolmogorov-Smirnov statistic: the max vertical
     * distance between the empirical CDFs of groups `a` and `b` of
     * `groupCol` over `value`.

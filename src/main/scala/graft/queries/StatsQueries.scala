@@ -283,6 +283,17 @@ object StatsQueries {
           col("spend"), col("c_custkey"))
         .orderBy(col("c_mktsegment"), col("src_rank"))
     },
+
+    // Cochran-Armitage trend: does the high-value-order rate trend
+    // with priority rank (the '1-URGENT'..'5-LOW' leading digit), per
+    // order status? Exact integer w-moments — no quantization needed.
+    "q_trend_test" -> { (s, dir) =>
+      Hypothesis.trendTest(Tables(s, dir).orders,
+          Seq("o_orderstatus"),
+          score = substring(col("o_orderpriority"), 1, 1).cast("int"),
+          success = col("o_totalprice") > 200000)
+        .orderBy(col("o_orderstatus"))
+    },
   )
 
   // ---- oracle SQL ---------------------------------------------------
@@ -915,5 +926,30 @@ object StatsQueries {
            CAST(j.src_rank AS BIGINT) AS src_rank, r.rv AS normalized
          FROM j JOIN r ON j.c_mktsegment = r.c_mktsegment AND j.t = r.t
          ORDER BY j.c_mktsegment, j.src_rank""",
+    // Exact integer w-moments, one IEEE tree — identical to
+    // Hypothesis.trendTest.
+    "q_trend_test" ->
+      """WITH f AS (SELECT o_orderstatus,
+             CAST(substr(o_orderpriority, 1, 1) AS INT) AS w,
+             o_totalprice > 200000 AS s
+           FROM orders),
+         a AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             SUM(CAST(w AS HUGEINT)) AS swn,
+             SUM(CASE WHEN s THEN CAST(w AS HUGEINT) ELSE 0 END) AS swx,
+             SUM(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS sw2n
+           FROM f GROUP BY 1),
+         d AS (SELECT o_orderstatus, n, x,
+             CAST(n AS DOUBLE) AS nd, CAST(x AS DOUBLE) AS xd,
+             CAST(swn AS DOUBLE) AS swnd, CAST(swx AS DOUBLE) AS swxd,
+             CAST(sw2n AS DOUBLE) AS sw2nd
+           FROM a)
+         SELECT o_orderstatus, n, x,
+           CASE WHEN n > 0 THEN round(xd / nd, 6) END AS p,
+           CASE WHEN xd * (nd - xd) * (nd * sw2nd - swnd * swnd) / nd > 0
+             THEN round((nd * swxd - xd * swnd)
+               / sqrt(xd * (nd - xd) * (nd * sw2nd - swnd * swnd) / nd), 6)
+           END AS z
+         FROM d ORDER BY o_orderstatus""",
   )
 }

@@ -156,6 +156,35 @@ class HypothesisSpec extends SparkSpec {
     assert(out("solo")._6 === None)
   }
 
+  private def trend(rows: Seq[(String, Int, Boolean)]) =
+    Hypothesis.trendTest(rows.toDF("k", "w", "s"), Seq("k"),
+        score = col("w"), success = col("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+
+  test("trend test: hand case 0/5/10 successes over scores 1/2/3 — z = 300/sqrt(4500)") {
+    val rows = for {
+      w <- 1 to 3; i <- 1 to 10
+    } yield ("g", w, i <= (w - 1) * 5)
+    val (n, x, p, z) = trend(rows)("g")
+    assert((n, x, p) === ((30L, 15L, Some(0.5))))
+    assert(math.abs(z.get - 300.0 / math.sqrt(4500.0)) < 2e-6)
+  }
+
+  test("trend test: flat proportions give z = 0; downward trend is negative; all-success is NULL") {
+    val flat = for { w <- 1 to 3; i <- 1 to 10 } yield ("flat", w, i <= 5)
+    val down = for { w <- 1 to 3; i <- 1 to 10 } yield ("down", w, i <= (3 - w) * 5)
+    val allS = for { w <- 1 to 3; i <- 1 to 4 } yield ("all", w, true)
+    val out = trend(flat ++ down ++ allS)
+    assert(out("flat")._4 === Some(0.0))
+    assert(out("down")._4.get < -4.0)
+    assert(out("all")._4 === None)
+    assert(out("all")._3 === Some(1.0))
+  }
+
   test("two-proportion z: degenerate pooled proportion or empty group is NULL") {
     val allTrue = (1 to 10).map(i => ("all", if (i <= 5) "A" else "B", true))
     val oneSided = (1 to 10).map(i => ("onesided", "A", i <= 3))
