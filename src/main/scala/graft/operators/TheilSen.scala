@@ -69,4 +69,58 @@ object TheilSen {
         round(col("__res"), 6).as("intercept")): _*)
     fitted
   }
+
+  /** Per-key Mann-Kendall trend test — the nonparametric significance
+    * companion to [[fit]] (they share the pairwise machinery; report
+    * the Theil-Sen slope WITH the Mann-Kendall z in practice):
+    *
+    *   S = Σ_{j<k} sign(y_k − y_j)             (exact integer)
+    *   σ² = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (exact tie-corrected
+    *        integer numerator; t = tie-group sizes)
+    *   z = (S − sign(S)) / σ  (continuity-corrected; 0 when S = 0)
+    *   tau = S / (n(n−1)/2)   (Kendall's tau-a, one division)
+    *
+    * Every input to the final IEEE trees is an exact integer (DECIMAL
+    * sums — the cubic tie terms would overflow BIGINT past ~2M-row tie
+    * groups), so the whole test replays bit-for-bit in the oracle.
+    * Same bounded-series contract as [[fit]]: C(n,2) pairs per key.
+    *
+    * @return one row per key: n, s, tau (6 dp), z (6 dp; NULL when
+    *         σ = 0 — n < 2 or all values tied). Keys with n < 2 have
+    *         no pairs and are ABSENT.
+    */
+  def mannKendall(df: DataFrame, keys: Seq[String], order: Column,
+                  value: Column): DataFrame = {
+    require(keys.nonEmpty, "mannKendall needs at least one key column")
+    val pts = df.filter(order.isNotNull && value.isNotNull)
+      .select(keys.map(col) ++ Seq(order.cast("long").as("__o"),
+        value.cast("decimal(18,4)").as("__y")): _*)
+    val l = pts.select(keys.map(col) ++
+      Seq(col("__o").as("__oj"), col("__y").as("__yj")): _*)
+    val r = pts.select(keys.map(col) ++
+      Seq(col("__o").as("__ok"), col("__y").as("__yk")): _*)
+    val sAgg = l.join(r, keys).filter(col("__ok") > col("__oj"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(signum(col("__yk") - col("__yj")).cast("long")).as("s"))
+    // tie correction: Σ t(t−1)(2t+5) over per-value tie groups, exact
+    val ties = pts.groupBy(keys.map(col) :+ col("__y"): _*)
+      .agg(count(lit(1)).cast("decimal(12,0)").as("__t"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__t") * (col("__t") - 1)
+        * (col("__t") * 2 + 5)).as("__tcorr"),
+        count(lit(1)).as("__groups"),
+        sum(col("__t")).as("__nd"))
+    val joined = sAgg.join(ties, keys)
+    val n = col("__nd").cast("double")
+    val sD = col("s").cast("double")
+    val var18 = (n * (n - lit(1.0d)) * (lit(2.0d) * n + lit(5.0d))
+      - col("__tcorr").cast("double")) / lit(18.0d)
+    val z = when(col("s") > 0, (sD - lit(1.0d)) / sqrt(var18))
+      .when(col("s") < 0, (sD + lit(1.0d)) / sqrt(var18))
+      .otherwise(lit(0.0d))
+    joined.select(keys.map(col) ++ Seq(
+      col("__nd").cast("long").as("n"), col("s"),
+      round(sD / (n * (n - lit(1.0d)) / lit(2.0d)), 6).as("tau"),
+      round(when(var18 > 0, z), 6).as("z")): _*)
+  }
 }

@@ -284,6 +284,18 @@ object StatsQueries {
         .orderBy(col("c_mktsegment"), col("src_rank"))
     },
 
+    // Mann-Kendall trend significance on the q_theilsen grid — S and
+    // the tie-corrected variance numerator are exact integers, so the
+    // whole test replays bit-for-bit (report WITH the Theil-Sen slope).
+    "q_mann_kendall" -> { (s, dir) =>
+      val obs = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) DIV 14400").as("slot"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("y"))
+      TheilSen.mannKendall(obs, Seq("event_type"), col("slot"), col("y"))
+        .orderBy(col("event_type"))
+    },
+
     // Cochran-Armitage trend: does the high-value-order rate trend
     // with priority rank (the '1-URGENT'..'5-LOW' leading digit), per
     // order status? Exact integer w-moments — no quantization needed.
@@ -926,6 +938,36 @@ object StatsQueries {
            CAST(j.src_rank AS BIGINT) AS src_rank, r.rv AS normalized
          FROM j JOIN r ON j.c_mktsegment = r.c_mktsegment AND j.t = r.t
          ORDER BY j.c_mktsegment, j.src_rank""",
+    // Exact integer S and tie-corrected variance numerator — identical
+    // to TheilSen.mannKendall.
+    "q_mann_kendall" ->
+      """WITH obs AS (SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 14400 AS o,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS y
+           FROM events GROUP BY 1, 2),
+         p AS (SELECT a.event_type, CAST(sign(b.y - a.y) AS BIGINT) AS sg
+           FROM obs a JOIN obs b
+             ON a.event_type = b.event_type AND b.o > a.o),
+         sA AS (SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s
+           FROM p GROUP BY 1),
+         t AS (SELECT event_type,
+             SUM(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)) AS tcorr,
+             CAST(SUM(c) AS BIGINT) AS n
+           FROM (SELECT event_type, y, COUNT(*) AS c FROM obs GROUP BY 1, 2)
+           GROUP BY 1),
+         d AS (SELECT sA.event_type, s, n, CAST(n AS DOUBLE) AS nd,
+             CAST(s AS DOUBLE) AS sd, CAST(tcorr AS DOUBLE) AS tc
+           FROM sA JOIN t ON sA.event_type = t.event_type),
+         v AS (SELECT event_type, s, n, nd, sd,
+             (nd * (nd - 1.0) * (2.0 * nd + 5.0) - tc) / 18.0 AS var18
+           FROM d)
+         SELECT event_type, n, s,
+           round(sd / (nd * (nd - 1.0) / 2.0), 6) AS tau,
+           CASE WHEN var18 > 0 THEN round(
+             CASE WHEN s > 0 THEN (sd - 1.0) / sqrt(var18)
+                  WHEN s < 0 THEN (sd + 1.0) / sqrt(var18)
+                  ELSE CAST(0.0 AS DOUBLE) END, 6) END AS z
+         FROM v ORDER BY event_type""",
     // Exact integer w-moments, one IEEE tree — identical to
     // Hypothesis.trendTest.
     "q_trend_test" ->

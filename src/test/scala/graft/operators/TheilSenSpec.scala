@@ -53,4 +53,42 @@ class TheilSenSpec extends SparkSpec {
     assert(math.abs(slope - slopeExp) < 2e-6)
     assert(math.abs(intercept - interceptExp) < 2e-6)
   }
+
+  private def mk(rows: Seq[(String, Long, Double)]) =
+    TheilSen.mannKendall(rows.toDF("k", "o", "v"), Seq("k"),
+        col("o"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+
+  test("mann-kendall: strictly increasing series has tau = 1 and the textbook z") {
+    val rows = (1L to 10L).map(o => ("g", o, o.toDouble))
+    val (n, s, tau, z) = mk(rows)("g")
+    assert((n, s, tau) === ((10L, 45L, 1.0)))
+    // no ties: sigma^2 = 10*9*25/18 = 125; z = 44/sqrt(125)
+    assert(math.abs(z.get - 44.0 / math.sqrt(125.0)) < 2e-6)
+  }
+
+  test("mann-kendall: matches the scalar model under ties; all-tied is NULL") {
+    val ys = (1 to 25).map(i => (i * 48271 % 6).toDouble)
+    val rows = ys.zipWithIndex.map { case (y, i) => ("g", i.toLong, y) } ++
+      Seq.tabulate(4)(i => ("tied", i.toLong, 7.0))
+    val sExp = (for {
+      j <- ys.indices; k <- ys.indices if k > j
+    } yield math.signum(ys(k) - ys(j)).toLong).sum
+    val n = ys.size.toDouble
+    val tcorr = ys.groupBy(identity).values
+      .map { g => val t = g.size.toDouble; t * (t - 1) * (2 * t + 5) }.sum
+    val var18 = (n * (n - 1) * (2 * n + 5) - tcorr) / 18.0
+    val zExp = if (sExp > 0) (sExp - 1.0) / math.sqrt(var18)
+      else if (sExp < 0) (sExp + 1.0) / math.sqrt(var18) else 0.0
+    val out = mk(rows)
+    val (gotN, gotS, tau, z) = out("g")
+    assert((gotN, gotS) === ((25L, sExp)))
+    assert(math.abs(tau - sExp / (n * (n - 1) / 2.0)) < 2e-6)
+    assert(math.abs(z.get - zExp) < 2e-6)
+    assert(out("tied")._4 === None) // variance 0: tcorr equals the n-term
+    assert(out("tied")._2 === 0L)
+  }
 }
