@@ -138,6 +138,59 @@ object Hypothesis {
       round(when(varf > 0, num / sqrt(varf)), 6).as("z")): _*)
   }
 
+  /** Per-key Cohen's kappa — chance-corrected agreement between two
+    * categorical labelings of the same rows (annotator agreement,
+    * classifier-vs-heuristic drift, duplicate-labeler QA):
+    *
+    *   κ = (p_o − p_e)/(1 − p_e)  with  p_o = D/N,  p_e = P/N²
+    *
+    * (D = agreeing rows, P = Σ_label rowMargin·colMargin), which
+    * clears denominators to ONE exact-integer expression
+    *
+    *   κ = (D·N − P) / (N² − P)
+    *
+    * — every input an exact count, products in DECIMAL(38,0) (BIGINT
+    * N² overflows past ~3·10⁹ rows per key), one IEEE division. NULL
+    * when N² = P (both raters constant — chance agreement is 1 and κ
+    * is undefined).
+    *
+    * Scale posture: one hash aggregation to label-pair cells; margins
+    * and the product join are label-cardinality-sized.
+    */
+  def cohensKappa(df: DataFrame, keys: Seq[String], raterA: Column,
+                  raterB: Column): DataFrame = {
+    require(keys.nonEmpty, "cohensKappa needs at least one key column")
+    val cells = df.filter(raterA.isNotNull && raterB.isNotNull)
+      .groupBy(keys.map(col) ++ Seq(raterA.as("__a"), raterB.as("__b")): _*)
+      .agg(count(lit(1)).as("__o"))
+      .localCheckpoint() // margins + diagonal + total all read it
+    val tot = cells.groupBy(keys.map(col): _*).agg(
+      sum(col("__o")).as("n"),
+      sum(when(col("__a") === col("__b"), col("__o")).otherwise(0L))
+        .as("__d"))
+    val rowM = cells.groupBy(keys.map(col) :+ col("__a"): _*)
+      .agg(sum(col("__o")).as("__ra"))
+    val colM = cells.groupBy(keys.map(col) :+ col("__b"): _*)
+      .agg(sum(col("__o")).as("__cb"))
+    // P = Σ over labels of rowMargin·colMargin — labels missing from a
+    // side contribute 0, so the inner join on the label is exact
+    val pSum = rowM
+      .withColumnRenamed("__a", "__l")
+      .join(colM.withColumnRenamed("__b", "__l"), keys :+ "__l")
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__ra").cast("decimal(38,0)") * col("__cb")).as("__p"))
+    val joined = tot.join(pSum, keys)
+    val nD = col("n").cast("double")
+    val num = col("__d").cast("decimal(38,0)") * col("n") - col("__p")
+    val den = col("n").cast("decimal(38,0)") * col("n") - col("__p")
+    joined.select(keys.map(col) ++ Seq(
+      col("n"), col("__d").as("agree"),
+      round(col("__d").cast("double") / nD, 6).as("p_o"),
+      round(col("__p").cast("double") / (nD * nD), 6).as("p_e"),
+      round(when(den =!= 0, num.cast("double") / den.cast("double")), 6)
+        .as("kappa")): _*)
+  }
+
   /** Per-key two-sample Kolmogorov-Smirnov statistic: the max vertical
     * distance between the empirical CDFs of groups `a` and `b` of
     * `groupCol` over `value`.

@@ -296,6 +296,19 @@ object StatsQueries {
         .orderBy(col("event_type"))
     },
 
+    // Cohen's kappa: chance-corrected agreement between two order
+    // "raters" — urgent-priority (digit ≤ 2) vs high-value (> 200k) —
+    // per order status. κ = (D·N − P)/(N² − P): one exact-integer
+    // division, no quantization.
+    "q_kappa" -> { (s, dir) =>
+      Hypothesis.cohensKappa(Tables(s, dir).orders,
+          Seq("o_orderstatus"),
+          raterA = (substring(col("o_orderpriority"), 1, 1)
+            .cast("int") <= 2).cast("string"),
+          raterB = (col("o_totalprice") > 200000).cast("string"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Cochran-Armitage trend: does the high-value-order rate trend
     // with priority rank (the '1-URGENT'..'5-LOW' leading digit), per
     // order status? Exact integer w-moments — no quantization needed.
@@ -968,6 +981,40 @@ object StatsQueries {
                   WHEN s < 0 THEN (sd + 1.0) / sqrt(var18)
                   ELSE CAST(0.0 AS DOUBLE) END, 6) END AS z
          FROM v ORDER BY event_type""",
+    // κ = (D·N − P)/(N² − P) over exact counts — identical to
+    // Hypothesis.cohensKappa.
+    "q_kappa" ->
+      """WITH f AS (SELECT o_orderstatus,
+             CAST(CAST(substr(o_orderpriority, 1, 1) AS INT) <= 2
+               AS VARCHAR) AS a,
+             CAST(o_totalprice > 200000 AS VARCHAR) AS b
+           FROM orders),
+         cells AS (SELECT o_orderstatus, a, b, COUNT(*) AS o
+           FROM f GROUP BY 1, 2, 3),
+         tot AS (SELECT o_orderstatus, CAST(SUM(o) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a = b THEN o ELSE 0 END) AS BIGINT) AS d
+           FROM cells GROUP BY 1),
+         rm AS (SELECT o_orderstatus, a AS l, SUM(o) AS ra
+           FROM cells GROUP BY 1, 2),
+         cm AS (SELECT o_orderstatus, b AS l, SUM(o) AS cb
+           FROM cells GROUP BY 1, 2),
+         ps AS (SELECT rm.o_orderstatus,
+             SUM(CAST(ra AS HUGEINT) * cb) AS p
+           FROM rm JOIN cm ON rm.o_orderstatus = cm.o_orderstatus
+             AND rm.l = cm.l
+           GROUP BY 1),
+         j AS (SELECT tot.o_orderstatus, n, d, p,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(d AS HUGEINT) * n - p AS num,
+             CAST(n AS HUGEINT) * n - p AS den
+           FROM tot JOIN ps ON tot.o_orderstatus = ps.o_orderstatus)
+         SELECT o_orderstatus, n, d AS agree,
+           round(CAST(d AS DOUBLE) / nd, 6) AS p_o,
+           round(CAST(p AS DOUBLE) / (nd * nd), 6) AS p_e,
+           CASE WHEN den <> 0
+             THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+           END AS kappa
+         FROM j ORDER BY o_orderstatus""",
     // Exact integer w-moments, one IEEE tree — identical to
     // Hypothesis.trendTest.
     "q_trend_test" ->

@@ -185,6 +185,39 @@ class HypothesisSpec extends SparkSpec {
     assert(out("all")._3 === Some(1.0))
   }
 
+  private def kappa(rows: Seq[(String, String, String)]) =
+    Hypothesis.cohensKappa(rows.toDF("k", "a", "b"), Seq("k"),
+        raterA = col("a"), raterB = col("b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .toMap
+
+  test("kappa: textbook 2x2 [[20,5],[10,15]] gives kappa = 0.4") {
+    // D = 35, N = 50, P = rowM·colM = 25*30 + 25*20 = 1250
+    // kappa = (35*50 - 1250)/(2500 - 1250) = 500/1250 = 0.4
+    val rows = expand(Seq(("y", "y") -> 20, ("y", "n") -> 5,
+      ("n", "y") -> 10, ("n", "n") -> 15), "g")
+      .map { case (k, a, b) => (k, a, b) }
+    val (n, agree, po, pe, kp) = kappa(rows)("g")
+    assert((n, agree, po, pe) === ((50L, 35L, 0.7, 0.5)))
+    assert(kp === Some(0.4))
+  }
+
+  test("kappa: perfect agreement is 1, independence is ~0, constant raters are NULL") {
+    val perfect = Seq.fill(6)(("p", "x", "x")) ++ Seq.fill(4)(("p", "y", "y"))
+    // exact independence: joint = product of margins
+    val indep = expand(Seq(("x", "x") -> 6, ("x", "y") -> 6,
+      ("y", "x") -> 4, ("y", "y") -> 4), "i")
+      .map { case (k, a, b) => (k, a, b) }
+    val const = Seq.fill(5)(("c", "same", "same"))
+    val out = kappa(perfect ++ indep ++ const)
+    assert(out("p")._5 === Some(1.0))
+    assert(out("i")._5 === Some(0.0))
+    assert(out("c")._5 === None)
+    assert(out("c")._3 === 1.0)
+  }
+
   test("two-proportion z: degenerate pooled proportion or empty group is NULL") {
     val allTrue = (1 to 10).map(i => ("all", if (i <= 5) "A" else "B", true))
     val oneSided = (1 to 10).map(i => ("onesided", "A", i <= 3))
