@@ -1218,7 +1218,7 @@ object BatchQueries {
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "q_create" ->
-      """SELECT k, SUM(v) AS s, COUNT(*) AS n
+      """SELECT k, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS n
          FROM (VALUES ('a', 1), ('b', 2), ('a', 3), ('c', 5)) t(k, v)
          GROUP BY k ORDER BY k""",
     // side input replayed as the join it semantically is
@@ -1534,7 +1534,8 @@ c$i AS (SELECT eo.dst AS node, SUM((r.rank * eo.w) // eo.ow) AS s
 r$i AS (SELECT nb.node, nb.b + ((85 * COALESCE(c$i.s, 0)) // 100) AS rank
        FROM nb LEFT JOIN c$i ON c$i.node = nb.node)"""
       }.mkString
-      head + iterations + "\nSELECT node, rank FROM r5 ORDER BY node"
+      head + iterations +
+        "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r5 ORDER BY node"
     },
     "q_pagerank" ->
       """WITH e0 AS (
@@ -1572,7 +1573,7 @@ c5 AS (SELECT eo.dst AS node, SUM((r.rank * eo.w) // eo.ow) AS s
 r5 AS (SELECT nodes.node,
          ((1000000000000 * 15 // 100) // p.n) + ((85 * COALESCE(c5.s, 0)) // 100) AS rank
        FROM nodes CROSS JOIN p LEFT JOIN c5 ON c5.node = nodes.node)
-SELECT node, rank FROM r5 ORDER BY node""",
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r5 ORDER BY node""",
 
     "q_table_stats" -> {
       val cols = Seq("l_orderkey", "l_suppkey", "l_quantity",

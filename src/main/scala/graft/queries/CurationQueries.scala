@@ -374,8 +374,8 @@ object CurationQueries {
            FROM folded)
          SELECT f.source,
                 COUNT(*) AS n_docs,
-                SUM(CASE WHEN f.doc_id = kp.keeper THEN 1 ELSE 0 END) AS n_keepers,
-                SUM(t.n_toks) AS total_tokens
+                CAST(SUM(CASE WHEN f.doc_id = kp.keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_keepers,
+                CAST(SUM(t.n_toks) AS BIGINT) AS total_tokens
          FROM folded f
          JOIN keepers kp ON md5(substring(f.folded, 1, 64)) = kp.k
          JOIN toks t ON t.doc_id = f.doc_id

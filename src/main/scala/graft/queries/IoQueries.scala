@@ -750,7 +750,7 @@ FROM m GROUP BY 1 ORDER BY 1""",
          FROM orders GROUP BY 1 ORDER BY 1""",
 
     "q_compaction" ->
-      """SELECT source, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
+      """SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                 MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
          FROM documents GROUP BY source ORDER BY source""",
 
@@ -798,7 +798,7 @@ FROM m GROUP BY 1 ORDER BY 1""",
          final AS (SELECT doc_id, source FROM base
                    UNION ALL SELECT doc_id, source FROM survivors)
          SELECT source, COUNT(*) AS n_docs,
-           SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS n_new,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
            TRUE AS no_cross_dup
          FROM final GROUP BY source ORDER BY source""",
 

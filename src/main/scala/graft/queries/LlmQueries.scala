@@ -812,8 +812,12 @@ object LlmQueries {
     // 100 TB index needs for corpus-wide terms); postings carry doc_freq,
     // tf, and sorted 1-based positions.
     "q_inverted_index" -> { (s, dir) =>
+      // positions leave the gate as a comma-joined string: the driver's
+      // pandas hash cannot sort/hash list columns (output contract:
+      // scalar columns only — see EntryContractSpec).
       TextRelevance.invertedIndex(Tables(s, dir).documents,
           "doc_id", "text", maxDfFrac = 0.8)
+        .withColumn("positions", array_join(col("positions"), ","))
         .orderBy(col("term"), col("doc_id"))
     },
 
@@ -2554,7 +2558,8 @@ object LlmQueries {
               WHEN en = greatest(de, en, es, fr) THEN 'en'
               ELSE 'de' END AS detected
             FROM scores)
-          SELECT detected, count(*) AS n, SUM(ntok) AS total_tokens
+          SELECT detected, count(*) AS n,
+            CAST(SUM(ntok) AS BIGINT) AS total_tokens
           FROM det GROUP BY detected ORDER BY detected""",
 
     "q_dedup_keep_best" ->
@@ -2805,7 +2810,7 @@ object LlmQueries {
              unnest(range(1, len(toks) + 1)) AS p
            FROM tk WHERE len(toks) > 0),
          post AS (SELECT term, doc_id, count(*) AS tf,
-             list_sort(list(p)) AS positions
+             array_to_string(list_sort(list(p)), ',') AS positions
            FROM pos GROUP BY term, doc_id),
          dfc AS (SELECT term, count(*) AS doc_freq FROM post GROUP BY term),
          n AS (SELECT count(*) AS nd FROM documents)

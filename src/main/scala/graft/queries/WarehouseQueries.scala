@@ -147,7 +147,14 @@ object WarehouseQueries {
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice").cast("decimal(18,4)").as("o_totalprice"),
         col("o_orderdate"), col("o_orderpriority"))
-      graft.operators.Checksum.tableChecksum(o, cols)
+      val sums = graft.operators.Checksum.tableChecksum(o, cols)
+      // the ~74-bit sums leave the engine as decimal STRINGS: the
+      // driver's pandas compare deserializes wide decimals as float64
+      // on the DuckDB side (lossy at this width), so the portable
+      // output contract is VARCHAR on both engines.
+      sums.select(col("n_rows") +:
+        sums.columns.filter(_ != "n_rows").toSeq
+          .map(c => col(c).cast("string").as(c)): _*)
     },
 
     // GROUPING SETS: the general form cube/rollup specialize — three
@@ -397,7 +404,7 @@ object WarehouseQueries {
            FROM ev)
          SELECT o_orderpriority,
            CAST(count(*) / 2 AS BIGINT) AS n_intervals,
-           max(run) AS max_concurrent
+           CAST(max(run) AS BIGINT) AS max_concurrent
          FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_table_checksum" -> {
       val canonCols = Seq(
@@ -411,10 +418,10 @@ object WarehouseQueries {
         s"CAST(CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT) AS DECIMAL(38,0))"
       val rowExpr = s"concat_ws(chr(1), ${canonCols.mkString(", ")})"
       val colSums = names.zip(canonCols).map { case (n, c) =>
-        s"CAST(SUM(${h(c)}) AS DECIMAL(38,0)) AS checksum_$n"
+        s"CAST(CAST(SUM(${h(c)}) AS DECIMAL(38,0)) AS VARCHAR) AS checksum_$n"
       }
       s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(SUM(${h(rowExpr)}) AS DECIMAL(38,0)) AS row_checksum,
+           CAST(CAST(SUM(${h(rowExpr)}) AS DECIMAL(38,0)) AS VARCHAR) AS row_checksum,
            ${colSums.mkString(",\n           ")}
          FROM orders"""
     },

@@ -21,6 +21,31 @@ class EntryContractSpec extends SparkSpec {
     assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
   }
 
+  test("no query output schema carries array/map/struct or wide-decimal columns") {
+    // The driver gate hashes pandas frames: a LIST column crashes its
+    // row sort (unhashable numpy.ndarray — the r9 q_inverted_index
+    // failure) and a DECIMAL wider than 18 digits deserializes as a
+    // LOSSY float64 on the DuckDB side (the r9 q_table_checksum
+    // failure). Output contract (SURVEY §0): scalar columns only, and
+    // decimals at most 18 digits — serialize lists with array_join and
+    // wide decimals as strings BEFORE the final select.
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      SparkEntry.queries(name)(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+        case f @ StructField(_, d: DecimalType, _, _) if d.precision > 18 =>
+          s"$name.${f.name}: ${d.simpleString}"
+      }
+    }
+    assert(bad.isEmpty,
+      "driver-unhashable output columns (serialize with array_join / " +
+        s"CAST AS STRING before the final select): ${bad.mkString(", ")}")
+  }
+
   test("no query name collides across modules (Map ++ would silently shadow)") {
     val parts = Seq(
       "BatchQueries" -> BatchQueries.defs.keySet,
