@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   * precision 38 where Spark silently reduces scale and DuckDB errors
   * out; callers with larger measures rescale first, which changes
   * neither skewness, kurtosis, nor JB — all three are scale-invariant).
+  * Values outside the contract (|x| ≥ 10⁴) are excluded CONSISTENTLY
+  * — from n and from every power sum, via try_cast, under every ansi
+  * setting — never half-counted.
   *
   * From the exact sums (n, Σx, Σx², Σx³, Σx⁴) the central moments and
   * the statistics evaluate as one fixed IEEE tree each, spelled
@@ -37,8 +40,14 @@ object Moments {
     *         variance */
   def skewKurt(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
     require(keys.nonEmpty, "skewKurt needs at least one key column")
-    val x = value.cast("decimal(8,4)")
-    val agg = df.filter(value.isNotNull)
+    // try_cast + filter on the CAST column, not a plain cast + raw-
+    // column filter: an out-of-contract value (|x| ≥ 10⁴) try_casts to
+    // NULL under EVERY ansi setting (a plain cast throws under ANSI and
+    // nulls silently otherwise), and filtering on the raw column would
+    // count such a row in n while excluding it from every power sum —
+    // silently wrong mean/variance/skew.
+    val x = value.try_cast("decimal(8,4)")
+    val agg = df.filter(x.isNotNull)
       .groupBy(keys.map(col): _*).agg(
         count(lit(1)).as("n"),
         sum(x).as("__s1"),

@@ -41,7 +41,9 @@ object RankCompare {
 
   /** @param scoreA ranking A's sort key (ascending = rank 1 best)
     * @param pNum/pDen persistence p = pNum/pDen (0 < p < 1), default 9/10
-    * @return one row per key: rbo (6 dp), plus x_final = X_D and depth
+    * @return one row per key — EVERY key in the input, including keys
+    *         whose top-depth prefixes are fully disjoint (rbo = 0) —
+    *         with rbo (6 dp), x_final = X_D, and depth
     */
   def rbo(df: DataFrame, keys: Seq[String], id: Column,
           scoreA: Column, scoreB: Column, depth: Int,
@@ -51,11 +53,15 @@ object RankCompare {
     require(pNum > 0 && pDen > pNum, s"need 0 < p < 1, got $pNum/$pDen")
     val wA = Window.partitionBy(keys.map(col): _*).orderBy(scoreA, id)
     val wB = Window.partitionBy(keys.map(col): _*).orderBy(scoreB, id)
-    val ranked = df.select(keys.map(col) ++ Seq(id.as("__id"),
+    val rankedAll = df.select(keys.map(col) ++ Seq(id.as("__id"),
         row_number().over(wA).as("__ra"),
         row_number().over(wB).as("__rb")): _*)
       .withColumn("__m", greatest(col("__ra"), col("__rb")))
-      .filter(col("__m") <= depth)
+    // the key universe comes from BEFORE the depth filter: a key whose
+    // top-depth prefixes are fully disjoint (no item with
+    // max(ra, rb) <= depth) must still emit an rbo = 0 row, not vanish
+    val keyUniverse = rankedAll.select(keys.map(col): _*).distinct()
+    val ranked = rankedAll.filter(col("__m") <= depth)
     // X_d = # items with max(ra, rb) <= d: per-key counts by __m,
     // summed over the (key, d) scaffold
     val counts = ranked.groupBy(keys.map(col) :+ col("__m"): _*)
@@ -69,16 +75,17 @@ object RankCompare {
         lit(num.toString).cast("decimal(38,0)").as("__num"),
         lit(den.toString).cast("decimal(38,0)").as("__den"))
     }
-    val grid = counts.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__dummy"))
+    val grid = keyUniverse
       .select(keys.map(col) :+ explode(array(scaffold: _*)).as("__s"): _*)
       .select(keys.map(col) ++ Seq(col("__s.d").as("__d"),
         col("__s.__num").as("__num"), col("__s.__den").as("__den")): _*)
+    // conditional sum, not a join filter: a key with ZERO in-depth
+    // items keeps its grid rows and scores X_d = 0 at every depth
     val xd = grid.join(counts, keys, "left")
-      .filter(col("__m").isNotNull && col("__m") <= col("__d"))
       .groupBy(keys.map(col) ++ Seq(col("__d"), col("__num"),
         col("__den")): _*)
-      .agg(sum(col("__c")).as("__x"))
+      .agg(coalesce(sum(when(col("__m") <= col("__d"), col("__c"))),
+        lit(0L)).as("__x"))
       .withColumn("__term",
         expr("(CAST(__x AS DECIMAL(38,0)) * __num) DIV __den"))
     val agg = xd.groupBy(keys.map(col): _*).agg(

@@ -239,7 +239,11 @@ object TimeSeries {
     *    window sums over EXACT decimals; trend = D/(2m), one division.
     *  - seasonal: the per-phase (slot mod m) mean of the detrended
     *    series, DEFINED over exact sums — (Σ_p y − Σ_p D/(2m))/n_p —
-    *    then centered by the all-rows mean from the same device, so no
+    *    then centered by the UNWEIGHTED mean of the m per-phase means
+    *    (the classical/R `decompose()` convention: the indices sum to
+    *    zero over one cycle even when edge-trimming leaves the phases
+    *    with unequal row counts). The centering term is one fixed
+    *    left-to-right IEEE tree over the m phase means — no
     *    order-dependent float accumulation ever happens.
     *  - residual: y − trend − seasonal per row (fixed tree).
     *
@@ -247,6 +251,8 @@ object TimeSeries {
     * frames align neighbors positionally — feed `gapFillLinear` output
     * or a dense aggregation grid); rows whose centered window is
     * incomplete (the first/last h) carry no trend and are dropped.
+    * Every phase 0..m−1 must be populated among the surviving rows
+    * (guaranteed whenever ≥ 2m rows survive — i.e. ≥ 3m input rows).
     *
     * @return (key, o, y, trend, seasonal, resid) for trend-defined
     *         rows; y exact-decimal-cast to double, components 6 dp
@@ -273,18 +279,29 @@ object TimeSeries {
     val phases = t.groupBy(col(key), col("__p")).agg(
       count(lit(1)).as("__np"),
       sum(col("__y")).as("__spy"), sum(col("__d")).as("__spd"))
-    val glob = t.groupBy(col(key)).agg(
-      count(lit(1)).as("__ng"),
-      sum(col("__y")).as("__sgy"), sum(col("__d")).as("__sgd"))
     val sRaw = (col("__spy").cast("double")
       - col("__spd").cast("double") / m2) / col("__np").cast("double")
-    val g = (col("__sgy").cast("double")
-      - col("__sgd").cast("double") / m2) / col("__ng").cast("double")
+    // Unweighted mean of the m per-phase means: the phase sums pivot
+    // into ONE row per key (conditional exact-decimal sums), and the
+    // centering term evaluates as a fixed left-to-right tree over the
+    // m phase-mean expressions — order-free, oracle-identical.
+    val phaseAggs = (0 until period).flatMap { p =>
+      Seq(sum(when(col("__p") === p, col("__y"))).as(s"__spy$p"),
+        sum(when(col("__p") === p, col("__d"))).as(s"__spd$p"),
+        count(when(col("__p") === p, lit(1))).as(s"__np$p"))
+    }
+    val phaseMean = (0 until period).map { p =>
+      (col(s"__spy$p").cast("double")
+        - col(s"__spd$p").cast("double") / m2) / col(s"__np$p").cast("double")
+    }
+    val glob = t.groupBy(col(key)).agg(phaseAggs.head, phaseAggs.tail: _*)
+      .select(col(key),
+        (phaseMean.reduceLeft(_ + _) / lit(period.toDouble)).as("__g"))
     val withSeasonal = t
       .join(broadcast(phases), Seq(key, "__p"))
       .join(broadcast(glob), Seq(key))
       .withColumn("__trend", col("__d").cast("double") / m2)
-      .withColumn("__seasonal", sRaw - g)
+      .withColumn("__seasonal", sRaw - col("__g"))
     withSeasonal.select(
       col(key), col("o"), col("__y").cast("double").as("y"),
       round(col("__trend"), 6).as("trend"),

@@ -333,10 +333,10 @@ object AnalyticsQueries {
          counts AS (SELECT p_brand, m, COUNT(*) AS c FROM mm GROUP BY 1, 2),
          scaffold AS (SELECT * FROM (VALUES $rows) AS t(d, num, den)),
          grid AS (SELECT b.p_brand, s.d, s.num, s.den
-           FROM (SELECT DISTINCT p_brand FROM counts) b CROSS JOIN scaffold s),
-         xd AS (SELECT g.p_brand, g.d, g.num, g.den, SUM(c) AS x
-           FROM grid g JOIN counts
-             ON g.p_brand = counts.p_brand AND counts.m <= g.d
+           FROM (SELECT DISTINCT p_brand FROM ranked) b CROSS JOIN scaffold s),
+         xd AS (SELECT g.p_brand, g.d, g.num, g.den,
+             COALESCE(SUM(CASE WHEN counts.m <= g.d THEN c END), 0) AS x
+           FROM grid g LEFT JOIN counts ON g.p_brand = counts.p_brand
            GROUP BY 1, 2, 3, 4),
          terms AS (SELECT p_brand, d, x,
              (CAST(x AS HUGEINT) * num) // den AS t12 FROM xd),

@@ -820,10 +820,17 @@ object StatsQueries {
            END AS r
          FROM d ORDER BY cohort, lag""",
     // Centered 2×m MA from exact window sums; per-phase seasonal means
-    // over exact sums — the identical trees as
+    // over exact sums, centered by the UNWEIGHTED mean of the 6 phase
+    // means (fixed left-to-right tree over conditional sums — the R
+    // decompose() convention) — the identical trees as
     // TimeSeries.decomposeAdditive.
-    "q_decompose" ->
-      """WITH obs AS (SELECT event_type,
+    "q_decompose" -> {
+      val phaseMeanSql = (0 until 6).map { p =>
+        s"""(CAST(SUM(CASE WHEN p = $p THEN y END) AS DOUBLE)
+               - CAST(SUM(CASE WHEN p = $p THEN d END) AS DOUBLE) / 12.0)
+               / CAST(COUNT(CASE WHEN p = $p THEN 1 END) AS DOUBLE)"""
+      }.mkString("\n             + ")
+      s"""WITH obs AS (SELECT event_type,
              CAST(floor(epoch(ts)) AS BIGINT) // 14400 AS o,
              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS y
            FROM events GROUP BY 1, 2),
@@ -839,20 +846,21 @@ object StatsQueries {
            FROM t WHERE cnt = 7),
          ph AS (SELECT event_type, p, CAST(COUNT(*) AS BIGINT) AS np,
              SUM(y) AS spy, SUM(d) AS spd FROM tf GROUP BY 1, 2),
-         gl AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
-             SUM(y) AS sgy, SUM(d) AS sgd FROM tf GROUP BY 1),
+         gl AS (SELECT event_type,
+             ($phaseMeanSql) / 6.0 AS g
+           FROM tf GROUP BY 1),
          j AS (SELECT tf.event_type, tf.o, tf.y,
              CAST(tf.d AS DOUBLE) / 12.0 AS trend,
              (CAST(spy AS DOUBLE) - CAST(spd AS DOUBLE) / 12.0)
                  / CAST(np AS DOUBLE)
-               - (CAST(sgy AS DOUBLE) - CAST(sgd AS DOUBLE) / 12.0)
-                 / CAST(ng AS DOUBLE) AS seasonal
+               - gl.g AS seasonal
            FROM tf JOIN ph ON tf.event_type = ph.event_type AND tf.p = ph.p
              JOIN gl ON tf.event_type = gl.event_type)
          SELECT event_type, o, CAST(y AS DOUBLE) AS y,
            round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
            round(CAST(y AS DOUBLE) - trend - seasonal, 6) AS resid
-         FROM j ORDER BY event_type, o""",
+         FROM j ORDER BY event_type, o"""
+    },
     // Staged 6-dp integer quantization of E and V (HUGEINT // chains),
     // exact sums, one IEEE tree — identical to Survival.logRank.
     "q_logrank" ->

@@ -40,6 +40,17 @@ class MomentsSpec extends SparkSpec {
     assert(out("c")._6 === None)
   }
 
+  test("out-of-contract values (|x| >= 10^4) drop from n AND the sums — never half-counted") {
+    // 12345.0 overflows DECIMAL(8,4) -> NULL cast; a raw-column null
+    // filter would count it in n while excluding it from every power
+    // sum, silently corrupting mean/variance/skew. The group must
+    // compute EXACTLY as if the row were absent.
+    val clean = run(Seq(("g", 1.0), ("g", 2.0), ("g", 3.0)))("g")
+    val dirty = run(Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 12345.0)))("g")
+    assert(dirty === clean)
+    assert(dirty._1 === 3L)
+  }
+
   test("matches the scalar central-moment model on a pseudo-random set") {
     val vs = (1 to 300).map(i => (i * 48271 % 89).toDouble / 8.0)
     val n = vs.size.toDouble

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** RankCompare.rbo: identical rankings give 1 − p^D exactly (the
   * geometric sum stays exact under the 12-dp quantization for D ≤ 13),
   * reversed rankings match the hand-worked X_d table, fully disjoint
-  * prefixes vanish, and a pseudo-random case matches the scalar
-  * quantized model bit-for-bit. */
+  * prefixes score rbo = 0 (never vanish), and a pseudo-random case
+  * matches the scalar quantized model bit-for-bit. */
 class RankCompareSpec extends SparkSpec {
   import spark.implicits._
 
@@ -43,9 +43,17 @@ class RankCompareSpec extends SparkSpec {
     assert(rbo === scalarRbo(Seq(4, 3, 3, 4), 4))
   }
 
-  test("fully disjoint prefixes within depth: the key is absent (rbo 0)") {
+  test("fully disjoint prefixes within depth: the key reports rbo = 0, not absence") {
+    // with depth 1 the two top-1 prefixes are {1} vs {4}: zero overlap
+    // at every graded depth — the key must still emit a row scoring 0
+    // (dropping it would silently shrink the comparison universe)
     val rows = (1L to 4L).map(i => ("g", i, i.toDouble, -i.toDouble))
-    assert(run(rows, 1).isEmpty)
+    val out = run(rows, 1)
+    assert(out("g") === ((0.0, 0L, 1L)))
+    // and it coexists with a normal key in the same frame
+    val both = run(rows ++ (1L to 4L).map(i => ("h", i, i.toDouble, i.toDouble)), 1)
+    assert(both("g") === ((0.0, 0L, 1L)))
+    assert(both("h")._2 === 1L)
   }
 
   test("matches the scalar quantized model; boundary ties break by id") {

@@ -236,9 +236,12 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
-  test("decomposeAdditive matches the exact-sums scalar model") {
+  test("decomposeAdditive matches the exact-sums scalar model (unequal phase counts)") {
     import spark.implicits._
-    val n = 30; val m = 6; val h = m / 2
+    // n = 31 -> 25 surviving rows: one phase has 5 rows, five have 4 —
+    // the centering must be the UNWEIGHTED mean of the 6 per-phase
+    // means (R's decompose), not the count-weighted grand mean.
+    val n = 31; val m = 6; val h = m / 2
     val ys = (1 to n).map(i => (i * 48271 % 37).toDouble / 4.0)
     val rows = (0 until n).map(i => ("g", i.toLong, ys(i)))
     val out = TimeSeries.decomposeAdditive(rows.toDF("k", "slot", "v"),
@@ -250,10 +253,15 @@ class TimeSeriesSpec extends SparkSpec {
       t -> (ys(t - h) + ys(t + h) + 2.0 * (t - h + 1 until t + h).map(ys).sum)
     }.toMap
     val defined = (h until n - h)
-    val g = (defined.map(ys).sum - defined.map(d).sum / (2 * m)) / defined.size
+    def phaseMean(p: Int): Double = {
+      val phase = defined.filter(_ % m == p)
+      (phase.map(ys).sum - phase.map(d).sum / (2 * m)) / phase.size
+    }
+    val g = (0 until m).map(phaseMean).sum / m
+    // the indices must (weighted-free) sum to ~zero over one cycle
+    assert(math.abs((0 until m).map(p => phaseMean(p) - g).sum) < 1e-9)
     for (t <- defined) {
-      val phase = defined.filter(_ % m == t % m)
-      val sRaw = (phase.map(ys).sum - phase.map(d).sum / (2 * m)) / phase.size
+      val sRaw = phaseMean(t % m)
       val (trend, seasonal, resid) = out(t.toLong)
       assert(math.abs(trend - d(t) / (2 * m)) < 2e-6, s"t=$t")
       assert(math.abs(seasonal - (sRaw - g)) < 2e-6, s"t=$t")
