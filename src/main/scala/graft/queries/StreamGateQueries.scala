@@ -1,0 +1,260 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.queries.QueryUtil._
+import graft.streaming.{NearDupStream, StreamOps}
+
+/** Driver-gate queries for the three streaming operators that were
+  * previously spec-only (VERDICT r9 §"Next round" item 4): each runs
+  * either the REAL streaming code over a deterministic file-replayed
+  * stream (q_stream_dedup, q_stream_cdc) or the operator's documented
+  * deterministic batch leg (q_stream_neardup), and lands on an output
+  * whose value is micro-batch-boundary-INVARIANT so DuckDB can replay
+  * it relationally:
+  *
+  *  - q_stream_dedup: StreamOps.dedupByFingerprint over an AvailableNow
+  *    file stream. Whichever arrival survives per fingerprint, the
+  *    (portable-fingerprint, count=1) projection is batch-split-proof.
+  *  - q_stream_neardup: NearDupStream.nearDupFlagsBatch + invariant
+  *    booleans (exact-dup coverage, recomputed distances, arrival
+  *    order) — the simhash kernel itself is not SQL-replayable, so the
+  *    gate is self-asserting like q_dedup_simhash.
+  *  - q_stream_cdc: StreamOps.writeStreamMerge applied to a change
+  *    feed whose files are KEY-DISJOINT (each key's changes share one
+  *    file → one micro-batch), making the final snapshot independent
+  *    of file/batch ordering; the oracle replays the collapsed merge
+  *    relationally.
+  */
+object StreamGateQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private lazy val scratchBase: java.nio.file.Path = {
+    val base = Files.createTempDirectory("graft_stream_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files => F}
+      import scala.jdk.CollectionConverters._
+      try F.walk(base).iterator().asScala.toSeq.reverse.foreach(F.deleteIfExists(_))
+      catch { case _: Throwable => () }
+    }))
+    base
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(scratchBase, prefix).toString
+
+  /** The fixture corpus has no EXACT duplicate texts, which would make
+    * the dedup/near-dup gates vacuous — inject one whitespace-mutated
+    * copy (doubled spaces: normalized-equal, raw-different) of every
+    * 10th document under a fresh, LATER-arriving id. The oracle replays
+    * the identical construction with replace(text, ' ', '  '). */
+  private def withInjectedDups(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), col("text"))
+    base.unionByName(base
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        regexp_replace(col("text"), " ", "  ").as("text")))
+  }
+
+  val defs: Map[String, Q] = Map(
+
+    // §2.9 row 8 under the driver gate: the REAL streaming exact-dedup
+    // (watermark + dropDuplicatesWithinWatermark) over a multi-batch
+    // file replay of the documents table. The per-fingerprint survivor
+    // is arrival-order-dependent, but its NORMALIZED text is not —
+    // projecting the portable md5 fingerprint (+ count pinned 1 by the
+    // dedup guarantee) yields a batch-split-invariant result DuckDB
+    // replays as SELECT DISTINCT md5(normalized).
+    "q_stream_dedup" -> { (s, dir) =>
+      val src = tmp("sd_src")
+      val docs = withInjectedDups(Tables(s, dir).documents)
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      docs.repartition(4).write.mode("overwrite").parquet(src)
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val survivors = StreamOps.dedupByFingerprint(stream, "text", "ts",
+        lateness = "30 days")
+      val outDir = tmp("sd_out"); val ckpt = tmp("sd_ckpt")
+      val q = survivors.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .groupBy(TextFunctions.fingerprintPortable(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("fp"))
+    },
+
+    // §2.9 row 9 under the driver gate: the deterministic batch leg of
+    // the streaming near-dup flags ((ts, id) arrival order, smallest-id
+    // representative), with the streaming-spec invariants recomputed
+    // relationally: every exact duplicate (identical normalized text,
+    // not the first arrival) MUST flag at distance 0; every flag's
+    // distance must re-derive from the two documents' signatures; every
+    // flag must point strictly earlier. simhash is not SQL-replayable,
+    // so the oracle pins the booleans and replays the two counts.
+    "q_stream_neardup" -> { (s, dir) =>
+      import graft.llm.Dedup
+      val docs = withInjectedDups(Tables(s, dir).documents)
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      val flags = NearDupStream.nearDupFlagsBatch(docs, "doc_id", "ts",
+        "text", maxDist = 3, horizon = java.time.Duration.ofDays(365))
+        .localCheckpoint() // feeds three audit legs below
+      val fp = docs.select(col("doc_id"),
+        TextFunctions.fingerprintPortable(col("text")).as("k"))
+      val nonfirst = fp.join(
+          fp.groupBy(col("k")).agg(min(col("doc_id")).as("first")), Seq("k"))
+        .filter(col("doc_id") =!= col("first"))
+        .select(col("doc_id"))
+      val sh = docs.select(col("doc_id"),
+        Dedup.simHash(col("text")).as("__sh"))
+      val audited = flags
+        .join(sh.select(col("doc_id").as("id"), col("__sh").as("__shi")), Seq("id"))
+        .join(sh.select(col("doc_id").as("dup_of"), col("__sh").as("__shd")),
+          Seq("dup_of"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val nNonfirst = nonfirst.agg(count(lit(1)).as("n_exact_nonfirst"))
+      // coverage = FLAGGED AT ALL: the exact-dup earlier member makes
+      // every non-first doc eligible, but the smallest-id representative
+      // may be a different (near) match, so the flag's dist can be > 0
+      val covered = nonfirst
+        .join(flags.select(col("id").as("doc_id")).distinct(), Seq("doc_id"))
+        .agg(count(lit(1)).as("__covered"))
+      val bad = audited.agg(
+        coalesce(sum(when(Dedup.hamming(col("__shi"), col("__shd"))
+          =!= col("dist"), 1L)), lit(0L)).as("__bad_dist"),
+        coalesce(sum(when(col("dup_of") >= col("id"), 1L)), lit(0L))
+          .as("__bad_order"))
+      nDocs.crossJoin(nNonfirst).crossJoin(covered).crossJoin(bad)
+        .select(col("n_docs"), col("n_exact_nonfirst"),
+          (col("__covered") === col("n_exact_nonfirst")).as("exact_covered_ok"),
+          (col("__bad_dist") === 0).as("dist_recompute_ok"),
+          (col("__bad_order") === 0).as("earlier_ok"))
+    },
+
+    // §2.9 row 68 under the driver gate: the REAL streaming CDC-apply
+    // sink (foreachBatch collapse + partition-scoped MERGE) fed by a
+    // 3-file change feed. Changes for one key never split across files
+    // (bucket = key mod 3 partitions the feed), so the per-batch
+    // max-order collapse sees each key's full history and the final
+    // snapshot is file-order-invariant: updated keys end at +1000 (the
+    // ord=2 change; the ord=1 +500 must collapse away), update-then-
+    // delete keys vanish, inserts land. The oracle replays that final
+    // state relationally.
+    "q_stream_cdc" -> { (s, dir) =>
+      import graft.operators.Upsert
+      val root = tmp("cdc_root"); val feed = tmp("cdc_feed")
+      val ckpt = tmp("cdc_ckpt")
+      val orders = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
+      val updKeys = col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        pmod(col("o_orderkey"), lit(7)) === 0
+      val delKeys = col("o_orderpriority") === "3-MEDIUM" &&
+        pmod(col("o_orderkey"), lit(5)) === 0
+      val upd1 = orders.filter(updKeys)
+        .withColumn("o_totalprice", col("o_totalprice") + 500)
+        .withColumn("op", lit("U")).withColumn("ord", lit(1L))
+      val upd2 = orders.filter(updKeys)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("op", lit("U")).withColumn("ord", lit(2L))
+      val updel = orders.filter(delKeys)
+        .withColumn("o_totalprice", col("o_totalprice") + 777)
+        .withColumn("op", lit("U")).withColumn("ord", lit(1L))
+      val dels = orders.filter(delKeys)
+        .withColumn("op", lit("D")).withColumn("ord", lit(2L))
+      val ins = orders
+        .filter(col("o_orderpriority") === "2-HIGH" &&
+          pmod(col("o_orderkey"), lit(11)) === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("2-HIGH").as("o_orderpriority"),
+          lit(123.45).as("o_totalprice"))
+        .withColumn("op", lit("U")).withColumn("ord", lit(1L))
+      val changes = upd1.unionByName(upd2).unionByName(updel)
+        .unionByName(dels).unionByName(ins)
+      // hash-partition by key mod 3 → one file per bucket → all of a
+      // key's changes share a file, hence a micro-batch
+      changes.repartition(3, pmod(col("o_orderkey"), lit(3)))
+        .write.mode("overwrite").parquet(feed)
+      val stream = s.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val q = StreamOps.writeStreamMerge(stream, root, Seq("o_orderkey"),
+        "o_orderpriority", "ord", ckpt)
+      q.processAllAvailable()
+      q.stop()
+      val untouched = Seq("o_orderpriority=4-NOT SPECIFIED",
+        "o_orderpriority=5-LOW")
+      val intact = untouched
+        .map(d => Upsert.partitionFileSignature(s, root, d))
+        .forall(_.nonEmpty)
+      s.read.parquet(root)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("untouched_present", lit(intact))
+        .orderBy(col("o_orderpriority"))
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_stream_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, replace(text, ' ', '  ')
+           FROM documents WHERE doc_id % 10 = 0)
+         SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp,
+                CAST(1 AS BIGINT) AS n
+         FROM corpus GROUP BY 1 ORDER BY fp""",
+
+    // simhash is engine-local; the oracle replays the two counts and
+    // pins the recomputed invariants (self-asserting gate, the
+    // q_dedup_simhash pattern).
+    "q_stream_neardup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, replace(text, ' ', '  ')
+           FROM documents WHERE doc_id % 10 = 0),
+         fp AS (SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS k
+           FROM corpus),
+         m AS (SELECT k, min(doc_id) AS first FROM fp GROUP BY k)
+         SELECT (SELECT count(*) FROM corpus) AS n_docs,
+           (SELECT count(*) FROM fp JOIN m ON fp.k = m.k
+              WHERE fp.doc_id <> m.first) AS n_exact_nonfirst,
+           TRUE AS exact_covered_ok, TRUE AS dist_recompute_ok,
+           TRUE AS earlier_ok""",
+
+    // the collapsed CDC feed replayed relationally: updated keys take
+    // the ord=2 value (+1000 — a +500 survivor would prove the collapse
+    // broke), update-then-delete keys vanish, inserts land, untouched
+    // rows pass through.
+    "q_stream_cdc" ->
+      """WITH upd AS (SELECT o_orderkey FROM orders
+             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderkey % 7 = 0),
+         dels AS (SELECT o_orderkey FROM orders
+             WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 5 = 0),
+         ins AS (SELECT o_orderkey + 100000000 AS o_orderkey,
+               '2-HIGH' AS o_orderpriority, 123.45 AS o_totalprice
+             FROM orders WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 11 = 0),
+         kept AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+               AND o_orderkey NOT IN (SELECT o_orderkey FROM dels)),
+         updnew AS (SELECT o_orderkey, o_orderpriority, o_totalprice + 1000 AS o_totalprice
+             FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM upd)),
+         merged AS (SELECT * FROM kept UNION ALL SELECT * FROM updnew
+                    UNION ALL SELECT * FROM ins)
+         SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           TRUE AS untouched_present
+         FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+  )
+}

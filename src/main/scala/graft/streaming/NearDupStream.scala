@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming._
 
@@ -128,24 +128,69 @@ object NearDupStream {
     val spark = docs.sparkSession
     import spark.implicits._
     val k = maxDist + 1
-    // pack (chunk index, chunk bits) into one long grouping key — same
-    // chunk geometry as the batch operator (Dedup.simHashPairs)
-    val chunkKeys = (0 until k).map { c =>
-      val lo = c * 32 / k
-      val hi = (c + 1) * 32 / k
-      (lit(c.toLong) * lit(1L << 32)) +
-        pmod(floor(col("__sh") / lit(math.pow(2.0, lo))).cast("long"),
-          lit(1L << (hi - lo)))
-    }
     docs
       .withColumn("__sh", Dedup.simHash(col(textCol)))
       .withWatermark(tsCol, lateness)
       .select(col(idCol).cast("long").as("__id"),
-        explode(array(chunkKeys: _*)).as("__key"),
+        explode(array(chunkKeys(col("__sh"), k): _*)).as("__key"),
         col("__sh"), col(tsCol).as("__ts"))
       .as[(Long, Long, Long, Timestamp)]
       .groupByKey(_._2)
       .transformWithState(new ChunkProcessor(maxDist, horizon.toMillis),
         TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Pack (chunk index, chunk bits) into one long grouping key — the
+    * same chunk geometry as the batch operator (Dedup.simHashPairs),
+    * shared by the streaming processor and the batch leg below. */
+  private def chunkKeys(sh: Column, k: Int): Seq[Column] =
+    (0 until k).map { c =>
+      val lo = c * 32 / k
+      val hi = (c + 1) * 32 / k
+      (lit(c.toLong) * lit(1L << 32)) +
+        pmod(floor(sh / lit(math.pow(2.0, lo))).cast("long"),
+          lit(1L << (hi - lo)))
+    }
+
+  /** Deterministic BATCH leg of [[nearDupFlags]] — the oracle-gateable
+    * replay of the streaming semantics with arrival order := (ts, id):
+    * each document flags against the SMALLEST id among strictly earlier
+    * documents within `horizon` whose SimHash is within `maxDist` (the
+    * representative rule ChunkProcessor applies to its live state).
+    * Same pigeonhole chunk blocking — candidate pairs only ever meet on
+    * a shared (chunk index, chunk bits) key, never all-pairs, so the
+    * shuffle is bounded by chunk-bucket co-occurrence at any scale.
+    *
+    * @return (id, dup_of, dist, ts) — one row per flagged document */
+  def nearDupFlagsBatch(docs: DataFrame, idCol: String, tsCol: String,
+                        textCol: String, maxDist: Int = 3,
+                        horizon: java.time.Duration =
+                          java.time.Duration.ofMinutes(10)): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 32)")
+    val k = maxDist + 1
+    val base = docs.select(col(idCol).cast("long").as("__id"),
+      col(tsCol).as("__ts"), Dedup.simHash(col(textCol)).as("__sh"))
+    val sigs = base.select(col("__id"), col("__ts"), col("__sh"),
+      explode(array(chunkKeys(col("__sh"), k): _*)).as("__key"))
+    val a = sigs.select(col("__key"), col("__id").as("__ida"),
+      col("__ts").as("__tsa"), col("__sh").as("__sha"))
+    val b = sigs.select(col("__key"), col("__id").as("__idb"),
+      col("__ts").as("__tsb"), col("__sh").as("__shb"))
+    val pairs = a.join(b, Seq("__key"))
+      .filter(col("__ida") =!= col("__idb"))
+      .filter(col("__tsa") < col("__tsb") ||
+        (col("__tsa") === col("__tsb") && col("__ida") < col("__idb")))
+      .filter(unix_timestamp(col("__tsb")) - unix_timestamp(col("__tsa"))
+        <= lit(horizon.getSeconds))
+      .filter(Dedup.hamming(col("__sha"), col("__shb")) <= lit(maxDist))
+    // a pair agreeing on several chunks appears once per chunk; the
+    // min-struct aggregation collapses the duplicates AND picks the
+    // smallest-id representative in the same pass
+    pairs.groupBy(col("__idb"))
+      .agg(min(struct(col("__ida"), col("__sha"))).as("__rep"),
+        max(col("__shb")).as("__shb2"), max(col("__tsb")).as("__ts2"))
+      .select(col("__idb").as("id"), col("__rep.__ida").as("dup_of"),
+        Dedup.hamming(col("__rep.__sha"), col("__shb2")).cast("int").as("dist"),
+        col("__ts2").as("ts"))
   }
 }

@@ -57,7 +57,8 @@ class EntryContractSpec extends SparkSpec {
       "AnalyticsQueries" -> AnalyticsQueries.defs.keySet,
       "WarehouseQueries" -> WarehouseQueries.defs.keySet,
       "GeoQueries" -> GeoQueries.defs.keySet,
-      "StatsQueries" -> StatsQueries.defs.keySet)
+      "StatsQueries" -> StatsQueries.defs.keySet,
+      "StreamGateQueries" -> StreamGateQueries.defs.keySet)
     val dupes = parts.flatMap { case (m, ks) => ks.map(_ -> m) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty,
