@@ -512,17 +512,24 @@ object IoQueries {
         .join(baseFps, Seq("__k"), "left_anti").drop("__k")
       Upsert.mergeIntoPartitioned(s, root,
         fresh.withColumn("op", lit("U")), Seq("doc_id"), "source")
+      // the cross-dup invariant folds into the SAME aggregation pass as
+      // a join-derived flag (a separate .count() action would re-read
+      // the merged table for one boolean — one whole job at 100 TB)
       val post = s.read.parquet(root)
         .withColumn("__k", TextFunctions.fingerprintPortable(col("text")))
-      val crossDups = post.filter(pmod(col("doc_id"), lit(3)) === 0)
-        .select(col("__k"))
-        .join(post.filter(pmod(col("doc_id"), lit(3)) =!= 0).select(col("__k")),
-          Seq("__k"), "left_semi")
-        .count()
-      post.groupBy(col("source"))
+        .withColumn("__new", pmod(col("doc_id"), lit(3)) === 0)
+      val baseKeys = post.filter(!col("__new"))
+        .select(col("__k")).distinct().withColumn("__in_base", lit(true))
+      val perSource = post.join(baseKeys, Seq("__k"), "left")
+        .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(when(pmod(col("doc_id"), lit(3)) === 0, 1L).otherwise(0L)).as("n_new"))
-        .withColumn("no_cross_dup", lit(crossDups == 0L))
+          sum(when(col("__new"), 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("__new") && col("__in_base").isNotNull, 1L)
+            .otherwise(0L)).as("__cds"))
+      perSource
+        .crossJoin(broadcast(perSource.agg(sum(col("__cds")).as("__tot"))))
+        .select(col("source"), col("n_docs"), col("n_new"),
+          (col("__tot") === 0).as("no_cross_dup"))
         .orderBy(col("source"))
     },
 
@@ -531,7 +538,7 @@ object IoQueries {
     // refreshed by recomputing ONLY touched partitions (untouched rows
     // carry over from the pre-merge summary) — and the incremental
     // result must equal a from-scratch recompute EXACTLY
-    // (incremental_consistent, both exceptAll directions empty). The
+    // (incremental_consistent: one-pass multiset equality). The
     // oracle replays the merged per-partition counts/sums.
     "q_incremental_report" -> { (s, dir) =>
       import graft.operators.Upsert
@@ -563,19 +570,21 @@ object IoQueries {
       val incremental = Upsert.refreshPartitionSummaries(s, root,
         "o_orderpriority", stats.touchedValues, before, summarize)
       val scratch = summarize(s.read.parquet(root))
-      val mismatch = incremental.exceptAll(scratch).count() +
-        scratch.exceptAll(incremental).count()
+      // one-pass multiset equality (±1 tag + |net| sum) folded into the
+      // result as a broadcast boolean — no separate driver actions
       incremental
         .withColumn("refreshed",
           col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM"))
-        .withColumn("incremental_consistent", lit(mismatch == 0L))
+        .crossJoin(broadcast(symmetricDiffCount(incremental, scratch)))
+        .withColumn("incremental_consistent", col("__mismatch") === 0)
+        .drop("__mismatch")
         .orderBy(col("o_orderpriority"))
     },
 
     // CDC read side: diff two snapshot generations into a change-sized
     // U/D delta, then CLOSE THE LOOP — merge the delta into generation
     // A on disk and assert the result equals generation B exactly
-    // (roundtrip_ok, both exceptAll directions empty). The oracle
+    // (roundtrip_ok: one-pass multiset equality). The oracle
     // replays the delta's op/partition counts from the same mutation
     // arithmetic.
     "q_snapshot_diff" -> { (s, dir) =>
@@ -600,10 +609,12 @@ object IoQueries {
       Upsert.mergeIntoPartitioned(s, root, delta, Seq("o_orderkey"), "o_orderpriority")
       val merged = s.read.parquet(root)
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      val mismatch = merged.exceptAll(b).count() + b.exceptAll(merged).count()
+      // one-pass multiset equality instead of two exceptAll jobs
       delta.groupBy(col("op"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
-        .withColumn("roundtrip_ok", lit(mismatch == 0L))
+        .crossJoin(broadcast(symmetricDiffCount(merged, b)))
+        .withColumn("roundtrip_ok", col("__mismatch") === 0)
+        .drop("__mismatch")
         .orderBy(col("op"), col("o_orderpriority"))
     },
 

@@ -19,4 +19,18 @@ object QueryUtil {
 
   /** Deterministic average: exact decimal sum, then one double division. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Multiset symmetric-difference size as a 1-row frame — the
+    * "A ≡ B exactly" audit in ONE aggregation pass instead of two
+    * exceptAll jobs (each a full shuffle + driver action): tag the rows
+    * ±1, group by every column, sum |net|. Column sets must match. */
+  def symmetricDiffCount(a: org.apache.spark.sql.DataFrame,
+                         b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cols = a.columns.toSeq
+    val tagged = a.withColumn("__s", lit(1L))
+      .unionByName(b.select(cols.map(col): _*).withColumn("__s", lit(-1L)))
+    tagged.groupBy(cols.map(col): _*)
+      .agg(sum(col("__s")).as("__d"))
+      .agg(coalesce(sum(abs(col("__d"))), lit(0L)).as("__mismatch"))
+  }
 }
