@@ -117,6 +117,16 @@ object Stress {
     * cartesian) and CC absorbing ~factor²-denser near-clique edges. */
   val LinkageQueries = Seq("q_entity_resolution", "q_entity_clusters")
 
+  /** Warehouse/CDC family: the orders blow-up re-keys factor× rows into
+    * the SAME five priority partitions, so every touched partition's
+    * rewrite carries factor× rows and the merge's anti-join keys go
+    * factor× denser. The risk profile is partition-scoped work growing
+    * linearly with partition size (never with table count), the
+    * one-pass symmetric-diff audit staying a single hash aggregation,
+    * and the summary refresh touching ONLY the changed partitions. */
+  val UpsertQueries = Seq(
+    "q_upsert_partitioned", "q_snapshot_diff", "q_incremental_report")
+
   /** Spatial grid-join family: the customer/supplier blow-up re-keys
     * every copy, so the Lehmer point/box positions re-deal uniformly —
     * per-cell population grows ~factor× and within-cell candidate pairs
@@ -139,7 +149,13 @@ object Stress {
 
   def allQueries: Seq[String] =
     DedupQueries ++ EmbQueries ++ ContamQueries ++ TextQueries ++ LakeQueries ++
-      WebTokQueries ++ LinkageQueries ++ SpatialQueries
+      WebTokQueries ++ LinkageQueries ++ SpatialQueries ++ UpsertQueries
+
+  /** Boolean OUTPUT columns that are data, not bounds (legitimately
+    * mixed TRUE/FALSE per row) — excluded from the all-TRUE check. */
+  val MixedBoolCols: Map[String, Set[String]] = Map(
+    "q_upsert_partitioned" -> Set("rewritten"),
+    "q_incremental_report" -> Set("refreshed"))
 
   private def releaseCaches(): Unit = Caches.releaseAll()
 
@@ -202,6 +218,20 @@ object Stress {
       .drop("copy")
       .repartition(32).write.mode("overwrite")
       .parquet(s"$workDir/supplier.parquet")
+
+    // orders: re-keying into the SAME five priority partitions — every
+    // partition grows factor× rows, so the upsert family's touched-
+    // partition rewrites, fingerprint anti-joins, and one-pass
+    // symmetric-diff audits all carry factor× data with an unchanged
+    // partition count (the modular update/delete/insert rules keep
+    // selecting ~the same fractions of the re-keyed key space)
+    val ord = spark.read.parquet(s"$baseDir/orders.parquet")
+    ord
+      .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("o_orderkey", col("o_orderkey") * factor + col("copy"))
+      .drop("copy")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$workDir/orders.parquet")
   }
 
   private def force(df: DataFrame): Unit =
@@ -217,8 +247,10 @@ object Stress {
                       queries: Seq[String]): Map[String, Seq[String]] =
     queries.filterNot(NoBoundCheck).flatMap { name =>
       val out = SparkEntry.queries(name)(spark, dir)
+      val mixed = MixedBoolCols.getOrElse(name, Set.empty)
       val boolCols = out.schema.fields
-        .filter(_.dataType == org.apache.spark.sql.types.BooleanType).map(_.name)
+        .filter(_.dataType == org.apache.spark.sql.types.BooleanType)
+        .map(_.name).filterNot(mixed)
       val bad =
         if (boolCols.isEmpty) Nil
         else
