@@ -47,6 +47,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("the TPC-H tail: dims broadcast; Q6's predicates all reach the scan") {
+    Seq("q_join_q2", "q_join_q9", "q_join_q16", "q_join_q19", "q_join_q20")
+      .foreach { name =>
+        assert(plan(name).contains("BroadcastHashJoin"), s"$name has no broadcast join")
+      }
+    // Q6 IS the pushdown query: shipdate range, discount band, quantity
+    // cap must all appear as pushed scan filters, and unused wide
+    // columns must be pruned from the read
+    val q6 = plan("q_join_q6")
+    assert(q6.contains("PushedFilters: ["), "Q6 has no pushed filters")
+    assert(q6.contains("l_shipdate"), "Q6 shipdate predicate missing from scan")
+    assert(q6.contains("l_quantity"), "Q6 quantity predicate missing from scan")
+    assert(!q6.contains("l_returnflag"), "Q6 reads an unused column")
+  }
+
   test("no registered query plans an unpartitioned (single-partition) Window") {
     // A WindowExec with an empty partition spec moves the ENTIRE input to
     // one partition — fine only for frames that are bounded-small by
