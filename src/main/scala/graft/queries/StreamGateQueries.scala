@@ -139,6 +139,28 @@ object StreamGateQueries {
           (col("__bad_order") === 0).as("earlier_ok"))
     },
 
+    // §2.5 PubsubIO capability under the driver gate: the at-least-once
+    // broker source (graft-redelivery: every batch replays the previous
+    // batch's unacked tail) drained through id-dedup — the raw feed
+    // delivers 62 rows for 50 records; exactly-once output is the
+    // deterministic [0, n) sequence with broker-assigned timestamps,
+    // which DuckDB replays from range().
+    "q_stream_redelivery" -> { (s, _) =>
+      val ckpt = tmp("rd_ckpt"); val outDir = tmp("rd_out")
+      val raw = s.readStream.format("graft-redelivery")
+        .option("n", 200).option("rowsPerBatch", 25).option("overlap", 5)
+        .load()
+      val q = StreamOps.dedupWithinWatermark(
+          StreamOps.withEventTime(raw, "ts", "1 hour"), Seq("record_id"))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(outDir)
+        .select(col("record_id"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("record_id"))
+    },
+
     // §2.9 row 68 under the driver gate: the REAL streaming CDC-apply
     // sink (foreachBatch collapse + partition-scoped MERGE) fed by a
     // 3-file change feed. Changes for one key never split across files
@@ -232,6 +254,11 @@ object StreamGateQueries {
               WHERE fp.doc_id <> m.first) AS n_exact_nonfirst,
            TRUE AS exact_covered_ok, TRUE AS dist_recompute_ok,
            TRUE AS earlier_ok""",
+
+    "q_stream_redelivery" ->
+      """SELECT r AS record_id,
+                (1700000000000 + r * 1000) * 1000 AS ts_us
+         FROM range(0, 200) t(r) ORDER BY record_id""",
 
     // the collapsed CDC feed replayed relationally: updated keys take
     // the ord=2 value (+1000 — a +500 survivor would prove the collapse

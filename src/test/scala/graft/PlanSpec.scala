@@ -62,6 +62,17 @@ class PlanSpec extends SparkSpec {
     assert(!q6.contains("l_returnflag"), "Q6 reads an unused column")
   }
 
+  test("AQE skew-split stays enabled (the dynamic-work-rebalancing answer)") {
+    // SURVEY §2.8 maps BoundedSource.splitAtFraction (Dataflow's liquid
+    // sharding) to AQE runtime re-planning: skewed shuffle partitions
+    // split, small ones coalesce. That mapping is only honest while the
+    // feature is ON — pin it so a future config edit can't silently
+    // remove the straggler story.
+    assert(spark.conf.get("spark.sql.adaptive.enabled").toBoolean)
+    assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled").toBoolean)
+    assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled").toBoolean)
+  }
+
   test("no registered query plans an unpartitioned (single-partition) Window") {
     // A WindowExec with an empty partition spec moves the ENTIRE input to
     // one partition — fine only for frames that are bounded-small by
