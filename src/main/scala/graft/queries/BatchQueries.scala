@@ -770,6 +770,23 @@ object BatchQueries {
       Graph.pageRank(edges, iters = 5).orderBy(col("node"))
     },
 
+    // HITS over the DIRECTED customer→supplier purchase graph (no
+    // symmetrization: hubs = buying customers, authorities = supplying
+    // suppliers — the bipartite case Kleinberg's algorithm was built
+    // for). 3 iterations, L1-normalized integer fixed-point → the full
+    // replay is hash-exact under the unrolled-CTE oracle.
+    "q_hits" -> { (s, dir) =>
+      import graft.operators.Graph
+      val t = Tables(s, dir)
+      val edges = t.lineitem
+        .join(broadcast(t.orders.select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Graph.hits(edges, iters = 3).orderBy(col("node"))
+    },
+
     // Personalized PageRank over the same customer-supplier graph:
     // teleports restart at the BUILDING-segment customers only, so
     // ranks measure proximity to that segment (Haveliwala 2002). Same
@@ -1537,6 +1554,36 @@ r$i AS (SELECT nb.node, nb.b + ((85 * COALESCE(c$i.s, 0)) // 100) AS rank
       head + iterations +
         "\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r5 ORDER BY node"
     },
+    // HITS replayed by unrolled CTEs — the pagerank device: exact
+    // HUGEINT raw sums, one integer division per node per
+    // half-iteration (L1 normalization to the 10^12 fixed point).
+    "q_hits" -> {
+      val head = """WITH e AS (
+  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, COUNT(*) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT node FROM
+  (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+p AS (SELECT count(*) AS nn FROM nodes),
+h0 AS (SELECT node, (1000000000000 // nn) AS s FROM nodes, p)"""
+      val iters = (1 to 3).map { i =>
+        s""",
+a${i}r AS (SELECT e.dst AS node, SUM(CAST(h.s AS HUGEINT) * e.w) AS raw
+       FROM h${i - 1} h JOIN e ON e.src = h.node GROUP BY 1),
+a${i}t AS (SELECT SUM(raw) AS t FROM a${i}r),
+a$i AS (SELECT n.node, COALESCE((r.raw * 1000000000000) // t.t, 0) AS s
+       FROM nodes n CROSS JOIN a${i}t t LEFT JOIN a${i}r r ON r.node = n.node),
+h${i}r AS (SELECT e.src AS node, SUM(CAST(a.s AS HUGEINT) * e.w) AS raw
+       FROM a$i a JOIN e ON e.dst = a.node GROUP BY 1),
+h${i}t AS (SELECT SUM(raw) AS t FROM h${i}r),
+h$i AS (SELECT n.node, COALESCE((r.raw * 1000000000000) // t.t, 0) AS s
+       FROM nodes n CROSS JOIN h${i}t t LEFT JOIN h${i}r r ON r.node = n.node)"""
+      }.mkString
+      head + iters + """
+SELECT a3.node, CAST(a3.s AS BIGINT) AS authority, CAST(h3.s AS BIGINT) AS hub
+FROM a3 JOIN h3 ON a3.node = h3.node ORDER BY a3.node"""
+    },
+
     "q_pagerank" ->
       """WITH e0 AS (
   SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst, COUNT(*) AS w

@@ -793,6 +793,23 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Kneser-Ney smoothed bigram table (D = 0.75, observed bigrams with
+    // count >= 5): every input is an exact integer count, P(w|v) is one
+    // IEEE tree — full oracle parity with no rounding device.
+    "q_kneser_ney" -> { (s, dir) =>
+      TextRelevance.kneserNeyBigram(Tables(s, dir).documents,
+          "doc_id", "text", discount = 0.75, minCount = 5L)
+        .orderBy(col("v"), col("w"))
+    },
+
+    // Zipf's-law fit over the top-100 word frequencies — the corpus
+    // health one-liner (natural text ~ slope -1; templated/duplicated
+    // corpora flatten). ln terms round to 9 dp then sum as DECIMAL.
+    "q_zipf" -> { (s, dir) =>
+      TextRelevance.zipfFit(Tables(s, dir).documents, "doc_id", "text",
+        topK = 100)
+    },
+
     // Corpus-statistics relevance: top-3 TF-IDF terms per document.
     // Ranking uses the ROUNDED weight (ties broken by term) so the oracle
     // ranks identically — raw doubles can differ by an ulp across engines.
@@ -2743,6 +2760,65 @@ object LlmQueries {
     // two execution strategies).
     "q_decontam_scrub" -> decontamScrubSql,
     "q_decontam_stream" -> decontamScrubSql,
+    // exact integer counts, one IEEE tree per probability — identical
+    // to TextRelevance.kneserNeyBigram.
+    "q_kneser_ney" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS ts
+           FROM documents),
+         bg AS (SELECT ts[i] AS v, ts[i+1] AS w
+           FROM tok, unnest(range(1, len(ts))) AS u(i) WHERE len(ts) >= 2),
+         big AS (SELECT v, w, count(*) AS c FROM bg GROUP BY v, w),
+         ctx AS (SELECT v, CAST(sum(c) AS BIGINT) AS cv,
+             CAST(count(*) AS BIGINT) AS n1fw FROM big GROUP BY v),
+         prec AS (SELECT w, CAST(count(*) AS BIGINT) AS n1prec
+           FROM big GROUP BY w),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n1all FROM big)
+         SELECT big.v, big.w, big.c,
+           round(greatest(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(cv AS DOUBLE)
+             + 0.75 * CAST(n1fw AS DOUBLE) / CAST(cv AS DOUBLE)
+               * (CAST(n1prec AS DOUBLE) / CAST(n1all AS DOUBLE)), 6) AS p_kn
+         FROM big JOIN ctx ON big.v = ctx.v JOIN prec ON big.w = prec.w, tot
+         WHERE c >= 5 ORDER BY big.v, big.w""",
+
+    // rounded-then-DECIMAL ln sums (the perplexity device); OLS trees
+    // identical to TextRelevance.zipfFit.
+    "q_zipf" ->
+      """WITH tok AS (SELECT
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '')) AS t
+           FROM documents),
+         f AS (SELECT t AS w, count(*) AS freq FROM tok GROUP BY 1
+           ORDER BY freq DESC, w LIMIT 100),
+         r AS (SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, w) AS rnk FROM f),
+         q0 AS (SELECT round(ln(CAST(rnk AS DOUBLE)), 9) AS xd,
+             round(ln(CAST(freq AS DOUBLE)), 9) AS yd FROM r),
+         q AS (SELECT CAST(xd AS DECIMAL(28,12)) AS x,
+             CAST(yd AS DECIMAL(28,12)) AS y,
+             CAST(round(xd * yd, 9) AS DECIMAL(28,12)) AS xy,
+             CAST(round(xd * xd, 9) AS DECIMAL(28,12)) AS xx,
+             CAST(round(yd * yd, 9) AS DECIMAL(28,12)) AS yy
+           FROM q0),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(xy) AS DOUBLE) AS sxy, CAST(sum(xx) AS DOUBLE) AS sxx,
+             CAST(sum(yy) AS DOUBLE) AS syy
+           FROM q),
+         d AS (SELECT n_words, CAST(n_words AS DOUBLE) AS nd,
+             sx, sy, sxy, sxx, syy,
+             CAST(n_words AS DOUBLE) * sxx - sx * sx AS varx,
+             CAST(n_words AS DOUBLE) * syy - sy * sy AS vary,
+             CAST(n_words AS DOUBLE) * sxy - sx * sy AS cov
+           FROM a)
+         SELECT n_words,
+           CASE WHEN n_words >= 2 AND varx > 0
+             THEN round(cov / varx, 6) END AS slope,
+           CASE WHEN n_words >= 2 AND varx > 0
+             THEN round((sy - (cov / varx) * sx) / nd, 6) END AS intercept,
+           CASE WHEN n_words >= 2 AND varx > 0 AND vary > 0
+             THEN round(cov * cov / (varx * vary), 6) END AS r2
+         FROM d""",
+
     "q_bigram_ppl" ->
       """WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
          tgt AS (SELECT * FROM documents WHERE doc_id % 2 = 1),

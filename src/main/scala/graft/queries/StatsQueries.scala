@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Benford, Hypothesis, Inequality, Isotonic, Markov, Moments, Normalize, RankStats, Regress, Robust, Survival, TheilSen, TimeSeries}
+import graft.operators.{Anova, Benford, Hypothesis, Inequality, Isotonic, Markov, Moments, Normalize, RankStats, Regress, Robust, Survival, TheilSen, TimeSeries}
 import graft.queries.QueryUtil._
 
 /** Statistics pack: Markov transition estimation, Kaplan-Meier
@@ -318,6 +318,37 @@ object StatsQueries {
           score = substring(col("o_orderpriority"), 1, 1).cast("int"),
           success = col("o_totalprice") > 200000)
         .orderBy(col("o_orderstatus"))
+    },
+
+    // Kruskal-Wallis: does l_quantity's distribution differ across the
+    // five supplier-mod classes, per return flag? Heavy integer ties
+    // exercise the tie-corrected H; 9-dp integer-quantized group terms
+    // keep the varying-denominator sum order-free.
+    "q_kruskal" -> { (s, dir) =>
+      RankStats.kruskalWallis(Tables(s, dir).lineitem, Seq("l_returnflag"),
+          groupCol = pmod(col("l_suppkey"), lit(5)), value = col("l_quantity"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // One-way ANOVA F: does mean retail price differ across three
+    // brands, per part type? Exact conditional DECIMAL sums pivot into
+    // one row; SSB/SSW/F are fixed left-to-right trees.
+    "q_anova" -> { (s, dir) =>
+      Anova.oneWayF(Tables(s, dir).part, Seq("p_type"),
+          groupCol = col("p_brand"),
+          groups = Seq("Brand#1", "Brand#2", "Brand#3"),
+          value = col("p_retailprice"))
+        .orderBy(col("p_type"))
+    },
+
+    // Brown-Forsythe: is price VARIANCE equal across the same brands?
+    // The one-way F of |x − lower-median_g| — median by rank selection.
+    "q_brown_forsythe" -> { (s, dir) =>
+      Anova.brownForsythe(Tables(s, dir).part, Seq("p_type"),
+          groupCol = col("p_brand"),
+          groups = Seq("Brand#1", "Brand#2", "Brand#3"),
+          value = col("p_retailprice"))
+        .orderBy(col("p_type"))
     },
   )
 
@@ -1048,5 +1079,107 @@ object StatsQueries {
                / sqrt(xd * (nd - xd) * (nd * sw2nd - swnd * swnd) / nd), 6)
            END AS z
          FROM d ORDER BY o_orderstatus""",
+
+    // doubled-rank device (see q_mannwhitney) + 9-dp integer-quantized
+    // group terms over HUGEINT `//` — identical to RankStats.kruskalWallis.
+    "q_kruskal" ->
+      """WITH f AS (SELECT l_returnflag AS k, l_suppkey % 5 AS g,
+             l_quantity AS v FROM lineitem),
+         r AS (SELECT k, g,  v,
+             rank() OVER (PARTITION BY k ORDER BY v)
+               + count(*) OVER (PARTITION BY k ORDER BY v
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+           FROM f),
+         t AS (SELECT k,
+             SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+               - CAST(c AS HUGEINT)) AS tcorr
+           FROM (SELECT k, v, COUNT(*) AS c FROM f GROUP BY 1, 2)
+           GROUP BY 1),
+         pg AS (SELECT k, g, CAST(COUNT(*) AS BIGINT) AS ng,
+             SUM(CAST(r2 AS HUGEINT)) AS s2
+           FROM r GROUP BY 1, 2),
+         pk AS (SELECT k, CAST(SUM(ng) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS ngroups FROM pg GROUP BY 1),
+         tm AS (SELECT pg.k,
+             SUM((s2 * s2 * 1000000000)
+               // (CAST(ng AS HUGEINT) * n * (n + 1))) AS tsum
+           FROM pg JOIN pk ON pg.k = pk.k GROUP BY 1),
+         d AS (SELECT pk.k, n, ngroups, CAST(n AS DOUBLE) AS nd,
+             CAST(tsum AS DOUBLE) AS tsumd, CAST(tcorr AS DOUBLE) AS tcorrd
+           FROM pk JOIN tm ON pk.k = tm.k JOIN t ON pk.k = t.k),
+         e AS (SELECT k, n, ngroups, nd,
+             3.0 * tsumd / 1000000000.0 - 3.0 * (nd + 1.0) AS h,
+             1.0 - tcorrd / (nd * nd * nd - nd) AS c
+           FROM d)
+         SELECT k AS l_returnflag, n, ngroups AS n_groups,
+           CASE WHEN n >= 2 AND ngroups >= 2 AND c > 0
+             THEN round(h, 6) END AS h,
+           CASE WHEN n >= 2 AND ngroups >= 2 AND c > 0
+             THEN round(h / c, 6) END AS h_corrected
+         FROM e ORDER BY l_returnflag""",
+
+    // pivot-style conditional exact-DECIMAL sums, fixed left-to-right
+    // F tree — identical to Anova.oneWayF / brownForsythe.
+    "q_anova" -> anovaOracleSql(brownForsythe = false),
+    "q_brown_forsythe" -> anovaOracleSql(brownForsythe = true),
   )
+
+  /** Shared oracle generator for q_anova / q_brown_forsythe: the same
+    * conditional-sum pivot + fixed-tree F as Anova.fFrom, over the raw
+    * prices or the median-centered absolute deviations. */
+  private def anovaOracleSql(brownForsythe: Boolean): String = {
+    val groups = Seq("Brand#1", "Brand#2", "Brand#3")
+    val inList = groups.map(g => s"'$g'").mkString(", ")
+    val condAggs = groups.zipWithIndex.map { case (g, i) =>
+      s"""COUNT(CASE WHEN g = '$g' THEN 1 END) AS n$i,
+             SUM(CASE WHEN g = '$g' THEN x END) AS s$i,
+             SUM(CASE WHEN g = '$g' THEN x * x END) AS q$i"""
+    }.mkString(",\n             ")
+    val sumSq = groups.indices.map(i =>
+      s"CAST(s$i AS DOUBLE) * CAST(s$i AS DOUBLE) / CAST(n$i AS DOUBLE)")
+      .mkString(" + ")
+    val allPresent = groups.indices.map(i => s"n$i > 0").mkString(" AND ")
+    val baseCte =
+      if (!brownForsythe)
+        """base AS (SELECT p_type AS k, p_brand AS g,
+             CAST(p_retailprice AS DECIMAL(8,4)) AS x
+           FROM part WHERE p_brand IN (%s))""".format(inList)
+      else
+        """b0 AS (SELECT p_type AS k, p_brand AS g,
+             CAST(p_retailprice AS DECIMAL(8,4)) AS x0
+           FROM part WHERE p_brand IN (%s)),
+         med AS (SELECT k, g, x0 AS med FROM (
+             SELECT k, g, x0,
+               row_number() OVER (PARTITION BY k, g ORDER BY x0) AS rn,
+               count(*) OVER (PARTITION BY k, g) AS cnt
+             FROM b0)
+           WHERE rn = (cnt + 1) // 2),
+         base AS (SELECT b0.k, b0.g,
+             CAST(abs(b0.x0 - med.med) AS DECIMAL(9,4)) AS x
+           FROM b0 JOIN med ON b0.k = med.k AND b0.g = med.g)"""
+          .format(inList)
+    s"""WITH $baseCte,
+         a AS (SELECT k,
+             $condAggs
+           FROM base GROUP BY 1),
+         d AS (SELECT k, CAST(n0 + n1 + n2 AS BIGINT) AS n,
+             n0, n1, n2,
+             CAST(n0 + n1 + n2 AS DOUBLE) AS nd,
+             CAST(s0 + s1 + s2 AS DOUBLE) AS sd,
+             CAST(q0 + q1 + q2 AS DOUBLE) AS qd,
+             $sumSq AS sumsq
+           FROM a),
+         e AS (SELECT k, n, n0, n1, n2, nd,
+             sumsq - sd * sd / nd AS ssb,
+             qd - sumsq AS ssw
+           FROM d)
+         SELECT k AS p_type, n, CAST(3 AS BIGINT) AS n_groups,
+           CASE WHEN $allPresent AND n > 3 AND ssw > 0
+             THEN round(ssb, 6) END AS ssb,
+           CASE WHEN $allPresent AND n > 3 AND ssw > 0
+             THEN round(ssw, 6) END AS ssw,
+           CASE WHEN $allPresent AND n > 3 AND ssw > 0
+             THEN round((ssb / (3.0 - 1.0)) / (ssw / (nd - 3.0)), 6) END AS f
+         FROM e ORDER BY p_type"""
+  }
 }
