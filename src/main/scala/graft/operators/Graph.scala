@@ -203,6 +203,57 @@ object Graph {
       .select(col("node"), col("authority"), col("hub"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, the deterministic synchronous variant): labels start as node
+    * ids; each iteration every node adopts the label with the maximum
+    * incident edge WEIGHT among its neighbors (ties by smallest label —
+    * the determinism the asynchronous randomized original lacks), or
+    * keeps its own label when isolated. Fixed iteration count, exact
+    * integer weights throughout → the full replay is hash-exact under
+    * unrolled-CTE oracles. Distinct from Dedup.connectedComponents: LPA
+    * splits weakly-bridged regions CC would merge.
+    *
+    * Scale posture: per iteration ONE broadcast join of the node-sized
+    * label vector into the (checkpointed, never re-shuffled) edge list,
+    * one (node, label) weight aggregation, one min-struct argmax — no
+    * per-node windows, no all-pairs.
+    *
+    * @param edges undirected (a: long, b: long, w: long) — symmetrized
+    *              here, positive weights
+    * @return (node, label) — community id = min surviving label
+    */
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       smallLabels: Boolean = true): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"), col("w").cast("long").as("w"))
+    val sym = e.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("p"), col("w"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"), col("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .localCheckpoint()
+    val nodes = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    val hint: DataFrame => DataFrame =
+      if (smallLabels) broadcast(_) else identity
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      // incident weight per (node, neighbor-label); argmax by
+      // (weight desc, label asc) via ONE min-struct aggregation
+      val best = sym.join(hint(labels), col("dst") === col("node"))
+        .groupBy(col("src"), col("label"))
+        .agg(sum(col("w")).as("__wt"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("__wt")).as("__nw"), col("label"))).as("__m"))
+        .select(col("src").as("node"), col("__m.label").as("__new"))
+      labels = labels.join(hint(best), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Multi-source BFS hop distance, bounded depth — the reachability
     * companion to [[pageRank]] (proximity as a walk) and Dedup's
     * connected components (reachability without distance): hops =

@@ -126,6 +126,74 @@ object TimeSeries {
       .toDF(key, slot, value, "level", "trend", "forecast")
   }
 
+  /** Holt-Winters triple exponential smoothing, ADDITIVE seasonality —
+    * the seasonal extension of [[holtLinear]] (level + trend + m
+    * seasonal indices):
+    *
+    *   f_t = (l + b) + s_{t−m}                      (one-step forecast)
+    *   l' = α·(y − s_{t−m}) + (1−α)·(l + b)
+    *   b' = β·(l' − l) + (1−β)·b
+    *   s_t = γ·(y − l') + (1−γ)·s_{t−m}
+    *
+    * Init (simple convention, replayable): l₀ = left-fold mean of the
+    * first m observations, b₀ = 0, s_p = y_p − l₀; the first m rows
+    * emit (l₀, 0, y−l₀, NULL-forecast). Same typed per-key scan device
+    * as [[holtLinear]]; every step is a fixed left-associated tree, so
+    * the whole trajectory replays bit-for-bit in a recursive-CTE oracle
+    * carrying the seasonal vector as a LIST. Pick α/β/γ with
+    * exactly-representable complements (0.25, 0.125, 0.5…) so the
+    * oracle's (1−α) literals are the identical doubles.
+    *
+    * Contract: per-key series sorted by slot fits one task (the
+    * holtLinear/ewma contract); keys with fewer than m rows emit
+    * nothing.
+    *
+    * @return (key, slot, y, level, trend, seasonal, forecast) */
+  def holtWinters(obs: DataFrame, key: String, slot: String, value: String,
+                  period: Int, alpha: Double, beta: Double,
+                  gamma: Double): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0,1], got $beta")
+    require(gamma >= 0 && gamma <= 1, s"gamma must be in [0,1], got $gamma")
+    val spark = obs.sparkSession
+    import spark.implicits._
+    val m = period
+    val oneA = 1 - alpha; val oneB = 1 - beta; val oneG = 1 - gamma
+    obs
+      .select(col(key).cast("string"), col(slot).cast("long"),
+        col(value).cast("double"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        if (rows.length < m) Iterator.empty
+        else {
+          var acc = 0.0
+          var i = 0
+          while (i < m) { acc = acc + rows(i)._3; i += 1 }
+          val l0 = acc / m
+          val s = Array.tabulate(m)(p => rows(p)._3 - l0)
+          var l = l0
+          var b = 0.0
+          rows.iterator.zipWithIndex.map { case ((_, t, y), idx) =>
+            if (idx < m) (k, t, y, l0, 0.0, s(idx), Option.empty[Double])
+            else {
+              val p = idx % m
+              val sOld = s(p)
+              val fc = (l + b) + sOld
+              val lp = l
+              l = alpha * (y - sOld) + oneA * (l + b)
+              b = beta * (l - lp) + oneB * b
+              s(p) = gamma * (y - l) + oneG * sOld
+              (k, t, y, l, b, s(p), Some(fc))
+            }
+          }
+        }
+      }
+      .toDF(key, slot, value, "level", "trend", "seasonal", "forecast")
+  }
+
   /** One-sided (upper) CUSUM change detection — Page 1954, the
     * classic drift detector: s₀ = 0, sₜ = max(0, sₜ₋₁ + xₜ − target −
     * slack), alarm when sₜ > threshold. Same typed per-key scan device

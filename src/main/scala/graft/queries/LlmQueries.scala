@@ -793,6 +793,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Pairwise Jensen-Shannon divergence between per-source token
+    // distributions — the symmetric, smoothing-free corpus-drift matrix
+    // next to q_psi_drift; rounded-then-DECIMAL term sums.
+    "q_js_divergence" -> { (s, dir) =>
+      graft.llm.Divergence.jsDivergenceMatrix(Tables(s, dir).documents,
+          col("source"), col("text"))
+        .orderBy(col("group_a"), col("group_b"))
+    },
+
     // Kneser-Ney smoothed bigram table (D = 0.75, observed bigrams with
     // count >= 5): every input is an exact integer count, P(w|v) is one
     // IEEE tree — full oracle parity with no rounding device.
@@ -2760,6 +2769,44 @@ object LlmQueries {
     // two execution strategies).
     "q_decontam_scrub" -> decontamScrubSql,
     "q_decontam_stream" -> decontamScrubSql,
+    // per-word JS terms as one fixed IEEE tree over exact counts,
+    // rounded to 9 dp, summed as DECIMAL — identical to
+    // Divergence.jsDivergenceMatrix.
+    "q_js_divergence" ->
+      """WITH tok AS (SELECT source AS s,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '')) AS w
+           FROM documents),
+         freq AS (SELECT s, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         tot AS (SELECT s, CAST(SUM(c) AS BIGINT) AS tot FROM freq GROUP BY 1),
+         pairs AS (SELECT a.s AS ga, a.tot AS ta, b.s AS gb, b.tot AS tb
+           FROM tot a, tot b WHERE a.s < b.s),
+         sides AS (
+           SELECT p.ga, p.gb, p.ta, p.tb, f.w, f.c AS ca,
+             CAST(0 AS BIGINT) AS cb
+           FROM freq f JOIN pairs p ON f.s = p.ga
+           UNION ALL
+           SELECT p.ga, p.gb, p.ta, p.tb, f.w, CAST(0 AS BIGINT), f.c
+           FROM freq f JOIN pairs p ON f.s = p.gb),
+         merged AS (SELECT ga, gb, ta, tb, w,
+             MAX(ca) AS ca, MAX(cb) AS cb
+           FROM sides GROUP BY 1, 2, 3, 4, 5),
+         terms AS (SELECT ga, gb,
+             CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                 * ln(2.0 * (CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                   / ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                      + (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))))
+               ELSE 0.0 END
+             + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                 * ln(2.0 * (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))
+                   / ((CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))
+                      + (CAST(cb AS DOUBLE) / CAST(tb AS DOUBLE))))
+               ELSE 0.0 END AS t
+           FROM merged)
+         SELECT ga AS group_a, gb AS group_b,
+           CAST(count(*) AS BIGINT) AS n_words,
+           round(CAST(SUM(CAST(round(t, 9) AS DECIMAL(28,12))) AS DOUBLE), 6) AS js
+         FROM terms GROUP BY 1, 2 ORDER BY group_a, group_b""",
+
     // exact integer counts, one IEEE tree per probability — identical
     // to TextRelevance.kneserNeyBigram.
     "q_kneser_ney" ->

@@ -241,6 +241,40 @@ object WarehouseQueries {
         .orderBy(col("event_type"), col("slot"))
     },
 
+    // Holt-Winters additive (α=0.25, β=0.125, γ=0.25 — IEEE-exact
+    // complements) over the q_decompose 4-hour slot series, period 6
+    // (= 24 h): level + trend + 6 seasonal indices, one-step forecasts.
+    // The oracle replays the full trajectory in a recursive CTE
+    // carrying the seasonal vector as a LIST — bit-exact trees.
+    "q_holt_winters" -> { (s, dir) =>
+      val obs = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) DIV 14400").as("slot"))
+        .agg(sum(col("value").cast("decimal(18,4)")).cast("double").as("y"))
+      TimeSeries.holtWinters(obs, "event_type", "slot", "y",
+          period = 6, alpha = 0.25, beta = 0.125, gamma = 0.25)
+        .select(col("event_type"), col("slot"), col("y"),
+          round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          round(col("forecast"), 6).as("forecast"))
+        .orderBy(col("event_type"), col("slot"))
+    },
+
+    // Synchronous label propagation (4 iterations, weight-argmax with
+    // smallest-label ties) over the weighted customer–supplier graph —
+    // communities beyond what connected components can split.
+    "q_label_prop" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val edges = t.lineitem
+        .join(broadcast(t.orders.select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+        .agg(count(lit(1)).as("w"))
+      Graph.labelPropagation(edges, iters = 4).orderBy(col("node"))
+    },
+
     // Multi-source BFS over the customer–supplier bipartite graph
     // (node ids disambiguated as cust·2 / supp·2+1, the q_pagerank
     // encoding): hop distance from the BUILDING-segment customers,
@@ -496,6 +530,86 @@ object WarehouseQueries {
          SELECT event_type, slot, v, l AS level, b AS trend,
            l + b AS forecast
          FROM r ORDER BY event_type, slot""",
+    // recursive CTE carrying the 6-slot seasonal vector as a LIST;
+    // l' inlined into b'/s' exactly as the Scala scan computes it.
+    "q_holt_winters" ->
+      """WITH RECURSIVE obs AS (
+           SELECT event_type AS k,
+             CAST(floor(epoch(ts)) AS BIGINT) // 14400 AS o,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+               AS DOUBLE) AS y
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT k, o, y,
+             row_number() OVER (PARTITION BY k ORDER BY o) - 1 AS t
+           FROM obs),
+         yl AS (SELECT k, list(y ORDER BY t) AS ys,
+             CAST(count(*) AS BIGINT) AS n FROM s GROUP BY k),
+         init AS (SELECT k, ys, n,
+             (((((ys[1] + ys[2]) + ys[3]) + ys[4]) + ys[5]) + ys[6]) / 6.0 AS l0
+           FROM yl WHERE n >= 6),
+         rec AS (
+           SELECT k, ys, n, 5 AS t, l0 AS l, CAST(0.0 AS DOUBLE) AS b,
+             list_transform(range(1, 7), i -> ys[i] - l0) AS sl,
+             CAST(NULL AS DOUBLE) AS fc, CAST(NULL AS DOUBLE) AS snew
+           FROM init
+           UNION ALL
+           SELECT k, ys, n, t + 1,
+             0.25 * (ys[t + 2] - sl[((t + 1) % 6) + 1]) + 0.75 * (l + b),
+             0.125 * ((0.25 * (ys[t + 2] - sl[((t + 1) % 6) + 1])
+                 + 0.75 * (l + b)) - l) + 0.875 * b,
+             list_transform(range(1, 7), i ->
+               CASE WHEN i = ((t + 1) % 6) + 1
+                 THEN 0.25 * (ys[t + 2]
+                     - (0.25 * (ys[t + 2] - sl[((t + 1) % 6) + 1])
+                        + 0.75 * (l + b)))
+                   + 0.75 * sl[((t + 1) % 6) + 1]
+                 ELSE sl[i] END),
+             (l + b) + sl[((t + 1) % 6) + 1],
+             0.25 * (ys[t + 2]
+                 - (0.25 * (ys[t + 2] - sl[((t + 1) % 6) + 1])
+                    + 0.75 * (l + b)))
+               + 0.75 * sl[((t + 1) % 6) + 1]
+           FROM rec WHERE t + 1 < n),
+         head AS (SELECT s.k, s.o, s.y, i.l0 AS level,
+             CAST(0.0 AS DOUBLE) AS trend, s.y - i.l0 AS seasonal,
+             CAST(NULL AS DOUBLE) AS forecast
+           FROM s JOIN init i ON s.k = i.k WHERE s.t < 6),
+         tail AS (SELECT s.k, s.o, s.y, r.l AS level, r.b AS trend,
+             r.snew AS seasonal, r.fc AS forecast
+           FROM rec r JOIN s ON s.k = r.k AND s.t = r.t WHERE r.t >= 6)
+         SELECT k AS event_type, o AS slot, y,
+           round(level, 6) AS level, round(trend, 6) AS trend,
+           round(seasonal, 6) AS seasonal, round(forecast, 6) AS forecast
+         FROM (SELECT * FROM head UNION ALL SELECT * FROM tail)
+         ORDER BY event_type, slot""",
+
+    // 4 unrolled label-propagation iterations: weighted neighbor-label
+    // argmax (weight desc, label asc) per node — identical to
+    // Graph.labelPropagation's min-struct aggregation.
+    "q_label_prop" -> {
+      val head = """WITH e0 AS (
+  SELECT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b, COUNT(*) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+sym AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM
+  (SELECT a AS src, b AS dst, w FROM e0
+   UNION ALL SELECT b, a, w FROM e0) GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT src AS node FROM sym),
+l0 AS (SELECT node, node AS label FROM nodes)"""
+      val iters = (1 to 4).map { i =>
+        s""",
+c$i AS (SELECT s.src, l.label, SUM(s.w) AS wt
+       FROM sym s JOIN l${i - 1} l ON s.dst = l.node GROUP BY 1, 2),
+b$i AS (SELECT src AS node, label FROM (
+       SELECT src, label,
+         row_number() OVER (PARTITION BY src ORDER BY wt DESC, label) AS rn
+       FROM c$i) WHERE rn = 1),
+l$i AS (SELECT n.node, COALESCE(b.label, p.label) AS label
+       FROM nodes n JOIN l${i - 1} p ON n.node = p.node
+       LEFT JOIN b$i b ON b.node = n.node)"""
+      }.mkString
+      head + iters + "\nSELECT node, label FROM l4 ORDER BY node"
+    },
+
     "q_bfs_hops" ->
       """WITH RECURSIVE e AS (
            SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
