@@ -322,4 +322,49 @@ object Hypothesis {
       round(when(col("n_a") > 0 && col("n_b") > 0 &&
         pp > 0 && pp < 1, (pa - pb) / denom), 6).as("z")): _*)
   }
+
+  /** Mutual information between two categorical columns, per key —
+    * the information-theoretic dependence companion to
+    * [[chiSquareIndependence]] (feature/label leakage audits, drift
+    * diagnosis):
+    *
+    *   MI = Σ_xy (n_xy/N) · ln(N·n_xy / (n_x·n_y))      [nats]
+    *
+    * Every count is exact; each cell term is ONE fixed IEEE tree over
+    * four exact integers, rounded to 9 dp and summed as DECIMAL (the
+    * perplexity device — order-free, oracle-replayable). Empty cells
+    * contribute 0 and never materialize (unlike chi-square's expected
+    * grid, MI needs only the OBSERVED cells).
+    *
+    * Scale posture: one (key, x, y) hash aggregation; margins join back
+    * label-cardinality-sized frames.
+    *
+    * @return one row per key: n, n_cells (observed), mi (6 dp nats,
+    *         NULL when n = 0) */
+  def mutualInfo(df: DataFrame, keys: Seq[String], x: Column,
+                 y: Column): DataFrame = {
+    require(keys.nonEmpty, "mutualInfo needs at least one key column")
+    val base = df.filter(x.isNotNull && y.isNotNull)
+      .select(keys.map(col) ++ Seq(x.cast("string").as("__x"),
+        y.cast("string").as("__y")): _*)
+    val cells = base.groupBy(keys.map(col) ++ Seq(col("__x"), col("__y")): _*)
+      .agg(count(lit(1)).as("__nxy"))
+    val xm = cells.groupBy(keys.map(col) :+ col("__x"): _*)
+      .agg(sum(col("__nxy")).as("__nx"))
+    val ym = cells.groupBy(keys.map(col) :+ col("__y"): _*)
+      .agg(sum(col("__nxy")).as("__ny"))
+    val tot = cells.groupBy(keys.map(col): _*)
+      .agg(sum(col("__nxy")).as("__n"))
+    val nd = col("__n").cast("double")
+    val term = col("__nxy").cast("double") / nd *
+      log(nd * col("__nxy").cast("double") /
+        (col("__nx").cast("double") * col("__ny").cast("double")))
+    cells
+      .join(xm, keys :+ "__x").join(ym, keys :+ "__y").join(tot, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col("__n")).as("n"), count(lit(1)).as("n_cells"),
+        sum(round(term, 9).cast("decimal(28,12)")).cast("double").as("__mi"))
+      .select(keys.map(col) ++ Seq(col("n"), col("n_cells"),
+        round(when(col("n") > 0, col("__mi")), 6).as("mi")): _*)
+  }
 }

@@ -196,4 +196,45 @@ object Regress {
       round(when(varXN > 0 && varYN > 0,
         (n * sxy - sx * sy) / sqrt(varXN * varYN)), 6).as("r")): _*)
   }
+
+  /** Pearson correlation MATRIX over an explicit column list — the
+    * feature-audit one-pass companion to [[olsPerKey]]: every pairwise
+    * sufficient statistic (Σxᵢ, Σxᵢ², Σxᵢxⱼ) accumulates as an exact
+    * DECIMAL(18,4)-routed sum in ONE map-combinable aggregation, then
+    * each unordered pair emits r as the olsPerKey IEEE tree. Rows with
+    * a NULL in ANY listed column are excluded (complete-case, the
+    * textbook convention — pairwise-deletion would make each r see a
+    * different n).
+    *
+    * @return one row per unordered pair: col_a, col_b, n, r (6 dp;
+    *         NULL when either variance is 0) */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    require(cols.distinct.size == cols.size, "corrMatrix columns must be distinct")
+    val complete = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+    val dec = cols.map(c => c -> col(c).cast("decimal(18,4)")).toMap
+    val sumAggs = cols.map(c => sum(dec(c)).as(s"__s_$c")) ++
+      (for { i <- cols.indices; j <- i until cols.length } yield
+        sum(dec(cols(i)) * dec(cols(j))).as(s"__p_${cols(i)}_${cols(j)}"))
+    // ONE pass over the data; the 1-row sufficient-statistics frame
+    // materializes once (localCheckpoint) so the per-pair union below
+    // cannot re-execute the scan k(k−1)/2 times
+    val agg = complete.agg(count(lit(1)).as("n"), sumAggs: _*).localCheckpoint()
+    val pairRows = for { i <- cols.indices; j <- (i + 1) until cols.length }
+      yield {
+        val (a, b) = (cols(i), cols(j))
+        val n = col("n").cast("double")
+        val sa = col(s"__s_$a").cast("double")
+        val sb = col(s"__s_$b").cast("double")
+        val sab = col(s"__p_${a}_$b").cast("double")
+        val saa = col(s"__p_${a}_$a").cast("double")
+        val sbb = col(s"__p_${b}_$b").cast("double")
+        val varA = n * saa - sa * sa
+        val varB = n * sbb - sb * sb
+        agg.select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+          round(when(varA > 0 && varB > 0,
+            (n * sab - sa * sb) / sqrt(varA * varB)), 6).as("r"))
+      }
+    pairRows.reduceLeft(_ unionByName _)
+  }
 }

@@ -126,6 +126,46 @@ object TimeSeries {
       .toDF(key, slot, value, "level", "trend", "forecast")
   }
 
+  /** Mean Absolute Scaled Error (Hyndman & Koehler 2006) — the
+    * scale-free forecast-accuracy score that makes models comparable
+    * across series: MASE = mean|a − f| over the in-sample mean absolute
+    * error of the seasonal-naive forecast (a_t − a_{t−m}); < 1 beats
+    * naive. Determinism: absolute errors round to 9 dp and sum as
+    * DECIMAL (the perplexity device); the final ratio is one IEEE tree.
+    *
+    * Scale posture: one per-key lag window (one shuffle on the keys)
+    * plus a map-combinable aggregation. The slot grid must be gapless
+    * per key (ROWS-positional lag — the decomposeAdditive contract).
+    *
+    * @param forecast forecast column; NULL rows are excluded from the
+    *                 numerator (e.g. warm-up rows)
+    * @return one row per key: n_forecast, n_naive, mae, naive_mae,
+    *         mase (6 dp; NULL when either side is empty or the naive
+    *         error is 0) */
+  def mase(obs: DataFrame, key: String, slot: String, actual: String,
+           forecast: String, m: Int): DataFrame = {
+    require(m >= 1, s"seasonal lag m must be >= 1, got $m")
+    val w = Window.partitionBy(col(key)).orderBy(col(slot))
+    val base = obs.select(col(key), col(slot),
+        col(actual).cast("double").as("__a"),
+        col(forecast).cast("double").as("__f"))
+      .withColumn("__prev", lag(col("__a"), m).over(w))
+    val aerr = round(abs(col("__a") - col("__f")), 9).cast("decimal(28,12)")
+    val nerr = round(abs(col("__a") - col("__prev")), 9).cast("decimal(28,12)")
+    val agg = base.groupBy(col(key)).agg(
+      sum(when(col("__f").isNotNull, 1L).otherwise(0L)).as("n_forecast"),
+      sum(when(col("__prev").isNotNull, 1L).otherwise(0L)).as("n_naive"),
+      sum(when(col("__f").isNotNull, aerr)).as("__sae"),
+      sum(when(col("__prev").isNotNull, nerr)).as("__sne"))
+    val mae = col("__sae").cast("double") / col("n_forecast").cast("double")
+    val nmae = col("__sne").cast("double") / col("n_naive").cast("double")
+    val defined = col("n_forecast") > 0 && col("n_naive") > 0 && nmae > 0
+    agg.select(col(key), col("n_forecast"), col("n_naive"),
+      round(when(col("n_forecast") > 0, mae), 6).as("mae"),
+      round(when(col("n_naive") > 0, nmae), 6).as("naive_mae"),
+      round(when(defined, mae / nmae), 6).as("mase"))
+  }
+
   /** Holt-Winters triple exponential smoothing, ADDITIVE seasonality —
     * the seasonal extension of [[holtLinear]] (level + trend + m
     * seasonal indices):

@@ -350,6 +350,24 @@ object StatsQueries {
           value = col("p_retailprice"))
         .orderBy(col("p_type"))
     },
+
+    // Mutual information (nats) between order priority and the customer
+    // mod-3 class, per order status — the information-theoretic
+    // dependence companion to q_chisq; observed cells only.
+    "q_mutual_info" -> { (s, dir) =>
+      Hypothesis.mutualInfo(Tables(s, dir).orders, Seq("o_orderstatus"),
+          x = col("o_orderpriority"), y = pmod(col("o_custkey"), lit(3)))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    // Pearson correlation matrix over lineitem's four measures in ONE
+    // pass — exact DECIMAL pairwise sufficient statistics, olsPerKey's
+    // IEEE tree per unordered pair.
+    "q_corr_matrix" -> { (s, dir) =>
+      Regress.corrMatrix(Tables(s, dir).lineitem,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_a"), col("col_b"))
+    },
   )
 
   // ---- oracle SQL ---------------------------------------------------
@@ -1122,7 +1140,69 @@ object StatsQueries {
     // F tree — identical to Anova.oneWayF / brownForsythe.
     "q_anova" -> anovaOracleSql(brownForsythe = false),
     "q_brown_forsythe" -> anovaOracleSql(brownForsythe = true),
+
+    // observed-cell MI terms as one IEEE tree over exact counts,
+    // rounded-then-DECIMAL summed — identical to Hypothesis.mutualInfo.
+    "q_mutual_info" ->
+      """WITH f AS (SELECT o_orderstatus AS k, o_orderpriority AS x,
+             CAST(o_custkey % 3 AS VARCHAR) AS y FROM orders),
+         cells AS (SELECT k, x, y, count(*) AS nxy FROM f GROUP BY 1, 2, 3),
+         xm AS (SELECT k, x, CAST(SUM(nxy) AS BIGINT) AS nx
+           FROM cells GROUP BY 1, 2),
+         ym AS (SELECT k, y, CAST(SUM(nxy) AS BIGINT) AS ny
+           FROM cells GROUP BY 1, 2),
+         tot AS (SELECT k, CAST(SUM(nxy) AS BIGINT) AS n
+           FROM cells GROUP BY 1),
+         terms AS (SELECT c.k, t.n,
+             CAST(nxy AS DOUBLE) / CAST(t.n AS DOUBLE)
+               * ln(CAST(t.n AS DOUBLE) * CAST(nxy AS DOUBLE)
+                 / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) AS t
+           FROM cells c
+           JOIN xm ON c.k = xm.k AND c.x = xm.x
+           JOIN ym ON c.k = ym.k AND c.y = ym.y
+           JOIN tot t ON c.k = t.k)
+         SELECT k AS o_orderstatus, CAST(max(n) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CASE WHEN max(n) > 0 THEN
+             round(CAST(SUM(CAST(round(t, 9) AS DECIMAL(28,12))) AS DOUBLE), 6)
+           END AS mi
+         FROM terms GROUP BY 1 ORDER BY o_orderstatus""",
+
+    // one-pass pairwise sufficient statistics, olsPerKey's IEEE tree —
+    // identical to Regress.corrMatrix.
+    "q_corr_matrix" -> corrMatrixOracleSql,
   )
+
+  /** Oracle generator mirroring Regress.corrMatrix over lineitem's four
+    * measures: one aggregation CTE + one SELECT per unordered pair. */
+  private def corrMatrixOracleSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    // width 19, not 18: DuckDB multiplies DECIMAL(18) in int64, which
+    // overflows — width >= 19 forces the hugeint path (values identical)
+    def d(c: String) = s"CAST($c AS DECIMAL(19,4))"
+    val sums = cols.map(c => s"SUM(${d(c)}) AS s_$c") ++
+      (for { i <- cols.indices; j <- i until cols.length } yield
+        s"SUM(${d(cols(i))} * ${d(cols(j))}) AS p_${cols(i)}_${cols(j)}")
+    val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val pairSelects =
+      (for { i <- cols.indices; j <- (i + 1) until cols.length } yield {
+        val (a, b) = (cols(i), cols(j))
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+           CASE WHEN nd * CAST(p_${a}_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE) > 0
+                 AND nd * CAST(p_${b}_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE) > 0
+             THEN round((nd * CAST(p_${a}_$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+               / sqrt((nd * CAST(p_${a}_$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+                    * (nd * CAST(p_${b}_$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6)
+           END AS r
+         FROM a"""
+      }).mkString("\n         UNION ALL\n         ")
+    s"""WITH a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS DOUBLE) AS nd,
+           ${sums.mkString(",\n           ")}
+         FROM lineitem WHERE $notNull)
+         $pairSelects
+         ORDER BY col_a, col_b"""
+  }
 
   /** Shared oracle generator for q_anova / q_brown_forsythe: the same
     * conditional-sum pivot + fixed-tree F as Anova.fFrom, over the raw

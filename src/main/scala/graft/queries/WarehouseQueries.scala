@@ -261,6 +261,22 @@ object WarehouseQueries {
         .orderBy(col("event_type"), col("slot"))
     },
 
+    // MASE forecast-accuracy scoring of the random-walk (lag-1)
+    // forecast against the seasonal-naive (m=6) in-sample denominator,
+    // over the q_holt_winters slot series — Hyndman & Koehler's
+    // scale-free standard for comparing forecasts across series.
+    "q_mase" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("slot"))
+      val obs = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) DIV 14400").as("slot"))
+        .agg(sum(col("value").cast("decimal(18,4)")).cast("double").as("y"))
+        .withColumn("f", lag(col("y"), 1).over(w))
+      TimeSeries.mase(obs, "event_type", "slot", "y", "f", m = 6)
+        .orderBy(col("event_type"))
+    },
+
     // Synchronous label propagation (4 iterations, weight-argmax with
     // smallest-label ties) over the weighted customer–supplier graph —
     // communities beyond what connected components can split.
@@ -530,6 +546,39 @@ object WarehouseQueries {
          SELECT event_type, slot, v, l AS level, b AS trend,
            l + b AS forecast
          FROM r ORDER BY event_type, slot""",
+    // rounded-then-DECIMAL absolute-error sums, one IEEE ratio tree —
+    // identical to TimeSeries.mase over the lag-1 forecast.
+    "q_mase" ->
+      """WITH obs AS (SELECT event_type AS k,
+             CAST(floor(epoch(ts)) AS BIGINT) // 14400 AS o,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+               AS DOUBLE) AS y
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT k, o, y,
+             lag(y, 1) OVER (PARTITION BY k ORDER BY o) AS f,
+             lag(y, 6) OVER (PARTITION BY k ORDER BY o) AS prev
+           FROM obs),
+         a AS (SELECT k,
+             CAST(SUM(CASE WHEN f IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_forecast,
+             CAST(SUM(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_naive,
+             SUM(CASE WHEN f IS NOT NULL
+               THEN CAST(round(abs(y - f), 9) AS DECIMAL(28,12)) END) AS sae,
+             SUM(CASE WHEN prev IS NOT NULL
+               THEN CAST(round(abs(y - prev), 9) AS DECIMAL(28,12)) END) AS sne
+           FROM l GROUP BY 1),
+         d AS (SELECT k, n_forecast, n_naive,
+             CAST(sae AS DOUBLE) / CAST(n_forecast AS DOUBLE) AS mae,
+             CAST(sne AS DOUBLE) / CAST(n_naive AS DOUBLE) AS nmae
+           FROM a)
+         SELECT k AS event_type, n_forecast, n_naive,
+           CASE WHEN n_forecast > 0 THEN round(mae, 6) END AS mae,
+           CASE WHEN n_naive > 0 THEN round(nmae, 6) END AS naive_mae,
+           CASE WHEN n_forecast > 0 AND n_naive > 0 AND nmae > 0
+             THEN round(mae / nmae, 6) END AS mase
+         FROM d ORDER BY event_type""",
+
     // recursive CTE carrying the 6-slot seasonal vector as a LIST;
     // l' inlined into b'/s' exactly as the Scala scan computes it.
     "q_holt_winters" ->
