@@ -105,6 +105,56 @@ object Contamination {
       .groupBy(col("probe_id"))
       .agg(count(lit(1)).as("n_contaminated_docs"))
 
+  /** Per-document n-gram NOVELTY against a reference corpus: the
+    * fraction of a document's DISTINCT n-grams absent from the
+    * reference — the "how much new text does this shard actually add"
+    * acquisition signal (the inverse of contamination: high overlap =
+    * low value, high novelty = worth ingesting), a standard
+    * data-valuation heuristic for pretraining corpus growth.
+    *
+    * Identity is md5 of the lowercased-token n-gram (engine-portable,
+    * and the join shuffles 16-byte hashes, never gram TEXT — the
+    * scrubOverlaps scale rule). Documents shorter than n tokens follow
+    * the ngramStrings convention (one whole-text gram). NULL/empty
+    * docs report n_grams = 0 with NULL novelty.
+    *
+    * Scale posture: both gram streams reduce to per-side DISTINCT
+    * hashes before the ONE hash join; per-doc aggregation is
+    * map-combinable. Reference grams are NOT assumed broadcastable
+    * (unlike eval probes) — this is a corpus-vs-corpus join on hash
+    * identity.
+    *
+    * @return (doc_id, n_grams, n_novel, novelty 6 dp) — one row per
+    *         scored document */
+  def noveltyReport(docs: DataFrame, idCol: String, textCol: String,
+                    ref: DataFrame, refTextCol: String,
+                    n: Int = 5): DataFrame = {
+    import graft.functions.ShingleExprs
+    val refHashes = ref
+      .select(explode(ShingleExprs.ngramStrings(
+        coalesce(col(refTextCol), lit("")), n)).as("__g"))
+      .select(md5(col("__g").cast("binary")).as("__h")).distinct()
+      .withColumn("__seen", lit(true))
+    val docHashes = docs
+      .select(col(idCol).as("doc_id"),
+        explode(ShingleExprs.ngramStrings(
+          coalesce(col(textCol), lit("")), n)).as("__g"))
+      .select(col("doc_id"), md5(col("__g").cast("binary")).as("__h"))
+      .distinct()
+    val scored = docHashes.join(refHashes, Seq("__h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(when(col("n_grams") > 0,
+          col("n_novel").cast("double") / col("n_grams").cast("double")), 6)
+          .as("novelty"))
+  }
+
   /** Decontamination APPLY step: scrub every n-token span of a document
     * that matches any probe n-gram — the span-surgical alternative to
     * dropping whole contaminated documents (the GPT-3 appendix-C family

@@ -793,6 +793,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-document 5-gram novelty of the odd-id shard against the
+    // even-id reference corpus — the acquisition-value inverse of
+    // contamination; md5 gram identity, never gram-text shuffles.
+    "q_ngram_novelty" -> { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      Contamination.noveltyReport(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "text", n = 5)
+        .orderBy(col("doc_id"))
+    },
+
     // Pairwise Jensen-Shannon divergence between per-source token
     // distributions — the symmetric, smoothing-free corpus-drift matrix
     // next to q_psi_drift; rounded-then-DECIMAL term sums.
@@ -2769,6 +2780,33 @@ object LlmQueries {
     // two execution strategies).
     "q_decontam_scrub" -> decontamScrubSql,
     "q_decontam_stream" -> decontamScrubSql,
+    // gram identity replayed as md5 of the n-gram STRING (the
+    // engine-portable convention) — identical to
+    // Contamination.noveltyReport.
+    "q_ngram_novelty" ->
+      """WITH tk AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+           FROM documents),
+         gr AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 5
+             THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i : i + 4], ' ')) END) AS g
+           FROM tk),
+         refh AS (SELECT DISTINCT md5(g) AS h FROM gr WHERE doc_id % 2 = 0),
+         doch AS (SELECT DISTINCT doc_id, md5(g) AS h FROM gr
+           WHERE doc_id % 2 = 1),
+         sc AS (SELECT d.doc_id, count(*) AS n_grams,
+             SUM(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END) AS n_novel
+           FROM doch d LEFT JOIN refh r ON d.h = r.h GROUP BY 1)
+         SELECT t.doc_id,
+           CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN n_grams > 0 THEN
+             round(CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+           END AS novelty
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) t
+         LEFT JOIN sc ON t.doc_id = sc.doc_id ORDER BY t.doc_id""",
+
     // per-word JS terms as one fixed IEEE tree over exact counts,
     // rounded to 9 dp, summed as DECIMAL — identical to
     // Divergence.jsDivergenceMatrix.
