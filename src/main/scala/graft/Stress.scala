@@ -67,7 +67,12 @@ object Stress {
   val ContamQueries = Seq(
     "q_contamination_exact", "q_contamination_ngram",
     "q_contamination_full", "q_crosscorpus_dedup", "q_decontam_scrub",
-    "q_bloom_dedup")
+    "q_bloom_dedup",
+    // round-10: novelty's corpus-vs-corpus distinct-gram hash join is
+    // the dedup-anti-join risk profile — duplicate-dense copies multiply
+    // both gram streams ~10× while the DISTINCT reductions must keep
+    // the join input near-flat
+    "q_ngram_novelty")
   /** token-stream aggregations with self-assert booleans worth re-proving
     * at duplicate-dense scale: BPE training (pair counts grow with the
     * duplicated stream; the scalar-replay booleans must keep holding),
@@ -80,6 +85,13 @@ object Stress {
     // ε·N bounds where N grows with the blow-up) and the deflate
     // signal (back-reference/entropy orderings on perturbed copies)
     "q_cms_native", "q_compress_ratio",
+    // round-10 additions: the KN bigram table under a duplicate-dense
+    // corpus (context/continuation counts multiply ~uniformly — the
+    // probability table barely moves while the bigram stream carries
+    // 10× rows), the Zipf fit (top-K spectrum is corpus-size-flat by
+    // construction), and the JS matrix (pair count fixed; only the
+    // per-side frequency tables grow)
+    "q_kneser_ney", "q_zipf", "q_js_divergence",
     // DSIR: duplicate-dense copies multiply every bucket count ~uniformly
     // on both sides, so the log-ratio table barely moves while the
     // (doc, bucket) aggregation carries factor× rows — the risk profile

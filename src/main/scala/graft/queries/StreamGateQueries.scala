@@ -147,8 +147,11 @@ object StreamGateQueries {
     // which DuckDB replays from range().
     "q_stream_redelivery" -> { (s, _) =>
       val ckpt = tmp("rd_ckpt"); val outDir = tmp("rd_out")
+      // 4 micro-batches (not 8): each costs ~1 s of fixed micro-batch
+      // overhead at local[32]; 3 redelivered tails of 10 records keep
+      // the at-least-once contract under real test
       val raw = s.readStream.format("graft-redelivery")
-        .option("n", 200).option("rowsPerBatch", 25).option("overlap", 5)
+        .option("n", 200).option("rowsPerBatch", 50).option("overlap", 10)
         .load()
       val q = StreamOps.dedupWithinWatermark(
           StreamOps.withEventTime(raw, "ts", "1 hour"), Seq("record_id"))
