@@ -86,6 +86,42 @@ object Repetition {
     * normalization pass a pre-normalized column. Corpora without newline
     * structure first re-segment with [[Boilerplate.chunkTokens]].
     */
+  /** Distinct-n diversity ratios per corpus slice (Li et al. 2016's
+    * distinct-1/2/3, the standard text-diversity metric next to the
+    * per-document repetition stats above): for each n in `ns`,
+    * distinct n-grams / total n-grams over ALL text in the group —
+    * low ratios flag templated/looping corpora at the slice level the
+    * way ngramRepetitionStats flags single documents.
+    *
+    * Exact integer counts; each ratio is one double division. One
+    * grouped count per n over the gram stream (map-side partials);
+    * gram identity never leaves the aggregation.
+    *
+    * @return one row per (group, n): n_grams, n_distinct, distinct_ratio
+    *         (6 dp, NULL when the slice has no n-grams) */
+  def distinctNgramRatios(df: DataFrame, groupCol: Column, textCol: Column,
+                          ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    import graft.functions.ShingleExprs
+    val perN = ns.map { n =>
+      // ngramStrings' sub-n whole-text convention would count a short
+      // document as one gram; diversity wants true n-grams only, so
+      // sub-n docs contribute nothing (size filter before explode)
+      val toks = graft.functions.TextFunctions.tokens(textCol)
+      df.filter(size(toks) >= n)
+        .select(groupCol.cast("string").as("group"),
+          explode(ShingleExprs.ngramStrings(textCol, n)).as("__g"))
+        .groupBy(col("group"))
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("__g")).as("n_distinct"))
+        .select(col("group"), lit(n.toLong).as("n"), col("n_grams"),
+          col("n_distinct"),
+          round(when(col("n_grams") > 0, col("n_distinct").cast("double") /
+            col("n_grams").cast("double")), 6).as("distinct_ratio"))
+    }
+    perN.reduceLeft(_ unionByName _)
+  }
+
   def duplicateLineStats(df: DataFrame, idCol: String, textCol: String,
                          delimiter: String = "\n"): DataFrame = {
     val spine = df.select(col(idCol).as("__id"))

@@ -485,6 +485,34 @@ object IoQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Right-to-erasure (GDPR art. 17) over a partitioned lake table:
+    // delete every record of the requesting subjects (doc_id % 17 = 0)
+    // via the partition-scoped MERGE — only partitions holding a
+    // subject's rows rewrite — then PROVE absence from the post-state
+    // itself (the join-derived boolean, folded into the same
+    // aggregation pass that the oracle replays relationally).
+    "q_gdpr_erase" -> { (s, dir) =>
+      import graft.operators.Upsert
+      val root = tmp("graft_gdpr")
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      docs.write.partitionBy("source").mode("overwrite").parquet(root)
+      val erase = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .withColumn("op", lit("D"))
+      Upsert.mergeIntoPartitioned(s, root, erase, Seq("doc_id"), "source")
+      val post = s.read.parquet(root)
+      val perSource = post.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(when(pmod(col("doc_id"), lit(17)) === 0, 1L).otherwise(0L))
+            .as("__left"))
+      perSource
+        .crossJoin(broadcast(perSource.agg(sum(col("__left")).as("__tot"))))
+        .select(col("source"), col("n"), col("sum_chars"),
+          (col("__tot") === 0).as("erased_absent"))
+        .orderBy(col("source"))
+    },
+
     // The incremental-ingest flagship: a new shard arrives at an
     // already-ingested partitioned corpus and flows through the whole
     // engine — quality gate → intra-shard exact dedup → cross-corpus
@@ -789,6 +817,15 @@ FROM m GROUP BY 1 ORDER BY 1""",
            (o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')) AS rewritten,
            TRUE AS untouched_intact
          FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // erasure replayed relationally: everything but the subjects'
+    // rows; absence is structural post-delete → TRUE.
+    "q_gdpr_erase" ->
+      """SELECT source, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS erased_absent
+         FROM documents WHERE doc_id % 17 <> 0
+         GROUP BY source ORDER BY source""",
 
     // the whole ingest replayed relationally: base ∪ (quality-gated,
     // intra-shard-min-id-deduped, base-fingerprint-anti-joined shard);

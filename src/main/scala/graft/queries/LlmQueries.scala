@@ -793,6 +793,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Distinct-1/2/3 diversity ratios per source slice — low ratios
+    // flag templated/looping corpora at the slice level.
+    "q_distinct_n" -> { (s, dir) =>
+      Repetition.distinctNgramRatios(Tables(s, dir).documents,
+          col("source"), col("text"))
+        .withColumnRenamed("group", "source")
+        .orderBy(col("source"), col("n"))
+    },
+
     // Per-document 5-gram novelty of the odd-id shard against the
     // even-id reference corpus — the acquisition-value inverse of
     // contamination; md5 gram identity, never gram-text shuffles.
@@ -2780,6 +2789,29 @@ object LlmQueries {
     // two execution strategies).
     "q_decontam_scrub" -> decontamScrubSql,
     "q_decontam_stream" -> decontamScrubSql,
+    // exact gram counts per (source, n); sub-n documents contribute
+    // nothing — identical to Repetition.distinctNgramRatios.
+    "q_distinct_n" -> {
+      val per = Seq(1, 2, 3).map { n =>
+        s"""SELECT source, CAST($n AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+           CASE WHEN count(*) > 0 THEN
+             round(CAST(count(DISTINCT g) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) END AS distinct_ratio
+         FROM (SELECT source,
+             unnest(list_transform(range(1, len(toks) - ${n - 2}),
+               i -> array_to_string(toks[i : i + ${n - 1}], ' '))) AS g
+           FROM (SELECT source,
+               list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
+             FROM documents)
+           WHERE len(toks) >= $n)
+         GROUP BY source"""
+      }.mkString("\n         UNION ALL\n         ")
+      s"""$per
+         ORDER BY source, n"""
+    },
+
     // gram identity replayed as md5 of the n-gram STRING (the
     // engine-portable convention) — identical to
     // Contamination.noveltyReport.
