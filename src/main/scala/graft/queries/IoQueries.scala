@@ -485,6 +485,67 @@ object IoQueries {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Incremental JOIN-VIEW maintenance under a one-sided CDC delta:
+    // the materialized view V = orders ⋈ customer refreshes from
+    // ΔV = ΔA ⋈ B through the partition-scoped MERGE (delete-then-
+    // reinsert by delta keys, only touched partitions rewrite) — the
+    // classic delta-rule specialization for a dimension-stable join.
+    // Consistency is PROVEN in-query: refreshed ≡ from-scratch A′ ⋈ B
+    // via the one-pass symmetric-diff audit.
+    "q_ivm_join" -> { (s, dir) =>
+      import graft.operators.Upsert
+      val root = tmp("graft_ivm")
+      val orders = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      val cust = Tables(s, dir).customer
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val view0 = orders
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .drop("c_custkey")
+      view0.write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
+      val updates = orders
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .withColumn("op", lit("U"))
+      val dels = orders
+        .filter(col("o_orderpriority") === "3-MEDIUM" &&
+          pmod(col("o_orderkey"), lit(5)) === 0)
+        .withColumn("op", lit("D"))
+      val ins = orders
+        .filter(col("o_orderpriority") === "2-HIGH" &&
+          pmod(col("o_orderkey"), lit(11)) === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          col("o_custkey"), lit("2-HIGH").as("o_orderpriority"),
+          lit(123.45).as("o_totalprice"))
+        .withColumn("op", lit("U"))
+      val deltaA = updates.unionByName(dels).unionByName(ins)
+      // the delta rule for a static right side: ΔV = ΔA ⋈ B
+      val deltaV = deltaA
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left")
+        .drop("c_custkey")
+      Upsert.mergeIntoPartitioned(s, root, deltaV, Seq("o_orderkey"),
+        "o_orderpriority")
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderpriority",
+        "o_totalprice", "c_mktsegment")
+      val refreshed = s.read.parquet(root).select(cols.map(col): _*)
+      // from-scratch replay of A′ ⋈ B for the consistency proof
+      val aPrime = orders
+        .join(deltaA.select(col("o_orderkey")).distinct(),
+          Seq("o_orderkey"), "left_anti")
+        .unionByName(deltaA.filter(col("op") === "U").drop("op"))
+      val scratch = aPrime
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .drop("c_custkey").select(cols.map(col): _*)
+      refreshed.groupBy(col("o_orderpriority"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .crossJoin(broadcast(symmetricDiffCount(refreshed, scratch)))
+        .withColumn("ivm_consistent", col("__mismatch") === 0)
+        .drop("__mismatch")
+        .orderBy(col("o_orderpriority"), col("c_mktsegment"))
+    },
+
     // Right-to-erasure (GDPR art. 17) over a partitioned lake table:
     // delete every record of the requesting subjects (doc_id % 17 = 0)
     // via the partition-scoped MERGE — only partitions holding a
@@ -817,6 +878,32 @@ FROM m GROUP BY 1 ORDER BY 1""",
            (o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')) AS rewritten,
            TRUE AS untouched_intact
          FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // the maintained join view replayed relationally (kept ∪ updated ∪
+    // inserted, deletes gone, customer segment joined); the in-query
+    // incremental-vs-scratch proof is structural → TRUE.
+    "q_ivm_join" ->
+      """WITH upd AS (SELECT o_orderkey FROM orders
+             WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderkey % 7 = 0),
+         dels AS (SELECT o_orderkey FROM orders
+             WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 5 = 0),
+         ins AS (SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+               '2-HIGH' AS o_orderpriority, 123.45 AS o_totalprice
+             FROM orders WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 11 = 0),
+         kept AS (SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+             FROM orders
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+               AND o_orderkey NOT IN (SELECT o_orderkey FROM dels)),
+         updnew AS (SELECT o_orderkey, o_custkey, o_orderpriority,
+               o_totalprice + 1000 AS o_totalprice
+             FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM upd)),
+         a2 AS (SELECT * FROM kept UNION ALL SELECT * FROM updnew
+                UNION ALL SELECT * FROM ins)
+         SELECT o_orderpriority, c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           TRUE AS ivm_consistent
+         FROM a2 JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2 ORDER BY o_orderpriority, c_mktsegment""",
 
     // erasure replayed relationally: everything but the subjects'
     // rows; absence is structural post-delete → TRUE.
