@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Robust (outlier-resistant) per-key statistics — the Tukey-fence IQR
@@ -96,5 +97,48 @@ object Robust {
     censored.select(keys.map(col) ++ Seq(
       col("n"), col("median"), col("mad"),
       round(sigma, 6).as("sigma_hat"), col("n_out")): _*)
+  }
+
+  /** Trimmed and Winsorized means per key — the classical robust
+    * location estimators next to [[madStats]]' scale: drop (trimmed)
+    * or clamp (Winsorized) the lowest/highest k = ⌊n·trimNum/trimDen⌋
+    * values by rank. Exactness: ranks are row_number over the value
+    * sort (boundary ties drop an arbitrary DUPLICATE — the kept
+    * MULTISET is deterministic), k is one integer division, kept sums
+    * are exact DECIMAL(18,4), and the Winsorized sum needs no clamp
+    * scan: exactly k values clamp to each boundary, so it is
+    * keptSum + k·lo + k·hi in exact decimal arithmetic. One rank
+    * window (one shuffle on the keys) + one hash aggregation.
+    *
+    * @param trimNum/trimDen trim fraction per tail (default 1/10)
+    * @return one row per key: n, n_trimmed (= n − 2k), trimmed_mean,
+    *         winsorized_mean (6 dp; NULL when the trim empties the key) */
+  def trimmedStats(df: DataFrame, keys: Seq[String], value: Column,
+                   trimNum: Int = 1, trimDen: Int = 10): DataFrame = {
+    require(keys.nonEmpty, "trimmedStats needs at least one key column")
+    require(trimNum >= 0 && trimDen > 0 && 2 * trimNum < trimDen,
+      s"trim fraction $trimNum/$trimDen must be in [0, 1/2)")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__x"))
+    val wAll = Window.partitionBy(keys.map(col): _*)
+    val ranked = df.filter(value.isNotNull)
+      .select(keys.map(col) :+ value.cast("decimal(18,4)").as("__x"): _*)
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__k", expr(s"__n * $trimNum DIV $trimDen"))
+    val kept = col("__r") > col("__k") && col("__r") <= col("__n") - col("__k")
+    val agg = ranked.groupBy(keys.map(col): _*).agg(
+      max(col("__n")).as("n"), max(col("__k")).as("__kk"),
+      sum(when(kept, col("__x"))).as("__skept"),
+      sum(when(kept, 1L).otherwise(0L)).as("n_trimmed"),
+      min(when(kept, col("__x"))).as("__lo"),
+      max(when(kept, col("__x"))).as("__hi"))
+    val trimmedMean = col("__skept").cast("double") /
+      col("n_trimmed").cast("double")
+    val winsorized = (col("__skept") + col("__kk") * col("__lo")
+      + col("__kk") * col("__hi")).cast("double") / col("n").cast("double")
+    agg.select(keys.map(col) ++ Seq(
+      col("n"), col("n_trimmed"),
+      round(when(col("n_trimmed") > 0, trimmedMean), 6).as("trimmed_mean"),
+      round(when(col("n_trimmed") > 0, winsorized), 6).as("winsorized_mean")): _*)
   }
 }

@@ -351,6 +351,15 @@ object StatsQueries {
         .orderBy(col("p_type"))
     },
 
+    // 10%-trimmed and Winsorized mean order value per priority — the
+    // robust location estimators next to q_robust_stats/q_mad_stats;
+    // exact rank selection, no clamp scan (k values clamp per boundary).
+    "q_trimmed_stats" -> { (s, dir) =>
+      Robust.trimmedStats(Tables(s, dir).orders, Seq("o_orderpriority"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Mutual information (nats) between order priority and the customer
     // mod-3 class, per order status — the information-theoretic
     // dependence companion to q_chisq; observed cells only.
@@ -1140,6 +1149,34 @@ object StatsQueries {
     // F tree — identical to Anova.oneWayF / brownForsythe.
     "q_anova" -> anovaOracleSql(brownForsythe = false),
     "q_brown_forsythe" -> anovaOracleSql(brownForsythe = true),
+
+    // rank-selected trim, exact decimal kept-sum; Winsorized sum =
+    // keptSum + k·lo + k·hi — identical to Robust.trimmedStats.
+    "q_trimmed_stats" ->
+      """WITH r AS (SELECT o_orderpriority AS k,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS x,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY CAST(o_totalprice AS DECIMAL(18,4))) AS r,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders),
+         t AS (SELECT k, x, r, n, n * 1 // 10 AS kk FROM r),
+         a AS (SELECT k, CAST(max(n) AS BIGINT) AS n,
+             max(kk) AS kk,
+             SUM(CASE WHEN r > kk AND r <= n - kk THEN x END) AS skept,
+             CAST(SUM(CASE WHEN r > kk AND r <= n - kk THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_trimmed,
+             MIN(CASE WHEN r > kk AND r <= n - kk THEN x END) AS lo,
+             MAX(CASE WHEN r > kk AND r <= n - kk THEN x END) AS hi
+           FROM t GROUP BY 1)
+         SELECT k AS o_orderpriority, n, n_trimmed,
+           CASE WHEN n_trimmed > 0 THEN
+             round(CAST(skept AS DOUBLE) / CAST(n_trimmed AS DOUBLE), 6)
+           END AS trimmed_mean,
+           CASE WHEN n_trimmed > 0 THEN
+             round(CAST(skept + kk * lo + kk * hi AS DOUBLE)
+               / CAST(n AS DOUBLE), 6)
+           END AS winsorized_mean
+         FROM a ORDER BY o_orderpriority""",
 
     // observed-cell MI terms as one IEEE tree over exact counts,
     // rounded-then-DECIMAL summed — identical to Hypothesis.mutualInfo.

@@ -52,6 +52,26 @@ class MiscStatsSpec extends SparkSpec {
     assert(math.abs(out(("a", "e")).get - r) < 1e-5)
   }
 
+  test("trimmedStats: hand-worked trim/winsorize; outlier-immune; empty-trim NULL") {
+    def run(vs: Seq[Double], num: Int, den: Int) =
+      Robust.trimmedStats(vs.map(("g", _)).toDF("k", "v"), Seq("k"),
+        col("v"), trimNum = num, trimDen = den).collect().head
+    // 1..10, trim 1/10 -> k=1, kept 2..9: trimmed 5.5;
+    // winsorized = (44 + 2 + 9)/10 = 5.5
+    val r1 = run((1 to 10).map(_.toDouble), 1, 10)
+    assert((r1.getLong(1), r1.getLong(2)) === ((10L, 8L)))
+    assert(r1.getDouble(3) === 5.5 && r1.getDouble(4) === 5.5)
+    // (0,1,2,3,100), trim 1/5 -> k=1, kept (1,2,3): trimmed 2;
+    // winsorized = (6 + 1 + 3)/5 = 2 — the outlier is fully neutralized
+    val r2 = run(Seq(0.0, 1.0, 2.0, 3.0, 100.0), 1, 5)
+    assert(r2.getDouble(3) === 2.0 && r2.getDouble(4) === 2.0)
+    // trim that empties the key -> NULLs
+    val r3 = run(Seq(1.0, 2.0), 2, 5) // k = floor(2*2/5) = 0 -> kept 2
+    assert(r3.getLong(2) === 2L)
+    val r4 = run(Seq(1.0, 2.0, 3.0, 4.0, 5.0), 2, 5) // k=2, kept 1
+    assert(r4.getLong(2) === 1L && r4.getDouble(3) === 3.0)
+  }
+
   test("mase: perfect forecast 0; naive forecast scores exactly 1") {
     val ys = (0 until 20).map(i => ((i * 48271 % 31) / 2.0) + i)
     // forecast = actual -> mae 0 -> mase 0
