@@ -323,6 +323,46 @@ object Hypothesis {
         pp > 0 && pp < 1, (pa - pb) / denom), 6).as("z")): _*)
   }
 
+  /** Cohen's d effect size between two groups, per key — the magnitude
+    * companion to the Welch t-test (a significant t with a tiny d is
+    * the classic big-data false alarm; report both):
+    *
+    *   d = (m_a − m_b) / s_pooled,
+    *   s²_pooled = ((Q_a − S_a²/n_a) + (Q_b − S_b²/n_b)) / (n_a + n_b − 2)
+    *
+    * from exact DECIMAL(8,4)-routed sums (the Moments try_cast
+    * contract), one fixed IEEE tree — full oracle parity.
+    *
+    * @return one row per key: n_a, n_b, mean_a, mean_b, d (6 dp; NULL
+    *         when a group has < 2 rows or the pooled variance is 0) */
+  def cohensD(df: DataFrame, keys: Seq[String], groupCol: Column,
+              a: String, b: String, value: Column): DataFrame = {
+    require(keys.nonEmpty, "cohensD needs at least one key column")
+    val x = value.try_cast("decimal(8,4)")
+    val base = df.filter(groupCol.isin(a, b) && x.isNotNull)
+      .select(keys.map(col) ++ Seq((groupCol === a).as("__isa"),
+        x.as("__x")): _*)
+    val agg = base.groupBy(keys.map(col): _*).agg(
+      sum(when(col("__isa"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("__isa"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__isa"), col("__x"))).as("__sa"),
+      sum(when(!col("__isa"), col("__x"))).as("__sb"),
+      sum(when(col("__isa"), col("__x") * col("__x"))).as("__qa"),
+      sum(when(!col("__isa"), col("__x") * col("__x"))).as("__qb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val sa = col("__sa").cast("double"); val sb = col("__sb").cast("double")
+    val qa = col("__qa").cast("double"); val qb = col("__qb").cast("double")
+    val sp2 = ((qa - sa * sa / na) + (qb - sb * sb / nb)) /
+      (na + nb - lit(2.0d))
+    val d = (sa / na - sb / nb) / sqrt(sp2)
+    agg.select(keys.map(col) ++ Seq(
+      col("n_a"), col("n_b"),
+      round(when(col("n_a") > 0, sa / na), 6).as("mean_a"),
+      round(when(col("n_b") > 0, sb / nb), 6).as("mean_b"),
+      round(when(col("n_a") >= 2 && col("n_b") >= 2 && sp2 > 0, d), 6)
+        .as("d")): _*)
+  }
+
   /** Mutual information between two categorical columns, per key —
     * the information-theoretic dependence companion to
     * [[chiSquareIndependence]] (feature/label leakage audits, drift

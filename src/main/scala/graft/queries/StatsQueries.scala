@@ -351,6 +351,15 @@ object StatsQueries {
         .orderBy(col("p_type"))
     },
 
+    // Cohen's d of the discount gap between open and fulfilled lines,
+    // per return flag — the effect-size companion to q_welch (same
+    // two-sample construction): is a significant difference also BIG?
+    "q_cohens_d" -> { (s, dir) =>
+      Hypothesis.cohensD(Tables(s, dir).lineitem, Seq("l_returnflag"),
+          col("l_linestatus"), a = "O", b = "F", value = col("l_discount"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // 10%-trimmed and Winsorized mean order value per priority — the
     // robust location estimators next to q_robust_stats/q_mad_stats;
     // exact rank selection, no clamp scan (k values clamp per boundary).
@@ -1149,6 +1158,36 @@ object StatsQueries {
     // F tree — identical to Anova.oneWayF / brownForsythe.
     "q_anova" -> anovaOracleSql(brownForsythe = false),
     "q_brown_forsythe" -> anovaOracleSql(brownForsythe = true),
+
+    // exact conditional DECIMAL sums, one IEEE tree — identical to
+    // Hypothesis.cohensD.
+    "q_cohens_d" ->
+      """WITH f AS (SELECT l_returnflag AS k, l_linestatus = 'O' AS isa,
+             CAST(l_discount AS DECIMAL(8,4)) AS x
+           FROM lineitem WHERE l_linestatus IN ('O', 'F')),
+         a AS (SELECT k,
+             CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             SUM(CASE WHEN isa THEN x END) AS sa,
+             SUM(CASE WHEN NOT isa THEN x END) AS sb,
+             SUM(CASE WHEN isa THEN x * x END) AS qa,
+             SUM(CASE WHEN NOT isa THEN x * x END) AS qb
+           FROM f GROUP BY 1),
+         d AS (SELECT k, n_a, n_b,
+             CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+             CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+             CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd
+           FROM a),
+         e AS (SELECT k, n_a, n_b, nad, nbd, sad, sbd,
+             ((qad - sad * sad / nad) + (qbd - sbd * sbd / nbd))
+               / (nad + nbd - 2.0) AS sp2
+           FROM d)
+         SELECT k AS l_returnflag, n_a, n_b,
+           CASE WHEN n_a > 0 THEN round(sad / nad, 6) END AS mean_a,
+           CASE WHEN n_b > 0 THEN round(sbd / nbd, 6) END AS mean_b,
+           CASE WHEN n_a >= 2 AND n_b >= 2 AND sp2 > 0
+             THEN round((sad / nad - sbd / nbd) / sqrt(sp2), 6) END AS d
+         FROM e ORDER BY l_returnflag""",
 
     // rank-selected trim, exact decimal kept-sum; Winsorized sum =
     // keptSum + k·lo + k·hi — identical to Robust.trimmedStats.

@@ -52,6 +52,26 @@ class MiscStatsSpec extends SparkSpec {
     assert(math.abs(out(("a", "e")).get - r) < 1e-5)
   }
 
+  test("cohensD: hand-worked two-group case; equal groups 0; tiny groups NULL") {
+    def run(rows: Seq[(String, String, Double)]) =
+      Hypothesis.cohensD(rows.toDF("k", "g", "v"), Seq("k"),
+        col("g"), "a", "b", col("v")).collect().head
+    // a = (2,4,6): mean 4, ss 8; b = (1,2,3): mean 2, ss 2
+    // sp2 = (8 + 2)/4 = 2.5; d = 2/sqrt(2.5)
+    val rows = Seq(("x", "a", 2.0), ("x", "a", 4.0), ("x", "a", 6.0),
+      ("x", "b", 1.0), ("x", "b", 2.0), ("x", "b", 3.0))
+    val r = run(rows)
+    assert((r.getLong(1), r.getLong(2)) === ((3L, 3L)))
+    assert(math.abs(r.getDouble(5) - 2.0 / math.sqrt(2.5)) < 1e-6)
+    // identical groups -> d = 0
+    val same = Seq(("x", "a", 1.0), ("x", "a", 3.0),
+      ("x", "b", 1.0), ("x", "b", 3.0))
+    assert(run(same).getDouble(5) === 0.0)
+    // a single-row group -> NULL d
+    val tiny = Seq(("x", "a", 1.0), ("x", "b", 2.0), ("x", "b", 3.0))
+    assert(run(tiny).isNullAt(5))
+  }
+
   test("trimmedStats: hand-worked trim/winsorize; outlier-immune; empty-trim NULL") {
     def run(vs: Seq[Double], num: Int, den: Int) =
       Robust.trimmedStats(vs.map(("g", _)).toDF("k", "v"), Seq("k"),
