@@ -115,8 +115,10 @@ object Contamination {
     * Identity is md5 of the lowercased-token n-gram (engine-portable,
     * and the join shuffles 16-byte hashes, never gram TEXT — the
     * scrubOverlaps scale rule). Documents shorter than n tokens follow
-    * the ngramStrings convention (one whole-text gram). NULL/empty
-    * docs report n_grams = 0 with NULL novelty.
+    * the ngramStrings convention (EMPTY gram array below n — no
+    * whole-text fallback), so they report n_grams = 0 with NULL
+    * novelty, as do NULL/empty docs; sub-n reference docs contribute
+    * nothing to the reference gram set.
     *
     * Scale posture: both gram streams reduce to per-side DISTINCT
     * hashes before the ONE hash join; per-doc aggregation is

@@ -211,8 +211,15 @@ object Regress {
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     require(cols.distinct.size == cols.size, "corrMatrix columns must be distinct")
-    val complete = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
-    val dec = cols.map(c => c -> col(c).cast("decimal(18,4)")).toMap
+    // try_cast + complete-case filter on the CAST columns (the Moments
+    // discipline, Moments.scala:43): an out-of-contract value must drop
+    // the whole row consistently — a plain cast would null it (non-ANSI)
+    // or throw (ANSI), and a nulled row would still count in n while
+    // being excluded from the sums (half-counting)
+    val complete = df
+      .select(cols.map(c => col(c).try_cast("decimal(18,4)").as(s"__c_$c")): _*)
+      .filter(cols.map(c => col(s"__c_$c").isNotNull).reduce(_ && _))
+    val dec = cols.map(c => c -> col(s"__c_$c")).toMap
     val sumAggs = cols.map(c => sum(dec(c)).as(s"__s_$c")) ++
       (for { i <- cols.indices; j <- i until cols.length } yield
         sum(dec(cols(i)) * dec(cols(j))).as(s"__p_${cols(i)}_${cols(j)}"))

@@ -120,8 +120,14 @@ object Robust {
       s"trim fraction $trimNum/$trimDen must be in [0, 1/2)")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__x"))
     val wAll = Window.partitionBy(keys.map(col): _*)
-    val ranked = df.filter(value.isNotNull)
-      .select(keys.map(col) :+ value.cast("decimal(18,4)").as("__x"): _*)
+    // try_cast + filter on the CAST column (the Moments discipline,
+    // Moments.scala:43): an out-of-contract value must DROP consistently
+    // — a plain cast would null it (non-ANSI) or throw (ANSI), and a
+    // nulled row would still count in __n/n_trimmed and rank while being
+    // excluded from the sums (half-counting)
+    val ranked = df
+      .select(keys.map(col) :+ value.try_cast("decimal(18,4)").as("__x"): _*)
+      .filter(col("__x").isNotNull)
       .withColumn("__r", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
       .withColumn("__k", expr(s"__n * $trimNum DIV $trimDen"))

@@ -2819,11 +2819,9 @@ object LlmQueries {
       """WITH tk AS (SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z'']+'), x -> x <> '') AS toks
            FROM documents),
-         gr AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 5
-             THEN [array_to_string(toks, ' ')]
-             ELSE list_transform(range(1, len(toks) - 3),
-                    i -> array_to_string(toks[i : i + 4], ' ')) END) AS g
-           FROM tk),
+         gr AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+                    i -> array_to_string(toks[i : i + 4], ' '))) AS g
+           FROM tk WHERE len(toks) >= 5),
          refh AS (SELECT DISTINCT md5(g) AS h FROM gr WHERE doc_id % 2 = 0),
          doch AS (SELECT DISTINCT doc_id, md5(g) AS h FROM gr
            WHERE doc_id % 2 = 1),

@@ -142,9 +142,9 @@ object StreamGateQueries {
     // §2.5 PubsubIO capability under the driver gate: the at-least-once
     // broker source (graft-redelivery: every batch replays the previous
     // batch's unacked tail) drained through id-dedup — the raw feed
-    // delivers 62 rows for 50 records; exactly-once output is the
-    // deterministic [0, n) sequence with broker-assigned timestamps,
-    // which DuckDB replays from range().
+    // delivers 230 rows for 200 records (3 redelivered tails of 10);
+    // exactly-once output is the deterministic [0, n) sequence with
+    // broker-assigned timestamps, which DuckDB replays from range().
     "q_stream_redelivery" -> { (s, _) =>
       val ckpt = tmp("rd_ckpt"); val outDir = tmp("rd_out")
       // 4 micro-batches (not 8): each costs ~1 s of fixed micro-batch
