@@ -18,6 +18,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // transformWithState (the trigger-gate queries) requires RocksDB —
+      // the default HDFS-backed store rejects multiple column families
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session before timing: JVM/codegen warmup and the first

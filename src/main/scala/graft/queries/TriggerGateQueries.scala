@@ -1,0 +1,307 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.operators.Combine.CombineFn
+import graft.streaming.TriggerEngine
+import graft.streaming.TriggerEngine._
+
+/** Driver gates for the trigger/pane engine (VERDICT r10 task 1): run
+  * [[TriggerEngine.windowedAggregate]] as a REAL streaming query over a
+  * deterministic ordered file replay of the events table and emit the
+  * full pane table (key, window, pane_index, timing, isFirst/isLast,
+  * value) — the columns Spark's own windowed aggregation cannot produce
+  * — for DuckDB to replay relationally.
+  *
+  * Determinism device: the feed directory holds ONE parquet file per
+  * intended micro-batch (strictly increasing modification times +
+  * `maxFilesPerTrigger=1`), each covering one epoch-aligned 5-day
+  * half-window of the 10-day tumbling windows. Because
+  *  - pane VALUES are commutative (count + Σ user_id), row order inside
+  *    a batch is irrelevant;
+  *  - pane BOUNDARIES depend only on per-(key, window) PER-BATCH row
+  *    counts and the watermark sequence, and Spark's watermark for batch
+  *    k is max(event time) over batches < k, which the time-ordered file
+  *    grid fixes exactly;
+  * the emitted pane table is a pure function of the fixture — replayable
+  * in SQL from epoch arithmetic alone (no engine state in the oracle).
+  *
+  * Shared timeline (all three gates): events span [2024-01-01,
+  * 2024-01-31); the 10-day epoch-aligned windows are w0 = [2023-12-29,
+  * 2024-01-08), w1 = [01-08, 01-18), w2 = [01-18, 01-28), w3 = [01-28,
+  * 02-07); main files f0..f6 cover the 5-day grid [2023-12-29, 02-02)
+  * in order, then two far-future flush rows (key `__flush`, filtered
+  * from the output) push the watermark past every window end + lateness
+  * so ON_TIME/FINAL panes and state GC all land inside real batches —
+  * no reliance on the trailing no-data micro-batch.
+  */
+object TriggerGateQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** 5 days in microseconds — the half-window file grid. */
+  private val HalfUs = 432000000000L
+  /** 10 days in microseconds — the tumbling window size. */
+  private val WinUs = 2 * HalfUs
+
+  /** Count + exact integer sum — the pane value CombineFn. Both fields
+    * are order-invariant, so pane values cannot depend on row order
+    * within a micro-batch. */
+  private object NSumFn extends CombineFn[Long, (Long, Long), (Long, Long)] {
+    def createAccumulator(): (Long, Long) = (0L, 0L)
+    def addInput(acc: (Long, Long), in: Long): (Long, Long) =
+      (acc._1 + 1L, acc._2 + in)
+    def mergeAccumulators(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def extractOutput(acc: (Long, Long)): (Long, Long) = acc
+  }
+
+  private lazy val scratchBase: Path = {
+    val base = Files.createTempDirectory("graft_trigger_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      try Files.walk(base).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      catch { case _: Throwable => () }
+    }))
+    base
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(scratchBase, prefix).toString
+
+  /** Write `chunks` as one single-file parquet each into `dir`, named
+    * f000.., with strictly increasing modification times (2 s apart) so
+    * the file stream's oldest-first listing replays them in exactly this
+    * order, one micro-batch per file under maxFilesPerTrigger=1. */
+  private def writeOrderedFeed(chunks: Seq[DataFrame], dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val base = System.currentTimeMillis() - 3600000L
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val stage = tmp("stage")
+      chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+      val listing = Files.list(Paths.get(stage))
+      val part =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
+        finally listing.close()
+      val target = Paths.get(dir, f"f$i%03d.parquet")
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+    }
+  }
+
+  /** The shared feed: (k, ts, v = user_id) rows of the events table cut
+    * on the epoch-aligned 5-day grid (one chunk per grid cell, in time
+    * order), with `holdOutLate` rows excluded from their natural chunk
+    * and appended as a dedicated late file after `lateAfter` main files,
+    * then the two flush rows. Returns the feed directory. */
+  private def buildFeed(s: SparkSession, dir: String,
+                        holdOutLate: Boolean, lateAfter: Int): String = {
+    val feed = tmp("tg_feed")
+    val ev = Tables(s, dir).events.select(
+      col("event_type").as("k"), col("ts"),
+      col("user_id").cast("long").as("v"),
+      col("event_id"))
+    val lateCond = col("ts") >= lit("2024-01-07").cast("timestamp") &&
+      col("ts") < lit("2024-01-08").cast("timestamp") &&
+      pmod(col("event_id"), lit(17)) === 0
+    val half = (unix_micros(col("ts")) / HalfUs).cast("long")
+    // the event data occupies 5-day grid cells 3944..3950 (2023-12-29
+    // .. 2024-02-02); derive the bounds from the data so the same code
+    // runs at any sf
+    val bounds = ev.agg(min(half).as("lo"), max(half).as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    def cell(i: Long) = ev.filter(half === i)
+    val mains = (lo to hi).map { i =>
+      val c = cell(i)
+      (if (holdOutLate) c.filter(!lateCond) else c).select(col("k"), col("ts"), col("v"))
+    }
+    val lateChunk =
+      if (holdOutLate) Seq(ev.filter(lateCond).select(col("k"), col("ts"), col("v")))
+      else Seq.empty
+    def flush(ts: String) = s.range(1).select(
+      lit("__flush").as("k"), lit(ts).cast("timestamp").as("ts"), lit(0L).as("v"))
+    val ordered = mains.take(lateAfter) ++ lateChunk ++ mains.drop(lateAfter) ++
+      Seq(flush("2024-02-20"), flush("2024-02-21"))
+    writeOrderedFeed(ordered.filterNot(_.isEmpty), feed)
+    feed
+  }
+
+  /** Run the pane engine over the feed as a real AvailableNow streaming
+    * query; return the flattened, flush-filtered pane table. */
+  private def runPanes(s: SparkSession, feed: String,
+                       panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]])
+      : DataFrame = {
+    import s.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k STRING, ts TIMESTAMP, v BIGINT")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .select(col("k").as("_1"), col("ts").as("_2"), col("v").as("_3"))
+      .as[(String, Timestamp, Long)]
+    val outDir = tmp("tg_out"); val ckpt = tmp("tg_ckpt")
+    val q = panes(stream).writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+      .filter(col("key") =!= "__flush")
+      .select(col("key").as("k"),
+        unix_micros(col("windowStart")).as("ws_us"),
+        unix_micros(col("windowEnd")).as("we_us"),
+        col("timing"), col("paneIndex").as("pane_index"),
+        col("isFirst").as("is_first"), col("isLast").as("is_last"),
+        col("value._1").as("n"), col("value._2").as("sum_v"))
+      .orderBy(col("k"), col("ws_us"), col("pane_index"))
+  }
+
+  val defs: Map[String, Q] = Map(
+
+    // §2.4 rows 34/41/42/43 under the driver gate: AfterWatermark with
+    // early AND late firings through the Window.into builder,
+    // ACCUMULATING panes, 12-day allowed lateness. Each window's two
+    // half-window batches fire one EARLY pane each (per-batch
+    // AfterCount(1)); the watermark seals the window for an ON_TIME
+    // marker pane; a held-out late file ([2024-01-07, 01-08) ∩
+    // event_id%17=0, replayed after 4 main files when w0 is sealed but
+    // within lateness) fires a LATE pane; beyond-lateness state is GC'd
+    // with nothing further emitted.
+    "q_trigger_panes" -> { (s, dir) =>
+      import s.implicits._
+      val feed = buildFeed(s, dir, holdOutLate = true, lateAfter = 4)
+      runPanes(s, feed, (in: Dataset[(String, Timestamp, Long)]) =>
+        WindowInto.fixedWindows(java.time.Duration.ofDays(10))
+          .triggering(early = AfterCount(1), late = AfterCount(1))
+          .withAllowedLateness(java.time.Duration.ofDays(12))
+          .accumulatingFiredPanes()
+          .aggregate(in, NSumFn))
+    },
+
+    // §2.4 row 41 (trigger algebra) + DISCARDING panes + the empty
+    // ON_TIME marker + isLast, zero lateness: AfterEach(AfterCount(340),
+    // AfterCount(340)) — the i-th early pane fires per the i-th
+    // sub-trigger, so the pane schedule is DATA-DEPENDENT (a half-window
+    // with ≥340 rows fires immediately; a thin one waits for the
+    // cumulative count), and the final ON_TIME pane carries only the
+    // since-last-pane remainder (possibly the (0, 0) empty marker).
+    "q_trigger_algebra" -> { (s, dir) =>
+      import s.implicits._
+      val feed = buildFeed(s, dir, holdOutLate = false, lateAfter = 0)
+      runPanes(s, feed, (in: Dataset[(String, Timestamp, Long)]) =>
+        TriggerEngine.windowedAggregate(
+          in, java.time.Duration.ofDays(10), java.time.Duration.ZERO,
+          TriggerSpec(early = AfterEach(Seq(AfterCount(340), AfterCount(340)))),
+          Discarding, NSumFn))
+    },
+
+    // §2.4 Never trigger: suppress early and on-time firing — exactly
+    // one FINAL pane per window at GC (= window end with zero
+    // lateness), isFirst = isLast = true.
+    "q_trigger_never" -> { (s, dir) =>
+      import s.implicits._
+      val feed = buildFeed(s, dir, holdOutLate = false, lateAfter = 0)
+      runPanes(s, feed, (in: Dataset[(String, Timestamp, Long)]) =>
+        TriggerEngine.windowedAggregate(
+          in, java.time.Duration.ofDays(10), java.time.Duration.ZERO,
+          TriggerSpec.never, Accumulating, NSumFn))
+    },
+  )
+
+  /** Shared oracle prelude: per (key, 10-day epoch window) the
+    * half-window counts/sums (n1/s1, n2/s2) with the late holdout
+    * excluded when the gate's feed holds it out, plus the late rows'
+    * own (nl, sl). */
+  private def aggCte(holdOutLate: Boolean) = {
+    val lateExpr =
+      if (holdOutLate)
+        s"""(us >= epoch_us(TIMESTAMP '2024-01-07 00:00:00')
+            AND us < epoch_us(TIMESTAMP '2024-01-08 00:00:00')
+            AND event_id % 17 = 0)"""
+      else "FALSE"
+    s"""WITH ev AS (
+         SELECT event_type AS k, epoch_us(ts) AS us, user_id AS v, event_id
+         FROM events),
+       m AS (
+         SELECT k, us // $WinUs AS w, (us // $HalfUs) % 2 AS h, v,
+           $lateExpr AS late
+         FROM ev),
+       agg AS (
+         SELECT k, w,
+           SUM(CASE WHEN h = 0 AND NOT late THEN 1 ELSE 0 END) AS n1,
+           SUM(CASE WHEN h = 0 AND NOT late THEN v ELSE 0 END) AS s1,
+           SUM(CASE WHEN h = 1 AND NOT late THEN 1 ELSE 0 END) AS n2,
+           SUM(CASE WHEN h = 1 AND NOT late THEN v ELSE 0 END) AS s2,
+           SUM(CASE WHEN late THEN 1 ELSE 0 END) AS nl,
+           SUM(CASE WHEN late THEN v ELSE 0 END) AS sl
+         FROM m GROUP BY k, w)"""
+  }
+
+  private def paneSelect(body: String, holdOutLate: Boolean = false): String =
+    s"""${aggCte(holdOutLate)},
+       panes AS (
+         $body)
+       SELECT k, CAST(w * $WinUs AS BIGINT) AS ws_us,
+         CAST((w + 1) * $WinUs AS BIGINT) AS we_us, timing,
+         CAST(idx AS BIGINT) AS pane_index,
+         idx = 0 AS is_first, is_last,
+         CAST(n AS BIGINT) AS n, CAST(sum_v AS BIGINT) AS sum_v
+       FROM panes ORDER BY k, ws_us, pane_index"""
+
+  val oracles: Map[String, String] = Map(
+
+    // accumulating: EARLY panes carry the running total; ON_TIME repeats
+    // the sealed total (late rows arrive after it); LATE adds them.
+    "q_trigger_panes" -> paneSelect(holdOutLate = true, body =
+      """SELECT k, w, 0 AS idx, 'EARLY' AS timing, n1 AS n, s1 AS sum_v,
+           FALSE AS is_last FROM agg WHERE n1 > 0
+         UNION ALL
+         SELECT k, w, CASE WHEN n1 > 0 THEN 1 ELSE 0 END, 'EARLY',
+           n1 + n2, s1 + s2, FALSE FROM agg WHERE n2 > 0
+         UNION ALL
+         SELECT k, w,
+           (CASE WHEN n1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END),
+           'ON_TIME', n1 + n2, s1 + s2, FALSE FROM agg
+         UNION ALL
+         SELECT k, w,
+           (CASE WHEN n1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END) + 1,
+           'LATE', n1 + n2 + nl, s1 + s2 + sl, FALSE FROM agg WHERE nl > 0"""),
+
+    // discarding + AfterEach(340, 340): first sub fires in the first
+    // half-batch iff n1 ≥ 340, else on the cumulative count in the
+    // second; the second sub needs 340 NEW rows; ON_TIME carries the
+    // remainder (the (0,0) empty marker when everything already fired).
+    "q_trigger_algebra" -> paneSelect(
+      """SELECT k, w, 0 AS idx, 'EARLY' AS timing, n1 AS n, s1 AS sum_v,
+           FALSE AS is_last FROM agg WHERE n1 >= 340
+         UNION ALL
+         SELECT k, w, 0, 'EARLY', n1 + n2, s1 + s2, FALSE FROM agg
+           WHERE n1 < 340 AND n1 + n2 >= 340
+         UNION ALL
+         SELECT k, w, 1, 'EARLY', n2, s2, FALSE FROM agg
+           WHERE n1 >= 340 AND n2 >= 340
+         UNION ALL
+         SELECT k, w,
+           CASE WHEN n1 >= 340 AND n2 >= 340 THEN 2
+                WHEN n1 >= 340 OR n1 + n2 >= 340 THEN 1 ELSE 0 END,
+           'ON_TIME',
+           CASE WHEN n1 >= 340 AND n2 >= 340 THEN 0
+                WHEN n1 >= 340 THEN n2
+                WHEN n1 + n2 >= 340 THEN 0 ELSE n1 + n2 END,
+           CASE WHEN n1 >= 340 AND n2 >= 340 THEN 0
+                WHEN n1 >= 340 THEN s2
+                WHEN n1 + n2 >= 340 THEN 0 ELSE s1 + s2 END,
+           TRUE FROM agg"""),
+
+    // never: one FINAL pane per window with the full total.
+    "q_trigger_never" -> paneSelect(
+      """SELECT k, w, 0 AS idx, 'FINAL' AS timing, n1 + n2 AS n,
+           s1 + s2 AS sum_v, TRUE AS is_last FROM agg"""),
+  )
+}
