@@ -1,0 +1,61 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic ordered-file replay for the streaming driver gates.
+  *
+  * A feed directory holds ONE single-file parquet per intended
+  * micro-batch, with strictly increasing modification times, so a file
+  * stream with `maxFilesPerTrigger=1` replays the chunks in exactly the
+  * written order — Spark's file source lists oldest-first. Cutting the
+  * chunks on an epoch-aligned time grid makes the watermark sequence
+  * (max event time over prior batches, minus the configured delay) a
+  * pure function of the fixture, which is what lets DuckDB replay the
+  * gates' sealed outputs relationally.
+  */
+private[queries] object ReplayFeed {
+
+  private lazy val scratchBase: Path = {
+    val base = Files.createTempDirectory("graft_replay_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      try Files.walk(base).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      catch { case _: Throwable => () }
+    }))
+    base
+  }
+
+  def tmp(prefix: String): String =
+    Files.createTempDirectory(scratchBase, prefix).toString
+
+  /** Write `chunks` as one single-file parquet each into `dir`, named
+    * f000.., with strictly increasing modification times (2 s apart). */
+  def writeOrderedFeed(chunks: Seq[DataFrame], dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val base = System.currentTimeMillis() - 3600000L
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val stage = tmp("stage")
+      chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+      val listing = Files.list(Paths.get(stage))
+      val part =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
+        finally listing.close()
+      val target = Paths.get(dir, f"f$i%03d.parquet")
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+    }
+  }
+
+  /** Cut `df` into time-ordered chunks on the epoch-aligned `cellUs`
+    * grid of its `tsCol` span — one chunk per populated grid cell. */
+  def cellChunks(df: DataFrame, tsCol: String, cellUs: Long): Seq[DataFrame] = {
+    val cell = (unix_micros(col(tsCol)) / cellUs).cast("long")
+    val bounds = df.agg(min(cell).as("lo"), max(cell).as("hi")).head()
+    (bounds.getLong(0) to bounds.getLong(1)).map(i => df.filter(cell === i))
+  }
+}

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -62,40 +61,7 @@ object TriggerGateQueries {
     def extractOutput(acc: (Long, Long)): (Long, Long) = acc
   }
 
-  private lazy val scratchBase: Path = {
-    val base = Files.createTempDirectory("graft_trigger_")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      try Files.walk(base).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      catch { case _: Throwable => () }
-    }))
-    base
-  }
-
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(scratchBase, prefix).toString
-
-  /** Write `chunks` as one single-file parquet each into `dir`, named
-    * f000.., with strictly increasing modification times (2 s apart) so
-    * the file stream's oldest-first listing replays them in exactly this
-    * order, one micro-batch per file under maxFilesPerTrigger=1. */
-  private def writeOrderedFeed(chunks: Seq[DataFrame], dir: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val base = System.currentTimeMillis() - 3600000L
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val stage = tmp("stage")
-      chunk.coalesce(1).write.mode("overwrite").parquet(stage)
-      val listing = Files.list(Paths.get(stage))
-      val part =
-        try listing.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
-        finally listing.close()
-      val target = Paths.get(dir, f"f$i%03d.parquet")
-      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(target,
-        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
-    }
-  }
+  import ReplayFeed.{tmp, writeOrderedFeed}
 
   /** The shared feed: (k, ts, v = user_id) rows of the events table cut
     * on the epoch-aligned 5-day grid (one chunk per grid cell, in time
