@@ -164,6 +164,40 @@ object StreamGateQueries {
         .orderBy(col("record_id"))
     },
 
+    // §2.5 PubsubIO timestampLabel capability under the driver gate:
+    // event time comes from a message ATTRIBUTE (attrs.evt_ms — the
+    // broker clock minus a deterministic id%7 half-period skew), not
+    // the broker timestamp. The attribute-derived watermark drives
+    // dedup AND a 20-second windowed aggregation; redelivered tails
+    // land below the watermark and are dropped/deduped either way, so
+    // the sealed windows replay from range() arithmetic. Only windows
+    // the final watermark (max evt − 5 s lateness) seals are emitted —
+    // exactly win ≤ 8 for n=200 at 1 s period.
+    "q_stream_ts_attr" -> { (s, _) =>
+      val ckpt = tmp("ta_ckpt"); val outDir = tmp("ta_out")
+      val raw = s.readStream.format("graft-redelivery")
+        .option("n", 200).option("rowsPerBatch", 50).option("overlap", 10)
+        .load()
+      val evt = raw
+        .withColumn("evt_ts", timestamp_millis(
+          get_json_object(col("attrs"), "$.evt_ms").cast("long")))
+        .withColumn("src", get_json_object(col("attrs"), "$.src"))
+      val deduped = StreamOps.dedupWithinWatermark(
+        StreamOps.withEventTime(evt, "evt_ts", "5 seconds"), Seq("record_id"))
+      val agg = deduped
+        .groupBy(window(col("evt_ts"), "20 seconds").as("window"), col("src"))
+        .agg(count(lit(1)).as("n"), sum(col("record_id")).as("sum_id"))
+      val q = agg.writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(outDir)
+        .select(unix_micros(col("window.start")).as("ws_us"),
+          unix_micros(col("window.end")).as("we_us"),
+          col("src"), col("n"), col("sum_id"))
+        .orderBy(col("ws_us"), col("src"))
+    },
+
     // §2.9 row 68 under the driver gate: the REAL streaming CDC-apply
     // sink (foreachBatch collapse + partition-scoped MERGE) fed by a
     // 3-file change feed. Changes for one key never split across files
@@ -262,6 +296,19 @@ object StreamGateQueries {
       """SELECT r AS record_id,
                 (1700000000000 + r * 1000) * 1000 AS ts_us
          FROM range(0, 200) t(r) ORDER BY record_id""",
+
+    "q_stream_ts_attr" ->
+      """WITH e AS (
+           SELECT r AS id, 1700000000000 + r * 1000 - (r % 7) * 500 AS evt_ms,
+                  's' || CAST(r % 2 AS VARCHAR) AS src
+           FROM range(0, 200) t(r)),
+         w AS (SELECT evt_ms // 20000 AS win, src, id FROM e)
+         SELECT CAST(win * 20000 * 1000 AS BIGINT) AS ws_us,
+                CAST((win + 1) * 20000 * 1000 AS BIGINT) AS we_us,
+                src, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(id) AS BIGINT) AS sum_id
+         FROM w WHERE win <= 1700000000000 // 20000 + 8
+         GROUP BY 1, 2, 3 ORDER BY ws_us, src""",
 
     // the collapsed CDC feed replayed relationally: updated keys take
     // the ord=2 value (+1000 — a +500 survivor would prove the collapse

@@ -47,9 +47,16 @@ final class RedeliverySourceProvider extends TableProvider
 }
 
 object RedeliverySource {
+  /** `attrs` is the broker-message attribute map (JSON) — PubsubIO
+    * carries both idLabel AND timestampLabel as message ATTRIBUTES, so
+    * each record ships a payload-embedded event time (`evt_ms`, skewed
+    * off the broker clock) and a source tag next to the broker-assigned
+    * `record_id`/`ts`. q_stream_ts_attr derives its watermark from the
+    * attribute, not the broker clock — the timestampLabel capability. */
   val Schema: StructType = StructType(Seq(
     StructField("record_id", LongType, nullable = false),
-    StructField("ts", TimestampType, nullable = false)))
+    StructField("ts", TimestampType, nullable = false),
+    StructField("attrs", StringType, nullable = false)))
 
   final case class Config(options: Map[String, String]) {
     private def get(k: String, d: Long): Long =
@@ -63,6 +70,13 @@ object RedeliverySource {
     require(overlap >= 0 && overlap <= rowsPerBatch,
       s"overlap must be in [0, rowsPerBatch], got $overlap")
     def tsMicrosOf(id: Long): Long = (startMs + id * periodMs) * 1000L
+    /** Attribute event time: the broker clock minus a deterministic
+      * bounded skew (id mod 7 half-periods) — out-of-order within a
+      * small horizon, the real timestampLabel shape. */
+    def evtMillisOf(id: Long): Long =
+      startMs + id * periodMs - (id % 7L) * (periodMs / 2L)
+    def attrsOf(id: Long): String =
+      s"""{"evt_ms":${evtMillisOf(id)},"src":"s${id % splits}"}"""
   }
 }
 
@@ -130,7 +144,8 @@ final class RedeliveryReaderFactory(config: RedeliverySource.Config)
       private var cur = p.start - 1
       override def next(): Boolean = { cur += 1; cur < p.end }
       override def get(): InternalRow =
-        InternalRow(cur, config.tsMicrosOf(cur))
+        InternalRow(cur, config.tsMicrosOf(cur),
+          org.apache.spark.unsafe.types.UTF8String.fromString(config.attrsOf(cur)))
       override def close(): Unit = ()
     }
   }
