@@ -21,6 +21,15 @@ class EntryContractSpec extends SparkSpec {
     assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
   }
 
+  test("q_sql_surface_audit invokes every GraftExtensions-registered native") {
+    val registered = GraftExtensions.functions.map(_._1.funcName)
+    assert(registered.nonEmpty)
+    val missing = registered.filterNot(n => LlmQueries.sqlSurfaceAuditSql.contains(n + "("))
+    assert(missing.isEmpty,
+      s"registered natives never invoked in the SQL-surface audit: $missing — " +
+        "add an audit leg (and the oracle row comes for free)")
+  }
+
   test("no query output schema carries array/map/struct or wide-decimal columns") {
     // The driver gate hashes pandas frames: a LIST column crashes its
     // row sort (unhashable numpy.ndarray — the r9 q_inverted_index
