@@ -187,16 +187,100 @@ object Upsert {
       .unionByName(summarize(touchedSlice))
   }
 
+  /** Acquire the root-level merge lock by atomically creating
+    * `root/.merge-lock` (create-if-absent — atomic on HDFS and
+    * object-store rename-committers; best-effort on the local FS).
+    * Waiters poll with exponential backoff up to `waitMs`, then FAIL
+    * with the holder's identity rather than breaking the lock — a
+    * crashed holder's lock is removed manually (`hdfs dfs -rm
+    * <root>/.merge-lock`), never automatically (auto-breaking risks two
+    * live holders, the exact lost-update this lock exists to prevent). */
+  private def acquireMergeLock(fs: org.apache.hadoop.fs.FileSystem,
+                               rootPath: Path, waitMs: Long): Path = {
+    val lock = new Path(rootPath, ".merge-lock")
+    val payload = (s"uuid=${java.util.UUID.randomUUID()} " +
+      s"pid=${ProcessHandle.current().pid()} at=${System.currentTimeMillis()}")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val deadline = System.currentTimeMillis() + waitMs
+    var delay = 50L
+    // file:// goes through NIO createFile — Hadoop's local create with
+    // overwrite=false is exists-then-create (TOCTOU race between two
+    // local[n] threads); POSIX O_CREAT|O_EXCL is atomic. HDFS and
+    // object-store committers make fs.create(…, false) itself atomic.
+    val localLock: Option[java.nio.file.Path] =
+      if (fs.getScheme == "file") Some(java.nio.file.Paths.get(lock.toUri.getPath))
+      else None
+    while (true) {
+      try {
+        localLock match {
+          case Some(nio) =>
+            java.nio.file.Files.createFile(nio) // atomic O_EXCL
+            java.nio.file.Files.write(nio, payload)
+          case None =>
+            val out = fs.create(lock, false) // throws if the lock exists
+            try out.write(payload) finally out.close()
+        }
+        return lock
+      } catch {
+        case _: java.io.IOException =>
+          if (System.currentTimeMillis() >= deadline) {
+            val holder =
+              try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+                fs.open(lock)), java.nio.charset.StandardCharsets.UTF_8)
+              catch { case _: Throwable => "<unreadable>" }
+            throw new IllegalStateException(
+              s"could not acquire merge lock $lock within ${waitMs} ms; " +
+                s"held by: $holder — if the holder crashed, remove the lock " +
+                "file manually and re-run")
+          }
+          Thread.sleep(delay); delay = math.min(delay * 2, 1000L)
+      }
+    }
+    lock // unreachable
+  }
+
+  /** Record a committed merge in `root/.merge-log/` (dot-prefixed, so
+    * snapshot readers never see it): one small JSON file per merge —
+    * the audit trail half of the FileCommitProtocol idiom. */
+  private def logCommit(fs: org.apache.hadoop.fs.FileSystem, rootPath: Path,
+                        stats: MergeStats): Unit = {
+    val dir = new Path(rootPath, ".merge-log")
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val id = s"${System.currentTimeMillis()}-${java.util.UUID.randomUUID().toString.take(8)}"
+    val body =
+      s"""{"id":"$id","touched":[${stats.touchedPartitions.map(d => s""""$d"""").mkString(",")}],
+         |"survivorRows":${stats.survivorRows},"upsertRows":${stats.upsertRows}}""".stripMargin
+    val out = fs.create(new Path(dir, s"$id.json"), false)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** MERGE `delta` into the partitioned snapshot at `root`.
     *
     * `delta` must contain the snapshot's columns plus `opCol` with
     * values 'U' (upsert) or 'D' (delete; only key + partition columns
     * are consulted). Returns [[MergeStats]]; the snapshot at `root` is
     * atomically-per-partition replaced.
+    *
+    * Concurrent-writer safety: the read-rewrite-swap critical section
+    * runs under an exclusive root-level lock file (`.merge-lock`,
+    * atomic create-if-absent), so two merges into the same root
+    * SERIALIZE — without it, merge B could read the pre-A snapshot
+    * while A swaps, and whichever swapped last would silently erase the
+    * other's rows (lost update; UpsertSpec proves 4 concurrent
+    * single-key merges all land). Each committed merge appends an
+    * audit record under `.merge-log/`. Concurrent READERS need no
+    * lock: the per-partition rename swap keeps every partition fully
+    * old or fully new at all times.
+    *
+    * @param lockWaitMs how long a second writer polls for the lock
+    *                   before failing (default 10 min — a big-partition
+    *                   rewrite ahead of it is real work, not a hang)
     */
   def mergeIntoPartitioned(spark: SparkSession, root: String, delta: DataFrame,
                            keyCols: Seq[String], partCol: String,
-                           opCol: String = "op"): MergeStats = {
+                           opCol: String = "op",
+                           lockWaitMs: Long = 600000L): MergeStats = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -233,6 +317,9 @@ object Upsert {
       require(dup == 0, s"$dup delta key(s) appear in more than one row; " +
         "collapse the delta to one row per key before merging")
 
+      // ---- critical section: read-rewrite-swap under the root lock ----
+      val lock = acquireMergeLock(fs, rootPath, lockWaitMs)
+      try {
       val touchedValues = delta.select(col(partCol)).distinct().collect().map(_.get(0))
       val touchedDirs = touchedValues.map(dirName(partCol, _)).sorted.toSeq
       val existingDirs = fs.listStatus(rootPath)
@@ -285,8 +372,11 @@ object Upsert {
         }
       }
       fs.delete(new Path(tmp), true) // success: drop asides + empty shell
-      MergeStats(touchedDirs, untouchedDirs, survivorRows, upsertRows,
+      val stats = MergeStats(touchedDirs, untouchedDirs, survivorRows, upsertRows,
         touchedValues.toSeq)
+      logCommit(fs, rootPath, stats)
+      stats
+      } finally { fs.delete(lock, false); () }
     } finally { delta.unpersist(); () }
   }
 }

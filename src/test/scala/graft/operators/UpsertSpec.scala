@@ -257,4 +257,67 @@ class UpsertSpec extends SparkSpec {
       .select("v").as[Double].collect()
     assert(out.toSeq == Seq(9.0))
   }
+
+  test("the merge lock blocks a second writer and fails fast on timeout") {
+    val root = freshRoot()
+    writeSnapshot(root)
+    // a stale/foreign lock holder: the merge must NOT break it — it must
+    // time out with the holder's identity in the message
+    val lock = java.nio.file.Paths.get(root, ".merge-lock")
+    java.nio.file.Files.write(lock, "uuid=held-by-test".getBytes)
+    val delta = Seq((1L, "a", -1.0, "U")).toDF("k", "part", "v", "op")
+    val e = intercept[IllegalStateException] {
+      Upsert.mergeIntoPartitioned(spark, root, delta, Seq("k"), "part",
+        lockWaitMs = 300L)
+    }
+    assert(e.getMessage.contains("merge lock"))
+    assert(e.getMessage.contains("held-by-test"))
+    // snapshot unchanged by the failed attempt
+    assert(spark.read.parquet(root).count() == 6L)
+    // releasing the lock unblocks the writer; the lock is dropped after
+    // the commit and a .merge-log audit record exists
+    java.nio.file.Files.delete(lock)
+    Upsert.mergeIntoPartitioned(spark, root, delta, Seq("k"), "part")
+    assert(!java.nio.file.Files.exists(lock))
+    val logDir = java.nio.file.Paths.get(root, ".merge-log")
+    // count .json records only — the local ChecksumFileSystem writes a
+    // .crc sidecar per file
+    assert(java.nio.file.Files.list(logDir)
+      .filter(p => p.toString.endsWith(".json")).count() == 1L)
+    assert(spark.read.parquet(root).filter(col("k") === 1L)
+      .select("v").as[Double].head() == -1.0)
+  }
+
+  test("concurrent merges into one root serialize: no lost update") {
+    val root = freshRoot()
+    writeSnapshot(root)
+    // four writers upsert four DISTINCT keys into the SAME partition
+    // concurrently. Without the root lock, writer B can read the
+    // pre-A partition while A swaps; whichever swaps last erases the
+    // other's row (lost update). Under the lock all four must land.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val merges = (0 until 4).map { i =>
+      Future {
+        val delta = Seq((100L + i, "a", 1000.0 + i, "U"))
+          .toDF("k", "part", "v", "op")
+        Upsert.mergeIntoPartitioned(spark, root, delta, Seq("k"), "part")
+      }
+    }
+    Await.result(Future.sequence(merges), 5.minutes)
+    val got = spark.read.parquet(root)
+      .filter(col("k") >= 100L).select("k", "v")
+      .as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((100L, 1000.0), (101L, 1001.0), (102L, 1002.0),
+      (103L, 1003.0)), s"lost update: only ${got.map(_._1)} landed")
+    // original rows intact, all four merges logged, lock released
+    assert(spark.read.parquet(root).count() == 10L)
+    assert(java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, ".merge-log"))
+      .filter(p => p.toString.endsWith(".json")).count() == 4L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, ".merge-lock")))
+  }
 }
