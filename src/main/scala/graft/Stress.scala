@@ -151,17 +151,44 @@ object Stress {
   val SpatialQueries = Seq(
     "q_spatial_join", "q_spatial_knn", "q_spatial_contain")
 
+  /** Round-11 additions (VERDICT r10 task 4) — the round-10 families at
+    * 10×. Graph: the lineitem blow-up re-keys l_orderkey in lockstep
+    * with orders, so every copy re-creates the same customer→supplier
+    * edges — node set CONSTANT, edge-list input ~factor× rows and
+    * factor× heavier weights; the risk profile is the per-iteration
+    * broadcast join and edge aggregation staying linear in edge rows
+    * while the score vectors stay node-sized. */
+  val GraphStressQueries = Seq("q_hits", "q_label_prop")
+
+  /** Series/rank-stats: the events blow-up multiplies every hourly/4-h
+    * slot's population ~factor× with an UNCHANGED slot grid, so the
+    * chain recurrences (Holt-Winters) do identical work per slot over
+    * factor× pre-aggregation input; lineitem/part blow-ups multiply
+    * every rank/ANOVA group ~factor× (massive tie growth — the doubled-
+    * rank and conditional-sum pivots must stay single hash
+    * aggregations, never per-group products). */
+  val SeriesStatsQueries = Seq(
+    "q_holt_winters", "q_mase", "q_kruskal", "q_anova", "q_brown_forsythe")
+
+  /** IVM/erase: orders and documents blow-ups grow every touched
+    * partition ~factor× with an unchanged partition count — delta-rule
+    * view maintenance and the GDPR erase merge must scale with touched-
+    * partition bytes. */
+  val IvmQueries = Seq("q_ivm_join", "q_gdpr_erase")
+
   /** Queries with no self-assert booleans (their outputs are data, not
     * bounds) — boundViolations skips them instead of paying a full
-    * stressed-scale execution just to read an empty schema (CC's
-    * construction runs eager actions). */
+    * stressed-scale execution just to read an empty schema (CC's and
+    * hits()'s constructions run eager actions). */
   val NoBoundCheck: Set[String] = Set("q_entity_resolution", "q_entity_clusters",
     "q_mmr_rerank", "q_kcenter_coreset",
-    "q_spatial_join", "q_spatial_knn", "q_spatial_contain")
+    "q_spatial_join", "q_spatial_knn", "q_spatial_contain",
+    "q_hits", "q_label_prop")
 
   def allQueries: Seq[String] =
     DedupQueries ++ EmbQueries ++ ContamQueries ++ TextQueries ++ LakeQueries ++
-      WebTokQueries ++ LinkageQueries ++ SpatialQueries ++ UpsertQueries
+      WebTokQueries ++ LinkageQueries ++ SpatialQueries ++ UpsertQueries ++
+      GraphStressQueries ++ SeriesStatsQueries ++ IvmQueries
 
   /** Boolean OUTPUT columns that are data, not bounds (legitimately
     * mixed TRUE/FALSE per row) — excluded from the all-TRUE check. */
@@ -230,6 +257,44 @@ object Stress {
       .drop("copy")
       .repartition(32).write.mode("overwrite")
       .parquet(s"$workDir/supplier.parquet")
+
+    // lineitem: l_orderkey re-keys in LOCKSTEP with orders below, so
+    // copy c of a lineitem row joins copy c of its order — the
+    // customer→supplier graph keeps its node set while every edge's
+    // input rows multiply factor×; rank-stats groups (pmod l_suppkey)
+    // gain factor× members with massive tie density
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    li
+      .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("l_orderkey", col("l_orderkey") * factor + col("copy"))
+      .drop("copy")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$workDir/lineitem.parquet")
+
+    // events: re-keyed duplication with UNCHANGED timestamps/types —
+    // every hourly/4-hour slot's population grows factor× on a fixed
+    // slot grid, so chain recurrences do identical per-slot work over
+    // factor× aggregation input
+    // via Tables: the fixture's TIMESTAMP(NANOS) encoding needs the
+    // legacy-long read + µs normalization; the rewrite lands as plain
+    // TIMESTAMP(MICROS), which Tables reads back natively
+    val ev = Tables(spark, baseDir).events
+    ev
+      .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("event_id", col("event_id") * factor + col("copy"))
+      .drop("copy")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$workDir/events.parquet")
+
+    // part: re-keyed duplication — every (p_type, p_brand) ANOVA cell
+    // grows factor× members with identical values (pure tie growth)
+    val part = spark.read.parquet(s"$baseDir/part.parquet")
+    part
+      .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("p_partkey", col("p_partkey") * factor + col("copy"))
+      .drop("copy")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$workDir/part.parquet")
 
     // orders: re-keying into the SAME five priority partitions — every
     // partition grows factor× rows, so the upsert family's touched-
