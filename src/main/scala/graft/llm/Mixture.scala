@@ -116,7 +116,11 @@ object Mixture {
     require(alpha >= 0 && alpha <= 1, "alpha must be in [0, 1]")
     require(outFraction > 0 && outFraction <= 1, "outFraction must be in (0, 1]")
     // null domains are not sampleable (no Map key; .sorted would NPE) —
-    // excluded from counts AND totals for a consistent denominator
+    // excluded from counts AND totals for a consistent denominator.
+    // CARDINALITY CONTRACT: this (and every collect in this file)
+    // gathers one row per DOMAIN — mixture domains are a curated
+    // handful (sources/languages), never data-scale; a million-domain
+    // corpus should aggregate its mixture weights distributively
     val counts = df.filter(col(domainCol).isNotNull)
       .groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -320,6 +320,9 @@ object Upsert {
       // ---- critical section: read-rewrite-swap under the root lock ----
       val lock = acquireMergeLock(fs, rootPath, lockWaitMs)
       try {
+      // CARDINALITY CONTRACT: one row per TOUCHED PARTITION — a delta
+      // touches the partitions it corrects (a day, a source), never the
+      // whole table; the swap loop below is driver-side over the same set
       val touchedValues = delta.select(col(partCol)).distinct().collect().map(_.get(0))
       val touchedDirs = touchedValues.map(dirName(partCol, _)).sorted.toSeq
       val existingDirs = fs.listStatus(rootPath)
