@@ -80,16 +80,21 @@ object GrowFixture {
       .withColumn("n_chars", length(col("text")))
       .drop("copy"), "documents")
 
-    // embeddings: scale a third of the coordinates by up to 1.45 per
-    // copy — cosine to the source ≈ 0.9, below the near-dup thresholds
+    // embeddings: per-copy PSEUDO-RANDOM SIGN FLIPS (murmur3 over
+    // (coordinate, copy, vec_id) — ~half the coordinates negate, a
+    // distinct pattern per copy and per vector), so every copy's
+    // cosine to its source and to its sibling copies is ≈ 0: genuinely
+    // NEW vectors, not near-dups. (A magnitude-only perturbation keeps
+    // cosine ≈ 1 no matter how large the scale factor — it would
+    // silently turn this "organic growth" fixture into the
+    // duplicate-dense worst case Stress.blowUp already covers.)
     val emb = read("embeddings")
     write(emb
       .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("embedding", when(col("copy") === 0, col("embedding"))
         .otherwise(transform(col("embedding"), (x, i) =>
-          when(pmod(i + col("copy"), lit(3)) === 0,
-            x * (lit(1.0f) + col("copy").cast("float") / 20.0f))
-            .otherwise(x))))
+          when(pmod(hash(i, col("copy"), col("vec_id")), lit(2)) === 0,
+            -x).otherwise(x))))
       .withColumn("vec_id", col("vec_id") * factor + col("copy"))
       .drop("copy"), "embeddings")
   }

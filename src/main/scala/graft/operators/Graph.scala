@@ -168,15 +168,19 @@ object Graph {
       .localCheckpoint()
     val n = nodes.count()
     require(n > 0, "empty graph")
-    val maxW = e.agg(max(col("w"))).head().getLong(0)
+    // ONE pass for both guards. (__raw * scale) runs in DECIMAL(38,0)
+    // and __raw ≤ scale·Σw, so the normalization product needs
+    // scale²·Σw ≤ 10³⁸ − 1 (strict: 10³⁸ exactly is one digit past the
+    // type's max) — without this guard an overflow NULL would be
+    // coalesce'd to 0 below, silently zeroing scores instead of
+    // failing fast (ADVICE r10)
+    val guards = e.agg(max(col("w")),
+      sum(col("w").cast("decimal(38,0)"))).head()
+    val maxW = guards.getLong(0)
     require(maxW <= Long.MaxValue / scale,
       s"max edge weight $maxW overflows the fixed-point product at scale $scale")
-    // (__raw * scale) runs in DECIMAL(38,0) and __raw ≤ scale·Σw, so the
-    // normalization product needs scale²·Σw < 10³⁸ — without this guard
-    // an overflow NULL would be coalesce'd to 0 below, silently zeroing
-    // scores instead of failing fast (ADVICE r10)
-    val totW = e.agg(sum(col("w").cast("decimal(38,0)"))).head().getDecimal(0)
-    val wCap = BigInt(10).pow(38) / (BigInt(scale) * BigInt(scale))
+    val totW = guards.getDecimal(1)
+    val wCap = (BigInt(10).pow(38) - 1) / (BigInt(scale) * BigInt(scale))
     require(BigInt(totW.toBigInteger) <= wCap,
       s"total edge weight $totW overflows DECIMAL(38,0) normalization at " +
         s"scale $scale (cap $wCap); lower the scale or pre-scale weights")

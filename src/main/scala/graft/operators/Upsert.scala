@@ -211,17 +211,27 @@ object Upsert {
       if (fs.getScheme == "file") Some(java.nio.file.Paths.get(lock.toUri.getPath))
       else None
     while (true) {
+      var created = false
       try {
         localLock match {
           case Some(nio) =>
             java.nio.file.Files.createFile(nio) // atomic O_EXCL
+            created = true
             java.nio.file.Files.write(nio, payload)
           case None =>
             val out = fs.create(lock, false) // throws if the lock exists
+            created = true
             try out.write(payload) finally out.close()
         }
         return lock
       } catch {
+        case e: java.io.IOException if created =>
+          // the lock file is OURS but the payload write failed (disk
+          // full, pipeline failure): without this cleanup the retry
+          // loop would treat our own half-created lock as a foreign
+          // holder and self-deadlock until timeout — and then leak it
+          try fs.delete(lock, false) catch { case _: Throwable => () }
+          throw e
         case _: java.io.IOException =>
           if (System.currentTimeMillis() >= deadline) {
             val holder =

@@ -46,18 +46,30 @@ object StreamChainGateQueries {
       .select(col("event_type").as("k"), col("ts"),
         col("value").cast("double").as("v"))
 
-  private def flushRows(s: SparkSession, k: Any, ts: String*): Seq[DataFrame] =
-    ts.map(t => s.range(1).select(lit(k).as("k"),
-      lit(t).cast("timestamp").as("ts"), lit(0.0).as("v")))
+  private val DayUs = 86400000000L
+
+  /** Two flush rows one/two days past the data's max event time —
+    * DERIVED from the data (a hard-coded date would sit below max
+    * event time on a larger-span fixture and never advance the
+    * watermark): +1 day clears every slot end + the 1-hour lateness,
+    * the second row makes the first's watermark effect land in a real
+    * batch. */
+  private def flushRows(s: SparkSession, k: Any, maxUs: Long): Seq[DataFrame] =
+    Seq(1, 2).map(d => s.range(1).select(lit(k).as("k"),
+      timestamp_micros(lit(maxUs + d * DayUs)).as("ts"), lit(0.0).as("v")))
 
   /** Write the (k, ts, v) frame as a 10-day-grid ordered feed plus two
-    * far-future flush rows under `flushKey`; return the feed dir. */
+    * past-the-end flush rows under `flushKey`; return the feed dir. */
   private def buildFeed(s: SparkSession, rows: DataFrame,
                         flushKey: Any): String = {
     val feed = ReplayFeed.tmp("sc_feed")
-    val chunks = ReplayFeed.cellChunks(rows, "ts", CellUs) ++
-      flushRows(s, flushKey, "2024-03-01", "2024-03-02")
-    ReplayFeed.writeOrderedFeed(chunks.filterNot(_.isEmpty), feed)
+    rows.persist() // feeds the max scan + one filter job per grid cell
+    try {
+      val maxUs = rows.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val chunks = ReplayFeed.cellChunks(rows, "ts", CellUs) ++
+        flushRows(s, flushKey, maxUs)
+      ReplayFeed.writeOrderedFeed(chunks.filterNot(_.isEmpty), feed)
+    } finally { rows.unpersist(); () }
     feed
   }
 
@@ -168,11 +180,18 @@ object StreamChainGateQueries {
         .select(col("user_id").cast("long").as("k"), col("ts"),
           col("event_type").as("v"))
       val feed = ReplayFeed.tmp("sc_feed")
-      val flush = Seq("2024-03-01", "2024-03-02").map(t => s.range(1)
-        .select(lit(-1L).as("k"), lit(t).cast("timestamp").as("ts"),
-          lit("view").as("v")))
-      ReplayFeed.writeOrderedFeed(
-        (ReplayFeed.cellChunks(rows, "ts", CellUs) ++ flush).filterNot(_.isEmpty), feed)
+      rows.persist()
+      try {
+        val maxUs = rows.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        // flush rows must carry a STEP type (the internal filter drops
+        // other types BEFORE the watermark node) under a reserved user
+        val flush = Seq(1, 2).map(d => s.range(1)
+          .select(lit(-1L).as("k"),
+            timestamp_micros(lit(maxUs + d * DayUs)).as("ts"),
+            lit("view").as("v")))
+        ReplayFeed.writeOrderedFeed(
+          (ReplayFeed.cellChunks(rows, "ts", CellUs) ++ flush).filterNot(_.isEmpty), feed)
+      } finally { rows.unpersist(); () }
       runStream(s, feed, StructType.fromDDL("k BIGINT, ts TIMESTAMP, v STRING"),
           st => FunnelStream.stepCompletions(st, "k", "ts", "v",
             steps = Seq("view", "click", "purchase")).toDF())

@@ -78,12 +78,14 @@ object TriggerGateQueries {
     val lateCond = col("ts") >= lit("2024-01-07").cast("timestamp") &&
       col("ts") < lit("2024-01-08").cast("timestamp") &&
       pmod(col("event_id"), lit(17)) === 0
+    ev.persist() // feeds the bounds scan + one filter job per grid cell
     val half = (unix_micros(col("ts")) / HalfUs).cast("long")
-    // the event data occupies 5-day grid cells 3944..3950 (2023-12-29
-    // .. 2024-02-02); derive the bounds from the data so the same code
-    // runs at any sf
-    val bounds = ev.agg(min(half).as("lo"), max(half).as("hi")).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // the sf0.01 event data occupies 5-day grid cells 3944..3950
+    // (2023-12-29 .. 2024-02-02); bounds derive from the data so the
+    // same code runs at any sf
+    val bounds = ev.agg(min(half).as("lo"), max(half).as("hi"),
+      max(unix_micros(col("ts"))).as("mx")).head()
+    val (lo, hi, maxUs) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
     def cell(i: Long) = ev.filter(half === i)
     val mains = (lo to hi).map { i =>
       val c = cell(i)
@@ -92,11 +94,21 @@ object TriggerGateQueries {
     val lateChunk =
       if (holdOutLate) Seq(ev.filter(lateCond).select(col("k"), col("ts"), col("v")))
       else Seq.empty
-    def flush(ts: String) = s.range(1).select(
-      lit("__flush").as("k"), lit(ts).cast("timestamp").as("ts"), lit(0L).as("v"))
+    // flush timestamps DERIVE from the data like the grid bounds (a
+    // hard-coded date would sit below max event time on a larger-span
+    // fixture and never advance the watermark): the first flush must
+    // push trueWm past the LAST window's end + the worst-case 12-day
+    // lateness so every ON_TIME/FINAL pane and GC lands in a real
+    // batch; the second makes the first's watermark effect land in a
+    // real batch too. At sf0.01 these come out 2024-02-20/21.
+    val lastWEnd = (maxUs / WinUs + 1) * WinUs
+    val DayUs = 86400000000L
+    def flush(us: Long) = s.range(1).select(
+      lit("__flush").as("k"), timestamp_micros(lit(us)).as("ts"), lit(0L).as("v"))
     val ordered = mains.take(lateAfter) ++ lateChunk ++ mains.drop(lateAfter) ++
-      Seq(flush("2024-02-20"), flush("2024-02-21"))
-    writeOrderedFeed(ordered.filterNot(_.isEmpty), feed)
+      Seq(flush(lastWEnd + 13 * DayUs), flush(lastWEnd + 14 * DayUs))
+    try writeOrderedFeed(ordered.filterNot(_.isEmpty), feed)
+    finally { ev.unpersist(); () }
     feed
   }
 

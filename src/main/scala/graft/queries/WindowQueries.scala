@@ -182,10 +182,16 @@ object WindowQueries {
       val ev = Tables(s, dir).events
         .select(col("user_id").cast("long").as("user_id"), col("ts"),
           col("event_type"), col("value").cast("double").as("value"))
+        .persist() // feeds the max scan + both sides' grid-cell filters
+      // flush timestamps derive from the GLOBAL max event time (both
+      // sides share it): under the min-combined watermark policy each
+      // side's flush must clear the last window end across BOTH sides
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
       def feedOf(side: DataFrame): String = {
         val feed = ReplayFeed.tmp("cg_feed")
-        val flush = Seq("2024-03-01", "2024-03-02").map(t => s.range(1).select(
-          lit(-1L).as("user_id"), lit(t).cast("timestamp").as("ts"),
+        val flush = Seq(1, 2).map(d => s.range(1).select(
+          lit(-1L).as("user_id"),
+          timestamp_micros(lit(maxUs + d * 86400000000L)).as("ts"),
           lit(0.0).as("value")))
         ReplayFeed.writeOrderedFeed(
           (ReplayFeed.cellChunks(side.drop("event_type"), "ts", 864000000000L) ++
@@ -210,6 +216,7 @@ object WindowQueries {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
+      ev.unpersist()
       s.read.parquet(outDir)
         .filter(col("user_id") >= 0)
         .select(col("window.start").as("w_start"), col("user_id"),
