@@ -181,6 +181,10 @@ object Graph {
       s"max edge weight $maxW overflows the fixed-point product at scale $scale")
     val totW = guards.getDecimal(1)
     val wCap = (BigInt(10).pow(38) - 1) / (BigInt(scale) * BigInt(scale))
+    // sum(w) overflowing DECIMAL(38,0) itself returns NULL (non-ANSI):
+    // null-check first or the guard meant to fail fast would NPE instead
+    require(totW != null,
+      s"total edge weight overflows DECIMAL(38,0) itself; pre-scale weights")
     require(BigInt(totW.toBigInteger) <= wCap,
       s"total edge weight $totW overflows DECIMAL(38,0) normalization at " +
         s"scale $scale (cap $wCap); lower the scale or pre-scale weights")

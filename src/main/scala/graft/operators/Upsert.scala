@@ -199,7 +199,8 @@ object Upsert {
                                rootPath: Path, waitMs: Long): Path = {
     val lock = new Path(rootPath, ".merge-lock")
     val payload = (s"uuid=${java.util.UUID.randomUUID()} " +
-      s"pid=${ProcessHandle.current().pid()} at=${System.currentTimeMillis()}")
+      s"pid=${ProcessHandle.current().pid()} host=$localHostName " +
+      s"at=${System.currentTimeMillis()}")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val deadline = System.currentTimeMillis() + waitMs
     var delay = 50L
@@ -225,19 +226,17 @@ object Upsert {
         }
         return lock
       } catch {
-        case e: java.io.IOException if created =>
+        case e: Throwable if created =>
           // the lock file is OURS but the payload write failed (disk
-          // full, pipeline failure): without this cleanup the retry
-          // loop would treat our own half-created lock as a foreign
-          // holder and self-deadlock until timeout — and then leak it
+          // full, pipeline failure — IOException or ANY other throwable):
+          // without this cleanup the retry loop (or every future writer)
+          // would treat our own half-created lock as a foreign holder and
+          // self-deadlock until timeout — and then leak it
           try fs.delete(lock, false) catch { case _: Throwable => () }
           throw e
         case _: java.io.IOException =>
           if (System.currentTimeMillis() >= deadline) {
-            val holder =
-              try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
-                fs.open(lock)), java.nio.charset.StandardCharsets.UTF_8)
-              catch { case _: Throwable => "<unreadable>" }
+            val holder = readLockPayload(fs, lock)
             throw new IllegalStateException(
               s"could not acquire merge lock $lock within ${waitMs} ms; " +
                 s"held by: $holder — if the holder crashed, remove the lock " +
@@ -249,6 +248,72 @@ object Upsert {
     lock // unreachable
   }
 
+  /** Read the lock payload, closing the stream (readFullyToByteArray
+    * does not) — the diagnostic path must not leak a handle per poll. */
+  private def readLockPayload(fs: org.apache.hadoop.fs.FileSystem,
+                              lock: Path): String =
+    try {
+      val in = fs.open(lock)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } catch { case _: Throwable => "<unreadable>" }
+
+  private def localHostName: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Throwable => "unknown" }
+
+  /** Holder identity parsed from a live `.merge-lock`. `pidAlive` is
+    * definitive only when the lock payload's host matches this host
+    * (ProcessHandle can only see local pids); a holder on another host
+    * reports `None` — check the pid there, per the payload's `host=`. */
+  final case class LockStatus(exists: Boolean, payload: String,
+                              uuid: Option[String], pid: Option[Long],
+                              host: Option[String], ageMs: Option[Long],
+                              pidAlive: Option[Boolean])
+
+  /** Inspect `root/.merge-lock` without touching it — the manual-recovery
+    * companion to [[mergeIntoPartitioned]]'s never-auto-break contract.
+    *
+    * Recovery recipe for a crashed holder (the ONLY sanctioned path —
+    * the lock is never broken automatically, because auto-breaking risks
+    * two live holders and the exact lost update the lock prevents):
+    *  1. `Upsert.lockStatus(spark, root)` — read uuid/pid/age.
+    *  2. Confirm the holder is dead: `pidAlive = Some(false)` when the
+    *     holder ran on this host; otherwise check the pid on its host
+    *     (the payload's `pid=`) or confirm the job is gone in the
+    *     cluster manager.
+    *  3. Only then remove the file by hand:
+    *     `hdfs dfs -rm <root>/.merge-lock` (or `rm` on file://)
+    *     and re-run the merge. A merely SLOW holder (pid alive, large
+    *     rewrite in flight) must be waited out, not broken.
+    */
+  def lockStatus(spark: SparkSession, root: String): LockStatus = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(rootPath, ".merge-lock")
+    if (!fs.exists(lock))
+      return LockStatus(exists = false, "", None, None, None, None, None)
+    val payload = readLockPayload(fs, lock)
+    def field(k: String): Option[String] =
+      payload.split(' ').collectFirst {
+        case kv if kv.startsWith(k + "=") => kv.drop(k.length + 1)
+      }
+    val pid = field("pid").flatMap(_.toLongOption)
+    val host = field("host")
+    val at = field("at").flatMap(_.toLongOption)
+    // liveness is answerable only for a same-host holder: ProcessHandle
+    // sees local pids, so present ⇒ alive-status, absent ⇒ dead (the pid
+    // table is authoritative on its own host). Remote holder ⇒ None.
+    val alive =
+      if (!host.contains(localHostName)) None
+      else pid.map { p =>
+        val h = ProcessHandle.of(p); h.isPresent && h.get().isAlive
+      }
+    LockStatus(exists = true, payload, field("uuid"), pid, host,
+      at.map(System.currentTimeMillis() - _), alive)
+  }
+
   /** Record a committed merge in `root/.merge-log/` (dot-prefixed, so
     * snapshot readers never see it): one small JSON file per merge —
     * the audit trail half of the FileCommitProtocol idiom. */
@@ -257,8 +322,17 @@ object Upsert {
     val dir = new Path(rootPath, ".merge-log")
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val id = s"${System.currentTimeMillis()}-${java.util.UUID.randomUUID().toString.take(8)}"
+    // partition dir names are user data (string partition values pass
+    // through dirName verbatim): JSON-escape them or a value containing
+    // a quote/backslash/control char corrupts the audit record
+    def jstr(v: String): String = "\"" + v.flatMap {
+      case '"'            => "\\\""
+      case '\\'           => "\\\\"
+      case c if c < ' '   => f"\\u${c.toInt}%04x"
+      case c              => c.toString
+    } + "\""
     val body =
-      s"""{"id":"$id","touched":[${stats.touchedPartitions.map(d => s""""$d"""").mkString(",")}],
+      s"""{"id":${jstr(id)},"touched":[${stats.touchedPartitions.map(jstr).mkString(",")}],
          |"survivorRows":${stats.survivorRows},"upsertRows":${stats.upsertRows}}""".stripMargin
     val out = fs.create(new Path(dir, s"$id.json"), false)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -320,4 +320,34 @@ class UpsertSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, ".merge-lock")))
   }
+
+  test("lockStatus detects a crashed holder's lock without stealing it") {
+    val root = freshRoot()
+    writeSnapshot(root)
+    // no lock → exists = false
+    assert(!Upsert.lockStatus(spark, root).exists)
+    // a crashed same-host holder: real payload shape, a pid that is
+    // certainly dead (pid_max on Linux keeps real pids well below this)
+    val host = java.net.InetAddress.getLocalHost.getHostName
+    val lock = java.nio.file.Paths.get(root, ".merge-lock")
+    java.nio.file.Files.write(lock,
+      s"uuid=dead-beef pid=999999999 host=$host at=${System.currentTimeMillis() - 60000}"
+        .getBytes)
+    val st = Upsert.lockStatus(spark, root)
+    assert(st.exists)
+    assert(st.uuid.contains("dead-beef"))
+    assert(st.pid.contains(999999999L))
+    assert(st.pidAlive.contains(false), s"crashed holder not detected: $st")
+    assert(st.ageMs.exists(_ >= 60000L))
+    // detection must NOT remove the lock (never auto-broken)
+    assert(java.nio.file.Files.exists(lock))
+    // a LIVE same-host holder (this JVM's pid) reads alive = true
+    java.nio.file.Files.write(lock,
+      s"uuid=live pid=${ProcessHandle.current().pid()} host=$host at=1".getBytes)
+    assert(Upsert.lockStatus(spark, root).pidAlive.contains(true))
+    // a remote holder's liveness is unknowable from here
+    java.nio.file.Files.write(lock,
+      "uuid=r pid=1 host=elsewhere.invalid at=1".getBytes)
+    assert(Upsert.lockStatus(spark, root).pidAlive.isEmpty)
+  }
 }
