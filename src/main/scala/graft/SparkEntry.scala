@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.queries.{AnalyticsQueries, BatchQueries, CurationQueries, GeoQueries, IoQueries, LlmQueries, StatsQueries, StreamChainGateQueries, StreamGateQueries, TpchQueries, TriggerGateQueries, WarehouseQueries, WebQueries, WindowQueries}
+import graft.queries.{AnalyticsQueries, BatchQueries, CurationQueries, GeoQueries, IoQueries, LlmQueries, SessionGateQueries, StatsQueries, StreamChainGateQueries, StreamGateQueries, TpchQueries, TriggerGateQueries, WarehouseQueries, WebQueries, WindowQueries}
 import graft.queries.QueryUtil._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -30,7 +30,7 @@ object SparkEntry {
       CurationQueries.defs ++ WebQueries.defs ++ AnalyticsQueries.defs ++
       WarehouseQueries.defs ++ GeoQueries.defs ++ StatsQueries.defs ++
       StreamGateQueries.defs ++ TpchQueries.defs ++ TriggerGateQueries.defs ++
-      StreamChainGateQueries.defs
+      StreamChainGateQueries.defs ++ SessionGateQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,7 +39,8 @@ object SparkEntry {
       IoQueries.oracles ++ CurationQueries.oracles ++ WebQueries.oracles ++
       AnalyticsQueries.oracles ++ WarehouseQueries.oracles ++ GeoQueries.oracles ++
       StatsQueries.oracles ++ StreamGateQueries.oracles ++ TpchQueries.oracles ++
-      TriggerGateQueries.oracles ++ StreamChainGateQueries.oracles
+      TriggerGateQueries.oracles ++ StreamChainGateQueries.oracles ++
+      SessionGateQueries.oracles
 
   // ---- the two flagship queries kept inline: the multi-agg Combine.perKey
   // shape (TPC-H Q1) and the reference's canonical WordCount example.

@@ -52,7 +52,7 @@ object TriggerGateQueries {
   /** Count + exact integer sum — the pane value CombineFn. Both fields
     * are order-invariant, so pane values cannot depend on row order
     * within a micro-batch. */
-  private object NSumFn extends CombineFn[Long, (Long, Long), (Long, Long)] {
+  private[queries] object NSumFn extends CombineFn[Long, (Long, Long), (Long, Long)] {
     def createAccumulator(): (Long, Long) = (0L, 0L)
     def addInput(acc: (Long, Long), in: Long): (Long, Long) =
       (acc._1 + 1L, acc._2 + in)
@@ -113,8 +113,9 @@ object TriggerGateQueries {
   }
 
   /** Run the pane engine over the feed as a real AvailableNow streaming
-    * query; return the flattened, flush-filtered pane table. */
-  private def runPanes(s: SparkSession, feed: String,
+    * query; return the flattened, flush-filtered pane table. Shared with
+    * [[SessionGateQueries]] — the session engine emits the same Pane. */
+  private[queries] def runPanes(s: SparkSession, feed: String,
                        panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]])
       : DataFrame = {
     import s.implicits._

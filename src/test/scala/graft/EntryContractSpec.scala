@@ -70,7 +70,8 @@ class EntryContractSpec extends SparkSpec {
       "StreamGateQueries" -> StreamGateQueries.defs.keySet,
       "TpchQueries" -> TpchQueries.defs.keySet,
       "TriggerGateQueries" -> TriggerGateQueries.defs.keySet,
-      "StreamChainGateQueries" -> StreamChainGateQueries.defs.keySet)
+      "StreamChainGateQueries" -> StreamChainGateQueries.defs.keySet,
+      "SessionGateQueries" -> SessionGateQueries.defs.keySet)
     val dupes = parts.flatMap { case (m, ks) => ks.map(_ -> m) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty,
