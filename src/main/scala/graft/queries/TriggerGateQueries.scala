@@ -45,9 +45,9 @@ object TriggerGateQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** 5 days in microseconds — the half-window file grid. */
-  private val HalfUs = 432000000000L
+  private[queries] val HalfUs = 432000000000L
   /** 10 days in microseconds — the tumbling window size. */
-  private val WinUs = 2 * HalfUs
+  private[queries] val WinUs = 2 * HalfUs
 
   /** Count + exact integer sum — the pane value CombineFn. Both fields
     * are order-invariant, so pane values cannot depend on row order
@@ -62,6 +62,33 @@ object TriggerGateQueries {
   }
 
   import ReplayFeed.{tmp, writeOrderedFeed}
+
+  /** Lower median of per-(key, 5-day half-cell) row counts — the
+    * data-derived base for every trigger threshold (VERDICT r11 tasks
+    * 2+5): thresholds scale with fixture density, so the gates exercise
+    * BOTH composite branches (immediate-fire vs wait-for-cumulative) at
+    * any sf instead of going dead on a thin fixture. Lower median =
+    * rank-(m+1)/2 VALUE selection (never interpolated — engine-stable).
+    * Bounded collect: one count per (key, half-cell) — keys × span/5d
+    * rows, dozens at any sf. The oracle prelude recomputes the identical
+    * integer arithmetic in SQL (hc/medv/th CTEs). */
+  private def halfCountMedian(s: SparkSession, dir: String): Long =
+    halfCountStats(s, dir)._1
+
+  /** (lower median, rank-ceil(0.8·m) value) of the half-cell counts.
+    * The p80 backs the composite gate's `until` threshold: a fixed
+    * multiple of the median goes dead when counts concentrate (denser
+    * sfs), while a rank-selected p80 guarantees ~20% of half-cells
+    * exceed it at ANY sf — both OrFinally branches always fire. */
+  private[queries] def halfCountStats(s: SparkSession, dir: String): (Long, Long) = {
+    val counts = Tables(s, dir).events
+      .groupBy(col("event_type"),
+        (unix_micros(col("ts")) / HalfUs).cast("long").as("cell"))
+      .count().select(col("count")).orderBy(col("count"))
+      .collect().map(_.getLong(0))
+    val m = counts.length
+    (counts((m - 1) / 2), counts((4 * m + 4) / 5 - 1))
+  }
 
   /** The shared feed: (k, ts, v = user_id) rows of the events table cut
     * on the epoch-aligned 5-day grid (one chunk per grid cell, in time
@@ -164,20 +191,55 @@ object TriggerGateQueries {
     },
 
     // §2.4 row 41 (trigger algebra) + DISCARDING panes + the empty
-    // ON_TIME marker + isLast, zero lateness: AfterEach(AfterCount(340),
-    // AfterCount(340)) — the i-th early pane fires per the i-th
+    // ON_TIME marker + isLast, zero lateness: AfterEach(AfterCount(e),
+    // AfterCount(e)) — the i-th early pane fires per the i-th
     // sub-trigger, so the pane schedule is DATA-DEPENDENT (a half-window
-    // with ≥340 rows fires immediately; a thin one waits for the
+    // with ≥e rows fires immediately; a thin one waits for the
     // cumulative count), and the final ON_TIME pane carries only the
     // since-last-pane remainder (possibly the (0, 0) empty marker).
+    // e = 45% of the median half-cell count (was a literal 340 pinned to
+    // the sf0.01 fixture — VERDICT r11 task 5), so both branches fire at
+    // every sf; TriggerThresholdSpec pins the branch diversity.
     "q_trigger_algebra" -> { (s, dir) =>
       import s.implicits._
+      val e = math.max(1L, halfCountMedian(s, dir) * 9 / 20).toInt
       val feed = buildFeed(s, dir, holdOutLate = false, lateAfter = 0)
       runPanes(s, feed, (in: Dataset[(String, Timestamp, Long)]) =>
         TriggerEngine.windowedAggregate(
           in, java.time.Duration.ofDays(10), java.time.Duration.ZERO,
-          TriggerSpec(early = AfterEach(Seq(AfterCount(340), AfterCount(340)))),
+          TriggerSpec(early = AfterEach(Seq(AfterCount(e), AfterCount(e)))),
           Discarding, NSumFn))
+    },
+
+    // §2.4 row 41, the COMPOSITE half (VERDICT r11 task 2): one
+    // deterministic tree through OrFinally + Repeatedly + AfterFirst +
+    // AfterAll — OrFinally(Repeatedly(AfterFirst(AfterCount(med+1),
+    // AfterAll(AfterCount(3med/4), AfterCount(med/2)))), until =
+    // AfterCount(p80)), ACCUMULATING, zero lateness. Fires when a
+    // pane holds ≥ 3·med/4 rows (the AfterAll arm; the AfterCount arm
+    // joins at ≥ med+1); the `until` firing (a pane at or above the
+    // rank-selected p80 half-cell count) FINISHES the early trigger,
+    // observably suppressing the second half-window's EARLY pane. All
+    // thresholds derive from the half-cell count distribution, so both
+    // OrFinally branches fire at any sf (TriggerThresholdSpec pins the
+    // diversity). AfterProcessingTime remains the only ungated firing
+    // (clock-bound, outside a deterministic replay oracle — fuzz-proven).
+    "q_trigger_composite" -> { (s, dir) =>
+      import s.implicits._
+      val (med, p80) = halfCountStats(s, dir)
+      val t = math.max(1L, med * 3 / 4)
+      val d = math.max(t + 1, p80)
+      val feed = buildFeed(s, dir, holdOutLate = false, lateAfter = 0)
+      runPanes(s, feed, (in: Dataset[(String, Timestamp, Long)]) =>
+        TriggerEngine.windowedAggregate(
+          in, java.time.Duration.ofDays(10), java.time.Duration.ZERO,
+          TriggerSpec(early = OrFinally(
+            Repeatedly(AfterFirst(Seq(
+              AfterCount((med + 1).toInt),
+              AfterAll(Seq(AfterCount(t.toInt),
+                AfterCount(math.max(1L, med / 2).toInt)))))),
+            AfterCount(d.toInt))),
+          Accumulating, NSumFn))
     },
 
     // §2.4 Never trigger: suppress early and on-time firing — exactly
@@ -219,7 +281,25 @@ object TriggerGateQueries {
            SUM(CASE WHEN h = 1 AND NOT late THEN v ELSE 0 END) AS s2,
            SUM(CASE WHEN late THEN 1 ELSE 0 END) AS nl,
            SUM(CASE WHEN late THEN v ELSE 0 END) AS sl
-         FROM m GROUP BY k, w)"""
+         FROM m GROUP BY k, w),
+       hc AS (
+         SELECT k, us // $HalfUs AS cell, count(*) AS c
+         FROM ev GROUP BY 1, 2),
+       medv AS (
+         SELECT c AS v FROM (
+           SELECT c, row_number() OVER (ORDER BY c) AS rn,
+             count(*) OVER () AS m
+           FROM hc) WHERE rn = (m + 1) // 2),
+       p80v AS (
+         SELECT c AS v FROM (
+           SELECT c, row_number() OVER (ORDER BY c) AS rn,
+             count(*) OVER () AS m
+           FROM hc) WHERE rn = (4 * m + 4) // 5),
+       th AS (
+         SELECT greatest(1, (SELECT v FROM medv) * 3 // 4) AS t,
+           greatest(greatest(1, (SELECT v FROM medv) * 3 // 4) + 1,
+             (SELECT v FROM p80v)) AS d,
+           greatest(1, (SELECT v FROM medv) * 9 // 20) AS e)"""
   }
 
   private def paneSelect(body: String, holdOutLate: Boolean = false): String =
@@ -252,31 +332,53 @@ object TriggerGateQueries {
            (CASE WHEN n1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END) + 1,
            'LATE', n1 + n2 + nl, s1 + s2 + sl, FALSE FROM agg WHERE nl > 0"""),
 
-    // discarding + AfterEach(340, 340): first sub fires in the first
-    // half-batch iff n1 ≥ 340, else on the cumulative count in the
-    // second; the second sub needs 340 NEW rows; ON_TIME carries the
-    // remainder (the (0,0) empty marker when everything already fired).
+    // discarding + AfterEach(e, e), e = the data-derived 45%-of-median
+    // threshold (th.e): first sub fires in the first half-batch iff
+    // n1 ≥ e, else on the cumulative count in the second; the second sub
+    // needs e NEW rows; ON_TIME carries the remainder (the (0,0) empty
+    // marker when everything already fired).
     "q_trigger_algebra" -> paneSelect(
       """SELECT k, w, 0 AS idx, 'EARLY' AS timing, n1 AS n, s1 AS sum_v,
-           FALSE AS is_last FROM agg WHERE n1 >= 340
+           FALSE AS is_last FROM agg, th WHERE n1 >= th.e
          UNION ALL
-         SELECT k, w, 0, 'EARLY', n1 + n2, s1 + s2, FALSE FROM agg
-           WHERE n1 < 340 AND n1 + n2 >= 340
+         SELECT k, w, 0, 'EARLY', n1 + n2, s1 + s2, FALSE FROM agg, th
+           WHERE n1 < th.e AND n1 + n2 >= th.e
          UNION ALL
-         SELECT k, w, 1, 'EARLY', n2, s2, FALSE FROM agg
-           WHERE n1 >= 340 AND n2 >= 340
+         SELECT k, w, 1, 'EARLY', n2, s2, FALSE FROM agg, th
+           WHERE n1 >= th.e AND n2 >= th.e
          UNION ALL
          SELECT k, w,
-           CASE WHEN n1 >= 340 AND n2 >= 340 THEN 2
-                WHEN n1 >= 340 OR n1 + n2 >= 340 THEN 1 ELSE 0 END,
+           CASE WHEN n1 >= th.e AND n2 >= th.e THEN 2
+                WHEN n1 >= th.e OR n1 + n2 >= th.e THEN 1 ELSE 0 END,
            'ON_TIME',
-           CASE WHEN n1 >= 340 AND n2 >= 340 THEN 0
-                WHEN n1 >= 340 THEN n2
-                WHEN n1 + n2 >= 340 THEN 0 ELSE n1 + n2 END,
-           CASE WHEN n1 >= 340 AND n2 >= 340 THEN 0
-                WHEN n1 >= 340 THEN s2
-                WHEN n1 + n2 >= 340 THEN 0 ELSE s1 + s2 END,
-           TRUE FROM agg"""),
+           CASE WHEN n1 >= th.e AND n2 >= th.e THEN 0
+                WHEN n1 >= th.e THEN n2
+                WHEN n1 + n2 >= th.e THEN 0 ELSE n1 + n2 END,
+           CASE WHEN n1 >= th.e AND n2 >= th.e THEN 0
+                WHEN n1 >= th.e THEN s2
+                WHEN n1 + n2 >= th.e THEN 0 ELSE s1 + s2 END,
+           TRUE FROM agg, th"""),
+
+    // composite OrFinally/Repeatedly/AfterFirst/AfterAll, accumulating:
+    // a pane fires when its since-last-pane count reaches th.t; a firing
+    // with count ≥ th.d is the LAST early pane (OrFinally finished), so
+    // the second half's EARLY is suppressed after a th.d-sized first
+    // half; ON_TIME always fires the accumulated total.
+    "q_trigger_composite" -> paneSelect(
+      """SELECT k, w, 0 AS idx, 'EARLY' AS timing, n1 AS n, s1 AS sum_v,
+           FALSE AS is_last FROM agg, th WHERE n1 >= th.t
+         UNION ALL
+         SELECT k, w, CASE WHEN n1 >= th.t THEN 1 ELSE 0 END, 'EARLY',
+           n1 + n2, s1 + s2, FALSE FROM agg, th
+           WHERE NOT (n1 >= th.t AND n1 >= th.d) AND n2 > 0
+             AND (CASE WHEN n1 >= th.t THEN n2 ELSE n1 + n2 END) >= th.t
+         UNION ALL
+         SELECT k, w,
+           (CASE WHEN n1 >= th.t THEN 1 ELSE 0 END)
+             + (CASE WHEN NOT (n1 >= th.t AND n1 >= th.d) AND n2 > 0
+                  AND (CASE WHEN n1 >= th.t THEN n2 ELSE n1 + n2 END) >= th.t
+                THEN 1 ELSE 0 END),
+           'ON_TIME', n1 + n2, s1 + s2, TRUE FROM agg, th"""),
 
     // never: one FINAL pane per window with the full total.
     "q_trigger_never" -> paneSelect(
