@@ -70,6 +70,49 @@ object TheilSen {
     fitted
   }
 
+  /** [[fit]] with the scale hole closed (the one measured superlinear
+    * tail in the sf1 sweep): when a key's series exceeds `maxPoints`,
+    * fit the Theil-Sen line on a DETERMINISTIC md5-selected subsample of
+    * `maxPoints` rows instead of materializing all C(n,2) pairs — pair
+    * count is then bounded by C(maxPoints, 2) per key regardless of
+    * series length, so the operator is linear in the input (one hash
+    * pass + a per-key top-maxPoints + a constant-size pair join).
+    *
+    * Sampling is the repo's engine-portable hash device (Combine
+    * .samplePerKeyByHash): rank rows per key by md5 of (keys..., order)
+    * joined with '|' (null-coalesced), keep the `maxPoints` smallest —
+    * a pure function of the data, identical in the DuckDB oracle,
+    * stable under repartitioning. Hash selection (vs stride-by-rank)
+    * trades the even x-spread for alias-freedom on periodic series.
+    * Contract: (keys, order) must uniquely identify rows, or which
+    * duplicate survives the rank tie is engine-dependent.
+    *
+    * Estimator note: Theil-Sen on a uniform point subsample is itself a
+    * consistent robust trend estimate (the pairwise-slope median of an
+    * iid subsample); for n ≤ maxPoints the result is EXACTLY [[fit]].
+    *
+    * @return same shape as [[fit]]: n here is the SAMPLED point count
+    *         (min(n, maxPoints)), n_pairs the sampled pair count.
+    */
+  def fitSampled(df: DataFrame, keys: Seq[String], order: Column,
+                 value: Column, maxPoints: Int = 64): DataFrame = {
+    require(keys.nonEmpty, "fitSampled needs at least one key column")
+    require(maxPoints >= 2, "maxPoints must be at least 2")
+    val pts = df.filter(order.isNotNull && value.isNotNull)
+      .select(keys.map(col) ++ Seq(order.cast("long").as("__o"),
+        value.cast("decimal(18,4)").as("__y")): _*)
+    // same null-coalescing identity hash as Combine.samplePerKeyByHash
+    val h = md5(concat_ws("|",
+      keys.map(c => coalesce(col(c).cast("string"), lit("\u0000"))) :+
+        col("__o").cast("string"): _*))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"))
+    val sampled = pts.withColumn("__h", h)
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= maxPoints)
+      .drop("__h", "__rank")
+    fit(sampled, keys, col("__o"), col("__y"))
+  }
+
   /** Per-key Mann-Kendall trend test — the nonparametric significance
     * companion to [[fit]] (they share the pairwise machinery; report
     * the Theil-Sen slope WITH the Mann-Kendall z in practice):

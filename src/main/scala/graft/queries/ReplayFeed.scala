@@ -51,6 +51,23 @@ private[queries] object ReplayFeed {
     }
   }
 
+  /** Day-aligned adaptive cell size: the smallest whole-day cell that
+    * covers `df`'s `tsCol` span in ≤ ~targetCells grid cells (one extra
+    * can appear from epoch alignment). A FIXED cell size makes a replay
+    * gate's micro-batch count — and so its cost — scale with the
+    * stream's TIME span (the sf1 sweep's 0.75–1.06 exponents measured
+    * exactly that harness geometry); deriving the cell from the span
+    * pins every gate to a constant number of batches at any sf. Gates
+    * whose oracles encode the grid recompute the identical integer
+    * arithmetic in SQL: cellDays = (spanDays + target − 1) / target. */
+  def adaptiveCellUs(df: DataFrame, tsCol: String, targetCells: Int): Long = {
+    val DayUs = 86400000000L
+    val b = df.agg(min(unix_micros(col(tsCol))).as("lo"),
+      max(unix_micros(col(tsCol))).as("hi")).head()
+    val spanDays = b.getLong(1) / DayUs - b.getLong(0) / DayUs + 1
+    ((spanDays + targetCells - 1) / targetCells) * DayUs
+  }
+
   /** Cut `df` into time-ordered chunks on the epoch-aligned `cellUs`
     * grid of its `tsCol` span — one chunk per populated grid cell. */
   def cellChunks(df: DataFrame, tsCol: String, cellUs: Long): Seq[DataFrame] = {

@@ -203,6 +203,21 @@ object StatsQueries {
         .orderBy(col("event_type"))
     },
 
+    // The scale-path variant (VERDICT r11 task 3): same grid, but the
+    // pairwise median runs on a deterministic md5-selected 64-point
+    // subsample per key — pair count bounded by C(64,2) whatever the
+    // series length, closing fit's measured superlinear tail. The
+    // oracle replays the identical hash selection.
+    "q_theilsen_sampled" -> { (s, dir) =>
+      val obs = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          expr("unix_timestamp(ts) DIV 14400").as("slot"))
+        .agg(sum(col("value").cast("decimal(18,4)")).as("y"))
+      TheilSen.fitSampled(obs, Seq("event_type"), col("slot"), col("y"),
+          maxPoints = 64)
+        .orderBy(col("event_type"))
+    },
+
     // Cross-correlation: does click volume lead purchase volume, per
     // user cohort? CCF at lags −2..2 over the 4-hour slot grid —
     // negative lags = purchases leading (same DECIMAL-sums device as
@@ -822,6 +837,40 @@ object StatsQueries {
              CAST(floor(epoch(ts)) AS BIGINT) // 14400 AS o,
              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS y
            FROM events GROUP BY 1, 2),
+         pairs AS (SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.o - a.o AS DOUBLE) AS slope
+           FROM obs a JOIN obs b
+             ON a.event_type = b.event_type AND b.o > a.o),
+         sl AS (SELECT event_type, slope,
+             row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rnk,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+           FROM pairs),
+         s AS (SELECT event_type, m AS n_pairs, slope
+           FROM sl WHERE rnk = (m + 1) // 2),
+         res AS (SELECT o2.event_type, s.slope, s.n_pairs,
+             CAST(o2.y AS DOUBLE) - s.slope * CAST(o2.o AS DOUBLE) AS r
+           FROM obs o2 JOIN s ON o2.event_type = s.event_type),
+         rr AS (SELECT event_type, slope, n_pairs, r,
+             row_number() OVER (PARTITION BY event_type ORDER BY r) AS rnk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM res)
+         SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           round(slope, 6) AS slope, round(r, 6) AS intercept
+         FROM rr WHERE rnk = (n + 1) // 2 ORDER BY event_type""",
+    // q_theilsen over the md5-rank 64-point subsample — the identical
+    // hash selection (md5 of key|order, smallest 64 per key), then the
+    // same pair/median construction.
+    "q_theilsen_sampled" ->
+      """WITH obs0 AS (SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 14400 AS o,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS y
+           FROM events GROUP BY 1, 2),
+         ranked AS (SELECT event_type, o, y,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY md5(concat_ws('|', event_type, CAST(o AS VARCHAR)))) AS hr
+           FROM obs0),
+         obs AS (SELECT event_type, o, y FROM ranked WHERE hr <= 64),
          pairs AS (SELECT a.event_type,
              CAST(b.y - a.y AS DOUBLE) / CAST(b.o - a.o AS DOUBLE) AS slope
            FROM obs a JOIN obs b

@@ -31,23 +31,34 @@ import graft.streaming.TriggerEngine._
   * the emitted pane table is a pure function of the fixture — replayable
   * in SQL from epoch arithmetic alone (no engine state in the oracle).
   *
-  * Shared timeline (all three gates): events span [2024-01-01,
-  * 2024-01-31); the 10-day epoch-aligned windows are w0 = [2023-12-29,
-  * 2024-01-08), w1 = [01-08, 01-18), w2 = [01-18, 01-28), w3 = [01-28,
-  * 02-07); main files f0..f6 cover the 5-day grid [2023-12-29, 02-02)
-  * in order, then two far-future flush rows (key `__flush`, filtered
-  * from the output) push the watermark past every window end + lateness
-  * so ON_TIME/FINAL panes and state GC all land inside real batches —
-  * no reliance on the trailing no-data micro-batch.
+  * Shared geometry (all four gates), ADAPTIVE in the data span
+  * (VERDICT r11 task 4 — a fixed grid made gate cost scale with the
+  * stream's TIME span): the half-window cell is the smallest whole-day
+  * size covering the span in ≤ ~8 cells (cellDays = ceil(spanDays/8) —
+  * 4 days at the 31-day fixtures, 39 at the 310-day sf1 growth cut),
+  * windows are 2 cells, allowed lateness 12/5 cells (the former
+  * 12-days-per-10-day-window ratio). Main files cover the populated
+  * cells in order; the held-out late slice is the last fifth of the
+  * first window's second cell (∩ event_id%17=0), replayed two cells
+  * after that window seals — inside lateness; then two far-future flush
+  * rows (key `__flush`, filtered from the output) push the watermark
+  * past every window end + lateness so ON_TIME/FINAL panes and state GC
+  * all land inside real batches — no reliance on the trailing no-data
+  * micro-batch. The oracle recomputes the identical grid arithmetic in
+  * its `grid` CTE.
   */
 object TriggerGateQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** 5 days in microseconds — the half-window file grid. */
-  private[queries] val HalfUs = 432000000000L
-  /** 10 days in microseconds — the tumbling window size. */
-  private[queries] val WinUs = 2 * HalfUs
+  private[queries] val DayUs = 86400000000L
+
+  /** The adaptive half-window cell: smallest whole-day size covering
+    * the events span in ≤ ~8 cells. Windows are 2 cells; lateness is
+    * 12/5 cells. One bounds scan; the oracle's `grid` CTE recomputes
+    * the identical integer arithmetic. */
+  private[queries] def gridCellUs(s: SparkSession, dir: String): Long =
+    ReplayFeed.adaptiveCellUs(Tables(s, dir).events, "ts", 8)
 
   /** Count + exact integer sum — the pane value CombineFn. Both fields
     * are order-invariant, so pane values cannot depend on row order
@@ -63,7 +74,7 @@ object TriggerGateQueries {
 
   import ReplayFeed.{tmp, writeOrderedFeed}
 
-  /** Lower median of per-(key, 5-day half-cell) row counts — the
+  /** Lower median of per-(key, half-cell) row counts — the
     * data-derived base for every trigger threshold (VERDICT r11 tasks
     * 2+5): thresholds scale with fixture density, so the gates exercise
     * BOTH composite branches (immediate-fire vs wait-for-cumulative) at
@@ -72,18 +83,20 @@ object TriggerGateQueries {
     * Bounded collect: one count per (key, half-cell) — keys × span/5d
     * rows, dozens at any sf. The oracle prelude recomputes the identical
     * integer arithmetic in SQL (hc/medv/th CTEs). */
-  private def halfCountMedian(s: SparkSession, dir: String): Long =
-    halfCountStats(s, dir)._1
+  private def halfCountMedian(s: SparkSession, dir: String,
+                              cellUs: Long): Long =
+    halfCountStats(s, dir, cellUs)._1
 
   /** (lower median, rank-ceil(0.8·m) value) of the half-cell counts.
     * The p80 backs the composite gate's `until` threshold: a fixed
     * multiple of the median goes dead when counts concentrate (denser
     * sfs), while a rank-selected p80 guarantees ~20% of half-cells
     * exceed it at ANY sf — both OrFinally branches always fire. */
-  private[queries] def halfCountStats(s: SparkSession, dir: String): (Long, Long) = {
+  private[queries] def halfCountStats(s: SparkSession, dir: String,
+                                      cellUs: Long): (Long, Long) = {
     val counts = Tables(s, dir).events
       .groupBy(col("event_type"),
-        (unix_micros(col("ts")) / HalfUs).cast("long").as("cell"))
+        (unix_micros(col("ts")) / cellUs).cast("long").as("cell"))
       .count().select(col("count")).orderBy(col("count"))
       .collect().map(_.getLong(0))
     val m = counts.length
@@ -91,28 +104,38 @@ object TriggerGateQueries {
   }
 
   /** The shared feed: (k, ts, v = user_id) rows of the events table cut
-    * on the epoch-aligned 5-day grid (one chunk per grid cell, in time
-    * order), with `holdOutLate` rows excluded from their natural chunk
-    * and appended as a dedicated late file after `lateAfter` main files,
-    * then the two flush rows. Returns the feed directory. */
+    * on the adaptive cell grid (one chunk per grid cell, in time
+    * order). With `holdOutLate`, the last fifth of the FIRST window's
+    * second cell (∩ event_id%17=0) is excluded from its natural chunk
+    * and appended as a dedicated late file two cells after that window
+    * seals (trueWm = window end + 2 cells there: past on-time, inside
+    * the 2.4-cell lateness); then the two flush rows. Assumes every
+    * grid cell in [lo, hi] is populated (the events fixtures are dense
+    * at ≥1-day cells) — an empty early cell would shift the late file's
+    * replay position. Returns the feed directory. */
   private def buildFeed(s: SparkSession, dir: String,
-                        holdOutLate: Boolean, lateAfter: Int): String = {
+                        holdOutLate: Boolean, cellUs: Long): String = {
     val feed = tmp("tg_feed")
+    val winUs = 2 * cellUs
     val ev = Tables(s, dir).events.select(
       col("event_type").as("k"), col("ts"),
       col("user_id").cast("long").as("v"),
       col("event_id"))
-    val lateCond = col("ts") >= lit("2024-01-07").cast("timestamp") &&
-      col("ts") < lit("2024-01-08").cast("timestamp") &&
-      pmod(col("event_id"), lit(17)) === 0
     ev.persist() // feeds the bounds scan + one filter job per grid cell
-    val half = (unix_micros(col("ts")) / HalfUs).cast("long")
-    // the sf0.01 event data occupies 5-day grid cells 3944..3950
-    // (2023-12-29 .. 2024-02-02); bounds derive from the data so the
-    // same code runs at any sf
+    val half = (unix_micros(col("ts")) / cellUs).cast("long")
+    // bounds derive from the data so the same code runs at any sf
     val bounds = ev.agg(min(half).as("lo"), max(half).as("hi"),
       max(unix_micros(col("ts"))).as("mx")).head()
     val (lo, hi, maxUs) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    // the first window's second cell; its last fifth is the late slice
+    val c1 = (lo / 2) * 2 + 1
+    val lateCond = half === c1 &&
+      pmod(unix_micros(col("ts")), lit(cellUs)) >= lit(cellUs * 4 / 5) &&
+      pmod(col("event_id"), lit(17)) === 0
+    // replay the late file after cell c1 + 2: trueWm there is the end of
+    // cell c1 + 1 .. c1 + 2 — at least one cell past the first window's
+    // end (sealed) and at most two (< the 2.4-cell lateness)
+    val lateAfter = (c1 - lo + 3).toInt
     def cell(i: Long) = ev.filter(half === i)
     val mains = (lo to hi).map { i =>
       val c = cell(i)
@@ -124,16 +147,16 @@ object TriggerGateQueries {
     // flush timestamps DERIVE from the data like the grid bounds (a
     // hard-coded date would sit below max event time on a larger-span
     // fixture and never advance the watermark): the first flush must
-    // push trueWm past the LAST window's end + the worst-case 12-day
-    // lateness so every ON_TIME/FINAL pane and GC lands in a real
-    // batch; the second makes the first's watermark effect land in a
-    // real batch too. At sf0.01 these come out 2024-02-20/21.
-    val lastWEnd = (maxUs / WinUs + 1) * WinUs
-    val DayUs = 86400000000L
+    // push trueWm past the LAST window's end + the worst-case
+    // 2.4-cell lateness so every ON_TIME/FINAL pane and GC lands in a
+    // real batch; the second makes the first's watermark effect land in
+    // a real batch too.
+    val lastWEnd = (maxUs / winUs + 1) * winUs
+    val latenessUs = cellUs * 12 / 5
     def flush(us: Long) = s.range(1).select(
       lit("__flush").as("k"), timestamp_micros(lit(us)).as("ts"), lit(0L).as("v"))
     val ordered = mains.take(lateAfter) ++ lateChunk ++ mains.drop(lateAfter) ++
-      Seq(flush(lastWEnd + 13 * DayUs), flush(lastWEnd + 14 * DayUs))
+      Seq(flush(lastWEnd + latenessUs + DayUs), flush(lastWEnd + latenessUs + 2 * DayUs))
     try writeOrderedFeed(ordered.filterNot(_.isEmpty), feed)
     finally { ev.unpersist(); () }
     feed
@@ -172,20 +195,22 @@ object TriggerGateQueries {
 
     // §2.4 rows 34/41/42/43 under the driver gate: AfterWatermark with
     // early AND late firings through the Window.into builder,
-    // ACCUMULATING panes, 12-day allowed lateness. Each window's two
-    // half-window batches fire one EARLY pane each (per-batch
+    // ACCUMULATING panes, 2.4-cell allowed lateness (the former 12-days-
+    // per-10-day-window ratio on the adaptive grid). Each window's two
+    // half-cell batches fire one EARLY pane each (per-batch
     // AfterCount(1)); the watermark seals the window for an ON_TIME
-    // marker pane; a held-out late file ([2024-01-07, 01-08) ∩
-    // event_id%17=0, replayed after 4 main files when w0 is sealed but
-    // within lateness) fires a LATE pane; beyond-lateness state is GC'd
-    // with nothing further emitted.
+    // marker pane; the held-out late file (the first window's second
+    // cell's last fifth ∩ event_id%17=0, replayed when that window is
+    // sealed but within lateness) fires a LATE pane; beyond-lateness
+    // state is GC'd with nothing further emitted.
     "q_trigger_panes" -> { (s, dir) =>
       import s.implicits._
-      val feed = buildFeed(s, dir, holdOutLate = true, lateAfter = 4)
+      val cellUs = gridCellUs(s, dir)
+      val feed = buildFeed(s, dir, holdOutLate = true, cellUs)
       runPanes(s, feed, (in: Dataset[(String, Timestamp, Long)]) =>
-        WindowInto.fixedWindows(java.time.Duration.ofDays(10))
+        WindowInto.fixedWindows(java.time.Duration.ofMillis(2 * cellUs / 1000))
           .triggering(early = AfterCount(1), late = AfterCount(1))
-          .withAllowedLateness(java.time.Duration.ofDays(12))
+          .withAllowedLateness(java.time.Duration.ofMillis(cellUs * 12 / 5 / 1000))
           .accumulatingFiredPanes()
           .aggregate(in, NSumFn))
     },
@@ -202,11 +227,12 @@ object TriggerGateQueries {
     // every sf; TriggerThresholdSpec pins the branch diversity.
     "q_trigger_algebra" -> { (s, dir) =>
       import s.implicits._
-      val e = math.max(1L, halfCountMedian(s, dir) * 9 / 20).toInt
-      val feed = buildFeed(s, dir, holdOutLate = false, lateAfter = 0)
+      val cellUs = gridCellUs(s, dir)
+      val e = math.max(1L, halfCountMedian(s, dir, cellUs) * 9 / 20).toInt
+      val feed = buildFeed(s, dir, holdOutLate = false, cellUs)
       runPanes(s, feed, (in: Dataset[(String, Timestamp, Long)]) =>
         TriggerEngine.windowedAggregate(
-          in, java.time.Duration.ofDays(10), java.time.Duration.ZERO,
+          in, java.time.Duration.ofMillis(2 * cellUs / 1000), java.time.Duration.ZERO,
           TriggerSpec(early = AfterEach(Seq(AfterCount(e), AfterCount(e)))),
           Discarding, NSumFn))
     },
@@ -226,13 +252,14 @@ object TriggerGateQueries {
     // (clock-bound, outside a deterministic replay oracle — fuzz-proven).
     "q_trigger_composite" -> { (s, dir) =>
       import s.implicits._
-      val (med, p80) = halfCountStats(s, dir)
+      val cellUs = gridCellUs(s, dir)
+      val (med, p80) = halfCountStats(s, dir, cellUs)
       val t = math.max(1L, med * 3 / 4)
       val d = math.max(t + 1, p80)
-      val feed = buildFeed(s, dir, holdOutLate = false, lateAfter = 0)
+      val feed = buildFeed(s, dir, holdOutLate = false, cellUs)
       runPanes(s, feed, (in: Dataset[(String, Timestamp, Long)]) =>
         TriggerEngine.windowedAggregate(
-          in, java.time.Duration.ofDays(10), java.time.Duration.ZERO,
+          in, java.time.Duration.ofMillis(2 * cellUs / 1000), java.time.Duration.ZERO,
           TriggerSpec(early = OrFinally(
             Repeatedly(AfterFirst(Seq(
               AfterCount((med + 1).toInt),
@@ -247,32 +274,41 @@ object TriggerGateQueries {
     // lateness), isFirst = isLast = true.
     "q_trigger_never" -> { (s, dir) =>
       import s.implicits._
-      val feed = buildFeed(s, dir, holdOutLate = false, lateAfter = 0)
+      val cellUs = gridCellUs(s, dir)
+      val feed = buildFeed(s, dir, holdOutLate = false, cellUs)
       runPanes(s, feed, (in: Dataset[(String, Timestamp, Long)]) =>
         TriggerEngine.windowedAggregate(
-          in, java.time.Duration.ofDays(10), java.time.Duration.ZERO,
+          in, java.time.Duration.ofMillis(2 * cellUs / 1000), java.time.Duration.ZERO,
           TriggerSpec.never, Accumulating, NSumFn))
     },
   )
 
-  /** Shared oracle prelude: per (key, 10-day epoch window) the
-    * half-window counts/sums (n1/s1, n2/s2) with the late holdout
-    * excluded when the gate's feed holds it out, plus the late rows'
-    * own (nl, sl). */
+  /** Shared oracle prelude: the adaptive grid (`grid` CTE — the same
+    * cellDays = ceil(spanDays/8) integer arithmetic as [[gridCellUs]],
+    * plus the first window's second cell c1 for the late slice), then
+    * per (key, 2-cell epoch window) the half-window counts/sums (n1/s1,
+    * n2/s2) with the late holdout excluded when the gate's feed holds
+    * it out, plus the late rows' own (nl, sl). */
   private def aggCte(holdOutLate: Boolean) = {
     val lateExpr =
       if (holdOutLate)
-        s"""(us >= epoch_us(TIMESTAMP '2024-01-07 00:00:00')
-            AND us < epoch_us(TIMESTAMP '2024-01-08 00:00:00')
+        s"""(us // g.cu = g.c1 AND us % g.cu >= g.cu * 4 // 5
             AND event_id % 17 = 0)"""
       else "FALSE"
     s"""WITH ev AS (
          SELECT event_type AS k, epoch_us(ts) AS us, user_id AS v, event_id
          FROM events),
-       m AS (
-         SELECT k, us // $WinUs AS w, (us // $HalfUs) % 2 AS h, v,
-           $lateExpr AS late
+       grid0 AS (
+         SELECT ((max(us) // $DayUs) - (min(us) // $DayUs) + 8) // 8
+             * $DayUs AS cu,
+           min(us) AS mn
          FROM ev),
+       grid AS (
+         SELECT cu, (mn // cu // 2) * 2 + 1 AS c1 FROM grid0),
+       m AS (
+         SELECT k, us // (2 * g.cu) AS w, (us // g.cu) % 2 AS h, v,
+           $lateExpr AS late
+         FROM ev, grid g),
        agg AS (
          SELECT k, w,
            SUM(CASE WHEN h = 0 AND NOT late THEN 1 ELSE 0 END) AS n1,
@@ -283,8 +319,8 @@ object TriggerGateQueries {
            SUM(CASE WHEN late THEN v ELSE 0 END) AS sl
          FROM m GROUP BY k, w),
        hc AS (
-         SELECT k, us // $HalfUs AS cell, count(*) AS c
-         FROM ev GROUP BY 1, 2),
+         SELECT k, us // g.cu AS cell, count(*) AS c
+         FROM ev, grid g GROUP BY 1, 2),
        medv AS (
          SELECT c AS v FROM (
            SELECT c, row_number() OVER (ORDER BY c) AS rn,
@@ -306,8 +342,8 @@ object TriggerGateQueries {
     s"""${aggCte(holdOutLate)},
        panes AS (
          $body)
-       SELECT k, CAST(w * $WinUs AS BIGINT) AS ws_us,
-         CAST((w + 1) * $WinUs AS BIGINT) AS we_us, timing,
+       SELECT k, CAST(w * 2 * (SELECT cu FROM grid) AS BIGINT) AS ws_us,
+         CAST((w + 1) * 2 * (SELECT cu FROM grid) AS BIGINT) AS we_us, timing,
          CAST(idx AS BIGINT) AS pane_index,
          idx = 0 AS is_first, is_last,
          CAST(n AS BIGINT) AS n, CAST(sum_v AS BIGINT) AS sum_v

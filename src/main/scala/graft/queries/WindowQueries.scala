@@ -194,7 +194,10 @@ object WindowQueries {
           timestamp_micros(lit(maxUs + d * 86400000000L)).as("ts"),
           lit(0.0).as("value")))
         ReplayFeed.writeOrderedFeed(
-          (ReplayFeed.cellChunks(side.drop("event_type"), "ts", 864000000000L) ++
+          (ReplayFeed.cellChunks(side.drop("event_type"), "ts",
+            // ~4 cells per side at any span — sealed windows are
+            // batch-invariant, so the grid is pure replay cost
+            ReplayFeed.adaptiveCellUs(ev, "ts", 4)) ++
             flush).filterNot(_.isEmpty), feed)
         feed
       }

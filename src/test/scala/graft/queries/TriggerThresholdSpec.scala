@@ -13,16 +13,16 @@ class TriggerThresholdSpec extends SparkSpec {
 
   private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
 
-  /** Per-(key, 10-day window) half counts (n1, n2) of the events table. */
-  private def halves(dir: String) = {
-    import TriggerGateQueries.{HalfUs, WinUs}
+  /** Per-(key, 2-cell window) half counts (n1, n2) of the events table
+    * on the gates' adaptive grid. */
+  private def halves(dir: String, cellUs: Long) = {
     Tables(spark, dir).events
       .groupBy(col("event_type"),
-        (unix_micros(col("ts")) / WinUs).cast("long").as("w"))
+        (unix_micros(col("ts")) / (2 * cellUs)).cast("long").as("w"))
       .agg(
-        sum(when((unix_micros(col("ts")) / HalfUs).cast("long") % 2 === 0, 1L)
+        sum(when((unix_micros(col("ts")) / cellUs).cast("long") % 2 === 0, 1L)
           .otherwise(0L)).as("n1"),
-        sum(when((unix_micros(col("ts")) / HalfUs).cast("long") % 2 === 1, 1L)
+        sum(when((unix_micros(col("ts")) / cellUs).cast("long") % 2 === 1, 1L)
           .otherwise(0L)).as("n2"))
       .select(col("n1"), col("n2"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
@@ -30,9 +30,10 @@ class TriggerThresholdSpec extends SparkSpec {
 
   test("q_trigger_algebra's AfterEach takes both first-sub branches at every sf") {
     sfDirs.foreach { dir =>
-      val (med, _) = TriggerGateQueries.halfCountStats(spark, dir)
+      val cellUs = TriggerGateQueries.gridCellUs(spark, dir)
+      val (med, _) = TriggerGateQueries.halfCountStats(spark, dir, cellUs)
       val e = math.max(1L, med * 9 / 20)
-      val hw = halves(dir)
+      val hw = halves(dir, cellUs)
       val immediate = hw.count { case (n1, _) => n1 >= e }
       val cumulative = hw.count { case (n1, n2) => n1 < e && n1 + n2 >= e }
       val secondSub = hw.count { case (n1, n2) => n1 >= e && n2 >= e }
@@ -44,10 +45,11 @@ class TriggerThresholdSpec extends SparkSpec {
 
   test("q_trigger_composite's OrFinally takes both finish branches at every sf") {
     sfDirs.foreach { dir =>
-      val (med, p80) = TriggerGateQueries.halfCountStats(spark, dir)
+      val cellUs = TriggerGateQueries.gridCellUs(spark, dir)
+      val (med, p80) = TriggerGateQueries.halfCountStats(spark, dir, cellUs)
       val t = math.max(1L, med * 3 / 4)
       val d = math.max(t + 1, p80)
-      val hw = halves(dir)
+      val hw = halves(dir, cellUs)
       val finishedAtH0 = hw.count { case (n1, _) => n1 >= t && n1 >= d }
       val secondEarly = hw.count { case (n1, n2) =>
         !(n1 >= t && n1 >= d) && n2 > 0 &&
