@@ -540,6 +540,26 @@ object Similarity {
     * a single dot per pair. Pairs colliding in no table are missed — the
     * documented ANN recall trade; the oracle replicates the same blocking
     * so the correctness check stays exact. */
+  /** nPlanes that keeps expected SRP bucket occupancy O(1) as the corpus
+    * grows: ceil(log2 n) with a floor — 2^nPlanes buckets ≈ n, so
+    * in-bucket candidate pairs stay ~linear instead of quadratic (the
+    * sf1 sweep note: a FIXED nPlanes means buckets thicken ∝ n and
+    * in-bucket pairs ∝ n²). The recall trade is explicit: per-table
+    * collision is p^nPlanes (p = 1 − θ/π), so a deeper code needs more
+    * OR-tables — raise nTables ~∝ 1/p^Δplanes to hold recall. */
+  def autoPlanes(n: Long, floor: Int = 8): Int =
+    math.max(floor,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
+
+  /** [[cosinePairsBlocked]] with nPlanes derived from the corpus size
+    * (one count job) per [[autoPlanes]] — the form to reach for when the
+    * corpus size is not known at call-authoring time. */
+  def cosinePairsBlockedAuto(corpus: DataFrame, threshold: Double,
+                             nTables: Int = 4, dim: Int = 64,
+                             seed: Long = 42L): DataFrame =
+    cosinePairsBlocked(corpus, threshold, autoPlanes(corpus.count()),
+      nTables, dim, seed)
+
   def cosinePairsBlocked(corpus: DataFrame, threshold: Double,
                          nPlanes: Int = 4, nTables: Int = 4,
                          dim: Int = 64, seed: Long = 42L): DataFrame = {

@@ -288,6 +288,38 @@ class SimilaritySpec extends SparkSpec {
     assert(rep.filter(_._1 != 0L).values.forall(_ == 1.0))
   }
 
+  test("autoPlanes keeps the candidate set subquadratic as the corpus grows") {
+    // ceil(log2 n) with the floor
+    assert(Similarity.autoPlanes(1) == 8)
+    assert(Similarity.autoPlanes(256) == 8)
+    assert(Similarity.autoPlanes(257) == 9)
+    assert(Similarity.autoPlanes(500) == 9)
+    assert(Similarity.autoPlanes(2000) == 11)
+    assert(Similarity.autoPlanes(1L << 20) == 20)
+    // threshold −1 keeps every verified candidate: the result size IS the
+    // distinct candidate-pair count the bucket join materializes
+    def cands(df: org.apache.spark.sql.DataFrame, planes: Int): Long =
+      Similarity.cosinePairsBlocked(df, threshold = -1.0,
+        nPlanes = planes, nTables = 2, dim = 64).count()
+    val small = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") // 500
+    val big = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")     // 2000
+    val fixedRatio = cands(big, 4).toDouble / cands(small, 4)
+    val autoRatio = cands(big, Similarity.autoPlanes(2000)).toDouble /
+      cands(small, Similarity.autoPlanes(500))
+    // 4× corpus: a fixed shallow code goes ~quadratic (ratio → 16);
+    // log-scaled planes hold the candidate volume ~linear
+    assert(autoRatio < fixedRatio,
+      s"autoPlanes did not beat fixed planes: $autoRatio vs $fixedRatio")
+    assert(autoRatio <= 8.0,
+      s"candidate growth $autoRatio exceeds 2× linear for 4× corpus")
+    // the auto entry point is exactly the explicit call at the derived depth
+    val viaAuto = Similarity.cosinePairsBlockedAuto(small, 0.4, nTables = 4)
+      .as[(Long, Long)].collect().toSet
+    val explicit = Similarity.cosinePairsBlocked(small, 0.4,
+      nPlanes = 9, nTables = 4).as[(Long, Long)].collect().toSet
+    assert(viaAuto == explicit)
+  }
+
   test("cosinePairsBlocked recall on the embeddings fixture") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val truth = Similarity.cosinePairs(emb, 0.4).as[(Long, Long)].collect().toSet
