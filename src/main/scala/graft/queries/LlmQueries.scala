@@ -366,6 +366,26 @@ object LlmQueries {
         .orderBy(col("probe_id"), col("score").desc, col("cand_id"))
     },
 
+    // The vector-math kernels DIRECTLY under the gate (they were only
+    // exercised through the similarity gates before): dot / L2 norm /
+    // cosine / squared distance / unit normalization against a fixed
+    // reference vector, each rounded to the established 4 dp so the
+    // float→double widening and sequential summation replay in DuckDB's
+    // list kernels.
+    "q_vector_ops" -> { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val ref = emb.filter(col("vec_id") === 0).select(col("embedding").as("ref"))
+      emb.filter(col("vec_id") < 50).crossJoin(broadcast(ref))
+        .select(col("vec_id"),
+          round(VectorFunctions.dot(col("embedding"), col("ref")), 4).as("dot_ref"),
+          round(VectorFunctions.norm(col("embedding")), 4).as("l2"),
+          round(VectorFunctions.cosine(col("embedding"), col("ref")), 4).as("cos_ref"),
+          round(VectorFunctions.sqDist(col("embedding"), col("ref")), 4).as("sqdist_ref"),
+          round(VectorFunctions.norm(
+            VectorFunctions.normalized(col("embedding"))), 4).as("unit_norm"))
+        .orderBy(col("vec_id"))
+    },
+
     // SRP/LSH-bucketed ANN (the scale path). The seeded hyperplanes are
     // deterministic Scala values, so the oracle replicates the exact same
     // blocking with the plane vectors inlined as SQL literals.
@@ -2411,6 +2431,27 @@ object LlmQueries {
            AND len(list_intersect(a.s, b.s))::DOUBLE /
                len(list_distinct(list_concat(a.s, b.s))) >= 0.8
          ORDER BY id_a, id_b""",
+    // direct vector-kernel parity: DuckDB's list kernels sum
+    // sequentially over the same float→double-widened values; 4 dp
+    // absorbs any last-ulp tree difference (the sqdist elementwise sum
+    // is spelled with the same (a-b)² element order as the native).
+    "q_vector_ops" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         r AS (SELECT v AS ref FROM e WHERE vec_id = 0)
+         SELECT vec_id,
+           round(list_inner_product(v, ref), 4) AS dot_ref,
+           round(sqrt(list_inner_product(v, v)), 4) AS l2,
+           round(list_inner_product(v, ref) /
+             (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product(ref, ref))), 4)
+             AS cos_ref,
+           round(list_sum(list_transform(range(1, len(v) + 1),
+             i -> (v[i] - ref[i]) * (v[i] - ref[i]))), 4) AS sqdist_ref,
+           round(sqrt(list_inner_product(
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))),
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))))), 4)
+             AS unit_norm
+         FROM e, r WHERE vec_id < 50 ORDER BY vec_id""",
+
     "q_similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          p AS (SELECT vec_id AS probe_id, emb AS pe FROM e WHERE vec_id < 5),
