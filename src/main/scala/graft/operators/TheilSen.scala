@@ -98,18 +98,18 @@ object TheilSen {
                  value: Column, maxPoints: Int = 64): DataFrame = {
     require(keys.nonEmpty, "fitSampled needs at least one key column")
     require(maxPoints >= 2, "maxPoints must be at least 2")
-    val pts = df.filter(order.isNotNull && value.isNotNull)
+    // filter AFTER the casts: a null row (raw null, or — on non-ANSI
+    // deployments where casts null instead of throwing — a cast-produced
+    // null) must not consume a sample slot: pre-cast filtering would let
+    // it into the hash sample only for fit() to drop it, quietly
+    // shrinking the effective sample below maxPoints (and null __o would
+    // make the surviving-duplicate choice engine-dependent)
+    val pts = df
       .select(keys.map(col) ++ Seq(order.cast("long").as("__o"),
         value.cast("decimal(18,4)").as("__y")): _*)
-    // same null-coalescing identity hash as Combine.samplePerKeyByHash
-    val h = md5(concat_ws("|",
-      keys.map(c => coalesce(col(c).cast("string"), lit("\u0000"))) :+
-        col("__o").cast("string"): _*))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__h"))
-    val sampled = pts.withColumn("__h", h)
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= maxPoints)
-      .drop("__h", "__rank")
+      .filter(col("__o").isNotNull && col("__y").isNotNull)
+    val sampled = Combine.samplePerKeyByHash(pts, keys, maxPoints,
+      idCols = keys :+ "__o")
     fit(sampled, keys, col("__o"), col("__y"))
   }
 

@@ -74,10 +74,9 @@ object SessionGateQueries {
     val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
       max(unix_micros(col("ts"))).as("hi")).head()
     val (loUs, hiUs) = (b.getLong(0), b.getLong(1))
-    // calendar days touched → cell size in whole days → ≤ ~9 cells;
-    // the oracle recomputes the identical integer arithmetic
-    val spanDays = hiUs / DayUs - loUs / DayUs + 1
-    val cellUs = ((spanDays + 7) / 8) * DayUs
+    // the shared adaptive grid (cellDays = ceil(spanDays/8), ≤ ~9
+    // cells); the oracle recomputes the identical integer arithmetic
+    val cellUs = ReplayFeed.adaptiveCellUs(ev, "ts", 8)
     val cell = (unix_micros(col("ts")) / cellUs).cast("long")
     val mains = (loUs / cellUs to hiUs / cellUs).map(i => ev.filter(cell === i))
     // max gap is (15 + keyLen + 9) minutes << 1 day, so hi + 1 day clears

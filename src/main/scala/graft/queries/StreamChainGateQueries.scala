@@ -33,9 +33,10 @@ object StreamChainGateQueries {
 
   /** Replay chunk grid target: ~4 cells whatever the data span (the
     * sealed-chain outputs are batch-boundary-invariant, so the grid is
-    * pure replay cost — VERDICT r11 task 4). At the 31-day fixtures this
-    * reproduces the former fixed 10-day grid; at the 310-day sf1 growth
-    * fixture it caps the feed at ~5 files instead of ~32. */
+    * pure replay cost — VERDICT r11 task 4). At the 31-day fixtures the
+    * derived 8-day cells give ~5 files (the former fixed 10-day grid
+    * gave ~4 — close but not identical batch boundaries); at the
+    * 310-day sf1 growth fixture the cap is ~5 files instead of ~32. */
   private val TargetCells = 4
 
   /** Hourly slot index from a sealed slot_ts (matches the batch legs'

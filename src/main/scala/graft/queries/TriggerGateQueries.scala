@@ -60,6 +60,14 @@ object TriggerGateQueries {
   private[queries] def gridCellUs(s: SparkSession, dir: String): Long =
     ReplayFeed.adaptiveCellUs(Tables(s, dir).events, "ts", 8)
 
+  /** Everything a trigger gate derives from the events table, computed
+    * off ONE persisted projection (a gate otherwise pays three separate
+    * parquet scans: grid bounds, threshold stats, feed bounds): the
+    * adaptive cell size, the half-cell count stats (lower median, p80),
+    * and the ordered feed directory. */
+  private[queries] final case class GateSetup(feed: String, cellUs: Long,
+                                              med: Long, p80: Long)
+
   /** Count + exact integer sum — the pane value CombineFn. Both fields
     * are order-invariant, so pane values cannot depend on row order
     * within a micro-batch. */
@@ -83,12 +91,10 @@ object TriggerGateQueries {
     * Bounded collect: one count per (key, half-cell) — keys × span/5d
     * rows, dozens at any sf. The oracle prelude recomputes the identical
     * integer arithmetic in SQL (hc/medv/th CTEs). */
-  private def halfCountMedian(s: SparkSession, dir: String,
-                              cellUs: Long): Long =
-    halfCountStats(s, dir, cellUs)._1
-
-  /** (lower median, rank-ceil(0.8·m) value) of the half-cell counts.
-    * The p80 backs the composite gate's `until` threshold: a fixed
+  /** (lower median, rank-ceil(0.8·m) value) of the half-cell counts —
+    * the SPEC-side re-derivation (TriggerThresholdSpec); the gates
+    * themselves derive the same stats inside [[setupFeed]]'s single
+    * persisted scan. The p80 backs the composite gate's `until` threshold: a fixed
     * multiple of the median goes dead when counts concentrate (denser
     * sfs), while a rank-selected p80 guarantees ~20% of half-cells
     * exceed it at ANY sf — both OrFinally branches always fire. */
@@ -103,63 +109,88 @@ object TriggerGateQueries {
     (counts((m - 1) / 2), counts((4 * m + 4) / 5 - 1))
   }
 
-  /** The shared feed: (k, ts, v = user_id) rows of the events table cut
-    * on the adaptive cell grid (one chunk per grid cell, in time
-    * order). With `holdOutLate`, the last fifth of the FIRST window's
-    * second cell (∩ event_id%17=0) is excluded from its natural chunk
-    * and appended as a dedicated late file two cells after that window
-    * seals (trueWm = window end + 2 cells there: past on-time, inside
-    * the 2.4-cell lateness); then the two flush rows. Assumes every
-    * grid cell in [lo, hi] is populated (the events fixtures are dense
-    * at ≥1-day cells) — an empty early cell would shift the late file's
-    * replay position. Returns the feed directory. */
-  private def buildFeed(s: SparkSession, dir: String,
-                        holdOutLate: Boolean, cellUs: Long): String = {
+  /** The shared gate setup, ONE persisted scan: (k, ts, v = user_id)
+    * rows of the events table, the adaptive cell size from their span,
+    * the half-cell threshold stats, and the ordered feed cut on the
+    * grid (one chunk per POPULATED grid cell, in time order). With
+    * `holdOutLate`, the last fifth of the FIRST window's second cell
+    * (∩ event_id%17=0) is excluded from its natural chunk and appended
+    * as a dedicated late file positioned after the first populated cell
+    * in (c1, c1+2] — trueWm there is past the first window's end
+    * (sealed) but within the 2.4-cell lateness; fails fast when the
+    * span is too short for that geometry instead of silently emitting
+    * EARLY panes for the held-out rows. */
+  private def setupFeed(s: SparkSession, dir: String,
+                        holdOutLate: Boolean): GateSetup = {
     val feed = tmp("tg_feed")
-    val winUs = 2 * cellUs
     val ev = Tables(s, dir).events.select(
       col("event_type").as("k"), col("ts"),
       col("user_id").cast("long").as("v"),
       col("event_id"))
-    ev.persist() // feeds the bounds scan + one filter job per grid cell
-    val half = (unix_micros(col("ts")) / cellUs).cast("long")
-    // bounds derive from the data so the same code runs at any sf
-    val bounds = ev.agg(min(half).as("lo"), max(half).as("hi"),
-      max(unix_micros(col("ts"))).as("mx")).head()
-    val (lo, hi, maxUs) = (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
-    // the first window's second cell; its last fifth is the late slice
-    val c1 = (lo / 2) * 2 + 1
-    val lateCond = half === c1 &&
-      pmod(unix_micros(col("ts")), lit(cellUs)) >= lit(cellUs * 4 / 5) &&
-      pmod(col("event_id"), lit(17)) === 0
-    // replay the late file after cell c1 + 2: trueWm there is the end of
-    // cell c1 + 1 .. c1 + 2 — at least one cell past the first window's
-    // end (sealed) and at most two (< the 2.4-cell lateness)
-    val lateAfter = (c1 - lo + 3).toInt
-    def cell(i: Long) = ev.filter(half === i)
-    val mains = (lo to hi).map { i =>
-      val c = cell(i)
-      (if (holdOutLate) c.filter(!lateCond) else c).select(col("k"), col("ts"), col("v"))
-    }
-    val lateChunk =
-      if (holdOutLate) Seq(ev.filter(lateCond).select(col("k"), col("ts"), col("v")))
-      else Seq.empty
-    // flush timestamps DERIVE from the data like the grid bounds (a
-    // hard-coded date would sit below max event time on a larger-span
-    // fixture and never advance the watermark): the first flush must
-    // push trueWm past the LAST window's end + the worst-case
-    // 2.4-cell lateness so every ON_TIME/FINAL pane and GC lands in a
-    // real batch; the second makes the first's watermark effect land in
-    // a real batch too.
-    val lastWEnd = (maxUs / winUs + 1) * winUs
-    val latenessUs = cellUs * 12 / 5
-    def flush(us: Long) = s.range(1).select(
-      lit("__flush").as("k"), timestamp_micros(lit(us)).as("ts"), lit(0L).as("v"))
-    val ordered = mains.take(lateAfter) ++ lateChunk ++ mains.drop(lateAfter) ++
-      Seq(flush(lastWEnd + latenessUs + DayUs), flush(lastWEnd + latenessUs + 2 * DayUs))
-    try writeOrderedFeed(ordered.filterNot(_.isEmpty), feed)
-    finally { ev.unpersist(); () }
-    feed
+    ev.persist() // feeds the grid/stats/bounds aggs + one filter per cell
+    try {
+      val cellUs = ReplayFeed.adaptiveCellUs(ev, "ts", 8)
+      val winUs = 2 * cellUs
+      val half = (unix_micros(col("ts")) / cellUs).cast("long")
+      // per-(key, cell) counts: the threshold stats AND the populated-
+      // cell list come from this one bounded frame
+      val kc = ev.groupBy(col("k"), half.as("cell")).count()
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val counts = kc.map(_._2).sorted
+      val m = counts.length
+      val (med, p80) = (counts((m - 1) / 2), counts((4 * m + 4) / 5 - 1))
+      val cells = kc.map(_._1).distinct.sorted
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      // the first window's second cell; its last fifth is the late slice
+      val c1 = (cells.head / 2) * 2 + 1
+      val lateCond = half === c1 &&
+        pmod(unix_micros(col("ts")), lit(cellUs)) >= lit(cellUs * 4 / 5) &&
+        pmod(col("event_id"), lit(17)) === 0
+      // the late file replays after the SECOND populated cell in
+      // (c1, c1+2]. Two cells past the window, not one: the ON_TIME
+      // timer fires during the batch whose watermark (= max ts of PRIOR
+      // batches) has passed the window end — that needs one populated
+      // cell past c1 already REPLAYED BEFORE the firing batch. Late rows
+      // arriving in the firing batch itself would precede the timer
+      // (input is processed before timers) and be absorbed into the
+      // ON_TIME pane instead of firing LATE. The second cell is also the
+      // lateness ceiling: trueWm at the late batch ≤ end of cell c1+2 =
+      // window end + 2 cells < the 2.4-cell lateness. Derived from the
+      // populated-cell list, so an empty early cell cannot silently
+      // shift the replay position — a too-short span fails fast instead.
+      val lateAfter =
+        if (!holdOutLate) 0
+        else {
+          val after = cells.filter(c => c > c1 && c <= c1 + 2)
+          require(after.length >= 2,
+            s"events span too short for the late-holdout replay: need two " +
+              s"populated cells in (${c1}, ${c1 + 2}] on the " +
+              s"${cellUs / DayUs}-day grid, found ${after.length}")
+          cells.count(_ <= after(1))
+        }
+      val mains = cells.toSeq.map { i =>
+        val c = ev.filter(half === i)
+        (if (holdOutLate) c.filter(!lateCond) else c).select(col("k"), col("ts"), col("v"))
+      }
+      val lateChunk =
+        if (holdOutLate) Seq(ev.filter(lateCond).select(col("k"), col("ts"), col("v")))
+        else Seq.empty
+      // flush timestamps DERIVE from the data like the grid bounds (a
+      // hard-coded date would sit below max event time on a larger-span
+      // fixture and never advance the watermark): the first flush must
+      // push trueWm past the LAST window's end + the worst-case
+      // 2.4-cell lateness so every ON_TIME/FINAL pane and GC lands in a
+      // real batch; the second makes the first's watermark effect land
+      // in a real batch too.
+      val lastWEnd = (maxUs / winUs + 1) * winUs
+      val latenessUs = cellUs * 12 / 5
+      def flush(us: Long) = s.range(1).select(
+        lit("__flush").as("k"), timestamp_micros(lit(us)).as("ts"), lit(0L).as("v"))
+      val ordered = mains.take(lateAfter) ++ lateChunk ++ mains.drop(lateAfter) ++
+        Seq(flush(lastWEnd + latenessUs + DayUs), flush(lastWEnd + latenessUs + 2 * DayUs))
+      writeOrderedFeed(ordered.filterNot(_.isEmpty), feed)
+      GateSetup(feed, cellUs, med, p80)
+    } finally { ev.unpersist(); () }
   }
 
   /** Run the pane engine over the feed as a real AvailableNow streaming
@@ -205,12 +236,11 @@ object TriggerGateQueries {
     // state is GC'd with nothing further emitted.
     "q_trigger_panes" -> { (s, dir) =>
       import s.implicits._
-      val cellUs = gridCellUs(s, dir)
-      val feed = buildFeed(s, dir, holdOutLate = true, cellUs)
-      runPanes(s, feed, (in: Dataset[(String, Timestamp, Long)]) =>
-        WindowInto.fixedWindows(java.time.Duration.ofMillis(2 * cellUs / 1000))
+      val g = setupFeed(s, dir, holdOutLate = true)
+      runPanes(s, g.feed, (in: Dataset[(String, Timestamp, Long)]) =>
+        WindowInto.fixedWindows(java.time.Duration.ofMillis(2 * g.cellUs / 1000))
           .triggering(early = AfterCount(1), late = AfterCount(1))
-          .withAllowedLateness(java.time.Duration.ofMillis(cellUs * 12 / 5 / 1000))
+          .withAllowedLateness(java.time.Duration.ofMillis(g.cellUs * 12 / 5 / 1000))
           .accumulatingFiredPanes()
           .aggregate(in, NSumFn))
     },
@@ -227,12 +257,11 @@ object TriggerGateQueries {
     // every sf; TriggerThresholdSpec pins the branch diversity.
     "q_trigger_algebra" -> { (s, dir) =>
       import s.implicits._
-      val cellUs = gridCellUs(s, dir)
-      val e = math.max(1L, halfCountMedian(s, dir, cellUs) * 9 / 20).toInt
-      val feed = buildFeed(s, dir, holdOutLate = false, cellUs)
-      runPanes(s, feed, (in: Dataset[(String, Timestamp, Long)]) =>
+      val g = setupFeed(s, dir, holdOutLate = false)
+      val e = math.max(1L, g.med * 9 / 20).toInt
+      runPanes(s, g.feed, (in: Dataset[(String, Timestamp, Long)]) =>
         TriggerEngine.windowedAggregate(
-          in, java.time.Duration.ofMillis(2 * cellUs / 1000), java.time.Duration.ZERO,
+          in, java.time.Duration.ofMillis(2 * g.cellUs / 1000), java.time.Duration.ZERO,
           TriggerSpec(early = AfterEach(Seq(AfterCount(e), AfterCount(e)))),
           Discarding, NSumFn))
     },
@@ -252,19 +281,17 @@ object TriggerGateQueries {
     // (clock-bound, outside a deterministic replay oracle — fuzz-proven).
     "q_trigger_composite" -> { (s, dir) =>
       import s.implicits._
-      val cellUs = gridCellUs(s, dir)
-      val (med, p80) = halfCountStats(s, dir, cellUs)
-      val t = math.max(1L, med * 3 / 4)
-      val d = math.max(t + 1, p80)
-      val feed = buildFeed(s, dir, holdOutLate = false, cellUs)
-      runPanes(s, feed, (in: Dataset[(String, Timestamp, Long)]) =>
+      val g = setupFeed(s, dir, holdOutLate = false)
+      val t = math.max(1L, g.med * 3 / 4)
+      val d = math.max(t + 1, g.p80)
+      runPanes(s, g.feed, (in: Dataset[(String, Timestamp, Long)]) =>
         TriggerEngine.windowedAggregate(
-          in, java.time.Duration.ofMillis(2 * cellUs / 1000), java.time.Duration.ZERO,
+          in, java.time.Duration.ofMillis(2 * g.cellUs / 1000), java.time.Duration.ZERO,
           TriggerSpec(early = OrFinally(
             Repeatedly(AfterFirst(Seq(
-              AfterCount((med + 1).toInt),
+              AfterCount((g.med + 1).toInt),
               AfterAll(Seq(AfterCount(t.toInt),
-                AfterCount(math.max(1L, med / 2).toInt)))))),
+                AfterCount(math.max(1L, g.med / 2).toInt)))))),
             AfterCount(d.toInt))),
           Accumulating, NSumFn))
     },
@@ -274,11 +301,10 @@ object TriggerGateQueries {
     // lateness), isFirst = isLast = true.
     "q_trigger_never" -> { (s, dir) =>
       import s.implicits._
-      val cellUs = gridCellUs(s, dir)
-      val feed = buildFeed(s, dir, holdOutLate = false, cellUs)
-      runPanes(s, feed, (in: Dataset[(String, Timestamp, Long)]) =>
+      val g = setupFeed(s, dir, holdOutLate = false)
+      runPanes(s, g.feed, (in: Dataset[(String, Timestamp, Long)]) =>
         TriggerEngine.windowedAggregate(
-          in, java.time.Duration.ofMillis(2 * cellUs / 1000), java.time.Duration.ZERO,
+          in, java.time.Duration.ofMillis(2 * g.cellUs / 1000), java.time.Duration.ZERO,
           TriggerSpec.never, Accumulating, NSumFn))
     },
   )

@@ -187,6 +187,10 @@ object WindowQueries {
       // sides share it): under the min-combined watermark policy each
       // side's flush must clear the last window end across BOTH sides
       val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      // ~4 cells per side at any span — sealed windows are batch-
+      // invariant, so the grid is pure replay cost; derived ONCE from
+      // the shared persisted frame, not per side
+      val cellUs = ReplayFeed.adaptiveCellUs(ev, "ts", 4)
       def feedOf(side: DataFrame): String = {
         val feed = ReplayFeed.tmp("cg_feed")
         val flush = Seq(1, 2).map(d => s.range(1).select(
@@ -194,10 +198,7 @@ object WindowQueries {
           timestamp_micros(lit(maxUs + d * 86400000000L)).as("ts"),
           lit(0.0).as("value")))
         ReplayFeed.writeOrderedFeed(
-          (ReplayFeed.cellChunks(side.drop("event_type"), "ts",
-            // ~4 cells per side at any span — sealed windows are
-            // batch-invariant, so the grid is pure replay cost
-            ReplayFeed.adaptiveCellUs(ev, "ts", 4)) ++
+          (ReplayFeed.cellChunks(side.drop("event_type"), "ts", cellUs) ++
             flush).filterNot(_.isEmpty), feed)
         feed
       }

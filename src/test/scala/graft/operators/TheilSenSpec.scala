@@ -62,6 +62,33 @@ class TheilSenSpec extends SparkSpec {
           if (r.isNullAt(4)) None else Some(r.getDouble(4))))
       .toMap
 
+  test("fitSampled: exact fit below maxPoints; bounded pairs above; cast-nulls don't eat slots") {
+    // n ≤ maxPoints → exactly fit()
+    val small = (0L to 10L).map(o => ("g", o, 2.0 * o + 3.0))
+    val viaSampled = TheilSen.fitSampled(small.toDF("k", "o", "v"),
+      Seq("k"), col("o"), col("v"), maxPoints = 64).collect().head
+    assert((viaSampled.getLong(1), viaSampled.getLong(2),
+      viaSampled.getDouble(3), viaSampled.getDouble(4)) === ((11L, 55L, 2.0, 3.0)))
+    // n > maxPoints → n pinned at maxPoints, pairs at C(maxPoints, 2),
+    // and a clean line survives sampling exactly
+    val big = (0L until 500L).map(o => ("g", o, 2.0 * o + 3.0))
+    val s8 = TheilSen.fitSampled(big.toDF("k", "o", "v"),
+      Seq("k"), col("o"), col("v"), maxPoints = 8).collect().head
+    assert((s8.getLong(1), s8.getLong(2)) === ((8L, 28L)))
+    assert((s8.getDouble(3), s8.getDouble(4)) === ((2.0, 3.0)))
+    // a null-valued row must NOT consume a sample slot (the filter runs
+    // after the casts, before sampling): 20 valid points + 30 null-value
+    // rows, maxPoints = 20 → all 20 valid points sampled (exact fit).
+    // (Under ANSI a cast that cannot represent the value THROWS rather
+    // than nulling, so raw nulls are the only slot-eating shape.)
+    val nulls = (0L until 30L).map(o => ("g", 1000L + o, Option.empty[Double]))
+    val mixed = (0L until 20L).map(o => ("g", o, Option(2.0 * o + 3.0))) ++ nulls
+    val sv = TheilSen.fitSampled(mixed.toDF("k", "o", "v"),
+      Seq("k"), col("o"), col("v"), maxPoints = 20).collect().head
+    assert((sv.getLong(1), sv.getLong(2)) === ((20L, 190L)))
+    assert((sv.getDouble(3), sv.getDouble(4)) === ((2.0, 3.0)))
+  }
+
   test("mann-kendall: strictly increasing series has tau = 1 and the textbook z") {
     val rows = (1L to 10L).map(o => ("g", o, o.toDouble))
     val (n, s, tau, z) = mk(rows)("g")
