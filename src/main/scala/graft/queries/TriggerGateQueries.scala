@@ -182,7 +182,11 @@ object TriggerGateQueries {
       // 2.4-cell lateness so every ON_TIME/FINAL pane and GC lands in a
       // real batch; the second makes the first's watermark effect land
       // in a real batch too.
-      val lastWEnd = (maxUs / winUs + 1) * winUs
+      // +2 windows, not +1: the SLIDING gate's last window starts at
+      // the last populated CELL and ends a full window after it, past
+      // the aligned tumbling end; the extra margin only moves the flush
+      // timestamps later, which no oracle depends on
+      val lastWEnd = (maxUs / winUs + 2) * winUs
       val latenessUs = cellUs * 12 / 5
       def flush(us: Long) = s.range(1).select(
         lit("__flush").as("k"), timestamp_micros(lit(us)).as("ts"), lit(0L).as("v"))
@@ -306,6 +310,23 @@ object TriggerGateQueries {
         TriggerEngine.windowedAggregate(
           in, java.time.Duration.ofMillis(2 * g.cellUs / 1000), java.time.Duration.ZERO,
           TriggerSpec.never, Accumulating, NSumFn))
+    },
+
+    // §2.4 SlidingWindows × the trigger algebra (multi-window
+    // assignment — previously spec-only): size = 2 cells, slide =
+    // 1 cell, so every row joins TWO windows and each window w sees its
+    // cells as two consecutive batches — EARLY per batch (PerBatch
+    // trigger, accumulating running totals), then the ON_TIME total.
+    // The oracle replays it from per-cell counts: window w aggregates
+    // cells w and w+1.
+    "q_trigger_sliding" -> { (s, dir) =>
+      import s.implicits._
+      val g = setupFeed(s, dir, holdOutLate = false)
+      runPanes(s, g.feed, (in: Dataset[(String, Timestamp, Long)]) =>
+        TriggerEngine.slidingWindowedAggregate(
+          in, java.time.Duration.ofMillis(2 * g.cellUs / 1000),
+          java.time.Duration.ofMillis(g.cellUs / 1000), java.time.Duration.ZERO,
+          TriggerSpec(early = PerBatch), Accumulating, NSumFn))
     },
   )
 
@@ -446,5 +467,44 @@ object TriggerGateQueries {
     "q_trigger_never" -> paneSelect(
       """SELECT k, w, 0 AS idx, 'FINAL' AS timing, n1 + n2 AS n,
            s1 + s2 AS sum_v, TRUE AS is_last FROM agg"""),
+
+    // sliding (size 2 cells, slide 1): window w = cells {w, w+1}; an
+    // EARLY pane per populated cell (running totals), ON_TIME total.
+    // Built on per-cell aggregates instead of the tumbling agg CTE; the
+    // final select multiplies by ONE cell (not the 2-cell tumbling
+    // window), so it inlines the grid arithmetic rather than reusing
+    // paneSelect.
+    "q_trigger_sliding" ->
+      s"""${aggCte(holdOutLate = false)},
+         cagg AS (
+           SELECT k, us // g.cu AS cell, count(*) AS n, SUM(v) AS sv
+           FROM ev, grid g GROUP BY 1, 2),
+         contrib AS (
+           SELECT k, cell AS w, 0 AS pos, n, sv FROM cagg
+           UNION ALL
+           SELECT k, cell - 1, 1, n, sv FROM cagg),
+         wagg AS (
+           SELECT k, w,
+             SUM(CASE WHEN pos = 0 THEN n ELSE 0 END) AS na,
+             SUM(CASE WHEN pos = 0 THEN sv ELSE 0 END) AS sa,
+             SUM(CASE WHEN pos = 1 THEN n ELSE 0 END) AS nb,
+             SUM(CASE WHEN pos = 1 THEN sv ELSE 0 END) AS sb
+           FROM contrib GROUP BY k, w),
+         panes AS (
+           SELECT k, w, 0 AS idx, 'EARLY' AS timing, na AS n, sa AS sum_v,
+             FALSE AS is_last FROM wagg WHERE na > 0
+           UNION ALL
+           SELECT k, w, CASE WHEN na > 0 THEN 1 ELSE 0 END, 'EARLY',
+             na + nb, sa + sb, FALSE FROM wagg WHERE nb > 0
+           UNION ALL
+           SELECT k, w,
+             (CASE WHEN na > 0 THEN 1 ELSE 0 END) + (CASE WHEN nb > 0 THEN 1 ELSE 0 END),
+             'ON_TIME', na + nb, sa + sb, TRUE FROM wagg)
+         SELECT k, CAST(w * (SELECT cu FROM grid) AS BIGINT) AS ws_us,
+           CAST((w + 2) * (SELECT cu FROM grid) AS BIGINT) AS we_us, timing,
+           CAST(idx AS BIGINT) AS pane_index,
+           idx = 0 AS is_first, is_last,
+           CAST(n AS BIGINT) AS n, CAST(sum_v AS BIGINT) AS sum_v
+         FROM panes ORDER BY k, ws_us, pane_index""",
   )
 }
