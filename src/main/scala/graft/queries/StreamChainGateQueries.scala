@@ -82,7 +82,8 @@ object StreamChainGateQueries {
   /** Replay the feed through `op` as a real AvailableNow streaming
     * query; return the parquet-sunk result. */
   private def runStream(s: SparkSession, feed: String, schema: StructType,
-                        op: DataFrame => DataFrame): DataFrame = {
+                        op: DataFrame => DataFrame): DataFrame =
+      ReplayFeed.withGatePartitions(s) {
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(feed)
     val outDir = ReplayFeed.tmp("sc_out"); val ckpt = ReplayFeed.tmp("sc_ckpt")

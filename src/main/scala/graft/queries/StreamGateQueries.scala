@@ -82,10 +82,12 @@ object StreamGateQueries {
       val survivors = StreamOps.dedupByFingerprint(stream, "text", "ts",
         lateness = "30 days")
       val outDir = tmp("sd_out"); val ckpt = tmp("sd_ckpt")
-      val q = survivors.writeStream.format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      ReplayFeed.withGatePartitions(s) {
+        val q = survivors.writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       s.read.parquet(outDir)
         .groupBy(TextFunctions.fingerprintPortable(col("text")).as("fp"))
         .agg(count(lit(1)).as("n"))
@@ -153,12 +155,14 @@ object StreamGateQueries {
       val raw = s.readStream.format("graft-redelivery")
         .option("n", 200).option("rowsPerBatch", 50).option("overlap", 10)
         .load()
-      val q = StreamOps.dedupWithinWatermark(
-          StreamOps.withEventTime(raw, "ts", "1 hour"), Seq("record_id"))
-        .writeStream.format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckpt).outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
+      ReplayFeed.withGatePartitions(s) {
+        val q = StreamOps.dedupWithinWatermark(
+            StreamOps.withEventTime(raw, "ts", "1 hour"), Seq("record_id"))
+          .writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.read.parquet(outDir)
         .select(col("record_id"), unix_micros(col("ts")).as("ts_us"))
         .orderBy(col("record_id"))
@@ -187,10 +191,12 @@ object StreamGateQueries {
       val agg = deduped
         .groupBy(window(col("evt_ts"), "20 seconds").as("window"), col("src"))
         .agg(count(lit(1)).as("n"), sum(col("record_id")).as("sum_id"))
-      val q = agg.writeStream.format("parquet").option("path", outDir)
-        .option("checkpointLocation", ckpt).outputMode("append").start()
-      q.processAllAvailable()
-      q.stop()
+      ReplayFeed.withGatePartitions(s) {
+        val q = agg.writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        q.processAllAvailable()
+        q.stop()
+      }
       s.read.parquet(outDir)
         .select(unix_micros(col("window.start")).as("ws_us"),
           unix_micros(col("window.end")).as("we_us"),
@@ -244,10 +250,12 @@ object StreamGateQueries {
         .write.mode("overwrite").parquet(feed)
       val stream = s.readStream.schema(changes.schema)
         .option("maxFilesPerTrigger", "1").parquet(feed)
-      val q = StreamOps.writeStreamMerge(stream, root, Seq("o_orderkey"),
-        "o_orderpriority", "ord", ckpt)
-      q.processAllAvailable()
-      q.stop()
+      ReplayFeed.withGatePartitions(s) {
+        val q = StreamOps.writeStreamMerge(stream, root, Seq("o_orderkey"),
+          "o_orderpriority", "ord", ckpt)
+        q.processAllAvailable()
+        q.stop()
+      }
       val untouched = Seq("o_orderpriority=4-NOT SPECIFIED",
         "o_orderpriority=5-LOW")
       val intact = untouched

@@ -202,7 +202,7 @@ object TriggerGateQueries {
     * [[SessionGateQueries]] — the session engine emits the same Pane. */
   private[queries] def runPanes(s: SparkSession, feed: String,
                        panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]])
-      : DataFrame = {
+      : DataFrame = ReplayFeed.withGatePartitions(s) {
     import s.implicits._
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "k STRING, ts TIMESTAMP, v BIGINT")

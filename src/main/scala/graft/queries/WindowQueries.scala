@@ -215,11 +215,13 @@ object WindowQueries {
         a, b, Seq("user_id"), "ts", "1 hour", "10 minutes",
         col("value"), col("value"))
       val outDir = ReplayFeed.tmp("cg_out"); val ckpt = ReplayFeed.tmp("cg_ckpt")
-      val q = cogbk.writeStream.format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      ReplayFeed.withGatePartitions(s) {
+        val q = cogbk.writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       ev.unpersist()
       s.read.parquet(outDir)
         .filter(col("user_id") >= 0)
