@@ -267,9 +267,84 @@ object StreamGateQueries {
         .withColumn("untouched_present", lit(intact))
         .orderBy(col("o_orderpriority"))
     },
+
+    // The wall-clock pane engine (AfterProcessingTime's guaranteed-firing
+    // form — the one engine path whose PANE BOUNDARIES no deterministic
+    // oracle can replay) under a CONSERVATION gate: discarding panes
+    // PARTITION the input, so per-key totals over all panes equal the
+    // plain per-key aggregate whatever the clock does. The feed protocol
+    // forces a real multi-pane split (add chunk 1 → poll until every
+    // key's chunk-1 rows emitted → add chunk 2), so `multi_pane` proves
+    // the engine actually fired ≥2 wall-clock panes per multi-row key
+    // rather than trivially passing with one pane. A timer bug fails
+    // loudly: either the poll deadline expires (missing rows) or
+    // multi_pane reads false against the oracle's TRUE.
+    "q_wallclock_panes" -> { (s, dir) =>
+      import s.implicits._
+      import graft.streaming.TriggerEngine
+      val rows = Tables(s, dir).events
+        .filter(pmod(col("event_id"), lit(101)) === 0)
+        .select(col("event_type"), col("user_id").cast("long"))
+        .as[(String, Long)].collect().toSeq // bounded: ~1% of events
+      // split each key's rows half/half so every ≥2-row key spans chunks
+      val byKey = rows.groupBy(_._1)
+      val chunk1 = byKey.values.flatMap(v => v.take((v.size + 1) / 2)).toSeq
+      val chunk2 = byKey.values.flatMap(v => v.drop((v.size + 1) / 2)).toSeq
+      val c1Counts = chunk1.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val allCounts = byKey.view.mapValues(_.size.toLong).toMap
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)](
+          ("q_wallclock_panes" + dir).hashCode.abs, s, None)
+      val panes = TriggerEngine.processingTimeAggregate(
+        input.toDS(), java.time.Duration.ofMillis(200),
+        graft.streaming.TriggerEngine.Discarding, TriggerGateQueries.NSumFn)
+      val outDir = tmp("wc_out"); val ckpt = tmp("wc_ckpt")
+      ReplayFeed.withGatePartitions(s) {
+        val q = panes.writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
+        def emitted(): Map[String, Long] =
+          try s.read.parquet(outDir).groupBy(col("key"))
+            .agg(sum(col("value._1")).as("n")).as[(String, Long)]
+            .collect().toMap
+          catch { case _: Throwable => Map.empty }
+        def awaitCounts(want: Map[String, Long]): Unit = {
+          val deadline = System.currentTimeMillis() + 120000
+          while (want.exists { case (k, n) => emitted().getOrElse(k, 0L) < n } &&
+                 System.currentTimeMillis() < deadline) Thread.sleep(200)
+          require(want.forall { case (k, n) => emitted().getOrElse(k, 0L) >= n },
+            "wall-clock panes did not emit the fed rows within the deadline")
+        }
+        input.addData(chunk1)
+        awaitCounts(c1Counts)
+        input.addData(chunk2)
+        awaitCounts(allCounts)
+        q.stop()
+      }
+      s.read.parquet(outDir)
+        .groupBy(col("key").as("event_type"))
+        .agg(sum(col("value._1")).as("n"), sum(col("value._2")).as("sum_v"),
+          max(col("paneIndex")).as("__max_idx"))
+        // a ≥2-row key MUST have split across ≥2 panes (the chunk poll
+        // guarantees it); keying the excuse off input rows — never pane
+        // count — keeps a wrongly-merged single pane visibly red
+        .select(col("event_type"), col("n"), col("sum_v"),
+          (col("__max_idx") >= 1 || col("n") < 2).as("multi_pane"))
+        .orderBy(col("event_type"))
+    },
   )
 
   val oracles: Map[String, String] = Map(
+
+    // conservation law of discarding wall-clock panes: per-key totals
+    // equal the plain aggregate; multi_pane pinned TRUE by the gate's
+    // chunked-feed protocol (≥2 panes for every ≥2-row key).
+    "q_wallclock_panes" ->
+      """SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_v,
+           TRUE AS multi_pane
+         FROM events WHERE event_id % 101 = 0
+         GROUP BY event_type ORDER BY event_type""",
 
     "q_stream_dedup" ->
       """WITH corpus AS (
