@@ -34,6 +34,9 @@ import graft.streaming.{NearDupStream, StreamOps}
   */
 object StreamGateQueries {
 
+  /** MemoryStream id source for q_wallclock_panes — fresh per call. */
+  private val wcStreamId = new java.util.concurrent.atomic.AtomicInteger(50000)
+
   type Q = (SparkSession, String) => DataFrame
 
   private lazy val scratchBase: java.nio.file.Path = {
@@ -292,9 +295,10 @@ object StreamGateQueries {
       val chunk2 = byKey.values.flatMap(v => v.drop((v.size + 1) / 2)).toSeq
       val c1Counts = chunk1.groupBy(_._1).view.mapValues(_.size.toLong).toMap
       val allCounts = byKey.view.mapValues(_.size.toLong).toMap
+      // unique per INVOCATION (PlanSpec calls every registered query
+      // more than once in one JVM) — the id only namespaces the source
       val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, Long)](
-          ("q_wallclock_panes" + dir).hashCode.abs, s, None)
+        .MemoryStream[(String, Long)](wcStreamId.incrementAndGet(), s, None)
       val panes = TriggerEngine.processingTimeAggregate(
         input.toDS(), java.time.Duration.ofMillis(200),
         graft.streaming.TriggerEngine.Discarding, TriggerGateQueries.NSumFn)
