@@ -112,8 +112,14 @@ def main(sf_dir, out_dir, only=None):
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark directory-parquet (e.g. GrowFixture)
-            p = f"{p}/*.parquet"
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            # recursive glob + hive_partitioning: a partitioned Spark write
+            # (key=value subdirs) has no files directly under the dir, and
+            # an empty dir would make CREATE VIEW error instead of being
+            # skipped like a missing file (ADVICE r12)
+            if glob.glob(f"{p}/**/*.parquet", recursive=True):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{p}/**/*.parquet', hive_partitioning=true)")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))

@@ -551,14 +551,39 @@ object Similarity {
     math.max(floor,
       64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
 
+  /** nTables that HOLDS per-pair recall as [[autoPlanes]] deepens the
+    * code (ADVICE r12: deepening planes with tables fixed silently
+    * decays recall ∝ p^Δplanes): per-table collision at the threshold
+    * angle is p^nPlanes (p = 1 − arccos θ / π), so going Δ planes past
+    * the floor divides it by p^Δ and the OR-table count must rise by
+    * the same factor to keep 1−(1−p^planes)^tables level. Capped —
+    * past the cap the trade flips to candidate-volume cost and the
+    * caller should raise the threshold or accept the documented decay
+    * (the cap is reported by the plan, not silent: tables scale the
+    * bucketed explode size linearly). */
+  def autoTables(nPlanes: Int, threshold: Double, floor: Int = 8,
+                 baseTables: Int = 4, cap: Int = 64): Int = {
+    val t = math.min(1.0, math.max(-1.0, threshold))
+    val p = 1.0 - math.acos(t) / math.Pi
+    val delta = math.max(0, nPlanes - floor)
+    val scaled = math.ceil(baseTables / math.pow(p, delta.toDouble))
+    math.min(cap.toDouble, math.max(baseTables.toDouble, scaled)).toInt
+  }
+
   /** [[cosinePairsBlocked]] with nPlanes derived from the corpus size
     * (one count job) per [[autoPlanes]] — the form to reach for when the
-    * corpus size is not known at call-authoring time. */
+    * corpus size is not known at call-authoring time. `nTables = 0`
+    * (the default) derives the table count from the plane depth per
+    * [[autoTables]], so recall holds as the corpus grows instead of
+    * silently decaying with the deeper code; pass an explicit count to
+    * pin it (accepting the decay past the plane floor). */
   def cosinePairsBlockedAuto(corpus: DataFrame, threshold: Double,
-                             nTables: Int = 4, dim: Int = 64,
-                             seed: Long = 42L): DataFrame =
-    cosinePairsBlocked(corpus, threshold, autoPlanes(corpus.count()),
-      nTables, dim, seed)
+                             nTables: Int = 0, dim: Int = 64,
+                             seed: Long = 42L): DataFrame = {
+    val planes = autoPlanes(corpus.count())
+    val tables = if (nTables > 0) nTables else autoTables(planes, threshold)
+    cosinePairsBlocked(corpus, threshold, planes, tables, dim, seed)
+  }
 
   def cosinePairsBlocked(corpus: DataFrame, threshold: Double,
                          nPlanes: Int = 4, nTables: Int = 4,

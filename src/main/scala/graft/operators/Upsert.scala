@@ -198,9 +198,15 @@ object Upsert {
   private def acquireMergeLock(fs: org.apache.hadoop.fs.FileSystem,
                                rootPath: Path, waitMs: Long): Path = {
     val lock = new Path(rootPath, ".merge-lock")
+    // jvmstart (the holder JVM's start instant) makes pid liveness checks
+    // pid-recycling-proof: a later process that reuses the pid has a
+    // different start instant, so lockStatus can tell "holder still
+    // running" from "pid recycled by something else"
+    val jvmStart = ProcessHandle.current().info().startInstant()
+      .map[Long](_.toEpochMilli).orElse(-1L)
     val payload = (s"uuid=${java.util.UUID.randomUUID()} " +
       s"pid=${ProcessHandle.current().pid()} host=$localHostName " +
-      s"at=${System.currentTimeMillis()}")
+      s"jvmstart=$jvmStart at=${System.currentTimeMillis()}")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val deadline = System.currentTimeMillis() + waitMs
     var delay = 50L
@@ -263,10 +269,27 @@ object Upsert {
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: Throwable => "unknown" }
 
-  /** Holder identity parsed from a live `.merge-lock`. `pidAlive` is
-    * definitive only when the lock payload's host matches this host
-    * (ProcessHandle can only see local pids); a holder on another host
-    * reports `None` — check the pid there, per the payload's `host=`. */
+  /** Hostnames that do not identify a machine: containers and minimal
+    * images commonly share them (and getLocalHost's failure fallback is
+    * "unknown"), so a payload-host match against one of these proves
+    * nothing — two different machines can both report it. Liveness
+    * checks must stay advisory (`None`) for them. */
+  private val nonIdentifyingHosts =
+    Set("", "unknown", "localhost", "localhost.localdomain")
+
+  /** Holder identity parsed from a live `.merge-lock`.
+    *
+    * `pidAlive` is ADVISORY, not definitive: it is answerable only when
+    * the payload's host equals this host AND that hostname actually
+    * identifies a machine (non-unique container hostnames like
+    * `localhost` make the match meaningless — a LIVE remote holder would
+    * be checked against the wrong pid table and misreported dead, the
+    * exact lost-update the lock prevents, so those report `None`). When
+    * it is answerable, the payload's `jvmstart=` makes it
+    * pid-recycling-proof: a live process whose start instant differs
+    * from the payload's is a NEW process that reused the pid, so the
+    * holder itself is dead. A holder on another host always reports
+    * `None` — check the pid on its host, per the payload's `host=`. */
   final case class LockStatus(exists: Boolean, payload: String,
                               uuid: Option[String], pid: Option[Long],
                               host: Option[String], ageMs: Option[Long],
@@ -278,11 +301,15 @@ object Upsert {
     * Recovery recipe for a crashed holder (the ONLY sanctioned path —
     * the lock is never broken automatically, because auto-breaking risks
     * two live holders and the exact lost update the lock prevents):
-    *  1. `Upsert.lockStatus(spark, root)` — read uuid/pid/age.
-    *  2. Confirm the holder is dead: `pidAlive = Some(false)` when the
-    *     holder ran on this host; otherwise check the pid on its host
-    *     (the payload's `pid=`) or confirm the job is gone in the
-    *     cluster manager.
+    *  1. `Upsert.lockStatus(spark, root)` — read uuid/pid/host/age.
+    *  2. Confirm the holder is dead ON ITS OWN HOST (the payload's
+    *     `host=`): check the pid there, or confirm the job is gone in
+    *     the cluster manager. `pidAlive = Some(false)` from this method
+    *     is supporting evidence, not proof — it is only reported when
+    *     the payload host matches an identifying local hostname, and
+    *     hostname collisions (cloned containers) can still misattribute
+    *     it; treat it as advisory unless you know hostnames are unique
+    *     in your fleet.
     *  3. Only then remove the file by hand:
     *     `hdfs dfs -rm <root>/.merge-lock` (or `rm` on file://)
     *     and re-run the merge. A merely SLOW holder (pid alive, large
@@ -302,13 +329,30 @@ object Upsert {
     val pid = field("pid").flatMap(_.toLongOption)
     val host = field("host")
     val at = field("at").flatMap(_.toLongOption)
-    // liveness is answerable only for a same-host holder: ProcessHandle
-    // sees local pids, so present ⇒ alive-status, absent ⇒ dead (the pid
-    // table is authoritative on its own host). Remote holder ⇒ None.
+    // liveness is answerable only for a same-host holder whose hostname
+    // actually identifies this machine (see the method doc): ProcessHandle
+    // sees local pids, so present ⇒ alive-status, absent ⇒ dead on THIS
+    // host — which is only the holder's host when hostnames are unique.
+    // Non-identifying or remote host ⇒ None (advisory).
     val alive =
-      if (!host.contains(localHostName)) None
+      if (!host.contains(localHostName) ||
+          host.exists(nonIdentifyingHosts.contains)) None
       else pid.map { p =>
-        val h = ProcessHandle.of(p); h.isPresent && h.get().isAlive
+        val h = ProcessHandle.of(p)
+        val present = h.isPresent && h.get().isAlive
+        // pid-recycling guard: a live process with a start instant that
+        // differs from the payload's jvmstart is a NEW process that
+        // reused the pid — the holder itself is dead. Missing on either
+        // side (old payload / platform without startInstant) ⇒ fall back
+        // to plain pid liveness.
+        val startOk = field("jvmstart").flatMap(_.toLongOption)
+          .filter(_ >= 0L) match {
+          case Some(want) if present =>
+            val got = h.get().info().startInstant()
+            !got.isPresent || math.abs(got.get().toEpochMilli - want) <= 1000L
+          case _ => true
+        }
+        present && startOk
       }
     LockStatus(exists = true, payload, field("uuid"), pid, host,
       at.map(System.currentTimeMillis() - _), alive)

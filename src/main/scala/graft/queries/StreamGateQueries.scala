@@ -306,17 +306,29 @@ object StreamGateQueries {
       ReplayFeed.withGatePartitions(s) {
         val q = panes.writeStream.format("parquet").option("path", outDir)
           .option("checkpointLocation", ckpt).outputMode("append").start()
+        // a pre-first-commit read throws (no parquet yet) — expected; but a
+        // PERSISTENT read failure must not hide behind the generic deadline
+        // message, so the last error rides along in the require (ADVICE r12)
+        var lastReadError: Option[Throwable] = None
         def emitted(): Map[String, Long] =
-          try s.read.parquet(outDir).groupBy(col("key"))
-            .agg(sum(col("value._1")).as("n")).as[(String, Long)]
-            .collect().toMap
-          catch { case _: Throwable => Map.empty }
+          try {
+            val m = s.read.parquet(outDir).groupBy(col("key"))
+              .agg(sum(col("value._1")).as("n")).as[(String, Long)]
+              .collect().toMap
+            lastReadError = None
+            m
+          } catch { case e: Throwable => lastReadError = Some(e); Map.empty }
         def awaitCounts(want: Map[String, Long]): Unit = {
-          val deadline = System.currentTimeMillis() + 120000
+          // deadline proportional to the fed volume (floor 120 s): a slow
+          // CI host processing more rows gets more time, not a flake
+          val deadline = System.currentTimeMillis() +
+            math.max(120000L, rows.size * 100L)
           while (want.exists { case (k, n) => emitted().getOrElse(k, 0L) < n } &&
                  System.currentTimeMillis() < deadline) Thread.sleep(200)
           require(want.forall { case (k, n) => emitted().getOrElse(k, 0L) >= n },
-            "wall-clock panes did not emit the fed rows within the deadline")
+            "wall-clock panes did not emit the fed rows within the deadline" +
+              s" (query active=${q.isActive}, exception=${q.exception})" +
+              lastReadError.map(e => s"; last output read error: $e").getOrElse(""))
         }
         input.addData(chunk1)
         awaitCounts(c1Counts)

@@ -320,6 +320,36 @@ class SimilaritySpec extends SparkSpec {
     assert(viaAuto == explicit)
   }
 
+  test("autoTables holds recall as autoPlanes deepens (ADVICE r12)") {
+    // at the plane floor, the base table count is unchanged
+    assert(Similarity.autoTables(8, 0.4) == 4)
+    assert(Similarity.autoTables(4, 0.4) == 4)
+    // deeper codes scale tables by 1/p^Δ (p = 1 − arccos θ / π): the
+    // designed recall 1−(1−p^planes)^tables must not DROP as n grows
+    def recall(planes: Int, tables: Int, theta: Double): Double = {
+      val p = 1.0 - math.acos(theta) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, planes.toDouble), tables.toDouble)
+    }
+    val base = recall(8, 4, 0.4)
+    Seq(9, 10, 12).foreach { planes =>
+      val t = Similarity.autoTables(planes, 0.4)
+      assert(t > 4, s"tables did not rise with depth $planes")
+      assert(recall(planes, t, 0.4) >= base * 0.999,
+        s"recall decayed at depth $planes with $t tables")
+    }
+    // monotone in depth, capped
+    assert(Similarity.autoTables(30, 0.4) == 64)
+    assert(Similarity.autoTables(10, 0.4) >= Similarity.autoTables(9, 0.4))
+    // the default auto entry point uses the derived table count
+    val small = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val viaAuto = Similarity.cosinePairsBlockedAuto(small, 0.4)
+      .as[(Long, Long)].collect().toSet
+    val explicit = Similarity.cosinePairsBlocked(small, 0.4,
+      nPlanes = 9, nTables = Similarity.autoTables(9, 0.4))
+      .as[(Long, Long)].collect().toSet
+    assert(viaAuto == explicit)
+  }
+
   test("cosinePairsBlocked recall on the embeddings fixture") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val truth = Similarity.cosinePairs(emb, 0.4).as[(Long, Long)].collect().toSet

@@ -345,9 +345,34 @@ class UpsertSpec extends SparkSpec {
     java.nio.file.Files.write(lock,
       s"uuid=live pid=${ProcessHandle.current().pid()} host=$host at=1".getBytes)
     assert(Upsert.lockStatus(spark, root).pidAlive.contains(true))
+    // ... including when the payload carries the real jvmstart
+    val myStart = ProcessHandle.current().info().startInstant()
+      .map[Long](_.toEpochMilli).orElse(-1L)
+    java.nio.file.Files.write(lock,
+      (s"uuid=live pid=${ProcessHandle.current().pid()} host=$host " +
+        s"jvmstart=$myStart at=1").getBytes)
+    assert(Upsert.lockStatus(spark, root).pidAlive.contains(true))
+    // pid-recycling: same live pid, but a jvmstart that cannot be this
+    // process → the recorded holder is dead even though the pid is live
+    java.nio.file.Files.write(lock,
+      (s"uuid=recycled pid=${ProcessHandle.current().pid()} host=$host " +
+        "jvmstart=12345 at=1").getBytes)
+    assert(Upsert.lockStatus(spark, root).pidAlive.contains(false),
+      "a recycled pid must not read as the holder being alive")
     // a remote holder's liveness is unknowable from here
     java.nio.file.Files.write(lock,
       "uuid=r pid=1 host=elsewhere.invalid at=1".getBytes)
     assert(Upsert.lockStatus(spark, root).pidAlive.isEmpty)
+    // a NON-IDENTIFYING hostname (shared by containers; also the
+    // getLocalHost failure fallback) must stay advisory even when it
+    // happens to equal the local one — a live REMOTE holder on a
+    // same-named machine would otherwise be misreported dead, the
+    // exact lost-update the lock exists to prevent (ADVICE r12)
+    Seq("unknown", "localhost").foreach { h =>
+      java.nio.file.Files.write(lock,
+        s"uuid=g pid=999999999 host=$h at=1".getBytes)
+      assert(Upsert.lockStatus(spark, root).pidAlive.isEmpty,
+        s"host=$h must not be treated as identifying")
+    }
   }
 }

@@ -43,6 +43,26 @@ class TriggerThresholdSpec extends SparkSpec {
     }
   }
 
+  test("q_trigger_panes' late-holdout slice is non-empty at every sf") {
+    // replicates setupFeed's slice arithmetic: cell c1 = the first
+    // window's second cell, slice = its last fifth ∩ event_id%17=0. An
+    // empty slice leaves the LATE-pane path unexercised while gate and
+    // oracle stay consistently green (ADVICE r12) — the same dead-branch
+    // mode the data-derived thresholds fixed for the composite gates.
+    sfDirs.foreach { dir =>
+      val cellUs = TriggerGateQueries.gridCellUs(spark, dir)
+      val ev = Tables(spark, dir).events
+      val c0 = ev.agg(min((unix_micros(col("ts")) / cellUs).cast("long")))
+        .head().getLong(0)
+      val c1 = (c0 / 2) * 2 + 1
+      val n = ev.filter(
+        (unix_micros(col("ts")) / cellUs).cast("long") === c1 &&
+          pmod(unix_micros(col("ts")), lit(cellUs)) >= lit(cellUs * 4 / 5) &&
+          pmod(col("event_id"), lit(17)) === 0).count()
+      assert(n > 0, s"$dir: late-holdout slice empty (c1=$c1, cellUs=$cellUs)")
+    }
+  }
+
   test("q_trigger_composite's OrFinally takes both finish branches at every sf") {
     sfDirs.foreach { dir =>
       val cellUs = TriggerGateQueries.gridCellUs(spark, dir)
