@@ -43,6 +43,42 @@ object TriggerEngine {
     * timestamp conversion cannot overflow. */
   val GlobalWindowEndMs: Long = 253402300799999L
 
+  /** The clock AfterProcessingTime conditions read (VERDICT r12 task 2).
+    * Injectable so the wall-clock half of the trigger algebra can be
+    * driven deterministically: the engine hands each reading the max
+    * event-time (ms) across the key's rows in the current micro-batch,
+    * and the default implementation ignores it and reads the system
+    * clock — production semantics are unchanged. A data-driven clock
+    * (e.g. [[QuantizedEventClock]]) makes pane BOUNDARIES a pure
+    * function of the feed, which is what lets a replay gate put
+    * AfterProcessingTime's firing positions under a SQL oracle instead
+    * of a conservation-only check. */
+  trait EngineClock extends Serializable {
+    /** @param batchMaxEventMs max event time (ms) over the key's rows in
+      *                        this batch; 0 when the reading happens
+      *                        outside row processing */
+    def nowMs(batchMaxEventMs: Long): Long
+  }
+
+  /** Production clock: wall time, event times ignored. */
+  case object SystemEngineClock extends EngineClock {
+    def nowMs(batchMaxEventMs: Long): Long = System.currentTimeMillis()
+  }
+
+  /** Virtual clock for deterministic replay: "now" is the key's batch
+    * max event time floored to the `cellMs` grid. On an ordered
+    * one-file-per-grid-cell feed this reads exactly cell·cellMs for a
+    * batch covering cell `cell`, so AfterProcessingTimeDelay(k·cellMs)
+    * fires, per (key, window), at the key's first batch ≥ k cells after
+    * the pane opened — replayable in SQL from per-(key, cell) presence
+    * alone. */
+  final case class QuantizedEventClock(cellMs: Long) extends EngineClock {
+    require(cellMs > 0, "cellMs must be positive")
+    def nowMs(batchMaxEventMs: Long): Long =
+      if (batchMaxEventMs <= 0) 0L
+      else batchMaxEventMs - Math.floorMod(batchMaxEventMs, cellMs)
+  }
+
   /** Early/late firing specs — Beam's trigger algebra
     * ([U] W/Trigger.java + one file per composite: AfterPane, AfterFirst,
     * AfterAll, Repeatedly, OrFinallyTrigger, AfterProcessingTime).
@@ -253,7 +289,8 @@ object TriggerEngine {
       trigger: TriggerSpec,
       mode: AccumulationMode,
       combine: CombineFn[V, Acc, Out],
-      slideMs: Long = 0L) // 0 → tumbling; else SlidingWindows(size, slide)
+      slideMs: Long = 0L, // 0 → tumbling; else SlidingWindows(size, slide)
+      clock: EngineClock = SystemEngineClock)
       extends StatefulProcessor[K, (K, Timestamp, V), Pane[K, Out]] {
 
     private val effectiveSlideMs = if (slideMs <= 0) windowSizeMs else slideMs
@@ -307,12 +344,15 @@ object TriggerEngine {
     override def handleInputRows(key: K, rows: Iterator[(K, Timestamp, V)],
                                  timers: TimerValues): Iterator[Pane[K, Out]] = {
       val wm = trueWm(timers.getCurrentWatermarkInMs())
-      val nowMs = System.currentTimeMillis()
+      val rowSeq = rows.toSeq
+      val maxEventMs =
+        if (rowSeq.isEmpty) 0L else rowSeq.iterator.map(_._2.getTime).max
+      val nowMs = clock.nowMs(maxEventMs)
       val earlyFiring = effective(trigger.early)
       val lateFiring = effective(trigger.late)
       val out = scala.collection.mutable.ArrayBuffer.empty[Pane[K, Out]]
       val touched = scala.collection.mutable.Set.empty[Long]
-      val assigned = rows.toSeq.flatMap(r => assignWindows(r._2.getTime).map(_ -> r))
+      val assigned = rowSeq.flatMap(r => assignWindows(r._2.getTime).map(_ -> r))
       assigned.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.foreach { case (ws, vs) =>
         val wEnd = ws + windowSizeMs
         val windowClosed = wEnd <= wm
@@ -588,12 +628,14 @@ object TriggerEngine {
       allowedLateness: java.time.Duration,
       trigger: TriggerSpec,
       mode: AccumulationMode,
-      combine: CombineFn[V, Acc, Out])(
+      combine: CombineFn[V, Acc, Out],
+      clock: EngineClock = SystemEngineClock)(
       implicit ek: Encoder[K], ep: Encoder[Pane[K, Out]]): Dataset[Pane[K, Out]] = {
     validateFiring(trigger.early)
     validateFiring(trigger.late)
     val proc = new WindowTriggerProcessor[K, V, Acc, Out](
-      windowSize.toMillis, allowedLateness.toMillis, trigger, mode, combine)
+      windowSize.toMillis, allowedLateness.toMillis, trigger, mode, combine,
+      clock = clock)
     input.withWatermark("_2", s"${allowedLateness.toMillis} milliseconds")
       .groupByKey(_._1)
       .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())
@@ -674,13 +716,14 @@ object TriggerEngine {
       allowedLateness: java.time.Duration,
       trigger: TriggerSpec,
       mode: AccumulationMode,
-      combine: CombineFn[V, Acc, Out])(
+      combine: CombineFn[V, Acc, Out],
+      clock: EngineClock = SystemEngineClock)(
       implicit ek: Encoder[K], ep: Encoder[Pane[K, Out]]): Dataset[Pane[K, Out]] = {
     validateFiring(trigger.early)
     validateFiring(trigger.late)
     val proc = new WindowTriggerProcessor[K, V, Acc, Out](
       windowSize.toMillis, allowedLateness.toMillis, trigger, mode, combine,
-      slideMs = slide.toMillis)
+      slideMs = slide.toMillis, clock = clock)
     input.withWatermark("_2", s"${allowedLateness.toMillis} milliseconds")
       .groupByKey(_._1)
       .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())

@@ -29,10 +29,12 @@ class TriggerEngineSpec extends SparkSpec {
                   trigger: TriggerSpec,
                   mode: AccumulationMode,
                   lateness: Duration,
-                  batches: Seq[Seq[(String, Timestamp, Double)]]): Seq[Pane[String, Double]] = {
+                  batches: Seq[Seq[(String, Timestamp, Double)]],
+                  clock: EngineClock = SystemEngineClock): Seq[Pane[String, Double]] = {
     val input = MemoryStream[(String, Timestamp, Double)](name.hashCode.abs, spark, None)
     val panes = TriggerEngine.windowedAggregate(
-      input.toDS(), Duration.ofMinutes(10), lateness, trigger, mode, SumFn)
+      input.toDS(), Duration.ofMinutes(10), lateness, trigger, mode, SumFn,
+      clock = clock)
     val dir = java.nio.file.Files.createTempDirectory(s"graft-te-$name").toString
     val q = panes.writeStream.format("memory").queryName(name)
       .outputMode("append").option("checkpointLocation", dir).start()
@@ -138,6 +140,34 @@ class TriggerEngineSpec extends SparkSpec {
       ))
     val w0 = panes.filter(_.windowStart == ts(0))
     assert(w0.map(p => (p.value, p.timing)) == Seq((3.0, "ON_TIME")))
+  }
+
+  test("QuantizedEventClock makes AfterProcessingTime boundaries deterministic") {
+    // Virtual clock = batch max event time floored to 10-min cells; delay
+    // = 2 cells. Window [0,10): its pane opens at clock 0, but the window
+    // seals (wm 11 at batch 3) before any batch reads clock ≥ 20 min with
+    // it unsealed → ON_TIME only. Window [20,30): pane opens at clock 20
+    // (batch ts 21); the batch at ts 45 reads clock 40 = 20 + 2 cells
+    // while [20,30) is still unsealed (wm 25) → exactly one EARLY pane
+    // with the accumulated total, then ON_TIME. No wall time anywhere.
+    val cell = 600000L
+    val panes = run("qclock",
+      TriggerSpec(early = AfterProcessingTimeDelay(2 * cell)), Accumulating,
+      Duration.ZERO, Seq(
+        Seq(("a", ts(1), 1.0), ("a", ts(5), 2.0)), // [0,10): paneFirst = 0
+        Seq(("a", ts(11), 0.5)),  // clock 10 < 0+20 → no fire
+        Seq(("a", ts(21), 4.0)),  // wm 11 seals [0,10) → ON_TIME; [20,30) opens @20
+        Seq(("a", ts(25), 8.0)),  // clock 20 < 20+20 → no fire
+        Seq(("a", ts(45), 0.25)), // clock 40 ≥ 20+20, [20,30) unsealed (wm 25) → EARLY
+        Seq(("a", ts(65), 0.0))   // seals [20,30) and [40,50)
+      ), clock = QuantizedEventClock(cell))
+    val w0 = panes.filter(_.windowStart == ts(0)).sortBy(_.paneIndex)
+    assert(w0.map(p => (p.value, p.timing)) == Seq((3.0, "ON_TIME")),
+      s"window [0,10) must seal before its virtual delay elapses: $w0")
+    val w20 = panes.filter(_.windowStart == ts(20)).sortBy(_.paneIndex)
+    assert(w20.map(p => (p.value, p.timing, p.paneIndex)) == Seq(
+      (12.0, "EARLY", 0L), (12.0, "ON_TIME", 1L)),
+      s"window [20,30) must fire EARLY exactly at the 2-cell boundary: $w20")
   }
 
   test("AfterFirst finishes after its first firing") {
