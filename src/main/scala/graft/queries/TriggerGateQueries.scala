@@ -173,8 +173,19 @@ object TriggerGateQueries {
         (if (holdOutLate) c.filter(!lateCond) else c).select(col("k"), col("ts"), col("v"))
       }
       val lateChunk =
-        if (holdOutLate) Seq(ev.filter(lateCond).select(col("k"), col("ts"), col("v")))
-        else Seq.empty
+        if (holdOutLate) {
+          val lc = ev.filter(lateCond).select(col("k"), col("ts"), col("v"))
+          // the held-out slice (cell c1's last fifth ∩ event_id%17=0) can
+          // silently be EMPTY at some fixture (unpopulated c1, dead
+          // intersection) — the gate and oracle would stay consistently
+          // green while the LATE-pane path went unexercised (ADVICE r12).
+          // One cheap action on the persisted frame pins it non-empty.
+          require(!lc.isEmpty,
+            s"late-holdout slice is empty at this fixture (cell c1=$c1 on " +
+              s"the ${cellUs / DayUs}-day grid): the LATE-pane path would " +
+              "go dead while the gate stayed green — fix the slice geometry")
+          Seq(lc)
+        } else Seq.empty
       // flush timestamps DERIVE from the data like the grid bounds (a
       // hard-coded date would sit below max event time on a larger-span
       // fixture and never advance the watermark): the first flush must
@@ -197,12 +208,15 @@ object TriggerGateQueries {
     } finally { ev.unpersist(); () }
   }
 
-  /** Run the pane engine over the feed as a real AvailableNow streaming
-    * query; return the flattened, flush-filtered pane table. Shared with
-    * [[SessionGateQueries]] — the session engine emits the same Pane. */
-  private[queries] def runPanes(s: SparkSession, feed: String,
-                       panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]])
-      : DataFrame = ReplayFeed.withGatePartitions(s) {
+  /** One AvailableNow run of the pane engine over `feed`, writing panes
+    * to `outDir` with state in `ckpt`. Each call builds a FRESH query
+    * object — a second call with the same `ckpt` is a genuine
+    * checkpoint restart (sources, offsets, and RocksDB state all
+    * restore from disk). */
+  private def runPaneQuery(s: SparkSession, feed: String, outDir: String,
+      ckpt: String,
+      panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]])
+      : Unit = {
     import s.implicits._
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "k STRING, ts TIMESTAMP, v BIGINT")
@@ -210,11 +224,14 @@ object TriggerGateQueries {
       .option("maxFilesPerTrigger", "1").parquet(feed)
       .select(col("k").as("_1"), col("ts").as("_2"), col("v").as("_3"))
       .as[(String, Timestamp, Long)]
-    val outDir = tmp("tg_out"); val ckpt = tmp("tg_ckpt")
     val q = panes(stream).writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+  }
+
+  /** The flattened, flush-filtered pane table at `outDir`. */
+  private def paneTable(s: SparkSession, outDir: String): DataFrame =
     s.read.parquet(outDir)
       .filter(col("key") =!= "__flush")
       .select(col("key").as("k"),
@@ -224,6 +241,73 @@ object TriggerGateQueries {
         col("isFirst").as("is_first"), col("isLast").as("is_last"),
         col("value._1").as("n"), col("value._2").as("sum_v"))
       .orderBy(col("k"), col("ws_us"), col("pane_index"))
+
+  /** Run the pane engine over the feed as a real AvailableNow streaming
+    * query; return the flattened, flush-filtered pane table. Shared with
+    * [[SessionGateQueries]] — the session engine emits the same Pane. */
+  private[queries] def runPanes(s: SparkSession, feed: String,
+                       panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]])
+      : DataFrame = ReplayFeed.withGatePartitions(s) {
+    val outDir = tmp("tg_out"); val ckpt = tmp("tg_ckpt")
+    runPaneQuery(s, feed, outDir, ckpt, panes)
+    paneTable(s, outDir)
+  }
+
+  /** [[runPanes]] interrupted by a REAL checkpoint restart (VERDICT r12
+    * task 1): the feed's second half is held OUT of the directory, a
+    * first query drains the visible half and terminates, the held files
+    * move back in (original names + modification times, so replay order
+    * is unchanged), and a brand-new query object resumes from the same
+    * checkpoint over the rest. Open-window accumulators, pane indices,
+    * fired flags, and the watermark must all survive the restart for the
+    * combined pane table to hash-match the uninterrupted oracle. */
+  private[queries] def runPanesWithRestart(s: SparkSession, feed: String,
+      panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]])
+      : DataFrame = ReplayFeed.withGatePartitions(s) {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val outDir = tmp("tr_out"); val ckpt = tmp("tr_ckpt")
+    val listing = Files.list(Paths.get(feed))
+    val all =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        .sortBy(_.getFileName.toString)
+      finally listing.close()
+    // mid-main split: both phases carry real work, and the open windows
+    // at the cut hold non-trivial accumulator + pane-index state
+    val split = all.size / 2
+    require(split >= 1 && split < all.size,
+      s"feed too small to split for the restart gate (${all.size} files)")
+    val stage = Paths.get(tmp("tr_stage"))
+    val held = all.drop(split)
+    held.foreach(f => Files.move(f, stage.resolve(f.getFileName)))
+    runPaneQuery(s, feed, outDir, ckpt, panes)
+    val phase1 = s.read.parquet(outDir).count()
+    require(phase1 > 0,
+      "restart gate: the first phase emitted no panes — the split point " +
+        "is degenerate and the gate would not prove a mid-state restart")
+    held.foreach(f => Files.move(stage.resolve(f.getFileName), f))
+    runPaneQuery(s, feed, outDir, ckpt, panes) // fresh query, same checkpoint
+    val total = s.read.parquet(outDir).count()
+    require(total > phase1,
+      "restart gate: the resumed query emitted nothing — the restart did " +
+        "not continue the feed")
+    paneTable(s, outDir)
+  }
+
+  /** The q_trigger_panes engine configuration — shared verbatim with
+    * q_trigger_restart so both run against the same oracle: early AND
+    * late AfterCount(1) firings, ACCUMULATING panes, 2.4-cell lateness
+    * through the Window.into builder. */
+  private def panesEngine(s: SparkSession, g: GateSetup)
+      : Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]] = {
+    import s.implicits._
+    (in: Dataset[(String, Timestamp, Long)]) =>
+      WindowInto.fixedWindows(java.time.Duration.ofMillis(2 * g.cellUs / 1000))
+        .triggering(early = AfterCount(1), late = AfterCount(1))
+        .withAllowedLateness(java.time.Duration.ofMillis(g.cellUs * 12 / 5 / 1000))
+        .accumulatingFiredPanes()
+        .aggregate(in, NSumFn)
   }
 
   val defs: Map[String, Q] = Map(
@@ -239,14 +323,24 @@ object TriggerGateQueries {
     // sealed but within lateness) fires a LATE pane; beyond-lateness
     // state is GC'd with nothing further emitted.
     "q_trigger_panes" -> { (s, dir) =>
-      import s.implicits._
       val g = setupFeed(s, dir, holdOutLate = true)
-      runPanes(s, g.feed, (in: Dataset[(String, Timestamp, Long)]) =>
-        WindowInto.fixedWindows(java.time.Duration.ofMillis(2 * g.cellUs / 1000))
-          .triggering(early = AfterCount(1), late = AfterCount(1))
-          .withAllowedLateness(java.time.Duration.ofMillis(g.cellUs * 12 / 5 / 1000))
-          .accumulatingFiredPanes()
-          .aggregate(in, NSumFn))
+      runPanes(s, g.feed, panesEngine(s, g))
+    },
+
+    // VERDICT r12 task 1 — checkpoint-restart recovery for the trigger
+    // engine, the production gap every streaming user hits first
+    // (upstream analogue: Windmill state durability, SURVEY §3.3). The
+    // IDENTICAL engine and feed as q_trigger_panes, but the query is
+    // STOPPED mid-feed (after draining the feed's first half) and a new
+    // query resumes from the checkpoint over the rest: the combined pane
+    // table must equal q_trigger_panes' oracle VERBATIM — accumulating
+    // window state, per-window pane numbering, trigger finished-flags,
+    // and the watermark all have to survive the RocksDB/offset-log
+    // round-trip, or the EARLY totals, pane indices, and LATE/GC
+    // behavior visibly diverge from the oracle.
+    "q_trigger_restart" -> { (s, dir) =>
+      val g = setupFeed(s, dir, holdOutLate = true)
+      runPanesWithRestart(s, g.feed, panesEngine(s, g))
     },
 
     // §2.4 row 41 (trigger algebra) + DISCARDING panes + the empty
@@ -310,6 +404,35 @@ object TriggerGateQueries {
         TriggerEngine.windowedAggregate(
           in, java.time.Duration.ofMillis(2 * g.cellUs / 1000), java.time.Duration.ZERO,
           TriggerSpec.never, Accumulating, NSumFn))
+    },
+
+    // §2.4 row 41's LAST ungated firing (VERDICT r12 task 2):
+    // AfterProcessingTime pane BOUNDARIES, made deterministic by the
+    // injectable engine clock. The trigger is AfterProcessingTimeDelay(2
+    // cells) under QuantizedEventClock(1 cell): "now" reads as the key's
+    // batch cell index, so a window's pending pane fires at the key's
+    // first batch ≥ 2 cells after the pane opened — IF the window is
+    // still unsealed there (zero lateness: the watermark of any batch
+    // past cell 2w+1 seals window w). Both the fire position and the
+    // seal race are pure functions of per-(key, cell) presence, which
+    // the oracle replays: window w fires one EARLY pane iff the key is
+    // populated at g1 = the first GLOBAL populated cell ≥ 2w+2 (any
+    // later key-batch finds the window already sealed — input precedes
+    // timers, and the sweep checks seal with the same watermark) and
+    // g1 is ≥ 2 cells past the pane's opening cell (2w if the first
+    // half is populated, else 2w+1). q_wallclock_panes remains the
+    // real-clock conservation check for the SAME condition under
+    // SystemEngineClock.
+    "q_wallclock_boundaries" -> { (s, dir) =>
+      import s.implicits._
+      val g = setupFeed(s, dir, holdOutLate = false)
+      val cellMs = g.cellUs / 1000
+      runPanes(s, g.feed, (in: Dataset[(String, Timestamp, Long)]) =>
+        TriggerEngine.windowedAggregate(
+          in, java.time.Duration.ofMillis(2 * cellMs), java.time.Duration.ZERO,
+          TriggerSpec(early = AfterProcessingTimeDelay(2 * cellMs)),
+          Accumulating, NSumFn,
+          clock = QuantizedEventClock(cellMs)))
     },
 
     // §2.4 SlidingWindows × the trigger algebra (multi-window
@@ -396,24 +519,29 @@ object TriggerGateQueries {
          CAST(n AS BIGINT) AS n, CAST(sum_v AS BIGINT) AS sum_v
        FROM panes ORDER BY k, ws_us, pane_index"""
 
+  /** accumulating: EARLY panes carry the running total; ON_TIME repeats
+    * the sealed total (late rows arrive after it); LATE adds them.
+    * Shared by q_trigger_panes AND q_trigger_restart — the restart gate's
+    * whole claim is that a mid-feed checkpoint restart changes nothing. */
+  private val panesOracle: String = paneSelect(holdOutLate = true, body =
+    """SELECT k, w, 0 AS idx, 'EARLY' AS timing, n1 AS n, s1 AS sum_v,
+         FALSE AS is_last FROM agg WHERE n1 > 0
+       UNION ALL
+       SELECT k, w, CASE WHEN n1 > 0 THEN 1 ELSE 0 END, 'EARLY',
+         n1 + n2, s1 + s2, FALSE FROM agg WHERE n2 > 0
+       UNION ALL
+       SELECT k, w,
+         (CASE WHEN n1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END),
+         'ON_TIME', n1 + n2, s1 + s2, FALSE FROM agg
+       UNION ALL
+       SELECT k, w,
+         (CASE WHEN n1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END) + 1,
+         'LATE', n1 + n2 + nl, s1 + s2 + sl, FALSE FROM agg WHERE nl > 0""")
+
   val oracles: Map[String, String] = Map(
 
-    // accumulating: EARLY panes carry the running total; ON_TIME repeats
-    // the sealed total (late rows arrive after it); LATE adds them.
-    "q_trigger_panes" -> paneSelect(holdOutLate = true, body =
-      """SELECT k, w, 0 AS idx, 'EARLY' AS timing, n1 AS n, s1 AS sum_v,
-           FALSE AS is_last FROM agg WHERE n1 > 0
-         UNION ALL
-         SELECT k, w, CASE WHEN n1 > 0 THEN 1 ELSE 0 END, 'EARLY',
-           n1 + n2, s1 + s2, FALSE FROM agg WHERE n2 > 0
-         UNION ALL
-         SELECT k, w,
-           (CASE WHEN n1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END),
-           'ON_TIME', n1 + n2, s1 + s2, FALSE FROM agg
-         UNION ALL
-         SELECT k, w,
-           (CASE WHEN n1 > 0 THEN 1 ELSE 0 END) + (CASE WHEN n2 > 0 THEN 1 ELSE 0 END) + 1,
-           'LATE', n1 + n2 + nl, s1 + s2 + sl, FALSE FROM agg WHERE nl > 0"""),
+    "q_trigger_panes" -> panesOracle,
+    "q_trigger_restart" -> panesOracle,
 
     // discarding + AfterEach(e, e), e = the data-derived 45%-of-median
     // threshold (th.e): first sub fires in the first half-batch iff
@@ -467,6 +595,41 @@ object TriggerGateQueries {
     "q_trigger_never" -> paneSelect(
       """SELECT k, w, 0 AS idx, 'FINAL' AS timing, n1 + n2 AS n,
            s1 + s2 AS sum_v, TRUE AS is_last FROM agg"""),
+
+    // AfterProcessingTime boundaries under the quantized virtual clock:
+    // window w fires one EARLY pane (accumulating, so the full total —
+    // both halves arrived before any cell ≥ 2w+2) iff the key is
+    // populated at the first GLOBAL populated cell g1 ≥ 2w+2 and g1 is
+    // ≥ 2 cells past the pane's opening cell; ON_TIME repeats the total.
+    "q_wallclock_boundaries" ->
+      s"""${aggCte(holdOutLate = false)},
+         gc AS (SELECT DISTINCT cell FROM hc),
+         g1 AS (
+           SELECT a.k, a.w, min(gc.cell) AS g1
+           FROM agg a LEFT JOIN gc ON gc.cell >= 2 * a.w + 2
+           GROUP BY a.k, a.w),
+         fired AS (
+           SELECT a.k, a.w,
+             g.g1 IS NOT NULL
+               AND EXISTS (SELECT 1 FROM hc
+                           WHERE hc.k = a.k AND hc.cell = g.g1)
+               AND g.g1 >= (CASE WHEN a.n1 > 0 THEN 2 * a.w
+                                 ELSE 2 * a.w + 1 END) + 2 AS f
+           FROM agg a JOIN g1 g ON a.k = g.k AND a.w = g.w),
+         panes AS (
+           SELECT a.k, a.w, 0 AS idx, 'EARLY' AS timing,
+             a.n1 + a.n2 AS n, a.s1 + a.s2 AS sum_v, FALSE AS is_last
+           FROM agg a JOIN fired f ON a.k = f.k AND a.w = f.w WHERE f.f
+           UNION ALL
+           SELECT a.k, a.w, CASE WHEN f.f THEN 1 ELSE 0 END, 'ON_TIME',
+             a.n1 + a.n2, a.s1 + a.s2, TRUE
+           FROM agg a JOIN fired f ON a.k = f.k AND a.w = f.w)
+         SELECT k, CAST(w * 2 * (SELECT cu FROM grid) AS BIGINT) AS ws_us,
+           CAST((w + 1) * 2 * (SELECT cu FROM grid) AS BIGINT) AS we_us, timing,
+           CAST(idx AS BIGINT) AS pane_index,
+           idx = 0 AS is_first, is_last,
+           CAST(n AS BIGINT) AS n, CAST(sum_v AS BIGINT) AS sum_v
+         FROM panes ORDER BY k, ws_us, pane_index""",
 
     // sliding (size 2 cells, slide 1): window w = cells {w, w+1}; an
     // EARLY pane per populated cell (running totals), ON_TIME total.
