@@ -90,6 +90,85 @@ object SessionGateQueries {
     feed
   }
 
+  /** Feed for the LATE-firings gate (VERDICT r12 task 5): the full main
+    * replay plus a held-out LATE file of DUPLICATE rows — copies of
+    * every event_id%7=0 row of islands that SEAL strictly before the
+    * late file's position — replayed after `a = max(2, 3m/5)` of the m
+    * populated cells with allowedLateness spanning the whole feed.
+    *
+    * Why duplicates: a copy's interval is identical to its original's,
+    * so it merges into the SAME island without extending bounds or
+    * bridging islands — the final session table stays global
+    * gaps-and-islands over the events table, and the late rows' only
+    * observable effect is the LATE pane arithmetic (+nd, +sd), which the
+    * oracle replays exactly. Why sealed-strictly-before islands only
+    * (se ≤ max ms of cells 0..a−2, the watermark at the last pre-late
+    * batch's TIMER phase — input precedes timers, so an island sealing
+    * IN the late batch would absorb its dups into the ON_TIME pane):
+    * every dup is guaranteed to hit a FIRED session, firing a LATE pane
+    * that re-opens the accumulator — the one merging-window case
+    * q_session_engine_early does not cover. Fails fast when no sealed
+    * island carries a %7 row (the ADVICE r12 dead-branch rule). */
+  private def buildLateSessionFeed(s: SparkSession, dir: String): (String, Long) = {
+    import ReplayFeed.{tmp, writeOrderedFeed}
+    import org.apache.spark.sql.expressions.Window
+    val feed = tmp("sesslate_feed")
+    val ev = Tables(s, dir).events.select(
+        col("event_type").as("k"), col("ts"),
+        col("user_id").cast("long").as("v"), col("event_id"))
+      .withColumn("ms", (unix_micros(col("ts")) / 1000).cast("long"))
+      // the same dynamic-gap interval as DynGapAssigner / the oracle
+      .withColumn("iend", col("ms") +
+        (lit(15L) + length(col("k")) + pmod(col("v"), lit(10L))) * 60000L)
+    ev.persist() // bounds + cells + islands + one filter per cell
+    try {
+      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      val (loUs, hiUs) = (b.getLong(0), b.getLong(1))
+      val cellUs = ReplayFeed.adaptiveCellUs(ev, "ts", 8)
+      val cell = (unix_micros(col("ts")) / cellUs).cast("long")
+      val cells = ev.select(cell.as("c")).distinct().orderBy(col("c"))
+        .collect().map(_.getLong(0))
+      val m = cells.length
+      require(m >= 3, s"events span too short for the late-session gate ($m cells)")
+      val a = math.max(2, 3 * m / 5)
+      val wprevMs = ev.filter(cell <= cells(a - 2))
+        .agg(max(col("ms"))).head().getLong(0)
+      // gaps-and-islands (the oracle's islandsCte, in Spark): sealed
+      // islands are those whose end the pre-late watermark passed
+      val w = Window.partitionBy(col("k")).orderBy(col("ms"), col("v"))
+      val isl = ev
+        .withColumn("prev_end", max(col("iend"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("sid", sum(when(col("prev_end").isNull ||
+            col("ms") >= col("prev_end"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sealedIslands = isl.groupBy(col("k"), col("sid"))
+        .agg(max(col("iend")).as("se"))
+        .filter(col("se") <= wprevMs)
+        .select(col("k").as("k2"), col("sid").as("sid2"))
+      val dups = isl
+        .join(sealedIslands, col("k") === col("k2") && col("sid") === col("sid2"))
+        .filter(pmod(col("event_id"), lit(7)) === 0)
+        .select(col("k"), col("ts"), col("v"))
+      require(!dups.isEmpty,
+        "late-session gate: no sealed island carries an event_id%7=0 row " +
+          "— the LATE-pane path would go dead while the gate stayed green")
+      val mains = cells.toSeq.map(i =>
+        ev.filter(cell === i).select(col("k"), col("ts"), col("v")))
+      // lateness spans the whole feed: Spark's watermark filter then
+      // passes every dup at the late batch, and fired sessions are
+      // retained (GC at end + lateness lands only in the flush batches)
+      val latenessUs = (hiUs - loUs) + DayUs
+      def flush(us: Long) = s.range(1).select(
+        lit("__flush").as("k"), timestamp_micros(lit(us)).as("ts"), lit(0L).as("v"))
+      val ordered = mains.take(a) ++ Seq(dups) ++ mains.drop(a) ++
+        Seq(flush(hiUs + latenessUs + DayUs), flush(hiUs + latenessUs + 2 * DayUs))
+      writeOrderedFeed(ordered.filterNot(_.isEmpty), feed)
+      (feed, latenessUs / 1000)
+    } finally { ev.unpersist(); () }
+  }
+
   val defs: Map[String, Q] = Map(
 
     // §2.4 row 40 under the driver gate: the merging-window engine with a
@@ -120,6 +199,25 @@ object SessionGateQueries {
             in, DynGapAssigner(), java.time.Duration.ZERO,
             earlyPerBatch = true, Accumulating, TriggerGateQueries.NSumFn))
     },
+
+    // VERDICT r12 task 5: merging windows × LATE firings — held-out
+    // duplicate rows arrive AFTER their merged session sealed (ON_TIME
+    // fired) but within allowed lateness, merge back into the retained
+    // session state, and fire a LATE pane with the extended accumulator.
+    // ON_TIME panes carry the main totals at idx 0; each dup-receiving
+    // session adds a LATE pane at idx 1 with the +dup totals; no pane is
+    // last (the GC moment emits nothing when every late row already
+    // fired). See [[buildLateSessionFeed]] for the determinism device.
+    "q_session_engine_late" -> { (s, dir) =>
+      import s.implicits._
+      val (feed, latenessMs) = buildLateSessionFeed(s, dir)
+      TriggerGateQueries.runPanes(s, feed,
+        (in: Dataset[(String, Timestamp, Long)]) =>
+          SessionEngine.sessionAggregateWith(
+            in, DynGapAssigner(), java.time.Duration.ofMillis(latenessMs),
+            earlyPerBatch = false, Accumulating, TriggerGateQueries.NSumFn,
+            latePerBatch = true))
+    },
   )
 
   /** Gaps-and-islands prelude shared by both oracles: per-row dynamic
@@ -131,17 +229,17 @@ object SessionGateQueries {
   private val islandsCte =
     """WITH ev AS (
          SELECT event_type AS k, epoch_us(ts) // 1000 AS ms, user_id AS v,
-           epoch_us(ts) AS us,
+           epoch_us(ts) AS us, event_id,
            epoch_us(ts) // 1000
              + (15 + length(event_type) + (user_id % 10)) * 60000 AS iend
          FROM events),
        w AS (
-         SELECT k, ms, v, us, iend,
+         SELECT k, ms, v, us, event_id, iend,
            max(iend) OVER (PARTITION BY k ORDER BY ms, v
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
          FROM ev),
        isl AS (
-         SELECT k, ms, v, us, iend,
+         SELECT k, ms, v, us, event_id, iend,
            SUM(CASE WHEN prev_end IS NULL OR ms >= prev_end THEN 1 ELSE 0 END)
              OVER (PARTITION BY k ORDER BY ms, v
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
@@ -205,5 +303,54 @@ object SessionGateQueries {
            CAST(p.n AS BIGINT) AS n, CAST(p.sum_v AS BIGINT) AS sum_v
          FROM panes p JOIN sess s ON p.k = s.k AND p.sid = s.sid
          ORDER BY p.k, ws_us, pane_index""",
+
+    // LATE firings: the feed builder's arithmetic replayed — populated
+    // cells on the adaptive grid, the late position a = max(2, 3m/5),
+    // the pre-late TIMER watermark wprev = max ms of cells 0..a−2,
+    // sealed islands (se ≤ wprev), and their event_id%7=0 rows as the
+    // duplicate late slice. Every island fires ON_TIME with its main
+    // totals at idx 0; every dup-receiving island adds a LATE pane at
+    // idx 1 carrying main + dup totals. Bounds are unchanged by the
+    // dups (identical intervals), and no pane is last.
+    "q_session_engine_late" ->
+      s"""$islandsCte,
+         bounds AS (
+           SELECT ((max(us) // $DayUs) - (min(us) // $DayUs) + 8) // 8
+             * $DayUs AS cell_us
+           FROM ev),
+         cells AS (
+           SELECT DISTINCT us // (SELECT cell_us FROM bounds) AS cell FROM ev),
+         rk AS (
+           SELECT cell, row_number() OVER (ORDER BY cell) AS rn,
+             count(*) OVER () AS m
+           FROM cells),
+         cut AS (
+           SELECT cell AS cutoff FROM rk
+           WHERE rn = greatest(2, 3 * m // 5) - 1),
+         wprev AS (
+           SELECT max(ms) AS wp FROM ev
+           WHERE us // (SELECT cell_us FROM bounds) <= (SELECT cutoff FROM cut)),
+         sealed AS (
+           SELECT s.k, s.sid FROM sess s
+           WHERE s.se <= (SELECT wp FROM wprev)),
+         dups AS (
+           SELECT i.k, i.sid, count(*) AS nd, sum(i.v) AS sd
+           FROM isl i JOIN sealed x ON i.k = x.k AND i.sid = x.sid
+           WHERE i.event_id % 7 = 0
+           GROUP BY i.k, i.sid),
+         panes AS (
+           SELECT s.k, s.sid, 'ON_TIME' AS timing, 0 AS idx,
+             TRUE AS is_first, s.n, s.sum_v, s.ss, s.se
+           FROM sess s
+           UNION ALL
+           SELECT s.k, s.sid, 'LATE', 1, FALSE,
+             s.n + d.nd, s.sum_v + d.sd, s.ss, s.se
+           FROM sess s JOIN dups d ON s.k = d.k AND s.sid = d.sid)
+         SELECT k, CAST(ss * 1000 AS BIGINT) AS ws_us,
+           CAST(se * 1000 AS BIGINT) AS we_us,
+           timing, CAST(idx AS BIGINT) AS pane_index,
+           is_first, FALSE AS is_last,
+           CAST(n AS BIGINT) AS n, CAST(sum_v AS BIGINT) AS sum_v
+         FROM panes ORDER BY k, ws_us, pane_index""",
   )
 }

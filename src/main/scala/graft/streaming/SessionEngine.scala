@@ -24,9 +24,13 @@ import graft.streaming.TriggerEngine.{AccumulationMode, Accumulating, Discarding
   * Clock translation is the same trick as [[TriggerEngine]]: the stream's
   * watermark delay is set to `allowedLateness`, so Spark's upstream filter
   * implements the late-data drop and the true event-time watermark is
-  * sparkWatermark + lateness. A session fires ON_TIME (and is GC'd —
-  * sessions here have no late-firing panes) once the true watermark passes
-  * its end.
+  * sparkWatermark + lateness. A session fires ON_TIME once the true
+  * watermark passes its end; with `allowedLateness > 0` the fired session
+  * is RETAINED until end + lateness, so late arrivals merge into it
+  * (extending the accumulator, per the merging contract) and fire LATE
+  * panes (`latePerBatch`) — the merging-windows × late-firings
+  * interaction, the companion of §7 hard part 4's early-firings half —
+  * with state GC'd only at end + lateness.
   */
 object SessionEngine {
 
@@ -48,18 +52,26 @@ object SessionEngine {
     def assign(key: K, tsMs: Long, value: V): (Long, Long) = (tsMs, tsMs + gapMs)
   }
 
-  /** One open session: [start, end) with end = last event ts + gap. */
+  /** One open session: [start, end) with end = last event ts + gap.
+    * `fired` marks a session whose ON_TIME pane has been emitted but
+    * whose state is retained for `allowedLateness` (late-firing mode) —
+    * late arrivals merge into it and fire LATE panes instead of
+    * resurrecting a fresh partial session. Kryo-encoded: adding the
+    * field requires a fresh streaming checkpoint (the standard contract
+    * for kryo state; every gate runs on one). */
   final case class SessionState[Acc](
       start: Long, end: Long,
       acc: Acc, paneAcc: Acc,
-      sinceLastPane: Long, paneIndex: Long)
+      sinceLastPane: Long, paneIndex: Long,
+      fired: Boolean = false)
 
   final class SessionProcessor[K, V, Acc, Out](
       assigner: MergingWindowAssigner[K, V],
       allowedLatenessMs: Long,
       earlyPerBatch: Boolean,
       mode: AccumulationMode,
-      combine: CombineFn[V, Acc, Out])
+      combine: CombineFn[V, Acc, Out],
+      latePerBatch: Boolean = false)
       extends StatefulProcessor[K, (K, Timestamp, V), Pane[K, Out]] {
 
     @transient private var sessions: ListState[SessionState[Acc]] = _
@@ -95,30 +107,47 @@ object SessionEngine {
       SessionEngine.absorbInterval(open, evStart, evEnd, v, combine)
     }
 
+    /** Next timer: an unfired session needs its ON_TIME moment (Spark
+      * clock = end − lateness, i.e. trueWm reaching end); a fired one
+      * its GC moment (Spark clock = end, i.e. trueWm reaching
+      * end + lateness). */
     private def registerNextTimer(open: Seq[SessionState[Acc]]): Unit =
       if (open.nonEmpty) {
-        val next = open.map(_.end).min - allowedLatenessMs
+        val next = open.map(s =>
+          if (s.fired) s.end else s.end - allowedLatenessMs).min
         getHandle.registerTimer(math.max(next, 1L))
       }
 
     override def handleInputRows(key: K, rows: Iterator[(K, Timestamp, V)],
                                  timers: TimerValues): Iterator[Pane[K, Out]] = {
       var open = sessions.get().toList
-      // Every surviving row is absorbed. Caveat (documented): sessions are
-      // GC'd at their on-time firing, so with allowedLateness > gap a row
-      // can arrive after its session fired and re-open it — it will emit a
-      // second (partial) pane at the next close. Distinguishing that row
-      // from one whose session never fired is impossible post-GC (the
-      // watermark visible here is the current batch's eviction watermark,
-      // which may already cover rows arriving in the same batch as their
-      // on-time firing); dropping on the visible watermark loses those
-      // legitimate same-batch rows, which is worse.
+      // Every surviving row is absorbed. Fired sessions are retained for
+      // `allowedLateness` (not GC'd at their on-time firing), so a late
+      // row within lateness merges into its ORIGINAL session — extending
+      // the accumulator for a LATE pane — rather than resurrecting a
+      // fresh partial session. Beyond lateness the session is GC'd, but
+      // then every row it could absorb (ts < end ≤ sparkWm) is already
+      // dropped by Spark's upstream watermark filter: post-GC
+      // resurrection is structurally impossible.
       rows.foreach { case (_, ts, v) => open = absorb(key, open, ts.getTime, v) }
       val out = scala.collection.mutable.ArrayBuffer.empty[Pane[K, Out]]
       if (earlyPerBatch) {
         open = open.map { s =>
-          if (s.sinceLastPane > 0 && s.end > trueWm(timers.getCurrentWatermarkInMs())) {
+          if (!s.fired && s.sinceLastPane > 0 &&
+              s.end > trueWm(timers.getCurrentWatermarkInMs())) {
             out += emit(key, s, "EARLY", isLast = false)
+            s.copy(paneAcc = combine.createAccumulator(), sinceLastPane = 0L,
+              paneIndex = s.paneIndex + 1)
+          } else s
+        }
+      }
+      if (latePerBatch) {
+        // a batch that fed an already-fired session fires its LATE pane
+        // immediately (AfterWatermark.withLateFirings(PerBatch) — the
+        // micro-batch rendering of Beam's per-late-arrival firing)
+        open = open.map { s =>
+          if (s.fired && s.sinceLastPane > 0) {
+            out += emit(key, s, "LATE", isLast = false)
             s.copy(paneAcc = combine.createAccumulator(), sinceLastPane = 0L,
               paneIndex = s.paneIndex + 1)
           } else s
@@ -134,11 +163,27 @@ object SessionEngine {
                                     expired: ExpiredTimerInfo): Iterator[Pane[K, Out]] = {
       val wm = trueWm(timers.getCurrentWatermarkInMs())
       val open = sessions.get().toList
-      val (closed, stillOpen) = open.partition(_.end <= wm)
-      val out = closed.sortBy(_.start).map(s => emit(key, s, "ON_TIME", isLast = true))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Pane[K, Out]]
+      val kept = scala.collection.mutable.ArrayBuffer.empty[SessionState[Acc]]
+      open.sortBy(_.start).foreach { s =>
+        if (!s.fired && s.end <= wm) {
+          // ON_TIME; with zero lateness this is also the GC moment (the
+          // pre-late-mode contract: single final pane, state dropped)
+          out += emit(key, s, "ON_TIME", isLast = allowedLatenessMs == 0)
+          if (allowedLatenessMs > 0)
+            kept += s.copy(fired = true,
+              paneAcc = combine.createAccumulator(), sinceLastPane = 0L,
+              paneIndex = s.paneIndex + 1)
+        } else if (s.fired && s.end + allowedLatenessMs <= wm) {
+          // GC: residual late rows not yet fired (latePerBatch = false)
+          // surface as one FINAL pane; with latePerBatch there is never a
+          // residual (input precedes timers within a batch)
+          if (s.sinceLastPane > 0) out += emit(key, s, "FINAL", isLast = true)
+        } else kept += s
+      }
       sessions.clear()
-      if (stillOpen.nonEmpty) sessions.put(stillOpen.toArray)
-      registerNextTimer(stillOpen)
+      if (kept.nonEmpty) sessions.put(kept.toArray)
+      registerNextTimer(kept.toSeq)
       out.iterator
     }
   }
@@ -163,7 +208,10 @@ object SessionEngine {
         combine.mergeAccumulators(m.acc, s.acc),
         combine.mergeAccumulators(m.paneAcc, s.paneAcc),
         m.sinceLastPane + s.sinceLastPane,
-        math.max(m.paneIndex, s.paneIndex))
+        math.max(m.paneIndex, s.paneIndex),
+        // any fired constituent makes the merged session fired: its
+        // on-time moment has passed, so subsequent panes are LATE
+        fired = m.fired || s.fired)
     }
     merged.copy(
       acc = combine.addInput(merged.acc, v),
@@ -193,10 +241,12 @@ object SessionEngine {
       allowedLateness: java.time.Duration,
       earlyPerBatch: Boolean,
       mode: AccumulationMode,
-      combine: CombineFn[V, Acc, Out])(
+      combine: CombineFn[V, Acc, Out],
+      latePerBatch: Boolean = false)(
       implicit ek: Encoder[K], ep: Encoder[Pane[K, Out]]): Dataset[Pane[K, Out]] = {
     val proc = new SessionProcessor[K, V, Acc, Out](
-      assigner, allowedLateness.toMillis, earlyPerBatch, mode, combine)
+      assigner, allowedLateness.toMillis, earlyPerBatch, mode, combine,
+      latePerBatch = latePerBatch)
     input.withWatermark("_2", s"${allowedLateness.toMillis} milliseconds")
       .groupByKey(_._1)
       .transformWithState(proc, TimeMode.EventTime(), OutputMode.Append())

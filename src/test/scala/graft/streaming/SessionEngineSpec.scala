@@ -28,11 +28,14 @@ class SessionEngineSpec extends SparkSpec {
                   latenessMin: Int,
                   earlyPerBatch: Boolean,
                   mode: AccumulationMode,
-                  batches: Seq[Seq[(String, Timestamp, Double)]]): Seq[Pane[String, Double]] = {
+                  batches: Seq[Seq[(String, Timestamp, Double)]],
+                  latePerBatch: Boolean = false): Seq[Pane[String, Double]] = {
     val input = MemoryStream[(String, Timestamp, Double)](name.hashCode.abs, spark, None)
-    val panes = SessionEngine.sessionAggregate(
-      input.toDS(), Duration.ofMinutes(gapMin), Duration.ofMinutes(latenessMin),
-      earlyPerBatch, mode, SumFn)
+    val panes = SessionEngine.sessionAggregateWith(
+      input.toDS(),
+      SessionEngine.FixedGapSessions[String, Double](gapMin * 60000L),
+      Duration.ofMinutes(latenessMin),
+      earlyPerBatch, mode, SumFn, latePerBatch = latePerBatch)
     val dir = java.nio.file.Files.createTempDirectory(s"graft-se-$name").toString
     val q = panes.writeStream.format("memory").queryName(name)
       .outputMode("append").option("checkpointLocation", dir).start()
@@ -132,6 +135,33 @@ class SessionEngineSpec extends SparkSpec {
     // 30-min gap: the same spacing merges into one [30, 80) session
     assert(long.map(p => (p.windowStart, p.windowEnd, p.value)) == Seq(
       (ts(30), ts(80), 30.0)))
+  }
+
+  test("late arrivals merge into the FIRED session and fire LATE panes") {
+    // lateness 1000 min spans the whole timeline, so Spark's upstream
+    // filter passes the late row and the fired session is retained. The
+    // late row [610, 620) overlaps the sealed [600, 615): it must merge
+    // back in — EXTENDING the end and the accumulator — and fire a LATE
+    // pane, not resurrect a fresh partial session (the pre-r13 behavior).
+    val panes = run("selate", gapMin = 10, latenessMin = 1000,
+      earlyPerBatch = false, Accumulating, Seq(
+        Seq(("a", ts(600), 1.0), ("a", ts(605), 2.0)), // session [600, 615)
+        Seq(("a", ts(1200), 4.0)),  // trueWm 605 — not sealed yet
+        Seq(("a", ts(1300), 8.0)),  // trueWm 1200 ≥ 615 → ON_TIME fires
+        Seq(("a", ts(610), 16.0)),  // LATE row into the fired session
+        Seq(("a", ts(3000), 0.5)),  // seals [1200, 1210)
+        Seq(("a", ts(3100), 0.25))  // seals [1300, 1310); GCs [600, 620)
+      ), latePerBatch = true)
+    val s600 = panes.filter(_.windowStart == ts(600)).sortBy(_.paneIndex)
+    assert(s600.map(p => (p.timing, p.windowEnd, p.value, p.paneIndex, p.isLast)) ==
+      Seq(("ON_TIME", ts(615), 3.0, 0L, false),
+        ("LATE", ts(620), 19.0, 1L, false)),
+      s"late merge must extend the fired session and fire LATE: $s600")
+    // the fired-then-extended session emits no duplicate ON_TIME and no
+    // resurrected partial pane; the untouched sessions seal normally
+    assert(panes.count(p => p.windowStart == ts(600) && p.timing == "ON_TIME") == 1)
+    assert(panes.exists(p => p.windowStart == ts(1200) && p.timing == "ON_TIME"
+      && p.value == 4.0))
   }
 
   test("discarding mode emits per-pane increments across merges") {
