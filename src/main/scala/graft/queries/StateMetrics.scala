@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** State-store observability for the custom-engine replay gates
+  * (VERDICT r12 task 7): the 100 TB claim for the trigger/session
+  * engines is "state ∝ keys × open windows, never ∝ rows seen", which
+  * was argued from the GC design but never measured. Every gate that
+  * runs through [[TriggerGateQueries.runPanes]] records the peak
+  * RocksDB row count and memory across its micro-batches here (from
+  * StreamingQueryProgress.stateOperators); `graft.StateAudit` sweeps
+  * the gate family at a fixture scale and renders STATE.md, and
+  * q_trigger_panes asserts a keys-proportional budget inline so a
+  * state leak fails the correctness gate, not just the audit. */
+object StateMetrics {
+
+  /** Peak state footprint of one streaming-gate run. */
+  final case class Peak(label: String, batches: Int, peakRows: Long,
+                        peakMemBytes: Long)
+
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Peak]
+  @volatile private var label: String = ""
+  @volatile private var last: Option[Peak] = None
+
+  /** Label subsequent recordings (set per query by the audit main). */
+  def setLabel(l: String): Unit = label = l
+
+  /** Record a terminated query's peak state metrics. */
+  def record(q: StreamingQuery): Option[Peak] = {
+    val ops = q.recentProgress.toSeq.flatMap(_.stateOperators)
+    val peak =
+      if (ops.isEmpty) None
+      else Some(Peak(label, q.recentProgress.length,
+        ops.map(_.numRowsTotal).max, ops.map(_.memoryUsedBytes).max))
+    synchronized { peak.foreach(buf += _); last = peak }
+    peak
+  }
+
+  /** The most recent recording — the inline budget assertion's handle. */
+  def lastPeak: Option[Peak] = last
+
+  /** All recordings so far, clearing the buffer. */
+  def drain(): Seq[Peak] = synchronized { val r = buf.toList; buf.clear(); r }
+}

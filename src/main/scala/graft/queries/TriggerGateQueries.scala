@@ -66,7 +66,8 @@ object TriggerGateQueries {
     * adaptive cell size, the half-cell count stats (lower median, p80),
     * and the ordered feed directory. */
   private[queries] final case class GateSetup(feed: String, cellUs: Long,
-                                              med: Long, p80: Long)
+                                              med: Long, p80: Long,
+                                              nKeys: Int)
 
   /** Count + exact integer sum — the pane value CombineFn. Both fields
     * are order-invariant, so pane values cannot depend on row order
@@ -135,11 +136,12 @@ object TriggerGateQueries {
       // per-(key, cell) counts: the threshold stats AND the populated-
       // cell list come from this one bounded frame
       val kc = ev.groupBy(col("k"), half.as("cell")).count()
-        .collect().map(r => (r.getLong(1), r.getLong(2)))
-      val counts = kc.map(_._2).sorted
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val nKeys = kc.map(_._1).distinct.length
+      val counts = kc.map(_._3).sorted
       val m = counts.length
       val (med, p80) = (counts((m - 1) / 2), counts((4 * m + 4) / 5 - 1))
-      val cells = kc.map(_._1).distinct.sorted
+      val cells = kc.map(_._2).distinct.sorted
       val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
       // the first window's second cell; its last fifth is the late slice
       val c1 = (cells.head / 2) * 2 + 1
@@ -204,7 +206,7 @@ object TriggerGateQueries {
       val ordered = mains.take(lateAfter) ++ lateChunk ++ mains.drop(lateAfter) ++
         Seq(flush(lastWEnd + latenessUs + DayUs), flush(lastWEnd + latenessUs + 2 * DayUs))
       writeOrderedFeed(ordered.filterNot(_.isEmpty), feed)
-      GateSetup(feed, cellUs, med, p80)
+      GateSetup(feed, cellUs, med, p80, nKeys)
     } finally { ev.unpersist(); () }
   }
 
@@ -228,6 +230,8 @@ object TriggerGateQueries {
       .option("path", outDir).option("checkpointLocation", ckpt)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StateMetrics.record(q)
+    ()
   }
 
   /** The flattened, flush-filtered pane table at `outDir`. */
@@ -324,7 +328,24 @@ object TriggerGateQueries {
     // state is GC'd with nothing further emitted.
     "q_trigger_panes" -> { (s, dir) =>
       val g = setupFeed(s, dir, holdOutLate = true)
-      runPanes(s, g.feed, panesEngine(s, g))
+      val out = runPanes(s, g.feed, panesEngine(s, g))
+      // STATE BUDGET (VERDICT r12 task 7): peak state rows must be
+      // ∝ keys × live windows, NEVER ∝ rows seen. A window is live from
+      // its first row to end + lateness = 4.4 cells → ≤ 4 concurrent
+      // windows per key; each holds one map entry plus ≤ 2 registered
+      // timers (separate state rows), and __flush adds one key. The
+      // budget is scale-INVARIANT: the adaptive grid fixes the cell
+      // count, so sf0.01 and sf1 must both fit — an accumulator that
+      // grew with data volume (the 100 TB failure mode) blows through
+      // it immediately.
+      StateMetrics.lastPeak.foreach { p =>
+        val budget = (g.nKeys + 1L) * 4L * 3L
+        require(p.peakRows <= budget,
+          s"trigger-engine state budget exceeded: peak ${p.peakRows} state " +
+            s"rows > budget $budget (${g.nKeys}+1 keys × 4 live windows × " +
+            "3 rows) — state is growing with data, not with open windows")
+      }
+      out
     },
 
     // VERDICT r12 task 1 — checkpoint-restart recovery for the trigger
