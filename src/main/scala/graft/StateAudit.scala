@@ -26,7 +26,8 @@ object StateAudit {
     "q_trigger_panes", "q_trigger_algebra", "q_trigger_composite",
     "q_trigger_never", "q_trigger_sliding", "q_trigger_restart",
     "q_wallclock_boundaries",
-    "q_session_engine", "q_session_engine_early", "q_session_engine_late")
+    "q_session_engine", "q_session_engine_early", "q_session_engine_late",
+    "q_session_restart")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)

@@ -200,6 +200,24 @@ object SessionGateQueries {
             earlyPerBatch = true, Accumulating, TriggerGateQueries.NSumFn))
     },
 
+    // Checkpoint-restart durability for the MERGING engine (the
+    // q_trigger_restart device applied to ListState): the
+    // q_session_engine run is stopped after draining the feed's first
+    // half and a new query resumes from the checkpoint — every open
+    // session's interval bounds and merged accumulator must survive the
+    // kryo/RocksDB round-trip or the sealed session table diverges from
+    // the gaps-and-islands oracle (shared verbatim with
+    // q_session_engine).
+    "q_session_restart" -> { (s, dir) =>
+      import s.implicits._
+      val feed = buildSessionFeed(s, dir)
+      TriggerGateQueries.runPanesWithRestart(s, feed,
+        (in: Dataset[(String, Timestamp, Long)]) =>
+          SessionEngine.sessionAggregateWith(
+            in, DynGapAssigner(), java.time.Duration.ZERO,
+            earlyPerBatch = false, Accumulating, TriggerGateQueries.NSumFn))
+    },
+
     // VERDICT r12 task 5: merging windows × LATE firings — held-out
     // duplicate rows arrive AFTER their merged session sealed (ON_TIME
     // fired) but within allowed lateness, merge back into the retained
@@ -249,16 +267,22 @@ object SessionGateQueries {
            count(*) AS n, sum(v) AS sum_v
          FROM isl GROUP BY k, sid)"""
 
+  /** One ON_TIME pane per merged session — shared by q_session_engine
+    * and q_session_restart (the restart gate's claim is that a mid-feed
+    * checkpoint restart changes nothing). */
+  private val sessionOracle: String =
+    s"""$islandsCte
+       SELECT k, CAST(ss * 1000 AS BIGINT) AS ws_us,
+         CAST(se * 1000 AS BIGINT) AS we_us,
+         'ON_TIME' AS timing, CAST(0 AS BIGINT) AS pane_index,
+         TRUE AS is_first, TRUE AS is_last,
+         CAST(n AS BIGINT) AS n, CAST(sum_v AS BIGINT) AS sum_v
+       FROM sess ORDER BY k, ws_us, pane_index"""
+
   val oracles: Map[String, String] = Map(
 
-    "q_session_engine" ->
-      s"""$islandsCte
-         SELECT k, CAST(ss * 1000 AS BIGINT) AS ws_us,
-           CAST(se * 1000 AS BIGINT) AS we_us,
-           'ON_TIME' AS timing, CAST(0 AS BIGINT) AS pane_index,
-           TRUE AS is_first, TRUE AS is_last,
-           CAST(n AS BIGINT) AS n, CAST(sum_v AS BIGINT) AS sum_v
-         FROM sess ORDER BY k, ws_us, pane_index""",
+    "q_session_engine" -> sessionOracle,
+    "q_session_restart" -> sessionOracle,
 
     // EARLY panes replay the batch grid: cell size derives from the data
     // span with the same integer arithmetic as the feed builder; one
