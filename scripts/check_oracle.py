@@ -115,8 +115,17 @@ def main(sf_dir, out_dir, only=None):
             # recursive glob + hive_partitioning: a partitioned Spark write
             # (key=value subdirs) has no files directly under the dir, and
             # an empty dir would make CREATE VIEW error instead of being
-            # skipped like a missing file (ADVICE r12)
-            if glob.glob(f"{p}/**/*.parquet", recursive=True):
+            # skipped like a missing file (ADVICE r12). A crashed write
+            # leaves _temporary/attempt_* part files — ingesting those
+            # would silently corrupt the oracle input, so fail LOUDLY on
+            # them instead of globbing them in.
+            files = glob.glob(f"{p}/**/*.parquet", recursive=True)
+            stale = [f for f in files if "_temporary" in f.split(os.sep)]
+            if stale:
+                sys.exit(f"{p} contains _temporary attempt files from a "
+                         f"crashed write (e.g. {stale[0]}) — clean or "
+                         "regenerate the fixture")
+            if files:
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{p}/**/*.parquet', hive_partitioning=true)")

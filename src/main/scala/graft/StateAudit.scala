@@ -51,12 +51,13 @@ object StateAudit {
       SparkEntry.queries(name)(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       Caches.releaseAll()
-      // a gate may run several queries (the restart gate runs two) —
-      // report the max peak across its recordings
+      // a gate may run several queries (the restart gates run two) —
+      // peaks are max'd across recordings, batches SUMMED (the gate
+      // really ran that many micro-batches end to end)
       val peaks = StateMetrics.drain().filter(_.label == name)
       val pr = if (peaks.isEmpty) 0L else peaks.map(_.peakRows).max
       val pm = if (peaks.isEmpty) 0L else peaks.map(_.peakMemBytes).max
-      val nb = if (peaks.isEmpty) 0 else peaks.map(_.batches).max
+      val nb = peaks.map(_.batches).sum
       f"| $name | $nb | $pr | ${pm / 1024.0}%.1f | $sec%.1f |"
     }
     val table =

@@ -20,24 +20,23 @@ object StateMetrics {
 
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Peak]
   @volatile private var label: String = ""
-  @volatile private var last: Option[Peak] = None
 
   /** Label subsequent recordings (set per query by the audit main). */
   def setLabel(l: String): Unit = label = l
 
-  /** Record a terminated query's peak state metrics. */
+  /** Record a terminated query's peak state metrics. The peak is ALSO
+    * returned to the caller (runPaneQuery threads it to the gate's
+    * budget callback) so inline assertions never read the global —
+    * the buffer/label exist only for the sequential audit main. */
   def record(q: StreamingQuery): Option[Peak] = {
     val ops = q.recentProgress.toSeq.flatMap(_.stateOperators)
     val peak =
       if (ops.isEmpty) None
       else Some(Peak(label, q.recentProgress.length,
         ops.map(_.numRowsTotal).max, ops.map(_.memoryUsedBytes).max))
-    synchronized { peak.foreach(buf += _); last = peak }
+    synchronized { peak.foreach(buf += _) }
     peak
   }
-
-  /** The most recent recording — the inline budget assertion's handle. */
-  def lastPeak: Option[Peak] = last
 
   /** All recordings so far, clearing the buffer. */
   def drain(): Seq[Peak] = synchronized { val r = buf.toList; buf.clear(); r }

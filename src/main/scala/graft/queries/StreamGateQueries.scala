@@ -319,15 +319,29 @@ object StreamGateQueries {
             m
           } catch { case e: Throwable => lastReadError = Some(e); Map.empty }
         def awaitCounts(want: Map[String, Long]): Unit = {
-          // deadline proportional to the fed volume (floor 120 s): a slow
-          // CI host processing more rows gets more time, not a flake
-          val deadline = System.currentTimeMillis() +
-            math.max(120000L, rows.size * 100L)
-          while (want.exists { case (k, n) => emitted().getOrElse(k, 0L) < n } &&
-                 System.currentTimeMillis() < deadline) Thread.sleep(200)
-          require(want.forall { case (k, n) => emitted().getOrElse(k, 0L) >= n },
-            "wall-clock panes did not emit the fed rows within the deadline" +
-              s" (query active=${q.isActive}, exception=${q.exception})" +
+          // STALL-based deadline: as long as emitted counts keep rising,
+          // a slow host gets more time — but a genuinely hung query
+          // fails 120 s after progress stops instead of burning a
+          // volume-proportional wait (a rows×100ms budget would hand a
+          // timer bug hours at sf1)
+          val stallMs = 120000L
+          var lastTotal = -1L
+          var lastChangeAt = System.currentTimeMillis()
+          var done = false
+          while (!done &&
+                 System.currentTimeMillis() - lastChangeAt < stallMs) {
+            val m = emitted()
+            done = want.forall { case (k, n) => m.getOrElse(k, 0L) >= n }
+            val total = m.values.sum
+            if (total != lastTotal) {
+              lastTotal = total; lastChangeAt = System.currentTimeMillis()
+            }
+            if (!done) Thread.sleep(200)
+          }
+          require(done,
+            "wall-clock panes did not emit the fed rows (no progress for " +
+              s"${stallMs / 1000} s; query active=${q.isActive}, " +
+              s"exception=${q.exception})" +
               lastReadError.map(e => s"; last output read error: $e").getOrElse(""))
         }
         input.addData(chunk1)

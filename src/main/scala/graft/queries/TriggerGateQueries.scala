@@ -218,8 +218,12 @@ object TriggerGateQueries {
   private def runPaneQuery(s: SparkSession, feed: String, outDir: String,
       ckpt: String,
       panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]])
-      : Unit = {
+      : Option[StateMetrics.Peak] = {
     import s.implicits._
+    // recentProgress is a RING BUFFER (default 100 entries): the peak
+    // must never fall off the back, so size it well past any gate's
+    // batch count before the metrics read below
+    s.conf.set("spark.sql.streaming.numRecentProgressUpdates", "1000")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "k STRING, ts TIMESTAMP, v BIGINT")
     val stream = s.readStream.schema(schema)
@@ -231,7 +235,6 @@ object TriggerGateQueries {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     StateMetrics.record(q)
-    ()
   }
 
   /** The flattened, flush-filtered pane table at `outDir`. */
@@ -249,11 +252,15 @@ object TriggerGateQueries {
   /** Run the pane engine over the feed as a real AvailableNow streaming
     * query; return the flattened, flush-filtered pane table. Shared with
     * [[SessionGateQueries]] — the session engine emits the same Pane. */
+  /** `onPeak` receives THIS run's state peak directly (never via the
+    * global StateMetrics buffer — a concurrent gate's recording could
+    * not cross-talk into an inline budget assertion). */
   private[queries] def runPanes(s: SparkSession, feed: String,
-                       panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]])
+                       panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]],
+                       onPeak: StateMetrics.Peak => Unit = _ => ())
       : DataFrame = ReplayFeed.withGatePartitions(s) {
     val outDir = tmp("tg_out"); val ckpt = tmp("tg_ckpt")
-    runPaneQuery(s, feed, outDir, ckpt, panes)
+    runPaneQuery(s, feed, outDir, ckpt, panes).foreach(onPeak)
     paneTable(s, outDir)
   }
 
@@ -328,7 +335,6 @@ object TriggerGateQueries {
     // state is GC'd with nothing further emitted.
     "q_trigger_panes" -> { (s, dir) =>
       val g = setupFeed(s, dir, holdOutLate = true)
-      val out = runPanes(s, g.feed, panesEngine(s, g))
       // STATE BUDGET (VERDICT r12 task 7): peak state rows must be
       // ∝ keys × live windows, NEVER ∝ rows seen. A window is live from
       // its first row to end + lateness = 4.4 cells → ≤ 4 concurrent
@@ -338,14 +344,13 @@ object TriggerGateQueries {
       // count, so sf0.01 and sf1 must both fit — an accumulator that
       // grew with data volume (the 100 TB failure mode) blows through
       // it immediately.
-      StateMetrics.lastPeak.foreach { p =>
+      runPanes(s, g.feed, panesEngine(s, g), onPeak = { p =>
         val budget = (g.nKeys + 1L) * 4L * 3L
         require(p.peakRows <= budget,
           s"trigger-engine state budget exceeded: peak ${p.peakRows} state " +
             s"rows > budget $budget (${g.nKeys}+1 keys × 4 live windows × " +
             "3 rows) — state is growing with data, not with open windows")
-      }
-      out
+      })
     },
 
     // VERDICT r12 task 1 — checkpoint-restart recovery for the trigger

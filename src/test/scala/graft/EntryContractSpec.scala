@@ -56,30 +56,18 @@ class EntryContractSpec extends SparkSpec {
   }
 
   test("no query name collides across modules (Map ++ would silently shadow)") {
-    val parts = Seq(
-      "BatchQueries" -> BatchQueries.defs.keySet,
-      "WindowQueries" -> WindowQueries.defs.keySet,
-      "LlmQueries" -> LlmQueries.defs.keySet,
-      "IoQueries" -> IoQueries.defs.keySet,
-      "CurationQueries" -> CurationQueries.defs.keySet,
-      "WebQueries" -> WebQueries.defs.keySet,
-      "AnalyticsQueries" -> AnalyticsQueries.defs.keySet,
-      "WarehouseQueries" -> WarehouseQueries.defs.keySet,
-      "GeoQueries" -> GeoQueries.defs.keySet,
-      "StatsQueries" -> StatsQueries.defs.keySet,
-      "StreamGateQueries" -> StreamGateQueries.defs.keySet,
-      "TpchQueries" -> TpchQueries.defs.keySet,
-      "TriggerGateQueries" -> TriggerGateQueries.defs.keySet,
-      "StreamChainGateQueries" -> StreamChainGateQueries.defs.keySet,
-      "SessionGateQueries" -> SessionGateQueries.defs.keySet)
+    // ONE authoritative module partition: Ledger.parts (which LedgerSpec
+    // already pins to LEDGER.md) — a second hand-kept copy here would
+    // have to be updated in lockstep with every new module
+    val parts = Ledger.parts
     val dupes = parts.flatMap { case (m, ks) => ks.map(_ -> m) }
       .groupBy(_._1).filter(_._2.size > 1)
     assert(dupes.isEmpty,
       s"query names registered in more than one module: " +
         dupes.map { case (k, ms) => s"$k in ${ms.map(_._2).mkString("+")}" }.mkString(", "))
-    // and the merged map must be exactly the sum of the parts + the two
-    // inline flagship queries
-    val partTotal = parts.map(_._2.size).sum + 2 // q1_agg, q_wordcount
+    // and the merged map must be exactly the sum of the parts (the core
+    // flagship queries are Ledger.parts' "SparkEntry (core)" entry)
+    val partTotal = parts.map(_._2.size).sum
     assert(SparkEntry.queries.size == partTotal,
       s"merged ${SparkEntry.queries.size} != parts $partTotal — a module " +
         "shadowed a core query or a name collided")
