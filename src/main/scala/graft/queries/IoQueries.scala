@@ -349,8 +349,18 @@ object IoQueries {
     // strictly better on a y-only predicate (which x-clustering cannot
     // prune), and actually pruning (not reading every file). Exact
     // companion: total row count, proving the rewrites lost nothing.
+    //
+    // DETERMINISM: the layouts use exact-rank ntile buckets, one file
+    // per bucket via partitionBy, NOT the production clusterByZ /
+    // repartitionByRange — range partitioning samples its boundaries
+    // with an RDD-id-seeded sampler, so file bounding boxes (and the
+    // pinned booleans) would depend on session history (a one-file
+    // wobble flipped box_z_le_x in a full-sweep run). The global-sort
+    // ntile window is gate scaffolding over the bounded fixture; the
+    // sampled production path stays exercised by ZOrderSpec.
     "q_zorder_prune" -> { (s, dir) =>
       import graft.operators.ZOrder
+      import org.apache.spark.sql.expressions.Window
       val bounds = Tables(s, dir).lineitem
         .agg(max(col("l_partkey")).as("xm"), max(col("l_suppkey")).as("ym")).head()
       val (xMax, yMax) = (bounds.getLong(0), bounds.getLong(1))
@@ -360,10 +370,12 @@ object IoQueries {
       val zDir = tmp("graft_zorder_z")
       val kDir = tmp("graft_zorder_k")
       val nFiles = 16
-      ZOrder.clusterByZ(li, nFiles, col("x"), col("y"))
-        .write.mode("overwrite").parquet(zDir)
-      li.repartitionByRange(nFiles, col("x")).sortWithinPartitions(col("x"))
-        .write.mode("overwrite").parquet(kDir)
+      def writeClustered(order: org.apache.spark.sql.Column, out: String): Unit =
+        li.withColumn("__b",
+            ntile(nFiles).over(Window.orderBy(order, col("x"), col("y"))))
+          .write.partitionBy("__b").mode("overwrite").parquet(out)
+      writeClustered(ZOrder.zValue(col("x"), col("y")), zDir)
+      writeClustered(col("x"), kDir)
       val zRead = s.read.parquet(zDir)
       val kRead = s.read.parquet(kDir)
       // one stats collect per layout; every box probe is driver-side
