@@ -67,7 +67,22 @@ object StateAudit {
         rows.mkString("\n") + "\n")
     val p = Paths.get(outPath)
     val prev = if (Files.exists(p)) Files.readString(p) else ""
-    Files.writeString(p, prev + table)
+    // same-label reruns REPLACE their section instead of appending a
+    // duplicate (ADVICE r13: repeated runs silently contradicted each
+    // other): drop everything from this label's header to the next
+    // `### ` header (or EOF), then append the fresh table
+    val header = s"### State audit @ $label"
+    val cleaned = {
+      val i = prev.indexOf(header)
+      if (i < 0) prev
+      else {
+        val rest = prev.substring(i + header.length)
+        val j = rest.indexOf("\n### ")
+        val tail = if (j < 0) "" else rest.substring(j + 1)
+        prev.substring(0, i) + tail
+      }
+    }
+    Files.writeString(p, cleaned + table)
     println(table)
     spark.stop()
   }

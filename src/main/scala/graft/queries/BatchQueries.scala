@@ -672,6 +672,28 @@ object BatchQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // VERDICT r13 task 4: the salted path under PLANTED pathological
+    // skew — one key owns ~50% of lineitem (every even orderkey's rows
+    // remap to suppkey −1), a mass concentration the natural fixtures
+    // never produce (their heaviest keys sit near 1/|keys|). The
+    // two-stage fanout-32 aggregation must stay EXACT under it: a salt
+    // bucket dropped, double-merged, or hashed per-content (the classic
+    // salted-agg bugs, all invisible on balanced keys because every
+    // bucket sees similar mass) shifts the hot key's DECIMAL-exact sum
+    // against the oracle. Top-10 by mass keeps the output small and
+    // pins the hot key in row 1 at ~3000× the tail keys' mass.
+    "q_skew_planted" -> { (s, dir) =>
+      val planted = Tables(s, dir).lineitem.select(
+        when(pmod(col("l_orderkey"), lit(2)) === 0, lit(-1L))
+          .otherwise(col("l_suppkey")).as("k"),
+        col("l_quantity"))
+      Combine.sumWithHotKeyFanout(planted, Seq("k"),
+          col("l_quantity").cast("decimal(18,4)"), fanout = 32)
+        .select(col("k"), col("sum").cast("double").as("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("k"))
+        .limit(10)
+    },
+
     // §2.3 superset: rollup with sentinel-coalesced group keys.
     "q_rollup" -> { (s, dir) =>
       Tables(s, dir).lineitem
@@ -1414,6 +1436,13 @@ object BatchQueries {
       """SELECT l_returnflag,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_skew_planted" ->
+      """WITH p AS (
+           SELECT CASE WHEN l_orderkey % 2 = 0 THEN -1 ELSE l_suppkey END AS k,
+                  l_quantity
+           FROM lineitem)
+         SELECT k, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM p GROUP BY k ORDER BY sum_qty DESC, k LIMIT 10""",
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS g1, coalesce(l_linestatus, 'ALL') AS g2, n
          FROM (SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem

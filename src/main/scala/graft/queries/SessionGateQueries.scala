@@ -169,6 +169,62 @@ object SessionGateQueries {
     } finally { ev.unpersist(); () }
   }
 
+  /** (distinct keys, total sessions) of the fixture, by the same
+    * gaps-and-islands arithmetic as the oracle — the inputs to the
+    * session-engine state budgets (VERDICT r13 task 6). One window pass
+    * partitioned by the key column (5 keys at the fixtures; never an
+    * unpartitioned window). */
+  private def sessionStats(s: SparkSession, dir: String): (Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir).events.select(
+        col("event_type").as("k"),
+        (unix_micros(col("ts")) / 1000).cast("long").as("ms"),
+        col("user_id").cast("long").as("v"))
+      .withColumn("iend", col("ms") +
+        (lit(15L) + length(col("k")) + pmod(col("v"), lit(10L))) * 60000L)
+    val w = Window.partitionBy(col("k")).orderBy(col("ms"), col("v"))
+    val r = ev
+      .withColumn("prev_end", max(col("iend"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_s", when(col("prev_end").isNull ||
+        col("ms") >= col("prev_end"), 1L).otherwise(0L))
+      .agg(count_distinct(col("k")).as("nk"), sum(col("new_s")).as("ns"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Inline state budget for the session engine (VERDICT r13 task 6 —
+    * the ListState open-session blobs are the costliest state class,
+    * and before this only q_trigger_panes enforced a budget inline):
+    *
+    *  - state ROWS ∝ keys, never sessions or rows seen — the engine
+    *    keeps ONE ListState row per key plus at most one timer row
+    *    (measured 5–6 at every fixture scale; budget 2 × (keys + the
+    *    __flush key) has 2× headroom);
+    *  - state BYTES ∝ open/retained sessions × a constant-size
+    *    session blob — budget 128 KiB of RocksDB floor + 4 KiB per
+    *    session the fixture can possibly hold open at once (total
+    *    session count bounds peak open sessions from above; measured
+    *    peaks sit 4×+ under it at every scale).
+    *
+    * An accumulator that grew with data volume — the 100 TB failure
+    * mode — blows through the byte budget at the bench fixture; a
+    * per-session or per-row STATE ROW leak trips the row budget
+    * immediately. A breach fails the driver CORRECTNESS row, not just
+    * the STATE.md audit. */
+  private def sessionBudget(nKeys: Long, nSessions: Long): StateMetrics.Peak => Unit = { p =>
+    val rowBudget = (nKeys + 1L) * 2L
+    require(p.peakRows <= rowBudget,
+      s"session-engine state-row budget exceeded: peak ${p.peakRows} rows " +
+        s"> budget $rowBudget (2 × (${nKeys} keys + flush)) — state rows " +
+        "are growing with sessions or data, not with keys")
+    val byteBudget = 131072L + nSessions * 4096L
+    require(p.peakMemBytes <= byteBudget,
+      s"session-engine state-byte budget exceeded: peak ${p.peakMemBytes} B " +
+        s"> budget $byteBudget (128 KiB + $nSessions sessions × 4 KiB) — " +
+        "session blobs are growing with rows seen, not with open sessions")
+  }
+
   val defs: Map[String, Q] = Map(
 
     // §2.4 row 40 under the driver gate: the merging-window engine with a
@@ -211,11 +267,13 @@ object SessionGateQueries {
     "q_session_restart" -> { (s, dir) =>
       import s.implicits._
       val feed = buildSessionFeed(s, dir)
+      val (nKeys, nSessions) = sessionStats(s, dir)
       TriggerGateQueries.runPanesWithRestart(s, feed,
         (in: Dataset[(String, Timestamp, Long)]) =>
           SessionEngine.sessionAggregateWith(
             in, DynGapAssigner(), java.time.Duration.ZERO,
-            earlyPerBatch = false, Accumulating, TriggerGateQueries.NSumFn))
+            earlyPerBatch = false, Accumulating, TriggerGateQueries.NSumFn),
+        onPeak = Some(sessionBudget(nKeys, nSessions)))
     },
 
     // VERDICT r12 task 5: merging windows × LATE firings — held-out
@@ -229,12 +287,17 @@ object SessionGateQueries {
     "q_session_engine_late" -> { (s, dir) =>
       import s.implicits._
       val (feed, latenessMs) = buildLateSessionFeed(s, dir)
+      // lateness spans the whole feed here, so EVERY fired session is
+      // retained until the flush batches — the total session count IS
+      // the retained-state ceiling the byte budget scales with
+      val (nKeys, nSessions) = sessionStats(s, dir)
       TriggerGateQueries.runPanes(s, feed,
         (in: Dataset[(String, Timestamp, Long)]) =>
           SessionEngine.sessionAggregateWith(
             in, DynGapAssigner(), java.time.Duration.ofMillis(latenessMs),
             earlyPerBatch = false, Accumulating, TriggerGateQueries.NSumFn,
-            latePerBatch = true))
+            latePerBatch = true),
+        onPeak = Some(sessionBudget(nKeys, nSessions)))
     },
   )
 

@@ -34,7 +34,11 @@ object StateMetrics {
       if (ops.isEmpty) None
       else Some(Peak(label, q.recentProgress.length,
         ops.map(_.numRowsTotal).max, ops.map(_.memoryUsedBytes).max))
-    synchronized { peak.foreach(buf += _) }
+    // buffer ONLY in audit mode (StateAudit sets a label and drains per
+    // gate) — unlabeled recordings were appended on every gate run and
+    // never drained, an unbounded static collection over a long
+    // Verify/test session (ADVICE r13)
+    if (label.nonEmpty) synchronized { peak.foreach(buf += _) }
     peak
   }
 

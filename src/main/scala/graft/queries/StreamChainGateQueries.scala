@@ -94,6 +94,56 @@ object StreamChainGateQueries {
     s.read.parquet(outDir)
   }
 
+  /** [[runStream]] interrupted by a REAL checkpoint restart (VERDICT r13
+    * task 3 — the q_trigger_restart device applied to a sealed-chain
+    * processor): the feed's second half is held out, a first query
+    * drains the visible half and terminates, the held files move back,
+    * and a brand-new query resumes from the same checkpoint. The chain's
+    * ListState buffers (unsealed slot rows) and the sealed frontier
+    * (last sealed slot + carried recurrence state) must survive the
+    * RocksDB round-trip, or the post-restart recurrence visibly diverges
+    * from the uninterrupted batch-leg oracle. */
+  private def runStreamWithRestart(s: SparkSession, feed: String,
+                                   schema: StructType,
+                                   op: DataFrame => DataFrame): DataFrame =
+      ReplayFeed.withGatePartitions(s) {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val outDir = ReplayFeed.tmp("scr_out"); val ckpt = ReplayFeed.tmp("scr_ckpt")
+    def run(): Unit = {
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      val q = op(stream).writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val listing = Files.list(Paths.get(feed))
+    val all =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        .sortBy(_.getFileName.toString)
+      finally listing.close()
+    val split = all.size / 2
+    require(split >= 1 && split < all.size,
+      s"feed too small to split for the restart gate (${all.size} files)")
+    val stage = Paths.get(ReplayFeed.tmp("scr_stage"))
+    val held = all.drop(split)
+    held.foreach(f => Files.move(f, stage.resolve(f.getFileName)))
+    run()
+    val phase1 = s.read.parquet(outDir).count()
+    require(phase1 > 0,
+      "chain restart gate: the first phase sealed no slots — the split " +
+        "point is degenerate and the gate would not prove a mid-state restart")
+    held.foreach(f => Files.move(stage.resolve(f.getFileName), f))
+    run() // fresh query object, same checkpoint
+    val total = s.read.parquet(outDir).count()
+    require(total > phase1,
+      "chain restart gate: the resumed query emitted nothing — the " +
+        "restart did not continue the feed")
+    s.read.parquet(outDir)
+  }
+
   private val ktvSchema = StructType.fromDDL("k STRING, ts TIMESTAMP, v DOUBLE")
 
   /** Shared gate shape for the four (key, slot_ts, …) chains over the
@@ -117,6 +167,23 @@ object StreamChainGateQueries {
       hourlyChainGate(s, dir,
         st => EwmaStream.smoothed(st, "k", "ts", "v", alpha = 0.25).toDF(),
         Seq(col("v"), col("ewma")))
+    },
+
+    // VERDICT r13 task 3: the EWMA chain killed mid-feed and resumed
+    // from its checkpoint (the q_trigger_restart device on a
+    // transformWithState sealed chain). The recurrence is order-1 —
+    // every sealed point depends on ALL its predecessors — so a lost
+    // or double-applied slot after the restart shifts every subsequent
+    // ewma value; the combined output must still equal the
+    // uninterrupted q_ewma batch oracle bit for bit.
+    "q_stream_ewma_restart" -> { (s, dir) =>
+      val feed = buildFeed(s, sampledEvents(s, dir), "__flush")
+      runStreamWithRestart(s, feed, ktvSchema,
+          st => EwmaStream.smoothed(st, "k", "ts", "v", alpha = 0.25).toDF())
+        .filter(col("key") =!= "__flush")
+        .select(col("key").as("event_type"), hourSlot(col("slot_ts")).as("slot"),
+          col("v"), col("ewma"))
+        .orderBy(col("event_type"), col("slot"))
     },
 
     // §2.9 CUSUM drift detection, streaming leg: in-control targets are
@@ -230,6 +297,8 @@ object StreamChainGateQueries {
     * the per-user row form of q_funnel's step CTEs. */
   val oracles: Map[String, String] = Map(
     "q_stream_ewma" -> AnalyticsQueries.oracles("q_ewma"),
+    // the restart gate's claim is oracle invariance — q_ewma verbatim
+    "q_stream_ewma_restart" -> AnalyticsQueries.oracles("q_ewma"),
     "q_stream_cusum" -> WarehouseQueries.oracles("q_cusum"),
     "q_stream_holt" -> WarehouseQueries.oracles("q_holt_trend"),
     "q_stream_gapfill" -> AnalyticsQueries.oracles("q_gapfill"),

@@ -66,6 +66,114 @@ object StreamGateQueries {
         regexp_replace(col("text"), " ", "  ").as("text")))
   }
 
+  /** The CDC-apply gate body shared by q_stream_cdc (uninterrupted) and
+    * q_stream_cdc_restart (killed + resumed inside the at-least-once
+    * crash window). Both land on the SAME oracle — the restart's whole
+    * claim is that a mid-feed failure changes nothing. */
+  private def cdcGate(s: SparkSession, dir: String, restart: Boolean): DataFrame = {
+    import graft.operators.Upsert
+    val root = tmp("cdc_root"); val feed = tmp("cdc_feed")
+    val ckpt = tmp("cdc_ckpt")
+    val orders = Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
+    val updKeys = col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+      pmod(col("o_orderkey"), lit(7)) === 0
+    val delKeys = col("o_orderpriority") === "3-MEDIUM" &&
+      pmod(col("o_orderkey"), lit(5)) === 0
+    val upd1 = orders.filter(updKeys)
+      .withColumn("o_totalprice", col("o_totalprice") + 500)
+      .withColumn("op", lit("U")).withColumn("ord", lit(1L))
+    val upd2 = orders.filter(updKeys)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      .withColumn("op", lit("U")).withColumn("ord", lit(2L))
+    val updel = orders.filter(delKeys)
+      .withColumn("o_totalprice", col("o_totalprice") + 777)
+      .withColumn("op", lit("U")).withColumn("ord", lit(1L))
+    val dels = orders.filter(delKeys)
+      .withColumn("op", lit("D")).withColumn("ord", lit(2L))
+    val ins = orders
+      .filter(col("o_orderpriority") === "2-HIGH" &&
+        pmod(col("o_orderkey"), lit(11)) === 0)
+      .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+        lit("2-HIGH").as("o_orderpriority"),
+        lit(123.45).as("o_totalprice"))
+      .withColumn("op", lit("U")).withColumn("ord", lit(1L))
+    val changes = upd1.unionByName(upd2).unionByName(updel)
+      .unionByName(dels).unionByName(ins)
+    // hash-partition by key mod 3 → one file per bucket → all of a
+    // key's changes share a file, hence a micro-batch
+    changes.repartition(3, pmod(col("o_orderkey"), lit(3)))
+      .write.mode("overwrite").parquet(feed)
+    def startMerge() = {
+      val stream = s.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      StreamOps.writeStreamMerge(stream, root, Seq("o_orderkey"),
+        "o_orderpriority", "ord", ckpt)
+    }
+    ReplayFeed.withGatePartitions(s) {
+      if (!restart) {
+        val q = startMerge()
+        q.processAllAvailable()
+        q.stop()
+      } else {
+        import java.nio.file.{Files => F, Paths}
+        import scala.jdk.CollectionConverters._
+        def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+          val st = F.list(p)
+          try st.iterator().asScala.toSeq finally st.close()
+        }
+        // phase 1: only the first feed file is visible — one batch,
+        // one committed MERGE
+        val all = listDir(Paths.get(feed))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .sortBy(_.getFileName.toString)
+        require(all.size >= 2,
+          s"cdc restart gate needs a multi-file feed, got ${all.size}")
+        val stage = Paths.get(tmp("cdcr_stage"))
+        val held = all.drop(1)
+        held.foreach(f => F.move(f, stage.resolve(f.getFileName)))
+        val q1 = startMerge()
+        q1.processAllAvailable()
+        q1.stop()
+        // the crash window: the batch's MERGE landed in the table but —
+        // in the failure being simulated — the engine died before
+        // writing the epoch's commit record. Deleting the newest
+        // commits/<n> entry puts the checkpoint in exactly that state;
+        // the offset and source logs keep the batch's file assignment,
+        // so the restarted query MUST re-run it (at-least-once).
+        val commits = listDir(Paths.get(ckpt, "commits"))
+          .filter(_.getFileName.toString.matches("\\d+"))
+          .sortBy(_.getFileName.toString.toLong)
+        require(commits.nonEmpty,
+          "cdc restart gate: phase 1 committed no batch — there is no " +
+            "merged-but-uncommitted window to replay")
+        F.delete(commits.last)
+        // the local-fs checksum sidecar (.N.crc) renames WITH the commit
+        // file, so a real crash never leaves it orphaned — delete it too
+        // or the resumed query's commit rename hits a stale destination
+        F.deleteIfExists(commits.last
+          .resolveSibling("." + commits.last.getFileName + ".crc"))
+        held.foreach(f => F.move(stage.resolve(f.getFileName), f))
+        // phase 2: a brand-new query object resumes from the same
+        // checkpoint — replays the merged batch, then drains the rest
+        val q2 = startMerge()
+        q2.processAllAvailable()
+        q2.stop()
+      }
+    }
+    val untouched = Seq("o_orderpriority=4-NOT SPECIFIED",
+      "o_orderpriority=5-LOW")
+    val intact = untouched
+      .map(d => Upsert.partitionFileSignature(s, root, d))
+      .forall(_.nonEmpty)
+    s.read.parquet(root)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("untouched_present", lit(intact))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val defs: Map[String, Q] = Map(
 
     // §2.9 row 8 under the driver gate: the REAL streaming exact-dedup
@@ -216,59 +324,68 @@ object StreamGateQueries {
     // ord=2 change; the ord=1 +500 must collapse away), update-then-
     // delete keys vanish, inserts land. The oracle replays that final
     // state relationally.
-    "q_stream_cdc" -> { (s, dir) =>
-      import graft.operators.Upsert
-      val root = tmp("cdc_root"); val feed = tmp("cdc_feed")
-      val ckpt = tmp("cdc_ckpt")
-      val orders = Tables(s, dir).orders
-        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      orders.write.partitionBy("o_orderpriority").mode("overwrite").parquet(root)
-      val updKeys = col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
-        pmod(col("o_orderkey"), lit(7)) === 0
-      val delKeys = col("o_orderpriority") === "3-MEDIUM" &&
-        pmod(col("o_orderkey"), lit(5)) === 0
-      val upd1 = orders.filter(updKeys)
-        .withColumn("o_totalprice", col("o_totalprice") + 500)
-        .withColumn("op", lit("U")).withColumn("ord", lit(1L))
-      val upd2 = orders.filter(updKeys)
-        .withColumn("o_totalprice", col("o_totalprice") + 1000)
-        .withColumn("op", lit("U")).withColumn("ord", lit(2L))
-      val updel = orders.filter(delKeys)
-        .withColumn("o_totalprice", col("o_totalprice") + 777)
-        .withColumn("op", lit("U")).withColumn("ord", lit(1L))
-      val dels = orders.filter(delKeys)
-        .withColumn("op", lit("D")).withColumn("ord", lit(2L))
-      val ins = orders
-        .filter(col("o_orderpriority") === "2-HIGH" &&
-          pmod(col("o_orderkey"), lit(11)) === 0)
-        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
-          lit("2-HIGH").as("o_orderpriority"),
-          lit(123.45).as("o_totalprice"))
-        .withColumn("op", lit("U")).withColumn("ord", lit(1L))
-      val changes = upd1.unionByName(upd2).unionByName(updel)
-        .unionByName(dels).unionByName(ins)
-      // hash-partition by key mod 3 → one file per bucket → all of a
-      // key's changes share a file, hence a micro-batch
-      changes.repartition(3, pmod(col("o_orderkey"), lit(3)))
-        .write.mode("overwrite").parquet(feed)
-      val stream = s.readStream.schema(changes.schema)
-        .option("maxFilesPerTrigger", "1").parquet(feed)
+    "q_stream_cdc" -> { (s, dir) => cdcGate(s, dir, restart = false) },
+
+    // VERDICT r13 task 1 — exactly-once for the CDC sink UNDER FAILURE,
+    // at the driver gate (previously spec-only: MergeStreamSpec's
+    // restart test). Identical feed, sink, and oracle as q_stream_cdc,
+    // but the run is interrupted in foreachBatch's at-least-once crash
+    // window: the first query drains only the feed's first file and
+    // stops AFTER its MERGE committed to the table; the gate then
+    // deletes that batch's checkpoint COMMIT record — the on-disk state
+    // of a crash between the merge and the epoch commit — restores the
+    // held-out files, and resumes a brand-new query from the same
+    // checkpoint. The engine re-runs the merged batch (same batchId,
+    // same file, from the offset/source logs) and the replayed MERGE
+    // must collapse idempotently on top of its own earlier effects, or
+    // updated keys double-apply and the snapshot visibly diverges from
+    // the unchanged q_stream_cdc oracle.
+    "q_stream_cdc_restart" -> { (s, dir) => cdcGate(s, dir, restart = true) },
+
+    // VERDICT r13 task 8 — the closest a no-network sandbox gets to a
+    // real broker: a NON-FILE DSv2 MicroBatchStream delivering records
+    // at a fixed per-trigger rate, each batch replaying the previous
+    // batch's unacked tail (at-least-once), with event times backdated
+    // up to 80 s (id%5 × 20 s) against a 60 s batch span — records
+    // genuinely arrive in a LATER batch than their event-time window
+    // (cross-batch out-of-order, unlike the ordered file replays every
+    // other streaming gate uses). The consumer side is the production
+    // composition: attribute-derived event time → id-dedup within the
+    // watermark → 30 s windowed aggregation in append mode. Every
+    // moving part — watermark holds across the skew horizon, dedup
+    // state outliving the redelivery lag, sealed-window emission — is
+    // pure arithmetic over the broker's deterministic id sequence, so
+    // DuckDB replays the whole thing from range(0, 240).
+    "q_stream_broker" -> { (s, _) =>
+      val ckpt = tmp("bk_ckpt"); val outDir = tmp("bk_out")
+      val raw = s.readStream.format("graft-redelivery")
+        .option("n", 240).option("rowsPerBatch", 60).option("overlap", 12)
+        .option("skewMod", 5).option("skewStepMs", 20000)
+        .load()
+      val evt = raw
+        .withColumn("evt_ts", timestamp_millis(
+          get_json_object(col("attrs"), "$.evt_ms").cast("long")))
+        .withColumn("src", get_json_object(col("attrs"), "$.src"))
+      // lateness 100 s > the 80 s max backdating: nothing ever drops,
+      // so the oracle is exact; the watermark still HOLDS window
+      // finalization back across the skew horizon (sealed windows are
+      // those the final watermark = max evt − 100 s passes)
+      val deduped = StreamOps.dedupWithinWatermark(
+        StreamOps.withEventTime(evt, "evt_ts", "100 seconds"), Seq("record_id"))
+      val agg = deduped
+        .groupBy(window(col("evt_ts"), "30 seconds").as("window"), col("src"))
+        .agg(count(lit(1)).as("n"), sum(col("record_id")).as("sum_id"))
       ReplayFeed.withGatePartitions(s) {
-        val q = StreamOps.writeStreamMerge(stream, root, Seq("o_orderkey"),
-          "o_orderpriority", "ord", ckpt)
+        val q = agg.writeStream.format("parquet").option("path", outDir)
+          .option("checkpointLocation", ckpt).outputMode("append").start()
         q.processAllAvailable()
         q.stop()
       }
-      val untouched = Seq("o_orderpriority=4-NOT SPECIFIED",
-        "o_orderpriority=5-LOW")
-      val intact = untouched
-        .map(d => Upsert.partitionFileSignature(s, root, d))
-        .forall(_.nonEmpty)
-      s.read.parquet(root)
-        .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
-        .withColumn("untouched_present", lit(intact))
-        .orderBy(col("o_orderpriority"))
+      s.read.parquet(outDir)
+        .select(unix_micros(col("window.start")).as("ws_us"),
+          unix_micros(col("window.end")).as("we_us"),
+          col("src"), col("n"), col("sum_id"))
+        .orderBy(col("ws_us"), col("src"))
     },
 
     // The wall-clock pane engine (AfterProcessingTime's guaranteed-firing
@@ -363,7 +480,7 @@ object StreamGateQueries {
     },
   )
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
 
     // conservation law of discarding wall-clock panes: per-key totals
     // equal the plain aggregate; multi_pane pinned TRUE by the gate's
@@ -410,6 +527,24 @@ object StreamGateQueries {
                 (1700000000000 + r * 1000) * 1000 AS ts_us
          FROM range(0, 200) t(r) ORDER BY record_id""",
 
+    // the broker gate replayed from pure arithmetic: evt lags the
+    // broker clock by (id%5)·20 s; dedup collapses the redelivered
+    // tails to one row per id; sealed windows are those whose end the
+    // final watermark (max evt − 100 s) passed.
+    "q_stream_broker" ->
+      """WITH e AS (
+           SELECT r AS id, 1700000000000 + r * 1000 - (r % 5) * 20000 AS evt_ms,
+                  's' || CAST(r % 2 AS VARCHAR) AS src
+           FROM range(0, 240) t(r)),
+         w AS (SELECT evt_ms // 30000 AS win, src, id FROM e)
+         SELECT CAST(win * 30000 * 1000 AS BIGINT) AS ws_us,
+                CAST((win + 1) * 30000 * 1000 AS BIGINT) AS we_us,
+                src, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(id) AS BIGINT) AS sum_id
+         FROM w
+         WHERE (win + 1) * 30000 <= (SELECT max(evt_ms) FROM e) - 100000
+         GROUP BY 1, 2, 3 ORDER BY ws_us, src""",
+
     "q_stream_ts_attr" ->
       """WITH e AS (
            SELECT r AS id, 1700000000000 + r * 1000 - (r % 7) * 500 AS evt_ms,
@@ -447,4 +582,9 @@ object StreamGateQueries {
            TRUE AS untouched_present
          FROM merged GROUP BY o_orderpriority ORDER BY o_orderpriority""",
   )
+
+  /** The restart gate's claim IS oracle invariance — q_stream_cdc's
+    * oracle is reused verbatim. */
+  val oracles: Map[String, String] =
+    baseOracles + ("q_stream_cdc_restart" -> baseOracles("q_stream_cdc"))
 }

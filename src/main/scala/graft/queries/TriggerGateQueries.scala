@@ -254,13 +254,24 @@ object TriggerGateQueries {
     * [[SessionGateQueries]] — the session engine emits the same Pane. */
   /** `onPeak` receives THIS run's state peak directly (never via the
     * global StateMetrics buffer — a concurrent gate's recording could
-    * not cross-talk into an inline budget assertion). */
+    * not cross-talk into an inline budget assertion). When a budget
+    * callback IS supplied, a missing peak fails loudly instead of
+    * silently skipping the assertion (ADVICE r13: a Spark
+    * progress-reporting change would otherwise leave the gate green
+    * with its state budget unchecked). */
   private[queries] def runPanes(s: SparkSession, feed: String,
                        panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]],
-                       onPeak: StateMetrics.Peak => Unit = _ => ())
+                       onPeak: Option[StateMetrics.Peak => Unit] = None)
       : DataFrame = ReplayFeed.withGatePartitions(s) {
     val outDir = tmp("tg_out"); val ckpt = tmp("tg_ckpt")
-    runPaneQuery(s, feed, outDir, ckpt, panes).foreach(onPeak)
+    val peak = runPaneQuery(s, feed, outDir, ckpt, panes)
+    onPeak.foreach { cb =>
+      require(peak.nonEmpty,
+        "state-budget gate: no stateOperators metrics in the query's " +
+          "progress events — the inline budget assertion cannot run " +
+          "(did Spark's progress reporting change?)")
+      cb(peak.get)
+    }
     paneTable(s, outDir)
   }
 
@@ -273,7 +284,8 @@ object TriggerGateQueries {
     * fired flags, and the watermark must all survive the restart for the
     * combined pane table to hash-match the uninterrupted oracle. */
   private[queries] def runPanesWithRestart(s: SparkSession, feed: String,
-      panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]])
+      panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]],
+      onPeak: Option[StateMetrics.Peak => Unit] = None)
       : DataFrame = ReplayFeed.withGatePartitions(s) {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
@@ -291,14 +303,25 @@ object TriggerGateQueries {
       s"feed too small to split for the restart gate (${all.size} files)")
     val stage = Paths.get(tmp("tr_stage"))
     val held = all.drop(split)
+    // a supplied budget callback must run on BOTH phases (the resumed
+    // query restores the full open-window state, so a leak that only
+    // manifests post-restart is exactly what phase 2's peak catches),
+    // and a missing peak fails loudly rather than skipping the check
+    def checked(peak: Option[StateMetrics.Peak]): Unit = onPeak.foreach { cb =>
+      require(peak.nonEmpty,
+        "state-budget gate: no stateOperators metrics in the query's " +
+          "progress events — the inline budget assertion cannot run " +
+          "(did Spark's progress reporting change?)")
+      cb(peak.get)
+    }
     held.foreach(f => Files.move(f, stage.resolve(f.getFileName)))
-    runPaneQuery(s, feed, outDir, ckpt, panes)
+    checked(runPaneQuery(s, feed, outDir, ckpt, panes))
     val phase1 = s.read.parquet(outDir).count()
     require(phase1 > 0,
       "restart gate: the first phase emitted no panes — the split point " +
         "is degenerate and the gate would not prove a mid-state restart")
     held.foreach(f => Files.move(stage.resolve(f.getFileName), f))
-    runPaneQuery(s, feed, outDir, ckpt, panes) // fresh query, same checkpoint
+    checked(runPaneQuery(s, feed, outDir, ckpt, panes)) // fresh query, same checkpoint
     val total = s.read.parquet(outDir).count()
     require(total > phase1,
       "restart gate: the resumed query emitted nothing — the restart did " +
@@ -344,7 +367,7 @@ object TriggerGateQueries {
       // count, so sf0.01 and sf1 must both fit — an accumulator that
       // grew with data volume (the 100 TB failure mode) blows through
       // it immediately.
-      runPanes(s, g.feed, panesEngine(s, g), onPeak = { p =>
+      runPanes(s, g.feed, panesEngine(s, g), onPeak = Some { p =>
         val budget = (g.nKeys + 1L) * 4L * 3L
         require(p.peakRows <= budget,
           s"trigger-engine state budget exceeded: peak ${p.peakRows} state " +

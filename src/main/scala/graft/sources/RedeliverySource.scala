@@ -70,11 +70,20 @@ object RedeliverySource {
     require(overlap >= 0 && overlap <= rowsPerBatch,
       s"overlap must be in [0, rowsPerBatch], got $overlap")
     def tsMicrosOf(id: Long): Long = (startMs + id * periodMs) * 1000L
-    /** Attribute event time: the broker clock minus a deterministic
-      * bounded skew (id mod 7 half-periods) — out-of-order within a
-      * small horizon, the real timestampLabel shape. */
+    /** Out-of-order shape knobs: event time lags the broker clock by
+      * (id mod skewMod) × skewStepMs. The defaults (mod 7, half a
+      * period) keep the skew inside one batch span — the original
+      * timestampLabel shape; q_stream_broker raises skewStepMs past
+      * the batch span so records arrive in a batch whose predecessors'
+      * windows are already watermark-held — genuine cross-batch
+      * out-of-order delivery. */
+    val skewMod: Long = get("skewMod", 7L)
+    val skewStepMs: Long = get("skewStepMs", periodMs / 2L)
+    require(skewMod > 0, s"skewMod must be positive, got $skewMod")
+    /** Attribute event time: the broker clock minus the deterministic
+      * bounded skew — out-of-order within skewMod × skewStepMs. */
     def evtMillisOf(id: Long): Long =
-      startMs + id * periodMs - (id % 7L) * (periodMs / 2L)
+      startMs + id * periodMs - (id % skewMod) * skewStepMs
     def attrsOf(id: Long): String =
       s"""{"evt_ms":${evtMillisOf(id)},"src":"s${id % splits}"}"""
   }
