@@ -53,16 +53,29 @@ object GrowFixture {
     write(rekey(read("lineitem"), factor,
       "l_orderkey", "l_suppkey", "l_partkey"), "lineitem")
 
-    // events: copy c shifts one 31-day horizon later — the stream gets
-    // ×factor longer (slots/windows/sessions ×factor at unchanged
-    // density); users are per-copy so session/funnel state stays
-    // per-user-constant over ×factor users
-    val shifted = Tables(spark, baseDir).events
+    // events: copy c shifts one whole-day horizon PAST THE BASE SPAN
+    // later — the stream gets ×factor longer (slots/windows/sessions
+    // ×factor at unchanged density); users are per-copy so session/
+    // funnel state stays per-user-constant over ×factor users. The
+    // horizon DERIVES from the base span (one whole day past the last
+    // touched day, so copies never overlap and each copy starts on a
+    // fresh day boundary): 31 days at the Jan-1..Jan-30 sf0.1 fixture —
+    // bit-identical to the former hard-coded 31-day constant — and 310
+    // days when re-growing the sf1 cut to sf10; a fixed 31-day shift
+    // there would DENSIFY the stream (copies overlapping in time)
+    // instead of extending it, silently turning the organic-growth axis
+    // into the duplicate-dense stress axis Stress.blowUp already covers.
+    val DayUs = 86400000000L
+    val ev = Tables(spark, baseDir).events
+    val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val horizonUs = ((b.getLong(1) / DayUs) - (b.getLong(0) / DayUs) + 2) * DayUs
+    val shifted = ev
       .withColumn("copy", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("event_id", col("event_id") * factor + col("copy"))
       .withColumn("user_id", col("user_id") * factor + col("copy"))
       .withColumn("ts", timestamp_micros(
-        unix_micros(col("ts")) + col("copy").cast("long") * 2678400000000L))
+        unix_micros(col("ts")) + col("copy").cast("long") * horizonUs))
       .drop("copy")
     write(shifted, "events")
 
