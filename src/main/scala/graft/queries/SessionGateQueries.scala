@@ -305,8 +305,12 @@ object SessionGateQueries {
     * interval [ms, ms + gap), running max end over the key's earlier
     * rows, strict-overlap island flag (a row exactly AT the running end
     * starts a new session — half-open intervals), island ids by running
-    * sum. Ties on ms are duplicates-in-all-but-v; (ms, v) makes the
-    * order deterministic and island aggregates are order-invariant. */
+    * sum. The ORDER BY ends in event_id (unique), making the sort a
+    * TOTAL order: island membership is tie-invariant (equal-ms rows
+    * always merge), but the flag window and the running-sum window are
+    * two separate evaluations, and an engine whose parallel sort orders
+    * ties differently between the passes would mint phantom islands
+    * (the q_scd2 class of flake, r14). */
   private val islandsCte =
     """WITH ev AS (
          SELECT event_type AS k, epoch_us(ts) // 1000 AS ms, user_id AS v,
@@ -316,13 +320,13 @@ object SessionGateQueries {
          FROM events),
        w AS (
          SELECT k, ms, v, us, event_id, iend,
-           max(iend) OVER (PARTITION BY k ORDER BY ms, v
+           max(iend) OVER (PARTITION BY k ORDER BY ms, v, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
          FROM ev),
        isl AS (
          SELECT k, ms, v, us, event_id, iend,
            SUM(CASE WHEN prev_end IS NULL OR ms >= prev_end THEN 1 ELSE 0 END)
-             OVER (PARTITION BY k ORDER BY ms, v
+             OVER (PARTITION BY k ORDER BY ms, v, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
          FROM w),
        sess AS (

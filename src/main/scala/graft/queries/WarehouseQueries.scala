@@ -359,12 +359,24 @@ object WarehouseQueries {
                  / CAST(n_a * n_b AS DOUBLE), 6) AS lift
          FROM p WHERE n_ab >= (SELECT t FROM thr)
          ORDER BY item_a, item_b""",
+    // TIE-FREE form (r14): the fixture has FULL duplicate
+    // (orderkey, linenumber, returnflag) rows, and the chg window and
+    // the island running sum are SEPARATE window evaluations — an
+    // engine whose parallel sort orders equal keys differently between
+    // the two passes (DuckDB under load, observed) would mint phantom
+    // islands. Collapsing duplicates first (they are interchangeable
+    // by the tiebreak contract and always share an island) makes
+    // (linenumber, returnflag) a UNIQUE sort key per order, so every
+    // pass sees one total order on any engine under any scheduler.
     "q_scd2" ->
-      """WITH f AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+             count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2, 3),
+         f AS (SELECT l_orderkey, l_linenumber, l_returnflag, cnt,
              CASE WHEN row_number() OVER w = 1
                     OR lag(l_returnflag) OVER w IS DISTINCT FROM l_returnflag
                   THEN 1 ELSE 0 END AS chg
-           FROM lineitem
+           FROM d
            WINDOW w AS (PARTITION BY l_orderkey
                         ORDER BY l_linenumber, l_returnflag)),
          i AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY l_orderkey
@@ -373,7 +385,7 @@ object WarehouseQueries {
                  AND CURRENT ROW) AS BIGINT) AS island FROM f),
          g AS (SELECT l_orderkey, island AS range_idx,
                  min(l_returnflag) AS state, min(l_linenumber) AS valid_from,
-                 CAST(count(*) AS BIGINT) AS n_rows
+                 CAST(sum(cnt) AS BIGINT) AS n_rows
                FROM i GROUP BY 1, 2)
          SELECT l_orderkey, range_idx, state, valid_from,
            lead(valid_from) OVER w2 AS valid_to,
@@ -381,12 +393,15 @@ object WarehouseQueries {
          FROM g
          WINDOW w2 AS (PARTITION BY l_orderkey ORDER BY range_idx)
          ORDER BY l_orderkey, range_idx""",
+    // same tie-free pre-grouping as q_scd2 (see the note there)
     "q_scd2_asof" ->
-      """WITH f AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_returnflag
+           FROM lineitem GROUP BY 1, 2, 3),
+         f AS (SELECT l_orderkey, l_linenumber, l_returnflag,
              CASE WHEN row_number() OVER w = 1
                     OR lag(l_returnflag) OVER w IS DISTINCT FROM l_returnflag
                   THEN 1 ELSE 0 END AS chg
-           FROM lineitem
+           FROM d
            WINDOW w AS (PARTITION BY l_orderkey
                         ORDER BY l_linenumber, l_returnflag)),
          i AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY l_orderkey
