@@ -64,11 +64,11 @@ object GraftExtensions {
         ShingleExprs.MinHashSig(args.head, intArg(args(1), "k"),
           intArg(args(2), "numHashes"))
       }),
-    (new FunctionIdentifier("simhash32"),
-      new ExpressionInfo(classOf[ShingleExprs.SimHash32].getName, "simhash32"),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[ShingleExprs.SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => {
-        require(args.length == 1, "simhash32(text)")
-        ShingleExprs.SimHash32(args.head)
+        require(args.length == 1, "simhash64(text)")
+        ShingleExprs.SimHash64(args.head)
       }),
     (new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[ShingleExprs.DotProduct].getName, "dot_product"),

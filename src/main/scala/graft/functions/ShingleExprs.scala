@@ -10,7 +10,6 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftglue.GraftSqlBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.Platform
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the text-dedup hot path (SURVEY.md §2
@@ -183,38 +182,53 @@ object ShingleExprs {
       copy(child = newChild)
   }
 
-  /** 32-bit SimHash in one pass: per-token murmur3 (parity with
-    * functions.hash, seed 42), per-bit vote, sign → bit. */
-  final case class SimHash32(child: Expression)
+  /** 64-bit SimHash in one pass: per-token xxhash64 (parity with
+    * functions.xxhash64, seed 42), per-bit vote, sign → bit.
+    *
+    * 64 bits, not 32 (Manku, Jain & Sarma, "Detecting Near-Duplicates
+    * for Web Crawling", WWW'07 §3 use 64-bit fingerprints at web scale):
+    * the pigeonhole blocking in Dedup.simHashPairs buckets on
+    * fingerprint chunks of width/(maxDist+1) bits, so candidate volume
+    * is ~n²/2^chunkWidth. 8-bit chunks (32-bit signature, maxDist 3)
+    * measured ENOSPC at the sf10 growth cut — ~n²/256 candidate rows
+    * overflowed 74 GB of shuffle at 500k docs — while 16-bit chunks
+    * keep the same sweep in the tens of seconds. A 32-bit fingerprint
+    * also starts emitting distance-0 FALSE pairs from raw hash
+    * collisions at ~n²/2³³ (≈30 bogus identical-signature pairs at
+    * 500k unrelated docs); 64-bit pushes that past any realistic corpus.
+    *
+    * Single-token law (pinned in the q_sql_surface audit): simhash of a
+    * one-token document IS that token's xxhash64 — every bit gets one
+    * +1/-1 vote whose sign is the hash bit. */
+  final case class SimHash64(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(child, isStringType, "string")
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
       val toks = tokenize(input.asInstanceOf[UTF8String])
-      val votes = new Array[Int](32)
+      val votes = new Array[Int](64)
       var t = 0
       while (t < toks.length) {
         val b = UTF8String.fromString(toks(t)).getBytes
-        val h = Murmur3_x86_32.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42)
-        val v = h.toLong & 0xFFFFFFFFL
+        val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, Seed)
         var i = 0
-        while (i < 32) {
-          if (((v >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
           i += 1
         }
         t += 1
       }
       var out = 0L
       var i = 0
-      while (i < 32) {
+      while (i < 64) {
         if (votes(i) > 0) out |= (1L << i)
         i += 1
       }
       out
     }
-    override def prettyName: String = "simhash32"
-    override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    override def prettyName: String = "simhash64"
+    override protected def withNewChildInternal(newChild: Expression): SimHash64 =
       copy(child = newChild)
   }
 
@@ -936,7 +950,7 @@ object ShingleExprs {
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(text), k, numHashes))
 
   def simHash(text: Column): Column =
-    GraftSqlBridge.column(SimHash32(GraftSqlBridge.expression(text)))
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
 
   /** Callers must pre-cast both sides to array<double>. */
   def dot(a: Column, b: Column): Column =

@@ -158,10 +158,14 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** 32-bit SimHash: per-bit vote over murmur3 token hashes (parity with
-    * functions.hash seed 42), sign of each vote → bit. Native Expression
-    * (graft.functions.ShingleExprs.SimHash32) — the Column form folds a
-    * 32-wide vote array per token through interpreted HOFs. */
+  /** 64-bit SimHash: per-bit vote over xxhash64 token hashes (parity
+    * with functions.xxhash64 seed 42), sign of each vote → bit. Native
+    * Expression (graft.functions.ShingleExprs.SimHash64) — the Column
+    * form folds a 64-wide vote array per token through interpreted HOFs.
+    * 64 bits per Manku et al. WWW'07: the pigeonhole blocking below
+    * buckets on width/(maxDist+1)-bit chunks, and 8-bit chunks (the old
+    * 32-bit width) measured candidate volume ~n²/256 — ENOSPC at the
+    * 500k-doc sf10 cut. 16-bit chunks carry the same corpus trivially. */
   def simHash(text: Column): Column =
     graft.functions.ShingleExprs.simHash(text)
 
@@ -170,7 +174,7 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on maxDist+1 bit chunks (pigeonhole:
     * hamming ≤ maxDist ⇒ at least one chunk equal — complete for any
-    * maxDist < 32), verify with bit_count.
+    * maxDist < 64), verify with bit_count.
     *
     * Unlike [[minHashPairs]] (wide signature arrays that must join back
     * AFTER candidate dedup), a simhash is ONE long — cheaper to carry
@@ -180,7 +184,7 @@ object Dedup {
     * both sides, and without the cache the upstream plan and the per-doc
     * simHash would compute twice.
     *
-    * `rotation` rotates the 32-bit signature before chunking (and only
+    * `rotation` rotates the 64-bit signature before chunking (and only
     * for chunking — emitted distances are always of the un-rotated
     * signatures). Rotation preserves Hamming distance, so ANY rotation
     * yields a complete blocking and the emitted pair set must be
@@ -189,24 +193,27 @@ object Dedup {
     * (the self-asserting form q_dedup_simhash pins). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, rotation: Int = 0): DataFrame = {
-    require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 32)")
-    require(rotation >= 0 && rotation < 32, "rotation must be in [0, 32)")
+    require(maxDist >= 0 && maxDist < 64, "maxDist must be in [0, 64)")
+    require(rotation >= 0 && rotation < 64, "rotation must be in [0, 64)")
     val numChunks = maxDist + 1
     // zero-token docs carry no token signal — see minHashPairs guard
     val sh = track(df
       .filter(size(TextFunctions.tokens(col(textCol))) > 0)
       .select(col(idCol).as("id"), simHash(col(textCol)).as("sh")))
-    // 32-bit rotate-left in long arithmetic: low half shifted up stays
-    // below 2^32, high half shifted down joins it — no 64-bit overflow
+    // 64-bit rotate-left via bitwise ops (shift + or — the full-width
+    // long has no headroom for the decimal-arithmetic form)
     val rot =
       if (rotation == 0) col("sh")
-      else pmod(col("sh"), lit(1L << (32 - rotation))) * lit(1L << rotation) +
-        floor(col("sh") / lit(math.pow(2.0, 32 - rotation))).cast("long")
+      else shiftleft(col("sh"), rotation)
+        .bitwiseOR(shiftrightunsigned(col("sh"), 64 - rotation))
     val chunkStructs = (0 until numChunks).map { c =>
-      val lo = c * 32 / numChunks
-      val hi = (c + 1) * 32 / numChunks
-      struct(lit(c).as("chunk"),
-        pmod(floor(col("r") / lit(math.pow(2.0, lo))).cast("long"), lit(1L << (hi - lo))).as("v"))
+      val lo = c * 64 / numChunks
+      val hi = (c + 1) * 64 / numChunks
+      // unsigned extraction of bits [lo, hi); a full-width chunk
+      // (numChunks == 1) is the signature itself
+      val v = if (hi - lo >= 64) col("r")
+        else shiftrightunsigned(col("r"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
+      struct(lit(c).as("chunk"), v.as("v"))
     }
     val chunks = sh.select(col("id"), col("sh"), rot.as("r")).select(col("id"), col("sh"),
       explode(array(chunkStructs: _*)).as("ck"))

@@ -27,8 +27,10 @@ object LlmQueries {
     * of the function inside pure SQL: identity/idempotence (jaro_winkler,
     * canonicalize_url, normalize_text, clean_text), size laws against
     * ngram_strings (shingle_hash's whole-text fallback, minhash_sig's
-    * signature width, consecutive_pairs' n−1), range bounds (simhash32,
-    * quality_score), exact constants (dot_product), and sketch-vs-exact
+    * signature width, consecutive_pairs' n−1), the single-token law
+    * simhash64(token) = xxhash64(token) (one +1/-1 vote per bit, sign =
+    * the hash bit), range bounds (quality_score), exact constants
+    * (dot_product), and sketch-vs-exact
     * agreement (kll median within [min,max] length; theta union within 5%
     * of the exact id count, disjoint intersect and self-A\\B exactly 0 —
     * exact at gate scale, sketch-bounded beyond). */
@@ -44,7 +46,8 @@ object LlmQueries {
            bool_and(size(shingle_hash(text, 5))
              = greatest(1, size(ngram_strings(text, 5)))) AS shingle_hash_ok,
            bool_and(size(minhash_sig(text, 5, 16)) = 16) AS minhash_sig_ok,
-           bool_and(simhash32(text) BETWEEN 0 AND 4294967295) AS simhash32_ok,
+           bool_and(simhash64(text) IS NOT NULL)
+             AND bool_and(simhash64('graft') = xxhash64('graft')) AS simhash64_ok,
            bool_and(dot_product(
              array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE)),
              array(CAST(4.0 AS DOUBLE), CAST(5.0 AS DOUBLE), CAST(6.0 AS DOUBLE)))
@@ -88,7 +91,7 @@ object LlmQueries {
          UNION ALL SELECT 'registrable_domain', registrable_domain_ok FROM base
          UNION ALL SELECT 'shingle_hash', shingle_hash_ok FROM base
          UNION ALL SELECT 'minhash_sig', minhash_sig_ok FROM base
-         UNION ALL SELECT 'simhash32', simhash32_ok FROM base
+         UNION ALL SELECT 'simhash64', simhash64_ok FROM base
          UNION ALL SELECT 'dot_product', dot_product_ok FROM base
          UNION ALL SELECT 'ngram_strings', ngram_strings_ok FROM base
          UNION ALL SELECT 'consecutive_pairs', consecutive_pairs_ok FROM base
@@ -266,7 +269,7 @@ object LlmQueries {
     // signatures RE-DERIVED fresh from the raw text (exercises the
     // expression + join-back end to end) and respects maxDist; (2)
     // rotation_agree_ok — the pigeonhole blocking is complete for ANY
-    // 32-bit rotation of the signatures, so a second run blocked on
+    // 64-bit rotation of the signatures, so a second run blocked on
     // rotated chunks (zero shared bucket keys with the first) must emit
     // the IDENTICAL pair set. n_docs is the exact oracle companion
     // (documents with at least one token).

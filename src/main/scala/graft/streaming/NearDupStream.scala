@@ -14,14 +14,14 @@ import graft.llm.Dedup
   * counterpart (its streaming dedup is exact-by-id, [U] IO/PubsubIO.java
   * idLabel); this extends the mandated LLM-pipeline family to streams.
   *
-  * Mechanism: each document's 32-bit SimHash splits into maxDist+1 bit
+  * Mechanism: each document's 64-bit SimHash splits into maxDist+1 bit
   * chunks. By pigeonhole, any two signatures within hamming ≤ maxDist
   * agree on at least one chunk, so keying the stream by (chunk index,
   * chunk value) routes every near-dup pair through ≥1 common key — the
   * same complete blocking as the batch operator, re-expressed as a
   * `transformWithState` key space. Per key, ListState holds the
   * signatures seen within the event-time horizon; each arrival compares
-  * against only its chunk-mates (the 2^(32/k)-fold reduction vs all-pairs
+  * against only its chunk-mates (the 2^(64/k)-fold reduction vs all-pairs
   * that makes the state bounded and the comparison local).
   *
   * Emissions are (id, dup_of, dist) flags for pairs within `maxDist`,
@@ -124,7 +124,7 @@ object NearDupStream {
                    lateness: String = "10 minutes",
                    horizon: java.time.Duration =
                      java.time.Duration.ofMinutes(10)): Dataset[NearDup] = {
-    require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 32)")
+    require(maxDist >= 0 && maxDist < 64, "maxDist must be in [0, 64)")
     val spark = docs.sparkSession
     import spark.implicits._
     val k = maxDist + 1
@@ -142,14 +142,20 @@ object NearDupStream {
 
   /** Pack (chunk index, chunk bits) into one long grouping key — the
     * same chunk geometry as the batch operator (Dedup.simHashPairs),
-    * shared by the streaming processor and the batch leg below. */
+    * shared by the streaming processor and the batch leg below. The
+    * chunk index sits above the widest chunk's bits (k ≥ 2 ⇒ chunk
+    * width ≤ 32, index ≤ 63 → the packed key fits 63 bits); k == 1 is
+    * one full-width chunk, so the signature itself is the key. */
   private def chunkKeys(sh: Column, k: Int): Seq[Column] =
-    (0 until k).map { c =>
-      val lo = c * 32 / k
-      val hi = (c + 1) * 32 / k
-      (lit(c.toLong) * lit(1L << 32)) +
-        pmod(floor(sh / lit(math.pow(2.0, lo))).cast("long"),
-          lit(1L << (hi - lo)))
+    if (k == 1) Seq(sh)
+    else {
+      val maxWidth = 64 / k + (if (64 % k == 0) 0 else 1)
+      (0 until k).map { c =>
+        val lo = c * 64 / k
+        val hi = (c + 1) * 64 / k
+        lit(c.toLong << maxWidth).bitwiseOR(
+          shiftrightunsigned(sh, lo).bitwiseAND(lit((1L << (hi - lo)) - 1)))
+      }
     }
 
   /** Deterministic BATCH leg of [[nearDupFlags]] — the oracle-gateable
@@ -166,7 +172,7 @@ object NearDupStream {
                         textCol: String, maxDist: Int = 3,
                         horizon: java.time.Duration =
                           java.time.Duration.ofMinutes(10)): DataFrame = {
-    require(maxDist >= 0 && maxDist < 32, "maxDist must be in [0, 32)")
+    require(maxDist >= 0 && maxDist < 64, "maxDist must be in [0, 64)")
     val k = maxDist + 1
     val base = docs.select(col(idCol).cast("long").as("__id"),
       col(tsCol).as("__ts"), Dedup.simHash(col(textCol)).as("__sh"))

@@ -11,12 +11,12 @@ class GraftExtensionsSpec extends SparkSpec {
 
   GraftExtensions.register(spark)
 
-  test("shingle_hash / minhash_sig / simhash32 resolve in SQL with equal results") {
+  test("shingle_hash / minhash_sig / simhash64 resolve in SQL with equal results") {
     Seq("the quick brown fox jumps over the lazy dog").toDF("text")
       .createOrReplaceTempView("ext_docs")
     val viaSql = spark.sql(
       """SELECT shingle_hash(text, 3) AS sh, minhash_sig(text, 3, 8) AS mh,
-               simhash32(text) AS si
+               simhash64(text) AS si
          FROM ext_docs""").as[(Seq[Long], Seq[Long], Long)].head()
     val viaCol = spark.table("ext_docs").select(
       ShingleExprs.shingleHashes(col("text"), 3),

@@ -30,17 +30,16 @@ class ShingleExprsPropSpec extends SparkSpec {
   }
 
   private def simhashReference(text: org.apache.spark.sql.Column) = {
+    // 64-bit per-bit vote over xxhash64 token hashes; bit positions are
+    // Scala-side literals (shiftrightunsigned takes an Int)
     val ts = filter(split(lower(text), "[^a-z']+"), t => length(t) > 0)
-    val hs = transform(ts, t => hash(t).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
-    val bitsOf = (h: org.apache.spark.sql.Column) =>
-      transform(sequence(lit(0), lit(31)), i =>
-        when(pmod(floor(h / pow(lit(2.0), i)).cast("long"), lit(2L)) === 1L, 1).otherwise(-1))
-    val votes = aggregate(hs, array_repeat(lit(0), 32),
-      (acc, h) => zip_with(acc, bitsOf(h), (a, v) => a + v))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(31)),
-        (v, i) => when(v > 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    val hs = transform(ts, t => xxhash64(t))
+    (0 until 64).map { i =>
+      val vote = aggregate(hs, lit(0), (acc, h) =>
+        acc + when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
   }
 
   test("native shingle/minhash/simhash ≡ reference forms on random text") {

@@ -55,27 +55,34 @@ class ShingleExprsSpec extends SparkSpec {
     rows.foreach { case (fast, ref) => assert(fast == ref) }
   }
 
-  /** The original Column-combinator simhash form. */
+  /** Column-combinator simhash form: per-bit vote over xxhash64 token
+    * hashes. Bit positions are Scala-side (shiftrightunsigned takes a
+    * literal shift), so this is 64 interpreted aggregates — reference
+    * semantics, not a usable implementation. */
   private def simhashReference(text: org.apache.spark.sql.Column) = {
     val ts = filter(split(lower(text), "[^a-z']+"), t => length(t) > 0)
-    val hs = transform(ts, t => hash(t).cast("long").bitwiseAND(lit(0xFFFFFFFFL)))
-    val bitsOf = (h: org.apache.spark.sql.Column) =>
-      transform(sequence(lit(0), lit(31)), i =>
-        when(pmod(floor(h / pow(lit(2.0), i)).cast("long"), lit(2L)) === 1L, 1).otherwise(-1))
-    val votes = aggregate(hs, array_repeat(lit(0), 32),
-      (acc, h) => zip_with(acc, bitsOf(h), (a, v) => a + v))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(31)),
-        (v, i) => when(v > 0, pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    val hs = transform(ts, t => xxhash64(t))
+    (0 until 64).map { i =>
+      val vote = aggregate(hs, lit(0), (acc, h) =>
+        acc + when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
   }
 
-  test("SimHash32 ≡ Column-combinator simhash") {
+  test("SimHash64 ≡ Column-combinator simhash") {
     val rows = texts.select(
       ShingleExprs.simHash(col("text")).as("fast"),
       simhashReference(col("text")).as("ref"))
       .as[(Long, Long)].collect()
     rows.foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
+  test("SimHash64 single-token law: simhash64(token) = xxhash64(token)") {
+    val rows = Seq("graft", "spark", "dedup").toDF("t")
+      .select(ShingleExprs.simHash(col("t")).as("sh"), xxhash64(col("t")).as("xh"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (sh, xh) => assert(sh == xh) }
   }
 
   test("NgramStrings ≡ HOF transform/slice/array_join form") {

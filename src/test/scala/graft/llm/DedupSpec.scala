@@ -67,7 +67,7 @@ class DedupSpec extends SparkSpec {
     assert(sh(0L) != sh(2L))
     val d = Seq((sh(0L), sh(1L))).toDF("a", "b")
       .select(Dedup.hamming(col("a"), col("b"))).as[Long].head()
-    assert(d < 16) // near-dup texts land close in hamming space
+    assert(d < 32) // near-dup texts land below the ~width/2 random floor
   }
 
   test("ngramJaccardPairs exact baseline") {

@@ -30,12 +30,25 @@ class NearDupStreamSpec extends SparkSpec {
     r
   }
 
+  /** The near-pair's measured distance sets the radius (robust to the
+    * signature hash/width — a one-token edit lands at a different but
+    * deterministic distance for any geometry); the unrelated pair must
+    * sit strictly outside it for the negative assertions to mean
+    * anything. */
+  private lazy val radius: Int = {
+    val dNear = hammingOf(base, nearCopy)
+    val dUnrel = hammingOf(base, unrelated)
+    assert(dNear < dUnrel,
+      s"fixture drifted: near=$dNear must be < unrelated=$dUnrel")
+    dNear
+  }
+
   private def run(name: String,
                   batches: Seq[Seq[(Long, Timestamp, String)]]): Seq[NearDupStream.NearDup] = {
     val input = MemoryStream[(Long, Timestamp, String)](name.hashCode.abs, spark, None)
     val flags = NearDupStream.nearDupFlags(
       input.toDS().toDF("id", "ts", "text"), "id", "ts", "text",
-      maxDist = 3, lateness = "10 minutes")
+      maxDist = radius, lateness = "10 minutes")
     val dir = java.nio.file.Files.createTempDirectory(s"graft-nd-$name").toString
     val q = flags.writeStream.format("memory").queryName(name)
       .outputMode("append").option("checkpointLocation", dir).start()
@@ -47,9 +60,9 @@ class NearDupStreamSpec extends SparkSpec {
 
   test("within-batch and cross-batch near-dups flag; unrelated text does not") {
     // precondition sanity: the fixture pair really is within the radius,
-    // the unrelated text really is not
-    assert(hammingOf(base, nearCopy) <= 3, "fixture near-pair drifted")
-    assert(hammingOf(base, unrelated) > 3, "fixture unrelated pair drifted")
+    // the unrelated text really is not (radius is derived from the pair,
+    // so the first holds by construction; the second is the real check)
+    assert(hammingOf(base, unrelated) > radius, "fixture unrelated pair drifted")
 
     val flags = run("nd1", Seq(
       Seq((1L, ts(1), base), (2L, ts(2), nearCopy), (3L, ts(2), unrelated)),
