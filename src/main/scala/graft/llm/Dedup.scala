@@ -172,9 +172,11 @@ object Dedup {
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on maxDist+1 bit chunks (pigeonhole:
-    * hamming ≤ maxDist ⇒ at least one chunk equal — complete for any
-    * maxDist < 64), verify with bit_count.
+  /** SimHash near-dup pairs: block on combinations of signature blocks
+    * (pigeonhole: hamming ≤ maxDist ⇒ at least one combination of
+    * blocks − maxDist blocks is untouched — complete for any
+    * maxDist < 64; the default blocks = maxDist+1 degenerates to
+    * one-chunk keys), verify with bit_count.
     *
     * Unlike [[minHashPairs]] (wide signature arrays that must join back
     * AFTER candidate dedup), a simhash is ONE long — cheaper to carry
@@ -192,10 +194,29 @@ object Dedup {
     * an end-to-end execution cross-check with zero shared bucket keys
     * (the self-asserting form q_dedup_simhash pins). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3, rotation: Int = 0): DataFrame = {
+                   maxDist: Int = 3, rotation: Int = 0,
+                   blocks: Int = 0): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, "maxDist must be in [0, 64)")
     require(rotation >= 0 && rotation < 64, "rotation must be in [0, 64)")
-    val numChunks = maxDist + 1
+    // Generalized Manku blocking (WWW'07 §3.1.1): split the signature
+    // into `blocks` ≥ maxDist+1 blocks and key each candidate table on a
+    // (blocks − maxDist)-combination of them. A pair within Hamming
+    // maxDist has differing bits in at most maxDist blocks, so at least
+    // blocks − maxDist blocks agree — and some combination lies entirely
+    // inside the agreeing set (pigeonhole): every true pair shares a key
+    // in ≥1 of the C(blocks, blocks−maxDist) tables, for ANY blocks.
+    // More blocks = wider effective keys (combination width ≈
+    // 64·(blocks−maxDist)/blocks bits) = fewer collisions per bucket, at
+    // the cost of more tables — the knob that keeps candidates sane as
+    // the corpus grows past what single-chunk keys (blocks = maxDist+1,
+    // the default: C(k,1) = k tables on 64/k-bit chunks) can carry.
+    // The emitted pair set is IDENTICAL for every valid blocks value
+    // (completeness + exact verify), which q_dedup_simhash pins as a
+    // third execution cross-check alongside rotation.
+    val numBlocks = if (blocks <= 0) maxDist + 1 else blocks
+    require(numBlocks > maxDist && numBlocks <= 64,
+      s"blocks must be in (maxDist, 64], got $numBlocks")
+    val keyBlocks = numBlocks - maxDist
     // zero-token docs carry no token signal — see minHashPairs guard
     val sh = track(df
       .filter(size(TextFunctions.tokens(col(textCol))) > 0)
@@ -206,15 +227,22 @@ object Dedup {
       if (rotation == 0) col("sh")
       else shiftleft(col("sh"), rotation)
         .bitwiseOR(shiftrightunsigned(col("sh"), 64 - rotation))
-    val chunkStructs = (0 until numChunks).map { c =>
-      val lo = c * 64 / numChunks
-      val hi = (c + 1) * 64 / numChunks
-      // unsigned extraction of bits [lo, hi); a full-width chunk
-      // (numChunks == 1) is the signature itself
-      val v = if (hi - lo >= 64) col("r")
-        else shiftrightunsigned(col("r"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
-      struct(lit(c).as("chunk"), v.as("v"))
+    def blockVal(b: Int): Column = {
+      val lo = b * 64 / numBlocks
+      val hi = (b + 1) * 64 / numBlocks
+      // unsigned extraction of bits [lo, hi); a full-width block
+      // (numBlocks == 1 — only reachable when maxDist == 0) is the
+      // signature itself
+      if (hi - lo >= 64) col("r")
+      else shiftrightunsigned(col("r"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1))
     }
+    val chunkStructs = (0 until numBlocks).combinations(keyBlocks).toSeq
+      .zipWithIndex.map { case (combo, t) =>
+        // positional field names: every element of the exploded array
+        // must share one struct type
+        struct(lit(t).as("tbl") +:
+          combo.zipWithIndex.map { case (b, i) => blockVal(b).as(s"k$i") }: _*)
+      }
     val chunks = sh.select(col("id"), col("sh"), rot.as("r")).select(col("id"), col("sh"),
       explode(array(chunkStructs: _*)).as("ck"))
     // per-side key rename: see minHashPairs — a shared attribute would

@@ -263,21 +263,29 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // SimHash near-dup pairs, self-asserting form. Two independent
-    // engine-side checks, both pinned TRUE by the oracle: (1) dist_ok —
+    // SimHash near-dup pairs, self-asserting form. Three independent
+    // engine-side checks, all pinned TRUE by the oracle: (1) dist_ok —
     // every emitted pair's distance equals the Hamming distance of
     // signatures RE-DERIVED fresh from the raw text (exercises the
     // expression + join-back end to end) and respects maxDist; (2)
     // rotation_agree_ok — the pigeonhole blocking is complete for ANY
     // 64-bit rotation of the signatures, so a second run blocked on
     // rotated chunks (zero shared bucket keys with the first) must emit
-    // the IDENTICAL pair set. n_docs is the exact oracle companion
+    // the IDENTICAL pair set; (3) blocks_agree_ok — the generalized
+    // Manku multi-block blocking (blocks = 6 → C(6,3) = 20 tables on
+    // ~32-bit keys) is a THIRD disjoint execution that must also emit
+    // the identical pair set. n_docs is the exact oracle companion
     // (documents with at least one token).
     "q_dedup_simhash" -> { (s, dir) =>
       val docs = Tables(s, dir).documents
       val emitted = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3)
       val rotated = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3,
         rotation = 13)
+      // third cross-check: the generalized Manku blocking (6 blocks →
+      // C(6,3) = 20 tables on ~32-bit combination keys — the geometry a
+      // 100 TB corpus needs) must emit the identical pair set
+      val wide = Dedup.simHashPairs(docs, "doc_id", "text", maxDist = 3,
+        blocks = 6)
       val sig = docs
         .filter(size(TextFunctions.tokens(col("text"))) > 0)
         .select(col("doc_id"), Dedup.simHash(col("text")).as("sh"))
@@ -296,13 +304,20 @@ object LlmQueries {
         .agg(coalesce(bool_and(
           col("d1").isNotNull && col("d2").isNotNull && col("d1") === col("d2")),
           lit(true)).as("rotation_agree_ok"))
+      val agreeWide = emitted.select(col("id_a"), col("id_b"), col("dist").as("d1"))
+        .join(wide.select(col("id_a"), col("id_b"), col("dist").as("d3")),
+          Seq("id_a", "id_b"), "full_outer")
+        .agg(coalesce(bool_and(
+          col("d1").isNotNull && col("d3").isNotNull && col("d1") === col("d3")),
+          lit(true)).as("blocks_agree_ok"))
       sig.agg(count(lit(1)).as("n_docs"))
         .crossJoin(broadcast(consist))
         .crossJoin(broadcast(nEmitted))
         .crossJoin(broadcast(agree))
+        .crossJoin(broadcast(agreeWide))
         .select(col("n_docs"),
           (col("pairs_ok") && col("n_joined") === col("n_emitted")).as("dist_ok"),
-          col("rotation_agree_ok"))
+          col("rotation_agree_ok"), col("blocks_agree_ok"))
     },
 
     // End-to-end near-dedup, self-asserting form over the exposed
@@ -2340,7 +2355,8 @@ object LlmQueries {
     // signature-consistency and rotation-blocking-agreement booleans
     // pinned TRUE.
     "q_dedup_simhash" ->
-      """SELECT count(*) AS n_docs, TRUE AS dist_ok, TRUE AS rotation_agree_ok
+      """SELECT count(*) AS n_docs, TRUE AS dist_ok, TRUE AS rotation_agree_ok,
+                TRUE AS blocks_agree_ok
          FROM documents
          WHERE len(list_filter(string_split_regex(lower(text), '[^a-z'']+'), t -> t <> '')) > 0""",
     // Self-asserting near-dedup pipeline gate: exact doc / exact-dup-group

@@ -106,6 +106,14 @@ class DedupSpec extends SparkSpec {
       val got = Dedup.simHashPairs(docs, "doc_id", "text", maxDist)
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(got == truth, s"maxDist $maxDist")
+      // generalized multi-block geometries emit the identical set:
+      // C(blocks, blocks−maxDist) tables on wider combination keys
+      for (blocks <- Seq(maxDist + 2, maxDist + 4)) {
+        val wide = Dedup.simHashPairs(docs, "doc_id", "text", maxDist,
+          blocks = blocks)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+        assert(wide == truth, s"maxDist $maxDist blocks $blocks")
+      }
     }
   }
 
