@@ -67,8 +67,9 @@ object GraftExtensions {
     (new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[ShingleExprs.SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => {
-        require(args.length == 1, "simhash64(text)")
-        ShingleExprs.SimHash64(args.head)
+        require(args.length == 1 || args.length == 2, "simhash64(text[, k])")
+        ShingleExprs.SimHash64(args.head,
+          if (args.length == 2) intArg(args(1), "k") else 3)
       }),
     (new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[ShingleExprs.DotProduct].getName, "dot_product"),

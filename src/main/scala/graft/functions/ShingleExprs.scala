@@ -182,36 +182,48 @@ object ShingleExprs {
       copy(child = newChild)
   }
 
-  /** 64-bit SimHash in one pass: per-token xxhash64 (parity with
-    * functions.xxhash64, seed 42), per-bit vote, sign → bit.
+  /** 64-bit SimHash in one pass: per-bit vote over the document's
+    * k-shingle xxhash64 hashes ([[shingleHashArray]] — seed-42 parity
+    * with the whole shingle family), sign → bit.
+    *
+    * Two measured design decisions, both from the sf10 scale rung
+    * (500k docs):
     *
     * 64 bits, not 32 (Manku, Jain & Sarma, "Detecting Near-Duplicates
-    * for Web Crawling", WWW'07 §3 use 64-bit fingerprints at web scale):
-    * the pigeonhole blocking in Dedup.simHashPairs buckets on
-    * fingerprint chunks of width/(maxDist+1) bits, so candidate volume
-    * is ~n²/2^chunkWidth. 8-bit chunks (32-bit signature, maxDist 3)
-    * measured ENOSPC at the sf10 growth cut — ~n²/256 candidate rows
-    * overflowed 74 GB of shuffle at 500k docs — while 16-bit chunks
-    * keep the same sweep in the tens of seconds. A 32-bit fingerprint
-    * also starts emitting distance-0 FALSE pairs from raw hash
-    * collisions at ~n²/2³³ (≈30 bogus identical-signature pairs at
-    * 500k unrelated docs); 64-bit pushes that past any realistic corpus.
+    * for Web Crawling", WWW'07 §3): the pigeonhole blocking in
+    * Dedup.simHashPairs buckets on fingerprint chunks of
+    * width/(maxDist+1) bits, so uniform-signature candidate volume is
+    * ~n²/2^chunkWidth — 8-bit chunks measured ENOSPC (>74 GB of
+    * shuffle); 16-bit chunks carry the same corpus trivially. 32 bits
+    * also emit birthday-collision false distance-0 pairs at ~n²/2³³.
     *
-    * Single-token law (pinned in the q_sql_surface audit): simhash of a
-    * one-token document IS that token's xxhash64 — every bit gets one
-    * +1/-1 vote whose sign is the hash bit. */
-  final case class SimHash64(child: Expression)
+    * SHINGLE features, not unigram tokens: a unigram per-bit vote is
+    * the sign of the corpus-wide token distribution as sampled by the
+    * document, so same-distribution documents get CORRELATED bits —
+    * measured 15% of the 500k-doc corpus sharing one 16-bit chunk
+    * value (11.8e9 candidate pairs — quadratic no matter the chunk
+    * width). Shingles are near-unique per document, votes decorrelate:
+    * the same probe measured max bucket 100 (= the true near-dup
+    * family size) and 21e6 candidates, a 560× reduction. Shingles are
+    * also what Manku fingerprints, and they see token ORDER.
+    *
+    * Sub-k documents use shingleHashArray's whole-text fallback (ONE
+    * feature = xxhash64 of the joined tokens), so the single-feature
+    * law pinned in the q_sql_surface audit — simhash64 of a document
+    * below k tokens IS xxhash64 of its joined tokens — gives SQL an
+    * exact cross-derivation: simhash64('graft') = xxhash64('graft'). */
+  final case class SimHash64(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
+    require(k > 0, "k must be positive")
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(child, isStringType, "string")
     override def dataType: DataType = LongType
     override def nullSafeEval(input: Any): Any = {
-      val toks = tokenize(input.asInstanceOf[UTF8String])
+      val hs = shingleHashArray(input.asInstanceOf[UTF8String], k)
       val votes = new Array[Int](64)
       var t = 0
-      while (t < toks.length) {
-        val b = UTF8String.fromString(toks(t)).getBytes
-        val h = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, Seed)
+      while (t < hs.length) {
+        val h = hs(t)
         var i = 0
         while (i < 64) {
           if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
@@ -949,8 +961,8 @@ object ShingleExprs {
   def minHashSignature(text: Column, k: Int, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashSig(GraftSqlBridge.expression(text), k, numHashes))
 
-  def simHash(text: Column): Column =
-    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
+  def simHash(text: Column, k: Int = 3): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text), k))
 
   /** Callers must pre-cast both sides to array<double>. */
   def dot(a: Column, b: Column): Column =

@@ -158,16 +158,19 @@ object Dedup {
 
   // -------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash: per-bit vote over xxhash64 token hashes (parity
-    * with functions.xxhash64 seed 42), sign of each vote → bit. Native
-    * Expression (graft.functions.ShingleExprs.SimHash64) — the Column
-    * form folds a 64-wide vote array per token through interpreted HOFs.
-    * 64 bits per Manku et al. WWW'07: the pigeonhole blocking below
-    * buckets on width/(maxDist+1)-bit chunks, and 8-bit chunks (the old
-    * 32-bit width) measured candidate volume ~n²/256 — ENOSPC at the
-    * 500k-doc sf10 cut. 16-bit chunks carry the same corpus trivially. */
-  def simHash(text: Column): Column =
-    graft.functions.ShingleExprs.simHash(text)
+  /** 64-bit SimHash: per-bit vote over k-shingle xxhash64 hashes, sign
+    * of each vote → bit. Native Expression
+    * (graft.functions.ShingleExprs.SimHash64) — the Column form folds a
+    * 64-wide vote array per shingle through interpreted HOFs. 64 bits
+    * AND shingle features per Manku et al. WWW'07 — both decisions
+    * measured at the 500k-doc sf10 cut: 8-bit chunks (32-bit width)
+    * blew candidates to ~n²/256 (ENOSPC), and unigram-token votes
+    * correlate same-distribution docs (15% of the corpus in ONE 16-bit
+    * chunk bucket, 11.8e9 candidates) where shingle votes decorrelate
+    * them (max bucket = the true near-dup family, 560× fewer
+    * candidates). See the expression's Scaladoc for the numbers. */
+  def simHash(text: Column, shingleK: Int = 3): Column =
+    graft.functions.ShingleExprs.simHash(text, shingleK)
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -192,10 +195,15 @@ object Dedup {
     * yields a complete blocking and the emitted pair set must be
     * IDENTICAL across rotations — two runs with different rotations are
     * an end-to-end execution cross-check with zero shared bucket keys
-    * (the self-asserting form q_dedup_simhash pins). */
+    * (the self-asserting form q_dedup_simhash pins).
+    *
+    * `shingleK` is the signature's feature width (see [[simHash]]);
+    * `maxBucket` caps candidate buckets (the minHashPairs
+    * recall/robustness trade; <= 0 disables — see the inline note). */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3, rotation: Int = 0,
-                   blocks: Int = 0): DataFrame = {
+                   blocks: Int = 0, shingleK: Int = 3,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, "maxDist must be in [0, 64)")
     require(rotation >= 0 && rotation < 64, "rotation must be in [0, 64)")
     // Generalized Manku blocking (WWW'07 §3.1.1): split the signature
@@ -220,7 +228,7 @@ object Dedup {
     // zero-token docs carry no token signal — see minHashPairs guard
     val sh = track(df
       .filter(size(TextFunctions.tokens(col(textCol))) > 0)
-      .select(col(idCol).as("id"), simHash(col(textCol)).as("sh")))
+      .select(col(idCol).as("id"), simHash(col(textCol), shingleK).as("sh")))
     // 64-bit rotate-left via bitwise ops (shift + or — the full-width
     // long has no headroom for the decimal-arithmetic form)
     val rot =
@@ -245,10 +253,28 @@ object Dedup {
       }
     val chunks = sh.select(col("id"), col("sh"), rot.as("r")).select(col("id"), col("sh"),
       explode(array(chunkStructs: _*)).as("ck"))
+    // Mega-bucket cap, the minHashPairs device (grouped count +
+    // left-semi back-join — partial-aggregates map-side, AQE can
+    // skew-split the join; a per-ck window would materialize the
+    // hottest bucket in one task, the exact skew this defuses). A
+    // bucket of m docs is m²/2 candidates: shingle-feature signatures
+    // keep buckets at true-near-dup-family size on healthy corpora
+    // (measured, see simHash), so the cap is the backstop for the
+    // degenerate ones (mass-identical docs — run exact dedup first).
+    // maxBucket <= 0 disables. NOTE: with a finite cap, the
+    // rotation/blocks pair-set identity holds only while no bucket
+    // exceeds the cap (each geometry drops ITS OWN oversized buckets);
+    // the q_dedup_simhash cross-checks run where the cap is inactive.
+    val bounded =
+      if (maxBucket <= 0) chunks
+      else chunks.join(
+        chunks.groupBy(col("ck")).agg(count(lit(1)).as("bn"))
+          .filter(col("bn") <= maxBucket).select(col("ck")),
+        Seq("ck"), "left_semi")
     // per-side key rename: see minHashPairs — a shared attribute would
     // degenerate the equi-join into a cross join
-    val a = chunks.select(col("ck").as("ck_a"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = chunks.select(col("ck").as("ck_b"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = bounded.select(col("ck").as("ck_a"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = bounded.select(col("ck").as("ck_b"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, col("ck_a") === col("ck_b") && col("id_a") < col("id_b"))
       .withColumn("dist", hamming(col("sh_a"), col("sh_b")))
       .filter(col("dist") <= maxDist)

@@ -27,9 +27,10 @@ object LlmQueries {
     * of the function inside pure SQL: identity/idempotence (jaro_winkler,
     * canonicalize_url, normalize_text, clean_text), size laws against
     * ngram_strings (shingle_hash's whole-text fallback, minhash_sig's
-    * signature width, consecutive_pairs' n−1), the single-token law
-    * simhash64(token) = xxhash64(token) (one +1/-1 vote per bit, sign =
-    * the hash bit), range bounds (quality_score), exact constants
+    * signature width, consecutive_pairs' n−1), the single-feature law
+    * simhash64(token) = xxhash64(token) (below k tokens the shingle
+    * fallback is ONE whole-text hash, so every bit's lone vote's sign
+    * is the hash bit), range bounds (quality_score), exact constants
     * (dot_product), and sketch-vs-exact
     * agreement (kll median within [min,max] length; theta union within 5%
     * of the exact id count, disjoint intersect and self-A\\B exactly 0 —

@@ -30,10 +30,10 @@ class ShingleExprsPropSpec extends SparkSpec {
   }
 
   private def simhashReference(text: org.apache.spark.sql.Column) = {
-    // 64-bit per-bit vote over xxhash64 token hashes; bit positions are
+    // 64-bit per-bit vote over the 3-shingle hash reference (NOT the
+    // native ShingleHash — fully independent chain); bit positions are
     // Scala-side literals (shiftrightunsigned takes an Int)
-    val ts = filter(split(lower(text), "[^a-z']+"), t => length(t) > 0)
-    val hs = transform(ts, t => xxhash64(t))
+    val hs = shinglesReference(text, 3)
     (0 until 64).map { i =>
       val vote = aggregate(hs, lit(0), (acc, h) =>
         acc + when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, 1)

@@ -60,8 +60,9 @@ class ShingleExprsSpec extends SparkSpec {
     * literal shift), so this is 64 interpreted aggregates — reference
     * semantics, not a usable implementation. */
   private def simhashReference(text: org.apache.spark.sql.Column) = {
-    val ts = filter(split(lower(text), "[^a-z']+"), t => length(t) > 0)
-    val hs = transform(ts, t => xxhash64(t))
+    // per-bit vote over the 3-shingle hash array (ShingleHash is itself
+    // reference-checked above, so this cross-checks the vote fold)
+    val hs = ShingleExprs.shingleHashes(text, 3)
     (0 until 64).map { i =>
       val vote = aggregate(hs, lit(0), (acc, h) =>
         acc + when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, 1)
