@@ -32,23 +32,45 @@ private[queries] object ReplayFeed {
     Files.createTempDirectory(scratchBase, prefix).toString
 
   /** Write `chunks` as one single-file parquet each into `dir`, named
-    * f000.., with strictly increasing modification times (2 s apart). */
+    * f000.., with strictly increasing modification times (2 s apart).
+    *
+    * The chunk writes are INDEPENDENT Spark jobs over the caller's
+    * persisted frame, so they run concurrently from a small thread pool
+    * (guide §2.6 — overlap independent jobs so the next job's tasks
+    * back-fill the tail of the current one): a 12-file feed paid ~12
+    * sequential filter+coalesce(1) jobs per gate, pure harness latency.
+    * Replay order is untouched — file NAMES and the explicitly-set
+    * modification times (assigned after all writes complete, in index
+    * order) are what the file source sorts by, not write completion
+    * order. */
   def writeOrderedFeed(chunks: Seq[DataFrame], dir: String): Unit = {
     import scala.jdk.CollectionConverters._
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val base = System.currentTimeMillis() - 3600000L
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val stage = tmp("stage")
-      chunk.coalesce(1).write.mode("overwrite").parquet(stage)
-      val listing = Files.list(Paths.get(stage))
-      val part =
-        try listing.iterator().asScala
-          .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
-        finally listing.close()
-      val target = Paths.get(dir, f"f$i%03d.parquet")
-      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(target,
-        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
-    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, math.max(1, chunks.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val staged = chunks.zipWithIndex.map { case (chunk, i) =>
+        Future {
+          val stage = tmp("stage")
+          chunk.coalesce(1).write.mode("overwrite").parquet(stage)
+          val listing = Files.list(Paths.get(stage))
+          val part =
+            try listing.iterator().asScala
+              .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
+            finally listing.close()
+          (i, part)
+        }
+      }
+      staged.map(Await.result(_, Duration.Inf)).foreach { case (i, part) =>
+        val target = Paths.get(dir, f"f$i%03d.parquet")
+        Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+      }
+    } finally pool.shutdown()
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily pinned
@@ -64,12 +86,47 @@ private[queries] object ReplayFeed {
     * the replay fixtures' key counts. Safe because each gate runs its
     * query inside the pinned scope on a fresh checkpoint, and the
     * driver executes queries sequentially. */
-  def withGatePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int = 8)(
+  /** `keepNoDataBatches`: the ordered-replay gates derive nothing from
+    * the trailing no-data micro-batch (the flush-row design lands every
+    * final pane in a REAL batch), so it is skipped by default — one full
+    * batch of fixed overhead per gate. The three gates whose output DOES
+    * seal in a no-data batch (q_wallclock_panes' wall-clock timers;
+    * q_stream_ts_attr / q_stream_broker, whose last windows seal only
+    * via the post-final-batch watermark — measured: 4 rows short
+    * without it) opt back in. */
+  /** `changelog`: RocksDB changelog checkpointing (see below). The two
+    * session gates with inline state-BYTE budgets opt out: without the
+    * per-commit snapshot+flush, RocksDB's `memoryUsedBytes` reports the
+    * accumulated memtable arena (~3 MB) instead of the post-flush
+    * footprint the 128 KiB + 4 KiB/session budget was calibrated
+    * against — the budget is a correctness gate and its measurement
+    * baseline must not move (measured: peak 3,171,764 B under changelog
+    * vs 155,648 B budget, purely an accounting shift). */
+  def withGatePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int = 8,
+      keepNoDataBatches: Boolean = false, changelog: Boolean = true)(
       body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, old)
+    // RocksDB changelog checkpointing: per micro-batch commit, upload
+    // only the batch's change log instead of a full RocksDB snapshot
+    // (zip of SST + metadata files per store). The replay gates run
+    // 7–13 micro-batches × `n` stores with a handful of keys each, so
+    // the per-commit snapshot machinery dominated state-commit time;
+    // production-side this is the documented low-latency checkpoint
+    // mode and restart semantics are unchanged (snapshot + changelog
+    // replay) — which the q_trigger_restart / q_session_restart /
+    // q_stream_ewma_restart / q_stream_cdc_restart gates prove against
+    // unchanged oracles.
+    val keys = Seq(
+      "spark.sql.shuffle.partitions" -> n.toString,
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        -> changelog.toString,
+      "spark.sql.streaming.noDataMicroBatches.enabled"
+        -> keepNoDataBatches.toString)
+    val olds = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
   }
 
   /** Day-aligned adaptive cell size: the smallest whole-day cell that
@@ -81,12 +138,21 @@ private[queries] object ReplayFeed {
     * pins every gate to a constant number of batches at any sf. Gates
     * whose oracles encode the grid recompute the identical integer
     * arithmetic in SQL: cellDays = (spanDays + target − 1) / target. */
-  def adaptiveCellUs(df: DataFrame, tsCol: String, targetCells: Int): Long = {
+  def adaptiveCellUs(df: DataFrame, tsCol: String, targetCells: Int): Long =
+    adaptiveCellBounds(df, tsCol, targetCells)._1
+
+  /** [[adaptiveCellUs]] plus the (loUs, hiUs) bounds it already scanned:
+    * one agg job instead of the 2–3 separate bounds scans the gates
+    * previously paid per feed build (guide §1.2 — don't recompute what
+    * one pass already produced). */
+  def adaptiveCellBounds(df: DataFrame, tsCol: String,
+                         targetCells: Int): (Long, Long, Long) = {
     val DayUs = 86400000000L
     val b = df.agg(min(unix_micros(col(tsCol))).as("lo"),
       max(unix_micros(col(tsCol))).as("hi")).head()
-    val spanDays = b.getLong(1) / DayUs - b.getLong(0) / DayUs + 1
-    ((spanDays + targetCells - 1) / targetCells) * DayUs
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val spanDays = hi / DayUs - lo / DayUs + 1
+    (((spanDays + targetCells - 1) / targetCells) * DayUs, lo, hi)
   }
 
   /** Cut `df` into time-ordered chunks on the epoch-aligned `cellUs`
@@ -95,5 +161,13 @@ private[queries] object ReplayFeed {
     val cell = (unix_micros(col(tsCol)) / cellUs).cast("long")
     val bounds = df.agg(min(cell).as("lo"), max(cell).as("hi")).head()
     (bounds.getLong(0) to bounds.getLong(1)).map(i => df.filter(cell === i))
+  }
+
+  /** [[cellChunks]] with the µs bounds already known — skips the bounds
+    * agg the two-arg form pays. */
+  def cellChunks(df: DataFrame, tsCol: String, cellUs: Long,
+                 loUs: Long, hiUs: Long): Seq[DataFrame] = {
+    val cell = (unix_micros(col(tsCol)) / cellUs).cast("long")
+    (loUs / cellUs to hiUs / cellUs).map(i => df.filter(cell === i))
   }
 }

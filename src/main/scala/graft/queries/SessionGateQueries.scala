@@ -71,12 +71,10 @@ object SessionGateQueries {
       col("event_type").as("k"), col("ts"),
       col("user_id").cast("long").as("v"))
     ev.persist() // feeds the bounds scan + one filter job per grid cell
-    val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-      max(unix_micros(col("ts"))).as("hi")).head()
-    val (loUs, hiUs) = (b.getLong(0), b.getLong(1))
     // the shared adaptive grid (cellDays = ceil(spanDays/8), ≤ ~9
-    // cells); the oracle recomputes the identical integer arithmetic
-    val cellUs = ReplayFeed.adaptiveCellUs(ev, "ts", 8)
+    // cells); the oracle recomputes the identical integer arithmetic.
+    // ONE bounds scan yields grid + lo/hi (was two separate aggs).
+    val (cellUs, loUs, hiUs) = ReplayFeed.adaptiveCellBounds(ev, "ts", 8)
     val cell = (unix_micros(col("ts")) / cellUs).cast("long")
     val mains = (loUs / cellUs to hiUs / cellUs).map(i => ev.filter(cell === i))
     // max gap is (15 + keyLen + 9) minutes << 1 day, so hi + 1 day clears
@@ -122,10 +120,8 @@ object SessionGateQueries {
         (lit(15L) + length(col("k")) + pmod(col("v"), lit(10L))) * 60000L)
     ev.persist() // bounds + cells + islands + one filter per cell
     try {
-      val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-        max(unix_micros(col("ts"))).as("hi")).head()
-      val (loUs, hiUs) = (b.getLong(0), b.getLong(1))
-      val cellUs = ReplayFeed.adaptiveCellUs(ev, "ts", 8)
+      // one bounds scan yields grid + lo/hi (was two separate aggs)
+      val (cellUs, loUs, hiUs) = ReplayFeed.adaptiveCellBounds(ev, "ts", 8)
       val cell = (unix_micros(col("ts")) / cellUs).cast("long")
       val cells = ev.select(cell.as("c")).distinct().orderBy(col("c"))
         .collect().map(_.getLong(0))
@@ -273,7 +269,10 @@ object SessionGateQueries {
           SessionEngine.sessionAggregateWith(
             in, DynGapAssigner(), java.time.Duration.ZERO,
             earlyPerBatch = false, Accumulating, TriggerGateQueries.NSumFn),
-        onPeak = Some(sessionBudget(nKeys, nSessions)))
+        onPeak = Some(sessionBudget(nKeys, nSessions)),
+        // snapshot checkpointing: the byte budget is calibrated against
+        // per-commit-flush memory accounting (see withGatePartitions)
+        changelog = false)
     },
 
     // VERDICT r12 task 5: merging windows × LATE firings — held-out
@@ -297,7 +296,10 @@ object SessionGateQueries {
             in, DynGapAssigner(), java.time.Duration.ofMillis(latenessMs),
             earlyPerBatch = false, Accumulating, TriggerGateQueries.NSumFn,
             latePerBatch = true),
-        onPeak = Some(sessionBudget(nKeys, nSessions)))
+        onPeak = Some(sessionBudget(nKeys, nSessions)),
+        // snapshot checkpointing: the byte budget is calibrated against
+        // per-commit-flush memory accounting (see withGatePartitions)
+        changelog = false)
     },
   )
 

@@ -44,4 +44,21 @@ object StateMetrics {
 
   /** All recordings so far, clearing the buffer. */
   def drain(): Seq[Peak] = synchronized { val r = buf.toList; buf.clear(); r }
+
+  /** Opt-in per-batch duration dump (SPARK_GRAFT_STREAM_DEBUG=1): one
+    * line per micro-batch with the trigger's durationMs breakdown
+    * (addBatch / walCommit / stateUpdate / commitOffsets …) — the
+    * measurement hook behind the replay-gate overhead work (guide §1:
+    * measure first). No-op unless the env var is set, so gates pay
+    * nothing in normal runs. */
+  def debugDurations(q: StreamingQuery, tag: String): Unit =
+    if (sys.env.get("SPARK_GRAFT_STREAM_DEBUG").contains("1")) {
+      import scala.jdk.CollectionConverters._
+      q.recentProgress.foreach { p =>
+        val d = p.durationMs.asScala.toSeq.sortBy(-_._2)
+          .map { case (k, v) => s"$k=$v" }.mkString(" ")
+        System.err.println(
+          s"[gate-debug] $tag batch=${p.batchId} rows=${p.numInputRows} $d")
+      }
+    }
 }

@@ -68,11 +68,13 @@ object StreamChainGateQueries {
   private def buildFeed(s: SparkSession, rows: DataFrame,
                         flushKey: Any): String = {
     val feed = ReplayFeed.tmp("sc_feed")
-    rows.persist() // feeds the max scan + one filter job per grid cell
+    rows.persist() // feeds the bounds scan + one filter job per grid cell
     try {
-      val maxUs = rows.agg(max(unix_micros(col("ts")))).head().getLong(0)
-      val chunks = ReplayFeed.cellChunks(rows, "ts",
-        ReplayFeed.adaptiveCellUs(rows, "ts", TargetCells)) ++
+      // one bounds scan serves the grid, the chunk range, AND the flush
+      // timestamps (was three separate aggs over the persisted frame)
+      val (cellUs, loUs, maxUs) =
+        ReplayFeed.adaptiveCellBounds(rows, "ts", TargetCells)
+      val chunks = ReplayFeed.cellChunks(rows, "ts", cellUs, loUs, maxUs) ++
         flushRows(s, flushKey, maxUs)
       ReplayFeed.writeOrderedFeed(chunks.filterNot(_.isEmpty), feed)
     } finally { rows.unpersist(); () }
@@ -91,6 +93,7 @@ object StreamChainGateQueries {
       .option("path", outDir).option("checkpointLocation", ckpt)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StateMetrics.debugDurations(q, s"chain:$outDir")
     s.read.parquet(outDir)
   }
 
@@ -256,7 +259,8 @@ object StreamChainGateQueries {
       val feed = ReplayFeed.tmp("sc_feed")
       rows.persist()
       try {
-        val maxUs = rows.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        val (cellUs, loUs, maxUs) =
+          ReplayFeed.adaptiveCellBounds(rows, "ts", TargetCells)
         // flush rows must carry a STEP type (the internal filter drops
         // other types BEFORE the watermark node) under a reserved user
         val flush = Seq(1, 2).map(d => s.range(1)
@@ -264,8 +268,7 @@ object StreamChainGateQueries {
             timestamp_micros(lit(maxUs + d * DayUs)).as("ts"),
             lit("view").as("v")))
         ReplayFeed.writeOrderedFeed(
-          (ReplayFeed.cellChunks(rows, "ts",
-            ReplayFeed.adaptiveCellUs(rows, "ts", TargetCells)) ++ flush)
+          (ReplayFeed.cellChunks(rows, "ts", cellUs, loUs, maxUs) ++ flush)
             .filterNot(_.isEmpty), feed)
       } finally { rows.unpersist(); () }
       runStream(s, feed, StructType.fromDDL("k BIGINT, ts TIMESTAMP, v STRING"),

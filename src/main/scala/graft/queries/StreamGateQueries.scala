@@ -302,7 +302,9 @@ object StreamGateQueries {
       val agg = deduped
         .groupBy(window(col("evt_ts"), "20 seconds").as("window"), col("src"))
         .agg(count(lit(1)).as("n"), sum(col("record_id")).as("sum_id"))
-      ReplayFeed.withGatePartitions(s) {
+      // the last sealed windows emit in the trailing no-data batch (the
+      // broker source has no flush-row device) — keep it
+      ReplayFeed.withGatePartitions(s, keepNoDataBatches = true) {
         val q = agg.writeStream.format("parquet").option("path", outDir)
           .option("checkpointLocation", ckpt).outputMode("append").start()
         q.processAllAvailable()
@@ -375,7 +377,9 @@ object StreamGateQueries {
       val agg = deduped
         .groupBy(window(col("evt_ts"), "30 seconds").as("window"), col("src"))
         .agg(count(lit(1)).as("n"), sum(col("record_id")).as("sum_id"))
-      ReplayFeed.withGatePartitions(s) {
+      // the last sealed windows emit in the trailing no-data batch (the
+      // broker source has no flush-row device) — keep it
+      ReplayFeed.withGatePartitions(s, keepNoDataBatches = true) {
         val q = agg.writeStream.format("parquet").option("path", outDir)
           .option("checkpointLocation", ckpt).outputMode("append").start()
         q.processAllAvailable()
@@ -420,7 +424,9 @@ object StreamGateQueries {
         input.toDS(), java.time.Duration.ofMillis(200),
         graft.streaming.TriggerEngine.Discarding, TriggerGateQueries.NSumFn)
       val outDir = tmp("wc_out"); val ckpt = tmp("wc_ckpt")
-      ReplayFeed.withGatePartitions(s) {
+      // wall-clock timers fire in whatever batch the clock reaches them —
+      // including no-data batches; disabling them stalls the pane poll
+      ReplayFeed.withGatePartitions(s, keepNoDataBatches = true) {
         val q = panes.writeStream.format("parquet").option("path", outDir)
           .option("checkpointLocation", ckpt).outputMode("append").start()
         // a pre-first-commit read throws (no parquet yet) — expected; but a

@@ -130,7 +130,9 @@ object TriggerGateQueries {
       col("event_id"))
     ev.persist() // feeds the grid/stats/bounds aggs + one filter per cell
     try {
-      val cellUs = ReplayFeed.adaptiveCellUs(ev, "ts", 8)
+      // one bounds scan: the grid cell AND the flush base (maxUs) — the
+      // separate max-ts agg this setup used to pay is folded in
+      val (cellUs, _, maxUs) = ReplayFeed.adaptiveCellBounds(ev, "ts", 8)
       val winUs = 2 * cellUs
       val half = (unix_micros(col("ts")) / cellUs).cast("long")
       // per-(key, cell) counts: the threshold stats AND the populated-
@@ -142,7 +144,6 @@ object TriggerGateQueries {
       val m = counts.length
       val (med, p80) = (counts((m - 1) / 2), counts((4 * m + 4) / 5 - 1))
       val cells = kc.map(_._2).distinct.sorted
-      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
       // the first window's second cell; its last fifth is the late slice
       val c1 = (cells.head / 2) * 2 + 1
       val lateCond = half === c1 &&
@@ -234,6 +235,7 @@ object TriggerGateQueries {
       .option("path", outDir).option("checkpointLocation", ckpt)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    StateMetrics.debugDurations(q, s"panes:$outDir")
     StateMetrics.record(q)
   }
 
@@ -261,8 +263,9 @@ object TriggerGateQueries {
     * with its state budget unchecked). */
   private[queries] def runPanes(s: SparkSession, feed: String,
                        panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]],
-                       onPeak: Option[StateMetrics.Peak => Unit] = None)
-      : DataFrame = ReplayFeed.withGatePartitions(s) {
+                       onPeak: Option[StateMetrics.Peak => Unit] = None,
+                       changelog: Boolean = true)
+      : DataFrame = ReplayFeed.withGatePartitions(s, changelog = changelog) {
     val outDir = tmp("tg_out"); val ckpt = tmp("tg_ckpt")
     val peak = runPaneQuery(s, feed, outDir, ckpt, panes)
     onPeak.foreach { cb =>
@@ -285,8 +288,9 @@ object TriggerGateQueries {
     * combined pane table to hash-match the uninterrupted oracle. */
   private[queries] def runPanesWithRestart(s: SparkSession, feed: String,
       panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]],
-      onPeak: Option[StateMetrics.Peak => Unit] = None)
-      : DataFrame = ReplayFeed.withGatePartitions(s) {
+      onPeak: Option[StateMetrics.Peak => Unit] = None,
+      changelog: Boolean = true)
+      : DataFrame = ReplayFeed.withGatePartitions(s, changelog = changelog) {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val outDir = tmp("tr_out"); val ckpt = tmp("tr_ckpt")
