@@ -363,8 +363,20 @@ object Dedup {
     * list (id_a, id_b): every node ends with its component's min id.
     * Near-dup clusters are tiny, so this converges in a few iterations;
     * maxIter bounds the worst case. */
+  /** @param smallLabels when true (default), the per-iteration label
+    *        vector broadcasts into the edge join — right whenever
+    *        |nodes| ≪ |edges| holds or nodes fit in memory (the
+    *        near-dup cluster case: nodes = docs, edges = candidate
+    *        pairs). Without the hint a localCheckpoint'ed frame carries
+    *        no size stats, so the planner shuffle-joined BOTH sides —
+    *        the symmetrized edge list re-shuffled every iteration
+    *        (guide §2.4/§3.1; the [[graft.operators.Graph]] device).
+    *        Flip to false for node sets too big to broadcast. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          maxIter: Int = 10): DataFrame = {
+                          maxIter: Int = 30,
+                          smallLabels: Boolean = true): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (smallLabels) broadcast(_) else identity
     // Persist the symmetrized edges once: they are re-read twice per
     // iteration, and without this the whole upstream pipeline (e.g. the
     // MinHash candidate generation feeding the edge list) would re-execute
@@ -380,16 +392,34 @@ object Dedup {
     var converged = false
     while (iter < maxIter && !converged) {
       val neighborMin = sym
-        .join(labels, sym("src") === labels("id"))
+        .join(hint(labels), sym("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
       val prev = labels
+      // one-hop candidate: min(own label, neighbors' labels)
+      val cand = prev
+        .join(hint(neighborMin), prev("id") === neighborMin("dst"), "left_outer")
+        .select(prev("id"),
+          col("label").as("plabel"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("clabel"))
+      // pointer doubling (label-of-label, from the same round snapshot):
+      // plain min-label propagation moves a component's min id ONE hop
+      // per round — O(diameter) rounds, and the image-dedup pair graph
+      // at sf0.1 needs 17 (maxIter=10 silently truncated it: the
+      // histogram was an UNCONVERGED component set at any sf the driver
+      // doesn't oracle-check). Following the candidate label one more
+      // hop through the round-start label vector roughly doubles the
+      // covered distance per round — O(log diameter) rounds to the
+      // SAME fixpoint (labels only ever decrease toward the component
+      // min; stability implies the plain fixpoint condition).
+      val look = labels.select(col("id").as("lid"), col("label").as("llabel"))
       // carry the change flag inside the same materialized frame: the
       // convergence check below reads checkpointed blocks, not the plan
-      val next = prev
-        .join(neighborMin, prev("id") === neighborMin("dst"), "left_outer")
-        .select(prev("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (coalesce(col("nlabel"), col("label")) < col("label")).as("changed"))
+      val next = cand
+        .join(hint(look), cand("clabel") === look("lid"), "left_outer")
+        .select(col("id"),
+          least(col("clabel"), coalesce(col("llabel"), col("clabel"))).as("label"),
+          (least(col("clabel"), coalesce(col("llabel"), col("clabel")))
+            < col("plabel")).as("changed"))
         .localCheckpoint()
       converged = next.filter(col("changed")).isEmpty
       // next is materialized — the superseded iterate's checkpoint blocks
@@ -399,6 +429,12 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    // an unconverged stop is a WRONG component set (exactly what the
+    // sf0.1 truncation produced) — fail loudly, never return it
+    require(converged,
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "the label set is not a component fixpoint; raise maxIter (log-" +
+        "scale in diameter under pointer doubling) or use the star variant")
     labels
   }
 

@@ -189,6 +189,15 @@ object Multimodal {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
     import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
 
+    // ImageIO's stream cache defaults to DISK: every read/write wraps
+    // its in-memory byte stream in a temp-FILE-backed cache stream. For
+    // per-row codec work fanned across all cores that is one temp-file
+    // create/write/delete per image and the codec stage collapses into
+    // filesystem contention (measured at sf0.1: the 32-way spread of
+    // q_multimodal_video ran 3× SLOWER than single-core until this).
+    // Payloads here are small in-memory byte arrays — cache in memory.
+    ImageIO.setUseCache(false)
+
     private def render(width: Int, height: Int,
                        pixel: (Int, Int) => (Int, Int, Int)): BufferedImage = {
       require(width > 0 && height > 0)
@@ -361,7 +370,44 @@ object Multimodal {
     * channel interleaving flips an exact integer column. */
   object WavCodec {
     import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+
+    // AudioSystem.write / getAudioInputStream run a SYNCHRONIZED
+    // ServiceLoader provider scan over the full classpath on EVERY call
+    // (JDK13Services.getProviders) — per-row codec work fanned across
+    // all cores serializes on that lock and pays the scan repeatedly
+    // (measured: q_multimodal_wav/tone ran ~1.5–2× slower after the
+    // 32-way spread until this). Resolve the WAVE reader/writer
+    // provider ONCE per JVM — the identical in-JDK codec classes
+    // AudioSystem itself would select — and call them directly.
+    private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+        .iterator().asScala
+        .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+        .getOrElse(throw new IllegalStateException("no WAVE AudioFileWriter on this JDK"))
+    }
+    // Resolve THE reader that decodes WAVE once, by probing a 1-frame
+    // in-memory WAV at init. Iterating providers per decode (what
+    // AudioSystem.getAudioInputStream does) asks each NON-matching
+    // provider first, and the JDK's SoftMidiAudioFileReader answers
+    // that question by running the synchronized JDK13Services classpath
+    // scan — per row, under a global lock (thread dumps during the
+    // 32-way probe showed every worker parked in
+    // JDK13Services.getProviders via MidiSystem.getSequence).
+    private lazy val wavReader: javax.sound.sampled.spi.AudioFileReader = {
+      import scala.jdk.CollectionConverters._
+      val probe = encode(8000, 1, 1, (_, _) => 0)
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+        .iterator().asScala
+        .find { r =>
+          try { r.getAudioInputStream(new ByteArrayInputStream(probe)).close(); true }
+          catch { case _: Exception => false }
+        }
+        .getOrElse(throw new IllegalStateException("no WAVE AudioFileReader on this JDK"))
+    }
+    private def readAudio(bytes: Array[Byte]): AudioInputStream =
+      wavReader.getAudioInputStream(new ByteArrayInputStream(bytes))
 
     /** Synthesize a PCM_SIGNED 16-bit little-endian stereo-capable WAV
       * from a sample function (fixture builder): sample(channel, frame)
@@ -387,7 +433,7 @@ object Multimodal {
         /* bigEndian = */ false)
       val ais = new AudioInputStream(new ByteArrayInputStream(data), fmt, nFrames.toLong)
       val out = new ByteArrayOutputStream()
-      try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out) finally ais.close()
+      try wavWriter.write(ais, AudioFileFormat.Type.WAVE, out) finally ais.close()
       out.toByteArray
     }
 
@@ -398,7 +444,7 @@ object Multimodal {
       * correctly-rounded sqrt, so it is bit-reproducible across engines. */
     def decodeStats(id: Long, bytes: Array[Byte]): AudioStats = {
       val ais =
-        try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try readAudio(bytes)
         catch { case e: Exception =>
           throw new IllegalArgumentException(
             s"payload for id=$id is not a decodable audio stream", e)
@@ -440,7 +486,7 @@ object Multimodal {
       * [[decodeStats]]. */
     def channelSamples(id: Long, bytes: Array[Byte], channel: Int): Array[Double] = {
       val ais =
-        try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try readAudio(bytes)
         catch { case e: Exception =>
           throw new IllegalArgumentException(
             s"payload for id=$id is not a decodable audio stream", e)

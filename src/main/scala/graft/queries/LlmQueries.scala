@@ -132,10 +132,28 @@ object LlmQueries {
     * gray/box/compare chain exact-integer); candidates come from
     * SimHash-style 16-bit band pigeonholes; survivors verify
     * bit_count hamming ≤ 10. Output: (id_a, id_b, hamming). */
+  /** The doc_id spine feeding every REAL-codec synthetic-media pipeline,
+    * spread across the session's full parallelism BEFORE the codec map:
+    * the fixture tables are single-row-group parquet files, so their
+    * scan is ONE task, and a codec-bound map chain (PNG/JPEG/WAV/AVI
+    * encode + decode per row) would otherwise run on one core with the
+    * rest idle (guide §2.5 — "one huge unsplittable file: repartition
+    * immediately after the read"). Only the 8-byte ids shuffle; the
+    * heavy bytes are synthesized and decoded AFTER the spread. The same
+    * holds at any scale: media payloads are orders of magnitude larger
+    * than their ids, so spreading the id spine first is the
+    * shuffle-bytes-minimal layout (guide §2.3/§8). */
+  private def docIdSpine(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    Tables(s, dir).documents.select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
+  }
+
   private def imageDHashPairs(s: SparkSession, dir: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
-    val pngs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+    val pngs = docIdSpine(s, dir)
       .map { id =>
         val seed = id - id % 2
         val bump = (id % 2) * 2
@@ -1085,7 +1103,7 @@ object LlmQueries {
     "q_multimodal_ppm" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
-      val imgs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val imgs = docIdSpine(s, dir)
         .map { id =>
           (id, Multimodal.PpmCodec.encode(8, 6, (x, y) => {
             val p = y * 8 + x
@@ -1110,7 +1128,7 @@ object LlmQueries {
     "q_multimodal_png" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
-      val imgs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val imgs = docIdSpine(s, dir)
         .map { id =>
           (id, Multimodal.ImageIoCodec.encodePng(16, 8, (x, y) => {
             val p = y * 16 + x
@@ -1133,7 +1151,7 @@ object LlmQueries {
     "q_multimodal_bmp" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
-      val imgs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val imgs = docIdSpine(s, dir)
         .map { id =>
           (id, Multimodal.ImageIoCodec.encodeBmp(12, 10, (x, y) => {
             val p = y * 12 + x
@@ -1160,7 +1178,7 @@ object LlmQueries {
       implicit val sp: SparkSession = s
       import s.implicits._
       val w = 16; val h = 12
-      val imgs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val imgs = docIdSpine(s, dir)
         .map { id =>
           (id, Multimodal.ImageIoCodec.encodeJpeg(w, h, 0.9f, (x, y) =>
             (32 + x * 192 / (w - 1), 32 + y * 192 / (h - 1),
@@ -1191,7 +1209,7 @@ object LlmQueries {
     "q_multimodal_wav" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
-      val wavs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val wavs = docIdSpine(s, dir)
         .map { id =>
           val sr = (8000 + id % 3 * 4000).toInt
           val nf = (600 + id % 5 * 37).toInt
@@ -1276,7 +1294,7 @@ object LlmQueries {
       implicit val sp: SparkSession = s
       import s.implicits._
       val cands = Seq(500.0, 1000.0, 1500.0, 2000.0)
-      val wavs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val wavs = docIdSpine(s, dir)
         .map { id =>
           val nf = (800 + id % 3 * 80).toInt
           val f = cands((id % 4).toInt)
@@ -1306,7 +1324,7 @@ object LlmQueries {
       implicit val sp: SparkSession = s
       import s.implicits._
       val w = 16; val h = 12
-      val vids = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val vids = docIdSpine(s, dir)
         .map { id =>
           val fps = if (id % 2 == 0) 10 else 25
           val nf = (3 + id % 3).toInt
@@ -1336,7 +1354,7 @@ object LlmQueries {
     "q_multimodal_resize_real" -> { (s, dir) =>
       implicit val sp: SparkSession = s
       import s.implicits._
-      val imgs = Tables(s, dir).documents.select(col("doc_id")).as[Long]
+      val imgs = docIdSpine(s, dir)
         .map { id =>
           (id, Multimodal.ImageIoCodec.encodePng(32, 24, (x, y) => {
             val p = y * 32 + x
