@@ -431,27 +431,45 @@ object Upsert {
     // accounting — evaluate its upstream plan once
     delta.persist()
     try {
-      require(delta.filter(col(partCol).isNull).isEmpty,
+      // ONE guard pass over the delta (was four separate actions: null-
+      // partition check, op-value distinct, duplicate-key count, touched-
+      // partition collect — plus a later upsert-row count; each a full
+      // job per merge call, and the CDC stream sink pays them per
+      // micro-batch). Per-key aggregation first, then one global fold.
+      // CARDINALITY CONTRACT unchanged: touched partitions (and so the
+      // collected sets) are a delta's few corrected slices, never the
+      // whole table.
+      val g = delta
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col(partCol).isNull, 1L).otherwise(0L)).as("__nulls"),
+          collect_set(col(opCol)).as("__ops"),
+          sum(when(col(opCol) === "U", 1L).otherwise(0L)).as("__u"),
+          collect_set(col(partCol)).as("__parts"))
+        .agg(coalesce(sum(when(col("__n") > 1, 1L).otherwise(0L)), lit(0L)).as("dupKeys"),
+          coalesce(sum(col("__nulls")), lit(0L)).as("nulls"),
+          array_distinct(flatten(collect_set(col("__ops")))).as("ops"),
+          coalesce(sum(col("__u")), lit(0L)).as("upsertRows"),
+          array_distinct(flatten(collect_set(col("__parts")))).as("parts"))
+        .head() // empty delta → one row of zeros/empty arrays (no-op merge)
+      require(g.getAs[Long]("nulls") == 0,
         s"delta rows with null $partCol are not mergeable (no stable dir name)")
-      val ops = delta.select(col(opCol)).distinct().collect().map(_.getString(0)).toSet
+      val ops = g.getSeq[String](g.fieldIndex("ops")).toSet
       require(ops.subsetOf(Set("U", "D")),
         s"unknown $opCol values: ${(ops -- Set("U", "D")).mkString(", ")}")
       // one stored row per key → each key may appear ONCE in the delta;
       // two same-key rows (even in one partition) would both survive the
       // anti-join and duplicate the key in the snapshot. Callers with
       // multi-change feeds collapse first (see StreamOps.writeStreamMerge).
-      val dup = delta.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("np")).filter(col("np") > 1).count()
+      val dup = g.getAs[Long]("dupKeys")
       require(dup == 0, s"$dup delta key(s) appear in more than one row; " +
         "collapse the delta to one row per key before merging")
+      val guardUpsertRows = g.getAs[Long]("upsertRows")
 
       // ---- critical section: read-rewrite-swap under the root lock ----
       val lock = acquireMergeLock(fs, rootPath, lockWaitMs)
       try {
-      // CARDINALITY CONTRACT: one row per TOUCHED PARTITION — a delta
-      // touches the partitions it corrects (a day, a source), never the
-      // whole table; the swap loop below is driver-side over the same set
-      val touchedValues = delta.select(col(partCol)).distinct().collect().map(_.get(0))
+      val touchedValues = g.getSeq[Any](g.fieldIndex("parts")).toArray
       val touchedDirs = touchedValues.map(dirName(partCol, _)).sorted.toSeq
       val existingDirs = fs.listStatus(rootPath)
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
@@ -477,7 +495,7 @@ object Upsert {
       // anti-join construction. Explicit schema: a delete-everything merge
       // writes zero files and schema inference would fail on the empty dir.
       val mergedRows = spark.read.schema(snap.schema).parquet(tmp).count()
-      val upsertRows = delta.filter(col(opCol) === "U").count()
+      val upsertRows = guardUpsertRows // counted in the single guard pass
       val survivorRows = mergedRows - upsertRows
 
       // Swap, preserving a recovery path at every step: the OLD dir is
