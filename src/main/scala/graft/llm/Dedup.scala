@@ -486,6 +486,14 @@ object Dedup {
       prevSig = s
       iter += 1
     }
+    // an unconverged stop would label against a NON-star edge set — the
+    // same silent-wrong-result class the r14 label-prop fix closed; the
+    // O(log n) bound makes maxIter=20 ample for any real graph, so a
+    // breach is a bug, not a tuning problem (fail loudly)
+    require(converged,
+      s"connectedComponentsStar did not converge within $maxIter rounds — " +
+        "the edge set is not a star forest; raise maxIter (rounds are " +
+        "O(log n)) or investigate the contraction")
     // converged edge set is a star forest: (child, root). Nodes absent as a
     // child (roots, isolates) label themselves.
     nodes.join(e.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left_outer")
