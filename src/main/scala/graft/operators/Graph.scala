@@ -312,7 +312,10 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(hint(dist.select(col("node"))), Seq("node"), "left_anti")
         .localCheckpoint()
-      dist = dist.union(next.withColumn("hops", lit(h.toLong))).localCheckpoint()
+      // dist needs no checkpoint of its own: it is a shallow union of
+      // already-checkpointed frontiers (re-evaluating it is a scan, no
+      // shuffle), and skipping it saves one materialization job per hop
+      dist = dist.union(next.withColumn("hops", lit(h.toLong)))
       frontier = next
       h += 1
     }
@@ -486,10 +489,14 @@ object Graph {
     var nEdges = sym.count()
     var converged = nEdges == 0L
     while (!converged) {
+      // no separate checkpoint for the surviving-node set: both
+      // semi-joins sit in ONE plan (pruned's), so the degree-filter
+      // subtree is computed once via exchange reuse, and pruned's own
+      // checkpoint still cuts the round's lineage — one job per peel
+      // instead of two (guide §1.2)
       val alive = sym.groupBy(col("src")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k)
         .select(col("src").as("__node"))
-        .localCheckpoint()
       val pruned = sym
         .join(alive, col("src") === col("__node"), "left_semi")
         .join(alive, col("dst") === col("__node"), "left_semi")
