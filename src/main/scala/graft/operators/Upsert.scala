@@ -443,17 +443,25 @@ object Upsert {
         .groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__n"),
           sum(when(col(partCol).isNull, 1L).otherwise(0L)).as("__nulls"),
+          // collect_set DROPS nulls: a null op would silently pass the
+          // subsetOf check below yet be treated as a delete (anti-joined
+          // out, never re-inserted) — count nulls separately and fail
+          // loudly, mirroring the partCol null check (ADVICE r14)
+          sum(when(col(opCol).isNull, 1L).otherwise(0L)).as("__nullops"),
           collect_set(col(opCol)).as("__ops"),
           sum(when(col(opCol) === "U", 1L).otherwise(0L)).as("__u"),
           collect_set(col(partCol)).as("__parts"))
         .agg(coalesce(sum(when(col("__n") > 1, 1L).otherwise(0L)), lit(0L)).as("dupKeys"),
           coalesce(sum(col("__nulls")), lit(0L)).as("nulls"),
+          coalesce(sum(col("__nullops")), lit(0L)).as("nullOps"),
           array_distinct(flatten(collect_set(col("__ops")))).as("ops"),
           coalesce(sum(col("__u")), lit(0L)).as("upsertRows"),
           array_distinct(flatten(collect_set(col("__parts")))).as("parts"))
         .head() // empty delta → one row of zeros/empty arrays (no-op merge)
       require(g.getAs[Long]("nulls") == 0,
         s"delta rows with null $partCol are not mergeable (no stable dir name)")
+      require(g.getAs[Long]("nullOps") == 0,
+        s"delta rows with null $opCol are not mergeable (op must be U or D)")
       val ops = g.getSeq[String](g.fieldIndex("ops")).toSet
       require(ops.subsetOf(Set("U", "D")),
         s"unknown $opCol values: ${(ops -- Set("U", "D")).mkString(", ")}")

@@ -122,6 +122,23 @@ class UpsertSpec extends SparkSpec {
     assert(e.getMessage.contains("more than one"))
   }
 
+  test("null op values are rejected, not silently treated as deletes") {
+    // collect_set drops nulls: without the explicit null-op count a
+    // null-op row would pass the U/D subset check, be excluded from the
+    // upserts (null === "U" filters it out), and its key would silently
+    // vanish from the snapshot (ADVICE r14)
+    val root = freshRoot()
+    writeSnapshot(root)
+    val delta = Seq[(Long, String, Double, Option[String])](
+      (2L, "a", 1.0, None)).toDF("k", "part", "v", "op")
+    val e = intercept[IllegalArgumentException] {
+      Upsert.mergeIntoPartitioned(spark, root, delta, Seq("k"), "part")
+    }
+    assert(e.getMessage.contains("null op"))
+    // snapshot unharmed — the key is still present
+    assert(spark.read.parquet(root).filter($"k" === 2L).count() > 0)
+  }
+
   test("unknown op values are rejected before any IO") {
     val root = freshRoot()
     writeSnapshot(root)
