@@ -31,46 +31,52 @@ private[queries] object ReplayFeed {
   def tmp(prefix: String): String =
     Files.createTempDirectory(scratchBase, prefix).toString
 
-  /** Write `chunks` as one single-file parquet each into `dir`, named
-    * f000.., with strictly increasing modification times (2 s apart).
+  /** Write an ordered feed in ONE Spark job (guide §1.2): every row of
+    * `rows` carries an integer sequence in its `__seq` column; each
+    * populated sequence value becomes exactly one single-file parquet,
+    * renamed to f000.. in ascending sequence order with strictly
+    * increasing modification times (2 s apart).
     *
-    * The chunk writes are INDEPENDENT Spark jobs over the caller's
-    * persisted frame, so they run concurrently from a small thread pool
-    * (guide §2.6 — overlap independent jobs so the next job's tasks
-    * back-fill the tail of the current one): a 12-file feed paid ~12
-    * sequential filter+coalesce(1) jobs per gate, pure harness latency.
-    * Replay order is untouched — file NAMES and the explicitly-set
-    * modification times (assigned after all writes complete, in index
-    * order) are what the file source sorts by, not write completion
-    * order. */
-  def writeOrderedFeed(chunks: Seq[DataFrame], dir: String): Unit = {
+    * Replaces the per-chunk filter+coalesce(1) write jobs AND the
+    * per-chunk isEmpty probe jobs (one driver job each — a 12-file feed
+    * paid ~24 jobs of pure harness latency per gate): the dynamic-
+    * partition write computes every chunk, skips empty cells, and
+    * commits all files in one pass. Replay order is untouched — file
+    * NAMES and the explicitly-set modification times (assigned after
+    * the write completes, in sequence order) are what the file source
+    * sorts by. One-file-per-value invariant: the explicit partition
+    * count pins the hash repartition (AQE never splits a user-pinned
+    * exchange), so a sequence value's rows always land in one task and
+    * the partitioned write opens one file per value per task. */
+  def writeSeqFeed(rows: DataFrame, dir: String): Unit = {
     import scala.jdk.CollectionConverters._
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    require(rows.columns.contains("__seq"),
+      "writeSeqFeed expects a __seq column assigning each row's chunk")
+    val staged = tmp("stage")
+    rows.repartition(32, col("__seq"))
+      .write.partitionBy("__seq").mode("overwrite").parquet(staged)
     val base = System.currentTimeMillis() - 3600000L
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(4, math.max(1, chunks.size)))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val staged = chunks.zipWithIndex.map { case (chunk, i) =>
-        Future {
-          val stage = tmp("stage")
-          chunk.coalesce(1).write.mode("overwrite").parquet(stage)
-          val listing = Files.list(Paths.get(stage))
-          val part =
-            try listing.iterator().asScala
-              .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
-            finally listing.close()
-          (i, part)
-        }
-      }
-      staged.map(Await.result(_, Duration.Inf)).foreach { case (i, part) =>
-        val target = Paths.get(dir, f"f$i%03d.parquet")
-        Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
-        Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
-      }
-    } finally pool.shutdown()
+    val listing = Files.list(Paths.get(staged))
+    val seqDirs =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("__seq="))
+        .map(p => (p.getFileName.toString.stripPrefix("__seq=").toLong, p))
+        .toSeq.sortBy(_._1)
+      finally listing.close()
+    seqDirs.zipWithIndex.foreach { case ((_, seqDir), i) =>
+      val ls = Files.list(seqDir)
+      val parts =
+        try ls.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        finally ls.close()
+      require(parts.size == 1,
+        s"feed chunk ${seqDir.getFileName} wrote ${parts.size} files — the " +
+          "one-file-per-sequence replay invariant is broken")
+      val target = Paths.get(dir, f"f$i%03d.parquet")
+      Files.move(parts.head, target, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+    }
   }
 
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily pinned
@@ -155,19 +161,8 @@ private[queries] object ReplayFeed {
     (((spanDays + targetCells - 1) / targetCells) * DayUs, lo, hi)
   }
 
-  /** Cut `df` into time-ordered chunks on the epoch-aligned `cellUs`
-    * grid of its `tsCol` span — one chunk per populated grid cell. */
-  def cellChunks(df: DataFrame, tsCol: String, cellUs: Long): Seq[DataFrame] = {
-    val cell = (unix_micros(col(tsCol)) / cellUs).cast("long")
-    val bounds = df.agg(min(cell).as("lo"), max(cell).as("hi")).head()
-    (bounds.getLong(0) to bounds.getLong(1)).map(i => df.filter(cell === i))
-  }
-
-  /** [[cellChunks]] with the µs bounds already known — skips the bounds
-    * agg the two-arg form pays. */
-  def cellChunks(df: DataFrame, tsCol: String, cellUs: Long,
-                 loUs: Long, hiUs: Long): Seq[DataFrame] = {
-    val cell = (unix_micros(col(tsCol)) / cellUs).cast("long")
-    (loUs / cellUs to hiUs / cellUs).map(i => df.filter(cell === i))
-  }
+  /** The epoch-aligned grid-cell index of `tsCol` under `cellUs` — the
+    * `__seq` expression for a plain time-ordered feed. */
+  def cellSeq(tsCol: String, cellUs: Long): org.apache.spark.sql.Column =
+    (unix_micros(col(tsCol)) / cellUs).cast("long")
 }

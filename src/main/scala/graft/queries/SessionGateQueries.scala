@@ -65,25 +65,26 @@ object SessionGateQueries {
     * is ≤ ~9 micro-batches at any sf (cellDays = ceil(spanDays/8)), then
     * two flush rows a day apart beyond max ts + the max possible gap. */
   private def buildSessionFeed(s: SparkSession, dir: String): String = {
-    import ReplayFeed.{tmp, writeOrderedFeed}
+    import ReplayFeed.{tmp, writeSeqFeed}
     val feed = tmp("sess_feed")
     val ev = Tables(s, dir).events.select(
       col("event_type").as("k"), col("ts"),
       col("user_id").cast("long").as("v"))
-    ev.persist() // feeds the bounds scan + one filter job per grid cell
+    ev.persist() // feeds the bounds scan + the one seq-partitioned write
     // the shared adaptive grid (cellDays = ceil(spanDays/8), ≤ ~9
     // cells); the oracle recomputes the identical integer arithmetic.
-    // ONE bounds scan yields grid + lo/hi (was two separate aggs).
-    val (cellUs, loUs, hiUs) = ReplayFeed.adaptiveCellBounds(ev, "ts", 8)
-    val cell = (unix_micros(col("ts")) / cellUs).cast("long")
-    val mains = (loUs / cellUs to hiUs / cellUs).map(i => ev.filter(cell === i))
+    // ONE bounds scan yields grid + hi; ONE seq-partitioned write
+    // replaces the per-cell filter writes and isEmpty probes.
+    val (cellUs, _, hiUs) = ReplayFeed.adaptiveCellBounds(ev, "ts", 8)
     // max gap is (15 + keyLen + 9) minutes << 1 day, so hi + 1 day clears
     // every session end and hi + 2 days makes that watermark land in a
     // real batch
-    def flush(us: Long) = s.range(1).select(
-      lit("__flush").as("k"), timestamp_micros(lit(us)).as("ts"), lit(0L).as("v"))
-    val ordered = mains ++ Seq(flush(hiUs + DayUs), flush(hiUs + 2 * DayUs))
-    try writeOrderedFeed(ordered.filterNot(_.isEmpty), feed)
+    def flush(us: Long, d: Long) = s.range(1).select(
+      lit("__flush").as("k"), timestamp_micros(lit(us)).as("ts"),
+      lit(0L).as("v"), lit(hiUs / cellUs + d).as("__seq"))
+    val all = ev.withColumn("__seq", ReplayFeed.cellSeq("ts", cellUs))
+      .unionByName(flush(hiUs + DayUs, 1)).unionByName(flush(hiUs + 2 * DayUs, 2))
+    try writeSeqFeed(all, feed)
     finally { ev.unpersist(); () }
     feed
   }
@@ -108,7 +109,7 @@ object SessionGateQueries {
     * q_session_engine_early does not cover. Fails fast when no sealed
     * island carries a %7 row (the ADVICE r12 dead-branch rule). */
   private def buildLateSessionFeed(s: SparkSession, dir: String): (String, Long) = {
-    import ReplayFeed.{tmp, writeOrderedFeed}
+    import ReplayFeed.{tmp, writeSeqFeed}
     import org.apache.spark.sql.expressions.Window
     val feed = tmp("sesslate_feed")
     val ev = Tables(s, dir).events.select(
@@ -150,17 +151,23 @@ object SessionGateQueries {
       require(!dups.isEmpty,
         "late-session gate: no sealed island carries an event_id%7=0 row " +
           "— the LATE-pane path would go dead while the gate stayed green")
-      val mains = cells.toSeq.map(i =>
-        ev.filter(cell === i).select(col("k"), col("ts"), col("v")))
       // lateness spans the whole feed: Spark's watermark filter then
       // passes every dup at the late batch, and fired sessions are
       // retained (GC at end + lateness lands only in the flush batches)
       val latenessUs = (hiUs - loUs) + DayUs
-      def flush(us: Long) = s.range(1).select(
-        lit("__flush").as("k"), timestamp_micros(lit(us)).as("ts"), lit(0L).as("v"))
-      val ordered = mains.take(a) ++ Seq(dups) ++ mains.drop(a) ++
-        Seq(flush(hiUs + latenessUs + DayUs), flush(hiUs + latenessUs + 2 * DayUs))
-      writeOrderedFeed(ordered.filterNot(_.isEmpty), feed)
+      // replay-sequence encoding (one write job): mains at 2·cell, the
+      // duplicate late file at 2·cells(a−1)+1 — right after the a-th
+      // populated cell, where the ordered Seq used to splice it — and
+      // the flush rows past 2·lastCell
+      def flush(us: Long, seq: Long) = s.range(1).select(
+        lit("__flush").as("k"), timestamp_micros(lit(us)).as("ts"),
+        lit(0L).as("v"), lit(seq).as("__seq"))
+      val all = ev.select(col("k"), col("ts"), col("v"))
+        .withColumn("__seq", ReplayFeed.cellSeq("ts", cellUs) * 2)
+        .unionByName(dups.withColumn("__seq", lit(2 * cells(a - 1) + 1)))
+        .unionByName(flush(hiUs + latenessUs + DayUs, 2 * cells.last + 2))
+        .unionByName(flush(hiUs + latenessUs + 2 * DayUs, 2 * cells.last + 3))
+      writeSeqFeed(all, feed)
       (feed, latenessUs / 1000)
     } finally { ev.unpersist(); () }
   }

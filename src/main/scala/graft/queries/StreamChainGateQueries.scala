@@ -58,25 +58,30 @@ object StreamChainGateQueries {
     * event time on a larger-span fixture and never advance the
     * watermark): +1 day clears every slot end + the 1-hour lateness,
     * the second row makes the first's watermark effect land in a real
-    * batch. */
-  private def flushRows(s: SparkSession, k: Any, maxUs: Long): Seq[DataFrame] =
+    * batch. Each carries its replay sequence (past the last grid cell). */
+  private def flushRows(s: SparkSession, k: Any, maxUs: Long,
+                        cellUs: Long): Seq[DataFrame] =
     Seq(1, 2).map(d => s.range(1).select(lit(k).as("k"),
-      timestamp_micros(lit(maxUs + d * DayUs)).as("ts"), lit(0.0).as("v")))
+      timestamp_micros(lit(maxUs + d * DayUs)).as("ts"), lit(0.0).as("v"),
+      lit(maxUs / cellUs + d).as("__seq")))
 
   /** Write the (k, ts, v) frame as an adaptive-grid ordered feed plus two
-    * past-the-end flush rows under `flushKey`; return the feed dir. */
+    * past-the-end flush rows under `flushKey`; return the feed dir.
+    * ONE bounds agg + ONE write job total (guide §1.2). */
   private def buildFeed(s: SparkSession, rows: DataFrame,
                         flushKey: Any): String = {
     val feed = ReplayFeed.tmp("sc_feed")
-    rows.persist() // feeds the bounds scan + one filter job per grid cell
+    rows.persist() // feeds the bounds scan + the one seq-partitioned write
     try {
-      // one bounds scan serves the grid, the chunk range, AND the flush
-      // timestamps (was three separate aggs over the persisted frame)
-      val (cellUs, loUs, maxUs) =
+      // one bounds scan serves the grid AND the flush timestamps; the
+      // single seq-partitioned write replaces the per-cell filter writes
+      // and per-cell isEmpty probes
+      val (cellUs, _, maxUs) =
         ReplayFeed.adaptiveCellBounds(rows, "ts", TargetCells)
-      val chunks = ReplayFeed.cellChunks(rows, "ts", cellUs, loUs, maxUs) ++
-        flushRows(s, flushKey, maxUs)
-      ReplayFeed.writeOrderedFeed(chunks.filterNot(_.isEmpty), feed)
+      val all = rows.withColumn("__seq", ReplayFeed.cellSeq("ts", cellUs))
+      ReplayFeed.writeSeqFeed(
+        flushRows(s, flushKey, maxUs, cellUs).foldLeft(all)(_ unionByName _),
+        feed)
     } finally { rows.unpersist(); () }
     feed
   }
@@ -259,17 +264,18 @@ object StreamChainGateQueries {
       val feed = ReplayFeed.tmp("sc_feed")
       rows.persist()
       try {
-        val (cellUs, loUs, maxUs) =
+        val (cellUs, _, maxUs) =
           ReplayFeed.adaptiveCellBounds(rows, "ts", TargetCells)
         // flush rows must carry a STEP type (the internal filter drops
         // other types BEFORE the watermark node) under a reserved user
         val flush = Seq(1, 2).map(d => s.range(1)
           .select(lit(-1L).as("k"),
             timestamp_micros(lit(maxUs + d * DayUs)).as("ts"),
-            lit("view").as("v")))
-        ReplayFeed.writeOrderedFeed(
-          (ReplayFeed.cellChunks(rows, "ts", cellUs, loUs, maxUs) ++ flush)
-            .filterNot(_.isEmpty), feed)
+            lit("view").as("v"), lit(maxUs / cellUs + d).as("__seq")))
+        ReplayFeed.writeSeqFeed(
+          flush.foldLeft(
+            rows.withColumn("__seq", ReplayFeed.cellSeq("ts", cellUs)))(
+            _ unionByName _), feed)
       } finally { rows.unpersist(); () }
       runStream(s, feed, StructType.fromDDL("k BIGINT, ts TIMESTAMP, v STRING"),
           st => FunnelStream.stepCompletions(st, "k", "ts", "v",

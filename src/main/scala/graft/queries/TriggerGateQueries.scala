@@ -81,7 +81,7 @@ object TriggerGateQueries {
     def extractOutput(acc: (Long, Long)): (Long, Long) = acc
   }
 
-  import ReplayFeed.{tmp, writeOrderedFeed}
+  import ReplayFeed.{tmp, writeSeqFeed}
 
   /** Lower median of per-(key, half-cell) row counts — the
     * data-derived base for every trigger threshold (VERDICT r11 tasks
@@ -171,24 +171,28 @@ object TriggerGateQueries {
               s"${cellUs / DayUs}-day grid, found ${after.length}")
           cells.count(_ <= after(1))
         }
-      val mains = cells.toSeq.map { i =>
-        val c = ev.filter(half === i)
-        (if (holdOutLate) c.filter(!lateCond) else c).select(col("k"), col("ts"), col("v"))
+      // replay-sequence encoding for the ONE-JOB feed write: a main row
+      // replays at 2·cell; the held-out late slice at 2·after(1)+1 —
+      // immediately after the second populated cell in (c1, c1+2],
+      // exactly where the ordered Seq used to splice it; flush rows past
+      // 2·lastCell. The file ORDER is identical to the former
+      // mains.take(lateAfter) ++ late ++ mains.drop(lateAfter) ++ flush.
+      val mainSeq = half * 2
+      val seqExpr =
+        if (holdOutLate) when(lateCond, lit(2 * cells(lateAfter - 1) + 1))
+          .otherwise(mainSeq)
+        else mainSeq
+      if (holdOutLate) {
+        // the held-out slice (cell c1's last fifth ∩ event_id%17=0) can
+        // silently be EMPTY at some fixture (unpopulated c1, dead
+        // intersection) — the gate and oracle would stay consistently
+        // green while the LATE-pane path went unexercised (ADVICE r12).
+        // One cheap action on the persisted frame pins it non-empty.
+        require(!ev.filter(lateCond).isEmpty,
+          s"late-holdout slice is empty at this fixture (cell c1=$c1 on " +
+            s"the ${cellUs / DayUs}-day grid): the LATE-pane path would " +
+            "go dead while the gate stayed green — fix the slice geometry")
       }
-      val lateChunk =
-        if (holdOutLate) {
-          val lc = ev.filter(lateCond).select(col("k"), col("ts"), col("v"))
-          // the held-out slice (cell c1's last fifth ∩ event_id%17=0) can
-          // silently be EMPTY at some fixture (unpopulated c1, dead
-          // intersection) — the gate and oracle would stay consistently
-          // green while the LATE-pane path went unexercised (ADVICE r12).
-          // One cheap action on the persisted frame pins it non-empty.
-          require(!lc.isEmpty,
-            s"late-holdout slice is empty at this fixture (cell c1=$c1 on " +
-              s"the ${cellUs / DayUs}-day grid): the LATE-pane path would " +
-              "go dead while the gate stayed green — fix the slice geometry")
-          Seq(lc)
-        } else Seq.empty
       // flush timestamps DERIVE from the data like the grid bounds (a
       // hard-coded date would sit below max event time on a larger-span
       // fixture and never advance the watermark): the first flush must
@@ -202,11 +206,15 @@ object TriggerGateQueries {
       // timestamps later, which no oracle depends on
       val lastWEnd = (maxUs / winUs + 2) * winUs
       val latenessUs = cellUs * 12 / 5
-      def flush(us: Long) = s.range(1).select(
-        lit("__flush").as("k"), timestamp_micros(lit(us)).as("ts"), lit(0L).as("v"))
-      val ordered = mains.take(lateAfter) ++ lateChunk ++ mains.drop(lateAfter) ++
-        Seq(flush(lastWEnd + latenessUs + DayUs), flush(lastWEnd + latenessUs + 2 * DayUs))
-      writeOrderedFeed(ordered.filterNot(_.isEmpty), feed)
+      def flush(us: Long, seq: Long) = s.range(1).select(
+        lit("__flush").as("k"), timestamp_micros(lit(us)).as("ts"),
+        lit(0L).as("v"), lit(seq).as("__seq"))
+      val flushSeq = 2 * cells.last + 2
+      val main = ev.select(col("k"), col("ts"), col("v"), seqExpr.as("__seq"))
+      writeSeqFeed(
+        main.unionByName(flush(lastWEnd + latenessUs + DayUs, flushSeq))
+          .unionByName(flush(lastWEnd + latenessUs + 2 * DayUs, flushSeq + 1)),
+        feed)
       GateSetup(feed, cellUs, med, p80, nKeys)
     } finally { ev.unpersist(); () }
   }

@@ -196,10 +196,13 @@ object WindowQueries {
         val flush = Seq(1, 2).map(d => s.range(1).select(
           lit(-1L).as("user_id"),
           timestamp_micros(lit(maxUs + d * 86400000000L)).as("ts"),
-          lit(0.0).as("value")))
-        ReplayFeed.writeOrderedFeed(
-          (ReplayFeed.cellChunks(side.drop("event_type"), "ts", cellUs) ++
-            flush).filterNot(_.isEmpty), feed)
+          lit(0.0).as("value"), lit(maxUs / cellUs + d).as("__seq")))
+        // one seq-partitioned write job per side (was one filter+
+        // coalesce(1) write + one isEmpty probe per grid cell)
+        ReplayFeed.writeSeqFeed(
+          flush.foldLeft(side.drop("event_type")
+            .withColumn("__seq", ReplayFeed.cellSeq("ts", cellUs)))(
+            _ unionByName _), feed)
         feed
       }
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -254,10 +257,13 @@ object WindowQueries {
         val flush = Seq(1, 2).map(d => s.range(1).select(
           lit(-1L).as("user_id"),
           timestamp_micros(lit(maxUs + d * 86400000000L)).as("ts"),
-          lit(0.0).as("value")))
-        ReplayFeed.writeOrderedFeed(
-          (ReplayFeed.cellChunks(side.drop("event_type"), "ts", cellUs) ++
-            flush).filterNot(_.isEmpty), feed)
+          lit(0.0).as("value"), lit(maxUs / cellUs + d).as("__seq")))
+        // one seq-partitioned write job per side (was one filter+
+        // coalesce(1) write + one isEmpty probe per grid cell)
+        ReplayFeed.writeSeqFeed(
+          flush.foldLeft(side.drop("event_type")
+            .withColumn("__seq", ReplayFeed.cellSeq("ts", cellUs)))(
+            _ unionByName _), feed)
         feed
       }
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
