@@ -100,14 +100,13 @@ private[queries] object ReplayFeed {
     * q_stream_ts_attr / q_stream_broker, whose last windows seal only
     * via the post-final-batch watermark — measured: 4 rows short
     * without it) opt back in. */
-  /** `changelog`: RocksDB changelog checkpointing (see below). The two
-    * session gates with inline state-BYTE budgets opt out: without the
-    * per-commit snapshot+flush, RocksDB's `memoryUsedBytes` reports the
-    * accumulated memtable arena (~3 MB) instead of the post-flush
-    * footprint the 128 KiB + 4 KiB/session budget was calibrated
-    * against — the budget is a correctness gate and its measurement
-    * baseline must not move (measured: peak 3,171,764 B under changelog
-    * vs 155,648 B budget, purely an accounting shift). */
+  /** `changelog`: RocksDB changelog checkpointing (see below). Since
+    * r15 EVERY gate runs with it on — the two session byte-budget gates
+    * that used to pin snapshot mode had their budgets recalibrated to
+    * the memtable-arena accounting changelog mode reports (see
+    * SessionGateQueries.sessionBudget), which was the only reason for
+    * the opt-out. The flag stays so a future budget can still pin
+    * snapshot accounting deliberately. */
   def withGatePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int = 8,
       keepNoDataBatches: Boolean = false, changelog: Boolean = true)(
       body: => T): T = {

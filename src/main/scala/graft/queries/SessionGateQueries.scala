@@ -64,18 +64,29 @@ object SessionGateQueries {
   /** Events → ordered feed: populated day-grid cells sized so the replay
     * is ≤ ~9 micro-batches at any sf (cellDays = ceil(spanDays/8)), then
     * two flush rows a day apart beyond max ts + the max possible gap. */
-  private def buildSessionFeed(s: SparkSession, dir: String): String = {
+  /** `targetCells`: q_session_engine_early's oracle replays the 8-cell
+    * grid (one EARLY pane per populated cell — `+ 8) // 8` in its SQL),
+    * so it stays at 8; q_session_engine / q_session_restart emit only
+    * the grid-INVARIANT final session table (global gaps-and-islands),
+    * so their replay runs on a coarser 4-cell grid — the batch count is
+    * pure replay cost there (guide §1.2; VERDICT r14 "coarser feed grid
+    * where the oracle does not replay batch boundaries"). Sessions still
+    * straddle every cell boundary at any sf (mean event gaps ≪ the
+    * dynamic session gap ≪ a grid cell), so cross-batch merging and the
+    * mid-feed restart stay genuinely exercised. */
+  private def buildSessionFeed(s: SparkSession, dir: String,
+                               targetCells: Int): String = {
     import ReplayFeed.{tmp, writeSeqFeed}
     val feed = tmp("sess_feed")
     val ev = Tables(s, dir).events.select(
       col("event_type").as("k"), col("ts"),
       col("user_id").cast("long").as("v"))
     ev.persist() // feeds the bounds scan + the one seq-partitioned write
-    // the shared adaptive grid (cellDays = ceil(spanDays/8), ≤ ~9
-    // cells); the oracle recomputes the identical integer arithmetic.
+    // the adaptive grid (cellDays = ceil(spanDays/targetCells)); the
+    // early-pane oracle recomputes the identical integer arithmetic.
     // ONE bounds scan yields grid + hi; ONE seq-partitioned write
     // replaces the per-cell filter writes and isEmpty probes.
-    val (cellUs, _, hiUs) = ReplayFeed.adaptiveCellBounds(ev, "ts", 8)
+    val (cellUs, _, hiUs) = ReplayFeed.adaptiveCellBounds(ev, "ts", targetCells)
     // max gap is (15 + keyLen + 9) minutes << 1 day, so hi + 1 day clears
     // every session end and hi + 2 days makes that watermark land in a
     // real batch
@@ -221,11 +232,24 @@ object SessionGateQueries {
       s"session-engine state-row budget exceeded: peak ${p.peakRows} rows " +
         s"> budget $rowBudget (2 × (${nKeys} keys + flush)) — state rows " +
         "are growing with sessions or data, not with keys")
-    val byteBudget = 131072L + nSessions * 4096L
+    // CHANGELOG-mode accounting (recalibrated in r15 — VERDICT r14 item
+    // 3): without the per-commit snapshot flush, RocksDB's
+    // memoryUsedBytes reports the unflushed memtable arena, which
+    // allocates in ~3.2 MiB blocks — measured floor 3.17–3.25 MiB at
+    // every sf, plus ~1 KiB per retained session write (6.33 MiB at
+    // sf0.01's 3124 retained sessions). Budget: 8 MiB arena floor +
+    // the same 4 KiB/session term (2.5–3.6× headroom at sf0.001/0.01/
+    // 0.1). The leak-catch property survives: a blob that grew with
+    // ROWS SEEN adds ≥ rows × tens of bytes of memtable writes (≈5 MiB
+    // at the 105k-row bench fixture) and trips the budget, and the
+    // (unchanged, sharp) row budget above catches any per-row or
+    // per-session STATE ROW leak immediately.
+    val byteBudget = (8L << 20) + nSessions * 4096L
     require(p.peakMemBytes <= byteBudget,
       s"session-engine state-byte budget exceeded: peak ${p.peakMemBytes} B " +
-        s"> budget $byteBudget (128 KiB + $nSessions sessions × 4 KiB) — " +
-        "session blobs are growing with rows seen, not with open sessions")
+        s"> budget $byteBudget (8 MiB arena floor + $nSessions sessions × " +
+        "4 KiB) — session blobs are growing with rows seen, not with open " +
+        "sessions")
   }
 
   val defs: Map[String, Q] = Map(
@@ -236,7 +260,7 @@ object SessionGateQueries {
     // end, pane_index 0, isFirst = isLast = true.
     "q_session_engine" -> { (s, dir) =>
       import s.implicits._
-      val feed = buildSessionFeed(s, dir)
+      val feed = buildSessionFeed(s, dir, targetCells = 4)
       TriggerGateQueries.runPanes(s, feed,
         (in: Dataset[(String, Timestamp, Long)]) =>
           SessionEngine.sessionAggregateWith(
@@ -251,7 +275,7 @@ object SessionGateQueries {
     // sealed total with pane_index = the session's populated-cell count.
     "q_session_engine_early" -> { (s, dir) =>
       import s.implicits._
-      val feed = buildSessionFeed(s, dir)
+      val feed = buildSessionFeed(s, dir, targetCells = 8)
       TriggerGateQueries.runPanes(s, feed,
         (in: Dataset[(String, Timestamp, Long)]) =>
           SessionEngine.sessionAggregateWith(
@@ -269,7 +293,7 @@ object SessionGateQueries {
     // q_session_engine).
     "q_session_restart" -> { (s, dir) =>
       import s.implicits._
-      val feed = buildSessionFeed(s, dir)
+      val feed = buildSessionFeed(s, dir, targetCells = 4)
       val (nKeys, nSessions) = sessionStats(s, dir)
       TriggerGateQueries.runPanesWithRestart(s, feed,
         (in: Dataset[(String, Timestamp, Long)]) =>
@@ -277,9 +301,9 @@ object SessionGateQueries {
             in, DynGapAssigner(), java.time.Duration.ZERO,
             earlyPerBatch = false, Accumulating, TriggerGateQueries.NSumFn),
         onPeak = Some(sessionBudget(nKeys, nSessions)),
-        // snapshot checkpointing: the byte budget is calibrated against
-        // per-commit-flush memory accounting (see withGatePartitions)
-        changelog = false)
+        // changelog checkpointing enabled in r15: the byte budget is now
+        // calibrated against memtable-arena accounting (see sessionBudget)
+        changelog = true)
     },
 
     // VERDICT r12 task 5: merging windows × LATE firings — held-out
@@ -304,9 +328,9 @@ object SessionGateQueries {
             earlyPerBatch = false, Accumulating, TriggerGateQueries.NSumFn,
             latePerBatch = true),
         onPeak = Some(sessionBudget(nKeys, nSessions)),
-        // snapshot checkpointing: the byte budget is calibrated against
-        // per-commit-flush memory accounting (see withGatePartitions)
-        changelog = false)
+        // changelog checkpointing enabled in r15: the byte budget is now
+        // calibrated against memtable-arena accounting (see sessionBudget)
+        changelog = true)
     },
   )
 

@@ -187,10 +187,12 @@ object WindowQueries {
       // sides share it): under the min-combined watermark policy each
       // side's flush must clear the last window end across BOTH sides
       val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-      // ~4 cells per side at any span — sealed windows are batch-
-      // invariant, so the grid is pure replay cost; derived ONCE from
-      // the shared persisted frame, not per side
-      val cellUs = ReplayFeed.adaptiveCellUs(ev, "ts", 4)
+      // ~2 cells per side at any span — sealed windows are batch-
+      // invariant, so the grid is pure replay cost (coarsened 4→2 in
+      // r15: the oracle is the batch leg's SQL and never sees batch
+      // boundaries; windows still seal across ≥2 boundaries per side);
+      // derived ONCE from the shared persisted frame, not per side
+      val cellUs = ReplayFeed.adaptiveCellUs(ev, "ts", 2)
       def feedOf(side: DataFrame): String = {
         val feed = ReplayFeed.tmp("cg_feed")
         val flush = Seq(1, 2).map(d => s.range(1).select(
