@@ -86,13 +86,10 @@ class PlanSpec extends SparkSpec {
     // triggers, and the same assertions — plus the no-CartesianProduct
     // rule — run over those executed plans too.
     //
-    // EXPLICIT EXEMPTION LIST for closure-executed plans:
-    //  - q_zorder_prune's layout writes: `ntile(16) OVER (ORDER BY …)`
-    //    is a DELIBERATE single-task global sort (r13 determinism fix —
-    //    the gate compares two file layouts, so the bucket cut must be
-    //    exact-rank, not sampled); production clusterByZ keeps the
-    //    range-partitioned path. Identified by the ntile(16) window
-    //    expression — nothing else in the repo uses it.
+    // No exemptions: the one historical exemption (q_zorder_prune's
+    // ntile(16) global-sort layout writes) was replaced in r15 by
+    // value-prefix buckets — every closure-executed plan must now be
+    // free of unpartitioned windows too.
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
@@ -142,7 +139,6 @@ class PlanSpec extends SparkSpec {
     captured.forEach { case (name, qe) =>
       unwrap(qe).foreach { root =>
         val wins = root.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
-          .filterNot(_.windowExpression.mkString(",").contains("ntile(16)"))
         assert(wins.isEmpty,
           s"closure write inside $name executes an unpartitioned Window " +
             s"(name attribution is best-effort — the bus is async):\n" +
