@@ -375,8 +375,6 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 30,
                           smallLabels: Boolean = true): DataFrame = {
-    val hint: DataFrame => DataFrame =
-      if (smallLabels) broadcast(_) else identity
     // Persist the symmetrized edges once: they are re-read twice per
     // iteration, and without this the whole upstream pipeline (e.g. the
     // MinHash candidate generation feeding the edge list) would re-execute
@@ -386,8 +384,16 @@ object Dedup {
       .persist()
     // localCheckpoint (eager) both materializes each round's labels in one
     // action and truncates lineage, so iteration cost stays flat instead of
-    // growing with the plan.
-    var labels = nodes.select(col("id"), col("id").as("label")).localCheckpoint()
+    // growing with the plan; the node count rides the same job.
+    var (labels, nNodes) = graft.spark.CheckpointOps.checkpointCounted(
+      nodes.select(col("id"), col("id").as("label")))
+    // the broadcast hint is additionally gated on the MEASURED node
+    // count (ADVICE r14): a caller with a node set past the broadcast
+    // comfort zone degrades to co-partitioned shuffle joins instead of
+    // risking a driver OOM / the 8 GB broadcast cap. 20M ids ≈ 320 MB
+    // built — well under the cap, well over every dedup fixture.
+    val hint: DataFrame => DataFrame =
+      if (smallLabels && nNodes <= 20000000L) broadcast(_) else identity
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -412,16 +418,17 @@ object Dedup {
       // SAME fixpoint (labels only ever decrease toward the component
       // min; stability implies the plain fixpoint condition).
       val look = labels.select(col("id").as("lid"), col("label").as("llabel"))
-      // carry the change flag inside the same materialized frame: the
-      // convergence check below reads checkpointed blocks, not the plan
-      val next = cand
+      // the changed-count rides the checkpoint materialization itself
+      // (CheckpointOps observation — one job per round, not a second
+      // action over the cached blocks; guide §1.2)
+      val (next, m) = graft.spark.CheckpointOps.checkpointObserved(cand
         .join(hint(look), cand("clabel") === look("lid"), "left_outer")
         .select(col("id"),
           least(col("clabel"), coalesce(col("llabel"), col("clabel"))).as("label"),
           (least(col("clabel"), coalesce(col("llabel"), col("clabel")))
-            < col("plabel")).as("changed"))
-        .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
+            < col("plabel")).as("changed")),
+        Seq(coalesce(sum(when(col("changed"), 1L).otherwise(0L)), lit(0L)).as("nc")))
+      converged = m("nc").asInstanceOf[Long] == 0L
       // next is materialized — the superseded iterate's checkpoint blocks
       // are dead weight on a long-lived driver; release them per round
       prev.unpersist()
@@ -472,16 +479,19 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct()
     }
-    var e = edges.select(col("id_a").as("u"), col("id_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // the set signature rides each round's checkpoint job (CheckpointOps
+    // observation — one job per round instead of checkpoint + sig agg)
+    var (e, sig0) = checkpointSig(
+      edges.select(col("id_a").as("u"), col("id_b").as("v"))
+        .filter(col("u") =!= col("v")).distinct())
     var iter = 0
-    var converged = e.isEmpty
-    var prevSig: (Long, Long) = sig(e)
+    var converged = sig0._1 == 0L // empty edge set
+    var prevSig: (Long, Long) = sig0
     while (iter < maxIter && !converged) {
       val prev = e
-      e = smallStar(largeStar(e)).localCheckpoint()
-      prev.unpersist() // sig(e) below materialized the new checkpoint...
-      val s = sig(e)
+      val (e2, s) = checkpointSig(smallStar(largeStar(e)))
+      e = e2
+      prev.unpersist()
       converged = s == prevSig
       prevSig = s
       iter += 1
@@ -500,11 +510,14 @@ object Dedup {
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
-  /** Cheap set signature for convergence detection: (count, xor of pair
-    * hashes) — order-independent, overflow-free, collision-improbable. */
-  private def sig(e: DataFrame): (Long, Long) = {
-    val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  /** localCheckpoint + cheap set signature in ONE action: (count, xor
+    * of pair hashes) — order-independent, overflow-free, collision-
+    * improbable — observed during the checkpoint materialization. */
+  private def checkpointSig(e: DataFrame): (DataFrame, (Long, Long)) = {
+    val (ck, m) = graft.spark.CheckpointOps.checkpointObserved(e,
+      Seq(count(lit(1)).as("n"), expr("bit_xor(xxhash64(u, v))").as("x")))
+    (ck, (m("n").asInstanceOf[Long],
+      Option(m("x")).map(_.asInstanceOf[Long]).getOrElse(0L)))
   }
 
   /** End-to-end near-dedup: MinHash pairs → components → keep each

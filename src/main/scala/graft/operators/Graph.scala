@@ -303,20 +303,28 @@ object Graph {
       .localCheckpoint()
     val hint: DataFrame => DataFrame =
       if (smallFrontier) broadcast(_) else identity
-    var dist = seeds.select(col("node").cast("long").as("node")).distinct()
-      .withColumn("hops", lit(0L)).localCheckpoint()
+    // the frontier-empty flag rides each round's checkpoint job
+    // (CheckpointOps — guide §1.2: one action per round, not two)
+    var (dist, distN) = graft.spark.CheckpointOps.checkpointCounted(
+      seeds.select(col("node").cast("long").as("node")).distinct()
+        .withColumn("hops", lit(0L)))
     var frontier = dist.select(col("node"))
+    var frontierN = distN
     var h = 1
-    while (h <= maxHops && !frontier.isEmpty) {
-      val next = sym.join(hint(frontier), col("src") === col("node"))
-        .select(col("dst").as("node")).distinct()
-        .join(hint(dist.select(col("node"))), Seq("node"), "left_anti")
-        .localCheckpoint()
-      // dist needs no checkpoint of its own: it is a shallow union of
-      // already-checkpointed frontiers (re-evaluating it is a scan, no
-      // shuffle), and skipping it saves one materialization job per hop
+    while (h <= maxHops && frontierN > 0) {
+      val (next, n) = graft.spark.CheckpointOps.checkpointCounted(
+        sym.join(hint(frontier), col("src") === col("node"))
+          .select(col("dst").as("node")).distinct()
+          .join(hint(dist.select(col("node"))), Seq("node"), "left_anti"))
+      // dist normally needs no checkpoint of its own: it is a shallow
+      // union of already-checkpointed frontiers. But the union plan
+      // grows one leaf per hop and the anti-join re-broadcasts the full
+      // dist each hop, so deep traversals re-materialize it every 8
+      // hops to keep plan depth bounded (ADVICE r14).
       dist = dist.union(next.withColumn("hops", lit(h.toLong)))
+      if (h % 8 == 0) dist = dist.localCheckpoint()
       frontier = next
+      frontierN = n
       h += 1
     }
     dist
@@ -363,26 +371,30 @@ object Graph {
       .localCheckpoint()
     val hint: DataFrame => DataFrame =
       if (smallDist) broadcast(_) else identity
-    var dist = seeds.select(col("node").cast("long").as("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint()
+    // the frontier-empty flag rides each round's checkpoint job
+    // (CheckpointOps — guide §1.2: one action per round, not two)
+    var (dist, distN) = graft.spark.CheckpointOps.checkpointCounted(
+      seeds.select(col("node").cast("long").as("node")).distinct()
+        .withColumn("dist", lit(0L)))
     var frontier = dist
+    var frontierN = distN
     var i = 1
-    while (i <= maxIters && !frontier.isEmpty) {
+    while (i <= maxIters && frontierN > 0) {
       val cand = sym.join(hint(frontier), col("src") === col("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("__nd"))
         .groupBy(col("node")).agg(min(col("__nd")).as("__nd"))
       // strictly-better only: the frontier must shrink to empty at the
       // fix point or the loop would run all maxIters rounds on a
       // converged graph
-      val improved = cand
+      val (improved, n) = graft.spark.CheckpointOps.checkpointCounted(cand
         .join(hint(dist.withColumnRenamed("dist", "__d")), Seq("node"), "left")
         .filter(col("__d").isNull || col("__nd") < col("__d"))
-        .select(col("node"), col("__nd").as("dist"))
-        .localCheckpoint()
+        .select(col("node"), col("__nd").as("dist")))
       dist = dist.unionByName(improved)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
       frontier = improved
+      frontierN = n
       i += 1
     }
     dist
@@ -483,25 +495,23 @@ object Graph {
         greatest(col("a"), col("b")).cast("long").as("b"))
       .filter(col("a") =!= col("b") && col("a").isNotNull)
       .distinct()
-    var sym = e0.select(col("a").as("src"), col("b").as("dst"))
-      .union(e0.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
-    var nEdges = sym.count()
+    // edge count rides each checkpoint job (CheckpointOps — guide §1.2)
+    var (sym, nEdges) = graft.spark.CheckpointOps.checkpointCounted(
+      e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst"))))
     var converged = nEdges == 0L
     while (!converged) {
       // no separate checkpoint for the surviving-node set: both
       // semi-joins sit in ONE plan (pruned's), so the degree-filter
       // subtree is computed once via exchange reuse, and pruned's own
-      // checkpoint still cuts the round's lineage — one job per peel
-      // instead of two (guide §1.2)
+      // checkpoint still cuts the round's lineage — and the convergence
+      // count rides that same job (one job per peel, guide §1.2)
       val alive = sym.groupBy(col("src")).agg(count(lit(1)).as("__d"))
         .filter(col("__d") >= k)
         .select(col("src").as("__node"))
-      val pruned = sym
+      val (pruned, n2) = graft.spark.CheckpointOps.checkpointCounted(sym
         .join(alive, col("src") === col("__node"), "left_semi")
-        .join(alive, col("dst") === col("__node"), "left_semi")
-        .localCheckpoint()
-      val n2 = pruned.count()
+        .join(alive, col("dst") === col("__node"), "left_semi"))
       converged = n2 == nEdges
       nEdges = n2
       sym = pruned
