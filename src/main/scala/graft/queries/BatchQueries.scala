@@ -856,16 +856,26 @@ object BatchQueries {
       val basic = li.agg(basicAggs.head, basicAggs.drop(1): _*)
       // exact NDV for ALL columns through ONE distinct-pair shuffle
       // (stack → distinct → per-column count) instead of a shuffle
-      // stage per column. Values stack as STRINGS: the cast is
-      // injective for every column type here, where a DOUBLE stack
-      // would collide distinct BIGINT keys above 2^53 at larger SFs
-      // and silently undercount l_orderkey's NDV
+      // stage per column. Values stack into TYPED slots — a byte column
+      // id plus the value in its native slot (long or double) — instead
+      // of the former per-value strings (guide §2.3, shuffle fewer
+      // bytes): injectivity per column is the identity map, so the
+      // counts stay exact (a single DOUBLE slot for everything would
+      // collide distinct BIGINT keys above 2^53 and undercount), and
+      // the exchange carries ~17 bytes/row instead of a column-name
+      // string plus a stringified value
+      val longCols = Set("l_orderkey", "l_suppkey")
+      val slots = statCols.zipWithIndex.map { case (c, i) =>
+        if (longCols(c)) s"${i}Y, $c, CAST(NULL AS DOUBLE)"
+        else s"${i}Y, CAST(NULL AS BIGINT), $c"
+      }
       val ndv = li.select(expr("stack(" + statCols.length + ", " +
-          statCols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ") +
-          ") AS (col_name, v)"))
-        .filter(col("v").isNotNull)
+          slots.mkString(", ") + ") AS (cid, vl, vd)"))
+        .filter(col("vl").isNotNull || col("vd").isNotNull)
         .distinct()
-        .groupBy(col("col_name")).agg(count(lit(1)).as("ndv"))
+        .groupBy(col("cid")).agg(count(lit(1)).as("ndv"))
+        .select(element_at(array(statCols.map(lit): _*),
+          col("cid").cast("int") + 1).as("col_name"), col("ndv"))
       val rows = statCols.map(c => struct(lit(c).as("col_name"),
         col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v"),
         col(s"nulls_$c").as("n_nulls"), col(s"andv_$c").as("andv")))
