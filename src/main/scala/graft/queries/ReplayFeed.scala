@@ -92,14 +92,16 @@ private[queries] object ReplayFeed {
     * the replay fixtures' key counts. Safe because each gate runs its
     * query inside the pinned scope on a fresh checkpoint, and the
     * driver executes queries sequentially. */
-  /** `keepNoDataBatches`: the ordered-replay gates derive nothing from
-    * the trailing no-data micro-batch (the flush-row design lands every
-    * final pane in a REAL batch), so it is skipped by default — one full
-    * batch of fixed overhead per gate. The three gates whose output DOES
-    * seal in a no-data batch (q_wallclock_panes' wall-clock timers;
-    * q_stream_ts_attr / q_stream_broker, whose last windows seal only
-    * via the post-final-batch watermark — measured: 4 rows short
-    * without it) opt back in. */
+  /** `keepNoDataBatches` DEFAULTS TO TRUE — the SAFE setting: a gate
+    * whose output seals only in the trailing no-data micro-batch is
+    * silently TRUNCATED when that batch is skipped, and the oracle is
+    * the only net that catches it (VERDICT r14 item 8 — exactly how the
+    * three opt-ins below were found, 4 rows short). Skipping the batch
+    * saves one batch of fixed overhead per gate, so every EXISTING
+    * replay gate whose flush-row design provably lands its final panes
+    * in a real batch opts OUT explicitly at its call site (each opt-out
+    * is oracle-proven); a NEW gate gets the safe default until its
+    * author proves the skip. */
   /** `changelog`: RocksDB changelog checkpointing (see below). Since
     * r15 EVERY gate runs with it on — the two session byte-budget gates
     * that used to pin snapshot mode had their budgets recalibrated to
@@ -108,7 +110,7 @@ private[queries] object ReplayFeed {
     * the opt-out. The flag stays so a future budget can still pin
     * snapshot accounting deliberately. */
   def withGatePartitions[T](s: org.apache.spark.sql.SparkSession, n: Int = 8,
-      keepNoDataBatches: Boolean = false, changelog: Boolean = true)(
+      keepNoDataBatches: Boolean = true, changelog: Boolean = true)(
       body: => T): T = {
     // RocksDB changelog checkpointing: per micro-batch commit, upload
     // only the batch's change log instead of a full RocksDB snapshot

@@ -93,7 +93,9 @@ object StreamChainGateQueries {
     * query; return the parquet-sunk result. */
   private def runStream(s: SparkSession, feed: String, schema: StructType,
                         op: DataFrame => DataFrame): DataFrame =
-      ReplayFeed.withGatePartitions(s) {
+      // no-data batch skipped: the chains' flush rows seal every slot in
+      // a real batch (oracle-proven against the batch legs)
+      ReplayFeed.withGatePartitions(s, keepNoDataBatches = false) {
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(feed)
     val outDir = ReplayFeed.tmp("sc_out"); val ckpt = ReplayFeed.tmp("sc_ckpt")
@@ -117,7 +119,8 @@ object StreamChainGateQueries {
   private def runStreamWithRestart(s: SparkSession, feed: String,
                                    schema: StructType,
                                    op: DataFrame => DataFrame): DataFrame =
-      ReplayFeed.withGatePartitions(s) {
+      // no-data batch skipped: flush-row design, oracle-proven (see runStream)
+      ReplayFeed.withGatePartitions(s, keepNoDataBatches = false) {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val outDir = ReplayFeed.tmp("scr_out"); val ckpt = ReplayFeed.tmp("scr_ckpt")

@@ -111,7 +111,9 @@ object StreamGateQueries {
       StreamOps.writeStreamMerge(stream, root, Seq("o_orderkey"),
         "o_orderpriority", "ord", ckpt)
     }
-    ReplayFeed.withGatePartitions(s) {
+    // no-data batch skipped: the CDC sink merges per batch; nothing
+    // seals on the trailing watermark (oracle-proven final snapshot)
+    ReplayFeed.withGatePartitions(s, keepNoDataBatches = false) {
       if (!restart) {
         val q = startMerge()
         q.processAllAvailable()
@@ -193,7 +195,9 @@ object StreamGateQueries {
       val survivors = StreamOps.dedupByFingerprint(stream, "text", "ts",
         lateness = "30 days")
       val outDir = tmp("sd_out"); val ckpt = tmp("sd_ckpt")
-      ReplayFeed.withGatePartitions(s) {
+      // no-data batch skipped: dedup survivors emit in their own batch;
+      // the 30-day lateness means no state ever seals (oracle-proven)
+      ReplayFeed.withGatePartitions(s, keepNoDataBatches = false) {
         val q = survivors.writeStream.format("parquet")
           .option("path", outDir).option("checkpointLocation", ckpt)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -266,7 +270,9 @@ object StreamGateQueries {
       val raw = s.readStream.format("graft-redelivery")
         .option("n", 200).option("rowsPerBatch", 50).option("overlap", 10)
         .load()
-      ReplayFeed.withGatePartitions(s) {
+      // no-data batch skipped: deduped records emit in their arrival
+      // batch; the output has no sealed-window rows (oracle-proven)
+      ReplayFeed.withGatePartitions(s, keepNoDataBatches = false) {
         val q = StreamOps.dedupWithinWatermark(
             StreamOps.withEventTime(raw, "ts", "1 hour"), Seq("record_id"))
           .writeStream.format("parquet").option("path", outDir)

@@ -273,7 +273,10 @@ object TriggerGateQueries {
                        panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]],
                        onPeak: Option[StateMetrics.Peak => Unit] = None,
                        changelog: Boolean = true)
-      : DataFrame = ReplayFeed.withGatePartitions(s, changelog = changelog) {
+      // no-data batch skipped: every trigger/session gate's flush rows
+      // land its final panes in a REAL batch (oracle-proven per gate)
+      : DataFrame = ReplayFeed.withGatePartitions(s,
+        keepNoDataBatches = false, changelog = changelog) {
     val outDir = tmp("tg_out"); val ckpt = tmp("tg_ckpt")
     val peak = runPaneQuery(s, feed, outDir, ckpt, panes)
     onPeak.foreach { cb =>
@@ -298,7 +301,9 @@ object TriggerGateQueries {
       panes: Dataset[(String, Timestamp, Long)] => Dataset[Pane[String, (Long, Long)]],
       onPeak: Option[StateMetrics.Peak => Unit] = None,
       changelog: Boolean = true)
-      : DataFrame = ReplayFeed.withGatePartitions(s, changelog = changelog) {
+      // no-data batch skipped: flush-row design, oracle-proven (see runPanes)
+      : DataFrame = ReplayFeed.withGatePartitions(s,
+        keepNoDataBatches = false, changelog = changelog) {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val outDir = tmp("tr_out"); val ckpt = tmp("tr_ckpt")

@@ -220,7 +220,9 @@ object WindowQueries {
         a, b, Seq("user_id"), "ts", "1 hour", "10 minutes",
         col("value"), col("value"))
       val outDir = ReplayFeed.tmp("cg_out"); val ckpt = ReplayFeed.tmp("cg_ckpt")
-      ReplayFeed.withGatePartitions(s) {
+      // no-data batch skipped: the per-side flush rows seal every window
+      // in a real batch (oracle-proven against the batch leg)
+      ReplayFeed.withGatePartitions(s, keepNoDataBatches = false) {
         val q = cogbk.writeStream.format("parquet")
           .option("path", outDir).option("checkpointLocation", ckpt)
           .outputMode("append")
@@ -281,7 +283,9 @@ object WindowQueries {
           ("c", streamOf(ev.filter(m3 === 2), 2), col("value"), "10 minutes")),
         Seq("user_id"), "ts", "1 hour")
       val outDir = ReplayFeed.tmp("cg3_out"); val ckpt = ReplayFeed.tmp("cg3_ckpt")
-      ReplayFeed.withGatePartitions(s) {
+      // no-data batch skipped: the per-side flush rows seal every window
+      // in a real batch (oracle-proven against the batch leg)
+      ReplayFeed.withGatePartitions(s, keepNoDataBatches = false) {
         val q = cogbk.writeStream.format("parquet")
           .option("path", outDir).option("checkpointLocation", ckpt)
           .outputMode("append")
