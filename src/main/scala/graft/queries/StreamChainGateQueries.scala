@@ -40,7 +40,7 @@ object StreamChainGateQueries {
     * multi-batch replay (every chain seals slots across ≥2 batch
     * boundaries, and the restart gate still splits mid-feed), at ~2
     * fewer micro-batches of fixed cost per gate. */
-  private val TargetCells = 2
+  private val TargetCells = 16
 
   /** Hourly slot index from a sealed slot_ts (matches the batch legs'
     * `unix_timestamp(ts) DIV 3600`). */
